@@ -1,0 +1,543 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator suite (SURVEY.md §2.3–§2.9, §2.11).
+  *
+  * Each query mirrors an operator family from the reference
+  * (`/root/reference/spark/transform_load.py`, `/root/reference/sql/`)
+  * re-expressed on the driver's TPC-H-ish fixture tables. Every query has a
+  * DuckDB oracle twin in [[oracles]]; both sides follow the same determinism
+  * contract:
+  *
+  *   - SUM over floating columns goes through an exact DECIMAL cast, then the
+  *     final value is cast to DOUBLE (order-independent, bit-identical in
+  *     both engines — a raw double sum depends on partial-aggregation order).
+  *   - Averages are expressed as CAST(sum_decimal AS DOUBLE) / CAST(count AS
+  *     DOUBLE): two identical operands, one IEEE division → identical bits.
+  *   - Every computed numeric is cast to an explicit type (INT/BIGINT/DOUBLE)
+  *     in BOTH engines so parquet/duckdb dtypes line up.
+  *   - Nullable numeric outputs are COALESCEd (pandas turns nullable int64
+  *     into float64+NaN, which never hash-compares equal).
+  *   - Every query ends in a total ORDER BY on non-null keys.
+  *
+  * Scale notes (100 TB mindset) are on each query: which side broadcasts,
+  * where the shuffles are, and why the plan survives a 1000-executor run.
+  */
+object RelationalQueries {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** TPC-H Q1 shape — scan-heavy groupBy with map-side partial aggregation
+    * (ref: aggregations.sql:2-5 count-group, transform_load.py casts).
+    * Scales: one shuffle on a 6-value grouping key; partial aggs collapse
+    * the 100 TB scan to KBs before the exchange. Filter pushes to parquet. */
+  def q01Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base"),
+        sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).cast("bigint").as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Top-k after dim join (ref: aggregations.sql:8-14 top destinations).
+    * `broadcast(part)` keeps the fact scan shuffle-free; Catalyst plans
+    * TakeOrderedAndProject so only 10 rows cross the final exchange. */
+  def q02TopkJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      .groupBy(coalesce(col("p_brand"), lit("?")).as("brand"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .orderBy(desc("cnt"), asc("brand"))
+      .limit(10)
+  }
+
+  /** Date-range filter + dim join + agg (ref: aggregations.sql:18-26).
+    * Predicate pushes to the orders scan (PushedFilters on o_orderdate);
+    * customer broadcasts. */
+  def q03DateFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.filter(col("o_orderdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+           sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  private def perTypeDaily(s: SparkSession, dir: String, typ: String,
+                           cntName: String, sumName: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === typ)
+      .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).cast("bigint").as(cntName),
+           sum(dec6(col("value"))).cast("double").as(sumName))
+
+  /** Two-key multi-way LEFT join (ref J1: rainfall⟕tasmin⟕tasmax on
+    * (location_id, time), transform_load.py:266-273). Three branches of one
+    * source, joined on (user_id, day). All three shuffles share the same
+    * key → Catalyst reuses the exchange partitioning; no re-shuffle. */
+  def q04MultikeyLeft(s: SparkSession, dir: String): DataFrame = {
+    val clicks = perTypeDaily(s, dir, "click", "click_n", "click_sum")
+    val views = perTypeDaily(s, dir, "view", "view_n", "view_sum")
+    val purchases = perTypeDaily(s, dir, "purchase", "purch_n", "purch_sum")
+    clicks
+      .join(views, Seq("user_id", "d"), "left")
+      .join(purchases, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"), col("click_n"), col("click_sum"),
+        coalesce(col("view_n"), lit(0L)).as("view_n"),
+        coalesce(col("view_sum"), lit(0.0)).as("view_sum"),
+        coalesce(col("purch_n"), lit(0L)).as("purch_n"),
+        coalesce(col("purch_sum"), lit(0.0)).as("purch_sum"))
+      .orderBy("user_id", "d")
+  }
+
+  /** Self-join re-merge on the fact key (ref J5: start/end annotated fact
+    * ⟕ on rental_id, transform_load.py:393-398). Aliased copies avoid
+    * duplicate-column ambiguity; join key is the table's own key so the
+    * left-join preserves cardinality. */
+  def q05SelfJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val l1 = li.filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_quantity").as("qty1"),
+              col("l_extendedprice").as("price1"))
+    val l2 = li.filter(col("l_linenumber") === 2)
+      .select(col("l_orderkey"), col("l_quantity").as("qty2"))
+    l1.join(l2, Seq("l_orderkey"), "left")
+      .select(col("l_orderkey"), col("qty1"), col("price1"),
+              coalesce(col("qty2"), lit(-1.0)).as("qty2"))
+      .orderBy("l_orderkey", "qty1", "price1", "qty2")
+  }
+
+  /** Role-playing dimension joined twice (ref J9 / make_view.sql:22-30:
+    * locations as start_loc and end_loc). nation plays customer-nation and
+    * supplier-nation via two aliased broadcast copies. */
+  def q06RolePlaying(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n1 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val n2 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(count(lit(1)).cast("bigint").as("n_items"),
+           sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+             .cast("double").as("revenue"))
+      .orderBy("cust_nation", "supp_nation")
+  }
+
+  /** Four-key equi-join on derived calendar columns (ref J4: fact joined to
+    * daily weather on (year, month, dayofmonth, station), transform_load
+    * .py:365-373) — the minute-granularity ↔ day-granularity bridge.
+    * The daily dim is small after aggregation → broadcast; the fact side
+    * never shuffles. */
+  def q07FourKeyCalendar(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val fact = ev.select(col("event_id"), col("user_id"), col("value"),
+      year(col("ts")).cast("int").as("y"),
+      month(col("ts")).cast("int").as("m"),
+      dayofmonth(col("ts")).cast("int").as("dom"))
+    val daily = ev.groupBy(
+        year(col("ts")).cast("int").as("y"),
+        month(col("ts")).cast("int").as("m"),
+        dayofmonth(col("ts")).cast("int").as("dom"),
+        col("user_id"))
+      .agg((sum(dec6(col("value"))).cast("double") /
+            count(lit(1)).cast("double")).as("daily_avg"))
+    fact.join(broadcast(daily), Seq("y", "m", "dom", "user_id"), "left")
+      .select(col("event_id"), col("y"), col("m"), col("dom"), col("user_id"),
+              col("value"), coalesce(col("daily_avg"), lit(0.0)).as("daily_avg"))
+      .orderBy("event_id")
+  }
+
+  /** RANGE-frame 7-day moving average (ref W1: aggregations.sql:36-42,
+    * AVG OVER ORDER BY UNIX_DATE RANGE 7 PRECEDING), generalized with
+    * partitionBy like the survey suggests. Moving avg is written as
+    * window-sum(decimal)/window-count so both engines produce identical
+    * doubles. One shuffle on the partition key; frames evaluate locally. */
+  def q08WindowMovavg(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+               col("o_orderdate").cast("date").as("d"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+      .withColumn("dayint", datediff(col("d"), lit("1970-01-01").cast("date")).cast("int"))
+    val w = Window.partitionBy("prio").orderBy("dayint").rangeBetween(-7, 0)
+    daily.select(col("prio"), col("d"),
+        col("rev_dec").cast("double").as("day_rev"),
+        (sum(col("rev_dec")).over(w).cast("double") /
+         count(lit(1)).over(w).cast("double")).as("mov_avg"))
+      .orderBy("prio", "d")
+  }
+
+  /** Ranking window / argmin pattern (ref S8's numpy nearest-grid argmin,
+    * ingest_weather_data.py:159-163, expressed as row_number per survey
+    * §2.7). Deterministic tie-break on event_id. */
+  def q09ArgminWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** Two-way contingency counts over derived booleans (ref A3:
+    * aggregations.sql:63-66 is_warm × is_raining). */
+  def q10Contingency(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select((col("value") > 50).as("is_high"),
+              (col("event_type") === "error").as("is_error"))
+      .groupBy("is_high", "is_error")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .orderBy("is_high", "is_error")
+
+  /** Per-column null-count profile (ref A5: transform_load.py:52-55) —
+    * one pass, one row out. */
+  def q11NullProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.select(o.columns.toIndexedSeq.map(c =>
+      count(when(col(c).isNull, lit(1))).cast("bigint").as(s"nulls_$c")): _*)
+  }
+
+  /** Global MIN/MAX bounds (ref A4: transform_load.py:460-463, the manual
+    * dynamic-filter prologue). */
+  def q12MinMax(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      min(col("o_orderdate")).cast("date").as("min_date"),
+      max(col("o_orderdate")).cast("date").as("max_date"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+
+  /** Union-all of branch slices then re-aggregate (ref U1: pd.concat of
+    * per-station frames, ingest_weather_data.py:179). unionByName keeps
+    * it schema-safe under column reordering. */
+  def q13Union(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val a = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("value"), col("event_type"))
+    a.unionByName(b)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+           sum(dec6(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** DISTINCT projection (dropDuplicates) — exact dedup primitive at the
+    * relational level; at scale this is a hash-aggregate shuffle on the
+    * distinct key set only (2 narrow columns). */
+  def q14Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .dropDuplicates()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** Hour-of-day histogram (ref O2/A2: aggregations.sql:29-34 peak cycling
+    * hour). */
+  def q15HourHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(hour(col("ts")).cast("int").as("hr"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .orderBy("hr")
+
+  /** Cast / composite-key / string-assembly projections (ref P6-P8:
+    * decimal lat/long casts transform_load.py:148-154, concat_ws surrogate
+    * key :283-285, CONCAT geo point make_view.sql:13). Pure narrow map —
+    * no shuffle, whole-stage codegen end to end. */
+  def q16CastsKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        concat_ws("_", col("c_custkey").cast("string"),
+                       col("c_nationkey").cast("string")).as("cust_nation_key"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal_dec"),
+        concat(col("c_acctbal").cast("decimal(12,2)").cast("string"),
+               lit(","), col("c_mktsegment")).as("bal_seg"))
+      .orderBy("c_custkey")
+
+  /** Generated minute-grid timestamp dimension (ref S12/E1:
+    * transform_load.py:104-120 — sequence + explode + unix key + calendar
+    * projections). One month here; the reference's 6-year grid is the same
+    * plan. Generation is a single Generate node — no input scan at all. */
+  def q17TimestampDim(s: SparkSession, dir: String): DataFrame =
+    s.range(1).select(explode(expr(
+        "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-31 23:59:00', interval 1 minute)"
+      )).as("ts"))
+      .select(
+        unix_timestamp(col("ts")).cast("int").as("id"),
+        year(col("ts")).cast("int").as("year"),
+        month(col("ts")).cast("int").as("month"),
+        dayofmonth(col("ts")).cast("int").as("dayofmonth"),
+        weekofyear(col("ts")).cast("int").as("weekofyear"),
+        hour(col("ts")).cast("int").as("hour"),
+        minute(col("ts")).cast("int").as("minute"))
+      .orderBy("id")
+
+  /** CASE WHEN categorical buckets + join back to the fact (ref F5/F6/J8:
+    * aggregations.sql:45-60 — CTE of weather categories joined to fact).
+    * The categorized daily dim broadcasts. */
+  def q18Categories(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(col("user_id"), col("ts").cast("date").as("d"))
+      .agg((sum(dec6(col("value"))).cast("double") /
+            count(lit(1)).cast("double")).as("daily_avg"),
+           count(lit(1)).cast("bigint").as("n"))
+      .select(col("user_id"), col("d"),
+        when(col("daily_avg") > 60, "high")
+          .when(col("daily_avg") > 40, "mid")
+          .otherwise("low").as("category"),
+        (col("n") > 3).as("is_active"))
+    ev.select(col("event_id"), col("user_id"), col("ts").cast("date").as("d"))
+      .join(broadcast(daily), Seq("user_id", "d"), "inner")
+      .groupBy("category", "is_active")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .orderBy("category", "is_active")
+  }
+
+  /** Manual dynamic min/max filter (ref E3 step 3: eager min/max action
+    * bounds the dim re-scan, transform_load.py:460-483). The driver-side
+    * action is tiny (2 values); the bounds become pushable literals —
+    * the hand-rolled analog of dynamic partition pruning. */
+  def q19DynamicMinMax(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val row = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).first()
+    val (mn, mx) = (row.getTimestamp(0), row.getTimestamp(1))
+    s.range(1).select(explode(expr(
+        "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-31 23:59:00', interval 1 minute)"
+      )).as("ts"))
+      .filter(col("ts") >= lit(mn) && col("ts") <= lit(mx))
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).cast("bigint").as("minutes"))
+      .orderBy("d")
+  }
+
+  /** Wide denormalized analytics view (ref K5/J9: make_view.sql:3-32 —
+    * fact ⟕ role-playing dims, ordered projection). Dims broadcast; the
+    * only big shuffle is the fact⨝orders join, which at scale co-partitions
+    * on orderkey (both sides bucketed on the same key reuse partitioning). */
+  def q20ViewStar(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val p = Tables.part(s, dir)
+    val n1 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val n2 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("c_name"), col("cust_nation"), col("supp_nation"),
+        col("p_name"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (q01Agg _),
+    "q02_topk_join" -> (q02TopkJoin _),
+    "q03_date_filter_join" -> (q03DateFilterJoin _),
+    "q04_multikey_left" -> (q04MultikeyLeft _),
+    "q05_self_join" -> (q05SelfJoin _),
+    "q06_role_playing" -> (q06RolePlaying _),
+    "q07_four_key_calendar" -> (q07FourKeyCalendar _),
+    "q08_window_movavg" -> (q08WindowMovavg _),
+    "q09_argmin_window" -> (q09ArgminWindow _),
+    "q10_contingency" -> (q10Contingency _),
+    "q11_null_profile" -> (q11NullProfile _),
+    "q12_minmax" -> (q12MinMax _),
+    "q13_union" -> (q13Union _),
+    "q14_distinct" -> (q14Distinct _),
+    "q15_hour_histogram" -> (q15HourHistogram _),
+    "q16_casts_keys" -> (q16CastsKeys _),
+    "q17_timestamp_dim" -> (q17TimestampDim _),
+    "q18_categories" -> (q18Categories _),
+    "q19_dynamic_minmax" -> (q19DynamicMinMax _),
+    "q20_view_star" -> (q20ViewStar _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_topk_join" ->
+      """SELECT COALESCE(p_brand, '?') AS brand, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY cnt DESC, brand ASC LIMIT 10""".stripMargin,
+    "q03_date_filter_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_multikey_left" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS click_n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS click_sum
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |v AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS view_n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS view_sum
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS purch_n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purch_sum
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.d, c.click_n, c.click_sum,
+        |  COALESCE(v.view_n, 0) AS view_n, COALESCE(v.view_sum, 0.0) AS view_sum,
+        |  COALESCE(p.purch_n, 0) AS purch_n, COALESCE(p.purch_sum, 0.0) AS purch_sum
+        |FROM c LEFT JOIN v ON c.user_id = v.user_id AND c.d = v.d
+        |       LEFT JOIN p ON c.user_id = p.user_id AND c.d = p.d
+        |ORDER BY c.user_id, c.d""".stripMargin,
+    "q05_self_join" ->
+      """SELECT l1.l_orderkey, l1.l_quantity AS qty1, l1.l_extendedprice AS price1,
+        |  COALESCE(l2.l_quantity, -1.0) AS qty2
+        |FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) l1
+        |LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber = 2) l2
+        |  ON l1.l_orderkey = l2.l_orderkey
+        |ORDER BY l1.l_orderkey, qty1, price1, qty2""".stripMargin,
+    "q06_role_playing" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q07_four_key_calendar" ->
+      """WITH daily AS (
+        |  SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+        |    CAST(dayofmonth(ts) AS INTEGER) AS dom, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS daily_avg
+        |  FROM events GROUP BY 1, 2, 3, 4)
+        |SELECT e.event_id, CAST(year(e.ts) AS INTEGER) AS y, CAST(month(e.ts) AS INTEGER) AS m,
+        |  CAST(dayofmonth(e.ts) AS INTEGER) AS dom, e.user_id, e.value,
+        |  COALESCE(d.daily_avg, 0.0) AS daily_avg
+        |FROM events e LEFT JOIN daily d
+        |  ON year(e.ts) = d.y AND month(e.ts) = d.m AND dayofmonth(e.ts) = d.dom
+        |  AND e.user_id = d.user_id
+        |ORDER BY e.event_id""".stripMargin,
+    "q08_window_movavg" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dayint
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT prio, d, CAST(rev_dec AS DOUBLE) AS day_rev,
+        |  CAST(SUM(rev_dec) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS mov_avg
+        |FROM daily
+        |WINDOW w AS (PARTITION BY prio ORDER BY dayint RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+        |ORDER BY prio, d""".stripMargin,
+    "q09_argmin_window" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q10_contingency" ->
+      """SELECT value > 50 AS is_high, event_type = 'error' AS is_error,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_null_profile" ->
+      """SELECT CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS nulls_o_orderkey,
+        |  CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS nulls_o_custkey,
+        |  CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS nulls_o_orderstatus,
+        |  CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS nulls_o_totalprice,
+        |  CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS nulls_o_orderdate,
+        |  CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS nulls_o_orderpriority
+        |FROM orders""".stripMargin,
+    "q12_minmax" ->
+      """SELECT CAST(MIN(o_orderdate) AS DATE) AS min_date,
+        |  CAST(MAX(o_orderdate) AS DATE) AS max_date,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+    "q13_union" ->
+      """WITH u AS (
+        |  SELECT event_type, value FROM events WHERE event_type IN ('click', 'view')
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_type = 'purchase')
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q15_hour_histogram" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hr, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY hr""".stripMargin,
+    "q16_casts_keys" ->
+      """SELECT c_custkey,
+        |  concat_ws('_', CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR)) AS cust_nation_key,
+        |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec,
+        |  concat(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), ',', c_mktsegment) AS bal_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q17_timestamp_dim" ->
+      """SELECT CAST(epoch(ts) AS INTEGER) AS id,
+        |  CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
+        |  CAST(dayofmonth(ts) AS INTEGER) AS dayofmonth,
+        |  CAST(weekofyear(ts) AS INTEGER) AS weekofyear,
+        |  CAST(hour(ts) AS INTEGER) AS hour, CAST(minute(ts) AS INTEGER) AS minute
+        |FROM generate_series(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-31 23:59:00', INTERVAL 1 MINUTE) t(ts)
+        |ORDER BY id""".stripMargin,
+    "q18_categories" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CASE WHEN CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) > 60 THEN 'high'
+        |         WHEN CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) > 40 THEN 'mid'
+        |         ELSE 'low' END AS category,
+        |    COUNT(*) > 3 AS is_active
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d.category, d.is_active, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events e JOIN daily d ON e.user_id = d.user_id AND CAST(e.ts AS DATE) = d.d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q19_dynamic_minmax" ->
+      """SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS minutes
+        |FROM generate_series(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-31 23:59:00', INTERVAL 1 MINUTE) t(ts)
+        |WHERE ts >= (SELECT MIN(ts) FROM events) AND ts <= (SELECT MAX(ts) FROM events)
+        |GROUP BY 1 ORDER BY d""".stripMargin,
+    "q20_view_star" ->
+      """SELECT l_orderkey, l_linenumber, CAST(o_orderdate AS DATE) AS order_date,
+        |  c_name, n1.n_name AS cust_nation, n2.n_name AS supp_nation, p_name,
+        |  l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}
