@@ -49,12 +49,14 @@ object RelationalQueries {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Top-k after dim join (ref: aggregations.sql:8-14 top destinations).
-    * `broadcast(part)` keeps the fact scan shuffle-free; Catalyst plans
+    * No broadcast hint: `part` scales with sf (tens of GB at 100 TB), so the
+    * join strategy is left to AQE, which has runtime size stats and
+    * broadcasts only when the built side actually fits. Catalyst plans
     * TakeOrderedAndProject so only 10 rows cross the final exchange. */
   def q02TopkJoin(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+    li.join(p, li("l_partkey") === p("p_partkey"), "left")
       .groupBy(coalesce(col("p_brand"), lit("?")).as("brand"))
       .agg(count(lit(1)).cast("bigint").as("cnt"))
       .orderBy(desc("cnt"), asc("brand"))
@@ -147,8 +149,9 @@ object RelationalQueries {
   /** Four-key equi-join on derived calendar columns (ref J4: fact joined to
     * daily weather on (year, month, dayofmonth, station), transform_load
     * .py:365-373) — the minute-granularity ↔ day-granularity bridge.
-    * The daily dim is small after aggregation → broadcast; the fact side
-    * never shuffles. */
+    * The daily aggregate grows linearly with users×days, so it is NOT
+    * broadcast-hinted: both sides shuffle on the same 4-part key and AQE
+    * downgrades to broadcast at runtime only if the built side fits. */
   def q07FourKeyCalendar(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val fact = ev.select(col("event_id"), col("user_id"), col("value"),
@@ -162,7 +165,7 @@ object RelationalQueries {
         col("user_id"))
       .agg((sum(dec6(col("value"))).cast("double") /
             count(lit(1)).cast("double")).as("daily_avg"))
-    fact.join(broadcast(daily), Seq("y", "m", "dom", "user_id"), "left")
+    fact.join(daily, Seq("y", "m", "dom", "user_id"), "left")
       .select(col("event_id"), col("y"), col("m"), col("dom"), col("user_id"),
               col("value"), coalesce(col("daily_avg"), lit(0.0)).as("daily_avg"))
       .orderBy("event_id")
@@ -269,7 +272,7 @@ object RelationalQueries {
         col("c_custkey"),
         concat_ws("_", col("c_custkey").cast("string"),
                        col("c_nationkey").cast("string")).as("cust_nation_key"),
-        col("c_acctbal").cast("decimal(12,2)").as("bal_dec"),
+        col("c_acctbal").cast("decimal(12,2)").cast("double").as("bal_dec"),
         concat(col("c_acctbal").cast("decimal(12,2)").cast("string"),
                lit(","), col("c_mktsegment")).as("bal_seg"))
       .orderBy("c_custkey")
@@ -277,11 +280,17 @@ object RelationalQueries {
   /** Generated minute-grid timestamp dimension (ref S12/E1:
     * transform_load.py:104-120 — sequence + explode + unix key + calendar
     * projections). One month here; the reference's 6-year grid is the same
-    * plan. Generation is a single Generate node — no input scan at all. */
-  def q17TimestampDim(s: SparkSession, dir: String): DataFrame =
-    s.range(1).select(explode(expr(
-        "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-31 23:59:00', interval 1 minute)"
+    * plan. Parallel generation: one `range` row per day, each exploding its
+    * own 1440-minute sequence — the grid is produced across partitions
+    * instead of in a single task (a 3.2M-row straggler at reference scale). */
+  def minuteGrid(s: SparkSession, days: Int): DataFrame =
+    s.range(days).select(explode(expr(
+        "sequence(timestamp'2024-01-01 00:00:00' + make_dt_interval(cast(id as int)), " +
+        "timestamp'2024-01-01 23:59:00' + make_dt_interval(cast(id as int)), interval 1 minute)"
       )).as("ts"))
+
+  def q17TimestampDim(s: SparkSession, dir: String): DataFrame =
+    minuteGrid(s, 31)
       .select(
         unix_timestamp(col("ts")).cast("int").as("id"),
         year(col("ts")).cast("int").as("year"),
@@ -294,7 +303,9 @@ object RelationalQueries {
 
   /** CASE WHEN categorical buckets + join back to the fact (ref F5/F6/J8:
     * aggregations.sql:45-60 — CTE of weather categories joined to fact).
-    * The categorized daily dim broadcasts. */
+    * The categorized daily dim is an unbounded aggregate (users×days), so
+    * no broadcast hint — both sides shuffle on (user_id, d) and AQE picks
+    * the physical join from runtime sizes. */
   def q18Categories(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val daily = ev.groupBy(col("user_id"), col("ts").cast("date").as("d"))
@@ -307,7 +318,7 @@ object RelationalQueries {
           .otherwise("low").as("category"),
         (col("n") > 3).as("is_active"))
     ev.select(col("event_id"), col("user_id"), col("ts").cast("date").as("d"))
-      .join(broadcast(daily), Seq("user_id", "d"), "inner")
+      .join(daily, Seq("user_id", "d"), "inner")
       .groupBy("category", "is_active")
       .agg(count(lit(1)).cast("bigint").as("cnt"))
       .orderBy("category", "is_active")
@@ -321,9 +332,7 @@ object RelationalQueries {
     val ev = Tables.events(s, dir)
     val row = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).first()
     val (mn, mx) = (row.getTimestamp(0), row.getTimestamp(1))
-    s.range(1).select(explode(expr(
-        "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-31 23:59:00', interval 1 minute)"
-      )).as("ts"))
+    minuteGrid(s, 31)
       .filter(col("ts") >= lit(mn) && col("ts") <= lit(mx))
       .groupBy(col("ts").cast("date").as("d"))
       .agg(count(lit(1)).cast("bigint").as("minutes"))
@@ -500,7 +509,7 @@ object RelationalQueries {
     "q16_casts_keys" ->
       """SELECT c_custkey,
         |  concat_ws('_', CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR)) AS cust_nation_key,
-        |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
         |  concat(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), ',', c_mktsegment) AS bal_seg
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q17_timestamp_dim" ->

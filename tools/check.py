@@ -18,7 +18,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(df):
-    return df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+    df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+    # date32 (pyarrow) vs DATE (duckdb fetchdf → datetime64) — the driver
+    # hash-matches these (r02: q04/q08/q12/q19/q20 green), so canonicalize
+    # date-like columns to datetime64 on both sides. Decimal stays strict.
+    import datetime
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and all(
+                v is None or (isinstance(v, datetime.date)
+                              and not isinstance(v, datetime.datetime))
+                for v in df[c]):
+            df[c] = pd.to_datetime(df[c])
+    return df
 
 
 def cmp_frames(a, b):
@@ -68,8 +79,12 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM read_parquet({res_glob!r})").fetchdf()
+            # Spark side via pyarrow/pandas, NOT duckdb fetchdf: fetchdf
+            # coerces DECIMAL->float64 on both sides and can report PASS
+            # where the driver's stricter compare reports a hash FAIL.
+            spark_df = pd.concat(
+                [pd.read_parquet(p) for p in sorted(res_glob)],
+                ignore_index=True)
             oracle_df = con.execute(oracles[name]).fetchdf()
             ok, msg = cmp_frames(spark_df, oracle_df)
         except Exception as e:
