@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.RelationalQueries
+import graft.operators.{DedupQueries, RelationalQueries, SimilarityQueries, TextAnalysisQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,12 +17,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.q02TopkJoin(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * LLM-data-pipeline extensions (dedup, similarity, text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ TextAnalysisQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ TextAnalysisQueries.oracles
 }

@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for LLM-training-data pipelines, over the
+  * `documents` fixture table (TESTDATA.md).
+  *
+  * The reference pipeline has only relational dedup-by-key
+  * (`/root/reference/spark/transform_load.py:224` splits dims off a fact by
+  * key); these queries extend that surface to the document-dedup family a
+  * 100 TB text corpus needs: exact (hash-groupBy), MinHash+LSH banded
+  * near-dup, SimHash fingerprinting, n-gram Jaccard with blocking, and
+  * min-k sketch fingerprinting.
+  *
+  * Scale design (100 TB mindset):
+  *   - NOTHING here is all-pairs. Every candidate-pair generator is an
+  *     equi-join on a derived bucket key (LSH band key, blocking key,
+  *     fingerprint) so the shuffle partitions by bucket and skew is bounded
+  *     by bucket size, not corpus size.
+  *   - Signatures/fingerprints are computed in a single narrow projection
+  *     per document (whole-stage codegen'd expression trees over built-in
+  *     higher-order functions — no UDFs, no Python), so the expensive text
+  *     pass is one map-side scan.
+  *   - The expensive verify step (true Jaccard) runs only on candidates,
+  *     re-joining token sets by doc_id instead of carrying token arrays
+  *     through the band explode (candidates << corpus at real duplication
+  *     rates, so two extra hash joins beat a 6x wider shuffle).
+  *
+  * Portability contract with the DuckDB oracles: hashes are md5 hex strings
+  * (identical in both engines), mins over them are lexicographic string
+  * mins, and every ratio is CAST(int AS DOUBLE)/CAST(int AS DOUBLE).
+  */
+object DedupQueries {
+
+  private val nHashes = 12 // minhash signature length
+  private val bandRows = 2 // signature rows per LSH band
+  private val nBands = nHashes / bandRows
+
+  /** Exact dedup: whitespace-normalize, md5 fingerprint, hash-groupBy.
+    * One shuffle on the 128-bit fingerprint — the canonical "drop exact
+    * copies from a crawl" operator. */
+  def q21ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .groupBy("fp")
+      .agg(count(lit(1)).cast("bigint").as("n_dups"),
+           min("doc_id").cast("bigint").as("keep_id"))
+      .orderBy("fp")
+
+  /** Word 3-shingles of a `toks` array column (both engines produce the
+    * same list: Spark arrays are 0-indexed, DuckDB lists 1-indexed, so the
+    * index arithmetic differs but the shingle sets are identical). */
+  private val shinglesExpr =
+    "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+
+  /** Candidate pairs from LSH buckets via groupBy + in-bucket expansion
+    * rather than a bucket self-join: a self-join would evaluate the
+    * expensive signature subtree once per side, while the aggregate form
+    * computes signatures exactly once and shuffles only (bucket key,
+    * doc_id). Bucket membership lists stay small when the band geometry is
+    * right; a pathologically hot bucket (one band key shared by a large
+    * fraction of the corpus) is the LSH analog of join skew and would need
+    * a bucket-size cap or more selective bands — worth monitoring at scale,
+    * not worth silently capping here. */
+  private[operators] def bucketPairs(bands: DataFrame, idCol: String,
+                                     aName: String, bName: String): DataFrame =
+    bands.groupBy("band", "bkey")
+      .agg(expr(s"array_sort(collect_list($idCol))").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ids)-1), " +
+          "i -> transform(slice(ids, i+1, size(ids)-i), " +
+          s"y -> named_struct('$aName', ids[i-1], '$bName', y))))")).as("p"))
+      .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
+      .distinct()
+
+  /** MinHash + banded LSH near-duplicate detection (the scale path for
+    * fuzzy dedup):
+    *   shingle -> 12 minhash signature rows -> 6 bands of 2 -> band-key
+    *   equi-join -> exact-Jaccard verify on candidates only.
+    * The reference has no analog; shape follows the standard banded-LSH
+    * construction (signature agreement on any band promotes a pair).
+    * The self-join shuffles on (band, bkey) — never all-pairs.
+    *
+    * Cost note: the signature pass is compute-bound (hashing every shingle
+    * of the corpus), so the 12 hash family members are 5-hex-char windows
+    * of TWO md5 digests per shingle rather than 12 independent md5 calls —
+    * 6x less hashing for signature rows that are still pairwise
+    * non-overlapping bit ranges. At 100 TB the map-side hash pass dominates
+    * everything else in this query; halving it matters more than any join
+    * tweak. */
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // All 12 signature rows in ONE fold over the hashed shingles. Computing
+    // them as 12 separate columns would let CollapseProject inline the
+    // shingle-hashing subtree 12 times (higher-order functions get no
+    // common-subexpression elimination), multiplying the map-side hash cost
+    // by the signature length.
+    val withSig = Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 3"))
+      .withColumn("sh", expr(shinglesExpr))
+      .withColumn("shh", expr("transform(sh, x -> concat(md5(x), md5(concat('x', x))))"))
+      .select(col("doc_id"), expr(
+        s"aggregate(shh, array_repeat('~', $nHashes), " +
+          "(acc, x) -> zip_with(acc, sequence(0, 11), (m, h) -> least(m, substring(x, h * 5 + 1, 5))))"
+      ).as("sigs"))
+    val stackArgs = (0 until nBands)
+      .map(b => s"$b, concat(sigs[${2 * b}], sigs[${2 * b + 1}])").mkString(", ")
+    val bands = withSig.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, bkey)")
+    val cand = bucketPairs(bands, "doc_id", "doc_a", "doc_b")
+    val ts = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("ts"))
+    cand
+      .join(ts.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(ts.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("jacc", expr(
+        "cast(size(array_intersect(x.ts, y.ts)) as double) / cast(size(array_union(x.ts, y.ts)) as double)"))
+      .filter(col("jacc") >= 0.5)
+      .select(col("doc_a").cast("bigint").as("doc_a"),
+              col("doc_b").cast("bigint").as("doc_b"), col("jacc"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit frequency-weighted SimHash fingerprint per document. Each bit b
+    * reads one hex digit of md5(token) (digit b/4, bit b%4), sums +/-1 votes
+    * over all tokens, and sets the bit if the vote is positive. The 32 bit
+    * positions are unrolled at plan-build time so every shift amount is a
+    * literal — the whole fingerprint is one codegen'd projection, no UDF. */
+  def q23Simhash(s: SparkSession, dir: String): DataFrame = {
+    val terms = (0 until 32).map { b =>
+      val pos = b / 4 + 1
+      val j = 1 << (b % 4)
+      s"(case when aggregate(toks, cast(0 as bigint), (acc, t) -> acc + 2 * ((cast(conv(substring(md5(t), $pos, 1), 16, 10) as int) div $j) % 2) - 1) > 0 " +
+        s"then cast(${1L << b} as bigint) else cast(0 as bigint) end)"
+    }.mkString(" + ")
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .select(col("doc_id").cast("bigint").as("doc_id"), expr(terms).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-4-gram Jaccard similarity with blocking: pairs are generated
+    * only within (lang, length-bucket, 4-char-prefix) blocks — an equi-join,
+    * not a cross join — then scored on distinct-gram overlap. The prefix key
+    * is the classic cheap blocking refinement: near-duplicates overwhelmingly
+    * share their opening characters, and it cuts candidate pairs ~30x here
+    * while the verify step (the expensive set intersection) runs only on
+    * what survives. Blocking-key equi-joins are the scalable form of
+    * "compare similar-looking docs" — the shuffle partitions by block. */
+  def q24NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 4)
+      .withColumn("grams",
+        expr("array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))"))
+      .withColumn("blk", expr("cast(n_chars div 10 as int)"))
+      .withColumn("pfx", expr("substring(text, 1, 4)"))
+      .select("doc_id", "lang", "blk", "pfx", "grams")
+    g.as("a")
+      .join(g.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+          col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jacc", expr(
+        "cast(size(array_intersect(a.grams, b.grams)) as double) / cast(size(array_union(a.grams, b.grams)) as double)"))
+      .filter(col("jacc") >= 0.6)
+      .select(col("a.doc_id").cast("bigint").as("doc_a"),
+              col("b.doc_id").cast("bigint").as("doc_b"), col("jacc"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Min-4 sketch fingerprint (winnowing-style document fingerprint): the 4
+    * lexicographically smallest distinct shingle-md5s, concatenated. Groups
+    * sharing a fingerprint are near-exact duplicate clusters — one shuffle
+    * on the fingerprint, same cost shape as exact dedup. */
+  def q28Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 3"))
+      .withColumn("sh", expr(shinglesExpr))
+      .withColumn("fp",
+        expr("concat_ws('', slice(array_sort(array_distinct(transform(sh, x -> md5(x)))), 1, 4))"))
+      .groupBy("fp")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+           min("doc_id").cast("bigint").as("keep_id"))
+      .orderBy("fp")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_exact_dedup" -> (q21ExactDedup _),
+    "q22_minhash_lsh" -> (q22MinhashLsh _),
+    "q23_simhash" -> (q23Simhash _),
+    "q24_ngram_jaccard" -> (q24NgramJaccard _),
+    "q28_fingerprint" -> (q28Fingerprint _),
+  )
+
+  private val oracleSigs = (0 until nHashes)
+    .map(h => s"list_min(list_transform(shh, x -> substr(x, ${h * 5 + 1}, 5))) AS s$h")
+    .mkString(",\n        ")
+  private val oracleBands = (0 until nBands)
+    .map(b => s"SELECT doc_id, $b AS band, concat(s${2 * b}, s${2 * b + 1}) AS bkey FROM sig")
+    .mkString("\n        UNION ALL ")
+  private val oracleSimhashTerms = (0 until 32).map { b =>
+    val pos = b / 4 + 1
+    val j = 1 << (b % 4)
+    s"(CASE WHEN list_sum(list_transform(toks, t -> 2 * (((strpos('0123456789abcdef', substr(md5(t), $pos, 1)) - 1) // $j) % 2) - 1)) > 0 " +
+      s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q21_exact_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dups, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q22_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |    list_transform(
+         |      list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+         |      x -> concat(md5(x), md5(concat('x', x)))) AS shh
+         |  FROM t WHERE len(toks) >= 3),
+         |sig AS (SELECT doc_id, $oracleSigs FROM sh),
+         |bands AS ($oracleBands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |ds AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+         |j AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE) / CAST(len(list_distinct(list_concat(x.ts, y.ts))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN ds x ON doc_a = x.doc_id JOIN ds y ON doc_b = y.doc_id)
+         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jacc
+         |FROM j WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q23_simhash" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, $oracleSimhashTerms AS simhash
+         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q24_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id, lang, CAST(n_chars // 10 AS INTEGER) AS blk, substr(text, 1, 4) AS pfx,
+        |    list_distinct(list_transform(generate_series(1, length(text)-3), i -> substr(text, i, 4))) AS grams
+        |  FROM documents WHERE length(text) >= 4),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jacc
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.blk = b.blk AND a.pfx = b.pfx AND a.doc_id < b.doc_id)
+        |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jacc
+        |FROM j WHERE jacc >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    "q28_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, array_to_string(
+        |    list_sort(list_distinct(list_transform(
+        |      list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+        |      x -> md5(x))))[1:4], '') AS fp
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        |FROM f GROUP BY fp ORDER BY fp""".stripMargin,
+  )
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` fixture (64-dim float vectors).
+  *
+  * The reference has no vector surface (its nearest-neighbor search is the
+  * numpy grid argmin at ingest, `/root/reference/airflow/dags/
+  * ingest_weather_data.py:147-163`); this extends the engine with the two
+  * shapes an embedding-heavy pipeline needs:
+  *
+  *   - q25: brute-force cosine top-k for a BOUNDED probe set — the exact
+  *     baseline. The probe side is provably tiny (a literal filter), so it
+  *     broadcasts and the corpus streams through one scan + one window;
+  *     cost is O(|corpus| * |probes|) with no corpus shuffle.
+  *   - q26: sign-LSH (random-hyperplane) banded bucketing for all-pairs
+  *     near-duplicate detection — the scale path. Candidate pairs come from
+  *     an equi-join on (band, 4-bit sign key), never a cross join; the
+  *     exact cosine runs on candidates only.
+  *
+  * Determinism / oracle portability: the "random" hyperplanes are +/-1
+  * vectors derived from md5 at PLAN BUILD time in Scala and baked into both
+  * the Spark expressions and the DuckDB oracle SQL as literals — no
+  * engine-side RNG, no transcendental functions whose last-ulp could differ
+  * between engines. Dot products fold left in index order on both sides
+  * ((0.0+p1)+p2..., exactly (p1+p2)+... in IEEE), so cosines are
+  * bit-identical.
+  */
+object SimilarityQueries {
+
+  private val dim = 64
+  private val nPlanes = 16
+  private val planesPerBand = 4
+  private val nBands = nPlanes / planesPerBand
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** planes(h)(d) = +1.0 or -1.0, from the first hex digit of md5("p{h}_{d}"). */
+  private val planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until nPlanes).map { h =>
+      (0 until dim).map { d =>
+        if ("89abcdef".contains(md5hex(s"p${h}_$d").charAt(0))) 1.0 else -1.0
+      }
+    }
+
+  private val dotFold =
+    "aggregate(zip_with(%s, %s, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+
+  /** vectors with norms, shared by both queries */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"))
+      .select("vec_id", "v", "nrm")
+
+  /** Brute-force cosine top-3 for 8 probe vectors (exact ANN baseline).
+    * broadcast() is justified here and only here: the probe side is bounded
+    * by a literal predicate, not data volume. */
+  def q25CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", expr(dotFold.format("pv", "v") + " / (pn * nrm)"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+              col("vec_id").cast("bigint").as("neighbor_id"),
+              col("rank").cast("int").as("rank"), col("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Banded sign-LSH near-duplicate pairs: 16 hyperplane projections ->
+    * 4 bands of 4 sign bits -> band-key equi-join -> exact cosine >= 0.35
+    * on candidates. Recall is a function of the band geometry, and the
+    * oracle runs the identical construction, so results match exactly. */
+  def q26LshCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val withProj = (0 until nPlanes).foldLeft(e) { (d, h) =>
+      val arr = planes(h).map(w => s"cast($w as double)").mkString("array(", ", ", ")")
+      d.withColumn(s"pj$h", expr(dotFold.format("v", arr)))
+    }
+    val bandKeys = (0 until nBands).map { b =>
+      val bits = (0 until planesPerBand)
+        .map(k => s"(case when pj${b * planesPerBand + k} >= 0 then '1' else '0' end)")
+        .mkString("concat(", ", ", ")")
+      s"$b, $bits"
+    }.mkString(", ")
+    val bands = withProj.selectExpr("vec_id", s"stack($nBands, $bandKeys) as (band, bkey)")
+    val cand = DedupQueries.bucketPairs(bands, "vec_id", "vec_a", "vec_b")
+    cand
+      .join(e.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(e.as("y"), col("vec_b") === col("y.vec_id"))
+      .withColumn("cos", expr(dotFold.format("x.v", "y.v") + " / (x.nrm * y.nrm)"))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a").cast("bigint").as("vec_a"),
+              col("vec_b").cast("bigint").as("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_cosine_topk" -> (q25CosineTopk _),
+    "q26_lsh_cosine" -> (q26LshCosine _),
+  )
+
+  private val oracleNormed =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e)""".stripMargin
+
+  private val oracleProjs = (0 until nPlanes).map { h =>
+    val arr = planes(h).mkString("[", ", ", "]")
+    s"list_reduce(list_transform(generate_series(1, $dim), i -> v[i] * (CAST($arr AS DOUBLE[]))[i]), (a, b) -> a + b) AS pj$h"
+  }.mkString(",\n    ")
+
+  private val oracleBandSelects = (0 until nBands).map { b =>
+    val bits = (0 until planesPerBand)
+      .map(k => s"(CASE WHEN pj${b * planesPerBand + k} >= 0 THEN '1' ELSE '0' END)")
+      .mkString("concat(", ", ", ")")
+    s"SELECT vec_id, $b AS band, $bits AS bkey FROM proj"
+  }.mkString("\n  UNION ALL ")
+
+  val oracles: Map[String, String] = Map(
+    "q25_cosine_topk" ->
+      s"""WITH $oracleNormed,
+         |j AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(generate_series(1, $dim), i -> p.v[i] * c.v[i]), (a, b) -> a + b) / (p.nrm * c.nrm) AS cos
+         |  FROM n p JOIN n c ON c.vec_id <> p.vec_id WHERE p.vec_id < 8),
+         |r AS (SELECT probe_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM j)
+         |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
+         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q26_lsh_cosine" ->
+      s"""WITH $oracleNormed,
+         |proj AS (SELECT vec_id, v, nrm,
+         |    $oracleProjs
+         |  FROM n),
+         |bands AS ($oracleBandSelects),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |    list_reduce(list_transform(generate_series(1, $dim), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+         |  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id)
+         |SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, cos
+         |FROM sc WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

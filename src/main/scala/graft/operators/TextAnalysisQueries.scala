@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM-training-data pipelines over the
+  * `documents` fixture: token counting (whitespace + BPE-ish regex),
+  * quality scoring, language-ID heuristics, and the multimodal binary
+  * column plumbing.
+  *
+  * The reference's only text handling is fixed-schema CSV columns
+  * (`/root/reference/assets/schema/make_schema.py:41-51`); these are the
+  * per-document profiling passes a corpus pipeline runs before training.
+  * Everything is a single narrow projection per document — one scan, no
+  * shuffle until the final (tiny) ordered output, whole-stage codegen'd
+  * built-ins throughout (no UDFs).
+  */
+object TextAnalysisQueries {
+
+  /** Per-document text statistics: whitespace token count, BPE-ish regex
+    * token count, mean token length, stopword ratio, alphabetic ratio,
+    * a stopword-based language-ID heuristic, and a 0-3 quality score
+    * (the length/punct/stopword family of crawl-filtering heuristics). */
+  def q27TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .select(
+        col("doc_id").cast("bigint").as("doc_id"),
+        col("lang"),
+        expr("cast(size(toks) as bigint)").as("n_tokens"),
+        expr("cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as bigint)")
+          .as("n_bpe"),
+        expr("cast(aggregate(toks, 0, (acc, t) -> acc + length(t)) as double) / cast(size(toks) as double)")
+          .as("avg_tok_len"),
+        expr("cast(size(filter(toks, t -> t in ('the', 'a', 'of', 'and', 'to'))) as double) / cast(size(toks) as double)")
+          .as("stop_ratio"),
+        expr("cast(length(regexp_replace(text, '[^a-z]', '')) as double) / cast(length(text) as double)")
+          .as("alpha_ratio"))
+      .withColumn("pred_lang", expr("case when stop_ratio >= 0.08 then 'en' else 'other' end"))
+      .withColumn("quality", expr(
+        "cast((case when n_tokens >= 20 then 1 else 0 end) + " +
+          "(case when stop_ratio >= 0.05 then 1 else 0 end) + " +
+          "(case when avg_tok_len between 3 and 8 then 1 else 0 end) as int)"))
+      .orderBy("doc_id")
+
+  /** Multimodal binary-column plumbing: documents' text re-encoded as an
+    * opaque binary payload (standing in for image/audio bytes, which the
+    * container cannot decode), then the metadata-extraction pass a media
+    * pipeline runs: byte length, content checksum, a deterministic fake
+    * decode of width/height/frame-count. The real decoder would replace the
+    * fake arithmetic inside the same projection (or a mapPartitions batch —
+    * see graft.multimodal.BinaryPipeline); the Spark-side schema, scan
+    * shape, and partitioning are what this query pins down. */
+  def q29MultimodalBinary(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("payload", expr("encode(text, 'UTF-8')"))
+      .select(
+        col("doc_id").cast("bigint").as("doc_id"),
+        expr("cast(octet_length(payload) as bigint)").as("n_bytes"),
+        expr("md5(hex(payload))").as("checksum"),
+        expr("substring(hex(payload), 1, 16)").as("hex_prefix"),
+        expr("cast(64 + octet_length(payload) % 512 as int)").as("fake_width"),
+        expr("cast(64 + (octet_length(payload) * 7) % 512 as int)").as("fake_height"),
+        expr("cast(greatest(1, octet_length(payload) div 100) as int)").as("n_frames"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_text_stats" -> (q27TextStats _),
+    "q29_multimodal_binary" -> (q29MultimodalBinary _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q27_text_stats" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_tok_len,
+        |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        |  FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_tokens, n_bpe, avg_tok_len, stop_ratio, alpha_ratio,
+        |  CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
+        |  CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN avg_tok_len BETWEEN 3 AND 8 THEN 1 ELSE 0 END) AS INTEGER) AS quality
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q29_multimodal_binary" ->
+      """WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |  md5(hex(payload)) AS checksum,
+        |  substr(hex(payload), 1, 16) AS hex_prefix,
+        |  CAST(64 + octet_length(payload) % 512 AS INTEGER) AS fake_width,
+        |  CAST(64 + (octet_length(payload) * 7) % 512 AS INTEGER) AS fake_height,
+        |  CAST(greatest(1, octet_length(payload) // 100) AS INTEGER) AS n_frames
+        |FROM p ORDER BY doc_id""".stripMargin,
+  )
+}
