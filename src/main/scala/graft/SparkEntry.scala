@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupQueries, RelationalQueries, SimilarityQueries, TextAnalysisQueries}
+import graft.operators.{DedupQueries, EtlQueries, RelationalQueries, SimilarityQueries, TextAnalysisQueries}
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +22,13 @@ object SparkEntry {
     * LLM-data-pipeline extensions (dedup, similarity, text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ TextAnalysisQueries.queries
+      SimilarityQueries.queries ++ TextAnalysisQueries.queries ++
+      EtlQueries.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ TextAnalysisQueries.oracles
+      SimilarityQueries.oracles ++ TextAnalysisQueries.oracles ++
+      EtlQueries.oracles ++ StreamingQueries.oracles
 }

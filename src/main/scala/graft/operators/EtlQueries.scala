@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.Tables
+import graft.etl.Warehouse
+import graft.sources.{Station, XmlStations}
+
+/** ETL/ingest-surface operators (SURVEY.md §2.1, §2.2, §3) — the pipeline
+  * half of the reference that round 2 left unbuilt: partitioned warehouse
+  * writes with bootstrap (K1), partition-pruned re-reads (S3), schema-drift
+  * dir reads (S2), pattern timestamp parsing (P8), bulk positional rename
+  * (P3), all-string CSV ingest (S5/K3), XML station parsing (S7), the full
+  * station-to-grid distance argmin (S8), and the temp-view/SQL surface
+  * (S13/K5).
+  *
+  * Queries that exercise the write path stage their output under the JVM
+  * temp dir (keyed by scale-factor dir, so concurrent Verify/Bench runs at
+  * different sf don't collide) and re-read it — write, layout, and pruned
+  * scan are all part of the checked behavior; the DuckDB oracle computes the
+  * same result straight from the source tables, so a bug anywhere in the
+  * round-trip fails the hash gate.
+  */
+object EtlQueries {
+
+  private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+
+  private def tmpPath(tag: String, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_$key"
+  }
+
+  /** K1 + S3: day-partitioned warehouse write with first-run overwrite →
+    * append bootstrap (ref `transform_load.py:58-90,438,496`), then a
+    * partition-pruned re-read of one day (ref `:261-263`) and an aggregate.
+    * The `.where(day = ...)` hits `PruneFileSourcePartitions`: only one of
+    * 30 directories is listed and scanned — at 100 TB this is the difference
+    * between reading 3 TB and reading one day's slice. */
+  def q30PartitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpPath("wh", dir)
+    val ev = Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Warehouse.writePartitioned(
+      ev.filter(col("day") === "2024-01-01"), "day", path, firstRun = true)
+    Warehouse.writePartitioned(
+      ev.filter(col("day") =!= "2024-01-01"), "day", path, firstRun = false)
+    Warehouse.readPartition(s, path, "day", "2024-01-15")
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+           sum(dec6(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** S2 + P3 + P8 + K2: the ingest shape of the journey pipeline. Two
+    * parquet files with drifted schemas (ref mergeSchema read,
+    * `transform_load.py:180`), bulk positional rename (ref zip-rename
+    * `:183-191` → `toDF`), and `to_timestamp(col, "dd/MM/yyyy HH:mm")`
+    * pattern parsing (ref `:199-207`). */
+  def q31IngestParse(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpPath("ingest", dir)
+    val raw = Tables.events(s, dir)
+      .withColumn("ts_str", date_format(col("ts"), "dd/MM/yyyy HH:mm"))
+    raw.filter(col("event_id") % 2 === 0)
+      .select("event_id", "ts_str", "value")
+      .write.mode("overwrite").parquet(s"$path/f0")
+    raw.filter(col("event_id") % 2 === 1)
+      .select("event_id", "ts_str", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$path/f1")
+    s.read.option("mergeSchema", "true").parquet(s"$path/f0", s"$path/f1")
+      .select("event_id", "ts_str", "value", "event_type") // pin order, then rename positionally
+      .toDF("raw_id", "raw_ts", "raw_val", "raw_type")
+      .select(
+        to_date(to_timestamp(col("raw_ts"), "dd/MM/yyyy HH:mm")).as("d"),
+        coalesce(col("raw_type"), lit("none")).as("typ"),
+        col("raw_val"))
+      .groupBy("d", "typ")
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+           sum(dec6(col("raw_val"))).cast("double").as("sum_val"))
+      .orderBy("d", "typ")
+  }
+
+  /** S5 + K3 + P6: CSV round-trip with the reference's all-string ingest
+    * schema (`ingest_bike_data.py:188-201` forces every column to string
+    * "because the formatting is incorrect") followed by explicit casts —
+    * the type-later ingest pattern. */
+  def q32CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpPath("csv", dir)
+    Tables.events(s, dir)
+      .select(col("event_id").cast("string").as("event_id"),
+              col("event_type"),
+              col("value").cast("string").as("value"),
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val allStrings = StructType(Seq("event_id", "event_type", "value", "ts_str")
+      .map(StructField(_, StringType, nullable = true)))
+    s.read.schema(allStrings).option("header", "true").csv(path)
+      .select(col("event_id").cast("bigint").as("event_id"),
+              col("event_type"),
+              col("value").cast("double").as("value"),
+              to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+           sum(dec6(col("value"))).cast("double").as("sum_value"),
+           // formatted, not bare TimestampType: Spark parquet timestamps are
+           // tz-adjusted (UTC-instant) while the oracle's are naive — the
+           // string form is identical in both engines
+           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+      .orderBy("event_type")
+  }
+
+  /** S7: XML station feed. A bounded dimension (nation, 25 rows) is
+    * rendered to the reference's station-feed shape, parsed back with
+    * scala.xml on the driver (exactly where the reference parses its live
+    * feed at ingest), and joined to a fact-side table. The driver-side
+    * collect is bounded by the dimension, not data volume. */
+  def q33XmlStations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nations = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect()
+      .map(r => Station(r.getLong(0), r.getString(1), s"T${r.getLong(0) * 10}"))
+      .toSeq
+    val stations = XmlStations.parse(XmlStations.render(nations))
+    val stDf = stations.toDF()
+    val c = Tables.customer(s, dir)
+    stDf.join(c, stDf("id") === c("c_nationkey"), "left")
+      .groupBy(col("id").as("station_id"), col("name").as("station_name"))
+      .agg(count(col("c_custkey")).cast("bigint").as("n_customers"))
+      .orderBy("station_id")
+  }
+
+  /** S8 in full: the station × grid nearest-neighbor search the reference
+    * runs in numpy at ingest (`ingest_weather_data.py:147-173`): euclidean
+    * distance (the abs-square-sqrt math at `:151-163`) from every station to
+    * every grid point, argmin per station. The bounded side (stations) is
+    * broadcast against the large grid — the grid never shuffles; the only
+    * exchange is the per-station window, which is tiny after the distance
+    * projection. Deterministic tie-break on grid_id. */
+  def q34GridArgmin(s: SparkSession, dir: String): DataFrame = {
+    val stations = Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("station_id"),
+      (expr("cast((n_nationkey * 37) % 180 - 90 as double)") + 0.5).as("s_lat"),
+      (expr("cast((n_nationkey * 73) % 360 - 180 as double)") + 0.5).as("s_lon"))
+    val grid = s.range(1600).select(
+      col("id").cast("int").as("grid_id"),
+      expr("cast(-90.0 + (id div 40) * 4.5 as double)").as("g_lat"),
+      expr("cast(-180.0 + (id % 40) * 9.0 as double)").as("g_lon"))
+    val w = Window.partitionBy("station_id").orderBy(asc("dist"), asc("grid_id"))
+    grid.crossJoin(broadcast(stations))
+      .withColumn("dist",
+        expr("sqrt((g_lat - s_lat) * (g_lat - s_lat) + (g_lon - s_lon) * (g_lon - s_lon))"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("station_id"), col("grid_id"), col("dist"))
+      .orderBy("station_id")
+  }
+
+  /** S13 + K5: the SQL surface. Temp views + a CREATE TEMPORARY VIEW whose
+    * body is the denormalized analytics view (ref `make_view.sql:3-32`),
+    * consumed by a second spark.sql aggregate — the whole path goes through
+    * the Catalyst SQL parser instead of the DataFrame DSL. */
+  def q35SqlView(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_nation")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW graft_journeys AS
+        |SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, c.c_mktsegment,
+        |       n.n_name AS cust_nation,
+        |       l.l_extendedprice * (1 - l.l_discount) AS revenue
+        |FROM graft_lineitem l
+        |JOIN graft_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_customer c ON o.o_custkey = c.c_custkey
+        |JOIN graft_nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+    s.sql(
+      """SELECT cust_nation, c_mktsegment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM graft_journeys
+        |GROUP BY cust_nation, c_mktsegment
+        |ORDER BY cust_nation, c_mktsegment""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_partitioned_write" -> (q30PartitionedWrite _),
+    "q31_ingest_parse" -> (q31IngestParse _),
+    "q32_csv_roundtrip" -> (q32CsvRoundtrip _),
+    "q33_xml_stations" -> (q33XmlStations _),
+    "q34_grid_argmin" -> (q34GridArgmin _),
+    "q35_sql_view" -> (q35SqlView _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_partitioned_write" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q31_ingest_parse" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |  CASE WHEN event_id % 2 = 0 THEN 'none' ELSE event_type END AS typ,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY d, typ""".stripMargin,
+    "q32_csv_roundtrip" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  strftime(MIN(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        |  strftime(MAX(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q33_xml_stations" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS station_id, n_name AS station_name,
+        |  CAST(COUNT(c_custkey) AS BIGINT) AS n_customers
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY station_id""".stripMargin,
+    "q34_grid_argmin" ->
+      """WITH stations AS (SELECT CAST(n_nationkey AS BIGINT) AS station_id,
+        |    CAST((n_nationkey * 37) % 180 - 90 AS DOUBLE) + 0.5 AS s_lat,
+        |    CAST((n_nationkey * 73) % 360 - 180 AS DOUBLE) + 0.5 AS s_lon
+        |  FROM nation),
+        |grid AS (SELECT CAST(id AS INTEGER) AS grid_id,
+        |    -90.0 + (id // 40) * 4.5 AS g_lat,
+        |    -180.0 + (id % 40) * 9.0 AS g_lon
+        |  FROM generate_series(0, 1599) t(id)),
+        |d AS (SELECT station_id, grid_id,
+        |    sqrt((g_lat - s_lat) * (g_lat - s_lat) + (g_lon - s_lon) * (g_lon - s_lon)) AS dist
+        |  FROM grid CROSS JOIN stations),
+        |r AS (SELECT station_id, grid_id, dist,
+        |    row_number() OVER (PARTITION BY station_id ORDER BY dist ASC, grid_id ASC) AS rn
+        |  FROM d)
+        |SELECT station_id, grid_id, dist FROM r WHERE rn = 1 ORDER BY station_id""".stripMargin,
+    "q35_sql_view" ->
+      """SELECT n_name AS cust_nation, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY cust_nation, c_mktsegment""".stripMargin,
+  )
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+/** Structured Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference is batch-incremental: Airflow cron triggers monthly
+  * append-mode loads (`/root/reference/airflow/dags/spark_transform_load
+  * .py:262,314-315`; append writes `transform_load.py:438,496`). The
+  * Spark-native form of that loop is a file-source stream processed with
+  * `Trigger.AvailableNow` — "consume whatever has arrived, then stop" —
+  * which is exactly a scheduled incremental load, but with exactly-once
+  * file tracking and watermarked event-time semantics for free.
+  *
+  * At scale the same topology runs continuously: the file source discovers
+  * new partitions as the lake grows, the watermark bounds state, and the
+  * windowed aggregation state lives in the state store instead of a
+  * re-scanned warehouse.
+  */
+object StreamingQueries {
+
+  private val runCounter = new AtomicInteger(0)
+
+  /** Event-time tumbling-window count (the dashboard's journeys-over-time
+    * series, `/root/reference/README.md:29-35`, in streaming form): file
+    * source → watermark → 1-hour window → AvailableNow → memory sink.
+    * Windows align to the epoch hour, so the batch oracle is a plain
+    * date_trunc('hour') GROUP BY. */
+  def q36StreamingHourly(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    // file-source streams need a directory/glob, not a bare file path
+    val stream = s.readStream.schema(batchSchema)
+      .option("basePath", dir).parquet(s"$dir/events.parquet*")
+    // same TIMESTAMP(NANOS) handling as Tables.events
+    val ev =
+      if (batchSchema("ts").dataType == LongType)
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else stream
+    val tbl = s"graft_stream_hourly_${runCounter.incrementAndGet()}"
+    val q = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      // formatted string, not bare TimestampType (tz-adjusted vs naive —
+      // see EtlQueries q32)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"), col("cnt"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(tbl).orderBy("h")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_streaming_hourly" -> (q36StreamingHourly _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q36_streaming_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
+  )
+}
