@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §5 property tests: invariants that must hold regardless of
+  * fixture content. */
+class OperatorPropertySpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("J5: left join on a unique right key preserves cardinality") {
+    // constructed data: the fixture's lineitem does NOT enforce TPC-H key
+    // uniqueness, so the invariant is asserted on a table that does
+    import spark.implicits._
+    val left = Seq((1, "a"), (2, "b"), (3, "c"), (3, "c2")).toDF("k", "v")
+    val right = Seq((1, 10.0), (3, 30.0)).toDF("k", "w") // k unique
+    assert(left.join(right, Seq("k"), "left").count() === left.count())
+  }
+
+  test("composite surrogate key is unique when its parts are (q16)") {
+    val df = operators.RelationalQueries.q16CastsKeys(spark, sfDir)
+    assert(df.select("cust_nation_key").distinct().count() === df.count())
+  }
+
+  test("exact dedup partitions the corpus (q21: group sizes sum to row count)") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val agg = operators.DedupQueries.q21ExactDedup(spark, sfDir)
+      .agg(sum("n_dups")).first().getLong(0)
+    assert(agg === docs)
+  }
+
+  test("minhash near-dup pairs are ordered and above threshold (q22)") {
+    val rows = operators.DedupQueries.q22MinhashLsh(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall { r => val j = r.getDouble(2); j >= 0.5 && j <= 1.0 })
+  }
+
+  test("cosine top-k returns exactly k ranked neighbors per probe (q25)") {
+    val rows = operators.SimilarityQueries.q25CosineTopk(spark, sfDir).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.values.forall(_.length === 3))
+    assert(rows.forall { r => val c = r.getDouble(3); c >= -1.0001 && c <= 1.0001 })
+    // ranks descend in cosine within each probe
+    byProbe.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(2))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(w =>
+        w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
+  test("LSH cosine pairs are a subset of threshold-passing pairs (q26)") {
+    val rows = operators.SimilarityQueries.q26LshCosine(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.35))
+  }
+
+  test("argmin window returns one row per partition key (q09)") {
+    val df = operators.RelationalQueries.q09ArgminWindow(spark, sfDir)
+    assert(df.select("user_id").distinct().count() === df.count())
+  }
+
+  test("grid argmin returns one nearest cell per station (q34)") {
+    val df = operators.EtlQueries.q34GridArgmin(spark, sfDir)
+    assert(df.count() === Tables.nation(spark, sfDir).count())
+  }
+}

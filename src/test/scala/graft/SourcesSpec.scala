@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.BinaryPipeline
+import graft.sources.{Station, XmlStations}
+
+/** Source-adapter tests: XML station feed round-trip (S7) and the
+  * multimodal binary batch-decode plumbing. */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("XML render/parse round-trips stations, including escaped names") {
+    val stations = Seq(
+      Station(1, "Hyde Park Corner", "T1"),
+      Station(2, "A & B <Station>", "T2"),
+      Station(3, "", "T3"))
+    assert(XmlStations.parse(XmlStations.render(stations)) === stations)
+  }
+
+  test("XML round-trip property: arbitrary printable names survive") {
+    val nameGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('&', '<', '>', ' ')))
+      .map(_.mkString)
+    val names = Iterator.continually(nameGen.sample).flatten.take(100)
+    names.foreach { name =>
+      val st = Seq(Station(7, name, "T7"))
+      assert(XmlStations.parse(XmlStations.render(st)) === st, s"name=$name")
+    }
+  }
+
+  test("binary pipeline decodes every row with a correct checksum") {
+    val media = BinaryPipeline.mediaFromDocuments(spark, sfDir)
+    val decoded = BinaryPipeline.decode(media).collect()
+    assert(decoded.length === Tables.documents(spark, sfDir).count())
+    val one = media.filter(_.doc_id == decoded.head.doc_id).head()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(one.payload).map("%02x".format(_)).mkString
+    assert(decoded.head.checksum === expected)
+    assert(decoded.head.n_bytes === one.payload.length)
+  }
+
+  test("streaming hourly counts equal the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.StreamingQueries.q36StreamingHourly(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed === batch)
+  }
+}
