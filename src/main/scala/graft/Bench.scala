@@ -9,6 +9,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
+    // session/codegen warmup so the alphabetically-first query doesn't
+    // absorb JVM+Catalyst startup in its measured time
+    spark.range(1000).selectExpr("sum(id)").collect()
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
