@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** Engine extensions, installed via `spark.sql.extensions`
+  * (GraftSession sets it): registers the native functions so they are
+  * callable from both the DataFrame DSL (`expr("graft_dot(a, b)")`) and
+  * plain SQL — the standard public extension point for custom Catalyst
+  * expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot expects exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -92,22 +92,23 @@ object DedupQueries {
     * everything else in this query; halving it matters more than any join
     * tweak. */
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // All 12 signature rows in ONE fold over the hashed shingles. Computing
-    // them as 12 separate columns would let CollapseProject inline the
-    // shingle-hashing subtree 12 times (higher-order functions get no
-    // common-subexpression elimination), multiplying the map-side hash cost
-    // by the signature length.
-    val withSig = Tables.documents(s, dir)
+    // Signature stage as explode -> codegen'd min-aggregates: each shingle
+    // becomes a (doc_id, 64-hex-hash) row hashed inside whole-stage codegen
+    // (higher-order-function folds are CodegenFallback/interpreted), and the
+    // 12 signature rows are `min(substring(...))` aggregates whose map-side
+    // partial combine collapses every document to ONE row before the
+    // shuffle — the exchange carries |docs| rows, not |shingles|.
+    val sigRows = Tables.documents(s, dir)
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
-      .withColumn("sh", expr(shinglesExpr))
-      .withColumn("shh", expr("transform(sh, x -> concat(md5(x), md5(concat('x', x))))"))
-      .select(col("doc_id"), expr(
-        s"aggregate(shh, array_repeat('~', $nHashes), " +
-          "(acc, x) -> zip_with(acc, sequence(0, 11), (m, h) -> least(m, substring(x, h * 5 + 1, 5))))"
-      ).as("sigs"))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("x"))
+      .select(col("doc_id"),
+        concat(md5(col("x")), md5(concat(lit("x"), col("x")))).as("h"))
+    val sigCols = (0 until nHashes)
+      .map(i => min(expr(s"substring(h, ${i * 5 + 1}, 5)")).as(s"s$i"))
+    val withSig = sigRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val stackArgs = (0 until nBands)
-      .map(b => s"$b, concat(sigs[${2 * b}], sigs[${2 * b + 1}])").mkString(", ")
+      .map(b => s"$b, concat(s${2 * b}, s${2 * b + 1})").mkString(", ")
     val bands = withSig.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, bkey)")
     val cand = bucketPairs(bands, "doc_id", "doc_a", "doc_b")
     val ts = Tables.documents(s, dir)

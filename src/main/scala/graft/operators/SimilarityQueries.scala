@@ -48,15 +48,18 @@ object SimilarityQueries {
       }
     }
 
-  private val dotFold =
-    "aggregate(zip_with(%s, %s, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+  /** Dot products run through the native codegen'd expression
+    * (graft.functions.DotProduct, registered as `graft_dot` by
+    * GraftExtensions) instead of interpreted aggregate/zip_with folds;
+    * the accumulation order is identical, so results stay bit-equal to
+    * the DuckDB oracle. */
+  private val dotFold = "graft_dot(%s, %s)"
 
   /** vectors with norms, shared by both queries */
   private def normed(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       .select("vec_id", "v", "nrm")
 
   /** Brute-force cosine top-3 for 8 probe vectors (exact ANN baseline).
