@@ -368,6 +368,23 @@ object RelationalQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Skew-safe two-phase distinct aggregation (beyond the reference's
+    * surface — it has no distinct-aggs at all, SURVEY §2.6). A direct
+    * `count(DISTINCT user_id)` with a hot grouping key concentrates every
+    * distinct value of that key in one shuffle partition; the two-phase
+    * form — pre-aggregate on (key, user), then count per key — spreads the
+    * first (heavy) exchange over the full composite key space, the same
+    * mechanics as salting a hot key. Phase 2's input is one row per
+    * (key, user): bounded by true cardinality, not event volume. */
+  def q38TwoPhaseDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n_users"),
+           sum(col("n")).cast("bigint").as("n_events"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
@@ -389,9 +406,14 @@ object RelationalQueries {
     "q18_categories" -> (q18Categories _),
     "q19_dynamic_minmax" -> (q19DynamicMinMax _),
     "q20_view_star" -> (q20ViewStar _),
+    "q38_two_phase_distinct" -> (q38TwoPhaseDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q38_two_phase_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

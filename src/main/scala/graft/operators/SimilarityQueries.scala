@@ -108,9 +108,46 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF-style approximate top-k (the inverted-file scale path next to
+    * q26's LSH): a bounded codebook (here the first 16 vectors, standing in
+    * for trained centroids) broadcasts; every corpus vector is assigned to
+    * its nearest centroid (an argmax over the tiny codebook); probes then
+    * search ONLY their own centroid's bucket (nprobe=1). The expensive
+    * top-k scan is confined to one bucket per probe — at 100 TB the buckets
+    * are the index, and adding nprobe or re-ranking widens recall without
+    * changing the shape. Recall loss vs q25's exact baseline is part of the
+    * design; the oracle runs the identical construction so results match
+    * exactly. */
+  def q37IvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val codebook = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))
+    val assigned = e.crossJoin(broadcast(codebook))
+      .withColumn("ccos", expr(dotFold.format("v", "cv") + " / (nrm * cn)"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
+    val probes = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+              col("nrm").as("pn"), col("centroid_id").as("pcentroid"))
+    val wTop = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    assigned
+      .join(probes,
+        col("centroid_id") === col("pcentroid") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", expr(dotFold.format("pv", "v") + " / (pn * nrm)"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+              col("vec_id").cast("bigint").as("neighbor_id"),
+              col("rank").cast("int").as("rank"), col("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
+    "q37_ivf_topk" -> (q37IvfTopk _),
   )
 
   private val oracleNormed =
@@ -138,6 +175,27 @@ object SimilarityQueries {
          |r AS (SELECT probe_id, neighbor_id, cos,
          |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM j)
+         |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
+         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q37_ivf_topk" ->
+      s"""WITH $oracleNormed,
+         |codebook AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |scored AS (SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
+         |    list_reduce(list_transform(generate_series(1, $dim), i -> e.v[i] * c.cv[i]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+         |  FROM n e CROSS JOIN codebook c),
+         |assigned AS (SELECT vec_id, v, nrm, centroid_id FROM (
+         |    SELECT vec_id, v, nrm, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS arn
+         |    FROM scored) WHERE arn = 1),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn, centroid_id AS pcentroid
+         |  FROM assigned WHERE vec_id < 8),
+         |cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(generate_series(1, $dim), i -> p.pv[i] * a.v[i]), (a2, b2) -> a2 + b2) / (p.pn * a.nrm) AS cos
+         |  FROM assigned a JOIN probes p
+         |    ON a.centroid_id = p.pcentroid AND a.vec_id <> p.probe_id),
+         |r AS (SELECT probe_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM cand)
          |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
          |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "q26_lsh_cosine" ->
