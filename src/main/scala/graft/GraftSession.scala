@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Spark 4.1's checksum checkpoint manager can deadlock closing state
+      // store delta files on local FS (seen hanging flatMapGroupsWithState
+      // commits); corruption detection is for durable cluster checkpoints
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       // the driver fixtures store events.ts as TIMESTAMP(NANOS); Spark 4
       // refuses it unless read as long (we convert back in Tables.events)

@@ -385,6 +385,28 @@ object RelationalQueries {
            sum(col("n")).cast("bigint").as("n_events"))
       .orderBy("event_type")
 
+  /** Sessionization via gaps-and-islands (beyond the reference's surface):
+    * a new session starts after a >30-minute silence; session ids are a
+    * running sum of session-start flags. Two windows and one aggregate, all
+    * partitioned by user — one shuffle total, frames evaluate locally.
+    * This is the batch twin of the stateful streaming sessionizer
+    * (graft.streaming.Sessionize), which must produce identical sessions. */
+  def q39Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          expr("unix_micros(ts) - unix_micros(prev_ts)") > 1800L * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser).cast("int"))
+      .groupBy("user_id", "session_idx")
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+           count(lit(1)).cast("bigint").as("n_events"))
+      .orderBy("user_id", "session_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
@@ -407,9 +429,26 @@ object RelationalQueries {
     "q19_dynamic_minmax" -> (q19DynamicMinMax _),
     "q20_view_star" -> (q20ViewStar _),
     "q38_two_phase_distinct" -> (q38TwoPhaseDistinct _),
+    "q39_sessionize" -> (q39Sessionize _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q39_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |sess AS (SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INTEGER) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q38_two_phase_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(COUNT(*) AS BIGINT) AS n_events

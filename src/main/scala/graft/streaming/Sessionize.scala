@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+
+/** Input event for the sessionizer. */
+case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp)
+
+/** Open-session state carried between micro-batches. */
+case class SessState(sessionIdx: Int, startUs: Long, lastUs: Long, nEvents: Long)
+
+/** Emitted session record (same shape as the batch q39_sessionize twin). */
+case class SessionOut(user_id: Long, session_idx: Int, session_start: String,
+                      session_end: String, n_events: Long)
+
+/** Stateful streaming sessionization (SURVEY.md §2.10 extension):
+  * `KeyValueGroupedDataset.flatMapGroupsWithState` carrying per-user
+  * open-session state across micro-batches — the custom-state form of the
+  * reference's schedule-based late-data handling (`spark_transform_load
+  * .py:310-313` waits 10 days; state + timeouts replace the wait).
+  *
+  * A session closes after a 30-minute silence, matching the batch
+  * gaps-and-islands twin (`RelationalQueries.q39Sessionize`) — the test
+  * suite asserts both produce identical sessions. With
+  * `Trigger.AvailableNow` over a bounded source every group arrives in one
+  * batch, so sessions close by gap alone; in a continuous run the
+  * ProcessingTimeTimeout flushes sessions whose users go quiet.
+  *
+  * Scale notes: state is per-user and O(1) per open session; the state
+  * store shuffles once on user_id. Within a batch, events are sorted
+  * per-group in memory — bounded by a user's events per trigger interval,
+  * not by history (history lives in the 16-byte state row).
+  */
+object Sessionize {
+
+  private val gapUs = 1800L * 1000000
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  private def formatUs(us: Long): String = {
+    val f = new java.text.SimpleDateFormat(fmt)
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    f.format(new java.util.Date(us / 1000))
+  }
+
+  /** Per-group transition: fold this batch's events (sorted by event time)
+    * into the open-session state, emitting every session that closes. */
+  def processGroup(userId: Long, events: Iterator[SessEvent],
+                   state: GroupState[SessState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(st =>
+        SessionOut(userId, st.sessionIdx, formatUs(st.startUs), formatUs(st.lastUs), st.nEvents))
+      state.remove()
+      return out.iterator
+    }
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var closed = List.empty[SessionOut]
+    var st = state.getOption.orNull
+    sorted.foreach { e =>
+      val us = e.ts.getTime * 1000
+      if (st == null) {
+        st = SessState(1, us, us, 1)
+      } else if (us - st.lastUs > gapUs) {
+        closed ::= SessionOut(userId, st.sessionIdx, formatUs(st.startUs),
+          formatUs(st.lastUs), st.nEvents)
+        st = SessState(st.sessionIdx + 1, us, us, 1)
+      } else {
+        st = st.copy(lastUs = math.max(st.lastUs, us), nEvents = st.nEvents + 1)
+      }
+    }
+    if (st != null) {
+      state.update(st)
+      // flush-by-timeout only applies under ProcessingTimeTimeout
+      // (continuous runs); bounded runs use NoTimeout where this throws
+      try state.setTimeoutDuration("30 minutes") catch {
+        case _: UnsupportedOperationException => ()
+      }
+    }
+    closed.reverse.iterator
+  }
+
+  /** Flush any still-open session from state (used after a bounded run,
+    * where the source ends instead of timing out). */
+  def finalSessions(open: Map[Long, SessState]): Seq[SessionOut] =
+    open.toSeq.map { case (u, st) =>
+      SessionOut(u, st.sessionIdx, formatUs(st.startUs), formatUs(st.lastUs), st.nEvents)
+    }
+
+  /** Run the sessionizer over the events table as an AvailableNow stream;
+    * returns the sessions CLOSED by a gap during the run. Each user's final
+    * session stays open in the state store when a bounded source ends (in a
+    * continuous run the processing-time timeout would flush it) — the test
+    * suite asserts the closed set equals the batch twin minus each user's
+    * last session. */
+  def run(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("basePath", dir).parquet(s"$dir/events.parquet*")
+    val ev0 =
+      if (batchSchema("ts").dataType == LongType)
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else stream
+    val ds: Dataset[SessEvent] = ev0
+      .select(col("user_id").cast("long").as("user_id"),
+              col("event_id").cast("long").as("event_id"), col("ts"))
+      .as[SessEvent]
+    // NoTimeout for the bounded AvailableNow run: with ProcessingTimeTimeout
+    // the engine keeps scheduling empty micro-batches until wall-clock
+    // timeouts fire (a 30-minute busy loop); a continuous deployment would
+    // use ProcessingTimeTimeout so quiet users' sessions flush
+    val tbl = s"graft_sessions_${runId.incrementAndGet()}"
+    val q = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(processGroup)
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(tbl)
+  }
+
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+}

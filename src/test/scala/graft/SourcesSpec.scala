@@ -39,6 +39,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(decoded.head.n_bytes === one.payload.length)
   }
 
+  test("stateful streaming sessionizer matches the batch gaps-and-islands twin") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = streaming.Sessionize.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    // expected: batch sessions minus each user's final (still-open) session
+    val batch = operators.RelationalQueries.q39Sessionize(spark, sfDir)
+    val w = Window.partitionBy("user_id")
+    val expected = batch
+      .withColumn("max_idx", max(col("session_idx")).over(w))
+      .filter(col("session_idx") < col("max_idx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    assert(streamed === expected)
+    assert(expected.nonEmpty, "fixture should contain at least one closed session")
+  }
+
   test("streaming hourly counts equal the batch aggregate") {
     import org.apache.spark.sql.functions._
     val streamed = streaming.StreamingQueries.q36StreamingHourly(spark, sfDir)
