@@ -14,6 +14,9 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // reclaim broadcast/shuffle state from earlier queries so a full GC
+      // doesn't land inside a later query's measured window
+      System.gc()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

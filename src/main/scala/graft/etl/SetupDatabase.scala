@@ -40,12 +40,16 @@ object SetupDatabase {
   def locationsDimension(s: SparkSession, dir: String): DataFrame =
     Tables.nation(s, dir).select(
       col("n_nationkey").cast("int").as("id"),
-      col("n_name").as("name"),
+      col("n_name"),
       concat(lit("T"), col("n_nationkey")).as("terminal_name"),
       (expr("cast((n_nationkey * 37) % 180 - 90 as double)") / 1000.0)
         .cast("decimal(8,6)").as("lat"),
       (expr("cast((n_nationkey * 73) % 360 - 180 as double)") / 1000.0)
         .cast("decimal(9,6)").as("long"))
+      // single-column rename, the reference's station-name rename shape
+      // (transform_load.py:141)
+      .withColumnRenamed("n_name", "name")
+      .select("id", "name", "terminal_name", "lat", "long")
 
   /** Run E1: write dim_timestamp (day-partitioned, overwrite) and
     * dim_locations (ref write calls `transform_load.py:410-422`). */

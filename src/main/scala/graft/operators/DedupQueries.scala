@@ -101,7 +101,9 @@ object DedupQueries {
     val sigRows = Tables.documents(s, dir)
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("x"))
+      // distinct before hashing: min over a set equals min over the
+      // multiset, and duplicate shingles would only add hash work
+      .select(col("doc_id"), explode(expr(s"array_distinct($shinglesExpr)")).as("x"))
       .select(col("doc_id"),
         concat(md5(col("x")), md5(concat(lit("x"), col("x")))).as("h"))
     val sigCols = (0 until nHashes)
