@@ -144,10 +144,28 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate DEDUP (the brief's last dedup family):
+    * greedy keep-lowest-id over the q26 near-dup pair graph — any vector
+    * with a >= 0.35 neighbor of smaller id is dropped via a left anti-join.
+    * (One greedy pass, not connected components: survivors of a chain keep
+    * transitively-similar members whose direct link was pruned — the
+    * standard one-pass tradeoff; components need iteration.) Both the pair
+    * generation (banded LSH) and the anti-join are equi-key shuffles. */
+  def q40EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val victims = q26LshCosine(s, dir).select(col("vec_b").as("vec_id")).distinct()
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("bigint").as("vec_id"), col("label"))
+      .join(victims, Seq("vec_id"), "left_anti")
+      .groupBy("label")
+      .agg(count(lit(1)).cast("bigint").as("n_kept"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
     "q37_ivf_topk" -> (q37IvfTopk _),
+    "q40_embedding_dedup" -> (q40EmbeddingDedup _),
   )
 
   private val oracleNormed =
@@ -211,5 +229,21 @@ object SimilarityQueries {
          |  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id)
          |SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, cos
          |FROM sc WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    "q40_embedding_dedup" ->
+      s"""WITH $oracleNormed,
+         |proj AS (SELECT vec_id, v, nrm,
+         |    $oracleProjs
+         |  FROM n),
+         |bands AS ($oracleBandSelects),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |    list_reduce(list_transform(generate_series(1, $dim), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+         |  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id),
+         |victims AS (SELECT DISTINCT vec_b AS vec_id FROM sc WHERE cos >= 0.35)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM victims w WHERE w.vec_id = e.vec_id)
+         |GROUP BY label ORDER BY label""".stripMargin,
   )
 }

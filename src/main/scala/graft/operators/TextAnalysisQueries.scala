@@ -65,12 +65,36 @@ object TextAnalysisQueries {
         expr("cast(greatest(1, octet_length(payload) div 100) as int)").as("n_frames"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary with term and document frequencies (the IDF-side
+    * statistics a text pipeline computes before weighting/filtering):
+    * explode tokens, count occurrences and distinct documents per token,
+    * top-20 by frequency. Map-side partial aggregation collapses the
+    * exploded token stream before the shuffle; the distinct-doc count is
+    * the two-phase (token, doc) pre-aggregate, so no per-token set is ever
+    * materialized. Total order: ties broken by token. */
+  def q41Vocabulary(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
+      .groupBy("tok", "doc_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("tok")
+      .agg(sum(col("n")).cast("bigint").as("tf"),
+           count(lit(1)).cast("bigint").as("df"))
+      .orderBy(desc("tf"), asc("tok"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats" -> (q27TextStats _),
     "q29_multimodal_binary" -> (q29MultimodalBinary _),
+    "q41_vocabulary" -> (q41Vocabulary _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_vocabulary" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |d AS (SELECT tok, doc_id, COUNT(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT tok, CAST(SUM(n) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM d GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 20""".stripMargin,
     "q27_text_stats" ->
       """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, lang,
