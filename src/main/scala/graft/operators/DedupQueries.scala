@@ -153,6 +153,11 @@ object DedupQueries {
     * what survives. Blocking-key equi-joins are the scalable form of
     * "compare similar-looking docs" — the shuffle partitions by block. */
   def q24NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // bucket-collect instead of a self-join: a self-join would evaluate the
+    // gram-extraction subtree once per side (2x the dominant cost); here
+    // grams are computed once, shuffled once on the block key, and pairs
+    // expand inside each bucket. sort_array orders members by doc_id
+    // (struct ordering starts at the first field), giving doc_a < doc_b.
     val g = Tables.documents(s, dir)
       .filter(length(col("text")) >= 4)
       .withColumn("grams",
@@ -160,15 +165,19 @@ object DedupQueries {
       .withColumn("blk", expr("cast(n_chars div 10 as int)"))
       .withColumn("pfx", expr("substring(text, 1, 4)"))
       .select("doc_id", "lang", "blk", "pfx", "grams")
-    g.as("a")
-      .join(g.as("b"),
-        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
-          col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
+    g.groupBy("lang", "blk", "pfx")
+      .agg(expr("sort_array(collect_list(struct(doc_id, grams)))").as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(members)-1), " +
+          "i -> transform(slice(members, i+1, size(members)-i), " +
+          "y -> struct(members[i-1] as a, y as b))))")).as("p"))
       .withColumn("jacc", expr(
-        "cast(size(array_intersect(a.grams, b.grams)) as double) / cast(size(array_union(a.grams, b.grams)) as double)"))
+        "cast(size(array_intersect(p.a.grams, p.b.grams)) as double) / " +
+          "cast(size(array_union(p.a.grams, p.b.grams)) as double)"))
       .filter(col("jacc") >= 0.6)
-      .select(col("a.doc_id").cast("bigint").as("doc_a"),
-              col("b.doc_id").cast("bigint").as("doc_b"), col("jacc"))
+      .select(col("p.a.doc_id").cast("bigint").as("doc_a"),
+              col("p.b.doc_id").cast("bigint").as("doc_b"), col("jacc"))
       .orderBy("doc_a", "doc_b")
   }
 
