@@ -23,16 +23,13 @@ object Bench {
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           errors ::= (name -> msg)
           None
       }
     }
-    def obj(kvs: Seq[(String, String)]): String =
-      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = obj(results.map { case (k, v) => k -> v.toString })
-    val errJson = obj(errors.reverse.map { case (k, v) => k -> ("\"" + v + "\"") })
+    val qs = JsonUtil.obj(results.map { case (k, v) => k -> v.toString })
+    val errJson = JsonUtil.obj(errors.reverse.map { case (k, v) => k -> JsonUtil.quote(v) })
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -18,13 +18,12 @@ import graft.Tables
 object SetupDatabase {
 
   /** Minute-grid timestamp dimension (ref `transform_load.py:104-120`):
-    * unix-seconds surrogate key + calendar projections. */
+    * unix-seconds surrogate key + calendar projections. Grid construction
+    * is shared with the oracle-checked queries (q17/q19) so the warehouse
+    * dimension and the query surface can never drift apart. */
   def timestampDimension(s: SparkSession, days: Int = 31): DataFrame =
-    s.range(days)
-      .select(explode(expr(
-        "sequence(timestamp'2024-01-01 00:00:00' + make_dt_interval(cast(id as int)), " +
-          "timestamp'2024-01-01 23:59:00' + make_dt_interval(cast(id as int)), interval 1 minute)"
-      )).as("timestamp"))
+    graft.operators.RelationalQueries.minuteGrid(s, days)
+      .withColumnRenamed("ts", "timestamp")
       .select(
         unix_timestamp(col("timestamp")).cast("int").as("id"),
         col("timestamp"),

@@ -22,9 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `list_reduce(list_transform(...), +)` — results are bit-identical across
   * all three, which the oracle hash gate depends on.
   *
-  * Null semantics: null array -> null (BinaryExpression's default
-  * null-intolerant eval); null ELEMENTS are treated as 0 contribution,
-  * which is safe for the engine's dense embedding columns.
+  * Null semantics: null array -> null; LENGTH-MISMATCHED arrays -> null
+  * (`zip_with` null-pads the shorter side and `null + acc` poisons the
+  * fold, so the HOF form returns null — silently dotting a truncated
+  * prefix instead would corrupt cosines without an error); null ELEMENTS
+  * are treated as 0 contribution, which is safe for the engine's dense
+  * embedding columns.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -42,12 +45,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // always nullable: length-mismatched inputs yield null even when both
+  // child columns are non-nullable (and codegen must not constant-fold
+  // ev.isNull away)
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -65,14 +74,18 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |      $acc += $x.getDouble($i) * $y.getDouble($i);
+         |    }
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

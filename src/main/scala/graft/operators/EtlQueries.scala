@@ -29,7 +29,10 @@ object EtlQueries {
 
   private def tmpPath(tag: String, dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_$key"
+    // PID-keyed: each JVM writes then reads its own staging path, so two
+    // concurrent runs at the SAME sf (e.g. Verify next to Bench) cannot
+    // overwrite each other mid-read
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${key}_${ProcessHandle.current().pid()}"
   }
 
   /** K1 + S3: day-partitioned warehouse write with first-run overwrite →

@@ -381,7 +381,10 @@ object RelationalQueries {
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .groupBy("event_type")
-      .agg(count(lit(1)).cast("bigint").as("n_users"),
+      // a NULL user_id forms its own phase-1 group but must not count as a
+      // distinct user (SQL COUNT(DISTINCT) skips NULLs); its rows still
+      // count in n_events
+      .agg(count(when(col("user_id").isNotNull, lit(1))).cast("bigint").as("n_users"),
            sum(col("n")).cast("bigint").as("n_events"))
       .orderBy("event_type")
 

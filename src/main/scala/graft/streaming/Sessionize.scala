@@ -45,6 +45,12 @@ object Sessionize {
     f.format(new java.util.Date(us / 1000))
   }
 
+  /** Exact microseconds of a Timestamp — `getTime` alone truncates to
+    * milliseconds, which would diverge from the batch twin's `unix_micros`
+    * gap arithmetic on sub-millisecond boundaries. */
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** Per-group transition: fold this batch's events (sorted by event time)
     * into the open-session state, emitting every session that closes. */
   def processGroup(userId: Long, events: Iterator[SessEvent],
@@ -55,11 +61,11 @@ object Sessionize {
       state.remove()
       return out.iterator
     }
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
     var closed = List.empty[SessionOut]
     var st = state.getOption.orNull
     sorted.foreach { e =>
-      val us = e.ts.getTime * 1000
+      val us = micros(e.ts)
       if (st == null) {
         st = SessState(1, us, us, 1)
       } else if (us - st.lastUs > gapUs) {
@@ -96,15 +102,7 @@ object Sessionize {
     * last session. */
   def run(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = s"$dir/events.parquet"
-    val batchSchema = s.read.parquet(path).schema
-    val stream = s.readStream.schema(batchSchema)
-      .option("basePath", dir).parquet(s"$dir/events.parquet*")
-    val ev0 =
-      if (batchSchema("ts").dataType == LongType)
-        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else stream
-    val ds: Dataset[SessEvent] = ev0
+    val ds: Dataset[SessEvent] = StreamSources.events(s, dir)
       .select(col("user_id").cast("long").as("user_id"),
               col("event_id").cast("long").as("event_id"), col("ts"))
       .as[SessEvent]

@@ -31,16 +31,7 @@ object StreamingQueries {
     * Windows align to the epoch hour, so the batch oracle is a plain
     * date_trunc('hour') GROUP BY. */
   def q36StreamingHourly(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val batchSchema = s.read.parquet(path).schema
-    // file-source streams need a directory/glob, not a bare file path
-    val stream = s.readStream.schema(batchSchema)
-      .option("basePath", dir).parquet(s"$dir/events.parquet*")
-    // same TIMESTAMP(NANOS) handling as Tables.events
-    val ev =
-      if (batchSchema("ts").dataType == LongType)
-        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else stream
+    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_hourly_${runCounter.incrementAndGet()}"
     val q = ev
       .withWatermark("ts", "1 hour")

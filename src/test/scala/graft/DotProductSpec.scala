@@ -33,6 +33,15 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 32.0)
   }
 
+  test("graft_dot length mismatch -> null, matching the HOF fold's null-poisoning") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d)), " +
+        "aggregate(zip_with(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d), (x, y) -> x * y), " +
+        "cast(0.0 as double), (acc, x) -> acc + x)").first()
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1)) // the documented-equivalent HOF form agrees
+  }
+
   test("graft_dot null semantics: null array -> null, null element -> skipped") {
     val r = spark.sql(
       "SELECT graft_dot(cast(null as array<double>), array(1.0d)), " +
