@@ -131,17 +131,43 @@ object DedupQueries {
     * over all tokens, and sets the bit if the vote is positive. The 32 bit
     * positions are unrolled at plan-build time so every shift amount is a
     * literal — the whole fingerprint is one codegen'd projection, no UDF. */
-  def q23Simhash(s: SparkSession, dir: String): DataFrame = {
-    val terms = (0 until 32).map { b =>
-      val pos = b / 4 + 1
-      val j = 1 << (b % 4)
-      s"(case when aggregate(toks, cast(0 as bigint), (acc, t) -> acc + 2 * ((cast(conv(substring(md5(t), $pos, 1), 16, 10) as int) div $j) % 2) - 1) > 0 " +
-        s"then cast(${1L << b} as bigint) else cast(0 as bigint) end)"
-    }.mkString(" + ")
+  /** The 32-bit simhash as one expression over a `toks` column (shared by
+    * q23 and the q42 pair search). */
+  private val simhashExpr = (0 until 32).map { b =>
+    val pos = b / 4 + 1
+    val j = 1 << (b % 4)
+    s"(case when aggregate(toks, cast(0 as bigint), (acc, t) -> acc + 2 * ((cast(conv(substring(md5(t), $pos, 1), 16, 10) as int) div $j) % 2) - 1) > 0 " +
+      s"then cast(${1L << b} as bigint) else cast(0 as bigint) end)"
+  }.mkString(" + ")
+
+  def q23Simhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", expr("split(text, ' ')"))
-      .select(col("doc_id").cast("bigint").as("doc_id"), expr(terms).as("simhash"))
+      .select(col("doc_id").cast("bigint").as("doc_id"), expr(simhashExpr).as("simhash"))
       .orderBy("doc_id")
+
+  /** SimHash near-duplicate pairs: byte-band the 32-bit fingerprint
+    * (4 bands of 8 bits — docs agreeing on ANY byte become candidates, the
+    * pigeonhole guarantee that hamming<=3 pairs always collide), then keep
+    * candidates within hamming distance 2 via bit_count(xor). Same
+    * bucket-groupBy shape as MinHash: one shuffle on (band, byte), never
+    * all-pairs; the fingerprint is 8 bytes per doc, so the verify re-join
+    * is nearly free. */
+  def q42SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .select(col("doc_id").cast("bigint").as("doc_id"), expr(simhashExpr).as("sh"))
+    val bandKeys = (0 until 4)
+      .map(b => s"$b, cast(shiftright(sh, ${8 * b}) % 256 as int)").mkString(", ")
+    val bands = sh.selectExpr("doc_id", s"stack(4, $bandKeys) as (band, bkey)")
+    val cand = bucketPairs(bands, "doc_id", "doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("hamming", expr("cast(bit_count(sh_a ^ sh_b) as int)"))
+      .filter(col("hamming") <= 2)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Character-4-gram Jaccard similarity with blocking: pairs are generated
@@ -203,6 +229,7 @@ object DedupQueries {
     "q23_simhash" -> (q23Simhash _),
     "q24_ngram_jaccard" -> (q24NgramJaccard _),
     "q28_fingerprint" -> (q28Fingerprint _),
+    "q42_simhash_pairs" -> (q42SimhashPairs _),
   )
 
   private val oracleSigs = (0 until nHashes)
@@ -253,6 +280,17 @@ object DedupQueries {
         |  FROM g a JOIN g b ON a.lang = b.lang AND a.blk = b.blk AND a.pfx = b.pfx AND a.doc_id < b.doc_id)
         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jacc
         |FROM j WHERE jacc >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    "q42_simhash_pairs" ->
+      s"""WITH s AS (SELECT doc_id, $oracleSimhashTerms AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |b AS (SELECT doc_id, sh, unnest(generate_series(0, 3)) AS band FROM s),
+         |k AS (SELECT doc_id, band, CAST((sh // (256 ** band)) % 256 AS INTEGER) AS bkey FROM b),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM k a JOIN k b2 ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+         |h AS (SELECT doc_a, doc_b, CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+         |  FROM cand JOIN s x ON doc_a = x.doc_id JOIN s y ON doc_b = y.doc_id)
+         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, hamming
+         |FROM h WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin,
     "q28_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |f AS (SELECT doc_id, array_to_string(
