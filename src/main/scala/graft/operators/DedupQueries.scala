@@ -283,8 +283,9 @@ object DedupQueries {
     "q42_simhash_pairs" ->
       s"""WITH s AS (SELECT doc_id, $oracleSimhashTerms AS sh
          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-         |b AS (SELECT doc_id, sh, unnest(generate_series(0, 3)) AS band FROM s),
-         |k AS (SELECT doc_id, band, CAST((sh // (256 ** band)) % 256 AS INTEGER) AS bkey FROM b),
+         |k AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, CAST((sh // ${1L << (8 * b)}) % 256 AS INTEGER) AS bkey FROM s")
+              .mkString("\n         UNION ALL ")}),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
          |  FROM k a JOIN k b2 ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
          |h AS (SELECT doc_a, doc_b, CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
