@@ -410,6 +410,52 @@ object RelationalQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** ROLLUP hierarchy totals (extends SURVEY §2.6 — the reference has no
+    * grouping sets; Catalyst plans them as a single Expand + aggregate, one
+    * shuffle for every grouping level at once). The grouping level is made
+    * explicit so subtotal rows (null keys) sort deterministically. */
+  def q43Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .rollup(col("event_type"), hour(col("ts")).cast("int").as("hr"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+           sum(dec6(col("value"))).cast("double").as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("<all>")).as("event_type"),
+        coalesce(col("hr"), lit(-1)).as("hr"),
+        col("cnt"), col("sum_value"))
+      .orderBy("event_type", "hr")
+
+  /** PIVOT event types into measure columns (extends §2.6; the explicit
+    * value list keeps the output schema static — schema inference from
+    * data would be a driver-side distinct scan). Catalyst rewrites this to
+    * one conditional aggregation pass, which is also exactly how the
+    * DuckDB oracle expresses it. */
+  def q44Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("d"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+      .agg(count(lit(1)).cast("bigint"))
+      .select(col("d"),
+        coalesce(col("click"), lit(0L)).as("click"),
+        coalesce(col("view"), lit(0L)).as("view"),
+        coalesce(col("purchase"), lit(0L)).as("purchase"),
+        coalesce(col("error"), lit(0L)).as("error"),
+        coalesce(col("signup"), lit(0L)).as("signup"))
+      .orderBy("d")
+
+  /** Approximate distinct count (HLL++). No DuckDB oracle — sketch
+    * implementations differ across engines, so the driver records a
+    * rows-only check and the ScalaTest suite asserts the relative error
+    * bound against the exact count instead. At 100 TB this is THE way to
+    * count distincts: fixed-size sketches merge map-side, no (key, value)
+    * expansion shuffle at all. */
+  def q45ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).cast("bigint").as("approx_users"),
+           count(lit(1)).cast("bigint").as("n_events"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
@@ -433,9 +479,31 @@ object RelationalQueries {
     "q20_view_star" -> (q20ViewStar _),
     "q38_two_phase_distinct" -> (q38TwoPhaseDistinct _),
     "q39_sessionize" -> (q39Sessionize _),
+    "q43_rollup" -> (q43Rollup _),
+    "q44_pivot" -> (q44Pivot _),
+    "q45_approx_distinct" -> (q45ApproxDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
+    // q45_approx_distinct intentionally has NO oracle: HLL sketch
+    // implementations differ across engines (rows-only driver check;
+    // error bound asserted in OperatorPropertySpec)
+    "q43_rollup" ->
+      """SELECT COALESCE(event_type, '<all>') AS event_type,
+        |  COALESCE(CAST(hour(ts) AS INTEGER), -1) AS hr,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(hour(ts) AS INTEGER))
+        |ORDER BY event_type, hr""".stripMargin,
+    "q44_pivot" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
     "q39_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts

@@ -54,6 +54,18 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) >= 0.35))
   }
 
+  test("approximate distinct stays within its error bound (q45)") {
+    val approx = operators.RelationalQueries.q45ApproxDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = operators.RelationalQueries.q38TwoPhaseDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - n) / math.max(n, 1L) <= 0.1,
+        s"$k: approx $a vs exact $n exceeds 10% (rsd=0.02 configured)")
+    }
+  }
+
   test("argmin window returns one row per partition key (q09)") {
     val df = operators.RelationalQueries.q09ArgminWindow(spark, sfDir)
     assert(df.select("user_id").distinct().count() === df.count())

@@ -9,8 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueriesSmokeSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
-  test("every query has an oracle entry") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  // queries deliberately registered WITHOUT an oracle (driver does a
+  // rows-only check): sketch outputs whose values are engine-specific
+  private val rowsOnlyQueries = Set("q45_approx_distinct")
+
+  test("every query has an oracle entry (minus declared rows-only sketches)") {
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyQueries
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
