@@ -456,6 +456,55 @@ object RelationalQueries {
            count(lit(1)).cast("bigint").as("n_events"))
       .orderBy("event_type")
 
+  /** Analytic window suite (extends §2.7 — the reference has only the W1
+    * moving average): lag/lead, rank/dense_rank, ntile, and a running sum,
+    * all over ONE per-user window ordered by (ts, event_id) so every
+    * function shares a single sort+shuffle. Total order on the output keys
+    * keeps ties deterministic in both engines. */
+  def q46WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value_raw"),
+        lead(col("value"), 1).over(w).as("next_value_raw"),
+        rank().over(Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id")))
+          .cast("int").as("value_rank"),
+        dense_rank().over(Window.partitionBy("user_id").orderBy(col("event_type")))
+          .cast("int").as("type_rank"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        sum(dec6(col("value"))).over(w).cast("double").as("running_sum"))
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("prev_value_raw"), lit(-1.0)).as("prev_value"),
+        coalesce(col("next_value_raw"), lit(-1.0)).as("next_value"),
+        col("value_rank"), col("type_rank"), col("quartile"), col("running_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Semi/anti join pair (the two join types the rest of the suite doesn't
+    * exercise; Catalyst's rewrite target for EXISTS / NOT EXISTS): orders
+    * with and without a high-value lineitem. Both plan as one shuffle on
+    * the join key with the semi/anti short-circuit — no fact-side
+    * duplication, which is why EXISTS beats a join+distinct at scale. */
+  def q47SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val big = Tables.lineitem(s, dir)
+      .filter(col("l_extendedprice") > 4000)
+      .select(col("l_orderkey"))
+    val withBig = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("bigint").as("n_with"))
+    val withoutBig = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("bigint").as("n_without"))
+    withBig.join(withoutBig, Seq("o_orderstatus"), "outer")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_with"), lit(0L)).as("n_with"),
+        coalesce(col("n_without"), lit(0L)).as("n_without"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
@@ -482,12 +531,36 @@ object RelationalQueries {
     "q43_rollup" -> (q43Rollup _),
     "q44_pivot" -> (q44Pivot _),
     "q45_approx_distinct" -> (q45ApproxDistinct _),
+    "q46_window_suite" -> (q46WindowSuite _),
+    "q47_semi_anti" -> (q47SemiAnti _),
   )
 
   val oracles: Map[String, String] = Map(
     // q45_approx_distinct intentionally has NO oracle: HLL sketch
     // implementations differ across engines (rows-only driver check;
     // error bound asserted in OperatorPropertySpec)
+    "q46_window_suite" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id < 20)
+        |SELECT user_id, event_id,
+        |  COALESCE(lag(value, 1) OVER w, -1.0) AS prev_value,
+        |  COALESCE(lead(value, 1) OVER w, -1.0) AS next_value,
+        |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INTEGER) AS value_rank,
+        |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INTEGER) AS type_rank,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_sum
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q47_semi_anti" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 4000),
+        |w1 AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_with FROM orders
+        |  WHERE EXISTS (SELECT 1 FROM big WHERE l_orderkey = o_orderkey) GROUP BY 1),
+        |w2 AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_without FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM big WHERE l_orderkey = o_orderkey) GROUP BY 1)
+        |SELECT COALESCE(w1.o_orderstatus, w2.o_orderstatus) AS o_orderstatus,
+        |  COALESCE(n_with, 0) AS n_with, COALESCE(n_without, 0) AS n_without
+        |FROM w1 FULL OUTER JOIN w2 ON w1.o_orderstatus = w2.o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q43_rollup" ->
       """SELECT COALESCE(event_type, '<all>') AS event_type,
         |  COALESCE(CAST(hour(ts) AS INTEGER), -1) AS hr,
