@@ -24,7 +24,10 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
     * long nanoseconds. Truncate to microseconds (same as DuckDB's ns→us
-    * read) and restore TimestampType. */
+    * read) and restore TimestampType. Constraint: `div` is floor division,
+    * which matches DuckDB only for non-negative epochs — fine for the
+    * 2024-only fixture; pre-1970 nanosecond data would need floor-div
+    * semantics confirmed on both sides first. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)

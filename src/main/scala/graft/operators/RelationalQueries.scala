@@ -213,12 +213,17 @@ object RelationalQueries {
       .orderBy("is_high", "is_error")
 
   /** Per-column null-count profile (ref A5: transform_load.py:52-55) —
-    * one pass, one row out. */
-  def q11NullProfile(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    o.select(o.columns.toIndexedSeq.map(c =>
+    * one pass, one row out. The column list is pinned (not read from the
+    * frame) so it drifts in lockstep with the hardcoded oracle: a fixture
+    * schema change breaks both sides loudly instead of silently turning
+    * the check into a column-set mismatch. The dynamic-column form lives
+    * in graft.Diagnostics.schemaProfile. */
+  private val ordersProfileCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def q11NullProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(ordersProfileCols.toIndexedSeq.map(c =>
       count(when(col(c).isNull, lit(1))).cast("bigint").as(s"nulls_$c")): _*)
-  }
 
   /** Global MIN/MAX bounds (ref A4: transform_load.py:460-463, the manual
     * dynamic-filter prologue). */
