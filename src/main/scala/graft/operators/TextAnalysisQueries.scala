@@ -83,13 +83,47 @@ object TextAnalysisQueries {
       .orderBy(desc("tf"), asc("tok"))
       .limit(20)
 
+  /** String-function suite (extends SURVEY §2.11 — the reference's only
+    * string functions are concat/concat_ws): case mapping, trim/pad,
+    * slicing, replace/translate, repeat/reverse over the bounded nation
+    * dim. Every function here has identical semantics in both engines
+    * (ASCII inputs; regex-based functions are deliberately excluded —
+    * Java and RE2 dialects differ at the edges). */
+  def q48StringSuite(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.nation(s, dir)
+      .select(
+        col("n_nationkey").cast("bigint").as("id"),
+        lower(col("n_name")).as("lower_name"),
+        expr("substring(n_name, 1, 3)").as("prefix3"),
+        expr("lpad(n_name, 12, '.')").as("padded"),
+        expr("rpad(cast(n_nationkey as string), 4, '0')").as("key_padded"),
+        expr("replace(n_name, 'A', '@')").as("replaced"),
+        expr("translate(n_name, 'AEIOU', 'aeiou')").as("translated"),
+        expr("reverse(n_name)").as("reversed"),
+        expr("repeat('-', cast(n_nationkey % 5 as int))").as("bar"),
+        expr("cast(length(trim(concat(' ', n_name, ' '))) as int)").as("trimmed_len"))
+      .orderBy("id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats" -> (q27TextStats _),
     "q29_multimodal_binary" -> (q29MultimodalBinary _),
     "q41_vocabulary" -> (q41Vocabulary _),
+    "q48_string_suite" -> (q48StringSuite _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q48_string_suite" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  lower(n_name) AS lower_name,
+        |  substr(n_name, 1, 3) AS prefix3,
+        |  lpad(n_name, 12, '.') AS padded,
+        |  rpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS key_padded,
+        |  replace(n_name, 'A', '@') AS replaced,
+        |  translate(n_name, 'AEIOU', 'aeiou') AS translated,
+        |  reverse(n_name) AS reversed,
+        |  repeat('-', CAST(n_nationkey % 5 AS INTEGER)) AS bar,
+        |  CAST(length(trim(concat(' ', n_name, ' '))) AS INTEGER) AS trimmed_len
+        |FROM nation ORDER BY id""".stripMargin,
     "q41_vocabulary" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |d AS (SELECT tok, doc_id, COUNT(*) AS n FROM t GROUP BY 1, 2)
