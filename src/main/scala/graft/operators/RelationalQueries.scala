@@ -510,6 +510,23 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Exact interpolated percentiles per group (extends §2.6; verified
+    * bit-identical to DuckDB's quantile_cont — both linearly interpolate
+    * between the two order statistics around the target rank). Exact
+    * percentile requires a per-group sort; at 100 TB the scale path is
+    * approx_percentile's mergeable sketch (same tradeoff as q45), so this
+    * is the small-group/final-report form. */
+  def q49Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
@@ -538,12 +555,20 @@ object RelationalQueries {
     "q45_approx_distinct" -> (q45ApproxDistinct _),
     "q46_window_suite" -> (q46WindowSuite _),
     "q47_semi_anti" -> (q47SemiAnti _),
+    "q49_percentiles" -> (q49Percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
     // q45_approx_distinct intentionally has NO oracle: HLL sketch
     // implementations differ across engines (rows-only driver check;
     // error bound asserted in OperatorPropertySpec)
+    "q49_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q46_window_suite" ->
       """WITH e AS (SELECT * FROM events WHERE user_id < 20)
         |SELECT user_id, event_id,
