@@ -131,19 +131,35 @@ object DedupQueries {
     * over all tokens, and sets the bit if the vote is positive. The 32 bit
     * positions are unrolled at plan-build time so every shift amount is a
     * literal — the whole fingerprint is one codegen'd projection, no UDF. */
-  /** The 32-bit simhash as one expression over a `toks` column (shared by
-    * q23 and the q42 pair search). */
-  private val simhashExpr = (0 until 32).map { b =>
-    val pos = b / 4 + 1
-    val j = 1 << (b % 4)
-    s"(case when aggregate(toks, cast(0 as bigint), (acc, t) -> acc + 2 * ((cast(conv(substring(md5(t), $pos, 1), 16, 10) as int) div $j) % 2) - 1) > 0 " +
-      s"then cast(${1L << b} as bigint) else cast(0 as bigint) end)"
-  }.mkString(" + ")
+  /** The 32-bit simhash per document, computed as explode -> ONE md5 per
+    * token -> 32 codegen'd bit-vote sum-aggregates with map-side partial
+    * combine (shared by q23 and the q42 pair search). The single-expression
+    * HOF form would run 32 interpreted folds each re-hashing every token
+    * (32x the md5 work), and every plan branch referencing it would
+    * recompute the lot; the aggregate form hashes once and its exchange is
+    * reusable across branches. */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val votes = (0 until 32).map { b =>
+      val pos = b / 4 + 1
+      val j = 1 << (b % 4)
+      sum(expr(s"2 * ((cast(conv(substring(h, $pos, 1), 16, 10) as int) div $j) % 2) - 1"))
+        .as(s"b$b")
+    }
+    val shExpr = (0 until 32)
+      .map(b => s"(case when b$b > 0 then cast(${1L << b} as bigint) else cast(0 as bigint) end)")
+      .mkString(" + ")
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+              explode(expr("split(text, ' ')")).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr(shExpr).as("sh"))
+  }
 
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("toks", expr("split(text, ' ')"))
-      .select(col("doc_id").cast("bigint").as("doc_id"), expr(simhashExpr).as("simhash"))
+    simhashDf(s, dir)
+      .select(col("doc_id"), col("sh").as("simhash"))
       .orderBy("doc_id")
 
   /** SimHash near-duplicate pairs: byte-band the 32-bit fingerprint
@@ -154,9 +170,7 @@ object DedupQueries {
     * all-pairs; the fingerprint is 8 bytes per doc, so the verify re-join
     * is nearly free. */
   def q42SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .withColumn("toks", expr("split(text, ' ')"))
-      .select(col("doc_id").cast("bigint").as("doc_id"), expr(simhashExpr).as("sh"))
+    val sh = simhashDf(s, dir)
     val bandKeys = (0 until 4)
       .map(b => s"$b, cast(shiftright(sh, ${8 * b}) % 256 as int)").mkString(", ")
     val bands = sh.selectExpr("doc_id", s"stack(4, $bandKeys) as (band, bkey)")
