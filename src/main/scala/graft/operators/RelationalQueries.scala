@@ -448,17 +448,29 @@ object RelationalQueries {
         coalesce(col("signup"), lit(0L)).as("signup"))
       .orderBy("d")
 
-  /** Approximate distinct count (HLL++). No DuckDB oracle — sketch
-    * implementations differ across engines, so the driver records a
-    * rows-only check and the ScalaTest suite asserts the relative error
-    * bound against the exact count instead. At 100 TB this is THE way to
-    * count distincts: fixed-size sketches merge map-side, no (key, value)
-    * expansion shuffle at all. */
+  /** Approximate distinct count (HLL++) in an oracle-checkable shape:
+    * sketch estimates differ across engines, so instead of emitting the raw
+    * estimate the query emits the EXACT count (q38's two-phase form) plus
+    * `sketch_ok` — whether the HLL estimate landed within a 5% relative
+    * error bound (the sketch is configured for 2% standard error, so 5% is
+    * a safe deterministic envelope; OperatorPropertySpec asserts the
+    * tighter bound too). Output is fully deterministic, so the DuckDB
+    * oracle (exact counts + literal true) hash-matches while the sketch is
+    * still genuinely exercised. At 100 TB the sketch is THE way to count
+    * distincts — fixed-size state, merges map-side, no (key, value)
+    * expansion shuffle; here it consumes phase 1's deduplicated rows, which
+    * feed it the identical distinct set at no extra cost. */
   def q45ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).cast("bigint").as("approx_users"),
-           count(lit(1)).cast("bigint").as("n_events"))
+      .agg(count(when(col("user_id").isNotNull, lit(1))).cast("bigint").as("n_users"),
+           sum(col("n")).cast("bigint").as("n_events"),
+           approx_count_distinct(col("user_id"), 0.02).as("approx_"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        (abs(col("approx_") - col("n_users")).cast("double") <=
+          col("n_users").cast("double") * 0.05).as("sketch_ok"))
       .orderBy("event_type")
 
   /** Analytic window suite (extends §2.7 — the reference has only the W1
@@ -559,9 +571,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // q45_approx_distinct intentionally has NO oracle: HLL sketch
-    // implementations differ across engines (rows-only driver check;
-    // error bound asserted in OperatorPropertySpec)
+    // q45's sketch estimate never appears in the output — only the exact
+    // count and the bounded-error boolean, both deterministic, so the HLL
+    // query IS oracle-checkable despite engines disagreeing on estimates
+    "q45_approx_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events, true AS sketch_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q49_percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.25) AS p25,

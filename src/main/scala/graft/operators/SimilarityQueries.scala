@@ -132,8 +132,13 @@ object SimilarityQueries {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
               col("nrm").as("pn"), col("centroid_id").as("pcentroid"))
     val wTop = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    // broadcast the provably-bounded probe side (vec_id < 8): without the
+    // hint Catalyst picks a sort-merge join that shuffles the ENTIRE corpus
+    // onto the 16-value centroid key — at 100 TB that crams all assigned
+    // vectors into <=16 partitions. Broadcast means the corpus never
+    // repartitions on the bucket key at all.
     assigned
-      .join(probes,
+      .join(broadcast(probes),
         col("centroid_id") === col("pcentroid") && col("vec_id") =!= col("probe_id"))
       .withColumn("cos", expr(dotFold.format("pv", "v") + " / (pn * nrm)"))
       .withColumn("rank", row_number().over(wTop))
