@@ -1,22 +1,44 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+
 /** Benchmark main — runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. A failing query is reported in "errors" (name →
   * message) and excluded from the total instead of silently timing as ~0 s
   * and improving it.
   */
 object Bench {
+
+  /** Evaluate every output column, not just cardinality. `df.count()`
+    * plans `Aggregate[count(1)]`, so ColumnPruning deletes projections and
+    * aggregate expressions that don't affect row count — the bench then
+    * skips exactly the work scalar/projection queries exist to measure
+    * (q16 casts, q23 bit-votes, q27 text stats, q48 string funcs). Hashing
+    * a struct of all columns forces each one to be computed while keeping
+    * the driver-side result a single row (bit_xor, not sum: full-range
+    * hash values overflow a long sum under ANSI mode).
+    */
+  private def evaluateAll(df: DataFrame): Unit =
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
     // session/codegen warmup so the alphabetically-first query doesn't
     // absorb JVM+Catalyst startup in its measured time
     spark.range(1000).selectExpr("sum(id)").collect()
-    // one unmeasured parquet aggregate per fact table: first-parquet-scan
-    // codegen (vectorized reader + hash-agg stages) is multi-second Janino
-    // work that otherwise lands entirely inside q01's measured window
+    // one unmeasured aggregate per fact table: first-parquet-scan codegen
+    // (vectorized reader + hash-agg stages) is multi-second Janino work
+    // that otherwise lands inside the first measured query touching that
+    // table — and the scan also warms the OS page cache, so warming only
+    // SOME tables would skew comparisons across query families
     Tables.lineitem(spark, sfDir).selectExpr("count(l_orderkey)").collect()
     Tables.events(spark, sfDir).selectExpr("count(event_id)").collect()
+    Tables.documents(spark, sfDir).selectExpr("count(doc_id)").collect()
+    Tables.embeddings(spark, sfDir).selectExpr("count(vec_id)").collect()
+    Tables.orders(spark, sfDir).selectExpr("count(o_orderkey)").collect()
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // reclaim broadcast/shuffle state from earlier queries so a full GC
@@ -24,7 +46,7 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        evaluateAll(fn(spark, sfDir))
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>

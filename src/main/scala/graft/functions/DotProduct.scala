@@ -25,9 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Null semantics: null array -> null; LENGTH-MISMATCHED arrays -> null
   * (`zip_with` null-pads the shorter side and `null + acc` poisons the
   * fold, so the HOF form returns null — silently dotting a truncated
-  * prefix instead would corrupt cosines without an error); null ELEMENTS
-  * are treated as 0 contribution, which is safe for the engine's dense
-  * embedding columns.
+  * prefix instead would corrupt cosines without an error); a null ELEMENT
+  * also poisons the result to null, exactly like the HOF fold and the
+  * DuckDB oracle's `list_reduce` (`x * null = null`, `acc + null = null`)
+  * — treating it as 0 would silently diverge from the hash gate the first
+  * time an embedding arrives sparse.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -60,9 +62,8 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        acc += x.getDouble(i) * y.getDouble(i)
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     acc
@@ -80,11 +81,10 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $x.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-         |      $acc += $x.getDouble($i) * $y.getDouble($i);
-         |    }
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -39,11 +39,17 @@ object Sessionize {
   private val gapUs = 1800L * 1000000
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
-  private def formatUs(us: Long): String = {
-    val f = new java.text.SimpleDateFormat(fmt)
-    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    f.format(new java.util.Date(us / 1000))
-  }
+  // one formatter per executor thread, not one per closed session
+  // (SimpleDateFormat is mutable, hence not shareable across threads)
+  private val fmtTL: ThreadLocal[java.text.SimpleDateFormat] =
+    ThreadLocal.withInitial { () =>
+      val f = new java.text.SimpleDateFormat(fmt)
+      f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      f
+    }
+
+  private def formatUs(us: Long): String =
+    fmtTL.get.format(new java.util.Date(us / 1000))
 
   /** Exact microseconds of a Timestamp — `getTime` alone truncates to
     * milliseconds, which would diverge from the batch twin's `unix_micros`
@@ -73,7 +79,12 @@ object Sessionize {
           formatUs(st.lastUs), st.nEvents)
         st = SessState(st.sessionIdx + 1, us, us, 1)
       } else {
-        st = st.copy(lastUs = math.max(st.lastUs, us), nEvents = st.nEvents + 1)
+        // a cross-batch late event can land inside the gap but BEFORE the
+        // open session's start (in-batch events are sorted, carried state
+        // is not) — extend the session backwards too, matching the batch
+        // twin's min/max-over-island semantics
+        st = st.copy(startUs = math.min(st.startUs, us),
+          lastUs = math.max(st.lastUs, us), nEvents = st.nEvents + 1)
       }
     }
     if (st != null) {

@@ -28,8 +28,15 @@ object StreamingQueries {
   /** Event-time tumbling-window count (the dashboard's journeys-over-time
     * series, `/root/reference/README.md:29-35`, in streaming form): file
     * source → watermark → 1-hour window → AvailableNow → memory sink.
-    * Windows align to the epoch hour, so the batch oracle is a plain
-    * date_trunc('hour') GROUP BY. */
+    *
+    * Append mode: only FINALIZED windows — those whose end precedes the
+    * final watermark (max event time − 1 h) — are emitted; the state store
+    * then drops them, so state stays bounded in a continuous deployment
+    * (complete mode would retain every window forever and the watermark
+    * would evict nothing). For a bounded source the emitted set is exactly
+    * the batch aggregate minus the windows still inside the lateness
+    * horizon, which the oracle twin expresses with a HAVING on max(ts):
+    * window_end ≤ max(ts) − 1 h  ⇔  hour + 2 h ≤ max(ts). */
   def q36StreamingHourly(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_hourly_${runCounter.incrementAndGet()}"
@@ -43,7 +50,7 @@ object StreamingQueries {
       .writeStream
       .format("memory")
       .queryName(tbl)
-      .outputMode("complete")
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -58,6 +65,9 @@ object StreamingQueries {
     "q36_streaming_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
-        |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
+        |FROM events GROUP BY 1
+        |HAVING date_trunc('hour', any_value(ts)) + INTERVAL 2 HOUR
+        |  <= (SELECT max(ts) FROM events)
+        |ORDER BY h""".stripMargin,
   )
 }

@@ -42,12 +42,16 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.isNullAt(1)) // the documented-equivalent HOF form agrees
   }
 
-  test("graft_dot null semantics: null array -> null, null element -> skipped") {
+  test("graft_dot null semantics: null array -> null, null element poisons -> null") {
     val r = spark.sql(
       "SELECT graft_dot(cast(null as array<double>), array(1.0d)), " +
-        "graft_dot(array(1.0d, cast(null as double), 3.0d), array(2.0d, 5.0d, 4.0d))").first()
+        "graft_dot(array(1.0d, cast(null as double), 3.0d), array(2.0d, 5.0d, 4.0d)), " +
+        "aggregate(zip_with(array(1.0d, cast(null as double), 3.0d), " +
+        "array(2.0d, 5.0d, 4.0d), (x, y) -> x * y), " +
+        "cast(0.0 as double), (acc, x) -> acc + x)").first()
     assert(r.isNullAt(0))
-    assert(r.getDouble(1) === 14.0)
+    assert(r.isNullAt(1), "a null element must poison the dot product")
+    assert(r.isNullAt(2)) // the HOF fold agrees — the shared contract
   }
 
   test("codegen path survives a full query (q25 unchanged vs direct compute)") {

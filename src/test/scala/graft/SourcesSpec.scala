@@ -58,14 +58,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture should contain at least one closed session")
   }
 
-  test("streaming hourly counts equal the batch aggregate") {
+  test("streaming hourly counts equal the batch aggregate's finalized windows") {
     import org.apache.spark.sql.functions._
     val streamed = streaming.StreamingQueries.q36StreamingHourly(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // append mode emits only windows finalized by the final watermark
+    // (max ts − 1 h): window end ≤ watermark ⇔ hour + 2 h ≤ max(ts)
     val batch = Tables.events(spark, sfDir)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"))
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("cnt"))
+      .filter(col("hr") + expr("INTERVAL 2 HOURS") <=
+        Tables.events(spark, sfDir).agg(max("ts")).head().getTimestamp(0))
+      .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("h"), col("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(streamed === batch)
+    assert(streamed.nonEmpty, "finalized-window set should be non-empty")
   }
 }
