@@ -56,7 +56,7 @@ object SimilarityQueries {
   private val dotFold = "graft_dot(%s, %s)"
 
   /** vectors with norms, shared by both queries */
-  private def normed(s: SparkSession, dir: String): DataFrame =
+  private[graft] def normed(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
@@ -108,25 +108,69 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Number of Lloyd (k-means) refinement passes for the q37 codebook. */
+  private val lloydIters = 2
+
+  /** Nearest-centroid assignment: broadcast the bounded codebook, argmax
+    * cosine per vector (the same broadcast-argmin shape as the reference's
+    * numpy grid search, `ingest_weather_data.py:147-173`). One corpus scan
+    * per call; the corpus never shuffles. */
+  private[graft] def assign(e: DataFrame, codebook: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))
+    e.crossJoin(broadcast(codebook))
+      .withColumn("ccos", expr(dotFold.format("v", "cv") + " / (nrm * cn)"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"), col("ccos"))
+  }
+
+  /** Lloyd re-center: per (centroid, dimension), the mean of member values.
+    * The sum folds left in vec_id order (sorted collect_list) rather than
+    * using `avg`, because avg's partial-aggregation order is
+    * nondeterministic across runs and engines — a last-ulp difference in a
+    * centroid could flip a near-tied assignment and break the oracle hash.
+    * The ordered fold is bit-identical to the DuckDB twin's
+    * `list_reduce(list(val ORDER BY vec_id))`. At 100 TB production would
+    * swap this for plain avg (order-free mean, identical to within ulps)
+    * and keep the ordered fold only where replay-exactness is required. */
+  private def recenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("vec_id"), col("centroid_id"), posexplode(col("v")))
+      .withColumnRenamed("col", "val")
+      .groupBy("centroid_id", "pos")
+      .agg(
+        expr("aggregate(transform(sort_array(collect_list(struct(vec_id, val))), " +
+          "s -> s.val), cast(0.0 as double), (a, x) -> a + x)").as("sm"),
+        count(lit(1)).as("cnt"))
+      .withColumn("mean", col("sm") / col("cnt"))
+      .groupBy("centroid_id")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, mean))), s -> s.mean)").as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+      .select("centroid_id", "cv", "cn")
+
+  /** Trained codebook: seed with the first 16 vectors, then `lloydIters`
+    * deterministic Lloyd passes (broadcast-argmax assign, ordered-fold
+    * re-center). Centroids are NOT re-normalized — assignment divides by
+    * the centroid norm, so cosine is scale-invariant. */
+  private[graft] def trainedCodebook(e: DataFrame): DataFrame = {
+    val codebook0 = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    (1 to lloydIters).foldLeft(codebook0)((cb, _) => recenter(assign(e, cb)))
+  }
+
   /** IVF-style approximate top-k (the inverted-file scale path next to
-    * q26's LSH): a bounded codebook (here the first 16 vectors, standing in
-    * for trained centroids) broadcasts; every corpus vector is assigned to
-    * its nearest centroid (an argmax over the tiny codebook); probes then
-    * search ONLY their own centroid's bucket (nprobe=1). The expensive
-    * top-k scan is confined to one bucket per probe — at 100 TB the buckets
-    * are the index, and adding nprobe or re-ranking widens recall without
-    * changing the shape. Recall loss vs q25's exact baseline is part of the
-    * design; the oracle runs the identical construction so results match
-    * exactly. */
+    * q26's LSH): a bounded codebook — seeded from the first 16 vectors and
+    * refined by two deterministic Lloyd passes — broadcasts; every corpus
+    * vector is assigned to its nearest centroid (an argmax over the tiny
+    * codebook); probes then search ONLY their own centroid's bucket
+    * (nprobe=1). The expensive top-k scan is confined to one bucket per
+    * probe — at 100 TB the buckets are the index, and adding nprobe or
+    * re-ranking widens recall without changing the shape. Recall loss vs
+    * q25's exact baseline is part of the design; the oracle runs the
+    * identical construction so results match exactly. */
   def q37IvfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = normed(s, dir)
-    val codebook = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))
-    val assigned = e.crossJoin(broadcast(codebook))
-      .withColumn("ccos", expr(dotFold.format("v", "cv") + " / (nrm * cn)"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+    val assigned = assign(e, trainedCodebook(e))
       .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
     val probes = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
@@ -189,6 +233,48 @@ object SimilarityQueries {
     s"SELECT vec_id, $b AS band, $bits AS bkey FROM proj"
   }.mkString("\n  UNION ALL ")
 
+  /** Oracle twin of `assign`: nearest-centroid argmax against codebook CTE
+    * `cb`, dot folding left in index order (bit-equal to graft_dot). */
+  private def oracleAssignCte(name: String, cb: String): String =
+    s"""$name AS (SELECT vec_id, v, nrm, centroid_id FROM (
+       |    SELECT vec_id, v, nrm, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS arn
+       |    FROM (SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
+       |        list_reduce(list_transform(generate_series(1, $dim), i -> e.v[i] * c.cv[i]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+       |      FROM n e CROSS JOIN $cb c)) WHERE arn = 1)""".stripMargin
+
+  /** Oracle twin of `recenter`: per-dimension mean folding member values in
+    * vec_id order (list ORDER BY = Spark's sorted collect_list fold). */
+  private def oracleRecenterCtes(k: Int): String =
+    s"""m$k AS (SELECT centroid_id, pos,
+       |    list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mean
+       |  FROM (SELECT a.vec_id, a.centroid_id, t.i AS pos, a.v[t.i] AS val
+       |    FROM a$k a CROSS JOIN generate_series(1, $dim) t(i))
+       |  GROUP BY centroid_id, pos),
+       |cb$k AS (SELECT centroid_id, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS cn
+       |  FROM (SELECT centroid_id, list(mean ORDER BY pos) AS cv FROM m$k GROUP BY centroid_id))""".stripMargin
+
+  private def q37Oracle: String = {
+    val lloyd = (1 to lloydIters).map(k =>
+      oracleAssignCte(s"a$k", s"cb${k - 1}") + ",\n" + oracleRecenterCtes(k)).mkString(",\n")
+    s"""WITH $oracleNormed,
+       |cb0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |$lloyd,
+       |${oracleAssignCte("assigned", s"cb$lloydIters")},
+       |probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn, centroid_id AS pcentroid
+       |  FROM assigned WHERE vec_id < 8),
+       |cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, $dim), i -> p.pv[i] * a.v[i]), (a2, b2) -> a2 + b2) / (p.pn * a.nrm) AS cos
+       |  FROM assigned a JOIN probes p
+       |    ON a.centroid_id = p.pcentroid AND a.vec_id <> p.probe_id),
+       |r AS (SELECT probe_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM cand)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
+       |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q25_cosine_topk" ->
       s"""WITH $oracleNormed,
@@ -200,27 +286,7 @@ object SimilarityQueries {
          |  FROM j)
          |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
          |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
-    "q37_ivf_topk" ->
-      s"""WITH $oracleNormed,
-         |codebook AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
-         |scored AS (SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
-         |    list_reduce(list_transform(generate_series(1, $dim), i -> e.v[i] * c.cv[i]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
-         |  FROM n e CROSS JOIN codebook c),
-         |assigned AS (SELECT vec_id, v, nrm, centroid_id FROM (
-         |    SELECT vec_id, v, nrm, centroid_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS arn
-         |    FROM scored) WHERE arn = 1),
-         |probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn, centroid_id AS pcentroid
-         |  FROM assigned WHERE vec_id < 8),
-         |cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id,
-         |    list_reduce(list_transform(generate_series(1, $dim), i -> p.pv[i] * a.v[i]), (a2, b2) -> a2 + b2) / (p.pn * a.nrm) AS cos
-         |  FROM assigned a JOIN probes p
-         |    ON a.centroid_id = p.pcentroid AND a.vec_id <> p.probe_id),
-         |r AS (SELECT probe_id, neighbor_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
-         |  FROM cand)
-         |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
-         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q37_ivf_topk" -> q37Oracle,
     "q26_lsh_cosine" ->
       s"""WITH $oracleNormed,
          |proj AS (SELECT vec_id, v, nrm,

@@ -66,6 +66,19 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Lloyd training improves mean assignment cosine over the seed codebook (q37)") {
+    import operators.SimilarityQueries
+    val e = SimilarityQueries.normed(spark, sfDir)
+    val seed = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def meanCos(cb: org.apache.spark.sql.DataFrame): Double =
+      SimilarityQueries.assign(e, cb).agg(avg("ccos")).first().getDouble(0)
+    val before = meanCos(seed)
+    val after = meanCos(SimilarityQueries.trainedCodebook(e))
+    assert(after > before,
+      s"trained codebook should fit the corpus better: before=$before after=$after")
+  }
+
   test("argmin window returns one row per partition key (q09)") {
     val df = operators.RelationalQueries.q09ArgminWindow(spark, sfDir)
     assert(df.select("user_id").distinct().count() === df.count())
