@@ -27,13 +27,9 @@ object EtlQueries {
 
   private def dec6(c: Column): Column = c.cast("decimal(18,6)")
 
-  private def tmpPath(tag: String, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    // PID-keyed: each JVM writes then reads its own staging path, so two
-    // concurrent runs at the SAME sf (e.g. Verify next to Bench) cannot
-    // overwrite each other mid-read
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${key}_${ProcessHandle.current().pid()}"
-  }
+  // (sf, pid)-keyed staging roots, swept by a shutdown hook — see
+  // graft.Staging for the collision + cleanup contract
+  private def tmpPath(tag: String, dir: String): String = graft.Staging.path(tag, dir)
 
   /** K1 + S3: day-partitioned warehouse write with first-run overwrite →
     * append bootstrap (ref `transform_load.py:58-90,438,496`), then a

@@ -539,6 +539,32 @@ object RelationalQueries {
         max(col("value")).as("max_value"))
       .orderBy("event_type")
 
+  /** Mergeable-sketch percentiles — the 100 TB scale path q49's doc names,
+    * now registered. `approx_percentile`'s Greenwald-Khanna sketch keeps
+    * fixed-size mergeable state (map-side partial merge, no per-group
+    * sort), the same exactness-for-scale trade as q45's HLL. Engines — and
+    * merge orders — disagree on sketch OUTPUTS, so the oracle-facing
+    * columns are the exact percentiles plus `sketch_ok`: whether each
+    * approx value landed between the exact interpolated quantiles at
+    * q ± 0.01. Unlike q45's probabilistic HLL envelope, this bound is
+    * DETERMINISTIC: GK guarantees rank error <= 1/accuracy = 0.0001, and
+    * the 0.01 rank envelope gives 100x slack, so sketch_ok is true on any
+    * data at any scale — the oracle's literal `true` is not data-coupled. */
+  def q51ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, array(0.24, 0.26, 0.49, 0.51, 0.94, 0.96))").as("bounds"),
+        expr("approx_percentile(value, array(0.25, 0.5, 0.95), 10000)").as("ap"))
+      .select(col("event_type"), col("p25"), col("p50"), col("p95"),
+        (col("ap")(0).between(col("bounds")(0), col("bounds")(1)) &&
+         col("ap")(1).between(col("bounds")(2), col("bounds")(3)) &&
+         col("ap")(2).between(col("bounds")(4), col("bounds")(5))).as("sketch_ok"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
@@ -568,6 +594,7 @@ object RelationalQueries {
     "q46_window_suite" -> (q46WindowSuite _),
     "q47_semi_anti" -> (q47SemiAnti _),
     "q49_percentiles" -> (q49Percentiles _),
+    "q51_approx_percentiles" -> (q51ApproxPercentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -584,6 +611,16 @@ object RelationalQueries {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.95) AS p95,
         |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q51's sketch values never appear in the output — exact percentiles
+    // plus a rank-envelope boolean that GK's error guarantee makes
+    // deterministically true (see q51ApproxPercentiles doc)
+    "q51_approx_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  true AS sketch_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q46_window_suite" ->
       """WITH e AS (SELECT * FROM events WHERE user_id < 20)

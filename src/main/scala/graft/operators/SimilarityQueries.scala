@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Staging, Tables}
 
 /** Similarity search over the `embeddings` fixture (64-dim float vectors).
   *
@@ -84,7 +84,10 @@ object SimilarityQueries {
     * 4 bands of 4 sign bits -> band-key equi-join -> exact cosine >= 0.35
     * on candidates. Recall is a function of the band geometry, and the
     * oracle runs the identical construction, so results match exactly. */
-  def q26LshCosine(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered near-dup pairs (vec_a < vec_b, cos >= 0.35) — q26 minus its
+    * presentation sort, shared with q50 (which consumes the pairs as a
+    * graph and has no use for a total order). */
+  private def lshPairsScored(s: SparkSession, dir: String): DataFrame = {
     val e = normed(s, dir)
     val withProj = (0 until nPlanes).foldLeft(e) { (d, h) =>
       val arr = planes(h).map(w => s"cast($w as double)").mkString("array(", ", ", ")")
@@ -105,8 +108,10 @@ object SimilarityQueries {
       .filter(col("cos") >= 0.35)
       .select(col("vec_a").cast("bigint").as("vec_a"),
               col("vec_b").cast("bigint").as("vec_b"), col("cos"))
-      .orderBy("vec_a", "vec_b")
   }
+
+  def q26LshCosine(s: SparkSession, dir: String): DataFrame =
+    lshPairsScored(s, dir).orderBy("vec_a", "vec_b")
 
   /** Number of Lloyd (k-means) refinement passes for the q37 codebook. */
   private val lloydIters = 2
@@ -198,7 +203,8 @@ object SimilarityQueries {
     * with a >= 0.35 neighbor of smaller id is dropped via a left anti-join.
     * (One greedy pass, not connected components: survivors of a chain keep
     * transitively-similar members whose direct link was pruned — the
-    * standard one-pass tradeoff; components need iteration.) Both the pair
+    * standard one-pass tradeoff; q50 is the iterative connected-components
+    * upgrade that resolves those transitive chains.) Both the pair
     * generation (banded LSH) and the anti-join are equi-key shuffles. */
   def q40EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
     val victims = q26LshCosine(s, dir).select(col("vec_b").as("vec_id")).distinct()
@@ -210,11 +216,111 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** Connected-components dedup CLUSTERS — the iterative upgrade q40's doc
+    * promises: min-label propagation over the q26 near-dup pair graph to a
+    * fixpoint, so transitively-linked vectors (a~b, b~c, but a,c never
+    * paired) land in ONE cluster. cluster_id = min vec_id in the component.
+    *
+    * Shape per pass (hash-to-min): one equi-key shuffle (edges ⋈ labels on
+    * dst) + one groupBy(src) min — self-loops fold each vertex's own label
+    * into the neighborhood min, so a single aggregate computes min over
+    * {v} ∪ N(v). The edge set is AUGMENTED each pass with shortcut edges
+    * (v ↔ lbl(v)) from the current AND previous labeling, which lets the
+    * component minimum cross whole already-labeled basins per hop instead
+    * of one graph edge. Labels only decrease, so the label SUM strictly
+    * decreases until the fixpoint; equality of consecutive sums IS
+    * convergence (one scalar collect per pass — the bounded-driver-collect
+    * pattern, not a data collect).
+    *
+    * Engineering choices, each load-bearing (alternatives measured slower
+    * on the sf0.1 graph):
+    *  - The expensive LSH + cosine-verify subtree is staged to parquet
+    *    ONCE and re-read as a leaf scan — `cache`/`localCheckpoint` of it
+    *    either leaves the full logical plan in every pass (analysis grows
+    *    ~4x per pass: the pass references labels four times) or compiles
+    *    the subtree WITHOUT AQE (localCheckpoint goes through the RDD
+    *    path; measured 4x slower). Staging through a durable store is
+    *    also exactly what a real cluster run needs — executor loss cannot
+    *    drop state mid-iteration. The root is swept at JVM exit
+    *    (graft.Staging).
+    *  - Per-pass label frames DO use localCheckpoint (lineage must
+    *    truncate), but the loop runs at 4 shuffle partitions — label/edge
+    *    frames are small leaf-scan derivatives, so fixed per-task overhead
+    *    dominates and the non-AQE compile is harmless at that width. On a
+    *    real cluster the loop width scales with |V| instead.
+    *  - Chaining multiple hops per checkpoint LOOKS like it should
+    *    amortize job overhead, but Spark re-executes the repeated
+    *    un-materialized subplans (no common-subexpression reuse across
+    *    union branches), so each chained hop multiplied work ~4x. */
+  def q50CcClusters(s: SparkSession, dir: String): DataFrame = {
+    val ck = Staging.path("cc", dir)
+    lshPairsScored(s, dir).select("vec_a", "vec_b")
+      .write.mode("overwrite").parquet(s"$ck/pairs")
+    val pairs = s.read.parquet(s"$ck/pairs")
+    val und = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val verts = und.select("src").distinct() // symmetric: src covers both endpoints
+    // materialize base (undirected + self-loops) once too: otherwise every
+    // pass re-runs the verts distinct shuffle
+    und.union(verts.select(col("src"), col("src").as("dst")))
+      .write.mode("overwrite").parquet(s"$ck/base")
+    val base = s.read.parquet(s"$ck/base")
+    // shortcut edges (v ↔ lbl(v)) from a labeling frame; ANY past labeling
+    // is safe to add — labels are always ids of same-component vertices,
+    // so shortcuts never bridge components
+    def sc(l: DataFrame): Seq[DataFrame] = {
+      val d = l.filter(col("v") =!= col("lbl"))
+      Seq(d.select(col("v").as("src"), col("lbl").as("dst")),
+          d.select(col("lbl").as("src"), col("v").as("dst")))
+    }
+    // one neighbor-min hop over base + shortcuts from the current AND the
+    // previous labeling: when boundary vertex x improves from basin-min mA
+    // to mB, its current shortcut flips to x↔mB in the same hop — only the
+    // PREVIOUS labeling's x↔mA edge still carries mB into mA, which then
+    // fans it out to its whole basin through the basin's own shortcuts
+    def hop(prev: DataFrame, cur: DataFrame): DataFrame =
+      (sc(cur) ++ sc(prev)).foldLeft(base)(_ union _)
+        .join(cur, col("dst") === col("v"))
+        .groupBy("src").agg(min("lbl").as("lbl"))
+        .withColumnRenamed("src", "v")
+    var labels = verts.select(col("src").as("v"), col("src").as("lbl"))
+    var prevLabels = labels
+    var prevSum = Long.MaxValue
+    var converged = false
+    var pass = 0
+    // the iterate phase runs on the SMALL label/edge frames (both leaf
+    // scans of the staged parquet), where fixed per-task overhead dominates:
+    // drop shuffle parallelism for the loop only, restore after. Per-pass
+    // label frames use localCheckpoint to TRUNCATE lineage (each pass
+    // references the prior labels four times — untruncated, the plan grows
+    // ~4x per pass and analysis explodes); its non-AQE compilation is
+    // harmless here BECAUSE the loop runs at 4 shuffle partitions.
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      while (!converged) {
+        pass += 1
+        val next = hop(prevLabels, labels).localCheckpoint()
+        prevLabels = labels
+        labels = next
+        val row = labels.agg(sum("lbl")).first()
+        val sm = if (row.isNullAt(0)) 0L else row.getLong(0) // null sum = empty graph
+        converged = sm == prevSum
+        prevSum = sm
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    labels.groupBy("lbl")
+      .agg(count(lit(1)).cast("bigint").as("n_members"))
+      .select(col("lbl").cast("bigint").as("cluster_id"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
     "q37_ivf_topk" -> (q37IvfTopk _),
     "q40_embedding_dedup" -> (q40EmbeddingDedup _),
+    "q50_cc_clusters" -> (q50CcClusters _),
   )
 
   private val oracleNormed =
@@ -275,6 +381,19 @@ object SimilarityQueries {
        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** Shared LSH pair-graph CTEs (projections → bands → candidate pairs →
+    * exact cosine), the common prefix of the q26/q40/q50 oracles. */
+  private val oraclePairSc =
+    s"""proj AS (SELECT vec_id, v, nrm,
+       |    $oracleProjs
+       |  FROM n),
+       |bands AS ($oracleBandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |sc AS (SELECT vec_a, vec_b,
+       |    list_reduce(list_transform(generate_series(1, $dim), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+       |  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q25_cosine_topk" ->
       s"""WITH $oracleNormed,
@@ -289,32 +408,32 @@ object SimilarityQueries {
     "q37_ivf_topk" -> q37Oracle,
     "q26_lsh_cosine" ->
       s"""WITH $oracleNormed,
-         |proj AS (SELECT vec_id, v, nrm,
-         |    $oracleProjs
-         |  FROM n),
-         |bands AS ($oracleBandSelects),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-         |sc AS (SELECT vec_a, vec_b,
-         |    list_reduce(list_transform(generate_series(1, $dim), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
-         |  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id)
+         |$oraclePairSc
          |SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, cos
          |FROM sc WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
     "q40_embedding_dedup" ->
       s"""WITH $oracleNormed,
-         |proj AS (SELECT vec_id, v, nrm,
-         |    $oracleProjs
-         |  FROM n),
-         |bands AS ($oracleBandSelects),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-         |sc AS (SELECT vec_a, vec_b,
-         |    list_reduce(list_transform(generate_series(1, $dim), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
-         |  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id),
+         |$oraclePairSc,
          |victims AS (SELECT DISTINCT vec_b AS vec_id FROM sc WHERE cos >= 0.35)
          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_kept
          |FROM embeddings e
          |WHERE NOT EXISTS (SELECT 1 FROM victims w WHERE w.vec_id = e.vec_id)
          |GROUP BY label ORDER BY label""".stripMargin,
+    // q50: transitive closure of the undirected pair graph via a recursive
+    // CTE — reach(v) accumulates every label reachable from v, min(reach)
+    // is the component minimum, exactly the label-propagation fixpoint.
+    "q50_cc_clusters" ->
+      s"""WITH RECURSIVE $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+         |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pr),
+         |reach(v, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v),
+         |comp AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
   )
 }
