@@ -27,13 +27,18 @@ object Tables {
     * read) and restore TimestampType. Constraint: `div` is floor division,
     * which matches DuckDB only for non-negative epochs — fine for the
     * 2024-only fixture; pre-1970 nanosecond data would need floor-div
-    * semantics confirmed on both sides first. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
+    * semantics confirmed on both sides first.
+    *
+    * The ONE shared conversion for batch and streaming readers
+    * (StreamSources.events calls this) — a change to the fixture encoding
+    * cannot leave one reader shifted against the other. */
+  private[graft] def restoreEventTs(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
-  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    restoreEventTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -67,23 +67,33 @@ object DedupQueries {
     * than the cap are DROPPED (a bucket hit by a large corpus fraction is a
     * degenerate band key — boilerplate, a hot shingle — whose O(n^2)
     * in-bucket expansion would dominate the job while contributing mostly
-    * false candidates). The default (None) keeps every bucket, which is
-    * correct for the oracle-checked queries; a 100 TB run would set a cap
-    * and count the dropped buckets rather than let one key stall the
-    * stage. */
+    * false candidates). The recall loss is never silent: when the cap is
+    * set, the dropped-bucket count rides the query as the named
+    * observation `graft_lsh_bucket_cap` (surfaced to any
+    * QueryExecutionListener; BucketCapSpec asserts it). The default (None)
+    * keeps every bucket, which is correct for the oracle-checked
+    * queries. */
   private[operators] def bucketPairs(bands: DataFrame, idCol: String,
                                      aName: String, bName: String,
-                                     maxBucketSize: Option[Int] = None): DataFrame =
-    bands.groupBy("band", "bkey")
+                                     maxBucketSize: Option[Int] = None): DataFrame = {
+    val buckets = bands.groupBy("band", "bkey")
       .agg(expr(s"array_sort(collect_list($idCol))").as("ids"))
       .filter(size(col("ids")) > 1)
-      .filter(maxBucketSize.map(cap => size(col("ids")) <= cap).getOrElse(lit(true)))
+    val capped = maxBucketSize match {
+      case Some(cap) =>
+        buckets.observe("graft_lsh_bucket_cap",
+            sum(when(size(col("ids")) > cap, 1L).otherwise(0L)).as("dropped_buckets"))
+          .filter(size(col("ids")) <= cap)
+      case None => buckets
+    }
+    capped
       .select(explode(expr(
         "flatten(transform(sequence(1, size(ids)-1), " +
           "i -> transform(slice(ids, i+1, size(ids)-i), " +
           s"y -> named_struct('$aName', ids[i-1], '$bName', y))))")).as("p"))
       .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
       .distinct()
+  }
 
   /** MinHash + banded LSH near-duplicate detection (the scale path for
     * fuzzy dedup):

@@ -451,10 +451,12 @@ object RelationalQueries {
   /** Approximate distinct count (HLL++) in an oracle-checkable shape:
     * sketch estimates differ across engines, so instead of emitting the raw
     * estimate the query emits the EXACT count (q38's two-phase form) plus
-    * `sketch_ok` — whether the HLL estimate landed within a 5% relative
-    * error bound (the sketch is configured for 2% standard error, so 5% is
-    * a safe deterministic envelope; OperatorPropertySpec asserts the
-    * tighter bound too). Output is fully deterministic, so the DuckDB
+    * `sketch_ok` — whether the HLL estimate landed within a 10% relative
+    * error bound. The sketch is configured for 2% standard error, so 10%
+    * is 5 sigma — wide enough that normal sketch variance cannot flip the
+    * oracle-facing boolean at any scale factor or seed;
+    * OperatorPropertySpec asserts the tighter 5% bound on the fixtures.
+    * Output is fully deterministic, so the DuckDB
     * oracle (exact counts + literal true) hash-matches while the sketch is
     * still genuinely exercised. At 100 TB the sketch is THE way to count
     * distincts — fixed-size state, merges map-side, no (key, value)
@@ -470,7 +472,7 @@ object RelationalQueries {
            approx_count_distinct(col("user_id"), 0.02).as("approx_"))
       .select(col("event_type"), col("n_users"), col("n_events"),
         (abs(col("approx_") - col("n_users")).cast("double") <=
-          col("n_users").cast("double") * 0.05).as("sketch_ok"))
+          col("n_users").cast("double") * 0.10).as("sketch_ok"))
       .orderBy("event_type")
 
   /** Analytic window suite (extends §2.7 — the reference has only the W1

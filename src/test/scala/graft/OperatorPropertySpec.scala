@@ -55,15 +55,24 @@ class OperatorPropertySpec extends AnyFunSuite {
   }
 
   test("approximate distinct stays within its error bound (q45)") {
-    val approx = operators.RelationalQueries.q45ApproxDistinct(spark, sfDir)
+    // run the sketch itself here — q45's own n_users column is the EXACT
+    // count (the oracle-checkable shape), so comparing it to q38 would be
+    // a tautology. The 5% bound is the tight fixture assertion; q45's
+    // oracle-facing sketch_ok uses the 5-sigma 10% envelope.
+    val approx = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("a"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = operators.RelationalQueries.q38TwoPhaseDistinct(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
       val a = approx(k).toDouble
-      assert(math.abs(a - n) / math.max(n, 1L) <= 0.1,
-        s"$k: approx $a vs exact $n exceeds 10% (rsd=0.02 configured)")
+      assert(math.abs(a - n) / math.max(n, 1L) <= 0.05,
+        s"$k: approx $a vs exact $n exceeds 5% (rsd=0.02 configured)")
     }
+    // and the shipped query must report the sketch inside its envelope
+    assert(operators.RelationalQueries.q45ApproxDistinct(spark, sfDir)
+      .collect().forall(_.getBoolean(3)))
   }
 
   test("Lloyd training improves mean assignment cosine over the seed codebook (q37)") {

@@ -10,8 +10,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
   // queries deliberately registered WITHOUT an oracle (driver does a
-  // rows-only check): sketch outputs whose values are engine-specific
-  private val rowsOnlyQueries = Set("q45_approx_distinct")
+  // rows-only check). Empty since round 4: the sketch queries (q45, q51)
+  // emit exact values + bounded-error booleans, so they oracle-check too.
+  private val rowsOnlyQueries = Set.empty[String]
 
   test("every query has an oracle entry (minus declared rows-only sketches)") {
     val missing =
