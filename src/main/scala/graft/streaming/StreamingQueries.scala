@@ -57,12 +57,53 @@ object StreamingQueries {
     s.table(tbl).orderBy("h")
   }
 
+  /** Streaming DEDUP under at-least-once delivery (the LLM-pipeline event
+    * path: upstream producers redeliver, downstream counts must not double):
+    * the same events file feeds TWO file sources whose union redelivers
+    * every row twice, then `dropDuplicatesWithinWatermark(event_id)`
+    * restores exactly-once semantics before the windowed count. State for a
+    * key is dropped once the watermark passes its event time — bounded, the
+    * same contract as the window state — where plain
+    * `dropDuplicates(event_id)` would pin every key forever. Chained
+    * stateful operators (dedup → windowed agg) propagate the watermark
+    * through both stores. The dedup restores the source's distinct set, so
+    * the finalized-window oracle is q36's — a double-delivered stream that
+    * hash-matches the clean batch aggregate IS the test. */
+  def q52StreamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val redelivered = StreamSources.events(s, dir).union(StreamSources.events(s, dir))
+    val tbl = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
+    val q = redelivered
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"), col("cnt"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(tbl).orderBy("h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_streaming_hourly" -> (q36StreamingHourly _),
+    "q52_streaming_dedup" -> (q52StreamingDedup _),
   )
 
   val oracles: Map[String, String] = Map(
     "q36_streaming_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1
+        |HAVING date_trunc('hour', any_value(ts)) + INTERVAL 2 HOUR
+        |  <= (SELECT max(ts) FROM events)
+        |ORDER BY h""".stripMargin,
+    // after exactly-once restoration the double-delivered stream must equal
+    // the clean batch aggregate — deliberately the same SQL as q36's
+    "q52_streaming_dedup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1

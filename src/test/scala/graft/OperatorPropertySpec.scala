@@ -97,4 +97,27 @@ class OperatorPropertySpec extends AnyFunSuite {
     val df = operators.EtlQueries.q34GridArgmin(spark, sfDir)
     assert(df.count() === Tables.nation(spark, sfDir).count())
   }
+
+  test("CC clusters match an independent union-find over the pair graph (q50)") {
+    val pairs = operators.SimilarityQueries.q26LshCosine(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find with union-by-min: find(v) is the component
+    // minimum — an implementation entirely unlike the distributed
+    // label-propagation under test
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = verts.groupBy(find).map { case (root, vs) => root -> vs.length.toLong }
+    val got = operators.SimilarityQueries.q50CcClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
 }
