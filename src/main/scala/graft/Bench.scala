@@ -19,26 +19,30 @@ object Bench {
     * the driver-side result a single row (bit_xor, not sum: full-range
     * hash values overflow a long sum under ANSI mode).
     */
-  private def evaluateAll(df: DataFrame): Unit =
+  private[graft] def evaluateAll(df: DataFrame): Unit =
     df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
       .agg(expr("bit_xor(h)")).collect()
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.getOrCreate()
-    // session/codegen warmup so the alphabetically-first query doesn't
-    // absorb JVM+Catalyst startup in its measured time
+  /** Unmeasured warmup, shared with RunOne so single-query timings stay
+    * comparable to the sweep: session/codegen startup, then one aggregate
+    * per fact table — first-parquet-scan codegen (vectorized reader +
+    * hash-agg stages) is multi-second Janino work that otherwise lands
+    * inside the first measured query touching that table, and the scan
+    * also warms the OS page cache, so warming only SOME tables would skew
+    * comparisons across query families. */
+  private[graft] def warmup(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
     spark.range(1000).selectExpr("sum(id)").collect()
-    // one unmeasured aggregate per fact table: first-parquet-scan codegen
-    // (vectorized reader + hash-agg stages) is multi-second Janino work
-    // that otherwise lands inside the first measured query touching that
-    // table — and the scan also warms the OS page cache, so warming only
-    // SOME tables would skew comparisons across query families
     Tables.lineitem(spark, sfDir).selectExpr("count(l_orderkey)").collect()
     Tables.events(spark, sfDir).selectExpr("count(event_id)").collect()
     Tables.documents(spark, sfDir).selectExpr("count(doc_id)").collect()
     Tables.embeddings(spark, sfDir).selectExpr("count(vec_id)").collect()
     Tables.orders(spark, sfDir).selectExpr("count(o_orderkey)").collect()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.getOrCreate()
+    warmup(spark, sfDir)
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // reclaim broadcast/shuffle state from earlier queries so a full GC

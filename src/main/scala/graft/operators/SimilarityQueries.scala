@@ -118,16 +118,21 @@ object SimilarityQueries {
 
   /** Nearest-centroid assignment: broadcast the bounded codebook, argmax
     * cosine per vector (the same broadcast-argmin shape as the reference's
-    * numpy grid search, `ingest_weather_data.py:147-173`). One corpus scan
-    * per call; the corpus never shuffles. */
-  private[graft] def assign(e: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))
+    * numpy grid search, `ingest_weather_data.py:147-173`). The argmax is a
+    * `max_by` over the struct (ccos, -centroid_id) — highest cosine, ties
+    * to the lowest centroid id, identical to the former
+    * row_number-over-window form but aggregated: partial aggregation
+    * collapses the 16x crossJoin expansion back to ONE row per vector
+    * map-side, so the exchange carries |corpus| rows instead of 16x and
+    * no per-partition sort runs. Deterministic: centroid_id is unique, so
+    * the struct order is total even when cosines tie. */
+  private[graft] def assign(e: DataFrame, codebook: DataFrame): DataFrame =
     e.crossJoin(broadcast(codebook))
       .withColumn("ccos", expr(dotFold.format("v", "cv") + " / (nrm * cn)"))
-      .withColumn("arn", row_number().over(w))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"), col("ccos"))
-  }
+      .groupBy("vec_id")
+      .agg(expr("max_by(struct(v, nrm, centroid_id, ccos), struct(ccos, -centroid_id))").as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+              col("m.centroid_id").as("centroid_id"), col("m.ccos").as("ccos"))
 
   /** Lloyd re-center: per (centroid, dimension), the mean of member values.
     * The sum folds left in vec_id order (sorted collect_list) rather than
@@ -283,8 +288,6 @@ object SimilarityQueries {
         .join(cur, col("dst") === col("v"))
         .groupBy("src").agg(min("lbl").as("lbl"))
         .withColumnRenamed("src", "v")
-    var labels = verts.select(col("src").as("v"), col("src").as("lbl"))
-    var prevLabels = labels
     var prevSum = Long.MaxValue
     var converged = false
     var pass = 0
@@ -297,6 +300,12 @@ object SimilarityQueries {
     // harmless here BECAUSE the loop runs at 4 shuffle partitions.
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // checkpoint the initial labels too — pass 1 references this frame
+    // five times, which would otherwise re-run the verts distinct per
+    // reference
+    var labels = verts.select(col("src").as("v"), col("src").as("lbl"))
+      .localCheckpoint()
+    var prevLabels = labels
     try {
       while (!converged) {
         pass += 1

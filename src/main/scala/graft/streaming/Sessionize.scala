@@ -78,6 +78,18 @@ object Sessionize {
         closed ::= SessionOut(userId, st.sessionIdx, formatUs(st.startUs),
           formatUs(st.lastUs), st.nEvents)
         st = SessState(st.sessionIdx + 1, us, us, 1)
+      } else if (st.startUs - us > gapUs) {
+        // a cross-batch late event more than a gap BEFORE the open
+        // session's start: the batch twin puts it in its own EARLIER
+        // island, so emit it as a closed singleton and renumber the open
+        // session after it. Exact for any late event newer than the last
+        // CLOSED session; anything older would need renumbering
+        // already-emitted sessions, which append mode cannot do — and two
+        // such strays inside one gap of each other emit as two singletons
+        // where the batch twin would merge them (the documented horizon
+        // of single-pass lateness handling).
+        closed ::= SessionOut(userId, st.sessionIdx, formatUs(us), formatUs(us), 1L)
+        st = st.copy(sessionIdx = st.sessionIdx + 1)
       } else {
         // a cross-batch late event can land inside the gap but BEFORE the
         // open session's start (in-batch events are sorted, carried state

@@ -101,4 +101,23 @@ class StreamingLatenessSpec extends AnyFunSuite {
     assert(updated.lastUs === us("2024-01-01T10:30:00Z"))
     assert(updated.nEvents === 4L)
   }
+
+  test("cross-batch late event beyond the gap becomes its own earlier session") {
+    val st = SessState(2, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:30:00Z"), 3)
+    val gs = TestGroupState.create[SessState](
+      Optional.of(st), GroupStateTimeout.NoTimeout, 1000L, Optional.empty[Long], false)
+    // 08:00 is 2 h before session start (> 30 min gap): the batch twin
+    // puts it in its own island, so it must NOT merge into [10:00, 10:30]
+    val stray = SessEvent(7L, 98L, tsOf("2024-01-01T08:00:00Z"))
+    val out = Sessionize.processGroup(7L, Iterator(stray), gs).toList
+    assert(out.map(s => (s.session_idx, s.session_start, s.session_end, s.n_events))
+      === List((2, "2024-01-01 08:00:00", "2024-01-01 08:00:00", 1L)),
+      "stray must close as a singleton taking the pre-renumber index")
+    val updated = gs.get
+    assert(updated.sessionIdx === 3, "open session renumbers after the stray")
+    assert(updated.startUs === us("2024-01-01T10:00:00Z"),
+      "open session boundaries must NOT absorb the stray")
+    assert(updated.lastUs === us("2024-01-01T10:30:00Z"))
+    assert(updated.nEvents === 3L)
+  }
 }
