@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the scale-critical physical properties SCALE.md
+  * claims: filter pushdown reaching the scan, top-k planned without a full
+  * sort, bounded sides broadcast, and the IVF corpus never repartitioned on
+  * the tiny centroid key. These lock the plans the 100 TB story depends on —
+  * a regression (lost pushdown, a hint dropped in a refactor) fails here
+  * even though results stay correct. */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: the shipdate filter is pushed into the parquet scan") {
+    val p = plan("q01_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed shipdate predicate in:\n$p")
+  }
+
+  test("q02: top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q02_topk_join").contains("TakeOrderedAndProject"))
+  }
+
+  test("q25: the bounded probe side broadcasts; the corpus is never sort-merge joined") {
+    val p = plan("q25_cosine_topk")
+    assert(p.contains("BroadcastExchange"), s"probe side must broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must stream, not sort-merge:\n$p")
+  }
+
+  test("q37: the search path never repartitions the corpus on the 16-value centroid key") {
+    // the Lloyd RE-CENTER does groupBy centroid keys — the documented
+    // training-path tradeoff (1024 (centroid, dim) groups, ordered fold for
+    // determinism); the assertion targets the SEARCH join: probes broadcast,
+    // the assigned corpus must not shuffle onto its bucket key
+    val p = plan("q37_ivf_topk")
+    assert(!p.contains("hashpartitioning(pcentroid"),
+      s"corpus must not shuffle on the probe-side centroid key:\n$p")
+    assert(p.contains("BroadcastExchange"), "codebook/probe sides must broadcast")
+  }
+
+  test("q42: candidate generation is a broadcast/hash join over staged leaf scans") {
+    val p = plan("q42_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), "band join must be an equi-join")
+    assert(p.contains("FileScan parquet") && p.contains("graft_sh42"),
+      "both sides must read the staged fingerprint as a leaf scan")
+  }
+}
