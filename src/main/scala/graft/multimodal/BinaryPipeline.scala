@@ -36,6 +36,27 @@ object BinaryPipeline {
       .as[MediaRow]
   }
 
+  /** Frame sampling over an opaque payload: every `every`-th fixed-size
+    * frame (the video/audio rate-sampling op, on bytes). Pure columnar —
+    * sequence + explode + binary substring + md5, all codegen'd; no
+    * per-row lambda. The stub boundary is only WHAT a frame is (a real
+    * container format needs a demuxer to find frame offsets); the
+    * slicing, rate-sampling, and per-frame digest plumbing is the real
+    * thing and is oracle-checked by q53. */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 256,
+                  every: Int = 4): org.apache.spark.sql.DataFrame =
+    media.toDF()
+      .filter(expr("octet_length(payload) > 0"))
+      .withColumn("n_frames",
+        expr(s"cast(ceil(octet_length(payload) / ${frameBytes}.0) as int)"))
+      .select(col("doc_id"), col("payload"),
+        explode(expr(s"sequence(0, n_frames - 1, $every)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("cast(octet_length(frame) as int)").as("n_bytes"),
+        md5(col("frame")).as("frame_md5"))
+
   /** Per-partition batch decode. One digest instance per partition — the
     * init-once-per-batch pattern the mapPartitions boundary exists for. */
   def decode(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {

@@ -104,14 +104,46 @@ object TextAnalysisQueries {
         expr("cast(length(trim(concat(' ', n_name, ' '))) as int)").as("trimmed_len"))
       .orderBy("id")
 
+  /** Frame-sample over the multimodal payload (every 4th 256-byte frame,
+    * per-frame byte count + digest) — the rate-sampling pass a video/audio
+    * pipeline runs before feature extraction, here on the opaque binary
+    * column via graft.multimodal.BinaryPipeline.frameSample. The ASCII
+    * guard (octet_length = length) keeps byte slicing expressible in the
+    * VARCHAR-only DuckDB oracle: for ASCII text the byte slice IS the
+    * character slice, so both engines digest identical bytes; non-ASCII
+    * rows are excluded on BOTH sides rather than silently diverging. */
+  def q53FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(expr("octet_length(text) = length(text)"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+              expr("encode(text, 'UTF-8')").as("payload"), col("source"))
+      .as[graft.multimodal.MediaRow]
+    graft.multimodal.BinaryPipeline.frameSample(media)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats" -> (q27TextStats _),
     "q29_multimodal_binary" -> (q29MultimodalBinary _),
     "q41_vocabulary" -> (q41Vocabulary _),
+    "q53_frame_sample" -> (q53FrameSample _),
     "q48_string_suite" -> (q48StringSuite _),
   )
 
   val oracles: Map[String, String] = Map(
+    // q53: the ASCII guard makes DuckDB's VARCHAR substring slice the same
+    // bytes Spark's binary substring does, so the digests match exactly
+    "q53_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text FROM documents
+        |  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0),
+        |f AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST(ceil(length(text) / 256.0) AS INTEGER) - 1, 4)) AS i,
+        |    text FROM m)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(length(substring(text, CAST(i AS INTEGER) * 256 + 1, 256)) AS INTEGER) AS n_bytes,
+        |  md5(substring(text, CAST(i AS INTEGER) * 256 + 1, 256)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q48_string_suite" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |  lower(n_name) AS lower_name,
