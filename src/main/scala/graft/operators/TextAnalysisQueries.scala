@@ -123,8 +123,31 @@ object TextAnalysisQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** BPE-ish token statistics (the brief's second tokenizer next to q27's
+    * whitespace split): a run-based regex — letter runs, digit runs,
+    * punctuation runs — in the dialect-portable subset (explicit ranges
+    * only, no lookaround, no shorthand classes), identical under Java
+    * regex and RE2, so Spark and DuckDB tokenize bit-identically. The
+    * subword estimate is ceil(len/4) per letter run — the BPE-ish
+    * heuristic (merged tokens average ~4 chars) a token-budget planner
+    * uses before running a real tokenizer. */
+  def q54BpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0)").as("toks"))
+      .select(col("doc_id"),
+        expr("cast(size(toks) as bigint)").as("n_tokens"),
+        expr("cast(size(filter(toks, t -> substring(t, 1, 1) rlike '[A-Za-z]')) as bigint)").as("n_word"),
+        expr("cast(size(filter(toks, t -> substring(t, 1, 1) rlike '[0-9]')) as bigint)").as("n_digit"),
+        expr("cast(aggregate(filter(toks, t -> substring(t, 1, 1) rlike '[A-Za-z]'), " +
+          "0L, (a, t) -> a + (length(t) + 3) div 4) as bigint)").as("n_subword_est"))
+      .withColumn("n_punct", (col("n_tokens") - col("n_word") - col("n_digit")).cast("bigint"))
+      .select("doc_id", "n_tokens", "n_word", "n_digit", "n_punct", "n_subword_est")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats" -> (q27TextStats _),
+    "q54_bpe_tokens" -> (q54BpeTokens _),
     "q29_multimodal_binary" -> (q29MultimodalBinary _),
     "q41_vocabulary" -> (q41Vocabulary _),
     "q53_frame_sample" -> (q53FrameSample _),
@@ -132,6 +155,21 @@ object TextAnalysisQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_bpe_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS toks
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(substr(t, 1, 1), '[A-Za-z]'))) AS BIGINT) AS n_word,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(substr(t, 1, 1), '[0-9]'))) AS BIGINT) AS n_digit,
+        |  CAST(len(toks)
+        |    - len(list_filter(toks, t -> regexp_matches(substr(t, 1, 1), '[A-Za-z]')))
+        |    - len(list_filter(toks, t -> regexp_matches(substr(t, 1, 1), '[0-9]'))) AS BIGINT) AS n_punct,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    list_filter(toks, t -> regexp_matches(substr(t, 1, 1), '[A-Za-z]')),
+        |    t -> (length(t) + 3) // 4)), 0) AS BIGINT) AS n_subword_est
+        |FROM t ORDER BY doc_id""".stripMargin,
     // q53: the ASCII guard makes DuckDB's VARCHAR substring slice the same
     // bytes Spark's binary substring does, so the digests match exactly
     "q53_frame_sample" ->
