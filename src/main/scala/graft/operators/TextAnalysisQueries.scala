@@ -145,9 +145,35 @@ object TextAnalysisQueries {
       .select("doc_id", "n_tokens", "n_word", "n_digit", "n_punct", "n_subword_est")
       .orderBy("doc_id")
 
+  /** Deterministic stratified sampling — the mixture-control op a
+    * training-data pipeline runs to hit per-source quotas: each document
+    * maps to a bucket in [0, 100) via the first md5 byte of its
+    * (doc_id, source) key, and survives iff bucket < its source's rate.
+    * Hash-based (not rand()) so the sample is REPRODUCIBLE across runs,
+    * engines, and partitionings — rerunning the pipeline keeps the same
+    * documents, which dataset versioning depends on. Per-source rates are
+    * derived from the source id here; production passes a rate map. One
+    * narrow scan + one groupBy; the sample decision is a codegen'd
+    * projection, so at 100 TB this is scan-bound. */
+  def q55StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("source"))
+      .withColumn("rate", expr("20 + (cast(substring(source, 4) as int) * 7) % 60"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':', source)), 1, 2), 16, 10) as int) % 100"))
+      .withColumn("kept", col("bucket") < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_total"),
+           sum(when(col("kept"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+           coalesce(min(when(col("kept"), col("doc_id"))), lit(-1L)).cast("bigint").as("first_kept"),
+           coalesce(max(when(col("kept"), col("doc_id"))), lit(-1L)).cast("bigint").as("last_kept"),
+           min(col("rate")).cast("int").as("rate"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats" -> (q27TextStats _),
     "q54_bpe_tokens" -> (q54BpeTokens _),
+    "q55_stratified_sample" -> (q55StratifiedSample _),
     "q29_multimodal_binary" -> (q29MultimodalBinary _),
     "q41_vocabulary" -> (q41Vocabulary _),
     "q53_frame_sample" -> (q53FrameSample _),
@@ -155,6 +181,22 @@ object TextAnalysisQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q55: the hex→int bucket uses the strpos('0123456789abcdef', ...)
+    // digit arithmetic (DuckDB has no conv()); md5 over the identical
+    // concatenated key makes buckets engine-portable
+    "q55_stratified_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    20 + (CAST(substr(source, 4) AS INTEGER) * 7) % 60 AS rate,
+        |    ((strpos('0123456789abcdef', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', source)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', source)), 2, 1)) - 1)) % 100 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(MIN(CASE WHEN bucket < rate THEN doc_id END), -1) AS BIGINT) AS first_kept,
+        |  CAST(COALESCE(MAX(CASE WHEN bucket < rate THEN doc_id END), -1) AS BIGINT) AS last_kept,
+        |  CAST(MIN(rate) AS INTEGER) AS rate
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q54_bpe_tokens" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS toks
