@@ -21,12 +21,22 @@ object Staging {
   def path(tag: String, dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9]", "_")
     val p = s"${sys.props("java.io.tmpdir")}/graft_${tag}_${key}_${ProcessHandle.current().pid()}"
-    synchronized {
-      if (registered.isEmpty)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => sweep()))
-      registered += p
-    }
+    register(p)
     p
+  }
+
+  /** A unique (not keyed) staging dir, still swept at JVM exit — for test
+    * fixtures that need per-call isolation. */
+  def fresh(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft_${tag}_").toString
+    register(p)
+    p
+  }
+
+  private def register(p: String): Unit = synchronized {
+    if (registered.isEmpty)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => sweep()))
+    registered += p
   }
 
   private def sweep(): Unit =

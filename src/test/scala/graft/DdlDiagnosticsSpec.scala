@@ -9,7 +9,7 @@ class DdlDiagnosticsSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
   test("K4: typed empty table is created with the declared schema") {
-    val loc = Files.createTempDirectory("graft_ddl").toString
+    val loc = graft.Staging.fresh("ddl")
     Ddl.createEmptyTable(spark, "graft_fact_contract", Ddl.factJourneySchema, loc)
     val t = spark.table("graft_fact_contract")
     assert(t.count() === 0)

@@ -12,7 +12,7 @@ class EtlPipelineSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
   private lazy val warehouse =
-    Files.createTempDirectory("graft_etl_spec").toString
+    graft.Staging.fresh("etl_spec")
 
   test("E1 setup_database writes both dimensions") {
     SetupDatabase.run(spark, sfDir, warehouse)

@@ -29,7 +29,7 @@ class StreamingLatenessSpec extends AnyFunSuite {
   private def writeOne(dir: java.io.File, name: String, mtime: Long,
                        times: Seq[String]): Unit = {
     import spark.implicits._
-    val stage = Files.createTempDirectory("graft_late_stage").toFile
+    val stage = new java.io.File(graft.Staging.fresh("late_stage"))
     times.toDF("s").select(to_timestamp(col("s")).as("ts"))
       .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
     val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
@@ -40,7 +40,7 @@ class StreamingLatenessSpec extends AnyFunSuite {
   }
 
   test("multi-batch stream drops a post-watermark row and withholds open windows") {
-    val dir = Files.createTempDirectory("graft_late").toFile
+    val dir = new java.io.File(graft.Staging.fresh("late"))
     val now = System.currentTimeMillis()
     // Three files → three micro-batches (maxFilesPerTrigger=1, ordered by
     // mtime). Three, not two, because late-event filtering uses the
