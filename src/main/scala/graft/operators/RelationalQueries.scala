@@ -573,6 +573,33 @@ object RelationalQueries {
           col("ap")(2).between(col("bounds")(4), col("bounds")(5)))).as("sketch_ok"))
       .orderBy("event_type")
 
+  /** AS-OF join (point-in-time lookup) — the time-series operator the
+    * DataFrame API lacks as a primitive: each 'error' event matched to the
+    * same user's most recent 'click' at or before it (product analytics'
+    * time-to-failure-from-last-interaction). Expressed in the SCALABLE
+    * form: one shuffle on the entity key, a sorted window, and a
+    * last(ignoreNulls) carry-forward — not a per-row range subquery, which
+    * Catalyst can only plan as a broadcast-nested-loop. Ties (a click and
+    * an error on the same microsecond) resolve by event_id order,
+    * identically in the oracle's window. The same union-then-carry shape
+    * generalizes to any quote/trade as-of pairing; -1 marks errors with no
+    * prior click. */
+  def q56AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", expr("unix_micros(ts)")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("user_id").cast("bigint").as("user_id"),
+              col("event_id").cast("bigint").as("event_id"),
+              coalesce(expr("unix_micros(ts)") - col("last_click_us"), lit(-1L))
+                .cast("bigint").as("us_since_click"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
@@ -603,9 +630,21 @@ object RelationalQueries {
     "q47_semi_anti" -> (q47SemiAnti _),
     "q49_percentiles" -> (q49Percentiles _),
     "q51_approx_percentiles" -> (q51ApproxPercentiles _),
+    "q56_asof_join" -> (q56AsofJoin _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts FROM events
+        |  WHERE event_type IN ('click', 'error')),
+        |w AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |  FROM e)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+        |  CAST(COALESCE(us - last_click, -1) AS BIGINT) AS us_since_click
+        |FROM w WHERE event_type = 'error' ORDER BY user_id, event_id""".stripMargin,
     // q45's sketch estimate never appears in the output — only the exact
     // count and the bounded-error boolean, both deterministic, so the HLL
     // query IS oracle-checkable despite engines disagreeing on estimates
