@@ -415,6 +415,36 @@ object RelationalQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** RANGE join (interval containment) in the form that scales: intervals
+    * are exploded into the hour buckets they span, events bucket to their
+    * hour, and the join is an EQUI-join on (entity, hour) with the exact
+    * `ts BETWEEN start AND end` containment as a post-filter — never the
+    * raw theta-join, which Catalyst can only plan as a broadcast-nested-
+    * loop over the fact table. Intervals here are q39's sessions truncated
+    * to seconds (both engines truncate identically); the count per session
+    * can exceed q39's n_events only at sub-second boundary edges, which
+    * the truncation makes deterministic on both sides. Bucket fan-out is
+    * bounded by interval span / bucket width — pick the bucket width at
+    * the p99 interval span so the explode stays O(1) per interval. */
+  def q57RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val sess = q39Sessionize(s, dir)
+      .select(col("user_id"), col("session_idx"),
+        to_timestamp(col("session_start")).as("st"),
+        to_timestamp(col("session_end")).as("en"))
+    val hours = sess.select(col("user_id"), col("session_idx"), col("st"), col("en"),
+      explode(expr(
+        "sequence(date_trunc('hour', st), date_trunc('hour', en), interval 1 hour)")).as("hr"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), expr("date_trunc('hour', ts)").as("hr"))
+    hours.join(ev, Seq("user_id", "hr"))
+      .filter(col("ts") >= col("st") && col("ts") <= col("en"))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).cast("bigint").as("n_in_range"))
+      .select(col("user_id").cast("bigint").as("user_id"),
+              col("session_idx").cast("int").as("session_idx"), col("n_in_range"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** ROLLUP hierarchy totals (extends SURVEY §2.6 — the reference has no
     * grouping sets; Catalyst plans them as a single Expand + aggregate, one
     * shuffle for every grouping level at once). The grouping level is made
@@ -631,9 +661,30 @@ object RelationalQueries {
     "q49_percentiles" -> (q49Percentiles _),
     "q51_approx_percentiles" -> (q51ApproxPercentiles _),
     "q56_asof_join" -> (q56AsofJoin _),
+    "q57_range_join" -> (q57RangeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
+    // q57: same gaps-and-islands CTEs as q39, then second-truncated bounds
+    // and a BETWEEN containment join (DuckDB plans it as an IEJoin; the
+    // Spark side buckets to hours + equi-join, same result)
+    "q57_range_join" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |sess AS (SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INTEGER) AS session_idx
+        |  FROM f),
+        |b AS (SELECT user_id, session_idx,
+        |    date_trunc('second', MIN(ts)) AS st, date_trunc('second', MAX(ts)) AS en
+        |  FROM sess GROUP BY user_id, session_idx)
+        |SELECT CAST(b.user_id AS BIGINT) AS user_id, b.session_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_in_range
+        |FROM b JOIN events e ON e.user_id = b.user_id AND e.ts BETWEEN b.st AND b.en
+        |GROUP BY b.user_id, b.session_idx ORDER BY user_id, session_idx""".stripMargin,
     "q56_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, ts FROM events
         |  WHERE event_type IN ('click', 'error')),
