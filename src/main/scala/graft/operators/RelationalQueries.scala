@@ -630,6 +630,40 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Count-Min sketch, built entirely from DataFrame ops — the "novel
+    * sketch" rung of the custom-operator ladder, and unlike q45's HLL or
+    * q51's GK sketch it is DETERMINISTIC given its hash functions, so the
+    * estimates themselves are oracle-checked, not just an error envelope.
+    * Build: each event fans out to d=4 (row, md5-derived column) cells,
+    * one groupBy sums the counters — the sketch is a 4x64 table that
+    * merges by cell-wise addition (the 100 TB shape: fixed size, map-side
+    * combinable, one shuffle on 256 cells). Probe: the bounded probe set's
+    * cells broadcast-join the sketch; estimate = min over the 4 rows.
+    * CMS guarantees estimate >= true count (collisions only inflate);
+    * `overcount` exposes the collision error directly. */
+  def q58CountMin(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 64
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val cells = ev
+      .select(col("user_id"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+      .withColumn("c", expr(
+        s"cast(conv(substring(md5(concat(cast(r as string), ':', cast(user_id as string))), 1, 2), 16, 10) as int) % $w"))
+    val cms = cells.groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    val probes = ev.filter(col("user_id") < 10).distinct()
+      .select(col("user_id"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+      .withColumn("c", expr(
+        s"cast(conv(substring(md5(concat(cast(r as string), ':', cast(user_id as string))), 1, 2), 16, 10) as int) % $w"))
+    val est = cms.join(broadcast(probes), Seq("r", "c"))
+      .groupBy("user_id").agg(min(col("cnt")).cast("bigint").as("cms_n"))
+    val exact = ev.filter(col("user_id") < 10)
+      .groupBy("user_id").agg(count(lit(1)).cast("bigint").as("exact_n"))
+    exact.join(est, Seq("user_id"))
+      .select(col("user_id").cast("bigint").as("user_id"), col("exact_n"),
+        col("cms_n"), (col("cms_n") - col("exact_n")).cast("bigint").as("overcount"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
@@ -662,9 +696,29 @@ object RelationalQueries {
     "q51_approx_percentiles" -> (q51ApproxPercentiles _),
     "q56_asof_join" -> (q56AsofJoin _),
     "q57_range_join" -> (q57RangeJoin _),
+    "q58_count_min" -> (q58CountMin _),
   )
 
   val oracles: Map[String, String] = Map(
+    // q58: the sketch arithmetic is deterministic (md5-derived columns), so
+    // the DuckDB twin rebuilds the identical 4x64 table and the ESTIMATES
+    // hash-match — strpos-hex pair stands in for conv(hex, 16, 10)
+    "q58_count_min" ->
+      """WITH cells AS (SELECT user_id, r,
+        |    ((strpos('0123456789abcdef', substr(md5(concat(CAST(r AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(concat(CAST(r AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 2, 1)) - 1)) % 64 AS c
+        |  FROM events, (SELECT unnest(generate_series(0, 3)) AS r)),
+        |cms AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c),
+        |probes AS (SELECT DISTINCT user_id, r,
+        |    ((strpos('0123456789abcdef', substr(md5(concat(CAST(r AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(concat(CAST(r AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 2, 1)) - 1)) % 64 AS c
+        |  FROM events, (SELECT unnest(generate_series(0, 3)) AS r) WHERE user_id < 10),
+        |est AS (SELECT p.user_id, MIN(cms.cnt) AS cms_n
+        |  FROM cms JOIN probes p ON cms.r = p.r AND cms.c = p.c GROUP BY p.user_id),
+        |exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events WHERE user_id < 10 GROUP BY user_id)
+        |SELECT CAST(x.user_id AS BIGINT) AS user_id, CAST(exact_n AS BIGINT) AS exact_n,
+        |  CAST(cms_n AS BIGINT) AS cms_n, CAST(cms_n - exact_n AS BIGINT) AS overcount
+        |FROM exact x JOIN est ON x.user_id = est.user_id ORDER BY user_id""".stripMargin,
     // q57: same gaps-and-islands CTEs as q39, then second-truncated bounds
     // and a BETWEEN containment join (DuckDB plans it as an IEJoin; the
     // Spark side buckets to hours + equi-join, same result)
