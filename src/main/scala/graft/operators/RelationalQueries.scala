@@ -664,6 +664,41 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Bloom-filter membership, q58's sibling sketch and the mechanism
+    * behind runtime join filtering: the build side's keys set k=3
+    * md5-derived bits in a w=512 bitmap (a distinct over (bit) cells —
+    * fixed size, OR-mergeable); a probe is a hit iff all 3 of its bits
+    * are set, tested with one broadcast join + count. Probes mix present
+    * ids with ids absent from the table, so the output shows true
+    * negatives and any (deterministic) false positives — `bloom_hit` with
+    * `actually_present` false IS the false-positive rate made visible.
+    * At 100 TB this is the pre-shuffle filter: broadcast the 512-bit
+    * bitmap, drop non-matching fact rows before the join exchange. */
+  def q59BloomMembership(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val w = 512
+    def bitsOf(d: DataFrame, idCol: String): DataFrame = d
+      .select(col(idCol), explode(expr(s"sequence(0, ${k - 1})")).as("h"))
+      .withColumn("pos", expr(
+        s"cast(conv(substring(md5(concat(cast(h as string), '#', cast($idCol as string))), 1, 3), 16, 10) as int) % $w"))
+    val keys = Tables.events(s, dir).select(col("user_id")).distinct()
+    val bloom = bitsOf(keys, "user_id").select("pos").distinct()
+    val probes = s.range(0, 10).select(col("id").as("probe_id"))
+      .union(s.range(99990, 100000).select(col("id").as("probe_id")))
+    val hits = bitsOf(probes, "probe_id")
+      .join(bloom, Seq("pos"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_bits"))
+    val present = keys.select(col("user_id").as("probe_id")).withColumn("present", lit(true))
+    probes
+      .join(hits, Seq("probe_id"), "left")
+      .join(present, Seq("probe_id"), "left")
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+        (coalesce(col("n_bits"), lit(0L)) === k).as("bloom_hit"),
+        coalesce(col("present"), lit(false)).as("actually_present"))
+      .withColumn("false_positive", col("bloom_hit") && !col("actually_present"))
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
@@ -697,9 +732,36 @@ object RelationalQueries {
     "q56_asof_join" -> (q56AsofJoin _),
     "q57_range_join" -> (q57RangeJoin _),
     "q58_count_min" -> (q58CountMin _),
+    "q59_bloom_membership" -> (q59BloomMembership _),
   )
 
   val oracles: Map[String, String] = Map(
+    // q59: 3-hex-digit strpos arithmetic = conv(substr(md5, 1, 3), 16, 10);
+    // probes 0-9 exist in events, 99990-99999 do not, so the boolean
+    // columns exercise hits, misses, and any deterministic false positives
+    "q59_bloom_membership" ->
+      """WITH hs AS (SELECT unnest(generate_series(0, 2)) AS h),
+        |keys AS (SELECT DISTINCT user_id FROM events),
+        |bloom AS (SELECT DISTINCT
+        |    (((strpos('0123456789abcdef', substr(md5(concat(CAST(h AS VARCHAR), '#', CAST(user_id AS VARCHAR))), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(concat(CAST(h AS VARCHAR), '#', CAST(user_id AS VARCHAR))), 2, 1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(concat(CAST(h AS VARCHAR), '#', CAST(user_id AS VARCHAR))), 3, 1)) - 1)) % 512 AS pos
+        |  FROM keys, hs),
+        |probes AS (SELECT unnest(generate_series(0, 9)) AS probe_id
+        |  UNION ALL SELECT unnest(generate_series(99990, 99999))),
+        |pbits AS (SELECT probe_id,
+        |    (((strpos('0123456789abcdef', substr(md5(concat(CAST(h AS VARCHAR), '#', CAST(probe_id AS VARCHAR))), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(concat(CAST(h AS VARCHAR), '#', CAST(probe_id AS VARCHAR))), 2, 1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(concat(CAST(h AS VARCHAR), '#', CAST(probe_id AS VARCHAR))), 3, 1)) - 1)) % 512 AS pos
+        |  FROM probes, hs),
+        |hits AS (SELECT probe_id, COUNT(*) AS n_bits FROM pbits
+        |  WHERE EXISTS (SELECT 1 FROM bloom WHERE bloom.pos = pbits.pos) GROUP BY probe_id)
+        |SELECT CAST(p.probe_id AS BIGINT) AS probe_id,
+        |  COALESCE(n_bits, 0) = 3 AS bloom_hit,
+        |  EXISTS (SELECT 1 FROM keys WHERE keys.user_id = p.probe_id) AS actually_present,
+        |  (COALESCE(n_bits, 0) = 3 AND NOT EXISTS (SELECT 1 FROM keys WHERE keys.user_id = p.probe_id)) AS false_positive
+        |FROM probes p LEFT JOIN hits ON p.probe_id = hits.probe_id
+        |ORDER BY probe_id""".stripMargin,
     // q58: the sketch arithmetic is deterministic (md5-derived columns), so
     // the DuckDB twin rebuilds the identical 4x64 table and the ESTIMATES
     // hash-match — strpos-hex pair stands in for conv(hex, 16, 10)
