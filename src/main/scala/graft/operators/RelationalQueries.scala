@@ -645,15 +645,14 @@ object RelationalQueries {
     val d = 4
     val w = 64
     val ev = Tables.events(s, dir).select(col("user_id"))
-    val cells = ev
+    // ONE definition of the (row, column) cell mapping for build and probe
+    // sides — the sketch is only correct because both hash identically
+    def toCells(keys: DataFrame): DataFrame = keys
       .select(col("user_id"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
       .withColumn("c", expr(
         s"cast(conv(substring(md5(concat(cast(r as string), ':', cast(user_id as string))), 1, 2), 16, 10) as int) % $w"))
-    val cms = cells.groupBy("r", "c").agg(count(lit(1)).as("cnt"))
-    val probes = ev.filter(col("user_id") < 10).distinct()
-      .select(col("user_id"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
-      .withColumn("c", expr(
-        s"cast(conv(substring(md5(concat(cast(r as string), ':', cast(user_id as string))), 1, 2), 16, 10) as int) % $w"))
+    val cms = toCells(ev).groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    val probes = toCells(ev.filter(col("user_id") < 10).distinct())
     val est = cms.join(broadcast(probes), Seq("r", "c"))
       .groupBy("user_id").agg(min(col("cnt")).cast("bigint").as("cms_n"))
     val exact = ev.filter(col("user_id") < 10)

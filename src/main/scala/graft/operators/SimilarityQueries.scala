@@ -300,13 +300,17 @@ object SimilarityQueries {
     // harmless here BECAUSE the loop runs at 4 shuffle partitions.
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    // checkpoint the initial labels too — pass 1 references this frame
-    // five times, which would otherwise re-run the verts distinct per
-    // reference
-    var labels = verts.select(col("src").as("v"), col("src").as("lbl"))
-      .localCheckpoint()
-    var prevLabels = labels
+    var labels: DataFrame = null
+    var prevLabels: DataFrame = null
     try {
+      // checkpoint the initial labels too (an EAGER job — it must sit
+      // inside the try, or a failure here would leak the 4-partition
+      // setting into the shared session): pass 1 references this frame
+      // five times, which would otherwise re-run the verts distinct per
+      // reference
+      labels = verts.select(col("src").as("v"), col("src").as("lbl"))
+        .localCheckpoint()
+      prevLabels = labels
       while (!converged) {
         pass += 1
         val next = hop(prevLabels, labels).localCheckpoint()

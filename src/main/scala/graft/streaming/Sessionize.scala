@@ -70,7 +70,50 @@ object Sessionize {
     val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
     var closed = List.empty[SessionOut]
     var st = state.getOption.orNull
-    sorted.foreach { e =>
+
+    // Cross-batch lateness: events older than the open session's start
+    // (the carried state is the only out-of-order source — in-batch events
+    // are sorted, so they form a prefix). Run gaps-and-islands over the
+    // WHOLE early prefix first: deciding per event would split islands the
+    // batch twin merges (a stray beyond the gap followed by a bridging
+    // event inside it belong to ONE island reaching the open session).
+    // Islands that do not bridge close as earlier sessions (renumbering
+    // the open one after them); a bridging final island merges backwards.
+    // Exact for late data newer than the last CLOSED session; anything
+    // older would need renumbering already-emitted sessions, which append
+    // mode cannot do — that is the documented horizon of single-pass
+    // lateness handling.
+    val pending =
+      if (st == null) sorted
+      else {
+        val (early, rest) = sorted.span(e => micros(e.ts) < st.startUs)
+        if (early.nonEmpty) {
+          var islands = List.empty[(Long, Long, Long)] // (startUs, endUs, n), reversed
+          var cs = micros(early.head.ts)
+          var ce = cs
+          var cn = 1L
+          early.tail.foreach { e =>
+            val us = micros(e.ts)
+            if (us - ce > gapUs) { islands ::= ((cs, ce, cn)); cs = us; ce = us; cn = 1 }
+            else { ce = us; cn += 1 }
+          }
+          islands ::= ((cs, ce, cn))
+          val ordered = islands.reverse
+          val bridges = st.startUs - ordered.last._2 <= gapUs
+          val toClose = if (bridges) ordered.init else ordered
+          toClose.foreach { case (s0, e0, n0) =>
+            closed ::= SessionOut(userId, st.sessionIdx, formatUs(s0), formatUs(e0), n0)
+            st = st.copy(sessionIdx = st.sessionIdx + 1)
+          }
+          if (bridges) {
+            val (s0, _, n0) = ordered.last
+            st = st.copy(startUs = math.min(st.startUs, s0), nEvents = st.nEvents + n0)
+          }
+        }
+        rest
+      }
+
+    pending.foreach { e =>
       val us = micros(e.ts)
       if (st == null) {
         st = SessState(1, us, us, 1)
@@ -78,23 +121,9 @@ object Sessionize {
         closed ::= SessionOut(userId, st.sessionIdx, formatUs(st.startUs),
           formatUs(st.lastUs), st.nEvents)
         st = SessState(st.sessionIdx + 1, us, us, 1)
-      } else if (st.startUs - us > gapUs) {
-        // a cross-batch late event more than a gap BEFORE the open
-        // session's start: the batch twin puts it in its own EARLIER
-        // island, so emit it as a closed singleton and renumber the open
-        // session after it. Exact for any late event newer than the last
-        // CLOSED session; anything older would need renumbering
-        // already-emitted sessions, which append mode cannot do — and two
-        // such strays inside one gap of each other emit as two singletons
-        // where the batch twin would merge them (the documented horizon
-        // of single-pass lateness handling).
-        closed ::= SessionOut(userId, st.sessionIdx, formatUs(us), formatUs(us), 1L)
-        st = st.copy(sessionIdx = st.sessionIdx + 1)
       } else {
-        // a cross-batch late event can land inside the gap but BEFORE the
-        // open session's start (in-batch events are sorted, carried state
-        // is not) — extend the session backwards too, matching the batch
-        // twin's min/max-over-island semantics
+        // inside the open session's span (or within the gap after it):
+        // extend, matching the batch twin's min/max-over-island semantics
         st = st.copy(startUs = math.min(st.startUs, us),
           lastUs = math.max(st.lastUs, us), nEvents = st.nEvents + 1)
       }

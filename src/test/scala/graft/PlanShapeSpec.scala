@@ -11,6 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanShapeSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
+  // widen the plan renderer before asserting: the default truncation
+  // ("Truncated the string representation of a plan since it was too
+  // large") would let a NEGATIVE assertion (!contains) pass against a plan
+  // whose offending node fell in the truncated tail
+  spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+  spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 

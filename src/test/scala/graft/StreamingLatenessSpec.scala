@@ -102,6 +102,40 @@ class StreamingLatenessSpec extends AnyFunSuite {
     assert(updated.nEvents === 4L)
   }
 
+  test("in-batch stray plus bridging event merge into one island with the open session") {
+    val st = SessState(2, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:30:00Z"), 3)
+    val gs = TestGroupState.create[SessState](
+      Optional.of(st), GroupStateTimeout.NoTimeout, 1000L, Optional.empty[Long], false)
+    // 09:15 is beyond the gap from 10:00 on its own, but 09:40 bridges
+    // (25 min to 09:15, 20 min to 10:00): the batch twin chains all five
+    // events into ONE island, so nothing may close
+    val evs = Iterator(SessEvent(7L, 97L, tsOf("2024-01-01T09:15:00Z")),
+                       SessEvent(7L, 96L, tsOf("2024-01-01T09:40:00Z")))
+    val out = Sessionize.processGroup(7L, evs, gs).toList
+    assert(out.isEmpty, "bridged island must not close anything")
+    val u = gs.get
+    assert(u.sessionIdx === 2)
+    assert(u.startUs === us("2024-01-01T09:15:00Z"))
+    assert(u.lastUs === us("2024-01-01T10:30:00Z"))
+    assert(u.nEvents === 5L)
+  }
+
+  test("two early islands: the non-bridging one closes, the bridging one merges") {
+    val st = SessState(1, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:30:00Z"), 3)
+    val gs = TestGroupState.create[SessState](
+      Optional.of(st), GroupStateTimeout.NoTimeout, 1000L, Optional.empty[Long], false)
+    // 08:00 stands alone (105 min to 09:45); 09:45 bridges to 10:00
+    val evs = Iterator(SessEvent(7L, 95L, tsOf("2024-01-01T08:00:00Z")),
+                       SessEvent(7L, 94L, tsOf("2024-01-01T09:45:00Z")))
+    val out = Sessionize.processGroup(7L, evs, gs).toList
+    assert(out.map(s => (s.session_idx, s.session_start, s.session_end, s.n_events))
+      === List((1, "2024-01-01 08:00:00", "2024-01-01 08:00:00", 1L)))
+    val u = gs.get
+    assert(u.sessionIdx === 2, "open session renumbers after the closed island")
+    assert(u.startUs === us("2024-01-01T09:45:00Z"))
+    assert(u.nEvents === 4L)
+  }
+
   test("cross-batch late event beyond the gap becomes its own earlier session") {
     val st = SessState(2, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:30:00Z"), 3)
     val gs = TestGroupState.create[SessState](
