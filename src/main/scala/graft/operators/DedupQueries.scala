@@ -131,8 +131,21 @@ object DedupQueries {
     val stackArgs = (0 until nBands)
       .map(b => s"$b, concat(s${2 * b}, s${2 * b + 1})").mkString(", ")
     val bands = withSig.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, bkey)")
-    val cand = bucketPairs(bands, "doc_id", "doc_a", "doc_b")
+    // stage the candidate pairs (tiny) so the verify stage can SEMI-JOIN
+    // documents down to candidate members before tokenizing: without this,
+    // each side of the verify join re-tokenized the ENTIRE corpus (two
+    // extra full split+distinct passes — at 100 TB, two corpus scans spent
+    // on rows the verify never looks at), and reusing the un-staged cand
+    // frame in three branches would re-run the signature subtree per
+    // branch
+    val ck = graft.Staging.path("mh22", dir)
+    bucketPairs(bands, "doc_id", "doc_a", "doc_b")
+      .write.mode("overwrite").parquet(s"$ck/cand")
+    val cand = s.read.parquet(s"$ck/cand")
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val ts = Tables.documents(s, dir)
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("ts"))
     cand
       .join(ts.as("x"), col("doc_a") === col("x.doc_id"))
