@@ -170,6 +170,77 @@ object TextAnalysisQueries {
            min(col("rate")).cast("int").as("rate"))
       .orderBy("source")
 
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before anything else sees raw crawl text: emails, IPv4 addresses, and
+    * long digit runs (phone/account numbers) are replaced with sentinel
+    * tokens, and per-document redaction counts are emitted for audit.
+    *
+    * The synthetic fixture contains no PII (single-case words, no digits),
+    * so the query first appends a DETERMINISTIC contaminated footer derived
+    * from doc_id — identically in the oracle — to make the scrub
+    * observable; production runs the same three regexp_replace steps on the
+    * raw text column directly. Patterns stay in the dialect-portable regex
+    * subset (explicit classes, no shorthand, no lookaround — see q54) so
+    * Java regex and DuckDB's RE2 match identical spans. Replacement order
+    * matters and is fixed: emails first (their host would otherwise leave a
+    * digit-bearing tail), then IPv4 (dotted quads would otherwise be eaten
+    * digit-run by digit-run), then bare digit runs of 7+.
+    *
+    * Scale shape: one narrow scan, three codegen'd regexp_replace calls +
+    * three regexp_extract_all counts per row, no shuffle until the final
+    * ordered output — scan-bound at 100 TB, like q27. */
+  def q60PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+    val ipv4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+    val digits = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        expr("concat(text, ' reach user', cast(doc_id as string), '@mail', " +
+          "cast(doc_id % 7 as string), '.example.com or ', " +
+          "cast(10 + doc_id % 90 as string), '.', cast(doc_id % 256 as string), '.', " +
+          "cast((doc_id * 3) % 256 as string), '.', cast((doc_id * 7) % 256 as string), " +
+          "' ref ', lpad(cast((doc_id * 991) % 100000000 as string), 8, '0'))").as("raw"))
+      .withColumn("n_email", expr(s"cast(size(regexp_extract_all(raw, '$email', 0)) as int)"))
+      .withColumn("pass1", expr(s"regexp_replace(raw, '$email', '<EMAIL>')"))
+      .withColumn("n_ip", expr(s"cast(size(regexp_extract_all(pass1, '$ipv4', 0)) as int)"))
+      .withColumn("pass2", expr(s"regexp_replace(pass1, '$ipv4', '<IP>')"))
+      .withColumn("n_num", expr(s"cast(size(regexp_extract_all(pass2, '$digits', 0)) as int)"))
+      .withColumn("scrubbed", expr(s"regexp_replace(pass2, '$digits', '<NUM>')"))
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_num"),
+        expr("cast(length(scrubbed) as bigint)").as("scrubbed_len"),
+        expr("md5(scrubbed)").as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition ratio (the Gopher-family quality gate a
+    * crawl pipeline applies before training): the fraction of word 3-grams
+    * that are repeats of an earlier 3-gram in the SAME document, plus the
+    * hottest gram's count. Machine-generated and boilerplate text scores
+    * high; `keep_doc` applies the standard <= 0.2 duplicate-fraction cut.
+    *
+    * Shape: explode 3-grams, two-phase aggregate — (doc, gram) partial
+    * counts collapse the exploded stream map-side before the single
+    * shuffle, then per-doc totals; nothing per-document is ever collected
+    * to one row except the final four counters. Same scale contract as
+    * q41's vocabulary pass. */
+  def q61RepetitionRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+              expr("split(text, ' ')").as("toks"))
+      .filter(expr("size(toks) >= 3"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).cast("bigint").as("n_grams"),
+           count(lit(1)).cast("bigint").as("n_distinct"),
+           max(col("n")).cast("bigint").as("top_gram_n"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+      .withColumn("keep_doc", col("dup_ratio") <= 0.2)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats" -> (q27TextStats _),
     "q54_bpe_tokens" -> (q54BpeTokens _),
@@ -178,9 +249,57 @@ object TextAnalysisQueries {
     "q41_vocabulary" -> (q41Vocabulary _),
     "q53_frame_sample" -> (q53FrameSample _),
     "q48_string_suite" -> (q48StringSuite _),
+    "q60_pii_scrub" -> (q60PiiScrub _),
+    "q61_repetition_ratio" -> (q61RepetitionRatio _),
   )
 
   val oracles: Map[String, String] = Map(
+    // q60: same deterministic contamination, same three ordered
+    // regexp_replace passes; DuckDB needs the 'g' flag (Spark's
+    // regexp_replace is global by default)
+    "q60_pii_scrub" ->
+      """WITH raw AS (SELECT doc_id,
+        |    concat(text, ' reach user', CAST(doc_id AS VARCHAR), '@mail',
+        |      CAST(doc_id % 7 AS VARCHAR), '.example.com or ',
+        |      CAST(10 + doc_id % 90 AS VARCHAR), '.', CAST(doc_id % 256 AS VARCHAR), '.',
+        |      CAST((doc_id * 3) % 256 AS VARCHAR), '.', CAST((doc_id * 7) % 256 AS VARCHAR),
+        |      ' ref ', lpad(CAST((doc_id * 991) % 100000000 AS VARCHAR), 8, '0')) AS raw
+        |  FROM documents),
+        |p1 AS (SELECT doc_id,
+        |    len(regexp_extract_all(raw, '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+[.][A-Za-z]+')) AS n_email,
+        |    regexp_replace(raw, '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g') AS pass1
+        |  FROM raw),
+        |p2 AS (SELECT doc_id, n_email,
+        |    len(regexp_extract_all(pass1, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+')) AS n_ip,
+        |    regexp_replace(pass1, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>', 'g') AS pass2
+        |  FROM p1),
+        |p3 AS (SELECT doc_id, n_email, n_ip,
+        |    len(regexp_extract_all(pass2, '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+')) AS n_num,
+        |    regexp_replace(pass2, '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
+        |  FROM p2)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_email AS INTEGER) AS n_email, CAST(n_ip AS INTEGER) AS n_ip,
+        |  CAST(n_num AS INTEGER) AS n_num,
+        |  CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+        |  md5(scrubbed) AS scrubbed_md5
+        |FROM p3 ORDER BY doc_id""".stripMargin,
+    // q61: DuckDB lists are 1-indexed (toks[i..i+2] over series 1..len-2
+    // ≡ Spark's 0-indexed toks[i-1..i+1] over the same series)
+    "q61_repetition_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
+        |  FROM t),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(SUM(n) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(MAX(n) AS BIGINT) AS top_gram_n,
+        |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_ratio,
+        |  (1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)) <= 0.2 AS keep_doc
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q55: the hex→int bucket uses the strpos('0123456789abcdef', ...)
     // digit arithmetic (DuckDB has no conv()); md5 over the identical
     // concatenated key makes buckets engine-portable
