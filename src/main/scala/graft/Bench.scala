@@ -39,30 +39,53 @@ object Bench {
     Tables.orders(spark, sfDir).selectExpr("count(o_orderkey)").collect()
   }
 
+  /** Middle element of the sorted trial times. Run-to-run variance on a
+    * shared box is ±2x per query (measured: the same code totaled 61.7 and
+    * 81.6 s on consecutive runs), so a single trial cannot support any
+    * round-over-round comparison; the median of three is robust to one
+    * outlier trial in either direction. */
+  private[graft] def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    s(s.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val spark = GraftSession.getOrCreate()
     warmup(spark, sfDir)
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      // reclaim broadcast/shuffle state from earlier queries so a full GC
-      // doesn't land inside a later query's measured window
-      System.gc()
-      val t0 = System.nanoTime()
-      try {
-        evaluateAll(fn(spark, sfDir))
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          errors ::= (name -> msg)
-          None
+      // each trial re-invokes the builder (fresh logical plan — plan
+      // construction, analysis, and optimization are part of the measured
+      // cost) and re-executes end to end
+      val trials = (1 to nTrials).flatMap { _ =>
+        // reclaim broadcast/shuffle state from earlier queries so a full GC
+        // doesn't land inside a later query's measured window
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          evaluateAll(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            errors ::= (name -> msg)
+            None
+        }
       }
+      if (trials.size == nTrials) Some(name -> trials) else None
     }
-    val qs = JsonUtil.obj(results.map { case (k, v) => k -> v.toString })
+    // "queries" stays name → seconds (the driver contract); the value is now
+    // the per-query MEDIAN, with the raw trials alongside for anyone
+    // auditing the spread
+    val qs = JsonUtil.obj(results.map { case (k, ts) => k -> median(ts).toString })
+    val trialsJson = JsonUtil.obj(results.map { case (k, ts) =>
+      k -> ts.mkString("[", ",", "]")
+    })
     val errJson = JsonUtil.obj(errors.reverse.map { case (k, v) => k -> JsonUtil.quote(v) })
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.map { case (_, ts) => median(ts) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median","n_trials":$nTrials,"queries":$qs,"trials":$trialsJson,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
