@@ -221,7 +221,9 @@ object DedupQueries {
     * faster end-to-end and AQE's skew-join splits a hot byte bucket across
     * tasks instead of serializing it. */
   def q42SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val ck = graft.Staging.path("sh42", dir)
+    // fresh() per invocation: concurrent q42 calls in one JVM must not
+    // share a write-then-read staging dir (overwrite-vs-read race)
+    val ck = graft.Staging.fresh("sh42")
     simhashDf(s, dir).write.mode("overwrite").parquet(s"$ck/sh")
     val sh = s.read.parquet(s"$ck/sh")
     val bandKeys = (0 until 4)

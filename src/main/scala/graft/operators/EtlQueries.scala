@@ -27,9 +27,11 @@ object EtlQueries {
 
   private def dec6(c: Column): Column = c.cast("decimal(18,6)")
 
-  // (sf, pid)-keyed staging roots, swept by a shutdown hook — see
-  // graft.Staging for the collision + cleanup contract
-  private def tmpPath(tag: String, dir: String): String = graft.Staging.path(tag, dir)
+  // per-invocation staging roots, swept by a shutdown hook (graft.Staging).
+  // fresh() rather than a (tag, sf, pid) key: every query here writes then
+  // re-reads its staging dir, and two concurrent invocations of the same
+  // query in one JVM must never race an overwrite against a read
+  private def tmpPath(tag: String, dir: String): String = graft.Staging.fresh(tag)
 
   /** K1 + S3: day-partitioned warehouse write with first-run overwrite →
     * append bootstrap (ref `transform_load.py:58-90,438,496`), then a

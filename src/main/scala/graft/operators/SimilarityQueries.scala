@@ -134,16 +134,47 @@ object SimilarityQueries {
       .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
               col("m.centroid_id").as("centroid_id"), col("m.ccos").as("ccos"))
 
-  /** Lloyd re-center: per (centroid, dimension), the mean of member values.
-    * The sum folds left in vec_id order (sorted collect_list) rather than
-    * using `avg`, because avg's partial-aggregation order is
-    * nondeterministic across runs and engines — a last-ulp difference in a
-    * centroid could flip a near-tied assignment and break the oracle hash.
-    * The ordered fold is bit-identical to the DuckDB twin's
-    * `list_reduce(list(val ORDER BY vec_id))`. At 100 TB production would
-    * swap this for plain avg (order-free mean, identical to within ulps)
-    * and keep the ordered fold only where replay-exactness is required. */
+  /** Lloyd re-center: per (centroid, dimension), the mean of member values
+    * in FIXED POINT — each value quantized to 1/2^32 (`floor(val * 2^32)`,
+    * a long), summed exactly as decimal(38,0), divided back in double.
+    * Why not the obvious alternatives:
+    *   - plain double `avg` is nondeterministic across PARTITIONINGS (FP
+    *     addition doesn't associate), so the same data could produce
+    *     different codebooks run-to-run, let alone engine-to-engine;
+    *   - the previous ordered collect_list fold was deterministic but
+    *     buffered every member value per (centroid, dimension) group — a
+    *     hot centroid at 100 TB puts a large corpus fraction into one
+    *     aggregation buffer.
+    * The fixed-point sum is both at once: integer addition is exact in any
+    * order (order-free, map-side combinable, constant aggregation state,
+    * overflow-safe in decimal(38,0) to ~10^28 members), and the 2^-32
+    * absolute quantization error on O(1) embedding values is far below
+    * anything a cosine ranking can see. The DuckDB twin runs the identical
+    * quantize-sum-divide, so codebooks stay bit-equal across engines.
+    * IvfCodebookSpec asserts the fixed-point and ordered-fold codebooks
+    * assign every fixture vector identically. */
   private def recenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"), posexplode(col("v")))
+      .withColumnRenamed("col", "val")
+      .groupBy("centroid_id", "pos")
+      .agg(sum(expr("cast(floor(val * 4294967296e0) as decimal(38,0))")).as("qsm"),
+           count(lit(1)).as("cnt"))
+      .withColumn("mean", col("qsm").cast("double") / (col("cnt") * lit(4294967296.0)))
+      .groupBy("centroid_id")
+      // bounded collect: exactly `dim` rows per centroid, independent of
+      // cluster membership — not the per-member buffer the fixed-point sum
+      // just removed
+      .agg(expr("transform(sort_array(collect_list(struct(pos, mean))), s -> s.mean)").as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+      .select("centroid_id", "cv", "cn")
+
+  /** The pre-round-6 ordered-fold re-center (exact mean, vec_id fold
+    * order). Kept ONLY as the reference point for IvfCodebookSpec's
+    * fixed-point-vs-exact assignment comparison — not on any query path:
+    * its per-(centroid, dimension) collect_list buffers every member value,
+    * which is the scale hazard `recenter` exists to avoid. */
+  private[graft] def recenterFold(assigned: DataFrame): DataFrame =
     assigned
       .select(col("vec_id"), col("centroid_id"), posexplode(col("v")))
       .withColumnRenamed("col", "val")
@@ -159,13 +190,15 @@ object SimilarityQueries {
       .select("centroid_id", "cv", "cn")
 
   /** Trained codebook: seed with the first 16 vectors, then `lloydIters`
-    * deterministic Lloyd passes (broadcast-argmax assign, ordered-fold
-    * re-center). Centroids are NOT re-normalized — assignment divides by
-    * the centroid norm, so cosine is scale-invariant. */
-  private[graft] def trainedCodebook(e: DataFrame): DataFrame = {
+    * deterministic Lloyd passes (broadcast-argmax assign, fixed-point
+    * re-center — or a caller-supplied re-center for A/B tests). Centroids
+    * are NOT re-normalized — assignment divides by the centroid norm, so
+    * cosine is scale-invariant. */
+  private[graft] def trainedCodebook(e: DataFrame,
+                                     rc: DataFrame => DataFrame = recenter): DataFrame = {
     val codebook0 = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-    (1 to lloydIters).foldLeft(codebook0)((cb, _) => recenter(assign(e, cb)))
+    (1 to lloydIters).foldLeft(codebook0)((cb, _) => rc(assign(e, cb)))
   }
 
   /** IVF-style approximate top-k (the inverted-file scale path next to
@@ -258,7 +291,11 @@ object SimilarityQueries {
     *    un-materialized subplans (no common-subexpression reuse across
     *    union branches), so each chained hop multiplied work ~4x. */
   def q50CcClusters(s: SparkSession, dir: String): DataFrame = {
-    val ck = Staging.path("cc", dir)
+    // fresh() (unique per invocation), not a (tag, sf, pid) key: two
+    // threads of one JVM running q50 concurrently must never share a
+    // write-then-read staging dir (one side's overwrite would delete the
+    // parquet mid-read on the other)
+    val ck = Staging.fresh("cc")
     lshPairsScored(s, dir).select("vec_a", "vec_b")
       .write.mode("overwrite").parquet(s"$ck/pairs")
     val pairs = s.read.parquet(s"$ck/pairs")
@@ -269,7 +306,57 @@ object SimilarityQueries {
     // pass re-runs the verts distinct shuffle
     und.union(verts.select(col("src"), col("src").as("dst")))
       .write.mode("overwrite").parquet(s"$ck/base")
-    val base = s.read.parquet(s"$ck/base")
+    propagateLabels(s, s"$ck/base")
+      .groupBy("lbl")
+      .agg(count(lit(1)).cast("bigint").as("n_members"))
+      .select(col("lbl").cast("bigint").as("cluster_id"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  /** Min-label propagation to a fixpoint over a staged undirected edge list
+    * (parquet at `baseDir` with long columns src/dst, self-loops present on
+    * every vertex — the self-loop rows double as the vertex list).
+    *
+    * Scale-honesty contract (each point is tested by CcPropagationSpec):
+    *   - Runs on a CLONED session (`newSession`: shared context and staged
+    *     data, private SQLConf), so the loop's shuffle-partition tuning
+    *     never mutates the caller's session — concurrent queries on the
+    *     caller see no conf change.
+    *   - Loop width derives from the staged graph (~200k edges/partition,
+    *     clamped to [1, defaultParallelism]; `graft.cc.loop.partitions`
+    *     overrides), not a literal tuned to one fixture. Label/edge frames
+    *     are leaf-scan derivatives, so at fixture scale fixed per-task
+    *     overhead dominates and the width collapses to 1; at 100 TB the
+    *     same formula spreads the per-pass shuffle.
+    *   - Convergence = COUNT of changed labels reaching zero. Labels only
+    *     decrease, so changed=0 is exactly the fixpoint; the previous
+    *     sum(lbl)-equality test overflowed a long once |V| × max(id)
+    *     crossed Long.MaxValue (ANSI mode: the query THROWS at real vertex
+    *     counts; non-ANSI: silent wrap).
+    *   - Superseded per-pass localCheckpoints are unpersisted as they fall
+    *     out of the (current, previous) window — block-manager memory is
+    *     bounded by two label frames, not the pass count.
+    */
+  private[graft] def propagateLabels(s: SparkSession, baseDir: String): DataFrame = {
+    val ls = s.newSession()
+    val base = ls.read.parquet(baseDir)
+    // the override is read from the CALLER's conf — newSession() starts
+    // from the SparkContext defaults, not the caller's runtime settings
+    val width = s.conf.getOption("graft.cc.loop.partitions").map(_.toInt).getOrElse {
+      val nEdges = base.count()
+      math.max(1L, math.min(ls.sparkContext.defaultParallelism.toLong,
+        nEdges / 200000L + 1L)).toInt
+    }
+    // the iterate phase runs on the SMALL label/edge frames (leaf scans of
+    // the staged parquet), where fixed per-task overhead dominates — and
+    // per-pass label frames use localCheckpoint to TRUNCATE lineage (each
+    // pass references the prior labels four times; untruncated, the plan
+    // grows ~4x per pass and analysis explodes). localCheckpoint compiles
+    // without AQE, which is harmless exactly BECAUSE the loop width is
+    // already sized here instead of relying on runtime coalescing.
+    ls.conf.set("spark.sql.shuffle.partitions", width.toString)
+    // self-loop rows enumerate the vertices — no distinct shuffle needed
+    val verts = base.filter(col("src") === col("dst")).select("src")
     // shortcut edges (v ↔ lbl(v)) from a labeling frame; ANY past labeling
     // is safe to add — labels are always ids of same-component vertices,
     // so shortcuts never bridge components
@@ -285,47 +372,39 @@ object SimilarityQueries {
     // fans it out to its whole basin through the basin's own shortcuts
     def hop(prev: DataFrame, cur: DataFrame): DataFrame =
       (sc(cur) ++ sc(prev)).foldLeft(base)(_ union _)
-        .join(cur, col("dst") === col("v"))
+        .join(cur.select("v", "lbl"), col("dst") === col("v"))
         .groupBy("src").agg(min("lbl").as("lbl"))
         .withColumnRenamed("src", "v")
-    var prevSum = Long.MaxValue
-    var converged = false
-    var pass = 0
-    // the iterate phase runs on the SMALL label/edge frames (both leaf
-    // scans of the staged parquet), where fixed per-task overhead dominates:
-    // drop shuffle parallelism for the loop only, restore after. Per-pass
-    // label frames use localCheckpoint to TRUNCATE lineage (each pass
-    // references the prior labels four times — untruncated, the plan grows
-    // ~4x per pass and analysis explodes); its non-AQE compilation is
-    // harmless here BECAUSE the loop runs at 4 shuffle partitions.
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    var labels: DataFrame = null
-    var prevLabels: DataFrame = null
-    try {
-      // checkpoint the initial labels too (an EAGER job — it must sit
-      // inside the try, or a failure here would leak the 4-partition
-      // setting into the shared session): pass 1 references this frame
-      // five times, which would otherwise re-run the verts distinct per
-      // reference
-      labels = verts.select(col("src").as("v"), col("src").as("lbl"))
-        .localCheckpoint()
-      prevLabels = labels
-      while (!converged) {
-        pass += 1
-        val next = hop(prevLabels, labels).localCheckpoint()
-        prevLabels = labels
-        labels = next
-        val row = labels.agg(sum("lbl")).first()
-        val sm = if (row.isNullAt(0)) 0L else row.getLong(0) // null sum = empty graph
-        converged = sm == prevSum
-        prevSum = sm
+    // drop a superseded checkpoint's blocks: the frame is a leaf LogicalRDD
+    // after localCheckpoint, and nothing references it once it leaves the
+    // (current, previous) window. Dataset.unpersist() only consults the
+    // CacheManager, which localCheckpoint bypasses — the persisted RDD
+    // itself must be unpersisted.
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    labels.groupBy("lbl")
-      .agg(count(lit(1)).cast("bigint").as("n_members"))
-      .select(col("lbl").cast("bigint").as("cluster_id"), col("n_members"))
-      .orderBy("cluster_id")
+    // checkpoint the initial labels too (eager): pass 1 references this
+    // frame five times, which would otherwise re-run the base scan per
+    // reference
+    var labels = verts.select(col("src").as("v"), col("src").as("lbl"))
+      .localCheckpoint()
+    var prevLabels = labels
+    var converged = false
+    while (!converged) {
+      // carry the prior label through the checkpoint so the convergence
+      // probe is a cheap filter-count on the materialized frame, not a join
+      val next = hop(prevLabels, labels)
+        .join(labels.select(col("v"), col("lbl").as("prev_lbl")), Seq("v"))
+        .localCheckpoint()
+      converged = next.filter(col("lbl") =!= col("prev_lbl")).count() == 0
+      if (prevLabels ne labels) release(prevLabels)
+      prevLabels = labels
+      labels = next
+    }
+    if (prevLabels ne labels) release(prevLabels)
+    labels.select("v", "lbl")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -362,11 +441,14 @@ object SimilarityQueries {
        |        list_reduce(list_transform(generate_series(1, $dim), i -> e.v[i] * c.cv[i]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
        |      FROM n e CROSS JOIN $cb c)) WHERE arn = 1)""".stripMargin
 
-  /** Oracle twin of `recenter`: per-dimension mean folding member values in
-    * vec_id order (list ORDER BY = Spark's sorted collect_list fold). */
+  /** Oracle twin of `recenter`: the identical fixed-point mean — quantize
+    * to 1/2^32 with floor, exact integer sum (DuckDB sums BIGINT in 128
+    * bits), divide back in double. Order-free on both sides, so no ORDER BY
+    * is needed for bit-equality. */
   private def oracleRecenterCtes(k: Int): String =
     s"""m$k AS (SELECT centroid_id, pos,
-       |    list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mean
+       |    CAST(SUM(CAST(floor(val * 4294967296e0) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 4294967296e0) AS mean
        |  FROM (SELECT a.vec_id, a.centroid_id, t.i AS pos, a.v[t.i] AS val
        |    FROM a$k a CROSS JOIN generate_series(1, $dim) t(i))
        |  GROUP BY centroid_id, pos),
