@@ -32,4 +32,29 @@ object Warehouse {
   def readPartition(s: SparkSession, path: String, partCol: String,
                     value: String): DataFrame =
     s.read.parquet(path).where(col(partCol) === value)
+
+  /** Bucketed warehouse layout — the reference's partition-layout
+    * optimization (`airflow/dags/spark_transform_load.py:199,210`: monthly
+    * partitioning so repeated time-bounded scans touch one slice) taken to
+    * its Spark-native conclusion for JOINS: `bucketBy(n, key)` pre-hashes
+    * rows into n files per key at WRITE time, so every later join or
+    * aggregation on that key reads co-partitioned data and plans with NO
+    * shuffle on either side (PlanShapeSpec asserts zero Exchange under the
+    * join). At 100 TB this converts the per-query fact-side shuffle — the
+    * dominant cost of every fact⨝dim query — into a one-time layout cost
+    * paid at load. `sortBy` additionally orders each bucket file so a
+    * sort-merge join can skip or narrow its sort phase.
+    *
+    * Bucketed tables go through the session catalog (`saveAsTable` — the
+    * bucket metadata lives in the table definition, which a plain
+    * `.parquet(path)` write has nowhere to record); `path` keeps the data
+    * external to the warehouse dir. */
+  def writeBucketed(df: DataFrame, nBuckets: Int, key: String,
+                    path: String, table: String): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
 }

@@ -55,6 +55,21 @@ object DedupQueries {
   private val shinglesExpr =
     "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
 
+  /** Per-row form of q22's shingle-hash list (each shingle → the same dual
+    * md5 whose 5-hex-char windows are the minhash family): a single
+    * projection over a `toks` column, no explode, no shuffle — the shape a
+    * STREAM needs, where the batch path's explode→min-aggregate signature
+    * pass would be a stateful operator. Shared with the streaming near-dup
+    * query so batch and stream hash identically. */
+  private[graft] val hashedShinglesExpr =
+    s"transform($shinglesExpr, x -> concat(md5(x), md5(concat('x', x))))"
+
+  /** Minhash slot i (of [[nHashes]]) over a hashed-shingle list column
+    * `hs`: the lexicographic min of each hash's 5-hex-char window — the
+    * per-row twin of q22's `min(substring(h, ...))` aggregate. */
+  private[graft] def minhashSlotExpr(i: Int): String =
+    s"array_min(transform(hs, h -> substring(h, ${i * 5 + 1}, 5)))"
+
   /** Candidate pairs from LSH buckets via groupBy + in-bucket expansion
     * rather than a bucket self-join: a self-join would evaluate the
     * expensive signature subtree once per side, while the aggregate form

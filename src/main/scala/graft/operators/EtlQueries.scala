@@ -186,6 +186,44 @@ object EtlQueries {
         |ORDER BY cust_nation, c_mktsegment""".stripMargin)
   }
 
+  // unique catalog names per invocation: concurrent/repeated runs (bench
+  // trials, parallel sessions in one JVM) must not overwrite each other's
+  // registered bucketed tables mid-read
+  private val bucketRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The bucketed-layout join shared by q62 and PlanShapeSpec: both tables
+    * are written `bucketBy(8, join_key)` and the join carries merge hints,
+    * so the plan must read co-partitioned buckets with NO Exchange on
+    * either side (the hint pins sort-merge — a broadcast of the small dim
+    * would also avoid a shuffle, but then the plan would prove nothing
+    * about the layout). */
+  private[graft] def bucketedOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
+    val n = bucketRun.incrementAndGet()
+    val base = tmpPath("bkt", dir)
+    val ordersT = s"graft_bkt_orders_$n"
+    val customerT = s"graft_bkt_customer_$n"
+    Warehouse.writeBucketed(Tables.orders(s, dir), 8, "o_custkey",
+      s"$base/orders", ordersT)
+    Warehouse.writeBucketed(Tables.customer(s, dir), 8, "c_custkey",
+      s"$base/customer", customerT)
+    val o = s.table(ordersT)
+    val c = s.table(customerT)
+    o.hint("merge").join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+  }
+
+  /** K1 taken to its join-layout conclusion: write orders and customer
+    * bucketed on their join key, then join WITHOUT a shuffle — the scan
+    * itself provides the hash partitioning both join sides require. The
+    * oracle computes the same aggregate straight from the source tables,
+    * so layout, catalog round-trip, and join are all under the hash
+    * check. */
+  def q62BucketedJoin(s: SparkSession, dir: String): DataFrame =
+    bucketedOrdersCustomer(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+           sum(dec6(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_partitioned_write" -> (q30PartitionedWrite _),
     "q31_ingest_parse" -> (q31IngestParse _),
@@ -193,6 +231,7 @@ object EtlQueries {
     "q33_xml_stations" -> (q33XmlStations _),
     "q34_grid_argmin" -> (q34GridArgmin _),
     "q35_sql_view" -> (q35SqlView _),
+    "q62_bucketed_join" -> (q62BucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +282,10 @@ object EtlQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY cust_nation, c_mktsegment""".stripMargin,
+    "q62_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -18,4 +18,14 @@ object StreamSources {
       s.readStream.schema(batchSchema)
         .option("basePath", dir).parquet(s"$path*"))
   }
+
+  /** readStream over the documents parquet — the text-ingest stream for
+    * content-based dedup (no timestamp restore needed; documents carry no
+    * nanosecond columns). */
+  def documents(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    s.readStream.schema(batchSchema)
+      .option("basePath", dir).parquet(s"$path*")
+  }
 }

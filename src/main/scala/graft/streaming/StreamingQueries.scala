@@ -88,9 +88,74 @@ object StreamingQueries {
     s.table(tbl).orderBy("h")
   }
 
+  /** CONTENT-based streaming near-dup (the form an ingest pipeline needs,
+    * where q52 dedups on an exact event id): the dedup key is the minhash
+    * BAND key — two of q22's twelve hash slots, computed per row in one
+    * stateless projection (DedupQueries.hashedShinglesExpr; the batch
+    * path's explode→min-aggregate would be an extra stateful operator) —
+    * so near-duplicate documents that agree on the band collapse to one
+    * survivor inside the watermark horizon, exactly q22's candidate
+    * semantics applied online.
+    *
+    * The stream is doubled (at-least-once redelivery, as in q52) AND
+    * near-duplicate variants are injected: every 10th document is
+    * re-delivered with a token appended — most variants keep the band key
+    * (a 3-shingle appended to a document rarely displaces either 5-hex
+    * minimum) and are dropped as near-dups; variants that DO flip the key
+    * survive as new content. The oracle runs the identical construction in
+    * batch, so both recall outcomes are hash-checked, not assumed.
+    *
+    * Determinism under streaming: which physical row survives a key's
+    * dedup is arrival-order-dependent, so every observable column must be
+    * a function of the KEY alone — the event time is derived from the band
+    * key (4 md5 hex digits → minute offset in a 2-day range), making the
+    * windowed counts independent of arrival order. State stays bounded:
+    * dedup keys and window state both expire with the 1-hour watermark. */
+  def q63StreamingNearDup(s: SparkSession, dir: String): DataFrame = {
+    // one delivery = documents + every-10th-doc near-dup variants; two
+    // deliveries via independent file sources, as in q52
+    def once(): DataFrame = {
+      val docs = StreamSources.documents(s, dir)
+      docs.select(col("doc_id"), col("text"))
+        .unionByName(StreamSources.documents(s, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" dup")).as("text")))
+    }
+    val redelivered = once().unionByName(once())
+    val tbl = s"graft_stream_neardup_${runCounter.incrementAndGet()}"
+    val keyed = redelivered
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 3"))
+      .withColumn("hs", expr(graft.operators.DedupQueries.hashedShinglesExpr))
+      .withColumn("bkey", concat(
+        expr(graft.operators.DedupQueries.minhashSlotExpr(0)),
+        expr(graft.operators.DedupQueries.minhashSlotExpr(1))))
+      // key-derived event time: 4 hex digits of md5(bkey) → minute in a
+      // 2-day span, so the surviving row's window never depends on WHICH
+      // delivery survived
+      .withColumn("ts", expr(
+        "timestampadd(MINUTE, cast(conv(substring(md5(bkey), 1, 4), 16, 10) as int) % 2880, " +
+          "timestamp'2024-01-01 00:00:00')"))
+    val q = keyed
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("bkey")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"), col("cnt"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(tbl).orderBy("h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_streaming_hourly" -> (q36StreamingHourly _),
     "q52_streaming_dedup" -> (q52StreamingDedup _),
+    "q63_streaming_neardup" -> (q63StreamingNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,6 +174,38 @@ object StreamingQueries {
         |FROM events GROUP BY 1
         |HAVING date_trunc('hour', any_value(ts)) + INTERVAL 2 HOUR
         |  <= (SELECT max(ts) FROM events)
+        |ORDER BY h""".stripMargin,
+    // the batch twin of the online construction: same corpus + injected
+    // variants, same per-row band key, key-derived event time, distinct
+    // keys per finalized hour window (redelivery collapses via DISTINCT —
+    // the streaming dedup's exactly-once restoration)
+    "q63_streaming_neardup" ->
+      """WITH corpus AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT text || ' dup' AS text FROM documents WHERE doc_id % 10 = 0
+        |),
+        |t AS (SELECT string_split(text, ' ') AS toks FROM corpus),
+        |hl AS (SELECT list_transform(
+        |    list_transform(generate_series(1, len(toks)-2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+        |    x -> concat(md5(x), md5(concat('x', x)))) AS hs
+        |  FROM t WHERE len(toks) >= 3),
+        |k AS (SELECT concat(
+        |    list_min(list_transform(hs, h -> substr(h, 1, 5))),
+        |    list_min(list_transform(hs, h -> substr(h, 6, 5)))) AS bkey FROM hl),
+        |w AS (SELECT DISTINCT bkey,
+        |    ((strpos('0123456789abcdef', substr(md5(bkey), 1, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substr(md5(bkey), 2, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substr(md5(bkey), 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5(bkey), 4, 1)) - 1)) % 2880 AS m
+        |  FROM k),
+        |e AS (SELECT TIMESTAMP '2024-01-01 00:00:00' + m * INTERVAL 1 MINUTE AS ts FROM w)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM e GROUP BY 1
+        |HAVING date_trunc('hour', any_value(ts)) + INTERVAL 2 HOUR
+        |  <= (SELECT max(ts) FROM e)
         |ORDER BY h""".stripMargin,
   )
 }

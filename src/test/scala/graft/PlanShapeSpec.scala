@@ -48,6 +48,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "codebook/probe sides must broadcast")
   }
 
+  test("q62: the bucketed join plans with NO exchange — the layout provides the partitioning") {
+    val p = graft.operators.EtlQueries.bucketedOrdersCustomer(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"merge-hinted bucketed join must be SMJ:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed scans must satisfy the join distribution with zero shuffles:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"both sides must read bucketed files:\n$p")
+  }
+
   test("q42: candidate generation is a broadcast/hash join over staged leaf scans") {
     val p = plan("q42_simhash_pairs")
     assert(!p.contains("CartesianProduct"), "band join must be an equi-join")
