@@ -125,7 +125,17 @@ object DedupQueries {
     * non-overlapping bit ranges. At 100 TB the map-side hash pass dominates
     * everything else in this query; halving it matters more than any join
     * tweak. */
-  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(s, dir, maxBucketSize = None)
+
+  /** q22 with the hot-bucket cap exposed: the oracle-registered form keeps
+    * every bucket (cap None — exact w.r.t. the band construction); a
+    * skew-controlled production run passes a cap and reads the dropped
+    * count from the `graft_lsh_bucket_cap` observation
+    * (LshSkewSpec drives a degenerate one-hot-band corpus through both
+    * modes). */
+  private[graft] def minhashLshPairs(s: SparkSession, dir: String,
+                                     maxBucketSize: Option[Int]): DataFrame = {
     // Signature stage as explode -> codegen'd min-aggregates: each shingle
     // becomes a (doc_id, 64-hex-hash) row hashed inside whole-stage codegen
     // (higher-order-function folds are CodegenFallback/interpreted), and the
@@ -156,7 +166,7 @@ object DedupQueries {
     // signature subtree, one corpus tokenize, no barrier; the candidate
     // regroup shuffles only near-dup-pair token sets, which are bounded by
     // the dup rate, not the corpus.
-    val cand = bucketPairs(bands, "doc_id", "doc_a", "doc_b")
+    val cand = bucketPairs(bands, "doc_id", "doc_a", "doc_b", maxBucketSize)
     val melted = cand.select(explode(expr(
       "array(struct(doc_a, doc_b, doc_a as doc_id), struct(doc_a, doc_b, doc_b as doc_id))")).as("m"))
       .select(col("m.doc_a").as("doc_a"), col("m.doc_b").as("doc_b"), col("m.doc_id").as("doc_id"))
