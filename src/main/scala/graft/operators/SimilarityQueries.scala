@@ -205,19 +205,31 @@ object SimilarityQueries {
     * q26's LSH): a bounded codebook — seeded from the first 16 vectors and
     * refined by two deterministic Lloyd passes — broadcasts; every corpus
     * vector is assigned to its nearest centroid (an argmax over the tiny
-    * codebook); probes then search ONLY their own centroid's bucket
-    * (nprobe=1). The expensive top-k scan is confined to one bucket per
-    * probe — at 100 TB the buckets are the index, and adding nprobe or
-    * re-ranking widens recall without changing the shape. Recall loss vs
-    * q25's exact baseline is part of the design; the oracle runs the
-    * identical construction so results match exactly. */
-  def q37IvfTopk(s: SparkSession, dir: String): DataFrame = {
+    * codebook); probes then search ONLY their `nprobe` nearest centroids'
+    * buckets. The expensive top-k scan is confined to nprobe buckets per
+    * probe — at 100 TB the buckets are the index, and raising nprobe
+    * widens recall without changing the plan shape (the probe side stays
+    * a broadcast of 8 x nprobe rows). Recall loss vs q25's exact baseline
+    * is part of the design and is measured: IvfRecallSpec asserts
+    * recall@3 >= 0.6 at nprobe=1, monotone recall in nprobe, and exact
+    * equality with q25 at nprobe=16 (all buckets searched). The oracle
+    * runs the identical nprobe=1 construction so q37 matches exactly. */
+  private[graft] def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = normed(s, dir)
-    val assigned = assign(e, trainedCodebook(e))
+    val cb = trainedCodebook(e)
+    val assigned = assign(e, cb)
       .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
-    val probes = assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-              col("nrm").as("pn"), col("centroid_id").as("pcentroid"))
+    // top-nprobe centroids per probe, same ordering as `assign`'s argmax
+    // (highest cosine, ties to the lowest centroid id) so nprobe=1 is
+    // exactly the assigned bucket; 8 x 16 rows, window cost is nil
+    val wProbe = Window.partitionBy("probe_id").orderBy(desc("pccos"), asc("pcentroid"))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      .crossJoin(broadcast(cb.withColumnRenamed("centroid_id", "pcentroid")))
+      .withColumn("pccos", expr(dotFold.format("pv", "cv") + " / (pn * cn)"))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("pcentroid"))
     val wTop = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
     // broadcast the provably-bounded probe side (vec_id < 8): without the
     // hint Catalyst picks a sort-merge join that shuffles the ENTIRE corpus
@@ -235,6 +247,10 @@ object SimilarityQueries {
               col("rank").cast("int").as("rank"), col("cos"))
       .orderBy("probe_id", "rank")
   }
+
+  /** The oracle-registered IVF search: nprobe=1 (assigned bucket only). */
+  def q37IvfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopk(s, dir, nprobe = 1)
 
   /** Embedding-cosine near-duplicate DEDUP (the brief's last dedup family):
     * greedy keep-lowest-id over the q26 near-dup pair graph — any vector

@@ -20,6 +20,17 @@ import org.apache.spark.sql.types.LongType
   * new partitions as the lake grows, the watermark bounds state, and the
   * windowed aggregation state lives in the state store instead of a
   * re-scanned warehouse.
+  *
+  * The memory sink below is the TEST HARNESS ONLY (it collects to the
+  * driver — fine for the 718 finalized windows the harness checks, wrong
+  * for production). A continuous deployment swaps exactly two lines per
+  * query: `.format("parquet").option("path", lake).option(
+  * "checkpointLocation", ckpt)` for an append-mode lake table, or
+  * `.format("kafka").option("kafka.bootstrap.servers", ...)` for a
+  * downstream topic — plus `Trigger.ProcessingTime` in place of
+  * AvailableNow. The checkpoint directory is what carries the
+  * exactly-once file-tracking and state-store lineage across restarts;
+  * everything upstream of `writeStream` is identical.
   */
 object StreamingQueries {
 
