@@ -1,0 +1,339 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-composition and relevance operators for LLM-training-data
+  * pipelines over the `documents` fixture: TF-IDF term weighting, BM25
+  * ranking, token-budget shard packing, temperature-based language-mixture
+  * sampling, and a per-language statistical outlier gate.
+  *
+  * The reference has no text-relevance surface (its only text handling is
+  * fixed-schema CSV columns, `/root/reference/assets/schema/make_schema
+  * .py:41-51`); these are the passes that decide WHAT goes into a training
+  * mix and HOW it is laid out on disk once the dedup family
+  * ([[DedupQueries]]) has decided what survives.
+  *
+  * Cross-engine determinism contract (these results are hash-compared
+  * against DuckDB bit-for-bit):
+  *   - Every cross-row sum is over integers (exact in both engines,
+  *     order-independent); doubles appear only in per-row arithmetic on
+  *     values derived from those exact sums. IEEE 754 +, -, *, /, sqrt
+  *     are correctly rounded everywhere, so per-row double math is
+  *     bit-identical across engines. `ln` is NOT guaranteed correctly
+  *     rounded; where a log-shaped weight is wanted ([[q66Tfidf]],
+  *     [[q67Bm25]]) the idf stays in its rational form — same ordering
+  *     behavior, exactly reproducible.
+  *   - Mixture weights that need cross-row normalization are quantized to
+  *     integers FIRST ([[q69TemperatureMixture]]), so the normalizing sum
+  *     is exact and the final shares are deterministic doubles.
+  */
+object CorpusQueries {
+
+  /** TF-IDF term weighting: the top-20 (document, term) pairs by
+    * tf * idf with idf in rational form (N+1)/(df+1) — the log-free
+    * variant keeps the score bit-reproducible across engines (ln is not
+    * correctly rounded; the ranking it induces is identical since ln is
+    * monotone and the tie-break columns already total-order the output).
+    *
+    * Scale: tf is a (doc, term) groupBy with map-side combine (the
+    * exploded token stream collapses before its shuffle); df reuses the tf
+    * rows, so the document scan runs once; the corpus count joins in as a
+    * broadcast single row; the final top-k is TakeOrderedAndProject, never
+    * a global sort. */
+  def q66Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", expr(
+        "cast(tf as double) * ((cast(n_docs as double) + 1.0) / (cast(df as double) + 1.0))"))
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("tok"),
+        col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"),
+        col("tfidf"))
+      .orderBy(desc("tfidf"), asc("doc_id"), asc("tok"))
+      .limit(20)
+  }
+
+  /** BM25 ranking of the corpus against a fixed query-term set: the
+    * standard k1=1.2, b=0.75 saturation/length-normalization form, with
+    * the idf in Robertson's rational form (N - df + 0.5)/(df + 0.5)
+    * instead of its log (same monotone ranking, bit-reproducible — see
+    * the class docstring). avgdl comes from exact integer sums (token
+    * counts are ints), so the length normalization is deterministic.
+    *
+    * Scale: one (doc, term) tf pass filtered to the query terms BEFORE
+    * the aggregation (the groupBy state is |docs| x |query terms|, not
+    * |docs| x |vocab|); df and avgdl are tiny aggregates broadcast into
+    * the per-row score; top-15 is TakeOrderedAndProject. */
+  def q67Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "hash", "window")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"), expr("cast(size(toks) as bigint)").as("dl"), col("toks"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(expr(s"tok in ($termList)"))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val perTermScores = terms.zipWithIndex.map { case (t, i) =>
+      // each (doc, term) has exactly one tf row, so max() just extracts it
+      max(when(col("tok") === t, col("term_score"))).as(s"ts$i")
+    }
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      // avgdl = tot_dl / n_docs: one double division of two exact longs
+      .withColumn("term_score", expr(
+        "((cast(n_docs as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5)) * " +
+          "(cast(tf as double) * 2.2) / (cast(tf as double) + 1.2 * (0.25 + 0.75 * " +
+          "cast(dl as double) / (cast(tot_dl as double) / cast(n_docs as double))))"))
+      .groupBy("doc_id")
+      // per-doc score = sum over the <= 3 query terms: the terms pivot
+      // into FIXED columns so the double additions happen in one
+      // deterministic order — float addition is not associative, so an
+      // unordered SUM of doubles is the one place engines could diverge
+      .agg(perTermScores.head, (perTermScores.tail :+
+        count(lit(1)).cast("bigint").as("n_terms")): _*)
+      .withColumn("score", expr(
+        terms.indices.map(i => s"coalesce(ts$i, cast(0.0 as double))").mkString(" + ")))
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("score"), col("n_terms"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(15)
+  }
+
+  /** Width of the doc_id range folded into one packing bucket — the
+    * distributed prefix-sum's inner unit ([[q68TokenPacking]]). */
+  private val packBucketWidth = 64
+
+  /** Tokens per training shard for [[q68TokenPacking]]. */
+  private val shardBudget = 4096
+
+  /** Token-budget shard packing: documents are laid into training shards
+    * in deterministic (lang, doc_id) order, cutting a new shard every
+    * [[shardBudget]] tokens — the "pack the corpus into fixed-token
+    * training files" pass that follows mixture selection.
+    *
+    * A literal `SUM OVER (PARTITION BY lang ORDER BY doc_id)` puts every
+    * document of a language into ONE window partition — a single-task
+    * straggler at 100 TB. This is the classic two-phase distributed
+    * prefix sum instead:
+    *   1. per-(lang, id-bucket) token subtotals — a normal scaling
+    *      groupBy;
+    *   2. a window over the BUCKET SUMMARIES (corpus size / bucket width
+    *      rows, thousands not billions) computes each bucket's starting
+    *      offset;
+    *   3. the intra-bucket running sum windows over one bucket at a time
+    *      (bounded by [[packBucketWidth]] ids), and the global position is
+    *      offset + intra.
+    * The only single-partition window runs over bucket summaries. The
+    * result is bit-identical to the naive global window (PackingSpec
+    * asserts it on the fixtures — integer arithmetic, so no rounding
+    * escape hatch is needed). */
+  def q68TokenPacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("ntok"),
+        expr(s"doc_id div $packBucketWidth").as("bucket"))
+    val bucketTotals = docs.groupBy("lang", "bucket")
+      .agg(sum("ntok").as("bucket_tok"))
+    val offsets = bucketTotals.withColumn("offset",
+      coalesce(sum("bucket_tok").over(
+        Window.partitionBy("lang").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bucket", "offset")
+    val packed = docs
+      .join(offsets, Seq("lang", "bucket"))
+      .withColumn("intra", sum("ntok").over(
+        Window.partitionBy("lang", "bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      // shard of the FIRST token of each doc: (global running sum before
+      // this doc) div budget
+      .withColumn("shard", expr(s"(offset + intra - ntok) div $shardBudget"))
+    packed.groupBy("lang", "shard")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("ntok").cast("bigint").as("tokens"))
+      .select(col("lang"), col("shard").cast("bigint").as("shard"),
+        col("n_docs"), col("tokens"))
+      .orderBy("lang", "shard")
+  }
+
+  /** The naive single-window form of [[q68TokenPacking]] — one global
+    * cumulative sum per language. Correct, and what the oracle runs; kept
+    * (test-only) as the equivalence baseline for the distributed prefix
+    * sum. NOT registered: at scale each language is one window partition. */
+  private[graft] def tokenPackingNaive(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("ntok"))
+      .withColumn("cum", sum("ntok").over(
+        Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("shard", expr(s"(cum - ntok) div $shardBudget"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("ntok").cast("bigint").as("tokens"))
+      .select(col("lang"), col("shard").cast("bigint").as("shard"),
+        col("n_docs"), col("tokens"))
+      .orderBy("lang", "shard")
+  }
+
+  /** Temperature-based language-mixture sampling (T = 2): the standard
+    * multilingual rebalancing that samples language l proportionally to
+    * p_l^(1/T) — flattening the head, upweighting the tail. T = 2 makes
+    * the weight sqrt(p_l), which IEEE guarantees correctly rounded, so
+    * the per-language weight is bit-reproducible.
+    *
+    * The normalization sum over weights is the one cross-row DOUBLE sum
+    * the contract forbids, so the weights are quantized to integer
+    * micro-units (floor(w * 1e9)) first: the normalizer is then an exact
+    * integer sum and every derived share is a deterministic double. The
+    * quota column allocates a 100k-document sampling budget by
+    * floor(share x budget).
+    *
+    * Scale: one count-by-lang shuffle; the window that normalizes runs
+    * over LANGUAGE SUMMARIES (bounded: there are ~200 human languages),
+    * not documents. */
+  def q69TemperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val everything = Window.partitionBy()
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("total", sum("c").over(everything))
+      .withColumn("w", expr("sqrt(cast(c as double) / cast(total as double))"))
+      .withColumn("wq", expr("cast(floor(w * 1e9) as bigint)"))
+      .withColumn("share", expr("cast(wq as double) / cast(sum(wq) over () as double)"))
+      .select(col("lang"), col("c").cast("bigint").as("n_docs"),
+        col("w").as("weight"), col("share"),
+        expr("cast(floor(share * 100000) as bigint)").as("quota"))
+      .orderBy("lang")
+  }
+
+  /** Per-language statistical outlier gate on document length: drop
+    * documents more than 2 sample standard deviations from their
+    * language's mean n_chars — the "kill the 400 MB concatenated crawl
+    * blob and the 3-byte stub" filter.
+    *
+    * Everything flows from two exact integer moments per language
+    * (sum x, sum x^2, accumulated as decimal(38,0) so a 100 TB corpus
+    * cannot overflow them — sum of squares alone exceeds int64 around
+    * 10^12 documents); mean, variance, and each z-score are then per-row
+    * double arithmetic on exact inputs (+ - * / sqrt only), so the
+    * verdict is bit-reproducible. Languages with fewer than 2 documents
+    * or zero variance keep everything (no z is computable).
+    *
+    * Scale: one moments groupBy (bounded output: one row per language,
+    * broadcast back), one broadcast join, one filtered re-aggregation. */
+  def q70OutlierGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
+    val moments = docs.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars").cast("decimal(38,0)")).as("s"),
+      sum(expr("cast(n_chars as decimal(38,0)) * cast(n_chars as decimal(38,0))")).as("q"))
+    // var = (n*q - s^2) / (n*(n-1)); every product stays in exact decimal,
+    // the division happens once in double on exact operands
+    val gated = docs.join(broadcast(moments), Seq("lang"))
+      .withColumn("mean", expr("cast(s as double) / cast(n as double)"))
+      .withColumn("sd", expr(
+        "case when n > 1 then sqrt(cast(n * q - s * s as double) / " +
+          "cast(cast(n as decimal(38,0)) * cast(n - 1 as decimal(38,0)) as double)) end"))
+      .withColumn("keep", expr(
+        "sd is null or sd = 0.0 or abs((cast(n_chars as double) - mean) / sd) <= 2.0"))
+    gated.groupBy("lang").agg(
+      count(lit(1)).cast("bigint").as("n_total"),
+      sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+      min(when(col("keep"), col("n_chars"))).cast("bigint").as("min_kept"),
+      max(when(col("keep"), col("n_chars"))).cast("bigint").as("max_kept"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_tfidf" -> (q66Tfidf _),
+    "q67_bm25" -> (q67Bm25 _),
+    "q68_token_packing" -> (q68TokenPacking _),
+    "q69_temperature_mixture" -> (q69TemperatureMixture _),
+    "q70_outlier_gate" -> (q70OutlierGate _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q66_tfidf" ->
+      """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY doc_id, tok),
+        |dfc AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT CAST(tfc.doc_id AS BIGINT) AS doc_id, tfc.tok AS tok,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
+        |FROM tfc JOIN dfc USING (tok) CROSS JOIN n
+        |ORDER BY tfidf DESC, doc_id ASC, tok ASC LIMIT 20""".stripMargin,
+    "q67_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        |  WHERE tok IN ('spark', 'hash', 'window') GROUP BY doc_id, dl, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+        |ts AS (SELECT doc_id, tok,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |      CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS term_score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN st),
+        |sc AS (SELECT doc_id,
+        |    MAX(CASE WHEN tok = 'spark' THEN term_score END) AS ts0,
+        |    MAX(CASE WHEN tok = 'hash' THEN term_score END) AS ts1,
+        |    MAX(CASE WHEN tok = 'window' THEN term_score END) AS ts2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM ts GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  coalesce(ts0, 0.0) + coalesce(ts1, 0.0) + coalesce(ts2, 0.0) AS score, n_terms
+        |FROM sc ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "q68_token_packing" ->
+      """WITH d AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, ntok,
+        |    SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang, CAST((cum - ntok) // 4096 AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tokens
+        |FROM c GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+    "q69_temperature_mixture" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+        |w AS (SELECT lang, c, SUM(c) OVER () AS total,
+        |    sqrt(CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE)) AS w
+        |  FROM c),
+        |q AS (SELECT lang, c, w, CAST(floor(w * 1e9) AS BIGINT) AS wq FROM w)
+        |SELECT lang, CAST(c AS BIGINT) AS n_docs, w AS weight,
+        |  CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) AS share,
+        |  CAST(floor(CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) * 100000) AS BIGINT) AS quota
+        |FROM q ORDER BY lang""".stripMargin,
+    "q70_outlier_gate" ->
+      """WITH m AS (SELECT lang, COUNT(*) AS n,
+        |    SUM(CAST(n_chars AS HUGEINT)) AS s,
+        |    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS q
+        |  FROM documents GROUP BY lang),
+        |g AS (SELECT d.lang, d.n_chars,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CASE WHEN n > 1 THEN sqrt(CAST(n * q - s * s AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) END AS sd
+        |  FROM documents d JOIN m ON d.lang = m.lang),
+        |k AS (SELECT lang, n_chars,
+        |    (sd IS NULL OR sd = 0.0 OR abs((CAST(n_chars AS DOUBLE) - mean) / sd) <= 2.0) AS keep
+        |  FROM g)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(MIN(CASE WHEN keep THEN n_chars END) AS BIGINT) AS min_kept,
+        |  CAST(MAX(CASE WHEN keep THEN n_chars END) AS BIGINT) AS max_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

@@ -318,6 +318,75 @@ object DedupQueries {
            min("doc_id").cast("bigint").as("keep_id"))
       .orderBy("fp")
 
+  /** Test-set decontamination: which training documents share a word
+    * 3-gram with the benchmark/eval set? (The pass every LLM corpus runs
+    * before training — leaked eval shingles inflate benchmark scores.)
+    * The fixture's "benchmark" is the deterministic doc_id % 37 == 0
+    * slice; production substitutes the real eval suites.
+    *
+    * Shape: one shingle-hash scan over the corpus, split into benchmark
+    * and training sides (disjoint filters of the same subtree — the text
+    * pass runs ~once), then an equi-join on the shingle md5. The shuffle
+    * partitions by shingle — a scaling key. A real benchmark suite is
+    * BOUNDED (thousands of docs against billions), so production wraps the
+    * benchmark side in broadcast(); here it grows with the corpus
+    * (1/37th), so the plan stays a shuffle join and AQE may still elect a
+    * runtime broadcast when the side measures small. */
+  def q64Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 3"))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(transform($shinglesExpr, x -> md5(x)))")).as("g"))
+    val bench = grams.filter(col("doc_id") % 37 === 0).select("g").distinct()
+    val train = grams.filter(col("doc_id") % 37 =!= 0)
+    train.join(bench, Seq("g"))
+      .groupBy("doc_id")
+      // grams are distinct per doc and bench is a distinct set, so the
+      // join emits each (doc, shingle) at most once: COUNT(*) IS the
+      // distinct-shared-shingle count, no count_distinct state needed
+      .agg(count(lit(1)).cast("bigint").as("n_hits"))
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental corpus dedup: a new batch (doc_id % 10 == 7 — the
+    * "this week's crawl" slice) deduplicated AGAINST the existing corpus,
+    * not within itself — the shape of every recurring ingest. Each batch
+    * doc gets a verdict: `exact_dup` (whitespace-normalized md5 already in
+    * the corpus), `near_dup` (q28's min-4 shingle fingerprint already in
+    * the corpus), or `keep`.
+    *
+    * Both fingerprints come out of ONE projection pass over the corpus;
+    * the batch then left-joins the corpus's distinct fingerprint sets on
+    * the 128-bit keys. Two shuffles on high-cardinality hash keys — the
+    * corpus side is unbounded so nothing is broadcast; in production the
+    * corpus fingerprint tables are the durable state this query maintains
+    * (append `keep` rows back), so the expensive text pass never re-runs
+    * over old data. */
+  def q65IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val prints = Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .select(
+        col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"),
+        expr("case when size(toks) >= 3 then concat_ws('', " +
+          s"slice(array_sort(array_distinct(transform($shinglesExpr, x -> md5(x)))), 1, 4)) end")
+          .as("nfp"))
+    val batch = prints.filter(col("doc_id") % 10 === 7)
+    val corpus = prints.filter(col("doc_id") % 10 =!= 7)
+    val corpusFp = corpus.select(col("fp").as("cfp")).distinct()
+    val corpusNfp = corpus.filter(col("nfp").isNotNull)
+      .select(col("nfp").as("cnfp")).distinct()
+    batch
+      .join(corpusFp, col("fp") === col("cfp"), "left")
+      .join(corpusNfp, col("nfp") === col("cnfp"), "left")
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        expr("case when cfp is not null then 'exact_dup' " +
+          "when cnfp is not null then 'near_dup' else 'keep' end").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_minhash_lsh" -> (q22MinhashLsh _),
@@ -325,6 +394,8 @@ object DedupQueries {
     "q24_ngram_jaccard" -> (q24NgramJaccard _),
     "q28_fingerprint" -> (q28Fingerprint _),
     "q42_simhash_pairs" -> (q42SimhashPairs _),
+    "q64_decontaminate" -> (q64Decontaminate _),
+    "q65_incremental_dedup" -> (q65IncrementalDedup _),
   )
 
   private val oracleSigs = (0 until nHashes)
@@ -387,6 +458,35 @@ object DedupQueries {
          |  FROM cand JOIN s x ON doc_a = x.doc_id JOIN s y ON doc_b = y.doc_id)
          |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, hamming
          |FROM h WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "q64_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+        |    x -> md5(x)))) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0),
+        |train AS (SELECT doc_id, g FROM sh WHERE doc_id % 37 <> 0)
+        |SELECT CAST(train.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM train JOIN bench USING (g)
+        |GROUP BY train.doc_id ORDER BY doc_id""".stripMargin,
+    "q65_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    CASE WHEN len(toks) >= 3 THEN array_to_string(
+        |      list_sort(list_distinct(list_transform(
+        |        list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+        |        x -> md5(x))))[1:4], '') END AS nfp
+        |  FROM t),
+        |b AS (SELECT * FROM p WHERE doc_id % 10 = 7),
+        |cf AS (SELECT DISTINCT fp FROM p WHERE doc_id % 10 <> 7),
+        |cn AS (SELECT DISTINCT nfp FROM p WHERE doc_id % 10 <> 7 AND nfp IS NOT NULL)
+        |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN cf.fp IS NOT NULL THEN 'exact_dup'
+        |       WHEN cn.nfp IS NOT NULL THEN 'near_dup'
+        |       ELSE 'keep' END AS verdict
+        |FROM b LEFT JOIN cf ON b.fp = cf.fp LEFT JOIN cn ON b.nfp = cn.nfp
+        |ORDER BY doc_id""".stripMargin,
     "q28_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |f AS (SELECT doc_id, array_to_string(

@@ -58,6 +58,51 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both sides must read bucketed files:\n$p")
   }
 
+  test("q66: the relevance top-k plans as TakeOrderedAndProject with a broadcast corpus count") {
+    val p = plan("q66_tfidf")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the single-row corpus count must broadcast:\n$p")
+  }
+
+  test("q68: no document-level window runs with a lang-only partition (straggler guard)") {
+    // the two-phase prefix sum may window per-lang ONLY over bucket
+    // summaries; the document-level running sum must partition by
+    // (lang, bucket). A refactor back to the naive global-cumsum form
+    // would reintroduce a per-language single task over every document.
+    val wrapped = graft.operators.CorpusQueries.q68TokenPacking(spark, sfDir)
+      .queryExecution.executedPlan
+    // AQE hides the real tree behind AdaptiveSparkPlanExec; collect on the
+    // inner plan (pre-execution the initial plan — window shapes are static)
+    val exec = wrapped match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    // doc-level window = the one whose output carries ntok through; assert
+    // by partition width: at least one 2-key window exists, and every
+    // 1-key window sits ABOVE an aggregate (bucket summaries), never
+    // directly over the scan
+    assert(windows.exists(_.partitionSpec.size == 2),
+      "the intra-bucket running sum must partition by (lang, bucket)")
+    windows.filter(_.partitionSpec.size < 2).foreach { w =>
+      val overAggregate = w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(overAggregate.nonEmpty,
+        s"a lang-only window must consume bucket summaries, not documents:\n$w")
+    }
+  }
+
+  test("q70: the per-language moments broadcast back to the document scan") {
+    val p = plan("q70_outlier_gate")
+    assert(p.contains("BroadcastHashJoin"), s"moments join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"documents must not shuffle for the gate:\n$p")
+  }
+
   test("q42: candidate generation is a broadcast/hash join over staged leaf scans") {
     val p = plan("q42_simhash_pairs")
     assert(!p.contains("CartesianProduct"), "band join must be an equi-join")

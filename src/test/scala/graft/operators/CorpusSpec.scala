@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior of the corpus-composition family (q64–q70) on synthetic
+  * corpora where ground truth is known by construction, plus the
+  * distributed-prefix-sum equivalence that justifies q68's shape. */
+class CorpusSpec extends AnyFunSuite {
+  import graft.SparkTestSession.{spark, sfDir}
+
+  /** Write a documents.parquet with the given (doc_id, text) rows; n_chars
+    * is derived so the fixture keeps the real table's invariant. */
+  private def corpus(rows: Seq[(Long, String)], lang: Long => String = _ => "en"): String = {
+    import spark.implicits._
+    val dir = graft.Staging.fresh("corpus")
+    rows.map { case (id, t) => (id, t, lang(id)) }
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'synthetic' as source",
+        "cast(length(text) as bigint) as n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q68: the two-phase distributed prefix sum is bit-identical to the naive global window") {
+    val twoPhase = CorpusQueries.q68TokenPacking(spark, sfDir).collect()
+    val naive = CorpusQueries.tokenPackingNaive(spark, sfDir).collect()
+    assert(twoPhase.nonEmpty)
+    assert(twoPhase.toSeq == naive.toSeq)
+  }
+
+  test("q68: documents straddling a bucket boundary land in the shard the global cumsum dictates") {
+    // 5 docs of 2000 tokens each in one lang: a doc starts in the shard of
+    // its PRECEDING token count (0, 2000, 4000, 6000, 8000), so with budget
+    // 4096 the split is [0,0,0,1,1] — and the ids are spread across three
+    // 64-wide id-buckets (0, 63..65, 128) to force non-trivial cross-bucket
+    // offsets through the two-phase pass.
+    val big = (1 to 2000).map(i => s"t$i").mkString(" ")
+    val dir = corpus(Seq(0L, 63L, 64L, 65L, 128L).map(id => (id, big)))
+    val out = CorpusQueries.q68TokenPacking(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 3L, 6000L), (1L, 2L, 4000L)))
+  }
+
+  test("q64: a training doc that copies benchmark text is flagged; disjoint docs are not") {
+    // id 74 is benchmark (74 % 37 == 0); 75 copies it, 76 is disjoint
+    val leaked = "alpha beta gamma delta epsilon zeta"
+    val dir = corpus(Seq(
+      74L -> leaked,
+      75L -> leaked,
+      76L -> "uno dos tres cuatro cinco seis"))
+    val out = DedupQueries.q64Decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == Set(75L))
+    // 6 tokens -> 4 distinct 3-shingles, all shared
+    assert(out(75L) == 4L)
+  }
+
+  test("q65: exact copies, near copies, and fresh docs get the right verdicts") {
+    // batch ids are % 10 == 7; corpus ids are everything else
+    val base = "one two three four five six seven eight nine ten"
+    val dir = corpus(Seq(
+      1L -> base, // corpus original
+      2L -> "completely different corpus text here now", // corpus noise
+      7L -> base, // batch: byte-identical -> exact_dup
+      17L -> ("one two three four five six seven eight nine eleven"), // near: same min-4 shingle fp? one tail token changed
+      27L -> "fresh unseen batch document with novel tokens")) // keep
+    val out = DedupQueries.q65IncrementalDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(7L) == "exact_dup")
+    assert(out(27L) == "keep")
+    // 17's verdict depends on whether its 4 smallest shingle-md5s survive
+    // the one-token edit; assert it is NOT an exact dup either way
+    assert(out(17L) != "exact_dup")
+  }
+
+  test("q65: whitespace-only variants are exact duplicates (normalization works)") {
+    val dir = corpus(Seq(
+      1L -> "spaced   out    text example",
+      7L -> "spaced out text example"))
+    val out = DedupQueries.q65IncrementalDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(7L) == "exact_dup")
+  }
+
+  test("q70: an extreme length outlier is gated out, the bulk survives") {
+    val normal = (1 to 30).map(i => (i.toLong, "x" * (95 + i))) // ~100 chars
+    val blob = Seq((99L, "y" * 100000)) // the concatenated-crawl blob
+    val dir = corpus(normal ++ blob)
+    val out = CorpusQueries.q70OutlierGate(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    val (total, kept, maxKept) = out("en")
+    assert(total == 31L)
+    assert(kept == 30L)
+    assert(maxKept < 1000L) // the 100k blob is gone
+  }
+
+  test("q69: quotas allocate at most the budget and follow the temperature ordering") {
+    val rows = CorpusQueries.q69TemperatureMixture(spark, sfDir).collect()
+    val quotas = rows.map(_.getLong(4))
+    assert(quotas.sum <= 100000L)
+    assert(quotas.sum > 95000L) // floor loses < 1 unit per language
+    // sqrt flattens: the head language's share of the mix must be SMALLER
+    // than its share of the raw corpus
+    val nDocs = rows.map(_.getLong(1))
+    val head = rows.maxBy(_.getLong(1))
+    assert(head.getDouble(3) < head.getLong(1).toDouble / nDocs.sum)
+  }
+
+  test("q66/q67: relevance scores are positive and ranked descending") {
+    val tfidf = CorpusQueries.q66Tfidf(spark, sfDir).collect()
+    assert(tfidf.length == 20)
+    val scores = tfidf.map(_.getDouble(4))
+    assert(scores.forall(_ > 0))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+    val bm25 = CorpusQueries.q67Bm25(spark, sfDir).collect()
+    assert(bm25.length == 15)
+    val b = bm25.map(_.getDouble(1))
+    assert(b.toSeq == b.sortBy(-_).toSeq)
+  }
+}
