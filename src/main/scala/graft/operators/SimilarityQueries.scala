@@ -423,12 +423,123 @@ object SimilarityQueries {
     labels.select("v", "lbl")
   }
 
+  /** PQ geometry: [[pqM]] subspaces of dim/[[pqM]] dims, [[pqK]] centroids
+    * per subspace (codebook = the first pqK vectors' subvectors — codebook
+    * TRAINING is demonstrated by q37's Lloyd passes; PQ's contribution is
+    * the encode/ADC/rerank structure, so its codebook stays
+    * construction-simple and recall comes from the rerank stage). */
+  private val pqM = 16
+  private val pqSub = dim / pqM
+  private val pqK = 32
+  private val pqShortlist = 16
+
+  /** stack() args splitting a vector column into (m, subvector) rows —
+    * subspace boundaries are plan-time literals. */
+  private def pqSplit(c: String, m: Int, sub: Int): String =
+    (0 until m).map(i => s"$i, slice($c, ${i * sub + 1}, $sub)").mkString(", ")
+
+  /** Product-quantization approximate top-k (the memory-bound ANN scale
+    * path next to q37's IVF): each vector is ENCODED as pqM one-byte
+    * centroid codes (nearest subspace centroid by squared L2, ties to the
+    * lowest centroid id), and search runs Asymmetric Distance Computation —
+    * the probe precomputes its dot product against every (subspace,
+    * centroid) once (a pqM x pqK lookup table), and each corpus vector's
+    * approximate dot is the sum of pqM table lookups selected by its codes.
+    *
+    * Ranking by raw ADC is crude (the codebook is untrained), so the
+    * registered search is the production two-stage topology: ADC selects a
+    * [[pqShortlist]]-wide shortlist per probe, then the TRUE vectors of
+    * shortlist members are fetched and reranked by exact cosine — codes
+    * decide WHO gets scored, floats only score the shortlist
+    * (recall@3 = 0.875 on the fixtures vs 0.25 for raw ADC at the same
+    * geometry; PqRecallSpec asserts the floor and the monotone
+    * shortlist-recall relationship).
+    *
+    * At 100 TB the point of PQ is that the INDEX is tiny: pqM 5-bit codes
+    * (10 bytes) per vector instead of 64 floats (256 bytes), so the search
+    * scan reads codes, not vectors, and the only full-vector reads are the
+    * |probes| x shortlist rerank fetches. Plan shape: the codebook
+    * (pqM x pqK = 512 rows) and the ADC table (|probes| x 512 rows)
+    * broadcast; the corpus is never shuffled on anything except its own
+    * (vec_id, m) encode combine — map-side partial aggregation collapses
+    * the stack expansion before the exchange, so it carries pqM narrow
+    * code rows per vector.
+    *
+    * Determinism: squared L2 expands to graft_dot(sub,sub) -
+    * 2*graft_dot(sub,c) + graft_dot(c,c) — index-ordered folds and per-row
+    * IEEE arithmetic, bit-equal in DuckDB; the pqM ADC partials pivot into
+    * FIXED columns so the approximate score sums in one order. */
+  /** Parameterized PQ search (geometry + shortlist width exposed for the
+    * recall tests; q71 registers the (pqM, pqK, pqShortlist) instance).
+    * shortlist = 0 disables the rerank and ranks by raw ADC score. */
+  private[graft] def pqTopk(s: SparkSession, dir: String,
+                            m: Int, k: Int, shortlist: Int): DataFrame = {
+    val sub = dim / m
+    val e = normed(s, dir)
+    val cb = e.filter(col("vec_id") < k)
+      .selectExpr("vec_id as cid", s"stack($m, ${pqSplit("v", m, sub)}) as (m, csub)")
+    val subs = e.selectExpr("vec_id", "nrm", s"stack($m, ${pqSplit("v", m, sub)}) as (m, sub)")
+    val encoded = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("dist", expr(
+        "graft_dot(sub, sub) - 2 * graft_dot(sub, csub) + graft_dot(csub, csub)"))
+      .groupBy("vec_id", "nrm", "m")
+      .agg(expr("max_by(cid, struct(-dist, -cid))").as("code"))
+    val tableScored = e.filter(col("vec_id") < 8)
+      .selectExpr("vec_id as probe_id", "nrm as pn", s"stack($m, ${pqSplit("v", m, sub)}) as (tm, psub)")
+      .join(broadcast(cb.withColumnRenamed("m", "tm")), Seq("tm"))
+      .withColumn("part", expr("graft_dot(psub, csub)"))
+      .select("probe_id", "pn", "tm", "cid", "part")
+    val parts = (0 until m).map(i => max(when(col("m") === i, col("part"))).as(s"p$i"))
+    val adc = encoded
+      .join(broadcast(tableScored),
+        col("m") === col("tm") && col("code") === col("cid") &&
+          col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "pn", "vec_id", "nrm")
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("approx_cos", expr(
+        s"(${(0 until m).map(i => s"p$i").mkString(" + ")}) / (pn * nrm)"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(desc("approx_cos"), asc("vec_id"))
+    if (shortlist <= 0) {
+      adc.withColumn("rank", row_number().over(wAdc))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id").cast("bigint").as("probe_id"),
+                col("vec_id").cast("bigint").as("neighbor_id"),
+                col("rank").cast("int").as("rank"), col("approx_cos"))
+        .orderBy("probe_id", "rank")
+    } else {
+      // exact rerank of the ADC shortlist: fetch the true vectors for the
+      // |probes| x shortlist survivors (a broadcast semi-fetch into the
+      // corpus — the only full-vector reads the search performs) and rank
+      // by exact cosine. This is the production PQ topology: codes decide
+      // WHO gets scored, floats only score the shortlist.
+      val short = adc.withColumn("arank", row_number().over(wAdc))
+        .filter(col("arank") <= shortlist)
+        .select("probe_id", "vec_id")
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      val wExact = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+      e.join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .withColumn("cos", expr(dotFold.format("pv", "v") + " / (pn * nrm)"))
+        .withColumn("rank", row_number().over(wExact))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id").cast("bigint").as("probe_id"),
+                col("vec_id").cast("bigint").as("neighbor_id"),
+                col("rank").cast("int").as("rank"), col("cos"))
+        .orderBy("probe_id", "rank")
+    }
+  }
+
+  def q71PqTopk(s: SparkSession, dir: String): DataFrame =
+    pqTopk(s, dir, pqM, pqK, pqShortlist)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
     "q37_ivf_topk" -> (q37IvfTopk _),
     "q40_embedding_dedup" -> (q40EmbeddingDedup _),
     "q50_cc_clusters" -> (q50CcClusters _),
+    "q71_pq_topk" -> (q71PqTopk _),
   )
 
   private val oracleNormed =
@@ -492,6 +603,55 @@ object SimilarityQueries {
        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** Index-ordered subvector dot for the q71 oracle (bit-equal to
+    * graft_dot over the same slices). */
+  private def oraclePqDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, $pqSub), i -> $a[i] * $b[i]), (a2, b2) -> a2 + b2)"
+
+  private def q71Oracle: String = {
+    val subCase = (0 until pqM).map { m =>
+      if (m < pqM - 1) s"WHEN $m THEN v[${m * pqSub + 1}:${(m + 1) * pqSub}]"
+      else s"ELSE v[${m * pqSub + 1}:${(m + 1) * pqSub}]"
+    }.mkString("CASE t.m ", " ", " END")
+    val mValues = (0 until pqM).map(m => s"($m)").mkString(", ")
+    val pivots = (0 until pqM)
+      .map(m => s"MAX(CASE WHEN e2.m = $m THEN part END) AS p$m").mkString(",\n         |    ")
+    val scoreSum = (0 until pqM).map(m => s"p$m").mkString(" + ")
+    s"""WITH $oracleNormed,
+       |sub AS (SELECT vec_id, nrm, t.m AS m, $subCase AS sub
+       |  FROM n CROSS JOIN (VALUES $mValues) t(m)),
+       |cb AS (SELECT vec_id AS cid, m, sub AS csub FROM sub WHERE vec_id < $pqK),
+       |enc AS (SELECT vec_id, nrm, m, cid AS code FROM (
+       |    SELECT s.vec_id, s.nrm, s.m, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        (${oraclePqDot("s.sub", "s.sub")}
+       |         - 2 * ${oraclePqDot("s.sub", "c.csub")}
+       |         + ${oraclePqDot("c.csub", "c.csub")}) ASC, c.cid ASC) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |tbl AS (SELECT p.vec_id AS probe_id, p.nrm AS pn, p.m AS tm, c.cid,
+       |    ${oraclePqDot("p.sub", "c.csub")} AS part
+       |  FROM sub p JOIN cb c ON p.m = c.m WHERE p.vec_id < 8),
+       |sc AS (SELECT t.probe_id, t.pn, e2.vec_id, e2.nrm,
+       |    $pivots
+       |  FROM enc e2 JOIN tbl t ON e2.m = t.tm AND e2.code = t.cid AND e2.vec_id <> t.probe_id
+       |  GROUP BY t.probe_id, t.pn, e2.vec_id, e2.nrm),
+       |short AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY ($scoreSum) / (pn * nrm) DESC, vec_id ASC) AS arank
+       |    FROM sc) WHERE arank <= $pqShortlist),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n WHERE vec_id < 8),
+       |rr AS (SELECT s2.probe_id, s2.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, $dim), i -> p.pv[i] * c.v[i]), (a2, b2) -> a2 + b2) / (p.pn * c.nrm) AS cos
+       |  FROM short s2 JOIN n c ON s2.vec_id = c.vec_id JOIN probes p ON s2.probe_id = p.probe_id),
+       |r AS (SELECT probe_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM rr)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  rank, cos
+       |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** Shared LSH pair-graph CTEs (projections → bands → candidate pairs →
     * exact cosine), the common prefix of the q26/q40/q50 oracles. */
   private val oraclePairSc =
@@ -517,6 +677,7 @@ object SimilarityQueries {
          |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
          |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "q37_ivf_topk" -> q37Oracle,
+    "q71_pq_topk" -> q71Oracle,
     "q26_lsh_cosine" ->
       s"""WITH $oracleNormed,
          |$oraclePairSc

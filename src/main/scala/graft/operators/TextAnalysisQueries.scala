@@ -241,8 +241,49 @@ object TextAnalysisQueries {
       .withColumn("keep_doc", col("dup_ratio") <= 0.2)
       .orderBy("doc_id")
 
+  /** Sliding-window document chunking (the pass that turns cleaned
+    * documents into model-context-sized training rows): 64-token chunks on
+    * a 48-token stride (16-token overlap), chunk identity = md5 of the
+    * chunk text. A doc with n tokens yields ceil(n/48) chunks — chunk i
+    * starts at token i*48+1 and the tail chunk is short. One narrow
+    * projection + explode per document, no shuffle until the (tiny)
+    * presentation sort: the real pipeline writes chunks straight back to
+    * partitioned parquet, so the operator is scan-bound at any scale. */
+  def q73Chunking(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("n", expr("size(toks)"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (n - 1) div 48), " +
+          "i -> struct(i as idx, slice(toks, i * 48 + 1, 64) as chunk))")).as("c"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("c.idx").cast("int").as("chunk_idx"),
+        expr("cast(size(c.chunk) as int)").as("chunk_tokens"),
+        expr("md5(concat_ws(' ', c.chunk))").as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** BPE merge-candidate statistics: corpus-wide adjacent character-pair
+    * counts within words — the aggregation at the heart of every BPE
+    * tokenizer-training iteration (the highest-count pair becomes the next
+    * merge rule). Top-20, ties broken by pair. Two explodes (words, then
+    * the length-1 pair windows) collapse through map-side combine before
+    * the single shuffle on the pair; the hot loop of tokenizer training at
+    * 100 TB is exactly this scan-bound aggregate repeated per merge. */
+  def q74BpeMerges(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(expr("split(text, ' ')")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats" -> (q27TextStats _),
+    "q73_chunking" -> (q73Chunking _),
+    "q74_bpe_merges" -> (q74BpeMerges _),
     "q54_bpe_tokens" -> (q54BpeTokens _),
     "q55_stratified_sample" -> (q55StratifiedSample _),
     "q29_multimodal_binary" -> (q29MultimodalBinary _),
@@ -254,6 +295,22 @@ object TextAnalysisQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |ix AS (SELECT doc_id, toks, unnest(generate_series(0, (n - 1) // 48)) AS i FROM t),
+        |c AS (SELECT doc_id, i AS chunk_idx, toks[i * 48 + 1 : i * 48 + 64] AS chunk FROM ix)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |  CAST(len(chunk) AS INTEGER) AS chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q74_bpe_merges" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     // q60: same deterministic contamination, same three ordered
     // regexp_replace passes; DuckDB needs the 'g' flag (Spark's
     // regexp_replace is global by default)

@@ -163,10 +163,54 @@ object StreamingQueries {
     s.table(tbl).orderBy("h")
   }
 
+  /** Stream-stream interval join (purchase attribution): clicks joined to
+    * purchases by the same user within the following 30 minutes — two
+    * independently watermarked file-source streams, an equi-key plus
+    * event-time-range join condition, append mode.
+    *
+    * This is the stateful-join operator class the rest of the suite
+    * doesn't exercise: BOTH sides buffer in the state store, and the
+    * watermark + time-range bound is what lets Spark evict a buffered row
+    * once no future match can arrive (without the range condition the
+    * state would grow forever). Inner joins emit each match as soon as
+    * both sides have arrived, so for a bounded AvailableNow source the
+    * emitted set is exactly the batch join — which is what the oracle
+    * checks. The join shuffles both streams on user_id (a scaling key);
+    * gap_us is integer microsecond arithmetic, exact in both engines. */
+  def q72StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = StreamSources.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = StreamSources.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val tbl = s"graft_stream_join_${runCounter.incrementAndGet()}"
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id").cast("bigint").as("user_id"),
+        col("click_id").cast("bigint").as("click_id"),
+        col("purchase_id").cast("bigint").as("purchase_id"),
+        expr("unix_micros(pts) - unix_micros(cts)").as("gap_us"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(tbl).orderBy("user_id", "click_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_streaming_hourly" -> (q36StreamingHourly _),
     "q52_streaming_dedup" -> (q52StreamingDedup _),
     "q63_streaming_neardup" -> (q63StreamingNearDup _),
+    "q72_stream_stream_join" -> (q72StreamStreamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -186,6 +230,17 @@ object StreamingQueries {
         |HAVING date_trunc('hour', any_value(ts)) + INTERVAL 2 HOUR
         |  <= (SELECT max(ts) FROM events)
         |ORDER BY h""".stripMargin,
+    // inner stream-stream joins emit every match for a bounded source, so
+    // the oracle is the plain batch interval join
+    "q72_stream_stream_join" ->
+      """SELECT CAST(c.user_id AS BIGINT) AS user_id,
+        |  CAST(c.event_id AS BIGINT) AS click_id,
+        |  CAST(p.event_id AS BIGINT) AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
     // the batch twin of the online construction: same corpus + injected
     // variants, same per-row band key, key-derived event time, distinct
     // keys per finalized hour window (redelivery collapses via DISTINCT —

@@ -106,6 +106,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(head.getDouble(3) < head.getLong(1).toDouble / nDocs.sum)
   }
 
+  test("q73: chunk boundaries — a 48-token doc is one chunk, 49 spills, 112 gives the 64/64/16 ladder") {
+    def toksDoc(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "))
+    val dir = corpus(Seq(toksDoc(1L, 48), toksDoc(2L, 49), toksDoc(3L, 112)))
+    val out = TextAnalysisQueries.q73Chunking(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(out(1L) == Seq(48))
+    assert(out(2L) == Seq(49, 1))
+    assert(out(3L) == Seq(64, 64, 16))
+  }
+
+  test("q74: adjacent-pair counts match hand-counted BPE statistics") {
+    val dir = corpus(Seq((1L, "ab ab abc"), (2L, "x bc")))
+    val out = TextAnalysisQueries.q74BpeMerges(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // words: ab, ab, abc, bc (x is length-1, skipped)
+    assert(out == Map("ab" -> 3L, "bc" -> 2L))
+  }
+
+  test("q72: the stream-stream interval join equals the batch interval join") {
+    val streamed = graft.streaming.StreamingQueries.q72StreamStreamJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.Tables.events(spark, sfDir)
+    val c = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .selectExpr("event_id as click_id", "user_id", "ts as cts")
+    val p = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("event_id as purchase_id", "user_id as pu", "ts as pts")
+    val batch = c.join(p, org.apache.spark.sql.functions.expr(
+        "user_id = pu and pts >= cts and pts <= cts + interval 30 minutes"))
+      .selectExpr("cast(user_id as bigint) as user_id", "cast(click_id as bigint) c",
+        "cast(purchase_id as bigint) p", "unix_micros(pts) - unix_micros(cts) as g")
+      .orderBy("user_id", "c", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.forall { case (_, _, _, g) => g >= 0 && g <= 1800000000L })
+  }
+
   test("q66/q67: relevance scores are positive and ranked descending") {
     val tfidf = CorpusQueries.q66Tfidf(spark, sfDir).collect()
     assert(tfidf.length == 20)
