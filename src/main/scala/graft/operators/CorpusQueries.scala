@@ -257,12 +257,105 @@ object CorpusQueries {
       .orderBy("lang")
   }
 
+  /** Unigram language-model quality score (the CCNet-style "perplexity
+    * filter" in cross-engine-deterministic form): train unigram
+    * probabilities on the corpus itself, score each document by its mean
+    * token probability — natural text full of common tokens scores high,
+    * gibberish and boilerplate-of-rare-symbols score low. The standard
+    * formulation averages log-probs; ln is not correctly rounded across
+    * engines, and the per-doc sum of doubles would be order-dependent, so
+    * BOTH problems are solved by the q69 trick: each occurrence's
+    * probability is quantized to integer picounits (floor(p * 1e12)), the
+    * per-document sum is an exact integer in any order, and one double
+    * division at the end produces the score. Same monotone filtering
+    * behavior, bit-reproducible, no per-document ordered buffer.
+    *
+    * Scale: one token count shuffle (map-side combined), one equi-join of
+    * the exploded stream back to the counts on the token key, one
+    * per-document sum. The count table scales with |vocab|, not corpus —
+    * AQE broadcasts it when it measures small. */
+  def q75UnigramQuality(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    tok.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("pq", expr(
+        "cast(floor(cast(cnt as double) / cast(total as double) * 1e12) as bigint)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"), sum("pq").as("spq"))
+      .withColumn("score", expr(
+        "cast(spq as double) / (1e12 * cast(n_tokens as double))"))
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("n_tokens"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language heavy hitters: the top-3 tokens of each language by
+    * occurrence count (ties to the token) — the per-stratum top-k shape
+    * (rank window over GROUP SUMMARIES). The window partitions by lang
+    * over |vocab| x |langs| aggregated rows, never over documents, so the
+    * bounded-partition-count hazard doesn't apply. */
+  def q76TopkPerLang(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(desc("cnt"), asc("tok"))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(expr("split(text, ' ')")).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("rank").cast("int").as("rank"), col("tok"), col("cnt"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Deterministic weighted source interleave (assembling the training
+    * sequence from per-source streams): source s gets weight
+    * w = 1 + s%4, each document's interleave position is
+    * rank-within-source x (12/w) — exact integer arithmetic (12 is the
+    * weight LCM), so a weight-2 source appears twice as densely as a
+    * weight-1 source in the merged prefix, reproducibly on any engine.
+    *
+    * The rank within source is NOT a per-source window (20 sources =
+    * 20 tasks forever, each scanning a corpus fraction): it reuses q68's
+    * two-phase prefix pattern — per-(source, id-bucket) counts, offsets
+    * from a window over bucket summaries, a bucket-local row_number —
+    * so rank assignment parallelizes with the data. Output: the first 60
+    * positions of the merged sequence (TakeOrderedAndProject, no global
+    * sort materialization). */
+  def q77WeightedInterleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        expr("cast(substring(source, 4) as int)").as("sn"),
+        expr(s"doc_id div $packBucketWidth").as("bucket"))
+    val bucketCounts = docs.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("bc"))
+    val offsets = bucketCounts.withColumn("off",
+      coalesce(sum("bc").over(
+        Window.partitionBy("source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bucket", "off")
+    docs.join(offsets, Seq("source", "bucket"))
+      .withColumn("intra", row_number().over(
+        Window.partitionBy("source", "bucket").orderBy("doc_id")))
+      .withColumn("w", expr("1 + sn % 4"))
+      .withColumn("pos", expr("(off + intra) * (12 div w)"))
+      .select(col("pos").cast("bigint").as("pos"), col("source"),
+        col("doc_id").cast("bigint").as("doc_id"), col("w").cast("int").as("w"))
+      .orderBy("pos", "source", "doc_id")
+      .limit(60)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_tfidf" -> (q66Tfidf _),
     "q67_bm25" -> (q67Bm25 _),
     "q68_token_packing" -> (q68TokenPacking _),
     "q69_temperature_mixture" -> (q69TemperatureMixture _),
     "q70_outlier_gate" -> (q70OutlierGate _),
+    "q75_unigram_quality" -> (q75UnigramQuality _),
+    "q76_topk_per_lang" -> (q76TopkPerLang _),
+    "q77_weighted_interleave" -> (q77WeightedInterleave _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,6 +411,32 @@ object CorpusQueries {
         |  CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) AS share,
         |  CAST(floor(CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) * 100000) AS BIGINT) AS quota
         |FROM q ORDER BY lang""".stripMargin,
+    "q75_unigram_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |t AS (SELECT SUM(cnt) AS total FROM c),
+        |j AS (SELECT doc_id,
+        |    CAST(floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1e12) AS BIGINT) AS pq
+        |  FROM tok JOIN c USING (tok) CROSS JOIN t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(pq) AS DOUBLE) / (1e12 * CAST(COUNT(*) AS DOUBLE)) AS score
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q76_topk_per_lang" ->
+      """WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY lang, tok),
+        |r AS (SELECT lang, tok, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS INTEGER) AS rank
+        |  FROM g)
+        |SELECT lang, rank, tok, cnt FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    "q77_weighted_interleave" ->
+      """WITH d AS (SELECT source, doc_id, CAST(substr(source, 4, 10) AS INTEGER) AS sn FROM documents),
+        |r AS (SELECT source, doc_id, sn,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM d),
+        |p AS (SELECT CAST(rn * (12 // (1 + sn % 4)) AS BIGINT) AS pos, source,
+        |    CAST(doc_id AS BIGINT) AS doc_id, CAST(1 + sn % 4 AS INTEGER) AS w
+        |  FROM r)
+        |SELECT pos, source, doc_id, w FROM p
+        |ORDER BY pos, source, doc_id LIMIT 60""".stripMargin,
     "q70_outlier_gate" ->
       """WITH m AS (SELECT lang, COUNT(*) AS n,
         |    SUM(CAST(n_chars AS HUGEINT)) AS s,

@@ -357,15 +357,19 @@ object DedupQueries {
     * the corpus), `near_dup` (q28's min-4 shingle fingerprint already in
     * the corpus), or `keep`.
     *
-    * Both fingerprints come out of ONE projection pass over the corpus;
-    * the batch then left-joins the corpus's distinct fingerprint sets on
-    * the 128-bit keys. Two shuffles on high-cardinality hash keys — the
-    * corpus side is unbounded so nothing is broadcast; in production the
-    * corpus fingerprint tables are the durable state this query maintains
-    * (append `keep` rows back), so the expensive text pass never re-runs
-    * over old data. */
+    * Both fingerprints come out of ONE projection pass over the corpus,
+    * STAGED to parquet (graft.Staging, the q42 pattern) because three plan
+    * branches read it (batch, corpus-exact, corpus-near) — unstaged, the
+    * md5 + shingle subtree executes once per branch, tripling the dominant
+    * text-pass cost. The batch then left-joins the corpus's distinct
+    * fingerprint sets on the 128-bit keys. Two shuffles on
+    * high-cardinality hash keys — the corpus side is unbounded so nothing
+    * is broadcast; in production the staged fingerprint table is exactly
+    * the durable state this query maintains (append `keep` rows back), so
+    * the expensive text pass never re-runs over old data. */
   def q65IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val prints = Tables.documents(s, dir)
+    val ck = graft.Staging.fresh("inc65")
+    Tables.documents(s, dir)
       .withColumn("toks", expr("split(text, ' ')"))
       .select(
         col("doc_id"),
@@ -373,6 +377,8 @@ object DedupQueries {
         expr("case when size(toks) >= 3 then concat_ws('', " +
           s"slice(array_sort(array_distinct(transform($shinglesExpr, x -> md5(x)))), 1, 4)) end")
           .as("nfp"))
+      .write.mode("overwrite").parquet(s"$ck/prints")
+    val prints = s.read.parquet(s"$ck/prints")
     val batch = prints.filter(col("doc_id") % 10 === 7)
     val corpus = prints.filter(col("doc_id") % 10 =!= 7)
     val corpusFp = corpus.select(col("fp").as("cfp")).distinct()

@@ -224,6 +224,23 @@ object EtlQueries {
            sum(dec6(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy("c_mktsegment")
 
+  /** Semi-structured JSON parsing (the event-properties sidecar every
+    * telemetry pipeline carries): `events.props` is a JSON string column;
+    * `from_json` with an explicit schema projects it into a typed struct
+    * inside the scan projection — no UDF, schema errors surface as nulls.
+    * At 100 TB a schema'd `from_json` beats per-path `get_json_object`
+    * calls (one parse per row, not one per extracted field). Output:
+    * per-event-type stats of the extracted integer. */
+  def q78JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", expr("from_json(props, 'k INT').k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+           min("k").cast("int").as("min_k"),
+           max("k").cast("int").as("max_k"),
+           sum("k").cast("bigint").as("sum_k"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_partitioned_write" -> (q30PartitionedWrite _),
     "q31_ingest_parse" -> (q31IngestParse _),
@@ -232,6 +249,7 @@ object EtlQueries {
     "q34_grid_argmin" -> (q34GridArgmin _),
     "q35_sql_view" -> (q35SqlView _),
     "q62_bucketed_join" -> (q62BucketedJoin _),
+    "q78_json_extract" -> (q78JsonExtract _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -287,5 +305,11 @@ object EtlQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q78_json_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
+        |  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -41,6 +41,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 3L, 6000L), (1L, 2L, 4000L)))
   }
 
+  test("q68: two-phase == naive on a randomized corpus (gapped ids, ragged lengths, many langs)") {
+    val rnd = new scala.util.Random(42)
+    val ids = scala.collection.mutable.SortedSet.empty[Long]
+    while (ids.size < 300) ids += rnd.nextInt(100000).toLong
+    val langs = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val rows = ids.toSeq.map { id =>
+      (id, (1 to (1 + rnd.nextInt(200))).map(i => s"t$i").mkString(" "))
+    }
+    val dir = corpus(rows, lang = id => langs((id % langs.length).toInt))
+    val twoPhase = CorpusQueries.q68TokenPacking(spark, dir).collect()
+    val naive = CorpusQueries.tokenPackingNaive(spark, dir).collect()
+    assert(twoPhase.nonEmpty && twoPhase.toSeq == naive.toSeq)
+  }
+
   test("q64: a training doc that copies benchmark text is flagged; disjoint docs are not") {
     // id 74 is benchmark (74 % 37 == 0); 75 copies it, 76 is disjoint
     val leaked = "alpha beta gamma delta epsilon zeta"
@@ -142,6 +156,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
     assert(streamed.forall { case (_, _, _, g) => g >= 0 && g <= 1800000000L })
+  }
+
+  test("q75: common-token documents outscore rare-token documents") {
+    // 9 docs of common filler + 1 doc of singleton tokens
+    val filler = (1 to 9).map(i => (i.toLong, "the cat sat on the mat again and again"))
+    val weird = Seq((99L, "zxqv wkjh pqrs tuvw xyzq mnbv cxza sdfg hjkl"))
+    val dir = corpus(filler ++ weird)
+    val out = CorpusQueries.q75UnigramQuality(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out(1L) > out(99L) * 5,
+      s"filler ${out(1L)} must dominate gibberish ${out(99L)}")
+  }
+
+  test("q76: per-language top tokens are the hand-counted ones") {
+    val dir = corpus(
+      Seq((1L, "aa aa aa bb bb cc"), (2L, "dd dd ee")),
+      lang = id => if (id == 1L) "en" else "fr")
+    val out = CorpusQueries.q76TopkPerLang(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getLong(3)))).toMap
+    assert(out(("en", 1)) == ("aa", 3L))
+    assert(out(("en", 2)) == ("bb", 2L))
+    assert(out(("en", 3)) == ("cc", 1L))
+    assert(out(("fr", 1)) == ("dd", 2L))
+    assert(out(("fr", 2)) == ("ee", 1L))
+  }
+
+  test("q77: a weight-4 source appears four times as densely as a weight-1 source") {
+    // fixture sources: sn % 4 == 3 -> w=4 (src3, src7, ...); sn % 4 == 0 -> w=1
+    val rows = CorpusQueries.q77WeightedInterleave(spark, sfDir).collect()
+    assert(rows.length == 60)
+    val pos = rows.map(_.getLong(0))
+    assert(pos.toSeq == pos.sorted.toSeq)
+    // within any merged prefix, each source's count is rank-within-source,
+    // so count(w=4 source) ~ 4 x count(w=1 source); the fixture has 5
+    // sources of each weight class (src0..src19)
+    val byW = rows.groupBy(_.getInt(3)).view.mapValues(_.length).toMap
+    assert(byW.getOrElse(4, 0) > 0 && byW.getOrElse(4, 0) > 2 * byW.getOrElse(1, 0),
+      s"weight-4 sources must dominate the prefix: $byW")
   }
 
   test("q66/q67: relevance scores are positive and ranked descending") {
