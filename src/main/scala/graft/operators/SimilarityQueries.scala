@@ -408,13 +408,20 @@ object SimilarityQueries {
       .localCheckpoint()
     var prevLabels = labels
     var converged = false
+    var pass = 0
     while (!converged) {
-      // carry the prior label through the checkpoint so the convergence
-      // probe is a cheap filter-count on the materialized frame, not a join
+      // the convergence count rides the checkpoint materialization as a
+      // named observation — one job per pass, not a checkpoint job plus a
+      // separate count job (the observation fills when localCheckpoint's
+      // action completes; verified against a filter-count probe by
+      // CcPropagationSpec's convergence tests)
+      pass += 1
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_pass_$pass")
       val next = hop(prevLabels, labels)
         .join(labels.select(col("v"), col("lbl").as("prev_lbl")), Seq("v"))
+        .observe(obs, sum(when(col("lbl") =!= col("prev_lbl"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
-      converged = next.filter(col("lbl") =!= col("prev_lbl")).count() == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       if (prevLabels ne labels) release(prevLabels)
       prevLabels = labels
       labels = next
