@@ -26,6 +26,24 @@ object Warehouse {
       .partitionBy(partCol)
       .parquet(path)
 
+  /** Idempotent partition-level re-load (the reference's real monthly
+    * semantics: re-running a month's DAG must REPLACE that month, not
+    * append a duplicate — `transform_load.py:438` approximates this with
+    * the bootstrap truncate; BigQuery gives it per-partition). Spark-native
+    * form: dynamic partition overwrite — `mode("overwrite")` with
+    * `partitionOverwriteMode=dynamic` rewrites ONLY the partitions present
+    * in the incoming frame and leaves every other directory untouched.
+    * The option rides the WRITER (not the session conf), so concurrent
+    * queries on the same session see no config change. At 100 TB this is
+    * what makes a re-run of one ingest slice O(slice), not O(table), and
+    * safe to repeat. */
+  def upsertPartitions(df: DataFrame, partCol: String, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+
   /** Partition-pruned read (ref S3/S4: path-level month selection,
     * `transform_load.py:261-263,465-483`). The equality predicate on the
     * partition column never reads non-matching directories. */

@@ -56,6 +56,36 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(fact.filter(col("start_weather_id").isNotNull).count() > 0)
   }
 
+  test("dynamic partition upsert replaces one slice, leaves the others byte-identical") {
+    import spark.implicits._
+    val path = graft.Staging.fresh("upsert") + "/t"
+    val v1 = Seq(("2024-01", 1L), ("2024-01", 2L), ("2024-02", 3L), ("2024-03", 4L))
+      .toDF("month", "id")
+    Warehouse.writePartitioned(v1, "month", path, firstRun = true)
+    // re-load February with corrected rows: only that partition changes
+    val feb2 = Seq(("2024-02", 30L), ("2024-02", 31L)).toDF("month", "id")
+    Warehouse.upsertPartitions(feb2, "month", path)
+    val after = spark.read.parquet(path)
+      .collect().map(r => (r.getAs[String]("month"), r.getAs[Long]("id"))).toSet
+    assert(after === Set(("2024-01", 1L), ("2024-01", 2L),
+      ("2024-02", 30L), ("2024-02", 31L), ("2024-03", 4L)))
+    // idempotence: the same upsert again changes nothing
+    Warehouse.upsertPartitions(feb2, "month", path)
+    assert(spark.read.parquet(path).count() === 5)
+  }
+
+  test("aggregation on the bucket key plans with no hash exchange") {
+    // the bucketed layout satisfies the aggregation's distribution
+    // requirement the same way it satisfies the join's — grouping by the
+    // bucket column must not shuffle the fact table
+    val s = spark
+    val agg = graft.operators.EtlQueries.bucketedOrdersCustomer(s, sfDir)
+      .groupBy("o_custkey").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy must not shuffle:\n$plan")
+  }
+
   test("partition-pruned warehouse read returns only the requested slice") {
     val day = Warehouse.readPartition(spark, s"$warehouse/dim_timestamp", "day", "2024-01-15")
     assert(day.count() === 1440)
