@@ -241,6 +241,28 @@ object EtlQueries {
            sum("k").cast("bigint").as("sum_k"))
       .orderBy("event_type")
 
+  /** Corrupt-tolerant semi-structured parse (every real ingest sees
+    * malformed payloads; the job must quarantine them, not die): a
+    * deterministic ~9% of rows get their JSON truncated (event_id % 11 —
+    * the q60-style reproducible contamination), then `from_json` in its
+    * default PERMISSIVE mode nulls the struct for unparseable input
+    * instead of failing the task, and the aggregate reports good/bad
+    * counts per type alongside the stats over surviving rows. The DuckDB
+    * twin guards with json_valid — both engines classify the identical
+    * row set as corrupt, so the quarantine accounting itself is
+    * hash-checked. */
+  def q79CorruptTolerantParse(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("raw", expr(
+        "case when event_id % 11 = 0 then substring(props, 1, 5) else props end"))
+      .withColumn("k", expr("from_json(raw, 'k INT').k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+           count(col("k")).cast("bigint").as("n_parsed"),
+           (count(lit(1)) - count(col("k"))).cast("bigint").as("n_corrupt"),
+           sum("k").cast("bigint").as("sum_k"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_partitioned_write" -> (q30PartitionedWrite _),
     "q31_ingest_parse" -> (q31IngestParse _),
@@ -250,6 +272,7 @@ object EtlQueries {
     "q35_sql_view" -> (q35SqlView _),
     "q62_bucketed_join" -> (q62BucketedJoin _),
     "q78_json_extract" -> (q78JsonExtract _),
+    "q79_corrupt_tolerant_parse" -> (q79CorruptTolerantParse _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -311,5 +334,17 @@ object EtlQueries {
         |  CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
         |  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q79_corrupt_tolerant_parse" ->
+      """WITH r AS (SELECT event_type,
+        |    CASE WHEN event_id % 11 = 0 THEN substr(props, 1, 5) ELSE props END AS raw
+        |  FROM events),
+        |p AS (SELECT event_type,
+        |    CASE WHEN json_valid(raw) THEN CAST(raw->>'$.k' AS INTEGER) END AS k
+        |  FROM r)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(k) AS BIGINT) AS n_parsed,
+        |  CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
