@@ -318,58 +318,58 @@ object DedupQueries {
            min("doc_id").cast("bigint").as("keep_id"))
       .orderBy("fp")
 
-  /** Test-set decontamination: which training documents share a word
-    * 3-gram with the benchmark/eval set? (The pass every LLM corpus runs
-    * before training — leaked eval shingles inflate benchmark scores.)
-    * The fixture's "benchmark" is the deterministic doc_id % 37 == 0
-    * slice; production substitutes the real eval suites.
-    *
-    * Shape: one shingle-hash scan over the corpus, split into benchmark
-    * and training sides (disjoint filters of the same subtree — the text
-    * pass runs ~once), then an equi-join on the shingle md5. The shuffle
-    * partitions by shingle — a scaling key. A real benchmark suite is
-    * BOUNDED (thousands of docs against billions), so production wraps the
-    * benchmark side in broadcast(); here it grows with the corpus
-    * (1/37th), so the plan stays a shuffle join and AQE may still elect a
-    * runtime broadcast when the side measures small. */
-  def q64Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+  /** Exploded distinct word-3-shingle hashes of a (doc_id, text) frame —
+    * the shared front half of the decontamination library surface. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(transform($shinglesExpr, x -> md5(x)))")).as("g"))
-    val bench = grams.filter(col("doc_id") % 37 === 0).select("g").distinct()
-    val train = grams.filter(col("doc_id") % 37 =!= 0)
-    train.join(bench, Seq("g"))
+
+  /** Library form of test-set decontamination over arbitrary (doc_id,
+    * text) frames: rows of `train` that share at least one word 3-gram
+    * with any document of `bench`, with the distinct-shared-shingle count.
+    * `broadcastBench = true` is the production setting — a real eval suite
+    * is bounded (thousands of docs against billions), so its shingle set
+    * broadcasts and the training corpus is never shuffled at all. Pass
+    * false when the benchmark side scales with the corpus (as in the
+    * fixture query, whose bench side is a fixed fraction of it). */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    broadcastBench: Boolean = true): DataFrame = {
+    val benchSet = shingleHashes(bench).select("g").distinct()
+    shingleHashes(train)
+      .join(if (broadcastBench) broadcast(benchSet) else benchSet, Seq("g"))
       .groupBy("doc_id")
-      // grams are distinct per doc and bench is a distinct set, so the
-      // join emits each (doc, shingle) at most once: COUNT(*) IS the
+      // train grams are distinct per doc and bench is a distinct set, so
+      // the join emits each (doc, shingle) at most once: COUNT(*) IS the
       // distinct-shared-shingle count, no count_distinct state needed
       .agg(count(lit(1)).cast("bigint").as("n_hits"))
       .select(col("doc_id").cast("bigint").as("doc_id"), col("n_hits"))
       .orderBy("doc_id")
   }
 
-  /** Incremental corpus dedup: a new batch (doc_id % 10 == 7 — the
-    * "this week's crawl" slice) deduplicated AGAINST the existing corpus,
-    * not within itself — the shape of every recurring ingest. Each batch
-    * doc gets a verdict: `exact_dup` (whitespace-normalized md5 already in
-    * the corpus), `near_dup` (q28's min-4 shingle fingerprint already in
-    * the corpus), or `keep`.
-    *
-    * Both fingerprints come out of ONE projection pass over the corpus,
-    * STAGED to parquet (graft.Staging, the q42 pattern) because three plan
-    * branches read it (batch, corpus-exact, corpus-near) — unstaged, the
-    * md5 + shingle subtree executes once per branch, tripling the dominant
-    * text-pass cost. The batch then left-joins the corpus's distinct
-    * fingerprint sets on the 128-bit keys. Two shuffles on
-    * high-cardinality hash keys — the corpus side is unbounded so nothing
-    * is broadcast; in production the staged fingerprint table is exactly
-    * the durable state this query maintains (append `keep` rows back), so
-    * the expensive text pass never re-runs over old data. */
-  def q65IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val ck = graft.Staging.fresh("inc65")
-    Tables.documents(s, dir)
+  /** Test-set decontamination over the fixture (the pass every LLM corpus
+    * runs before training — leaked eval shingles inflate benchmark
+    * scores): the "benchmark" is the deterministic doc_id % 37 == 0 slice,
+    * so it GROWS with the corpus and must not broadcast here; production
+    * calls [[decontaminate]] with its default broadcast. The two sides are
+    * disjoint filters of one scan, so the text pass runs ~once, and the
+    * join shuffles on the shingle md5 — a scaling key (AQE may still elect
+    * a runtime broadcast when the bench side measures small). */
+  def q64Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    decontaminate(
+      train = docs.filter(col("doc_id") % 37 =!= 0),
+      bench = docs.filter(col("doc_id") % 37 === 0),
+      broadcastBench = false)
+  }
+
+  /** Both incremental-dedup fingerprints of a (doc_id, text) frame in one
+    * projection: `fp` = whitespace-normalized md5 (exact), `nfp` = q28's
+    * min-4 shingle fingerprint (near; null under 3 tokens). */
+  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr("split(text, ' ')"))
       .select(
         col("doc_id"),
@@ -377,6 +377,40 @@ object DedupQueries {
         expr("case when size(toks) >= 3 then concat_ws('', " +
           s"slice(array_sort(array_distinct(transform($shinglesExpr, x -> md5(x)))), 1, 4)) end")
           .as("nfp"))
+
+  /** Library form of incremental corpus dedup: each row of `batch` gets a
+    * verdict against `corpus` — `exact_dup`, `near_dup`, or `keep`. Both
+    * inputs are (doc_id, text) frames; in production `corpus` is the
+    * durable fingerprint table this operator maintains (append the `keep`
+    * rows' fingerprints back), so the expensive text pass never re-runs
+    * over old data — pass an already-fingerprinted frame via
+    * [[fingerprints]] upstream if the corpus is pre-indexed. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusPrints = fingerprints(corpus)
+    val corpusFp = corpusPrints.select(col("fp").as("cfp")).distinct()
+    val corpusNfp = corpusPrints.filter(col("nfp").isNotNull)
+      .select(col("nfp").as("cnfp")).distinct()
+    fingerprints(batch)
+      .join(corpusFp, col("fp") === col("cfp"), "left")
+      .join(corpusNfp, col("nfp") === col("cnfp"), "left")
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        expr("case when cfp is not null then 'exact_dup' " +
+          "when cnfp is not null then 'near_dup' else 'keep' end").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental corpus dedup over the fixture: the new batch is the
+    * doc_id % 10 == 7 "this week's crawl" slice, deduplicated AGAINST the
+    * rest — the shape of every recurring ingest. Unlike the two-frame
+    * library form ([[incrementalDedup]]), both sides here derive from ONE
+    * fixture table, so the fingerprint pass is computed once and STAGED to
+    * parquet (the q42 pattern): three plan branches read it (batch,
+    * corpus-exact, corpus-near), and unstaged the md5 + shingle subtree
+    * would execute once per branch. Two shuffles on high-cardinality
+    * 128-bit keys; the corpus side is unbounded so nothing is broadcast. */
+  def q65IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val ck = graft.Staging.fresh("inc65")
+    fingerprints(Tables.documents(s, dir))
       .write.mode("overwrite").parquet(s"$ck/prints")
     val prints = s.read.parquet(s"$ck/prints")
     val batch = prints.filter(col("doc_id") % 10 === 7)

@@ -69,6 +69,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(75L) == 4L)
   }
 
+  test("decontaminate library form: broadcast bench gives the same answer with a broadcast plan") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 =!= 0)
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 0)
+    val hinted = DedupQueries.decontaminate(train, bench) // default: broadcast
+    val unhinted = DedupQueries.decontaminate(train, bench, broadcastBench = false)
+    assert(hinted.collect().toSeq == unhinted.collect().toSeq)
+    assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+  }
+
+  test("incrementalDedup library form matches the fixture query on the same split") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val lib = DedupQueries.incrementalDedup(
+      batch = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7),
+      corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val fixture = DedupQueries.q65IncrementalDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(lib == fixture)
+  }
+
   test("q65: exact copies, near copies, and fresh docs get the right verdicts") {
     // batch ids are % 10 == 7; corpus ids are everything else
     val base = "one two three four five six seven eight nine ten"
