@@ -36,7 +36,14 @@ object Warehouse {
     * The option rides the WRITER (not the session conf), so concurrent
     * queries on the same session see no config change. At 100 TB this is
     * what makes a re-run of one ingest slice O(slice), not O(table), and
-    * safe to repeat. */
+    * safe to repeat.
+    *
+    * Contract: each call must carry every row of every partition it
+    * touches — partition-complete inputs. A caller that splits one
+    * partition's data across two calls loses the first call's rows to the
+    * second's overwrite (the streaming corollary: under `foreachBatch`
+    * this sink is exactly-once only when triggers align with partitions —
+    * see StreamingSinkSpec). */
   def upsertPartitions(df: DataFrame, partCol: String, path: String): Unit =
     df.write
       .mode("overwrite")

@@ -120,6 +120,34 @@ object CorpusQueries {
     * distributed prefix-sum's inner unit ([[q68TokenPacking]]). */
   private val packBucketWidth = 64
 
+  /** Two-phase distributed running total, shared by [[q68TokenPacking]]
+    * and [[q77WeightedInterleave]]: appends `cum` — the inclusive running
+    * sum of `measureCol` within `partCol`, ordered by doc_id — WITHOUT a
+    * per-`partCol` global window (which would put each partition value's
+    * entire row set into one task): per-(partCol, id-bucket) subtotals, a
+    * window over the bucket SUMMARIES for each bucket's starting offset,
+    * and a bucket-local running sum. Bit-identical to the naive global
+    * window on integers (CorpusSpec asserts it, including on a randomized
+    * corpus). */
+  private def twoPhaseRunningSum(df: DataFrame, partCol: String,
+                                 measureCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("bucket", expr(s"doc_id div $packBucketWidth"))
+    val offsets = bucketed.groupBy(partCol, "bucket")
+      .agg(sum(measureCol).as("bucket_m"))
+      .withColumn("off",
+        coalesce(sum("bucket_m").over(
+          Window.partitionBy(partCol).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(partCol), col("bucket"), col("off"))
+    bucketed.join(offsets, Seq(partCol, "bucket"))
+      .withColumn("intra", sum(measureCol).over(
+        Window.partitionBy(partCol, "bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum", col("off") + col("intra"))
+      .drop("bucket", "off", "intra")
+  }
+
   /** Tokens per training shard for [[q68TokenPacking]]. */
   private val shardBudget = 4096
 
@@ -145,26 +173,13 @@ object CorpusQueries {
     * asserts it on the fixtures — integer arithmetic, so no rounding
     * escape hatch is needed). */
   def q68TokenPacking(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"),
-        expr("cast(size(split(text, ' ')) as bigint)").as("ntok"),
-        expr(s"doc_id div $packBucketWidth").as("bucket"))
-    val bucketTotals = docs.groupBy("lang", "bucket")
-      .agg(sum("ntok").as("bucket_tok"))
-    val offsets = bucketTotals.withColumn("offset",
-      coalesce(sum("bucket_tok").over(
-        Window.partitionBy("lang").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("lang", "bucket", "offset")
-    val packed = docs
-      .join(offsets, Seq("lang", "bucket"))
-      .withColumn("intra", sum("ntok").over(
-        Window.partitionBy("lang", "bucket").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      // shard of the FIRST token of each doc: (global running sum before
-      // this doc) div budget
-      .withColumn("shard", expr(s"(offset + intra - ntok) div $shardBudget"))
+        expr("cast(size(split(text, ' ')) as bigint)").as("ntok"))
+    // shard of the FIRST token of each doc: (global running sum before
+    // this doc) div budget
+    val packed = twoPhaseRunningSum(docs, "lang", "ntok")
+      .withColumn("shard", expr(s"(cum - ntok) div $shardBudget"))
     packed.groupBy("lang", "shard")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum("ntok").cast("bigint").as("tokens"))
@@ -335,23 +350,16 @@ object CorpusQueries {
     * positions of the merged sequence (TakeOrderedAndProject, no global
     * sort materialization). */
   def q77WeightedInterleave(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         expr("cast(substring(source, 4) as int)").as("sn"),
-        expr(s"doc_id div $packBucketWidth").as("bucket"))
-    val bucketCounts = docs.groupBy("source", "bucket")
-      .agg(count(lit(1)).as("bc"))
-    val offsets = bucketCounts.withColumn("off",
-      coalesce(sum("bc").over(
-        Window.partitionBy("source").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("source", "bucket", "off")
-    docs.join(offsets, Seq("source", "bucket"))
-      .withColumn("intra", row_number().over(
-        Window.partitionBy("source", "bucket").orderBy("doc_id")))
+        lit(1L).as("one"))
+    // rank within source = inclusive running count, via the same two-phase
+    // prefix machinery as q68 (a per-source window would be 20 tasks
+    // scanning a corpus fraction each, forever)
+    twoPhaseRunningSum(docs, "source", "one")
       .withColumn("w", expr("1 + sn % 4"))
-      .withColumn("pos", expr("(off + intra) * (12 div w)"))
+      .withColumn("pos", expr("cum * (12 div w)"))
       .select(col("pos").cast("bigint").as("pos"), col("source"),
         col("doc_id").cast("bigint").as("doc_id"), col("w").cast("int").as("w"))
       .orderBy("pos", "source", "doc_id")

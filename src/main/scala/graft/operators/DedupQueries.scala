@@ -378,25 +378,39 @@ object DedupQueries {
           s"slice(array_sort(array_distinct(transform($shinglesExpr, x -> md5(x)))), 1, 4)) end")
           .as("nfp"))
 
-  /** Library form of incremental corpus dedup: each row of `batch` gets a
-    * verdict against `corpus` — `exact_dup`, `near_dup`, or `keep`. Both
-    * inputs are (doc_id, text) frames; in production `corpus` is the
-    * durable fingerprint table this operator maintains (append the `keep`
-    * rows' fingerprints back), so the expensive text pass never re-runs
-    * over old data — pass an already-fingerprinted frame via
-    * [[fingerprints]] upstream if the corpus is pre-indexed. */
-  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame = {
-    val corpusPrints = fingerprints(corpus)
+  /** The verdict core over ALREADY-FINGERPRINTED (doc_id, fp, nfp) frames
+    * ([[fingerprints]] produces them): each batch row against the corpus's
+    * distinct fingerprint sets — two left joins on the 128-bit keys, the
+    * corpus side unbounded so nothing is broadcast. This is the entry
+    * point for a production caller whose corpus fingerprints are a durable
+    * table (append the `keep` rows' prints back each run, and the
+    * expensive text pass never re-runs over old data). */
+  def incrementalDedupIndexed(batchPrints: DataFrame,
+                              corpusPrints: DataFrame): DataFrame = {
     val corpusFp = corpusPrints.select(col("fp").as("cfp")).distinct()
     val corpusNfp = corpusPrints.filter(col("nfp").isNotNull)
       .select(col("nfp").as("cnfp")).distinct()
-    fingerprints(batch)
+    batchPrints
       .join(corpusFp, col("fp") === col("cfp"), "left")
       .join(corpusNfp, col("nfp") === col("cnfp"), "left")
       .select(col("doc_id").cast("bigint").as("doc_id"),
         expr("case when cfp is not null then 'exact_dup' " +
           "when cnfp is not null then 'near_dup' else 'keep' end").as("verdict"))
       .orderBy("doc_id")
+  }
+
+  /** Library form of incremental corpus dedup over raw (doc_id, text)
+    * frames: each row of `batch` gets a verdict against `corpus` —
+    * `exact_dup`, `near_dup`, or `keep`. The corpus fingerprint pass is
+    * STAGED to parquet before the verdict joins: the exact and near sides
+    * each read the print frame, and unstaged the md5 + shingle subtree
+    * would execute once per branch over the full corpus. Callers with a
+    * durable fingerprint table skip this pass entirely via
+    * [[incrementalDedupIndexed]]. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val ck = graft.Staging.fresh("incDedup")
+    fingerprints(corpus).write.mode("overwrite").parquet(s"$ck/prints")
+    incrementalDedupIndexed(fingerprints(batch), batch.sparkSession.read.parquet(s"$ck/prints"))
   }
 
   /** Incremental corpus dedup over the fixture: the new batch is the
@@ -413,18 +427,9 @@ object DedupQueries {
     fingerprints(Tables.documents(s, dir))
       .write.mode("overwrite").parquet(s"$ck/prints")
     val prints = s.read.parquet(s"$ck/prints")
-    val batch = prints.filter(col("doc_id") % 10 === 7)
-    val corpus = prints.filter(col("doc_id") % 10 =!= 7)
-    val corpusFp = corpus.select(col("fp").as("cfp")).distinct()
-    val corpusNfp = corpus.filter(col("nfp").isNotNull)
-      .select(col("nfp").as("cnfp")).distinct()
-    batch
-      .join(corpusFp, col("fp") === col("cfp"), "left")
-      .join(corpusNfp, col("nfp") === col("cnfp"), "left")
-      .select(col("doc_id").cast("bigint").as("doc_id"),
-        expr("case when cfp is not null then 'exact_dup' " +
-          "when cnfp is not null then 'near_dup' else 'keep' end").as("verdict"))
-      .orderBy("doc_id")
+    incrementalDedupIndexed(
+      batchPrints = prints.filter(col("doc_id") % 10 === 7),
+      corpusPrints = prints.filter(col("doc_id") % 10 =!= 7))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

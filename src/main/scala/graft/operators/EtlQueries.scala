@@ -16,22 +16,17 @@ import graft.sources.{Station, XmlStations}
   * station-to-grid distance argmin (S8), and the temp-view/SQL surface
   * (S13/K5).
   *
-  * Queries that exercise the write path stage their output under the JVM
-  * temp dir (keyed by scale-factor dir, so concurrent Verify/Bench runs at
-  * different sf don't collide) and re-read it — write, layout, and pruned
-  * scan are all part of the checked behavior; the DuckDB oracle computes the
-  * same result straight from the source tables, so a bug anywhere in the
-  * round-trip fails the hash gate.
+  * Queries that exercise the write path stage their output under a
+  * per-invocation temp root (graft.Staging.fresh — unique per CALL, so two
+  * concurrent invocations of the same query in one JVM can never race an
+  * overwrite against a read; swept by a shutdown hook) and re-read it —
+  * write, layout, and pruned scan are all part of the checked behavior; the
+  * DuckDB oracle computes the same result straight from the source tables,
+  * so a bug anywhere in the round-trip fails the hash gate.
   */
 object EtlQueries {
 
   private def dec6(c: Column): Column = c.cast("decimal(18,6)")
-
-  // per-invocation staging roots, swept by a shutdown hook (graft.Staging).
-  // fresh() rather than a (tag, sf, pid) key: every query here writes then
-  // re-reads its staging dir, and two concurrent invocations of the same
-  // query in one JVM must never race an overwrite against a read
-  private def tmpPath(tag: String, dir: String): String = graft.Staging.fresh(tag)
 
   /** K1 + S3: day-partitioned warehouse write with first-run overwrite →
     * append bootstrap (ref `transform_load.py:58-90,438,496`), then a
@@ -40,7 +35,7 @@ object EtlQueries {
     * 30 directories is listed and scanned — at 100 TB this is the difference
     * between reading 3 TB and reading one day's slice. */
   def q30PartitionedWrite(s: SparkSession, dir: String): DataFrame = {
-    val path = tmpPath("wh", dir)
+    val path = graft.Staging.fresh("wh")
     val ev = Tables.events(s, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     Warehouse.writePartitioned(
@@ -60,7 +55,7 @@ object EtlQueries {
     * `:183-191` → `toDF`), and `to_timestamp(col, "dd/MM/yyyy HH:mm")`
     * pattern parsing (ref `:199-207`). */
   def q31IngestParse(s: SparkSession, dir: String): DataFrame = {
-    val path = tmpPath("ingest", dir)
+    val path = graft.Staging.fresh("ingest")
     val raw = Tables.events(s, dir)
       .withColumn("ts_str", date_format(col("ts"), "dd/MM/yyyy HH:mm"))
     raw.filter(col("event_id") % 2 === 0)
@@ -87,7 +82,7 @@ object EtlQueries {
     * "because the formatting is incorrect") followed by explicit casts —
     * the type-later ingest pattern. */
   def q32CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = tmpPath("csv", dir)
+    val path = graft.Staging.fresh("csv")
     Tables.events(s, dir)
       .select(col("event_id").cast("string").as("event_id"),
               col("event_type"),
@@ -199,7 +194,7 @@ object EtlQueries {
     * about the layout). */
   private[graft] def bucketedOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
     val n = bucketRun.incrementAndGet()
-    val base = tmpPath("bkt", dir)
+    val base = graft.Staging.fresh("bkt")
     val ordersT = s"graft_bkt_orders_$n"
     val customerT = s"graft_bkt_customer_$n"
     Warehouse.writeBucketed(Tables.orders(s, dir), 8, "o_custkey",

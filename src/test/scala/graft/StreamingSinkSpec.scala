@@ -14,7 +14,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * instead of appending duplicates. The test simulates the worst case:
   * the whole stream replayed from scratch with a fresh checkpoint, twice.
   * The lake must be byte-count-identical, where an append sink would have
-  * doubled. */
+  * doubled.
+  *
+  * PRECONDITION (this is what the topology requires, not a test
+  * convenience): each trigger must deliver every partition it touches IN
+  * FULL — true for `AvailableNow` full reloads (this test) and for
+  * ingest cadences aligned with the partition key (a daily batch into a
+  * day-partitioned lake). If one partition's rows were split across two
+  * micro-batches, the second overwrite would drop the first batch's rows;
+  * finer triggers need a (partition, batchId) layout or a MERGE-capable
+  * table format instead. `Warehouse.upsertPartitions` documents the same
+  * constraint. */
 class StreamingSinkSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
