@@ -540,6 +540,32 @@ object SimilarityQueries {
   def q71PqTopk(s: SparkSession, dir: String): DataFrame =
     pqTopk(s, dir, pqM, pqK, pqShortlist)
 
+  /** KNN self-join: the top-3 neighbors of EVERY corpus vector (not a
+    * bounded probe set — the all-corpus retrieval shape behind
+    * near-dup mining and similarity-based mixture construction). Exact
+    * all-pairs is O(n^2); this is the scale form: candidates come from
+    * the same banded sign-LSH equi-join as q26, symmetrized so each pair
+    * serves both endpoints, then a per-vector top-3 window over
+    * CANDIDATES only (bounded by bucket geometry, not corpus size).
+    * Neighbors outside every shared band are unreachable by
+    * construction — the LSH recall tradeoff, which the oracle mirrors
+    * exactly, so the approximation itself is hash-checked. Vectors with
+    * no pair above the graph's 0.35 floor simply have no rows (a
+    * full-coverage variant unions a low-cosine fallback; the operator
+    * pins the candidate-generation shape). */
+  def q80KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairsScored(s, dir)
+    val sym = pairs.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cos"))
+      .union(pairs.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cos")))
+    val w = Window.partitionBy("v").orderBy(desc("cos"), asc("n"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("v").cast("bigint").as("vec_id"),
+              col("n").cast("bigint").as("neighbor_id"),
+              col("rank").cast("int").as("rank"), col("cos"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
@@ -547,6 +573,7 @@ object SimilarityQueries {
     "q40_embedding_dedup" -> (q40EmbeddingDedup _),
     "q50_cc_clusters" -> (q50CcClusters _),
     "q71_pq_topk" -> (q71PqTopk _),
+    "q80_knn_join" -> (q80KnnJoin _),
   )
 
   private val oracleNormed =
@@ -690,6 +717,17 @@ object SimilarityQueries {
          |$oraclePairSc
          |SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, cos
          |FROM sc WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    "q80_knn_join" ->
+      s"""WITH $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b, cos FROM sc WHERE cos >= 0.35),
+         |sym AS (SELECT vec_a AS v, vec_b AS n, cos FROM pr
+         |  UNION ALL SELECT vec_b AS v, vec_a AS n, cos FROM pr),
+         |r AS (SELECT v, n, cos,
+         |    CAST(row_number() OVER (PARTITION BY v ORDER BY cos DESC, n ASC) AS INTEGER) AS rank
+         |  FROM sym)
+         |SELECT CAST(v AS BIGINT) AS vec_id, CAST(n AS BIGINT) AS neighbor_id, rank, cos
+         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "q40_embedding_dedup" ->
       s"""WITH $oracleNormed,
          |$oraclePairSc,

@@ -88,6 +88,17 @@ class OperatorPropertySpec extends AnyFunSuite {
       s"trained codebook should fit the corpus better: before=$before after=$after")
   }
 
+  test("KNN self-join returns dense ranks of above-threshold candidates (q80)") {
+    val rows = operators.SimilarityQueries.q80KnnJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(3) >= 0.35))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
   test("argmin window returns one row per partition key (q09)") {
     val df = operators.RelationalQueries.q09ArgminWindow(spark, sfDir)
     assert(df.select("user_id").distinct().count() === df.count())
