@@ -366,6 +366,64 @@ object CorpusQueries {
       .limit(60)
   }
 
+  /** Source concentration curve (the "how much of the mix comes from the
+    * top-k sources" Lorenz view a corpus owner reads before rebalancing):
+    * per-source token totals ranked descending, with cumulative tokens
+    * and cumulative share. Every cross-row sum is a bigint (exact, so the
+    * running share is a deterministic double of exact operands); the rank
+    * and cumulative windows run over SOURCE SUMMARIES — one row per
+    * source, bounded — never over documents. */
+  def q81SourceConcentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Tables.documents(s, dir)
+      .select(col("source"), expr("cast(size(split(text, ' ')) as bigint)").as("ntok"))
+      .groupBy("source")
+      .agg(sum("ntok").as("tokens"))
+    val rankW = Window.orderBy(desc("tokens"), asc("source"))
+    bySource
+      .withColumn("rank", row_number().over(rankW))
+      .withColumn("cum_tokens", sum("tokens").over(
+        rankW.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_share", expr(
+        "cast(cum_tokens as double) / cast(sum(tokens) over () as double)"))
+      .select(col("rank").cast("int").as("rank"), col("source"),
+        col("tokens").cast("bigint").as("tokens"),
+        col("cum_tokens").cast("bigint").as("cum_tokens"), col("cum_share"))
+      .orderBy("rank")
+  }
+
+  /** Per-source quality scorecard (the curation dashboard that decides
+    * which crawl sources stay in the mix): document counts, token totals,
+    * mean document length, the count of top-quality documents (q27's 0-3
+    * quality score), and the mean alphabetic ratio. Deterministic by the
+    * family's rules: ntok and quality are integers (exact sums); the
+    * per-row alphabetic ratio is quantized to integer nanounits before
+    * its cross-row sum, then divided once in double. One groupBy on
+    * source; output bounded by the source count. */
+  def q82SourceScorecard(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .select(
+        col("source"),
+        expr("cast(size(toks) as bigint)").as("ntok"),
+        expr("cast(size(filter(toks, t -> t in ('the', 'a', 'of', 'and', 'to'))) as double) / cast(size(toks) as double)")
+          .as("stop_ratio"),
+        expr("cast(aggregate(toks, 0, (acc, t) -> acc + length(t)) as double) / cast(size(toks) as double)")
+          .as("avg_tok_len"),
+        expr("cast(floor(cast(length(regexp_replace(text, '[^a-z]', '')) as double) / cast(length(text) as double) * 1e9) as bigint)")
+          .as("alpha_q"))
+      .withColumn("quality", expr(
+        "cast((case when ntok >= 20 then 1 else 0 end) + " +
+          "(case when stop_ratio >= 0.05 then 1 else 0 end) + " +
+          "(case when avg_tok_len between 3 and 8 then 1 else 0 end) as int)"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("ntok").cast("bigint").as("tokens"),
+        expr("cast(sum(ntok) as double) / cast(count(1) as double)").as("mean_ntok"),
+        sum(when(col("quality") === 3, 1L).otherwise(0L)).cast("bigint").as("n_top_quality"),
+        expr("cast(sum(alpha_q) as double) / (1e9 * cast(count(1) as double))").as("mean_alpha"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_tfidf" -> (q66Tfidf _),
     "q67_bm25" -> (q67Bm25 _),
@@ -375,6 +433,8 @@ object CorpusQueries {
     "q75_unigram_quality" -> (q75UnigramQuality _),
     "q76_topk_per_lang" -> (q76TopkPerLang _),
     "q77_weighted_interleave" -> (q77WeightedInterleave _),
+    "q81_source_concentration" -> (q81SourceConcentration _),
+    "q82_source_scorecard" -> (q82SourceScorecard _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -456,6 +516,37 @@ object CorpusQueries {
         |  FROM r)
         |SELECT pos, source, doc_id, w FROM p
         |ORDER BY pos, source, doc_id LIMIT 60""".stripMargin,
+    "q81_source_concentration" ->
+      """WITH t AS (SELECT source, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, tokens,
+        |    CAST(row_number() OVER (ORDER BY tokens DESC, source ASC) AS INTEGER) AS rank,
+        |    CAST(SUM(tokens) OVER (ORDER BY tokens DESC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |    CAST(SUM(tokens) OVER () AS BIGINT) AS total
+        |  FROM t)
+        |SELECT rank, source, CAST(tokens AS BIGINT) AS tokens, cum_tokens,
+        |  CAST(cum_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        |FROM r ORDER BY rank""".stripMargin,
+    "q82_source_scorecard" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS toks, text FROM documents),
+        |p AS (SELECT source,
+        |    CAST(len(toks) AS BIGINT) AS ntok,
+        |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_tok_len,
+        |    CAST(floor(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 1e9) AS BIGINT) AS alpha_q
+        |  FROM d),
+        |q AS (SELECT source, ntok, alpha_q,
+        |    (CASE WHEN ntok >= 20 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN avg_tok_len BETWEEN 3 AND 8 THEN 1 ELSE 0 END) AS quality
+        |  FROM p)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS tokens,
+        |  CAST(SUM(ntok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_ntok,
+        |  CAST(SUM(CASE WHEN quality = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_quality,
+        |  CAST(SUM(alpha_q) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS mean_alpha
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "q70_outlier_gate" ->
       """WITH m AS (SELECT lang, COUNT(*) AS n,
         |    SUM(CAST(n_chars AS HUGEINT)) AS s,

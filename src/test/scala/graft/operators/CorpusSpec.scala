@@ -217,6 +217,26 @@ class CorpusSpec extends AnyFunSuite {
       s"weight-4 sources must dominate the prefix: $byW")
   }
 
+  test("q81: the concentration curve is a dense-ranked monotone share ending at 1.0") {
+    val rows = CorpusQueries.q81SourceConcentration(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val shares = rows.map(_.getDouble(4))
+    assert(shares.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(math.abs(shares.last - 1.0) < 1e-12)
+    val tokens = rows.map(_.getLong(2))
+    assert(tokens.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("q82: the scorecard accounts for every document and token once") {
+    val rows = CorpusQueries.q82SourceScorecard(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(rows.length == docs.select("source").distinct().count())
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val totalTokens = docs
+      .selectExpr("sum(cast(size(split(text, ' ')) as bigint)) t").collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalTokens)
+  }
+
   test("q66/q67: relevance scores are positive and ranked descending") {
     val tfidf = CorpusQueries.q66Tfidf(spark, sfDir).collect()
     assert(tfidf.length == 20)
