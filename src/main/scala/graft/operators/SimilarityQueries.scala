@@ -566,6 +566,36 @@ object SimilarityQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** Embedding-cluster diagnostics: per-label centroids (the ground-truth
+    * clusters the fixture's `label` column encodes) and each cluster's
+    * cohesion — member count, mean cosine to the own-label centroid, and
+    * the weakest member's cosine. This is the health check an embedding
+    * pipeline runs on its clustering/codebook assumptions: a label whose
+    * mean own-centroid cosine sags has drifted apart and will shear under
+    * any centroid-bucketed index (q37/q71).
+    *
+    * Determinism: centroids reuse q37's fixed-point re-center (quantized
+    * exact integer sums per (label, dimension) — order-free, map-side
+    * combinable); per-row cosines are IEEE arithmetic on exact-derived
+    * operands; the cross-row mean quantizes each cosine to integer
+    * nanounits first (the family rule). Centroids are one bounded row per
+    * label and broadcast back to the member scan. */
+  def q83ClusterDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .select(col("vec_id"), col("label").cast("int").as("label"), col("v"), col("nrm"))
+    val cents = recenter(e.select(col("label").as("centroid_id"), col("v")))
+    e.join(broadcast(cents), col("label") === col("centroid_id"))
+      .withColumn("cos", expr(dotFold.format("v", "cv") + " / (nrm * cn)"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("bigint").as("n_members"),
+        expr("cast(sum(cast(floor(cos * 1e9) as bigint)) as double) / (1e9 * cast(count(1) as double))")
+          .as("mean_cos"),
+        min("cos").as("min_cos"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
@@ -574,6 +604,7 @@ object SimilarityQueries {
     "q50_cc_clusters" -> (q50CcClusters _),
     "q71_pq_topk" -> (q71PqTopk _),
     "q80_knn_join" -> (q80KnnJoin _),
+    "q83_cluster_diagnostics" -> (q83ClusterDiagnostics _),
   )
 
   private val oracleNormed =
@@ -717,6 +748,27 @@ object SimilarityQueries {
          |$oraclePairSc
          |SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, cos
          |FROM sc WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    "q83_cluster_diagnostics" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS INTEGER) AS label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+         |m AS (SELECT label, pos,
+         |    CAST(SUM(CAST(floor(val * 4294967296e0) AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 4294967296e0) AS mean
+         |  FROM (SELECT label, t.i AS pos, v[t.i] AS val
+         |    FROM n CROSS JOIN generate_series(1, $dim) t(i))
+         |  GROUP BY label, pos),
+         |c AS (SELECT label, cv,
+         |    sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS cn
+         |  FROM (SELECT label, list(mean ORDER BY pos) AS cv FROM m GROUP BY label)),
+         |sc AS (SELECT n.label,
+         |    list_reduce(list_transform(generate_series(1, $dim), i -> n.v[i] * c.cv[i]), (a, b) -> a + b) / (n.nrm * c.cn) AS cos
+         |  FROM n JOIN c ON n.label = c.label)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(CAST(floor(cos * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS mean_cos,
+         |  MIN(cos) AS min_cos
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
     "q80_knn_join" ->
       s"""WITH $oracleNormed,
          |$oraclePairSc,

@@ -99,6 +99,16 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster diagnostics account for every vector with coherent cosines (q83)") {
+    val rows = operators.SimilarityQueries.q83ClusterDiagnostics(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val (mean, min) = (r.getDouble(2), r.getDouble(3))
+      assert(min <= mean + 1e-9 && mean <= 1.0001,
+        s"label ${r.getInt(0)}: mean=$mean min=$min")
+    }
+  }
+
   test("argmin window returns one row per partition key (q09)") {
     val df = operators.RelationalQueries.q09ArgminWindow(spark, sfDir)
     assert(df.select("user_id").distinct().count() === df.count())
