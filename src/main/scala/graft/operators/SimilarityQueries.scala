@@ -596,6 +596,27 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** Modality coverage audit: a full-outer join of the text table against
+    * the embedding table on the shared id — the completeness check a
+    * multimodal pipeline runs before training (rows with text but no
+    * embedding need an encode pass; embeddings without text are orphans to
+    * garbage-collect). Per (lang, coverage-class) counts; the outer join
+    * shuffles both sides on the id — a scaling key — and the output is
+    * bounded by langs x 3. */
+  def q84ModalityCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id"))
+    d.join(e, d("doc_id") === e("vec_id"), "full_outer")
+      .select(
+        coalesce(col("lang"), lit("<no_doc>")).as("lang"),
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull, "both")
+          .when(col("doc_id").isNotNull, "text_only")
+          .otherwise("embedding_only").as("coverage"))
+      .groupBy("lang", "coverage")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy("lang", "coverage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
@@ -605,6 +626,7 @@ object SimilarityQueries {
     "q71_pq_topk" -> (q71PqTopk _),
     "q80_knn_join" -> (q80KnnJoin _),
     "q83_cluster_diagnostics" -> (q83ClusterDiagnostics _),
+    "q84_modality_coverage" -> (q84ModalityCoverage _),
   )
 
   private val oracleNormed =
@@ -748,6 +770,14 @@ object SimilarityQueries {
          |$oraclePairSc
          |SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, cos
          |FROM sc WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    "q84_modality_coverage" ->
+      """SELECT coalesce(d.lang, '<no_doc>') AS lang,
+        |  CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'both'
+        |       WHEN d.doc_id IS NOT NULL THEN 'text_only'
+        |       ELSE 'embedding_only' END AS coverage,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1, 2 ORDER BY lang, coverage""".stripMargin,
     "q83_cluster_diagnostics" ->
       s"""WITH e AS (SELECT vec_id, CAST(label AS INTEGER) AS label,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
