@@ -431,19 +431,56 @@ object SimilarityQueries {
   }
 
   /** PQ geometry: [[pqM]] subspaces of dim/[[pqM]] dims, [[pqK]] centroids
-    * per subspace (codebook = the first pqK vectors' subvectors — codebook
-    * TRAINING is demonstrated by q37's Lloyd passes; PQ's contribution is
-    * the encode/ADC/rerank structure, so its codebook stays
-    * construction-simple and recall comes from the rerank stage). */
+    * per subspace. The codebook is TRAINED: seeded from the first pqK
+    * vectors' subvectors, then [[pqTrainIters]] per-subspace Lloyd passes
+    * (squared-L2 argmin assignment, fixed-point re-center — the same
+    * order-free quantize-sum-divide as q37's `recenter`, so the codebook is
+    * bit-equal across partitionings and engines). Training runs per
+    * subspace over (m, subvector) rows: one broadcast join against the
+    * <= pqM x pqK codebook per pass, never a corpus shuffle. */
   private val pqM = 16
   private val pqSub = dim / pqM
   private val pqK = 32
   private val pqShortlist = 16
+  private val pqTrainIters = 2
 
   /** stack() args splitting a vector column into (m, subvector) rows —
     * subspace boundaries are plan-time literals. */
   private def pqSplit(c: String, m: Int, sub: Int): String =
     (0 until m).map(i => s"$i, slice($c, ${i * sub + 1}, $sub)").mkString(", ")
+
+  /** Nearest-centroid code per (vector, subspace): broadcast the bounded
+    * codebook, argmin squared L2 (ties to the lowest centroid id) via
+    * `max_by` over struct(-dist, -cid) — partial aggregation collapses the
+    * pqK-wide expansion back to one row per (vec_id, m) map-side, the same
+    * shape as q37's `assign`. The subvector rides along in the max_by
+    * payload (constant within the group) so training's re-center can read
+    * it without a second scan. */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("m"))
+      .withColumn("dist", expr(
+        "graft_dot(sub, sub) - 2 * graft_dot(sub, csub) + graft_dot(csub, csub)"))
+      .groupBy("vec_id", "nrm", "m")
+      .agg(expr("max_by(struct(sub, cid), struct(-dist, -cid))").as("mm"))
+      .select(col("vec_id"), col("nrm"), col("m"),
+              col("mm.sub").as("sub"), col("mm.cid").as("code"))
+
+  /** Per-subspace Lloyd re-center: for each (subspace, centroid,
+    * dimension), the fixed-point mean of member subvector values — exactly
+    * q37's `recenter` keyed by (m, cid) instead of centroid_id. Order-free
+    * integer sums, constant aggregation state, map-side combinable;
+    * centroids that lose every member drop out (deterministically — the
+    * oracle's GROUP BY does the same). */
+  private def pqRecenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("code").as("cid"), posexplode(col("sub")))
+      .withColumnRenamed("col", "val")
+      .groupBy("m", "cid", "pos")
+      .agg(sum(expr("cast(floor(val * 4294967296e0) as decimal(38,0))")).as("qsm"),
+           count(lit(1)).as("cnt"))
+      .withColumn("mean", col("qsm").cast("double") / (col("cnt") * lit(4294967296.0)))
+      .groupBy("m", "cid")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, mean))), s -> s.mean)").as("csub"))
 
   /** Product-quantization approximate top-k (the memory-bound ANN scale
     * path next to q37's IVF): each vector is ENCODED as pqM one-byte
@@ -453,14 +490,15 @@ object SimilarityQueries {
     * centroid) once (a pqM x pqK lookup table), and each corpus vector's
     * approximate dot is the sum of pqM table lookups selected by its codes.
     *
-    * Ranking by raw ADC is crude (the codebook is untrained), so the
-    * registered search is the production two-stage topology: ADC selects a
-    * [[pqShortlist]]-wide shortlist per probe, then the TRUE vectors of
-    * shortlist members are fetched and reranked by exact cosine — codes
-    * decide WHO gets scored, floats only score the shortlist
-    * (recall@3 = 0.875 on the fixtures vs 0.25 for raw ADC at the same
-    * geometry; PqRecallSpec asserts the floor and the monotone
-    * shortlist-recall relationship).
+    * Ranking by raw ADC alone is still lossy (pqM one-byte codes cannot
+    * represent 64 floats), so the registered search is the production
+    * two-stage topology: ADC selects a [[pqShortlist]]-wide shortlist per
+    * probe, then the TRUE vectors of shortlist members are fetched and
+    * reranked by exact cosine — codes decide WHO gets scored, floats only
+    * score the shortlist. PqRecallSpec asserts the recall@3 floor, the
+    * monotone shortlist-recall relationship, AND that the trained codebook
+    * lifts raw-ADC recall over the untrained first-k seed at the same
+    * geometry (training does real work; the rerank is not masking it).
     *
     * At 100 TB the point of PQ is that the INDEX is tiny: pqM 5-bit codes
     * (10 bytes) per vector instead of 64 floats (256 bytes), so the search
@@ -476,21 +514,21 @@ object SimilarityQueries {
     * 2*graft_dot(sub,c) + graft_dot(c,c) — index-ordered folds and per-row
     * IEEE arithmetic, bit-equal in DuckDB; the pqM ADC partials pivot into
     * FIXED columns so the approximate score sums in one order. */
-  /** Parameterized PQ search (geometry + shortlist width exposed for the
-    * recall tests; q71 registers the (pqM, pqK, pqShortlist) instance).
-    * shortlist = 0 disables the rerank and ranks by raw ADC score. */
+  /** Parameterized PQ search (geometry, shortlist width, and training
+    * depth exposed for the recall tests; q71 registers the
+    * (pqM, pqK, pqShortlist, pqTrainIters) instance).
+    * shortlist = 0 disables the rerank and ranks by raw ADC score;
+    * trainIters = 0 uses the raw first-k seed codebook. */
   private[graft] def pqTopk(s: SparkSession, dir: String,
-                            m: Int, k: Int, shortlist: Int): DataFrame = {
+                            m: Int, k: Int, shortlist: Int,
+                            trainIters: Int = pqTrainIters): DataFrame = {
     val sub = dim / m
     val e = normed(s, dir)
-    val cb = e.filter(col("vec_id") < k)
+    val cb0 = e.filter(col("vec_id") < k)
       .selectExpr("vec_id as cid", s"stack($m, ${pqSplit("v", m, sub)}) as (m, csub)")
     val subs = e.selectExpr("vec_id", "nrm", s"stack($m, ${pqSplit("v", m, sub)}) as (m, sub)")
-    val encoded = subs.join(broadcast(cb), Seq("m"))
-      .withColumn("dist", expr(
-        "graft_dot(sub, sub) - 2 * graft_dot(sub, csub) + graft_dot(csub, csub)"))
-      .groupBy("vec_id", "nrm", "m")
-      .agg(expr("max_by(cid, struct(-dist, -cid))").as("code"))
+    val cb = (1 to trainIters).foldLeft(cb0)((c, _) => pqRecenter(pqAssign(subs, c)))
+    val encoded = pqAssign(subs, cb).drop("sub")
     val tableScored = e.filter(col("vec_id") < 8)
       .selectExpr("vec_id as probe_id", "nrm as pn", s"stack($m, ${pqSplit("v", m, sub)}) as (tm, psub)")
       .join(broadcast(cb.withColumnRenamed("m", "tm")), Seq("tm"))
@@ -695,6 +733,28 @@ object SimilarityQueries {
   private def oraclePqDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, $pqSub), i -> $a[i] * $b[i]), (a2, b2) -> a2 + b2)"
 
+  /** Oracle twin of `pqAssign`: per-(vector, subspace) squared-L2 argmin
+    * against codebook CTE `cb`, ties to the lowest centroid id. */
+  private def oraclePqAssignCte(name: String, cb: String): String =
+    s"""$name AS (SELECT vec_id, nrm, m, sub, cid AS code FROM (
+       |    SELECT s.vec_id, s.nrm, s.m, s.sub, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        (${oraclePqDot("s.sub", "s.sub")}
+       |         - 2 * ${oraclePqDot("s.sub", "c.csub")}
+       |         + ${oraclePqDot("c.csub", "c.csub")}) ASC, c.cid ASC) AS rn
+       |    FROM sub s JOIN $cb c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+
+  /** Oracle twin of `pqRecenter`: the identical fixed-point per-(subspace,
+    * centroid, dimension) mean; centroids with no members drop out of the
+    * GROUP BY on both sides. */
+  private def oraclePqRecenterCtes(k: Int): String =
+    s"""pm$k AS (SELECT m, code AS cid, t.i AS pos,
+       |    CAST(SUM(CAST(floor(sub[t.i] * 4294967296e0) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 4294967296e0) AS mean
+       |  FROM pa$k CROSS JOIN generate_series(1, $pqSub) t(i)
+       |  GROUP BY m, code, t.i),
+       |cb$k AS (SELECT m, cid, list(mean ORDER BY pos) AS csub FROM pm$k GROUP BY m, cid)""".stripMargin
+
   private def q71Oracle: String = {
     val subCase = (0 until pqM).map { m =>
       if (m < pqM - 1) s"WHEN $m THEN v[${m * pqSub + 1}:${(m + 1) * pqSub}]"
@@ -704,20 +764,19 @@ object SimilarityQueries {
     val pivots = (0 until pqM)
       .map(m => s"MAX(CASE WHEN e2.m = $m THEN part END) AS p$m").mkString(",\n         |    ")
     val scoreSum = (0 until pqM).map(m => s"p$m").mkString(" + ")
+    val train = (1 to pqTrainIters).map(k =>
+      oraclePqAssignCte(s"pa$k", s"cb${k - 1}") + ",\n" + oraclePqRecenterCtes(k)).mkString(",\n")
+    val cbF = s"cb$pqTrainIters"
     s"""WITH $oracleNormed,
        |sub AS (SELECT vec_id, nrm, t.m AS m, $subCase AS sub
        |  FROM n CROSS JOIN (VALUES $mValues) t(m)),
-       |cb AS (SELECT vec_id AS cid, m, sub AS csub FROM sub WHERE vec_id < $pqK),
-       |enc AS (SELECT vec_id, nrm, m, cid AS code FROM (
-       |    SELECT s.vec_id, s.nrm, s.m, c.cid,
-       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-       |        (${oraclePqDot("s.sub", "s.sub")}
-       |         - 2 * ${oraclePqDot("s.sub", "c.csub")}
-       |         + ${oraclePqDot("c.csub", "c.csub")}) ASC, c.cid ASC) AS rn
-       |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |cb0 AS (SELECT vec_id AS cid, m, sub AS csub FROM sub WHERE vec_id < $pqK),
+       |$train,
+       |${oraclePqAssignCte("paE", cbF)},
+       |enc AS (SELECT vec_id, nrm, m, code FROM paE),
        |tbl AS (SELECT p.vec_id AS probe_id, p.nrm AS pn, p.m AS tm, c.cid,
        |    ${oraclePqDot("p.sub", "c.csub")} AS part
-       |  FROM sub p JOIN cb c ON p.m = c.m WHERE p.vec_id < 8),
+       |  FROM sub p JOIN $cbF c ON p.m = c.m WHERE p.vec_id < 8),
        |sc AS (SELECT t.probe_id, t.pn, e2.vec_id, e2.nrm,
        |    $pivots
        |  FROM enc e2 JOIN tbl t ON e2.m = t.tm AND e2.code = t.cid AND e2.vec_id <> t.probe_id

@@ -40,6 +40,15 @@ class PqRecallSpec extends AnyFunSuite {
     assert(rr > adc, s"rerank ($rr) must beat raw ADC ($adc)")
   }
 
+  test("per-subspace Lloyd training lifts raw-ADC recall over the untrained seed") {
+    val untrained = recallAt3(neighbors(
+      SimilarityQueries.pqTopk(spark, sfDir, 16, 32, 0, trainIters = 0)))
+    val trained = recallAt3(neighbors(
+      SimilarityQueries.pqTopk(spark, sfDir, 16, 32, 0)))
+    assert(trained > untrained,
+      s"trained raw-ADC recall ($trained) must beat the untrained seed ($untrained)")
+  }
+
   test("recall is monotone in shortlist width; a corpus-wide shortlist is exact") {
     val r8 = recallAt3(neighbors(SimilarityQueries.pqTopk(spark, sfDir, 16, 32, 8)))
     val r16 = recallAt3(neighbors(SimilarityQueries.pqTopk(spark, sfDir, 16, 32, 16)))
