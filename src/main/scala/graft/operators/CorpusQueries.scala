@@ -52,8 +52,8 @@ object CorpusQueries {
     // from pruning the count out of df's copy of the subtree — the two
     // (doc_id, tok) exchanges stay identical and AQE serves df from tf's
     // shuffled stage instead of tokenizing the corpus a second time
-    // (verified: ReusedQueryStage in the executed plan; with count(1) the
-    // pruned copy re-ran the full explode)
+    // (PlanShapeSpec asserts the ReusedExchange and the single executed
+    // tokenize; with count(1) the pruned copy re-ran the full explode)
     val df = tf.groupBy("tok").agg(sum(when(col("tf") > 0, 1L)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     tf.join(df, Seq("tok"))
@@ -302,8 +302,8 @@ object CorpusQueries {
     val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
     // totalling the counts re-references their exchange, and AQE's stage
     // reuse serves it from the already-shuffled counts at runtime
-    // (verified: executed plan shows one ReusedQueryStage) — a separate
-    // direct scan-sum would do strictly more IO
+    // (PlanShapeSpec asserts the ReusedExchange and the executed tokenize
+    // count) — a separate direct scan-sum would do strictly more IO
     val total = counts.agg(sum("cnt").as("total"))
     tok.join(counts, Seq("tok"))
       .crossJoin(broadcast(total))

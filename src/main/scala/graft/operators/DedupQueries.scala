@@ -378,18 +378,11 @@ object DedupQueries {
           s"slice(array_sort(array_distinct(transform($shinglesExpr, x -> md5(x)))), 1, 4)) end")
           .as("nfp"))
 
-  /** The verdict core over ALREADY-FINGERPRINTED (doc_id, fp, nfp) frames
-    * ([[fingerprints]] produces them): each batch row against the corpus's
-    * distinct fingerprint sets — two left joins on the 128-bit keys, the
-    * corpus side unbounded so nothing is broadcast. This is the entry
-    * point for a production caller whose corpus fingerprints are a durable
-    * table (append the `keep` rows' prints back each run, and the
-    * expensive text pass never re-runs over old data). */
-  def incrementalDedupIndexed(batchPrints: DataFrame,
-                              corpusPrints: DataFrame): DataFrame = {
-    val corpusFp = corpusPrints.select(col("fp").as("cfp")).distinct()
-    val corpusNfp = corpusPrints.filter(col("nfp").isNotNull)
-      .select(col("nfp").as("cnfp")).distinct()
+  /** The two verdict left-joins shared by every incremental-dedup entry:
+    * batch prints against a distinct exact-fingerprint side (`cfp`) and a
+    * distinct near-fingerprint side (`cnfp`). */
+  private def verdictJoin(batchPrints: DataFrame, corpusFp: DataFrame,
+                          corpusNfp: DataFrame): DataFrame =
     batchPrints
       .join(corpusFp, col("fp") === col("cfp"), "left")
       .join(corpusNfp, col("nfp") === col("cnfp"), "left")
@@ -397,7 +390,62 @@ object DedupQueries {
         expr("case when cfp is not null then 'exact_dup' " +
           "when cnfp is not null then 'near_dup' else 'keep' end").as("verdict"))
       .orderBy("doc_id")
+
+  /** The verdict core over ALREADY-FINGERPRINTED (doc_id, fp, nfp) frames
+    * ([[fingerprints]] produces them): each batch row against the corpus's
+    * distinct fingerprint sets — two left joins on the 128-bit keys, the
+    * corpus side unbounded so nothing is broadcast. This is the entry
+    * point for a production caller whose corpus fingerprints are a durable
+    * table (append the `keep` rows' prints back each run, and the
+    * expensive text pass never re-runs over old data); a caller who also
+    * controls the table LAYOUT should use the bucketed pair
+    * [[writeFingerprintIndex]] / [[incrementalDedupBucketed]], which
+    * additionally removes the corpus-side shuffles from every verdict
+    * run. */
+  def incrementalDedupIndexed(batchPrints: DataFrame,
+                              corpusPrints: DataFrame): DataFrame =
+    verdictJoin(batchPrints,
+      corpusPrints.select(col("fp").as("cfp")).distinct(),
+      corpusPrints.filter(col("nfp").isNotNull)
+        .select(col("nfp").as("cnfp")).distinct())
+
+  private val fpIndexRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Durable BUCKETED fingerprint index for incremental dedup — the q62
+    * warehouse layout applied to the dedup family's production path. Two
+    * catalog tables are written under `base`: `<table>_fp` (all prints,
+    * bucketed+sorted on the exact fingerprint) and `<table>_nfp` (the
+    * non-null near prints, bucketed+sorted on the near fingerprint — the
+    * nfp joins key on nfp, so an fp-bucketed layout alone would still
+    * shuffle the corpus for the near side every run). With the layout in
+    * place, [[incrementalDedupBucketed]]'s weekly verdict join plans with
+    * ZERO corpus-side exchanges (PlanShapeSpec asserts it): the scan
+    * itself provides the hash partitioning that both the distinct and the
+    * join require, so the recurring cost of a crawl-ingest run is one
+    * shuffle of the (small) new batch — the corpus prints are never
+    * re-shuffled, mirroring "never re-fingerprint old data" one level
+    * down. Returns the two table names. */
+  def writeFingerprintIndex(docs: DataFrame, nBuckets: Int, base: String,
+                            table: String): (String, String) = {
+    val prints = fingerprints(docs)
+    val (fpT, nfpT) = (s"${table}_fp", s"${table}_nfp")
+    graft.etl.Warehouse.writeBucketed(prints, nBuckets, "fp", s"$base/fp", fpT)
+    graft.etl.Warehouse.writeBucketed(
+      prints.filter(col("nfp").isNotNull).select("nfp"), nBuckets, "nfp",
+      s"$base/nfp", nfpT)
+    (fpT, nfpT)
   }
+
+  /** Incremental dedup against a [[writeFingerprintIndex]] layout. The
+    * merge hints pin the sort-merge strategy the bucketed layout exists to
+    * serve — at fixture scale AQE would elect a broadcast of the corpus
+    * side, which is exactly the plan that cannot exist at 100 TB (the
+    * corpus prints are the unbounded side). */
+  def incrementalDedupBucketed(s: SparkSession, batchPrints: DataFrame,
+                               fpTable: String, nfpTable: String): DataFrame =
+    verdictJoin(batchPrints.hint("merge"),
+      s.table(fpTable).select(col("fp").as("cfp")).distinct().hint("merge"),
+      s.table(nfpTable).select(col("nfp").as("cnfp")).distinct().hint("merge"))
 
   /** Library form of incremental corpus dedup over raw (doc_id, text)
     * frames: each row of `batch` gets a verdict against `corpus` —
@@ -432,6 +480,25 @@ object DedupQueries {
       corpusPrints = prints.filter(col("doc_id") % 10 =!= 7))
   }
 
+  /** q65's weekly-crawl verdict routed through the durable bucketed
+    * fingerprint index: build the index from the corpus slice
+    * (doc_id % 10 != 7), then verdict this week's batch against it. The
+    * OUTPUT is identical to q65 by construction — same fingerprints, same
+    * verdict joins — so the q65 oracle hash-checks the whole path: layout
+    * write, catalog round-trip, bucketed distinct, and both verdict
+    * joins. What q85 adds over q65 is the PLAN: zero corpus-side
+    * exchanges (asserted in PlanShapeSpec), the recurring-run shape a
+    * weekly crawl ingest actually executes. */
+  def q85BucketedIncDedup(s: SparkSession, dir: String): DataFrame = {
+    val n = fpIndexRun.incrementAndGet()
+    val docs = Tables.documents(s, dir)
+    val (fpT, nfpT) = writeFingerprintIndex(
+      docs.filter(col("doc_id") % 10 =!= 7), 8,
+      graft.Staging.fresh("fpidx"), s"graft_fpidx_$n")
+    incrementalDedupBucketed(
+      s, fingerprints(docs.filter(col("doc_id") % 10 === 7)), fpT, nfpT)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_minhash_lsh" -> (q22MinhashLsh _),
@@ -441,6 +508,7 @@ object DedupQueries {
     "q42_simhash_pairs" -> (q42SimhashPairs _),
     "q64_decontaminate" -> (q64Decontaminate _),
     "q65_incremental_dedup" -> (q65IncrementalDedup _),
+    "q85_bucketed_dedup" -> (q85BucketedIncDedup _),
   )
 
   private val oracleSigs = (0 until nHashes)
@@ -514,7 +582,13 @@ object DedupQueries {
         |SELECT CAST(train.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
         |FROM train JOIN bench USING (g)
         |GROUP BY train.doc_id ORDER BY doc_id""".stripMargin,
-    "q65_incremental_dedup" ->
+    "q65_incremental_dedup" -> incrementalOracle,
+    // identical result contract — q85 differs only in plan shape (the
+    // bucketed layout), which the oracle cannot see and PlanShapeSpec does
+    "q85_bucketed_dedup" -> incrementalOracle,
+  ) ++ oraclesTail
+
+  private lazy val incrementalOracle =
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |p AS (SELECT doc_id,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
@@ -531,7 +605,9 @@ object DedupQueries {
         |       WHEN cn.nfp IS NOT NULL THEN 'near_dup'
         |       ELSE 'keep' END AS verdict
         |FROM b LEFT JOIN cf ON b.fp = cf.fp LEFT JOIN cn ON b.nfp = cn.nfp
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+
+  private lazy val oraclesTail: Map[String, String] = Map(
     "q28_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |f AS (SELECT doc_id, array_to_string(

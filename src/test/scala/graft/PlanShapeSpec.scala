@@ -103,6 +103,87 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"documents must not shuffle for the gate:\n$p")
   }
 
+  test("q85: the corpus fingerprint sides never re-shuffle — the bucketed index provides them") {
+    // the dedup family's production path (verdict joins against the durable
+    // bucketed fingerprint index): the ONLY shuffles in the plan may belong
+    // to the new batch or the presentation sort — no shuffle subtree may
+    // contain a bucketed corpus scan, or the weekly run is re-shuffling the
+    // corpus prints the layout exists to keep in place
+    val wrapped = SparkEntry.queries("q85_bucketed_dedup")(spark, sfDir)
+      .queryExecution.executedPlan
+    val exec = wrapped match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val p = exec.toString
+    assert(p.contains("SortMergeJoin"), s"verdict joins must be SMJ:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"corpus sides must read bucketed files:\n$p")
+    val smjs = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.size == 2, s"expected the two verdict joins, got:\n$p")
+    smjs.foreach { j =>
+      // the corpus fingerprint side is the right (lookup) side of each
+      // left join: it must reach the join straight from its bucketed scan
+      val exchanges = j.right.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"the corpus side must not re-shuffle:\n${j.right}")
+      val bucketed = j.right.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.bucketSpec.isDefined => f
+      }
+      assert(bucketed.nonEmpty,
+        s"the corpus side must read the bucketed index:\n${j.right}")
+    }
+  }
+
+  /** Every node the final adaptive plan actually executed: descends into
+    * materialized query stages (whose subplans are not `children`) but NOT
+    * into ReusedExchange — a reused exchange runs once, at its original
+    * site. */
+  private def executedNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: executedNodes(a.executedPlan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: executedNodes(q.plan)
+    case _ => p +: p.children.flatMap(executedNodes)
+  }
+
+  test("q66/q75: AQE serves the second tf/count consumer from a REUSED exchange, " +
+    "and the corpus tokenize executes the documented number of times") {
+    // the source comments in CorpusQueries (q66: df served from tf's
+    // shuffled stage; q75: the total served from counts' stage) describe an
+    // optimizer-version-sensitive structure — this makes CI the verifier.
+    // Stage reuse only materializes at runtime, so execute first.
+    for ((name, expectedTokenizes) <- Seq("q66_tfidf" -> 1, "q75_unigram_quality" -> 2)) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val nodes = executedNodes(df.queryExecution.executedPlan)
+      val reused = nodes.count {
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+        case _ => false
+      }
+      assert(reused >= 1,
+        s"$name: expected a ReusedExchange in the final adaptive plan:\n" +
+          df.queryExecution.executedPlan)
+      val tokenizes = nodes.count {
+        case _: org.apache.spark.sql.execution.GenerateExec => true
+        case _ => false
+      }
+      // q66: ONE tokenize — df's (doc_id, tok) subtree is entirely served
+      // from tf's exchange. q75: TWO by design (the count branch and the
+      // join stream), with the reuse saving the third (total's re-scan).
+      assert(tokenizes == expectedTokenizes,
+        s"$name: expected $expectedTokenizes executed explode stages, got $tokenizes:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   test("q42: candidate generation is a broadcast/hash join over staged leaf scans") {
     val p = plan("q42_simhash_pairs")
     assert(!p.contains("CartesianProduct"), "band join must be an equi-join")
