@@ -30,7 +30,12 @@ import org.apache.spark.sql.types.LongType
   * downstream topic — plus `Trigger.ProcessingTime` in place of
   * AvailableNow. The checkpoint directory is what carries the
   * exactly-once file-tracking and state-store lineage across restarts;
-  * everything upstream of `writeStream` is identical.
+  * everything upstream of `writeStream` is identical. That restart
+  * contract is TESTED, not assumed: StreamingRestartSpec stops q36's
+  * topology mid-corpus and resumes it from the same checkpoint (both
+  * through a file sink and through the foreachBatch upsert lake),
+  * asserting only new files are read and straddling windows finalize
+  * with state recovered from run 1.
   */
 object StreamingQueries {
 
@@ -120,8 +125,12 @@ object StreamingQueries {
     * dedup is arrival-order-dependent, so every observable column must be
     * a function of the KEY alone — the event time is derived from the band
     * key (4 md5 hex digits → minute offset in a 2-day range), making the
-    * windowed counts independent of arrival order. State stays bounded:
-    * dedup keys and window state both expire with the 1-hour watermark. */
+    * windowed counts independent of arrival order. (That derivation is a
+    * FIXTURE-DETERMINISM device, not the recommended design: a production
+    * deployment uses the document's real event time and accepts that the
+    * surviving row's arrival decides it — here the hash keeps the oracle
+    * comparison order-free.) State stays bounded: dedup keys and window
+    * state both expire with the 1-hour watermark. */
   def q63StreamingNearDup(s: SparkSession, dir: String): DataFrame = {
     // one delivery = documents + every-10th-doc near-dup variants; two
     // deliveries via independent file sources, as in q52
@@ -175,8 +184,15 @@ object StreamingQueries {
     * state would grow forever). Inner joins emit each match as soon as
     * both sides have arrived, so for a bounded AvailableNow source the
     * emitted set is exactly the batch join — which is what the oracle
-    * checks. The join shuffles both streams on user_id (a scaling key);
-    * gap_us is integer microsecond arithmetic, exact in both engines. */
+    * checks. PRECONDITION of that equivalence: AvailableNow delivers the
+    * single fixture file in ONE micro-batch (the default — no
+    * maxFilesPerTrigger is set). If the source were split across
+    * micro-batches, the 1-hour watermark could evict buffered rows whose
+    * match arrives in a later batch and silently drop pairs the batch
+    * join contains; a multi-batch deployment sizes the watermark to the
+    * real cross-stream arrival skew instead. The join shuffles both
+    * streams on user_id (a scaling key); gap_us is integer microsecond
+    * arithmetic, exact in both engines. */
   def q72StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val clicks = StreamSources.events(s, dir)
       .filter(col("event_type") === "click")
