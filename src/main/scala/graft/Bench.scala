@@ -49,12 +49,11 @@ object Bench {
     s(s.size / 2)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // clamp to >= 1: TRIALS=0 would sweep everything then crash median(Seq())
-    val nTrials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt)
-    val spark = GraftSession.getOrCreate()
-    warmup(spark, sfDir)
+  /** One full sweep at `sfDir`: every registered query, `nTrials` timed
+    * end-to-end executions each. Returns (name → successful trial times)
+    * plus one (name → message) per query with any failed trial. */
+  private def sweep(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                    nTrials: Int): (Seq[(String, Seq[Double])], List[(String, String)]) = {
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // each trial re-invokes the builder (fresh logical plan — plan
@@ -83,20 +82,51 @@ object Bench {
       firstErr.foreach(msg => errors ::= (name -> msg))
       if (trials.nonEmpty) Some(name -> trials) else None
     }
-    // "queries" stays name → seconds (the driver contract); the value is now
-    // the per-query MEDIAN, with the raw trials alongside for anyone
-    // auditing the spread
+    (results, errors.reverse)
+  }
+
+  /** The sweep's JSON fields shared by the primary and secondary scale
+    * points. `n_trials_ok` reports how many trials each median actually
+    * covers — a query that lost all but one trial to errors is visible as
+    * a 1-trial survivor instead of masquerading as a healthy median. */
+  private def sweepJson(results: Seq[(String, Seq[Double])],
+                        errors: List[(String, String)], nTrials: Int,
+                        sfDir: String): String = {
     val qs = JsonUtil.obj(results.map { case (k, ts) => k -> median(ts).toString })
     val trialsJson = JsonUtil.obj(results.map { case (k, ts) =>
       k -> ts.mkString("[", ",", "]")
     })
-    val errJson = JsonUtil.obj(errors.reverse.map { case (k, v) => k -> JsonUtil.quote(v) })
+    val okJson = JsonUtil.obj(results.map { case (k, ts) => k -> ts.size.toString })
+    val errJson = JsonUtil.obj(errors.map { case (k, v) => k -> JsonUtil.quote(v) })
     val total = results.map { case (_, ts) => median(ts) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median","n_trials":$nTrials,"queries":$qs,"trials":$trialsJson,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    s""""value":$total,"unit":"sec","aggregation":"median","n_trials":$nTrials,""" +
+      s""""queries":$qs,"trials":$trialsJson,"n_trials_ok":$okJson,""" +
+      s""""n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"sf":"$sfDir""""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // clamp to >= 1: TRIALS=0 would sweep everything then crash median(Seq())
+    val nTrials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt)
+    val spark = GraftSession.getOrCreate()
+    warmup(spark, sfDir)
+    val (results, errors) = sweep(spark, sfDir, nTrials)
+    // second scale point: a one-trial sweep at a smaller sf in the same
+    // JSON line — two points expose super-linear queries (pass counts,
+    // block-size effects) that a single sf cannot. Off when SF_DIR2 is set
+    // empty or equals the primary.
+    val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
+    val secondary = Option(sfDir2).filter(d => d.nonEmpty && d != sfDir).map { d =>
+      warmup(spark, d)
+      val n2 = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS2", "1").toInt)
+      val (r2, e2) = sweep(spark, d, n2)
+      s""","secondary":{${sweepJson(r2, e2, n2, d)}}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total",${sweepJson(results, errors, nTrials, sfDir)}$secondary}""")
     spark.stop()
-    // non-zero only when a query produced NO successful trial — a
-    // transient single-trial hiccup is reported in "errors" but must not
-    // fail a sweep that still measured everything
+    // non-zero only when a query produced NO successful trial in the
+    // PRIMARY sweep — a transient single-trial hiccup is reported in
+    // "errors" but must not fail a sweep that still measured everything
     val hardFailures = errors.map(_._1).toSet -- results.map(_._1).toSet
     if (hardFailures.nonEmpty) sys.exit(1)
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CorpusQueries, DedupQueries, EtlQueries, RelationalQueries, SimilarityQueries, TextAnalysisQueries}
+import graft.operators.{CorpusPipeline, CorpusQueries, DedupQueries, EtlQueries, RelationalQueries, SimilarityQueries, TextAnalysisQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextAnalysisQueries.queries ++
-      EtlQueries.queries ++ StreamingQueries.queries ++ CorpusQueries.queries
+      EtlQueries.queries ++ StreamingQueries.queries ++ CorpusQueries.queries ++
+      CorpusPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextAnalysisQueries.oracles ++
-      EtlQueries.oracles ++ StreamingQueries.oracles ++ CorpusQueries.oracles
+      EtlQueries.oracles ++ StreamingQueries.oracles ++ CorpusQueries.oracles ++
+      CorpusPipeline.oracles
 }

@@ -172,14 +172,18 @@ object CorpusQueries {
     * result is bit-identical to the naive global window (PackingSpec
     * asserts it on the fixtures — integer arithmetic, so no rounding
     * escape hatch is needed). */
-  def q68TokenPacking(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def q68TokenPacking(s: SparkSession, dir: String): DataFrame =
+    tokenPack(Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"),
-        expr("cast(size(split(text, ' ')) as bigint)").as("ntok"))
-    // shard of the FIRST token of each doc: (global running sum before
-    // this doc) div budget
+        expr("cast(size(split(text, ' ')) as bigint)").as("ntok")), shardBudget)
+
+  /** Library form of the shard packer over any (lang, doc_id, ntok)
+    * frame: shard of the FIRST token of each doc is (global running sum
+    * before this doc) div budget; returns the per-(lang, shard)
+    * manifest. The corpus-pipeline composition ends here. */
+  private[graft] def tokenPack(docs: DataFrame, budget: Int): DataFrame = {
     val packed = twoPhaseRunningSum(docs, "lang", "ntok")
-      .withColumn("shard", expr(s"(cum - ntok) div $shardBudget"))
+      .withColumn("shard", expr(s"(cum - ntok) div $budget"))
     packed.groupBy("lang", "shard")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum("ntok").cast("bigint").as("tokens"))
@@ -352,7 +356,13 @@ object CorpusQueries {
   def q77WeightedInterleave(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
-        expr("cast(substring(source, 4) as int)").as("sn"),
+        // a source id outside the 'srcN' namespace must fail LOUDLY: a
+        // silent null sn would give null w/pos, and Spark sorts nulls
+        // first where DuckDB sorts them last — a latent cross-engine
+        // ordering divergence. raise_error only evaluates on the null.
+        expr("coalesce(try_cast(substring(source, 4) as int), " +
+          "raise_error(concat('q77: source id outside srcN namespace: ', source)))")
+          .as("sn"),
         lit(1L).as("one"))
     // rank within source = inclusive running count, via the same two-phase
     // prefix machinery as q68 (a per-source window would be 20 tasks

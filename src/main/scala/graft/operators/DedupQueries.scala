@@ -365,18 +365,25 @@ object DedupQueries {
       broadcastBench = false)
   }
 
-  /** Both incremental-dedup fingerprints of a (doc_id, text) frame in one
-    * projection: `fp` = whitespace-normalized md5 (exact), `nfp` = q28's
-    * min-4 shingle fingerprint (near; null under 3 tokens). */
-  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+  /** Both incremental-dedup fingerprints APPENDED to a (doc_id, text, ...)
+    * frame (all other columns ride along — the corpus-pipeline composition
+    * needs lang/source/text downstream of its dedup stages): `fp` =
+    * whitespace-normalized md5 (exact), `nfp` = q28's min-4 shingle
+    * fingerprint (near; null under 3 tokens). One narrow codegen'd
+    * projection, no shuffle. */
+  private[graft] def withFingerprints(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr("split(text, ' ')"))
-      .select(
-        col("doc_id"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"),
+      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("nfp",
         expr("case when size(toks) >= 3 then concat_ws('', " +
-          s"slice(array_sort(array_distinct(transform($shinglesExpr, x -> md5(x)))), 1, 4)) end")
-          .as("nfp"))
+          s"slice(array_sort(array_distinct(transform($shinglesExpr, x -> md5(x)))), 1, 4)) end"))
+      .drop("toks")
+
+  /** The (doc_id, fp, nfp) projection of [[withFingerprints]] — the frame
+    * the incremental-dedup index stores. */
+  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+    withFingerprints(docs).select("doc_id", "fp", "nfp")
 
   /** The two verdict left-joins shared by every incremental-dedup entry:
     * batch prints against a distinct exact-fingerprint side (`cfp`) and a
@@ -452,9 +459,17 @@ object DedupQueries {
     * `exact_dup`, `near_dup`, or `keep`. The corpus fingerprint pass is
     * STAGED to parquet before the verdict joins: the exact and near sides
     * each read the print frame, and unstaged the md5 + shingle subtree
-    * would execute once per branch over the full corpus. Callers with a
-    * durable fingerprint table skip this pass entirely via
-    * [[incrementalDedupIndexed]]. */
+    * would execute once per branch over the full corpus.
+    *
+    * COST NOTE: the staging write is EAGER (it runs at call time, during
+    * DataFrame construction, not at the returned frame's first action)
+    * and each invocation leaves one corpus-sized print copy on local disk
+    * until JVM shutdown (Staging sweeps at exit). A long-lived session
+    * calling this repeatedly over a large corpus accumulates that
+    * footprint — production callers should maintain a durable fingerprint
+    * table instead and go through [[incrementalDedupIndexed]] (or the
+    * bucketed [[writeFingerprintIndex]] / [[incrementalDedupBucketed]]
+    * pair), which never re-fingerprints or re-stages old data. */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame = {
     val ck = graft.Staging.fresh("incDedup")
     fingerprints(corpus).write.mode("overwrite").parquet(s"$ck/prints")

@@ -323,18 +323,21 @@ object EtlQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // TRY_CAST mirrors Spark's PERMISSIVE from_json (a non-numeric k
+    // becomes NULL on both sides); a plain CAST would hard-error the
+    // oracle on fixture evolution instead of producing a clean mismatch
     "q78_json_extract" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
-        |  CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
-        |  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k
+        |  CAST(MIN(TRY_CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(MAX(TRY_CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
+        |  CAST(SUM(TRY_CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q79_corrupt_tolerant_parse" ->
       """WITH r AS (SELECT event_type,
         |    CASE WHEN event_id % 11 = 0 THEN substr(props, 1, 5) ELSE props END AS raw
         |  FROM events),
         |p AS (SELECT event_type,
-        |    CASE WHEN json_valid(raw) THEN CAST(raw->>'$.k' AS INTEGER) END AS k
+        |    CASE WHEN json_valid(raw) THEN TRY_CAST(raw->>'$.k' AS INTEGER) END AS k
         |  FROM r)
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(k) AS BIGINT) AS n_parsed,
