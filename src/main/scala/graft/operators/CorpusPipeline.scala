@@ -51,13 +51,17 @@ object CorpusPipeline {
     * floor(min(1, quota/count) * 10000). */
   private val sampleBasis = 10000
 
-  /** Keep the lowest doc_id per non-null key; rows with a null key are
-    * their own singleton partition (kept, and no null-pool straggler). */
-  private def keepMinPer(df: DataFrame, key: Column): DataFrame = {
-    val w = Window.partitionBy(coalesce(key, concat(lit("u"), col("doc_id"))))
-    df.withColumn("k_", min("doc_id").over(w))
-      .filter(col("doc_id") === col("k_")).drop("k_")
-  }
+  /** Keep the lowest-doc_id row per non-null key; rows with a null key
+    * are their own singleton group (kept, and no null-pool straggler).
+    * An AGGREGATE (`min_by` over the whole row, unique doc_id as the
+    * tiebreaker-free ordering key), not a window: partial aggregation
+    * collapses duplicates map-side before the one shuffle and no
+    * per-partition sort runs — q21's dedup shape carried through the
+    * pipeline. */
+  private def keepMinPer(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(coalesce(key, concat(lit("u"), col("doc_id"))).as("k_"))
+      .agg(min_by(struct(df.columns.map(col): _*), col("doc_id")).as("r_"))
+      .select("r_.*")
 
   /** Run the full build over a (doc_id, text, lang) corpus frame against
     * a (doc_id, text) benchmark frame. `sampleBudget` is the mixture's
@@ -66,10 +70,28 @@ object CorpusPipeline {
     * [[DedupQueries.decontaminate]]. */
   def build(docs: DataFrame, bench: DataFrame, sampleBudget: Long,
             shardTokens: Int, broadcastBench: Boolean = true): Stages = {
+    // The downstream stages BRANCH repeatedly (moments + gate both read
+    // the dedup output; decontamination + its anti-join both read the
+    // gate's; mixture + sampling both read the decontamination's; the
+    // two-phase packer reads the sample twice). Left as one lazy DAG,
+    // every branch re-executes the whole fingerprint + dedup lineage, so
+    // the two hottest cuts are STAGED through parquet (the q42/q65
+    // staged-lineage pattern): `near` (everything upstream runs once) and
+    // `clean` (the shingle join runs once). Measured at sf0.1: 11.7 s
+    // unstaged vs 3.3 s staged steady-state (a first run adds ~6 s of
+    // one-time plan optimization + codegen spread across the ~8 stage
+    // actions — constant, so it vanishes at scale and in the bench's
+    // median-of-3). The staging writes are EAGER (at call time) and swept
+    // at JVM exit — the incrementalDedup cost note applies at scale.
+    val stage = graft.Staging.fresh("corpusPipe")
+    def staged(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$stage/$name")
+      docs.sparkSession.read.parquet(s"$stage/$name")
+    }
     // 1-2: exact then near dedup, keep-lowest-id (q21/q28 semantics)
     val printed = DedupQueries.withFingerprints(docs)
     val exact = keepMinPer(printed, col("fp"))
-    val near = keepMinPer(exact, col("nfp"))
+    val near = staged(keepMinPer(exact, col("nfp")), "near")
 
     // 3: per-language 2-sd length gate (q70's moments, applied as a row
     // filter over THIS stage's population)
@@ -91,7 +113,7 @@ object CorpusPipeline {
     val contaminated = DedupQueries
       .decontaminate(gated.select("doc_id", "text"), bench, broadcastBench)
       .select("doc_id")
-    val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = staged(gated.join(contaminated, Seq("doc_id"), "left_anti"), "clean")
 
     // 5: temperature mixture applied as a deterministic hash-threshold
     // sample: rate_l = min(1, quota_l / n_l) — downsample only, never
