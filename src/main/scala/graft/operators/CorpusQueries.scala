@@ -445,9 +445,46 @@ object CorpusQueries {
     "q77_weighted_interleave" -> (q77WeightedInterleave _),
     "q81_source_concentration" -> (q81SourceConcentration _),
     "q82_source_scorecard" -> (q82SourceScorecard _),
+    "q88_split_manifest" -> (q88SplitManifest _),
   )
 
+  /** Deterministic stratified train/valid/test split manifest (90/5/5):
+    * each document's split is a pure function of a salted md5 of its id
+    * ('split_' salt decorrelates it from every other doc_id hash in the
+    * suite — the q86 sampling hash, the q63 event-time hash), so the
+    * assignment is stable across runs, machines, and corpus growth: a doc
+    * keeps its split when the corpus around it changes, which is what
+    * makes eval sets trustworthy over recrawls. Output: per (lang, split)
+    * document and token counts — the manifest a training run reads.
+    *
+    * Scale: one scan with a codegen'd hash projection, one bounded
+    * groupBy (langs x 3 rows). No shuffle of document rows beyond the
+    * aggregation's map-side-combined exchange. */
+  def q88SplitManifest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('split_', cast(doc_id as string))), 1, 4), 16, 10) as int) % 100"))
+      .withColumn("split", expr(
+        "case when bucket < 90 then 'train' when bucket < 95 then 'valid' else 'test' end"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(expr("cast(size(split(text, ' ')) as bigint)")).cast("bigint").as("tokens"))
+      .orderBy("lang", "split")
+
   val oracles: Map[String, String] = Map(
+    "q88_split_manifest" ->
+      """WITH b AS (SELECT lang, text,
+        |    ((strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |    CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM b)
+        |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tokens
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q66_tfidf" ->
       """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY doc_id, tok),

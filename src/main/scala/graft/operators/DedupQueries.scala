@@ -514,6 +514,107 @@ object DedupQueries {
       s, fingerprints(docs.filter(col("doc_id") % 10 === 7)), fpT, nfpT)
   }
 
+  /** Paragraph-level (chunk) boilerplate dedup — the CCNet/RefinedWeb
+    * "line-level dedup" pass that document-level dedup cannot express: a
+    * navigation header or cookie banner repeated across thousands of
+    * otherwise-distinct pages survives every whole-document fingerprint.
+    * Documents are cut into aligned 10-token chunks (the fixture's "text"
+    * carries no newlines, so fixed-width chunks stand in for lines); a
+    * chunk whose hash appears in MORE THAN ONE distinct document is
+    * boilerplate, and the per-document report counts kept vs boilerplate
+    * chunk occurrences. The fixture corpus is documents plus every-10th
+    * doc re-delivered with an APPENDED promo suffix (append preserves
+    * chunk alignment, so the copies' full chunks collide with the
+    * originals' — the boilerplate outcome is constructed, then
+    * hash-checked by the identical oracle).
+    *
+    * Scale: one chunk projection (scan-bound, codegen'd), one groupBy on
+    * the chunk hash (a scaling 128-bit key; count_distinct(doc_id) is the
+    * standard two-phase expansion), one join back to occurrences, one
+    * per-doc aggregation. Nothing is all-pairs; boilerplate detection
+    * cost is O(chunks), not O(docs^2). */
+  def q87ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(col("text"), lit(" promo2024 visit example now")).as("text")))
+    val chunks = corpus
+      .withColumn("toks", expr("split(text, ' ')"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(toks) - 1) div 10), " +
+          "i -> md5(concat_ws(' ', slice(toks, i * 10 + 1, 10))))")).as("ch"))
+    val freq = chunks.groupBy("ch").agg(countDistinct("doc_id").as("nd"))
+    chunks.join(freq, Seq("ch"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+        sum(when(col("nd") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("bigint").as("n_boiler"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_chunks"), col("n_kept"), col("n_boiler"))
+      .orderBy("doc_id")
+  }
+
+  /** Contamination FRACTION report — q64's decontamination upgraded from
+    * "shares >= 1 shingle" to the graded verdict a real curation run
+    * uses: per training document, the fraction of its distinct 3-gram
+    * shingles that also occur in the benchmark, bucketed into
+    * keep / review / drop. A single shared shingle in a 10k-shingle
+    * document is noise; a 60% overlap is a leaked eval document.
+    *
+    * One pass over the train shingles: LEFT join against the distinct
+    * bench set marks hits, one per-doc aggregation computes both the
+    * denominator and the hit count (no second shingle pass). The
+    * fraction is one double division of two exact longs — deterministic.
+    * Scale: as q64 (shingle equi-join on a scaling md5 key; a bounded
+    * real eval suite would broadcast). */
+  def q89ContaminationFraction(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchSet = shingleHashes(docs.filter(col("doc_id") % 37 === 0))
+      .select("g").distinct().withColumn("hit", lit(1L))
+    shingleHashes(docs.filter(col("doc_id") % 37 =!= 0))
+      .join(benchSet, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("frac", expr("cast(n_hits as double) / cast(n_shingles as double)"))
+      .withColumn("verdict", expr(
+        "case when frac >= 0.5 then 'drop' when frac >= 0.1 then 'review' else 'keep' end"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_shingles").cast("bigint").as("n_shingles"),
+        col("n_hits").cast("bigint").as("n_hits"), col("frac"), col("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source near-duplicate overlap matrix — the "which crawls
+    * duplicate each other" curation view that decides whether two sources
+    * should both stay in the mix: for every unordered source pair, the
+    * number of near-dup fingerprints (q28's min-4 sketch) shared by
+    * documents of both sources.
+    *
+    * Shape: ONE text pass computes fingerprints; one groupBy on the
+    * fingerprint collects each print's distinct source set (bounded by
+    * the source namespace — ~20 here, sub-thousands in any real corpus,
+    * NOT corpus-scaled, which is what makes collect_set safe); in-row
+    * pair expansion of the sorted set; one bounded aggregation. The
+    * DuckDB twin uses the equivalent distinct-pair self-join — same
+    * result, and the hash check covers the set-vs-join equivalence. */
+  def q90SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 3"))
+      .withColumn("nfp", expr("concat_ws('', slice(array_sort(array_distinct(" +
+        s"transform($shinglesExpr, x -> md5(x)))), 1, 4))"))
+      .groupBy("nfp")
+      .agg(expr("array_sort(collect_set(source))").as("ss"))
+      .filter(expr("size(ss) >= 2"))
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), " +
+          "y -> named_struct('src_a', x, 'src_b', y))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .orderBy("src_a", "src_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_minhash_lsh" -> (q22MinhashLsh _),
@@ -524,6 +625,9 @@ object DedupQueries {
     "q64_decontaminate" -> (q64Decontaminate _),
     "q65_incremental_dedup" -> (q65IncrementalDedup _),
     "q85_bucketed_dedup" -> (q85BucketedIncDedup _),
+    "q87_paragraph_dedup" -> (q87ParagraphDedup _),
+    "q89_contamination_fraction" -> (q89ContaminationFraction _),
+    "q90_source_overlap" -> (q90SourceOverlap _),
   )
 
   private val oracleSigs = (0 until nHashes)
@@ -601,6 +705,54 @@ object DedupQueries {
     // identical result contract — q85 differs only in plan shape (the
     // bucketed layout), which the oracle cannot see and PlanShapeSpec does
     "q85_bucketed_dedup" -> incrementalOracle,
+    "q87_paragraph_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' promo2024 visit example now' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |c AS (SELECT doc_id, unnest(list_transform(generate_series(0, (len(toks) - 1) // 10),
+        |    i -> md5(array_to_string(toks[(i * 10 + 1):((i + 1) * 10)], ' ')))) AS ch
+        |  FROM t),
+        |f AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM c GROUP BY ch)
+        |SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |FROM c JOIN f USING (ch)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q89_contamination_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+        |    x -> md5(x)))) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0),
+        |j AS (SELECT tr.doc_id, CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM (SELECT doc_id, g FROM sh WHERE doc_id % 37 <> 0) tr
+        |  LEFT JOIN bench ON tr.g = bench.g),
+        |a AS (SELECT doc_id, COUNT(*) AS n_shingles, SUM(hit) AS n_hits FROM j GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS frac,
+        |  CASE WHEN CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.5 THEN 'drop'
+        |       WHEN CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.1 THEN 'review'
+        |       ELSE 'keep' END AS verdict
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // the equivalent distinct-pair self-join form of the Spark side's
+    // collect_set + in-row pair expansion
+    "q90_source_overlap" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT DISTINCT source, array_to_string(
+        |    list_sort(list_distinct(list_transform(
+        |      list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+        |      x -> md5(x))))[1:4], '') AS nfp
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.nfp = b.nfp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
   ) ++ oraclesTail
 
   private lazy val incrementalOracle =

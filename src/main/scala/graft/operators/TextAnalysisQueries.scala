@@ -280,6 +280,38 @@ object TextAnalysisQueries {
       .orderBy(desc("cnt"), asc("pair"))
       .limit(20)
 
+  /** True winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * rolling-hash selection scheme behind MOSS, and the principled form
+    * of q28's simpler min-4 sketch): hash every character 4-gram, slide a
+    * 5-hash window over the sequence, and SELECT each window's minimum —
+    * the winnowing guarantee is that any shared substring of length
+    * >= 8 chars (gram + window) contributes at least one shared selected
+    * hash, so matching fingerprints localize plagiarized/duplicated
+    * spans, not just whole-document similarity. Output per document: the
+    * gram count, the distinct selected count (the fingerprint density),
+    * and the md5 of the sorted selection — a stable whole-doc
+    * fingerprint id.
+    *
+    * Scale: entirely in-row (one codegen'd projection over higher-order
+    * functions — no explode, no shuffle except the final sort); the
+    * selected set is ~2/(w+1) of grams by the winnowing density bound,
+    * so the projection output stays a bounded fraction of the text. Both
+    * engines fold the same lists in the same order; lexicographic string
+    * mins on lowercase hex are identical. */
+  def q91Winnowing(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(expr("length(text) >= 8"))
+      .withColumn("h", expr(
+        "transform(sequence(1, length(text) - 3), i -> md5(substring(text, i, 4)))"))
+      .withColumn("sel", expr(
+        "array_distinct(transform(sequence(1, size(h) - 4), j -> array_min(slice(h, j, 5))))"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        expr("cast(size(h) as bigint)").as("n_grams"),
+        expr("cast(size(sel) as bigint)").as("n_selected"),
+        expr("md5(concat_ws('', array_sort(sel)))").as("fingerprint"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats" -> (q27TextStats _),
     "q73_chunking" -> (q73Chunking _),
@@ -292,9 +324,22 @@ object TextAnalysisQueries {
     "q48_string_suite" -> (q48StringSuite _),
     "q60_pii_scrub" -> (q60PiiScrub _),
     "q61_repetition_ratio" -> (q61RepetitionRatio _),
+    "q91_winnowing" -> (q91Winnowing _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_winnowing" ->
+      """WITH h AS (SELECT doc_id, list_transform(generate_series(1, length(text) - 3),
+        |    i -> md5(substr(text, i, 4))) AS h
+        |  FROM documents WHERE length(text) >= 8),
+        |s AS (SELECT doc_id, h, list_distinct(list_transform(
+        |    generate_series(1, len(h) - 4), j -> list_min(h[j:j+4]))) AS sel
+        |  FROM h)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(h) AS BIGINT) AS n_grams,
+        |  CAST(len(sel) AS BIGINT) AS n_selected,
+        |  md5(array_to_string(list_sort(sel), '')) AS fingerprint
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q73_chunking" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |    len(string_split(text, ' ')) AS n FROM documents),
