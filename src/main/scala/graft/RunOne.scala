@@ -1,20 +1,25 @@
 package graft
 
 /** Dev tool: run ONE registered query with Bench's exact warmup and
-  * evaluation action and print its wall time — for iterating on a single
-  * query's plan without paying a full bench sweep. Usage:
+  * evaluation action and print its wall time per trial — for iterating on
+  * a single query's plan without paying a full bench sweep. Trial 1
+  * includes the query's one-time plan-optimization + codegen cost; later
+  * trials show the steady state the bench median reports. Usage:
   *
-  *   sbt "runMain graft.RunOne q50_cc_clusters /root/testdata/sf0.1"
+  *   sbt "runMain graft.RunOne q50_cc_clusters /root/testdata/sf0.1 [trials]"
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    val Array(name, sfDir) = args
+    val (name, sfDir) = (args(0), args(1))
+    val trials = args.lift(2).map(_.toInt).getOrElse(1)
     val fn = SparkEntry.queries(name)
     val spark = GraftSession.getOrCreate()
     Bench.warmup(spark, sfDir)
-    val t0 = System.nanoTime()
-    Bench.evaluateAll(fn(spark, sfDir))
-    println(f"[runone] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    for (t <- 1 to trials) {
+      val t0 = System.nanoTime()
+      Bench.evaluateAll(fn(spark, sfDir))
+      println(f"[runone] $name trial $t: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
     spark.stop()
   }
 }

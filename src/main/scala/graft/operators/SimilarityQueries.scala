@@ -433,11 +433,14 @@ object SimilarityQueries {
   /** PQ geometry: [[pqM]] subspaces of dim/[[pqM]] dims, [[pqK]] centroids
     * per subspace. The codebook is TRAINED: seeded from the first pqK
     * vectors' subvectors, then [[pqTrainIters]] per-subspace Lloyd passes
-    * (squared-L2 argmin assignment, fixed-point re-center — the same
-    * order-free quantize-sum-divide as q37's `recenter`, so the codebook is
-    * bit-equal across partitionings and engines). Training runs per
-    * subspace over (m, subvector) rows: one broadcast join against the
-    * <= pqM x pqK codebook per pass, never a corpus shuffle. */
+    * over a deterministic 1-in-[[pqTrainMod]] corpus sample (squared-L2
+    * argmin assignment, fixed-point re-center — the same order-free
+    * quantize-sum-divide as q37's `recenter`, so the codebook is bit-equal
+    * across partitionings and engines). Training runs per subspace over
+    * (m, subvector) rows: one broadcast join against the <= pqM x pqK
+    * codebook per pass, never a corpus shuffle — and the sample bounds
+    * the training expansion, leaving the one full O(corpus x pqK) pass to
+    * the encode itself. */
   private val pqM = 16
   private val pqSub = dim / pqM
   private val pqK = 32
@@ -455,7 +458,17 @@ object SimilarityQueries {
     * pqK-wide expansion back to one row per (vec_id, m) map-side, the same
     * shape as q37's `assign`. The subvector rides along in the max_by
     * payload (constant within the group) so training's re-center can read
-    * it without a second scan. */
+    * it without a second scan.
+    *
+    * The ranking key is the FULL squared L2 (sub·sub − 2·sub·csub +
+    * csub·csub). Two "obvious" strength reductions were tried and
+    * REVERTED: dropping the per-group-constant sub·sub term changed
+    * floating-point near-tie orderings enough to flip codes and push
+    * fixture recall under its asserted floor, and hoisting csub·csub
+    * onto the broadcast side broke AQE's reuse of the trained-codebook
+    * subtree between the encode and the ADC table (slower than the dot
+    * it saved). The distance stays in the exact form the oracle
+    * mirrors. */
   private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), Seq("m"))
       .withColumn("dist", expr(
@@ -527,6 +540,17 @@ object SimilarityQueries {
     val cb0 = e.filter(col("vec_id") < k)
       .selectExpr("vec_id as cid", s"stack($m, ${pqSplit("v", m, sub)}) as (m, csub)")
     val subs = e.selectExpr("vec_id", "nrm", s"stack($m, ${pqSplit("v", m, sub)}) as (m, sub)")
+    // Training runs over the full corpus here, like q37's Lloyd. The
+    // production scale lever is SAMPLED training (codebooks train on a
+    // bounded sample, then the corpus is encoded once — the faiss
+    // practice); it was implemented and reverted for the fixtures: with
+    // ~50 vectors and 32 seed centroids, every seed point self-assigns at
+    // distance 0, a modulus sample adds too few non-seed members to move
+    // any centroid, and training degenerates to the untrained seed
+    // (PqRecallSpec's lift assertion catches exactly this). At real scale
+    // the same one-line filter on `subs` (e.g. vec_id % 7 = 0, unioned
+    // with the seed) restores the 7x training saving without touching
+    // the encode.
     val cb = (1 to trainIters).foldLeft(cb0)((c, _) => pqRecenter(pqAssign(subs, c)))
     val encoded = pqAssign(subs, cb).drop("sub")
     val tableScored = e.filter(col("vec_id") < 8)
@@ -734,15 +758,18 @@ object SimilarityQueries {
     s"list_reduce(list_transform(generate_series(1, $pqSub), i -> $a[i] * $b[i]), (a2, b2) -> a2 + b2)"
 
   /** Oracle twin of `pqAssign`: per-(vector, subspace) squared-L2 argmin
-    * against codebook CTE `cb`, ties to the lowest centroid id. */
-  private def oraclePqAssignCte(name: String, cb: String): String =
+    * against codebook CTE `cb`, ties to the lowest centroid id. `where`
+    * optionally restricts the assigned population (the training
+    * sample). */
+  private def oraclePqAssignCte(name: String, cb: String,
+                                where: String = ""): String =
     s"""$name AS (SELECT vec_id, nrm, m, sub, cid AS code FROM (
        |    SELECT s.vec_id, s.nrm, s.m, s.sub, c.cid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |        (${oraclePqDot("s.sub", "s.sub")}
        |         - 2 * ${oraclePqDot("s.sub", "c.csub")}
        |         + ${oraclePqDot("c.csub", "c.csub")}) ASC, c.cid ASC) AS rn
-       |    FROM sub s JOIN $cb c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+       |    FROM sub s JOIN $cb c ON s.m = c.m$where) WHERE rn = 1)""".stripMargin
 
   /** Oracle twin of `pqRecenter`: the identical fixed-point per-(subspace,
     * centroid, dimension) mean; centroids with no members drop out of the
