@@ -1,0 +1,135 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native winnowing fingerprint selection:
+  * `graft_winnow(text, gram, window)` → the DISTINCT window-minimum
+  * md5 hex hashes of the text's `gram`-length character n-grams under a
+  * sliding `window`, in first-appearance order — exactly
+  * `array_distinct(transform(sequence(1, size(h)-window+1),
+  * j -> array_min(slice(h, j, window))))` over
+  * `h = transform(sequence(1, length(text)-gram+1),
+  * i -> md5(substring(text, i, gram)))`, the construction the q91 DuckDB
+  * oracle runs (list_min over list slices), so the hash gate itself
+  * cross-checks this implementation against an independent one.
+  *
+  * Why native (design-ladder tier b, like [[DotProduct]]): the HOF form
+  * allocates a hash STRING per gram, an array slice per window position,
+  * and pays interpreted lambda dispatch per element — measured 3.3 s at
+  * sf0.1. This expression walks the text's UTF-8 bytes once (code-point
+  * boundaries precomputed, so multi-byte text behaves exactly like
+  * Spark's code-point `substring`/`length` and DuckDB's `substr`), md5s
+  * each gram's byte slice without materializing a substring object, and
+  * keeps the rolling minimum with a monotonic deque — O(grams) amortized
+  * comparisons instead of O(grams × window).
+  *
+  * Determinism: md5 of UTF-8 bytes is identical everywhere; hex strings
+  * are fixed-length lowercase, so byte-wise comparison IS lexicographic
+  * ordering; no floats anywhere.
+  */
+case class Winnow(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType && second.dataType == IntegerType &&
+        third.dataType == IntegerType && second.foldable && third.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_winnow expects (string, int literal gram, int literal window), got (" +
+        s"${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(text: Any, gram: Any, window: Any): Any =
+    Winnow.winnow(text.asInstanceOf[UTF8String],
+      gram.asInstanceOf[Int], window.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, g, w) => {
+      // one static call per row keeps the expression inside whole-stage
+      // codegen (no interpreted fallback, no boxing of the hot loop)
+      s"${ev.value} = graft.functions.Winnow.winnow($t, $g, $w);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Winnow =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object Winnow {
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(digest: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((digest(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(digest(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Static entry point shared by eval and generated code. */
+  def winnow(text: UTF8String, gram: Int, window: Int): ArrayData = {
+    val bytes = text.getBytes
+    // code-point start offsets (one extra slot for the end), so gram
+    // windows count CHARACTERS exactly like substring()/substr()
+    val nBytes = bytes.length
+    var cp = 0
+    var off = 0
+    val offsets = new Array[Int](nBytes + 1)
+    while (off < nBytes) {
+      offsets(cp) = off
+      val b = bytes(off) & 0xff
+      off += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+      cp += 1
+    }
+    offsets(cp) = nBytes
+    val nGrams = cp - gram + 1
+    if (nGrams < window) return new GenericArrayData(Array.empty[Any])
+    val digest = md.get()
+    val h = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      digest.reset()
+      digest.update(bytes, offsets(i), offsets(i + gram) - offsets(i))
+      h(i) = hex(digest.digest())
+      i += 1
+    }
+    // monotonic deque of candidate-minimum indices; LinkedHashSet keeps
+    // first-appearance order, matching array_distinct
+    val selected = new java.util.LinkedHashSet[String]()
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && h(deque(tail - 1)).compareTo(h(i)) > 0) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - window) head += 1
+      if (i >= window - 1) selected.add(h(deque(head)))
+      i += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential + edge-case tests for the native `graft_winnow`
+  * expression against the higher-order-function construction it
+  * replaces (the q91 oracle re-derives the same values independently in
+  * DuckDB, so the selection logic is triple-checked). */
+class WinnowSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("native winnowing equals the HOF construction on the full fixture") {
+    val native = graft.operators.TextAnalysisQueries.q91Winnowing(spark, sfDir).collect()
+    val hof = graft.operators.TextAnalysisQueries.winnowingHof(spark, sfDir).collect()
+    assert(native.toSeq === hof.toSeq)
+  }
+
+  private def sel(text: String, gram: Int = 4, window: Int = 5): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("t")
+      .select(expr(s"graft_winnow(t, $gram, $window)").as("s"))
+      .head().getSeq[String](0)
+  }
+
+  test("selection edge cases") {
+    // shorter than one full window of grams -> empty selection
+    assert(sel("abcdefg") === Seq.empty) // 4 grams < window 5
+    // exactly one window -> exactly one selected hash (the min of all 5)
+    val one = sel("abcdefgh") // 5 grams, window 5
+    assert(one.length === 1)
+    // repeated text selects few distinct hashes
+    assert(sel("abababababababab").toSet.size <= 2)
+  }
+
+  test("multi-byte text counts grams by code points, like substring()") {
+    import spark.implicits._
+    val text = "中文文本处理测试中文" // 10 CJK chars
+    val viaExpr = Seq(text).toDF("t")
+      .select(expr("graft_winnow(t, 4, 5)").as("s"),
+        expr("transform(sequence(1, length(t) - 3), i -> md5(substring(t, i, 4)))").as("h"))
+      .head()
+    val hofSel = {
+      val h = viaExpr.getSeq[String](1)
+      h.sliding(5).map(_.min).toSeq.distinct
+    }
+    assert(viaExpr.getSeq[String](0) === hofSel)
+  }
+
+  test("null text yields null, not a crash") {
+    import spark.implicits._
+    val r: Row = Seq(Option.empty[String]).toDF("t")
+      .select(expr("graft_winnow(t, 4, 5)")).head()
+    assert(r.isNullAt(0))
+  }
+}
