@@ -679,6 +679,41 @@ object SimilarityQueries {
       .orderBy("lang", "coverage")
   }
 
+  /** Symmetric int8 quantization audit — the fidelity check a pipeline
+    * runs before storing/serving embeddings at 1 byte per dimension (a
+    * 4x memory cut at 100 TB): each vector is quantized with its own
+    * per-vector scale (max |x| / 127), dequantized, and compared to the
+    * original — per label, the mean and worst cosine between original
+    * and reconstruction and the worst absolute per-dimension error. A
+    * label whose min cosine sags under quantization has outlier
+    * dimensions and needs per-dimension scales or fp16.
+    *
+    * Determinism: round-to-nearest is written as floor(x/scale + 0.5)
+    * (identical IEEE result in both engines — `round()`'s half-even vs
+    * half-away behavior differs across engines, floor does not); dots
+    * through graft_dot; the cross-row mean quantizes each cosine to
+    * integer nanounits first (the family rule). Scale: one narrow
+    * codegen'd scan, one bounded per-label aggregation — no shuffle of
+    * vector data beyond the map-side-combined exchange. */
+  def q92QuantizationAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .select(col("label").cast("int").as("label"), col("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0d"))
+      .filter(col("scale") > 0)
+      .withColumn("vq", expr("transform(v, x -> floor(x / scale + 0.5d) * scale)"))
+      .withColumn("cosq", expr(
+        "graft_dot(v, vq) / (sqrt(graft_dot(v, v)) * sqrt(graft_dot(vq, vq)))"))
+      .withColumn("maxerr", expr(
+        s"array_max(transform(sequence(0, ${dim - 1}), i -> abs(v[i] - vq[i])))"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("bigint").as("n_vectors"),
+        expr("cast(sum(cast(floor(cosq * 1e9) as bigint)) as double) " +
+          "/ (1e9 * cast(count(1) as double))").as("mean_cos"),
+        min("cosq").as("min_cos"),
+        max("maxerr").as("max_abs_err"))
+      .orderBy("label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
@@ -689,6 +724,7 @@ object SimilarityQueries {
     "q80_knn_join" -> (q80KnnJoin _),
     "q83_cluster_diagnostics" -> (q83ClusterDiagnostics _),
     "q84_modality_coverage" -> (q84ModalityCoverage _),
+    "q92_quantization_audit" -> (q92QuantizationAudit _),
   )
 
   private val oracleNormed =
@@ -839,6 +875,25 @@ object SimilarityQueries {
        |  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q92_quantization_audit" ->
+      s"""WITH e AS (SELECT CAST(label AS INTEGER) AS label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |sc AS (SELECT label, v,
+         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         |q AS (SELECT label,
+         |    list_transform(v, x -> floor(x / scale + 0.5) * scale) AS vq, v
+         |  FROM sc WHERE scale > 0),
+         |m AS (SELECT label,
+         |    list_reduce(list_transform(generate_series(1, $dim), i -> v[i] * vq[i]), (a, b) -> a + b)
+         |      / (sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+         |         * sqrt(list_reduce(list_transform(vq, x -> x * x), (a, b) -> a + b))) AS cosq,
+         |    list_max(list_transform(generate_series(1, $dim), i -> abs(v[i] - vq[i]))) AS maxerr
+         |  FROM q)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(CAST(floor(cosq * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS mean_cos,
+         |  MIN(cosq) AS min_cos,
+         |  MAX(maxerr) AS max_abs_err
+         |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "q25_cosine_topk" ->
       s"""WITH $oracleNormed,
          |j AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
