@@ -27,6 +27,7 @@ import graft.sources.{Station, XmlStations}
 object EtlQueries {
 
   private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
   /** K1 + S3: day-partitioned warehouse write with first-run overwrite →
     * append bootstrap (ref `transform_load.py:58-90,438,496`), then a
@@ -268,7 +269,54 @@ object EtlQueries {
     "q62_bucketed_join" -> (q62BucketedJoin _),
     "q78_json_extract" -> (q78JsonExtract _),
     "q79_corrupt_tolerant_parse" -> (q79CorruptTolerantParse _),
+    "q93_jsonl_roundtrip" -> (q93JsonlRoundtrip _),
+    "q94_orc_roundtrip" -> (q94OrcRoundtrip _),
   )
+
+  /** JSON-lines lake round-trip (the interchange format every ingest
+    * meets: line-delimited JSON in, typed frame out). Writes a typed
+    * projection as JSONL, reads it back with an EXPLICIT schema — schema
+    * inference on JSON costs a full extra pass and types drift run to
+    * run, so production readers always pin the schema — and aggregates.
+    * The oracle computes the same aggregate straight from the source
+    * table, so serialization, escaping, and type restoration are all
+    * under the hash check. */
+  def q93JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("jsonl")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("ntok"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", org.apache.spark.sql.types.LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("ntok", org.apache.spark.sql.types.LongType)))
+    s.read.schema(schema).json(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("ntok").cast("bigint").as("tokens"),
+        countDistinct("source").cast("bigint").as("n_sources"))
+      .orderBy("lang")
+  }
+
+  /** ORC lake round-trip — the other columnar lake format Spark ships
+    * natively; a warehouse migration (parquet ⇄ ORC) must preserve
+    * values exactly, which the hash check proves by aggregating the ORC
+    * copy against the parquet-sourced oracle. Same predicate/column
+    * pushdown machinery as parquet (ORC readers prune stripes). */
+  def q94OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("orc")
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec6(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
 
   val oracles: Map[String, String] = Map(
     "q30_partitioned_write" ->
@@ -323,6 +371,16 @@ object EtlQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q93_jsonl_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q94_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // TRY_CAST mirrors Spark's PERMISSIVE from_json (a non-numeric k
     // becomes NULL on both sides); a plain CAST would hard-error the
     // oracle on fixture evolution instead of producing a clean mismatch
