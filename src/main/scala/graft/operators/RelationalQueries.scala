@@ -65,13 +65,15 @@ object RelationalQueries {
 
   /** Date-range filter + dim join + agg (ref: aggregations.sql:18-26).
     * Predicate pushes to the orders scan (PushedFilters on o_orderdate);
-    * customer broadcasts. */
+    * customer is NOT hinted — it scales with sf, so the join strategy is
+    * AQE's call from runtime sizes (it broadcasts at fixture scale and
+    * must not be forced to at 100 TB). */
   def q03DateFilterJoin(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     o.filter(col("o_orderdate").between(
         lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .join(c, o("o_custkey") === c("c_custkey"), "inner")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).cast("bigint").as("n_orders"),
            sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
@@ -134,9 +136,11 @@ object RelationalQueries {
       col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     val n2 = Tables.nation(s, dir).select(
       col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    // only the 25-row nation roles are hinted; customer/supplier scale
+    // with sf, so AQE picks their strategy from runtime sizes
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
       .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
       .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
       .groupBy("cust_nation", "supp_nation")
@@ -358,10 +362,12 @@ object RelationalQueries {
       col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     val n2 = Tables.nation(s, dir).select(
       col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    // nation roles are bounded (hinted); customer/supplier/part scale
+    // with sf and are left to AQE's runtime-size decision
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
       .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
       .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
       .select(
