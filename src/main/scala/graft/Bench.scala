@@ -116,11 +116,19 @@ object Bench {
     // block-size effects) that a single sf cannot. Off when SF_DIR2 is set
     // empty or equals the primary.
     val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
+    // a broken secondary dir must NEVER cost the primary sweep's output
+    // (the driver contract is the one JSON line) — any secondary failure
+    // degrades to an error note inside the line, not a crash before it
     val secondary = Option(sfDir2).filter(d => d.nonEmpty && d != sfDir).map { d =>
-      warmup(spark, d)
-      val n2 = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS2", "1").toInt)
-      val (r2, e2) = sweep(spark, d, n2)
-      s""","secondary":{${sweepJson(r2, e2, n2, d)}}"""
+      scala.util.Try {
+        warmup(spark, d)
+        val n2 = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS2", "1").toInt)
+        val (r2, e2) = sweep(spark, d, n2)
+        s""","secondary":{${sweepJson(r2, e2, n2, d)}}"""
+      }.recover { case e =>
+        s""","secondary_error":${JsonUtil.quote(
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}"""
+      }.get
     }.getOrElse("")
     println(s"""{"metric":"total",${sweepJson(results, errors, nTrials, sfDir)}$secondary}""")
     spark.stop()

@@ -38,9 +38,17 @@ case class Winnow(first: Expression, second: Expression, third: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (first.dataType == StringType && second.dataType == IntegerType &&
-        third.dataType == IntegerType && second.foldable && third.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+        third.dataType == IntegerType && second.foldable && third.foldable) {
+      // the function is registered session-wide: validate the literals at
+      // analysis time so gram/window <= 0 is a clean error, not an
+      // ArrayIndexOutOfBounds inside generated code
+      val (g, w) = (second.eval(), third.eval())
+      if (g == null || w == null ||
+          g.asInstanceOf[Int] < 1 || w.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_winnow gram and window must be >= 1, got ($g, $w)")
+      else TypeCheckResult.TypeCheckSuccess
+    } else TypeCheckResult.TypeCheckFailure(
       "graft_winnow expects (string, int literal gram, int literal window), got (" +
         s"${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
         s"${third.dataType.simpleString})")

@@ -434,12 +434,16 @@ object DedupQueries {
     * down. Returns the two table names. */
   def writeFingerprintIndex(docs: DataFrame, nBuckets: Int, base: String,
                             table: String): (String, String) = {
-    val prints = fingerprints(docs)
     val (fpT, nfpT) = (s"${table}_fp", s"${table}_nfp")
-    graft.etl.Warehouse.writeBucketed(prints, nBuckets, "fp", s"$base/fp", fpT)
     graft.etl.Warehouse.writeBucketed(
-      prints.filter(col("nfp").isNotNull).select("nfp"), nBuckets, "nfp",
-      s"$base/nfp", nfpT)
+      fingerprints(docs), nBuckets, "fp", s"$base/fp", fpT)
+    // derive the near table from the just-written fp table, NOT from the
+    // lazy print frame: re-using the frame would re-run the md5 + shingle
+    // text pass over the whole corpus for the second write (the exact
+    // double-execution incrementalDedup's staging exists to avoid)
+    graft.etl.Warehouse.writeBucketed(
+      docs.sparkSession.table(fpT).filter(col("nfp").isNotNull).select("nfp"),
+      nBuckets, "nfp", s"$base/nfp", nfpT)
     (fpT, nfpT)
   }
 
@@ -535,9 +539,12 @@ object DedupQueries {
     * cost is O(chunks), not O(docs^2). */
   def q87ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // variant ids live in the NEGATIVE namespace (-doc_id - 1): disjoint
+    // from the fixture's non-negative ids at every scale factor, where a
+    // fixed positive offset would collide once the corpus passes it
     val corpus = base.unionByName(
       base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        .select((-col("doc_id") - lit(1L)).as("doc_id"),
           concat(col("text"), lit(" promo2024 visit example now")).as("text")))
     val chunks = corpus
       .withColumn("toks", expr("split(text, ' ')"))
@@ -709,7 +716,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text || ' promo2024 visit example now' AS text
+        |  SELECT -doc_id - 1 AS doc_id, text || ' promo2024 visit example now' AS text
         |  FROM documents WHERE doc_id % 10 = 0),
         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
         |c AS (SELECT doc_id, unnest(list_transform(generate_series(0, (len(toks) - 1) // 10),

@@ -794,18 +794,17 @@ object SimilarityQueries {
     s"list_reduce(list_transform(generate_series(1, $pqSub), i -> $a[i] * $b[i]), (a2, b2) -> a2 + b2)"
 
   /** Oracle twin of `pqAssign`: per-(vector, subspace) squared-L2 argmin
-    * against codebook CTE `cb`, ties to the lowest centroid id. `where`
-    * optionally restricts the assigned population (the training
-    * sample). */
-  private def oraclePqAssignCte(name: String, cb: String,
-                                where: String = ""): String =
+    * against codebook CTE `cb`, ties to the lowest centroid id. (When
+    * sampled training returns at scale, its population filter goes here
+    * as an extra WHERE — see the revert note on the Spark side.) */
+  private def oraclePqAssignCte(name: String, cb: String): String =
     s"""$name AS (SELECT vec_id, nrm, m, sub, cid AS code FROM (
        |    SELECT s.vec_id, s.nrm, s.m, s.sub, c.cid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |        (${oraclePqDot("s.sub", "s.sub")}
        |         - 2 * ${oraclePqDot("s.sub", "c.csub")}
        |         + ${oraclePqDot("c.csub", "c.csub")}) ASC, c.cid ASC) AS rn
-       |    FROM sub s JOIN $cb c ON s.m = c.m$where) WHERE rn = 1)""".stripMargin
+       |    FROM sub s JOIN $cb c ON s.m = c.m) WHERE rn = 1)""".stripMargin
 
   /** Oracle twin of `pqRecenter`: the identical fixed-point per-(subspace,
     * centroid, dimension) mean; centroids with no members drop out of the

@@ -48,6 +48,17 @@ class WinnowSpec extends AnyFunSuite {
     assert(viaExpr.getSeq[String](0) === hofSel)
   }
 
+  test("non-positive gram or window is an analysis-time error, not a runtime crash") {
+    import spark.implicits._
+    for (bad <- Seq("graft_winnow(t, 0, 5)", "graft_winnow(t, 4, 0)",
+                    "graft_winnow(t, -1, 5)")) {
+      val e = intercept[Exception] {
+        Seq("abcdefgh").toDF("t").select(expr(bad)).head()
+      }
+      assert(e.getMessage.contains("must be >= 1"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("null text yields null, not a crash") {
     import spark.implicits._
     val r: Row = Seq(Option.empty[String]).toDF("t")
