@@ -714,6 +714,53 @@ object SimilarityQueries {
         max("maxerr").as("max_abs_err"))
       .orderBy("label")
 
+  /** PageRank iterations for [[q95SimilarityPagerank]]. */
+  private val prIters = 3
+
+  /** PageRank over the near-duplicate similarity graph — link-analysis
+    * centrality applied to the q26 pair graph: a vector with high rank
+    * sits at the center of a dense duplication neighborhood (the "hub
+    * page" of a template family), which is exactly the document a
+    * curation run inspects first. The same operator over a hyperlink
+    * table is crawl-frontier domain authority — the selection signal
+    * web-scale corpus builders rank domains by.
+    *
+    * Determinism (the family rule, integer end-to-end): ranks live in
+    * integer picounits (start 1e12); each pass moves
+    * floor(rank * 85 / (100 * degree)) along every edge — exact integer
+    * arithmetic, order-free sums, no doubles anywhere until the final
+    * presentation division. The damping leak (rank mass lost to floor)
+    * is the standard quantized-PageRank tradeoff and is identical in
+    * both engines.
+    *
+    * Scale: edges come from the banded LSH equi-join (never all-pairs);
+    * each pass is one shuffle on the destination id — a scaling key; the
+    * iteration count is a constant. At 100 TB the passes stage lineage
+    * through parquet exactly like q50's label propagation (same loop
+    * machinery, same derived width) — the fixed 3-pass unroll here keeps
+    * the whole computation one oracle-checkable plan. */
+  def q95SimilarityPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairsScored(s, dir)
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("v"), col("deg"))
+    val r0 = nodes.withColumn("rank", lit(1000000000000L))
+    val rT = (1 to prIters).foldLeft(r0) { (r, _) =>
+      val contrib = edges.join(r, edges("src") === r("v"))
+        .select(col("dst"), expr("cast(rank * 85 div (100 * deg) as bigint)").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      nodes.join(contrib, nodes("v") === contrib("dst"), "left")
+        .select(col("v"), col("deg"),
+          (lit(150000000000L) + coalesce(col("inflow"), lit(0L))).as("rank"))
+    }
+    rT.select(col("v").cast("bigint").as("vec_id"),
+        col("deg").cast("bigint").as("degree"),
+        expr("cast(rank as double) / 1e12").as("rank"))
+      .orderBy(desc("rank"), asc("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
@@ -725,7 +772,30 @@ object SimilarityQueries {
     "q83_cluster_diagnostics" -> (q83ClusterDiagnostics _),
     "q84_modality_coverage" -> (q84ModalityCoverage _),
     "q92_quantization_audit" -> (q92QuantizationAudit _),
+    "q95_similarity_pagerank" -> (q95SimilarityPagerank _),
   )
+
+  /** Unrolled integer-PageRank CTE chain for the q95 oracle. */
+  private def q95Oracle: String = {
+    val passes = (1 to prIters).map { k =>
+      s"""c$k AS (SELECT e.dst, CAST(SUM(r.rank * 85 // (100 * r.deg)) AS BIGINT) AS inflow
+         |  FROM edges e JOIN r${k - 1} r ON e.src = r.v GROUP BY e.dst),
+         |r$k AS (SELECT d.src AS v, d.deg,
+         |    CAST(150000000000 AS BIGINT) + COALESCE(c$k.inflow, CAST(0 AS BIGINT)) AS rank
+         |  FROM deg d LEFT JOIN c$k ON d.src = c$k.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $oracleNormed,
+       |$oraclePairSc,
+       |pr AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+       |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pr),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS v, deg, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+       |$passes
+       |SELECT CAST(v AS BIGINT) AS vec_id, CAST(deg AS BIGINT) AS degree,
+       |  CAST(rank AS DOUBLE) / 1e12 AS rank
+       |FROM r$prIters ORDER BY rank DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
 
   private val oracleNormed =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -905,6 +975,7 @@ object SimilarityQueries {
          |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "q37_ivf_topk" -> q37Oracle,
     "q71_pq_topk" -> q71Oracle,
+    "q95_similarity_pagerank" -> q95Oracle,
     "q26_lsh_cosine" ->
       s"""WITH $oracleNormed,
          |$oraclePairSc
