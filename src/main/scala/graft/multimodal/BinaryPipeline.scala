@@ -78,4 +78,65 @@ object BinaryPipeline {
       }
     }
   }
+
+  /** Output of the resize pass: original + target geometry and the
+    * resampled image's digest. */
+  case class ResizedRow(doc_id: Long, width: Int, height: Int,
+                        target_w: Int, target_h: Int, resized_checksum: String)
+
+  /** Batch resize over decoded frames — the normalize-geometry pass every
+    * image pipeline runs before feature extraction. Same init-once
+    * mapPartitions shape as [[decode]]; the resample itself is the STUB
+    * boundary (no codecs in this container): the fake output digest is a
+    * deterministic function of (source checksum, target geometry), which
+    * is exactly the cache key a real resampler's output would be indexed
+    * by — swap `fakeResample` for the interpolation call and the
+    * plumbing, schema, and batch shape stay. */
+  def resize(ds: Dataset[DecodedRow], targetW: Int, targetH: Int): Dataset[ResizedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def fakeResample(checksum: String): String = {
+        md.reset()
+        md.digest(s"${checksum}_${targetW}x$targetH".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      rows.map { r =>
+        ResizedRow(r.doc_id, r.width, r.height, targetW, targetH,
+          fakeResample(r.checksum))
+      }
+    }
+  }
+
+  /** A media-derived embedding row — the SAME (id, float-vector) shape as
+    * the `embeddings` fixture table, so extracted features flow directly
+    * into the similarity operators (cosine top-k, LSH, IVF/PQ). */
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** Batch feature extraction: payload bytes → fixed-width float vector.
+    * The encoder call is the STUB boundary (a real pipeline runs an ONNX/
+    * vision model per batch — init-once state is exactly what this
+    * mapPartitions carries); the deterministic fake derives unit-range
+    * floats from chained md5 of the payload, so downstream geometry is
+    * non-degenerate (nonzero norms, distinct directions) and the
+    * media → embedding → ANN composition is testable end to end
+    * (MultimodalSpec runs extracted features through the graft_dot cosine
+    * path). */
+  def featureExtract(ds: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val vec = new Array[Float](dim)
+        var block = r.payload
+        var i = 0
+        while (i < dim) {
+          if (i % 16 == 0) { md.reset(); block = md.digest(block) }
+          vec(i) = ((block(i % 16) & 0xff) - 128) / 128.0f
+          i += 1
+        }
+        MediaEmbedding(r.doc_id, vec)
+      }
+    }
+  }
 }

