@@ -184,6 +184,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q95/q86: iterative and composed plans read their staged cuts as leaf scans") {
+    // the unrolled PageRank passes must reference the pair graph as a
+    // staged parquet leaf — an un-staged refactor re-executes the whole
+    // LSH candidate lineage once per pass (measured 1.8x slower)
+    val p95 = plan("q95_similarity_pagerank")
+    assert(p95.contains("graft_pr95"),
+      s"q95 must read the staged pair graph:\n$p95")
+    assert(!p95.contains("bkey"),
+      s"no LSH band subtree may survive into the iteration plan:\n$p95")
+    // the corpus pipeline's manifest plan reads the staged 'clean' cut,
+    // not the fingerprint lineage
+    val p86 = plan("q86_corpus_pipeline")
+    assert(p86.contains("graft_corpusPipe"),
+      s"q86 must read its staged stage cuts:\n$p86")
+  }
+
   test("q42: candidate generation is a broadcast/hash join over staged leaf scans") {
     val p = plan("q42_simhash_pairs")
     assert(!p.contains("CartesianProduct"), "band join must be an equi-join")
