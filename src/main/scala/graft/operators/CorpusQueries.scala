@@ -446,6 +446,7 @@ object CorpusQueries {
     "q81_source_concentration" -> (q81SourceConcentration _),
     "q82_source_scorecard" -> (q82SourceScorecard _),
     "q88_split_manifest" -> (q88SplitManifest _),
+    "q96_length_profile" -> (q96LengthProfile _),
   )
 
   /** Deterministic stratified train/valid/test split manifest (90/5/5):
@@ -471,7 +472,38 @@ object CorpusQueries {
         sum(expr("cast(size(split(text, ' ')) as bigint)")).cast("bigint").as("tokens"))
       .orderBy("lang", "split")
 
+  /** Per-language sequence-length profile — the distribution a packing/
+    * truncation policy is tuned against (shard budgets, max-sequence
+    * cutoffs, padding-waste estimates all read off these percentiles):
+    * exact interpolated token-count quantiles per language, plus the
+    * extremes. `percentile` is bit-identical to DuckDB's quantile_cont
+    * (the q49-proven pair — both linearly interpolate between order
+    * statistics). Scale: exact percentiles sort within each language
+    * group; the GK-sketch form (q51) is the fixed-state scale path when
+    * languages stop fitting a group sort. */
+  def q96LengthProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), expr("cast(size(split(text, ' ')) as bigint)").as("ntok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        expr("percentile(ntok, 0.5)").as("p50"),
+        expr("percentile(ntok, 0.9)").as("p90"),
+        expr("percentile(ntok, 0.99)").as("p99"),
+        min("ntok").cast("bigint").as("min_tok"),
+        max("ntok").cast("bigint").as("max_tok"))
+      .orderBy("lang")
+
   val oracles: Map[String, String] = Map(
+    "q96_length_profile" ->
+      """WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(ntok, 0.5) AS p50,
+        |  quantile_cont(ntok, 0.9) AS p90,
+        |  quantile_cont(ntok, 0.99) AS p99,
+        |  CAST(MIN(ntok) AS BIGINT) AS min_tok,
+        |  CAST(MAX(ntok) AS BIGINT) AS max_tok
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q88_split_manifest" ->
       """WITH b AS (SELECT lang, text,
         |    ((strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096

@@ -59,6 +59,46 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("property: native winnowing equals the HOF construction on randomized text and geometries") {
+    import spark.implicits._
+    // fixed-seed corpus: ascii letters/digits/spaces plus BMP CJK, with
+    // lengths straddling every boundary (empty, < gram, < gram+window-1)
+    val rnd = new scala.util.Random(42)
+    def randString(): String = {
+      val n = rnd.nextInt(60)
+      (0 until n).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar
+          case 1 => ' '
+          case 2 => ('0' + rnd.nextInt(10)).toChar
+          case _ => (0x4e00 + rnd.nextInt(100)).toChar
+        }
+      }.mkString
+    }
+    val df = (1 to 300).map(_ => randString()).toDF("t")
+    for ((g, w) <- Seq((4, 5), (2, 3), (1, 1), (3, 8))) {
+      val minTerm = if (w == 1) "h[j-1]"
+        else (0 until w).map(k => s"h[j-1+$k]").mkString("least(", ", ", ")")
+      val both = df
+        .withColumn("native", expr(s"graft_winnow(t, $g, $w)"))
+        .withColumn("h", expr(
+          s"transform(sequence(1, length(t) - ${g - 1}), i -> md5(substring(t, i, $g)))"))
+      // sequence(1, n) DESCENDS when n < 1, so the HOF form is only
+      // defined where a full window of grams exists
+      val defined = both.filter(length(col("t")) >= g + w - 1)
+        .withColumn("hof", expr(
+          s"array_distinct(transform(sequence(1, size(h) - ${w - 1}), j -> $minTerm))"))
+        .select("native", "hof").collect()
+      assert(defined.nonEmpty)
+      defined.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"geometry ($g, $w)")
+      }
+      both.filter(length(col("t")) < g + w - 1).select("native").collect()
+        .foreach(r => assert(r.getSeq[String](0).isEmpty,
+          s"sub-window text must select nothing at ($g, $w)"))
+    }
+  }
+
   test("null text yields null, not a crash") {
     import spark.implicits._
     val r: Row = Seq(Option.empty[String]).toDF("t")
