@@ -754,8 +754,18 @@ object SimilarityQueries {
     val nodes = deg.select(col("src").as("v"), col("deg"))
     val r0 = nodes.withColumn("rank", lit(1000000000000L))
     val rT = (1 to prIters).foldLeft(r0) { (r, _) =>
+      // decomposed form of (rank * 85) div (100 * deg) — algebraically
+      // identical for non-negative ints ((a div m)*85 + ((a mod m)*85)
+      // div m), but never materializes rank * 85, which overflows Long
+      // once a hub's accumulated mass passes Long.Max/85 (~1.08e17
+      // picounits, reachable at web scale). Residual bound: TOTAL graph
+      // mass must stay under Long.Max — ~8e6 nodes at this unit scale;
+      // beyond that, shrink the per-node unit (1e12 here) with the
+      // graph, exactly like salting a counter.
       val contrib = edges.join(r, edges("src") === r("v"))
-        .select(col("dst"), expr("cast(rank * 85 div (100 * deg) as bigint)").as("c"))
+        .select(col("dst"), expr(
+          "cast((rank div (100 * deg)) * 85 " +
+            "+ ((rank % (100 * deg)) * 85) div (100 * deg) as bigint)").as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
       nodes.join(contrib, nodes("v") === contrib("dst"), "left")
         .select(col("v"), col("deg"),

@@ -22,6 +22,28 @@ class RocksDbStateSpec extends AnyFunSuite {
     s2
   }
 
+  test("the RocksDB provider actually engages (parity must not be vacuous)") {
+    // if a Spark upgrade renamed/ignored the conf key, the rocks session
+    // would silently fall back to the default provider and the parity
+    // tests would compare identical providers — so assert RocksDB metrics
+    // appear in a stateful query's progress on the rocks session
+    val tbl = "graft_rocks_probe"
+    val q = graft.streaming.StreamSources.events(rocks, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 hour"))
+      .count()
+      .writeStream.format("memory").queryName(tbl).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val metricKeys = q.recentProgress.flatMap(_.stateOperators)
+      .flatMap(_.customMetrics.keySet.toArray.map(_.toString)).toSet
+    assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"expected rocksdb state-store metrics, got: $metricKeys")
+  }
+
   test("q52 exactly-once dedup matches across state-store providers") {
     val viaRocks = graft.streaming.StreamingQueries.q52StreamingDedup(rocks, sfDir).collect()
     val viaDefault = graft.streaming.StreamingQueries.q52StreamingDedup(spark, sfDir).collect()
