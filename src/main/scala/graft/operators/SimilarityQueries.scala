@@ -433,7 +433,7 @@ object SimilarityQueries {
   /** PQ geometry: [[pqM]] subspaces of dim/[[pqM]] dims, [[pqK]] centroids
     * per subspace. The codebook is TRAINED: seeded from the first pqK
     * vectors' subvectors, then [[pqTrainIters]] per-subspace Lloyd passes
-    * over a deterministic 1-in-[[pqTrainMod]] corpus sample (squared-L2
+    * over a deterministic 1-in-[[pqTrainSampleMod]] corpus sample (squared-L2
     * argmin assignment, fixed-point re-center — the same order-free
     * quantize-sum-divide as q37's `recenter`, so the codebook is bit-equal
     * across partitionings and engines). Training runs per subspace over
@@ -446,6 +446,17 @@ object SimilarityQueries {
   private val pqK = 32
   private val pqShortlist = 16
   private val pqTrainIters = 2
+
+  /** Training-sample stride for the registered q71 instance: the codebook
+    * trains on vectors with vec_id % 4 = 0 plus the first-[[pqK]] seed.
+    * At the fixtures that is ~150 of 500 (sf0.01) / ~530 of 2000 (sf0.1)
+    * training members for 32 centroids per subspace — non-degenerate
+    * (PqRecallSpec asserts sampled training keeps full-training recall
+    * AND still lifts over the untrained seed); at 100 TB the stride is
+    * what bounds index-build cost: trainIters x O(corpus/mod x pqK)
+    * training instead of trainIters x O(corpus x pqK), leaving one full
+    * pass (the encode). */
+  private val pqTrainSampleMod = 4
 
   /** stack() args splitting a vector column into (m, subvector) rows —
     * subspace boundaries are plan-time literals. */
@@ -527,31 +538,34 @@ object SimilarityQueries {
     * 2*graft_dot(sub,c) + graft_dot(c,c) — index-ordered folds and per-row
     * IEEE arithmetic, bit-equal in DuckDB; the pqM ADC partials pivot into
     * FIXED columns so the approximate score sums in one order. */
-  /** Parameterized PQ search (geometry, shortlist width, and training
-    * depth exposed for the recall tests; q71 registers the
-    * (pqM, pqK, pqShortlist, pqTrainIters) instance).
+  /** Parameterized PQ search (geometry, shortlist width, training depth,
+    * and training-sample stride exposed for the recall tests; q71
+    * registers the (pqM, pqK, pqShortlist, pqTrainIters,
+    * pqTrainSampleMod) instance).
     * shortlist = 0 disables the rerank and ranks by raw ADC score;
-    * trainIters = 0 uses the raw first-k seed codebook. */
+    * trainIters = 0 uses the raw first-k seed codebook;
+    * trainSampleMod > 1 trains the codebook on the deterministic
+    * 1-in-mod corpus sample (vec_id % mod = 0, unioned with the first-k
+    * seed so every initial centroid keeps at least its own point) — the
+    * faiss practice: Lloyd passes cost O(|sample| x pqK) instead of
+    * O(|corpus| x pqK), and the single full-corpus pass left is the
+    * encode itself. The sample predicate is a plan-time literal mirrored
+    * verbatim in the oracle, so the codebook — and therefore every code,
+    * ADC score, and shortlist — stays bit-equal across engines. */
   private[graft] def pqTopk(s: SparkSession, dir: String,
                             m: Int, k: Int, shortlist: Int,
-                            trainIters: Int = pqTrainIters): DataFrame = {
+                            trainIters: Int = pqTrainIters,
+                            trainSampleMod: Int = 1): DataFrame = {
     val sub = dim / m
     val e = normed(s, dir)
     val cb0 = e.filter(col("vec_id") < k)
       .selectExpr("vec_id as cid", s"stack($m, ${pqSplit("v", m, sub)}) as (m, csub)")
     val subs = e.selectExpr("vec_id", "nrm", s"stack($m, ${pqSplit("v", m, sub)}) as (m, sub)")
-    // Training runs over the full corpus here, like q37's Lloyd. The
-    // production scale lever is SAMPLED training (codebooks train on a
-    // bounded sample, then the corpus is encoded once — the faiss
-    // practice); it was implemented and reverted for the fixtures: with
-    // ~50 vectors and 32 seed centroids, every seed point self-assigns at
-    // distance 0, a modulus sample adds too few non-seed members to move
-    // any centroid, and training degenerates to the untrained seed
-    // (PqRecallSpec's lift assertion catches exactly this). At real scale
-    // the same one-line filter on `subs` (e.g. vec_id % 7 = 0, unioned
-    // with the seed) restores the 7x training saving without touching
-    // the encode.
-    val cb = (1 to trainIters).foldLeft(cb0)((c, _) => pqRecenter(pqAssign(subs, c)))
+    val trainSubs =
+      if (trainSampleMod > 1)
+        subs.filter(col("vec_id") % trainSampleMod === 0 || col("vec_id") < k)
+      else subs
+    val cb = (1 to trainIters).foldLeft(cb0)((c, _) => pqRecenter(pqAssign(trainSubs, c)))
     val encoded = pqAssign(subs, cb).drop("sub")
     val tableScored = e.filter(col("vec_id") < 8)
       .selectExpr("vec_id as probe_id", "nrm as pn", s"stack($m, ${pqSplit("v", m, sub)}) as (tm, psub)")
@@ -600,7 +614,7 @@ object SimilarityQueries {
   }
 
   def q71PqTopk(s: SparkSession, dir: String): DataFrame =
-    pqTopk(s, dir, pqM, pqK, pqShortlist)
+    pqTopk(s, dir, pqM, pqK, pqShortlist, trainSampleMod = pqTrainSampleMod)
 
   /** KNN self-join: the top-3 neighbors of EVERY corpus vector (not a
     * bounded probe set — the all-corpus retrieval shape behind
@@ -881,17 +895,18 @@ object SimilarityQueries {
     s"list_reduce(list_transform(generate_series(1, $pqSub), i -> $a[i] * $b[i]), (a2, b2) -> a2 + b2)"
 
   /** Oracle twin of `pqAssign`: per-(vector, subspace) squared-L2 argmin
-    * against codebook CTE `cb`, ties to the lowest centroid id. (When
-    * sampled training returns at scale, its population filter goes here
-    * as an extra WHERE — see the revert note on the Spark side.) */
-  private def oraclePqAssignCte(name: String, cb: String): String =
+    * against codebook CTE `cb`, ties to the lowest centroid id. `src` is
+    * the (vec_id, nrm, m, sub) population CTE — the training passes read
+    * the sampled `tsub`, the encode reads the full `sub` (the Spark
+    * side's trainSubs/subs split). */
+  private def oraclePqAssignCte(name: String, cb: String, src: String = "sub"): String =
     s"""$name AS (SELECT vec_id, nrm, m, sub, cid AS code FROM (
        |    SELECT s.vec_id, s.nrm, s.m, s.sub, c.cid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |        (${oraclePqDot("s.sub", "s.sub")}
        |         - 2 * ${oraclePqDot("s.sub", "c.csub")}
        |         + ${oraclePqDot("c.csub", "c.csub")}) ASC, c.cid ASC) AS rn
-       |    FROM sub s JOIN $cb c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+       |    FROM $src s JOIN $cb c ON s.m = c.m) WHERE rn = 1)""".stripMargin
 
   /** Oracle twin of `pqRecenter`: the identical fixed-point per-(subspace,
     * centroid, dimension) mean; centroids with no members drop out of the
@@ -914,11 +929,14 @@ object SimilarityQueries {
       .map(m => s"MAX(CASE WHEN e2.m = $m THEN part END) AS p$m").mkString(",\n         |    ")
     val scoreSum = (0 until pqM).map(m => s"p$m").mkString(" + ")
     val train = (1 to pqTrainIters).map(k =>
-      oraclePqAssignCte(s"pa$k", s"cb${k - 1}") + ",\n" + oraclePqRecenterCtes(k)).mkString(",\n")
+      oraclePqAssignCte(s"pa$k", s"cb${k - 1}", src = "tsub") + ",\n" +
+        oraclePqRecenterCtes(k)).mkString(",\n")
     val cbF = s"cb$pqTrainIters"
     s"""WITH $oracleNormed,
        |sub AS (SELECT vec_id, nrm, t.m AS m, $subCase AS sub
        |  FROM n CROSS JOIN (VALUES $mValues) t(m)),
+       |tsub AS (SELECT * FROM sub
+       |  WHERE vec_id % $pqTrainSampleMod = 0 OR vec_id < $pqK),
        |cb0 AS (SELECT vec_id AS cid, m, sub AS csub FROM sub WHERE vec_id < $pqK),
        |$train,
        |${oraclePqAssignCte("paE", cbF)},

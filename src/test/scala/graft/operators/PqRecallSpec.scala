@@ -49,6 +49,33 @@ class PqRecallSpec extends AnyFunSuite {
       s"trained raw-ADC recall ($trained) must beat the untrained seed ($untrained)")
   }
 
+  test("sampled training (the 100 TB index-build lever) keeps full-training recall") {
+    // the 2000-vector sf0.1 corpus: a 1-in-4 sample plus the 32-seed union
+    // is ~530 training members for 32 centroids per subspace — the regime
+    // where sampling is non-degenerate (on a tiny fixture every seed
+    // self-assigns at distance 0 and sampling reduces to the seed, which
+    // is exactly what the earlier revert documented). Raw ADC (shortlist
+    // 0) so the rerank can't mask a codebook difference.
+    val dir = "/root/testdata/sf0.1"
+    val exactBig = neighbors(SimilarityQueries.q25CosineTopk(spark, dir))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exactBig.map { case (p, truth) =>
+        approx.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+    val untrained = recall(neighbors(
+      SimilarityQueries.pqTopk(spark, dir, 16, 32, 0, trainIters = 0)))
+    val full = recall(neighbors(
+      SimilarityQueries.pqTopk(spark, dir, 16, 32, 0)))
+    val sampled = recall(neighbors(
+      SimilarityQueries.pqTopk(spark, dir, 16, 32, 0, trainSampleMod = 4)))
+    assert(sampled > untrained,
+      s"sampled-training recall ($sampled) must still lift over the untrained seed ($untrained)")
+    assert(sampled >= full - 0.1,
+      s"sampled-training recall ($sampled) must stay within 0.1 of full training ($full)")
+  }
+
   test("recall is monotone in shortlist width; a corpus-wide shortlist is exact") {
     val r8 = recallAt3(neighbors(SimilarityQueries.pqTopk(spark, sfDir, 16, 32, 8)))
     val r16 = recallAt3(neighbors(SimilarityQueries.pqTopk(spark, sfDir, 16, 32, 16)))
