@@ -41,13 +41,22 @@ case class Winnow(first: Expression, second: Expression, third: Expression)
         third.dataType == IntegerType && second.foldable && third.foldable) {
       // the function is registered session-wide: validate the literals at
       // analysis time so gram/window <= 0 is a clean error, not an
-      // ArrayIndexOutOfBounds inside generated code
-      val (g, w) = (second.eval(), third.eval())
-      if (g == null || w == null ||
-          g.asInstanceOf[Int] < 1 || w.asInstanceOf[Int] < 1)
-        TypeCheckResult.TypeCheckFailure(
-          s"graft_winnow gram and window must be >= 1, got ($g, $w)")
-      else TypeCheckResult.TypeCheckSuccess
+      // ArrayIndexOutOfBounds inside generated code. A foldable argument
+      // may still THROW on eval (an ANSI cast failure, a div-by-zero
+      // constant expression) — that too must surface as a typecheck
+      // failure, not a raw exception escaping the analyzer.
+      scala.util.Try((second.eval(), third.eval())) match {
+        case scala.util.Failure(e) =>
+          TypeCheckResult.TypeCheckFailure(
+            "graft_winnow gram/window literals failed to evaluate: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName))
+        case scala.util.Success((g, w)) =>
+          if (g == null || w == null ||
+              g.asInstanceOf[Int] < 1 || w.asInstanceOf[Int] < 1)
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_winnow gram and window must be >= 1, got ($g, $w)")
+          else TypeCheckResult.TypeCheckSuccess
+      }
     } else TypeCheckResult.TypeCheckFailure(
       "graft_winnow expects (string, int literal gram, int literal window), got (" +
         s"${first.dataType.simpleString}, ${second.dataType.simpleString}, " +

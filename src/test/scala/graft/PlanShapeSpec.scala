@@ -140,6 +140,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q85: repeated runs reuse ONE bucketed index pair per corpus dir") {
+    // the layout write is the one-time bootstrap; the recurring invocation
+    // must not accumulate a fresh catalog pair + corpus-sized layout per
+    // call (bench runs the query three times per sweep)
+    SparkEntry.queries("q85_bucketed_dedup")(spark, sfDir).collect()
+    SparkEntry.queries("q85_bucketed_dedup")(spark, sfDir).collect()
+    val pairs = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_fpidx_"))
+    assert(pairs.length == 2,
+      s"expected exactly one _fp/_nfp table pair, got: ${pairs.mkString(", ")}")
+  }
+
   /** Every node the final adaptive plan actually executed: descends into
     * materialized query stages (whose subplans are not `children`) but NOT
     * into ReusedExchange — a reused exchange runs once, at its original

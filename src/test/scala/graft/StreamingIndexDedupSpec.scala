@@ -31,7 +31,10 @@ class StreamingIndexDedupSpec extends AnyFunSuite {
     val inDir = Staging.fresh("sidx_in")
     val tmp = Staging.fresh("sidx_tmp")
     batch.write.mode("overwrite").parquet(s"$tmp/b")
-    new java.io.File(s"$tmp/b").listFiles()
+    // listFiles() is null (not empty) when the dir is missing — surface a
+    // useful assertion instead of an opaque NPE if the staging write failed
+    Option(new java.io.File(s"$tmp/b").listFiles())
+      .getOrElse(fail(s"staging write produced no directory at $tmp/b"))
       .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
       .zipWithIndex.foreach { case (f, i) =>
         Files.copy(f.toPath, Paths.get(s"$inDir/b_$i.parquet"),

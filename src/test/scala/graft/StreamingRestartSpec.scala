@@ -58,7 +58,10 @@ class StreamingRestartSpec extends AnyFunSuite {
     val tmp = Staging.fresh(s"rs_half_$tag")
     val half = raw.filter(pred)
     half.write.mode("overwrite").parquet(s"$tmp/h")
-    new java.io.File(s"$tmp/h").listFiles()
+    // listFiles() is null (not empty) when the dir is missing — surface a
+    // useful assertion instead of an opaque NPE if the staging write failed
+    Option(new java.io.File(s"$tmp/h").listFiles())
+      .getOrElse(fail(s"staging write produced no directory at $tmp/h"))
       .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
       .zipWithIndex.foreach { case (f, i) =>
         Files.copy(f.toPath, Paths.get(s"$inDir/${tag}_$i.parquet"),

@@ -59,6 +59,20 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("a foldable literal that throws on eval is a clean analysis error") {
+    import spark.implicits._
+    // cast('x' as int) is foldable but its eval throws under ANSI mode —
+    // the typecheck must convert that into an analysis failure instead of
+    // letting the raw cast exception escape the analyzer
+    val e = intercept[Exception] {
+      Seq("abcdefgh").toDF("t")
+        .select(expr("graft_winnow(t, cast('x' as int), 5)")).head()
+    }
+    assert(e.getMessage.contains("failed to evaluate") ||
+           e.getMessage.contains("DATATYPE_MISMATCH"),
+      s"expected a clean analysis error, got: ${e.getMessage}")
+  }
+
   test("property: native winnowing equals the HOF construction on randomized text and geometries") {
     import spark.implicits._
     // fixed-seed corpus: ascii letters/digits/spaces plus BMP CJK, with
