@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Winnow}
+import graft.functions.{DotProduct, Winnow, WinnowPos}
 
 /** Engine extensions, installed via `spark.sql.extensions`
   * (GraftSession sets it): registers the native functions so they are
@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           "graft_winnow expects (text, gram, window)")
         Winnow(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_pos"),
+      new ExpressionInfo(classOf[WinnowPos].getName, "graft_winnow_pos"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_winnow_pos expects (text, gram, window)")
+        WinnowPos(children.head, children(1), children(2))
       }))
   }
 }

@@ -577,6 +577,104 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Winnowed-posting long-common-substring candidate runs — the
+    * Lee-et-al. exact-substring dedup pass, one level finer than
+    * [[q87ParagraphDedup]]'s aligned chunks (an unaligned shared span
+    * crosses chunk boundaries and survives chunk hashing; it cannot
+    * survive this). The reference's nearest analog is its
+    * dedup-before-load key discipline (`/root/reference/spark/
+    * transform_load.py:224`); the substring form is what a web-scale
+    * text corpus needs instead.
+    *
+    * Shape (never suffix-array-global): per doc, the winnowing-selected
+    * (print, gram-position) postings — window-min md5 of the k-char
+    * grams, the q91 selection WITH positions; an inverted index on the
+    * print (the posting equi-join, bucketed on a scaling 128-bit key);
+    * and per (doc_a, doc_b, pos_a - pos_b) OFFSET groups: a shared
+    * substring contributes its selected prints at ONE constant offset,
+    * so a group with >= minPrints distinct prints is a long-common-
+    * substring candidate run (winnowing guarantee: a shared span of
+    * length L >= w+k-1 shares >= ~(L-k+1)/w same-offset selections).
+    * Prints in more than least(25% of docs, dfCap) documents are
+    * stop-prints (the CCNet too-common-line drop): they are corpus-wide
+    * boilerplate — q87's family already reports it — and dropping them
+    * is ALSO what bounds the posting join (a print's pair fan-out is
+    * quadratic in its document frequency; the cap plus AQE skew-split
+    * is the 100 TB guard).
+    *
+    * Determinism: md5 hex compares, integer positions/offsets, COUNT
+    * DISTINCT — no floats except the two exact small-integer / literal
+    * divisions both engines evaluate identically. */
+  private[graft] def substringRuns(corpus: DataFrame, k: Int, w: Int,
+                                   minPrints: Long, dfCap: Double): DataFrame = {
+    val s = corpus.sparkSession
+    // The postings come from the NATIVE positions-winnow (one text pass,
+    // codegen'd — see functions/WinnowPos.scala for the two measured
+    // failure modes of the HOF construction it replaces: ~19 s of
+    // interpreted slice+min per window, and an optimizer-inlined variant
+    // whose hash pass turns O(|text|^2)). They feed THREE consumers (the
+    // df gate and both sides of the posting join), so they stage to
+    // parquet once (the q42/q65 pattern; eager write at call time, root
+    // swept at JVM exit).
+    val ck = graft.Staging.fresh("lcs")
+    corpus
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(expr(s"graft_winnow_pos(text, $k, $w)")).as("s"))
+      .select(col("doc_id"), col("s.print").as("print"), col("s.pos").as("pos"))
+      .write.mode("overwrite").parquet(s"$ck/posts")
+    val posts = s.read.parquet(s"$ck/posts")
+    // single-row corpus count: the bounded broadcast scalar (q66 pattern)
+    val nDocs = corpus.agg(countDistinct("doc_id").as("n_docs"))
+    val keep = posts.groupBy("print").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      // greatest(..., 2.0): on a tiny corpus a bare 25% bar falls under 1
+      // and would stop-print EVERY cross-doc print, including the overlap
+      // under test
+      .filter(col("df") <= least(greatest(col("n_docs") / lit(4.0), lit(2.0)), lit(dfCap)))
+      .select("print")
+    val p = posts.join(keep, Seq("print"))
+    val a = p.select(col("doc_id").as("doc_a"), col("print"), col("pos").as("pos_a"))
+    val b = p.select(col("doc_id").as("doc_b"), col("print"), col("pos").as("pos_b"))
+    a.join(b, Seq("print"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("off", (col("pos_a") - col("pos_b")).cast("bigint"))
+      .groupBy("doc_a", "doc_b", "off")
+      .agg(countDistinct("print").as("n_prints"),
+        min("pos_a").as("from_a"), max("pos_a").as("to_a"))
+      .filter(col("n_prints") >= minPrints)
+      .select(col("doc_a").cast("bigint").as("doc_a"),
+        col("doc_b").cast("bigint").as("doc_b"), col("off"),
+        col("n_prints").cast("bigint").as("n_prints"),
+        col("from_a").cast("bigint").as("from_a"),
+        (col("to_a") - col("from_a") + lit(k)).cast("bigint").as("span_a"))
+      .orderBy("doc_a", "doc_b", "off")
+  }
+
+  /** The promo suffix the q97 fixture re-deliveries append: long enough
+    * (70 chars ≈ 13 same-offset winnowed prints at k=4, w=5) that every
+    * copy pair shares a detectable run through the suffix alone. */
+  private val lcsPromo =
+    " subscribe to the graft weekly digest for fresh pipeline updates today"
+
+  /** [[substringRuns]] over the fixture corpus plus every-10th-doc
+    * re-deliveries with [[lcsPromo]] appended (variant ids in the
+    * negative namespace, the q87 convention): each (original, copy) pair
+    * shares the original's whole text at one offset, and every copy pair
+    * shares the suffix — both constructed outcomes, then hash-checked by
+    * the identical oracle. minPrints = 5 ≈ a shared span of ~25+ chars;
+    * dfCap = 64 keeps the suffix prints under the stop-print bar at
+    * sf0.01 (50 copies) while still capping hot-print fan-out at any
+    * scale. */
+  def q97CommonSubstring(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 10 === 3)
+        .select((-col("doc_id") - lit(1L)).as("doc_id"),
+          concat(col("text"), lit(lcsPromo)).as("text")))
+    substringRuns(corpus, k = 4, w = 5, minPrints = 5L, dfCap = 64.0)
+  }
+
   /** Contamination FRACTION report — q64's decontamination upgraded from
     * "shares >= 1 shingle" to the graded verdict a real curation run
     * uses: per training document, the fraction of its distinct 3-gram
@@ -650,6 +748,7 @@ object DedupQueries {
     "q87_paragraph_dedup" -> (q87ParagraphDedup _),
     "q89_contamination_fraction" -> (q89ContaminationFraction _),
     "q90_source_overlap" -> (q90SourceOverlap _),
+    "q97_common_substring" -> (q97CommonSubstring _),
   )
 
   private val oracleSigs = (0 until nHashes)
@@ -806,5 +905,35 @@ object DedupQueries {
         |  FROM t WHERE len(toks) >= 3)
         |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM f GROUP BY fp ORDER BY fp""".stripMargin,
+    "q97_common_substring" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -doc_id - 1 AS doc_id,
+        |    text || ' subscribe to the graft weekly digest for fresh pipeline updates today' AS text
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - 3), i -> md5(substr(text, i, 4))) AS h
+        |  FROM corpus WHERE length(text) >= 8),
+        |pj AS (SELECT doc_id, h, unnest(generate_series(1, len(h) - 4)) AS j FROM g),
+        |posts AS (SELECT DISTINCT doc_id,
+        |    list_min(h[j:j+4]) AS print,
+        |    CAST(j + list_position(h[j:j+4], list_min(h[j:j+4])) - 1 AS BIGINT) AS pos
+        |  FROM pj),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM corpus),
+        |keep AS (SELECT print FROM posts CROSS JOIN nd
+        |  GROUP BY print, n_docs
+        |  HAVING COUNT(DISTINCT doc_id) <= least(greatest(n_docs / 4.0, 2.0), 64.0)),
+        |p AS (SELECT posts.* FROM posts JOIN keep USING (print)),
+        |r AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos - b.pos AS off,
+        |    COUNT(DISTINCT a.print) AS n_prints, MIN(a.pos) AS from_a, MAX(a.pos) AS to_a
+        |  FROM p a JOIN p b ON a.print = b.print AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.pos - b.pos
+        |  HAVING COUNT(DISTINCT a.print) >= 5)
+        |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+        |  CAST(off AS BIGINT) AS off, CAST(n_prints AS BIGINT) AS n_prints,
+        |  CAST(from_a AS BIGINT) AS from_a,
+        |  CAST(to_a - from_a + 4 AS BIGINT) AS span_a
+        |FROM r ORDER BY doc_a, doc_b, off""".stripMargin,
   )
 }

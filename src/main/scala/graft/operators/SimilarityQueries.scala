@@ -391,16 +391,7 @@ object SimilarityQueries {
         .join(cur.select("v", "lbl"), col("dst") === col("v"))
         .groupBy("src").agg(min("lbl").as("lbl"))
         .withColumnRenamed("src", "v")
-    // drop a superseded checkpoint's blocks: the frame is a leaf LogicalRDD
-    // after localCheckpoint, and nothing references it once it leaves the
-    // (current, previous) window. Dataset.unpersist() only consults the
-    // CacheManager, which localCheckpoint bypasses — the persisted RDD
-    // itself must be unpersisted.
-    def release(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        case _ => ()
-      }
+    def release(df: DataFrame): Unit = releaseCheckpoint(df)
     // checkpoint the initial labels too (eager): pass 1 references this
     // frame five times, which would otherwise re-run the base scan per
     // reference
@@ -429,6 +420,18 @@ object SimilarityQueries {
     if (prevLabels ne labels) release(prevLabels)
     labels.select("v", "lbl")
   }
+
+  /** Drop a superseded localCheckpoint's blocks: the frame is a leaf
+    * LogicalRDD after localCheckpoint, and nothing references it once the
+    * caller's loop window moves past it. Dataset.unpersist() only
+    * consults the CacheManager, which localCheckpoint bypasses — the
+    * persisted RDD itself must be unpersisted. Shared by the q50 label
+    * loop and the convergence-driven PageRank loop. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** PQ geometry: [[pqM]] subspaces of dim/[[pqM]] dims, [[pqK]] centroids
     * per subspace. The codebook is TRAINED: seeded from the first pqK
@@ -748,11 +751,135 @@ object SimilarityQueries {
     * both engines.
     *
     * Scale: edges come from the banded LSH equi-join (never all-pairs);
-    * each pass is one shuffle on the destination id — a scaling key; the
-    * iteration count is a constant. At 100 TB the passes stage lineage
-    * through parquet exactly like q50's label propagation (same loop
-    * machinery, same derived width) — the fixed 3-pass unroll here keeps
-    * the whole computation one oracle-checkable plan. */
+    * each pass is one shuffle on the destination id — a scaling key. The
+    * registered query is the fixed-[[prIters]] unroll ([[pagerankUnrolled]]):
+    * one declarative plan, oracle-checkable. The production
+    * convergence-driven form is [[pagerankConverged]] — the same
+    * [[prPass]] riding q50's loop machinery (checkpointed passes, derived
+    * width, a rank-movement scalar observation per pass); PagerankSpec
+    * proves loop≡unroll at 3 passes and convergence on a graph that
+    * needs more than 3. */
+  /** One quantized-PageRank pass over (src, dst) edges with per-node
+    * degrees: each node sends floor(rank * 85 / (100 * deg)) along every
+    * out-edge, and the next rank is the 0.15 teleport mass plus the
+    * inflow sum. Shared verbatim by [[pagerankUnrolled]] (q95's
+    * oracle-checkable 3-pass form) and [[pagerankConverged]] (the
+    * production loop) — the two differ ONLY in loop mechanics, which is
+    * exactly what PagerankSpec's loop≡unroll test pins.
+    *
+    * The contribution uses the decomposed form of
+    * (rank * 85) div (100 * deg) — algebraically identical for
+    * non-negative ints ((a div m)*85 + ((a mod m)*85) div m), but never
+    * materializes rank * 85, which overflows Long once a hub's
+    * accumulated mass passes Long.Max/85 (~1.08e17 picounits, reachable
+    * at web scale). Residual bound: TOTAL graph mass must stay under
+    * Long.Max — ~8e6 nodes at this unit scale; beyond that, shrink the
+    * per-node unit (1e12 here) with the graph, exactly like salting a
+    * counter. */
+  private def prPass(edges: DataFrame, nodes: DataFrame, r: DataFrame): DataFrame = {
+    val contrib = edges.join(r, edges("src") === r("v"))
+      .select(col("dst"), expr(
+        "cast((rank div (100 * deg)) * 85 " +
+          "+ ((rank % (100 * deg)) * 85) div (100 * deg) as bigint)").as("c"))
+      .groupBy("dst").agg(sum("c").as("inflow"))
+    nodes.join(contrib, nodes("v") === contrib("dst"), "left")
+      .select(col("v"), col("deg"),
+        (lit(150000000000L) + coalesce(col("inflow"), lit(0L))).as("rank"))
+  }
+
+  /** Undirected edges + per-node degree frames from a staged (vec_a,
+    * vec_b) pair list — the common prefix of both PageRank forms. */
+  private def prGraph(s: SparkSession, pairsDir: String): (DataFrame, DataFrame) = {
+    val pairs = s.read.parquet(pairsDir)
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("v"), col("deg"))
+    (edges, nodes)
+  }
+
+  /** Fixed-iteration quantized PageRank over a staged pair list: the
+    * whole computation is one declarative plan (every pass a subtree), so
+    * it is oracle-checkable — q95 registers the [[prIters]]-pass
+    * instance. For convergence-driven production runs use
+    * [[pagerankConverged]]. */
+  private[graft] def pagerankUnrolled(s: SparkSession, pairsDir: String,
+                                      iters: Int): DataFrame = {
+    val (edges, nodes) = prGraph(s, pairsDir)
+    val r0 = nodes.withColumn("rank", lit(1000000000000L))
+    (1 to iters).foldLeft(r0)((r, _) => prPass(edges, nodes, r))
+  }
+
+  /** Convergence-driven quantized PageRank — [[prPass]] riding the q50
+    * loop discipline: a CLONED session whose shuffle width derives from
+    * the staged graph size (never the caller's conf), per-pass state
+    * staged through PARQUET (two ping-pong dirs under one staging root:
+    * pass N overwrites the dir pass N-1 no longer reads — the
+    * (current, previous) window as directories), and convergence observed
+    * as a SCALAR riding the pass's write job — the total rank movement
+    * sum(abs(rank - prev_rank)) in picounits, no driver data collect.
+    *
+    * Why parquet staging and NOT per-pass localCheckpoint (measured, the
+    * hard way): Spark 4's Dataset.localCheckpoint rewrites the new leaf's
+    * statistics FROM THE SOURCE PLAN (LogicalRDD.rewriteStatsAndConstraints),
+    * and a pass that joins the prior state twice therefore SQUARES the
+    * estimated sizeInBytes every pass — the BigInt's digit count doubles
+    * per pass, and by pass ~30 the driver spends MINUTES per pass inside
+    * the size-only stats visitor multiplying million-digit integers
+    * (jstack: BigInteger.multiplyToomCook3 under
+    * SizeInBytesOnlyStatsPlanVisitor). A parquet leaf re-derives sane
+    * stats from file size each pass, is immune by construction, and is
+    * also the executor-loss-safe checkpoint a cluster run needs anyway.
+    * q50's label loop survives on localCheckpoint only because its
+    * shortcut edges keep pass counts low; this loop is built for pass
+    * counts in the tens.
+    *
+    * Termination: movement <= `tolPicos`, or `maxPasses`. tolPicos must
+    * sit at the quantization scale or above: the integer dynamics can
+    * settle into a small limit CYCLE instead of a fixpoint (measured 198
+    * picounits of steady-state oscillation on the spec's 41-node graph —
+    * floor boundaries flip a handful of per-edge contributions forever),
+    * so an exact-zero tolerance is not guaranteed to fire. Returns the
+    * rank frame (a staged leaf) and the pass count used. */
+  private[graft] def pagerankConverged(s: SparkSession, pairsDir: String,
+                                       tolPicos: Long,
+                                       maxPasses: Int = 50,
+                                       debug: Boolean = false): (DataFrame, Int) = {
+    val ls = s.newSession()
+    val width = s.conf.getOption("graft.pr.loop.partitions").map(_.toInt).getOrElse {
+      val nEdges = ls.read.parquet(pairsDir).count() * 2
+      math.max(1L, math.min(ls.sparkContext.defaultParallelism.toLong,
+        nEdges / 200000L + 1L)).toInt
+    }
+    ls.conf.set("spark.sql.shuffle.partitions", width.toString)
+    val ck = graft.Staging.fresh("prloop")
+    val (edges, nodes0) = prGraph(ls, pairsDir)
+    // stage the degree frame once: every pass references it in prPass's
+    // left join, and it is one shuffle over the pairs leaf scan
+    nodes0.write.mode("overwrite").parquet(s"$ck/nodes")
+    val nodes = ls.read.parquet(s"$ck/nodes")
+    nodes.withColumn("rank", lit(1000000000000L))
+      .write.mode("overwrite").parquet(s"$ck/r0")
+    var ranks = ls.read.parquet(s"$ck/r0")
+    var passes = 0
+    var done = false
+    while (!done && passes < maxPasses) {
+      passes += 1
+      val obs = org.apache.spark.sql.Observation(s"graft_pr_pass_$passes")
+      val out = s"$ck/r${(passes % 2) + 1}"
+      prPass(edges, nodes, ranks)
+        .join(ranks.select(col("v"), col("rank").as("prev_rank")), Seq("v"))
+        .observe(obs, sum(abs(col("rank") - col("prev_rank"))).as("moved"))
+        .select("v", "deg", "rank")
+        .write.mode("overwrite").parquet(out)
+      ranks = ls.read.parquet(out)
+      done = obs.get("moved").asInstanceOf[Long] <= tolPicos
+      if (debug) println(s"[prloop] pass=$passes moved=${obs.get("moved")} " +
+        s"ms=${System.currentTimeMillis()}")
+    }
+    (ranks, passes)
+  }
+
   def q95SimilarityPagerank(s: SparkSession, dir: String): DataFrame = {
     // stage the pair graph once (the q50 pattern): every unrolled pass
     // references the edges, and left lazy each pass branch would
@@ -761,31 +888,8 @@ object SimilarityQueries {
     val ck = graft.Staging.fresh("pr95")
     lshPairsScored(s, dir).select("vec_a", "vec_b")
       .write.mode("overwrite").parquet(s"$ck/pairs")
-    val pairs = s.read.parquet(s"$ck/pairs")
-    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = deg.select(col("src").as("v"), col("deg"))
-    val r0 = nodes.withColumn("rank", lit(1000000000000L))
-    val rT = (1 to prIters).foldLeft(r0) { (r, _) =>
-      // decomposed form of (rank * 85) div (100 * deg) — algebraically
-      // identical for non-negative ints ((a div m)*85 + ((a mod m)*85)
-      // div m), but never materializes rank * 85, which overflows Long
-      // once a hub's accumulated mass passes Long.Max/85 (~1.08e17
-      // picounits, reachable at web scale). Residual bound: TOTAL graph
-      // mass must stay under Long.Max — ~8e6 nodes at this unit scale;
-      // beyond that, shrink the per-node unit (1e12 here) with the
-      // graph, exactly like salting a counter.
-      val contrib = edges.join(r, edges("src") === r("v"))
-        .select(col("dst"), expr(
-          "cast((rank div (100 * deg)) * 85 " +
-            "+ ((rank % (100 * deg)) * 85) div (100 * deg) as bigint)").as("c"))
-        .groupBy("dst").agg(sum("c").as("inflow"))
-      nodes.join(contrib, nodes("v") === contrib("dst"), "left")
-        .select(col("v"), col("deg"),
-          (lit(150000000000L) + coalesce(col("inflow"), lit(0L))).as("rank"))
-    }
-    rT.select(col("v").cast("bigint").as("vec_id"),
+    pagerankUnrolled(s, s"$ck/pairs", prIters)
+      .select(col("v").cast("bigint").as("vec_id"),
         col("deg").cast("bigint").as("degree"),
         expr("cast(rank as double) / 1e12").as("rank"))
       .orderBy(desc("rank"), asc("vec_id"))

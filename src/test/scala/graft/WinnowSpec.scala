@@ -113,6 +113,46 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("property: positions-winnow equals the HOF struct construction on randomized text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    def randString(): String = {
+      val n = rnd.nextInt(60)
+      (0 until n).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar
+          case 1 => ' '
+          case 2 => ('0' + rnd.nextInt(10)).toChar
+          case _ => (0x4e00 + rnd.nextInt(100)).toChar
+        }
+      }.mkString
+    }
+    val df = (1 to 300).map(_ => randString()).toDF("t")
+    for ((g, w) <- Seq((4, 5), (2, 3), (1, 1), (3, 8))) {
+      val minTerm = if (w == 1) "h[j-1]"
+        else (0 until w).map(k => s"h[j-1+$k]").mkString("least(", ", ", ")")
+      val both = df
+        .withColumn("native", expr(s"graft_winnow_pos(t, $g, $w)"))
+        .withColumn("h", expr(
+          s"transform(sequence(1, length(t) - ${g - 1}), i -> md5(substring(t, i, $g)))"))
+      val defined = both.filter(length(col("t")) >= g + w - 1)
+        .withColumn("hof", expr(
+          s"array_distinct(transform(sequence(1, size(h) - ${w - 1}), " +
+            s"j -> struct($minTerm as print, " +
+            s"cast(j - 1 + array_position(slice(h, j, $w), $minTerm) as bigint) as pos)))"))
+        .select("native", "hof").collect()
+      assert(defined.nonEmpty)
+      defined.foreach { r =>
+        val native = r.getSeq[Row](0).map(x => (x.getString(0), x.getLong(1)))
+        val hof = r.getSeq[Row](1).map(x => (x.getString(0), x.getLong(1)))
+        assert(native === hof, s"geometry ($g, $w)")
+      }
+      both.filter(length(col("t")) < g + w - 1).select("native").collect()
+        .foreach(r => assert(r.getSeq[Row](0).isEmpty,
+          s"sub-window text must select nothing at ($g, $w)"))
+    }
+  }
+
   test("null text yields null, not a crash") {
     import spark.implicits._
     val r: Row = Seq(Option.empty[String]).toDF("t")
