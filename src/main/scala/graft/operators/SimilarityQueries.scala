@@ -297,11 +297,12 @@ object SimilarityQueries {
     *    also exactly what a real cluster run needs — executor loss cannot
     *    drop state mid-iteration. The root is swept at JVM exit
     *    (graft.Staging).
-    *  - Per-pass label frames DO use localCheckpoint (lineage must
-    *    truncate), but the loop runs at 4 shuffle partitions — label/edge
-    *    frames are small leaf-scan derivatives, so fixed per-task overhead
-    *    dominates and the non-AQE compile is harmless at that width. On a
-    *    real cluster the loop width scales with |V| instead.
+    *  - Per-pass label frames stage through rotating parquet dirs
+    *    (lineage must truncate, and Spark 4's localCheckpoint stats
+    *    rewrite compounds sizeInBytes through multi-reference passes —
+    *    pagerankConverged documents the measured failure). The loop runs
+    *    at a small derived width where fixed per-task overhead dominates;
+    *    on a real cluster the width scales with |V| instead.
     *  - Chaining multiple hops per checkpoint LOOKS like it should
     *    amortize job overhead, but Spark re-executes the repeated
     *    un-materialized subplans (no common-subexpression reuse across
@@ -349,9 +350,11 @@ object SimilarityQueries {
     *     sum(lbl)-equality test overflowed a long once |V| × max(id)
     *     crossed Long.MaxValue (ANSI mode: the query THROWS at real vertex
     *     counts; non-ANSI: silent wrap).
-    *   - Superseded per-pass localCheckpoints are unpersisted as they fall
-    *     out of the (current, previous) window — block-manager memory is
-    *     bounded by two label frames, not the pass count.
+    *   - Per-pass state lives in THREE rotating staged dirs (the hop
+    *     reads current AND previous labels, so pass N may only overwrite
+    *     pass N-3's dir) — disk holds at most four label frames (l0 +
+    *     rotation), never the pass count, and nothing pins executor
+    *     block-manager memory at all.
     */
   private[graft] def propagateLabels(s: SparkSession, baseDir: String): DataFrame = {
     val ls = s.newSession()
@@ -365,12 +368,17 @@ object SimilarityQueries {
     }
     // the iterate phase runs on the SMALL label/edge frames (leaf scans of
     // the staged parquet), where fixed per-task overhead dominates — and
-    // per-pass label frames use localCheckpoint to TRUNCATE lineage (each
-    // pass references the prior labels four times; untruncated, the plan
-    // grows ~4x per pass and analysis explodes). localCheckpoint compiles
-    // without AQE, which is harmless exactly BECAUSE the loop width is
-    // already sized here instead of relying on runtime coalescing.
+    // per-pass label frames stage through THREE rotating parquet dirs
+    // (the hop reads the current AND previous labeling, so pass N may
+    // only overwrite pass N-3's dir). Staging rather than localCheckpoint
+    // for the reason pagerankConverged documents at length: Spark 4's
+    // checkpoint stats rewrite compounds sizeInBytes through every pass
+    // that references prior state more than once (this hop references it
+    // SIX times), which melts the driver's stats visitor once pass counts
+    // grow — the shortcut edges keep THIS loop's pass count ~log-diameter
+    // small, but a 100 TB graph's diameter is not this fixture's.
     ls.conf.set("spark.sql.shuffle.partitions", width.toString)
+    val ck = graft.Staging.fresh("ccloop")
     // self-loop rows enumerate the vertices — no distinct shuffle needed
     val verts = base.filter(col("src") === col("dst")).select("src")
     // shortcut edges (v ↔ lbl(v)) from a labeling frame; ANY past labeling
@@ -391,47 +399,35 @@ object SimilarityQueries {
         .join(cur.select("v", "lbl"), col("dst") === col("v"))
         .groupBy("src").agg(min("lbl").as("lbl"))
         .withColumnRenamed("src", "v")
-    def release(df: DataFrame): Unit = releaseCheckpoint(df)
-    // checkpoint the initial labels too (eager): pass 1 references this
-    // frame five times, which would otherwise re-run the base scan per
-    // reference
-    var labels = verts.select(col("src").as("v"), col("src").as("lbl"))
-      .localCheckpoint()
+    // stage the initial labels too: pass 1 references this frame five
+    // times, which would otherwise re-run the base scan per reference
+    verts.select(col("src").as("v"), col("src").as("lbl"))
+      .write.mode("overwrite").parquet(s"$ck/l0")
+    var labels = ls.read.parquet(s"$ck/l0")
     var prevLabels = labels
     var converged = false
     var pass = 0
     while (!converged) {
-      // the convergence count rides the checkpoint materialization as a
-      // named observation — one job per pass, not a checkpoint job plus a
-      // separate count job (the observation fills when localCheckpoint's
-      // action completes; verified against a filter-count probe by
+      // the convergence count rides the pass's write job as a named
+      // observation — one job per pass, not a write job plus a separate
+      // count job (verified against a filter-count probe by
       // CcPropagationSpec's convergence tests)
       pass += 1
       val obs = org.apache.spark.sql.Observation(s"graft_cc_pass_$pass")
-      val next = hop(prevLabels, labels)
+      // dirs l1..l3 rotate; pass N overwrites pass N-3's dir, which
+      // neither the current nor the previous labeling reads any more
+      val out = s"$ck/l${pass % 3 + 1}"
+      hop(prevLabels, labels)
         .join(labels.select(col("v"), col("lbl").as("prev_lbl")), Seq("v"))
         .observe(obs, sum(when(col("lbl") =!= col("prev_lbl"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint()
+        .select("v", "lbl")
+        .write.mode("overwrite").parquet(out)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
-      if (prevLabels ne labels) release(prevLabels)
       prevLabels = labels
-      labels = next
+      labels = ls.read.parquet(out)
     }
-    if (prevLabels ne labels) release(prevLabels)
     labels.select("v", "lbl")
   }
-
-  /** Drop a superseded localCheckpoint's blocks: the frame is a leaf
-    * LogicalRDD after localCheckpoint, and nothing references it once the
-    * caller's loop window moves past it. Dataset.unpersist() only
-    * consults the CacheManager, which localCheckpoint bypasses — the
-    * persisted RDD itself must be unpersisted. Shared by the q50 label
-    * loop and the convergence-driven PageRank loop. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
 
   /** PQ geometry: [[pqM]] subspaces of dim/[[pqM]] dims, [[pqK]] centroids
     * per subspace. The codebook is TRAINED: seeded from the first pqK
