@@ -310,51 +310,55 @@ object TextAnalysisQueries {
     * [aa,aa], [a,a,a] → [aa,a]), then collapse separators and trim. A
     * single-space pattern would share its boundary space between
     * adjacent matches and silently skip every second merge. */
-  private def bpeApplyMerge(words: DataFrame, top: DataFrame): DataFrame =
-    words.crossJoin(broadcast(top))
-      .select(expr(
-        "trim(replace(replace(concat(' ', replace(t, ' ', '  '), ' '), " +
-          "concat(' ', replace(pair, ' ', '  '), ' '), " +
-          "concat(' ', replace(pair, ' ', ''), ' ')), '  ', ' '))").as("t"))
+  private def bpeApplyMerge(words: DataFrame, pairStr: String): DataFrame =
+    words.select(trim(replace(
+      replace(
+        concat(lit(" "), replace(col("t"), lit(" "), lit("  ")), lit(" ")),
+        lit(" " + pairStr.replace(" ", "  ") + " "),
+        lit(" " + pairStr.replace(" ", "") + " ")),
+      lit("  "), lit(" "))).as("t"))
 
   /** Iterative BPE tokenizer training, `rounds` unrolled merge rounds —
     * the loop [[q74BpeMerges]] computes one iteration of: count adjacent
     * pairs, adopt the top pair as a merge rule, re-tokenize, repeat. One
     * row per round: the rule, its support count, and the corpus token
     * count after applying it (strictly decreasing while any pair repeats
-    * — BpeSpec's property). Each round's token frame stages through
-    * parquet (the q95/pagerankConverged discipline): every round feeds
-    * THREE consumers (its own top-pair count, the post-merge token
-    * count, and the next round), and left lazy each consumer would
-    * re-derive every earlier round's merge. At the fixture the saving is
-    * modest (6.7 s → 5.8 s at sf0.1 — fixed per-job overhead dominates
-    * 250k-word rounds) because the point is asymptotic: unstaged, round
-    * r's branches re-run rounds 1..r-1, O(R^2) corpus passes over a
-    * production round count; staged it is O(R), and the staged cuts are
-    * what a production trainer's DAG would checkpoint anyway. */
+    * — BpeSpec's property). Loop mechanics follow the
+    * pagerankConverged discipline: each round's token frame stages
+    * through parquet (unstaged, round r's consumers re-derive rounds
+    * 1..r-1 — O(R^2) corpus passes at a production round count; the
+    * staged cuts are what a trainer's DAG would checkpoint anyway), the
+    * post-merge token count rides the merge write as an Observation,
+    * and the adopted rule is a bounded one-row driver scalar that
+    * becomes a plan-time literal — two jobs per round. */
   private[graft] def bpeTrainRounds(docs: DataFrame, rounds: Int): DataFrame = {
     val s = docs.sparkSession
     val ck = graft.Staging.fresh("bpe")
-    bpeInitialTokens(docs).write.mode("overwrite").parquet(s"$ck/w0")
+    // token frames coalesce to a few files per round: the per-round write
+    // is ~megabytes at any realistic shard, and 32 task-files × 4 rounds
+    // of commit overhead otherwise dominates the fixture cost
+    bpeInitialTokens(docs).coalesce(4).write.mode("overwrite").parquet(s"$ck/w0")
     var words = s.read.parquet(s"$ck/w0")
     val perRound = (1 to rounds).map { r =>
-      // the 1-row top pair ALSO stages: it feeds both the merge write and
-      // the result row, and unstaged each consumer would re-run the full
-      // pair-count shuffle
-      bpeTopPair(words).write.mode("overwrite").parquet(s"$ck/t$r")
-      val top = s.read.parquet(s"$ck/t$r")
-      bpeApplyMerge(words, top).write.mode("overwrite").parquet(s"$ck/w$r")
-      val merged = s.read.parquet(s"$ck/w$r")
-      val after = merged.agg(
-        sum(expr("size(split(t, ' '))")).cast("bigint").as("n_tokens_after"))
-      val row = top.crossJoin(after)
-        .select(lit(r).cast("int").as("round"), col("pair"),
-          expr("replace(pair, ' ', '')").as("merged"), col("cnt"),
-          col("n_tokens_after"))
-      words = merged
-      row
+      // the adopted rule is a BOUNDED driver scalar — one row, the same
+      // class as the dim/min-max mirrors (q19, TransformJourneys) — and
+      // becomes a plan-time literal of the merge pass; the post-merge
+      // token count rides the merge WRITE as an Observation. Two jobs per
+      // round total (pair count, merge+count+write), which is also how a
+      // production trainer iterates: adopt the rule, re-tokenize, repeat.
+      val topRow = bpeTopPair(words).head()
+      val (pair, cnt) = (topRow.getString(0), topRow.getLong(1))
+      val obs = org.apache.spark.sql.Observation(s"graft_bpe_round_$r")
+      bpeApplyMerge(words, pair)
+        .observe(obs, sum(size(split(col("t"), " "))).cast("long").as("n_after"))
+        .coalesce(4).write.mode("overwrite").parquet(s"$ck/w$r")
+      words = s.read.parquet(s"$ck/w$r")
+      (r, pair, pair.replace(" ", ""), cnt,
+        obs.get("n_after").asInstanceOf[Long])
     }
-    perRound.reduce(_ unionByName _).orderBy("round")
+    import s.implicits._
+    perRound.toDF("round", "pair", "merged", "cnt", "n_tokens_after")
+      .orderBy("round")
   }
 
   /** The registered 3-round instance over the fixture corpus. */
