@@ -210,6 +210,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val p86 = plan("q86_corpus_pipeline")
     assert(p86.contains("graft_corpusPipe"),
       s"q86 must read its staged stage cuts:\n$p86")
+    // q97's three posting consumers (df gate + both join sides) must all
+    // read the staged postings leaf — an un-staged refactor re-runs the
+    // winnow selection per branch AND re-exposes the CollapseProject
+    // O(len^2) inlining trap the staging exists to fence off
+    val p97 = plan("q97_common_substring")
+    assert(p97.contains("graft_lcs"),
+      s"q97 must read the staged postings:\n$p97")
+    assert(!p97.contains("graft_winnow_pos"),
+      s"no winnow-selection subtree may survive into the join plan:\n$p97")
   }
 
   test("q42: candidate generation is a broadcast/hash join over staged leaf scans") {
