@@ -617,11 +617,7 @@ object DedupQueries {
     // parquet once (the q42/q65 pattern; eager write at call time, root
     // swept at JVM exit).
     val ck = graft.Staging.fresh("lcs")
-    corpus
-      .filter(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"),
-        explode(expr(s"graft_winnow_pos(text, $k, $w)")).as("s"))
-      .select(col("doc_id"), col("s.print").as("print"), col("s.pos").as("pos"))
+    substringPostings(corpus, k, w)
       .write.mode("overwrite").parquet(s"$ck/posts")
     val posts = s.read.parquet(s"$ck/posts")
     // single-row corpus count: the bounded broadcast scalar (q66 pattern)
@@ -650,6 +646,66 @@ object DedupQueries {
         (col("to_a") - col("from_a") + lit(k)).cast("bigint").as("span_a"))
       .orderBy("doc_a", "doc_b", "off")
   }
+
+  /** Winnowed postings of a (doc_id, text) frame — [[substringRuns]]'s
+    * selection stage as a reusable unit (native `graft_winnow_pos`, one
+    * row per distinct (print, gram-position) per document). */
+  private[graft] def substringPostings(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs.filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(expr(s"graft_winnow_pos(text, $k, $w)")).as("s"))
+      .select(col("doc_id"), col("s.print").as("print"), col("s.pos").as("pos"))
+
+  /** Durable BUCKETED posting index for recurring substring dedup — the
+    * q85 layout discipline one level finer: the corpus postings (with a
+    * precomputed per-print document frequency, so the stop-print gate is
+    * an index-resident column, never a recount) land bucketed+sorted on
+    * the print. A weekly crawl's [[substringRunsAgainstIndex]] verdict
+    * then shuffles ONLY its own batch postings — the corpus prints are
+    * never re-shuffled (StreamingSubstringIndexSpec asserts zero
+    * corpus-side exchanges). Disk/catalog lifetime matches
+    * [[writeFingerprintIndex]]: one table per call, swept at JVM exit. */
+  def writeSubstringIndex(docs: DataFrame, k: Int, w: Int, nBuckets: Int,
+                          base: String, table: String): String = {
+    val ck = graft.Staging.fresh("subidx")
+    substringPostings(docs, k, w)
+      .write.mode("overwrite").parquet(s"$ck/posts")
+    val posts = docs.sparkSession.read.parquet(s"$ck/posts")
+    graft.etl.Warehouse.writeBucketed(
+      posts.join(posts.groupBy("print")
+          .agg(countDistinct("doc_id").as("print_df")), Seq("print"))
+        .select(col("print"), col("doc_id").as("corpus_doc"),
+          col("pos").as("corpus_pos"), col("print_df")),
+      nBuckets, "print", s"$base/posts", table)
+    table
+  }
+
+  /** Same-offset run verdicts of a NEW batch against a
+    * [[writeSubstringIndex]] layout: per (batch doc, corpus doc, offset)
+    * group with >= minPrints distinct shared prints — [[substringRuns]]'s
+    * core with the corpus side read straight from the bucketed index
+    * (merge hints pin the sort-merge plan the layout serves, exactly as
+    * [[incrementalDedupBucketed]]). Prints with index df above `dfCap`
+    * are stop-prints, filtered by the index-resident column. Output: one
+    * row per batch doc that shares at least one qualifying run, with the
+    * count of overlapped corpus docs and the widest run's print count. */
+  def substringRunsAgainstIndex(s: SparkSession, batchPosts: DataFrame,
+                                table: String, minPrints: Long,
+                                dfCap: Long): DataFrame =
+    batchPosts.hint("merge")
+      .join(s.table(table).filter(col("print_df") <= dfCap).hint("merge"),
+        Seq("print"))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .groupBy(col("doc_id"), col("corpus_doc"),
+        (col("pos") - col("corpus_pos")).as("off"))
+      .agg(countDistinct("print").as("n_prints"))
+      .filter(col("n_prints") >= minPrints)
+      .groupBy("doc_id")
+      .agg(countDistinct("corpus_doc").cast("bigint").as("n_overlapped_docs"),
+        max("n_prints").cast("bigint").as("widest_run_prints"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_overlapped_docs"), col("widest_run_prints"))
+      .orderBy("doc_id")
 
   /** The promo suffix the q97 fixture re-deliveries append: long enough
     * (70 chars ≈ 13 same-offset winnowed prints at k=4, w=5) that every
