@@ -704,7 +704,63 @@ object RelationalQueries {
       .orderBy("probe_id")
   }
 
+  /** AS-OF join core — for each row of the `probe` stream, the latest
+    * STRICTLY-prior row of the `quote` stream with the same key (the
+    * time-series join Spark has no built-in operator for; the reference's
+    * analog is its weather-to-journey time alignment, which it solves by
+    * rounding to shared calendar keys — `/root/reference/spark/
+    * transform_load.py:129-137` — i.e. a coarsened special case).
+    *
+    * Spark-first shape (design-ladder tier a — composition, no custom
+    * plan node needed): tag and UNION the two streams, one window per
+    * key ordered by (ts, tag, id), and `last(_, ignoreNulls)` carries
+    * the most recent quote values forward onto each probe row. ONE
+    * shuffle on the key, state bounded by the window frame — never a
+    * range cross-join, never a per-key collect. Probes sort BEFORE
+    * quotes at equal ts (tag 0 < 1), which makes the match strictly
+    * prior — the same semantics as the oracle's `ASOF ... ON p.ts >
+    * t.ts`, an INDEPENDENT native implementation, so the hash gate
+    * cross-checks the window construction against a real ASOF operator.
+    * Tie-break inside equal-ts quote runs is the larger event_id (the
+    * fixture has no duplicate (user_id, ts); AsofSpec pins the
+    * constructed-tie semantics). */
+  private[graft] def asofLastTouch(events: DataFrame): DataFrame = {
+    val touches = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        col("event_id").as("sort_id"), col("event_id").as("t_event_id"),
+        col("event_type").as("t_type"))
+      .withColumn("p_event_id", lit(null).cast("long"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("event_id").as("sort_id"),
+        lit(null).cast("long").as("t_event_id"),
+        lit(null).cast("string").as("t_type"),
+        col("event_id").as("p_event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("sort_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionByName(purchases)
+      .withColumn("lt_id", last(col("t_event_id"), ignoreNulls = true).over(w))
+      .withColumn("lt_type", last(col("t_type"), ignoreNulls = true).over(w))
+      .withColumn("lt_ts",
+        last(when(col("tag") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("p_event_id").isNotNull)
+      .select(col("p_event_id").cast("bigint").as("event_id"),
+        col("user_id").cast("bigint").as("user_id"),
+        col("lt_id").cast("bigint").as("touch_event_id"),
+        col("lt_type").as("touch_type"),
+        (expr("unix_micros(ts)") - expr("unix_micros(lt_ts)"))
+          .cast("bigint").as("micros_since_touch"))
+      .orderBy("event_id")
+  }
+
+  /** Last-touch attribution over the events stream: every purchase joined
+    * as-of to the user's most recent strictly-prior non-purchase event. */
+  def q99AsofJoin(s: SparkSession, dir: String): DataFrame =
+    asofLastTouch(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_asof_join" -> (q99AsofJoin _),
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
     "q03_date_filter_join" -> (q03DateFilterJoin _),
@@ -741,6 +797,20 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q99: DuckDB's NATIVE ASOF JOIN — an independent implementation of
+    // the same semantics (strictly-prior via `>`), so the hash gate
+    // cross-checks the Spark union+window construction against a real
+    // as-of operator rather than a mirrored re-derivation
+    "q99_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id, user_id, ts, event_type FROM events WHERE event_type <> 'purchase')
+        |SELECT CAST(p.event_id AS BIGINT) AS event_id,
+        |  CAST(p.user_id AS BIGINT) AS user_id,
+        |  CAST(t.event_id AS BIGINT) AS touch_event_id,
+        |  t.event_type AS touch_type,
+        |  CAST(epoch_us(p.ts) - epoch_us(t.ts) AS BIGINT) AS micros_since_touch
+        |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts > t.ts
+        |ORDER BY event_id""".stripMargin,
     // q59: 3-hex-digit strpos arithmetic = conv(substr(md5, 1, 3), 16, 10);
     // probes 0-9 exist in events, 99990-99999 do not, so the boolean
     // columns exercise hits, misses, and any deterministic false positives
