@@ -447,6 +447,7 @@ object CorpusQueries {
     "q82_source_scorecard" -> (q82SourceScorecard _),
     "q88_split_manifest" -> (q88SplitManifest _),
     "q96_length_profile" -> (q96LengthProfile _),
+    "q100_binned_quantiles" -> (q100BinnedQuantiles _),
   )
 
   /** Deterministic stratified train/valid/test split manifest (90/5/5):
@@ -493,7 +494,77 @@ object CorpusQueries {
         max("ntok").cast("bigint").as("max_tok"))
       .orderBy("lang")
 
+  /** Fixed-bin APPROXIMATE per-language length quantiles — the O(bins)
+    * scale path next to [[q96LengthProfile]]'s exact `percentile` (whose
+    * per-group state is every distinct value; at 100 TB a full-corpus
+    * exact percentile is a sort in disguise). Two phases, both exact
+    * integer arithmetic so the DuckDB twin is bit-equal:
+    *
+    *   1. per-language min/max (constant agg state);
+    *   2. histogram into 64 equal integer bins over [mn, mx] —
+    *      bin = (ntok - mn) * 64 div (mx - mn + 1), always in [0, 63] —
+    *      then the estimate for quantile q is the LOWER EDGE of the
+    *      first bin whose cumulative count reaches ceil(q * n), i.e.
+    *      mn + bin * (mx - mn + 1) div 64.
+    *
+    * The error bound is one bin width ((mx - mn + 1) / 64), asserted
+    * against the exact percentiles by BinnedQuantileSpec. State per
+    * language: 64 counters — the shape that survives any corpus size;
+    * the only windows run over 64-row bin summaries, never documents. */
+  def q100BinnedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), expr("cast(size(split(text, ' ')) as bigint)").as("ntok"))
+    val bounds = d.groupBy("lang").agg(
+      min("ntok").as("mn"), max("ntok").as("mx"),
+      count(lit(1)).as("n"))
+    val hist = d.join(bounds, Seq("lang"))
+      .withColumn("bin", expr("(ntok - mn) * 64 div (mx - mn + 1)"))
+      .groupBy("lang", "mn", "mx", "n", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+    hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .groupBy("lang", "mn", "mx", "n")
+      .agg(
+        min(when(col("cum") >= expr("cast(ceil(0.5 * n) as bigint)"), col("bin")))
+          .as("bin50"),
+        min(when(col("cum") >= expr("cast(ceil(0.95 * n) as bigint)"), col("bin")))
+          .as("bin95"))
+      .select(col("lang"),
+        col("n").cast("bigint").as("n_docs"),
+        col("mn").cast("bigint").as("min_tok"),
+        col("mx").cast("bigint").as("max_tok"),
+        expr("cast(mn + bin50 * (mx - mn + 1) div 64 as bigint)").as("approx_p50"),
+        expr("cast(mn + bin95 * (mx - mn + 1) div 64 as bigint)").as("approx_p95"),
+        expr("cast((mx - mn + 1) div 64 + 1 as bigint)").as("bin_width"))
+      .orderBy("lang")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q100_binned_quantiles" ->
+      """WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |b AS (SELECT lang, MIN(ntok) AS mn, MAX(ntok) AS mx, COUNT(*) AS n
+        |  FROM d GROUP BY lang),
+        |h AS (SELECT d.lang, mn, mx, n, (ntok - mn) * 64 // (mx - mn + 1) AS bin,
+        |    COUNT(*) AS cnt
+        |  FROM d JOIN b ON d.lang = b.lang
+        |  GROUP BY d.lang, mn, mx, n, bin),
+        |c AS (SELECT lang, mn, mx, n, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |q AS (SELECT lang, mn, mx, n,
+        |    MIN(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN bin END) AS bin50,
+        |    MIN(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT) THEN bin END) AS bin95
+        |  FROM c GROUP BY lang, mn, mx, n)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(mn AS BIGINT) AS min_tok, CAST(mx AS BIGINT) AS max_tok,
+        |  CAST(mn + bin50 * (mx - mn + 1) // 64 AS BIGINT) AS approx_p50,
+        |  CAST(mn + bin95 * (mx - mn + 1) // 64 AS BIGINT) AS approx_p95,
+        |  CAST((mx - mn + 1) // 64 + 1 AS BIGINT) AS bin_width
+        |FROM q ORDER BY lang""".stripMargin,
     "q96_length_profile" ->
       """WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
         |  FROM documents)
