@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet tables (TESTDATA.md).
   *
@@ -22,20 +22,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
-    * long nanoseconds. Truncate to microseconds (same as DuckDB's ns→us
-    * read) and restore TimestampType. Constraint: `div` is floor division,
-    * which matches DuckDB only for non-negative epochs — fine for the
-    * 2024-only fixture; pre-1970 nanosecond data would need floor-div
-    * semantics confirmed on both sides first.
+  /** events.ts has shipped in two fixture encodings: parquet
+    * TIMESTAMP(NANOS) (rounds ≤7; with nanosAsLong it arrives as long
+    * nanoseconds — truncate to microseconds, same as DuckDB's ns→us read,
+    * and restore TimestampType; `div` is floor division, which matches
+    * DuckDB only for non-negative epochs — fine for the 2024-only fixture)
+    * and TIMESTAMP_MICROS with isAdjustedToUTC=false (round 8+; Spark
+    * reads TIMESTAMP_NTZ — reinterpret the wall clock as an instant, which
+    * under the session's pinned UTC zone is exactly DuckDB's naive read).
     *
     * The ONE shared conversion for batch and streaming readers
     * (StreamSources.events calls this) — a change to the fixture encoding
     * cannot leave one reader shifted against the other. */
   private[graft] def restoreEventTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
 
   def events(s: SparkSession, d: String): DataFrame =
     restoreEventTs(load(s, d, "events"))

@@ -43,11 +43,18 @@ class StreamingRestartSpec extends AnyFunSuite {
   private lazy val raw = spark.read.parquet(s"$sfDir/events.parquet")
   private lazy val rawSchema = raw.schema
 
+  /** Raw ts as epoch nanoseconds, across both fixture encodings (see
+    * Tables.restoreEventTs): nanos-as-long passes through; the NTZ micros
+    * encoding reinterprets under the session's UTC zone, like the readers. */
+  private lazy val tsNanos: Column =
+    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType) col("ts")
+    else unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+
   /** Restart cutoff: the day boundary nearest the middle of the event
-    * range (raw ts is nanos-as-long — see Tables.restoreEventTs). */
+    * range, in epoch nanos. */
   private val dayNanos = 86400L * 1000000000L
   private lazy val cutoff: Long = {
-    val r = raw.agg(min("ts"), max("ts")).head()
+    val r = raw.agg(min(tsNanos), max(tsNanos)).head()
     ((r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2) / dayNanos) * dayNanos
   }
 
@@ -96,11 +103,11 @@ class StreamingRestartSpec extends AnyFunSuite {
       q.recentProgress.map(_.numInputRows).sum
     }
 
-    val nA = deliver(inDir, col("ts") < cutoff, "a")
+    val nA = deliver(inDir, tsNanos < cutoff, "a")
     assert(runOnce() === nA)
     val afterFirst = spark.read.parquet(outDir).count()
 
-    val nB = deliver(inDir, col("ts") >= cutoff, "b")
+    val nB = deliver(inDir, tsNanos >= cutoff, "b")
     assert(runOnce() === nB,
       "the restarted run must read ONLY the new files (exactly-once file tracking)")
 
@@ -140,11 +147,11 @@ class StreamingRestartSpec extends AnyFunSuite {
       q.awaitTermination()
     }
 
-    val nA = deliver(inDir, col("ts") < cutoff, "a")
+    val nA = deliver(inDir, tsNanos < cutoff, "a")
     runOnce()
     assert(spark.read.parquet(lake).count() === nA)
 
-    val nB = deliver(inDir, col("ts") >= cutoff, "b")
+    val nB = deliver(inDir, tsNanos >= cutoff, "b")
     runOnce()
     val total = Tables.events(spark, sfDir).count()
     assert(nA + nB === total, "the two halves must partition the fixture")
