@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Winnow, WinnowPos}
+import graft.functions.{DotProduct, Kmv, Winnow, WinnowPos}
 
 /** Engine extensions, installed via `spark.sql.extensions`
   * (GraftSession sets it): registers the native functions so they are
@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           "graft_winnow expects (text, gram, window)")
         Winnow(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[Kmv].getName, "graft_kmv"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_kmv expects (hash_col, k)")
+        Kmv(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow_pos"),

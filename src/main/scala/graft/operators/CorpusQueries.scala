@@ -434,7 +434,45 @@ object CorpusQueries {
         expr("cast(sum(alpha_q) as double) / (1e9 * cast(count(1) as double))").as("mean_alpha"))
       .orderBy("source")
 
+  /** Per-language distinct-token cardinality via the native KMV sketch
+    * (`graft_kmv`, functions/Kmv.scala) next to the exact count it
+    * approximates — the recall-spec pattern for approximations (q100,
+    * q51): ship the estimate AND its error so the oracle gate pins both.
+    *
+    * Hash: the first 8 hex digits of md5(token) as a uniform 32-bit
+    * value (the q88/q59 md5-arithmetic idiom, so the DuckDB twin can
+    * mirror it with nibble arithmetic). Estimate: (k-1) * 2^32 / kth
+    * smallest distinct hash; when a group holds fewer than k distinct
+    * hashes the sketch is the whole set and the estimate is its size.
+    *
+    * Scale path: state per group is k=32 longs, deduplicated on insert,
+    * partial-aggregated map-side, merged by union-truncate — per-day
+    * sketches roll into per-month without re-reading data. The exact
+    * count beside it is the audit column; at 100 TB a pipeline runs the
+    * sketch alone. (The window-ranked oracle twin is exactly the
+    * linear-state plan the sketch replaces.) */
+  def q101KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(expr("split(text, ' ')")).as("tok"))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+      .groupBy("lang")
+      .agg(countDistinct(col("tok")).as("n_exact"),
+        expr(s"graft_kmv(h, $k)").as("ks"))
+      .select(col("lang"),
+        col("n_exact").cast("bigint").as("n_exact"),
+        expr("cast(size(ks) as bigint)").as("n_kept"),
+        expr(s"case when size(ks) < $k then cast(size(ks) as double) " +
+          s"else (31.0 * 4294967296.0) / cast(element_at(ks, $k) as double) end")
+          .as("est"))
+      .withColumn("rel_err",
+        expr("abs(est - cast(n_exact as double)) / cast(n_exact as double)"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_kmv_distinct" -> (q101KmvDistinct _),
     "q66_tfidf" -> (q66Tfidf _),
     "q67_bm25" -> (q67Bm25 _),
     "q68_token_packing" -> (q68TokenPacking _),
@@ -541,7 +579,28 @@ object CorpusQueries {
       .orderBy("lang")
   }
 
+  /** DuckDB has no base-16 conv(); the numeric value of the first n hex
+    * digits of md5(x) via nibble Horner (the q88/q59 strpos idiom). */
+  private def duckMd5Int(x: String, n: Int): String =
+    (1 to n).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc) * 16 + (strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1))"
+    }
+
   val oracles: Map[String, String] = Map(
+    "q101_kmv_distinct" ->
+      s"""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |d AS (SELECT DISTINCT lang, tok FROM t),
+         |hh AS (SELECT DISTINCT lang, ${duckMd5Int("tok", 8)} AS h FROM d),
+         |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hh),
+         |kth AS (SELECT lang, max(h) AS h_k, COUNT(*) AS n_kept FROM r WHERE rn <= 32 GROUP BY lang),
+         |ex AS (SELECT lang, COUNT(*) AS n_exact FROM d GROUP BY lang)
+         |SELECT lang, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_kept AS BIGINT) AS n_kept,
+         |  CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE (31.0 * 4294967296.0) / CAST(h_k AS DOUBLE) END AS est,
+         |  abs((CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE (31.0 * 4294967296.0) / CAST(h_k AS DOUBLE) END) - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE) AS rel_err
+         |FROM ex JOIN kth USING (lang) ORDER BY lang""".stripMargin,
     "q100_binned_quantiles" ->
       """WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
         |  FROM documents),

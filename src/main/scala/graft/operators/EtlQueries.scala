@@ -259,7 +259,60 @@ object EtlQueries {
            sum("k").cast("bigint").as("sum_k"))
       .orderBy("event_type")
 
+  /** SCD Type-2 dimension build from the events stream (the warehouse
+    * pattern the reference's static `stations` dimension would need the
+    * moment an attribute changes over time — its pipeline overwrites the
+    * dimension wholesale, `/root/reference/spark/transform_load.py`):
+    * each user's event_type is treated as a changing segment attribute;
+    * consecutive runs collapse into one version row with
+    * [effective_from, effective_to) validity, the open current version
+    * carried with the standard high-date sentinel (9999-12-31, the
+    * warehouse idiom that keeps BETWEEN probes sargable — and keeps the
+    * column non-null for engines that index it).
+    *
+    * Plan: ONE shuffle on user_id; the run-boundary lag, the run-id
+    * running sum, the per-run groupBy (user_id clustering already
+    * satisfies the (user_id, run_id) distribution — no second exchange),
+    * and the effective_to lead all ride the same partitioning. Version
+    * state is O(1) per row — at 100 TB the cost is the single exchange
+    * plus per-partition sorts. */
+  private[graft] def scd2Runs(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy("user_id").orderBy("run_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(wOrd))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum("chg").over(wRun))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(min("ts").as("effective_from"), count(lit(1)).as("n_events"))
+      .withColumn("effective_to",
+        coalesce(lead("effective_from", 1).over(wVer),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+      .select(col("user_id").cast("bigint").as("user_id"),
+        col("run_id").cast("bigint").as("version"),
+        col("event_type").as("segment"),
+        // formatted, not bare TimestampType: Spark parquet timestamps are
+        // tz-adjusted (UTC-instant) while the oracle's are naive — the
+        // string form is identical in both engines (the q32 idiom)
+        date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("effective_from"),
+        date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("effective_to"),
+        col("n_events").cast("bigint").as("n_events"),
+        (col("effective_to") === lit("9999-12-31 00:00:00").cast("timestamp"))
+          .as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  def q102Scd2Dimension(s: SparkSession, dir: String): DataFrame =
+    scd2Runs(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_scd2_dimension" -> (q102Scd2Dimension _),
     "q30_partitioned_write" -> (q30PartitionedWrite _),
     "q31_ingest_parse" -> (q31IngestParse _),
     "q32_csv_roundtrip" -> (q32CsvRoundtrip _),
@@ -319,6 +372,27 @@ object EtlQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q102_scd2_dimension" ->
+      """WITH l AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg FROM l),
+        |rn AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM c),
+        |g AS (SELECT user_id, run_id, event_type AS segment,
+        |    MIN(ts) AS effective_from, COUNT(*) AS n_events
+        |  FROM rn GROUP BY 1, 2, 3),
+        |f AS (SELECT user_id, run_id, segment, effective_from,
+        |    coalesce(lead(effective_from) OVER (PARTITION BY user_id ORDER BY run_id),
+        |      TIMESTAMP '9999-12-31 00:00:00') AS effective_to, n_events
+        |  FROM g)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(run_id AS BIGINT) AS version,
+        |  segment,
+        |  strftime(effective_from, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
+        |  strftime(effective_to, '%Y-%m-%d %H:%M:%S.%f') AS effective_to,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  effective_to = TIMESTAMP '9999-12-31 00:00:00' AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin,
     "q30_partitioned_write" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

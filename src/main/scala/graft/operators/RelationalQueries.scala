@@ -759,7 +759,57 @@ object RelationalQueries {
   def q99AsofJoin(s: SparkSession, dir: String): DataFrame =
     asofLastTouch(Tables.events(s, dir))
 
+  /** Ordered funnel analysis over the events stream: how many users
+    * progressed view → click → purchase IN THAT ORDER (each stage
+    * strictly after the previous one — the product-analytics query the
+    * reference's flat `COUNT GROUP BY` aggregations cannot express,
+    * `/root/reference/sql/aggregations.sql`).
+    *
+    * ONE shuffle on user_id; the whole funnel is a chain of windows over
+    * the same (user_id, ts, event_id) sort: the strictly-prior frame
+    * carries "earliest view so far" onto each row, a click qualifies when
+    * a view precedes it, the same frame then carries "earliest qualified
+    * click so far", and a purchase qualifies when a qualified click
+    * precedes it. Per-user state is three timestamps — no per-stage
+    * re-join, no self-join on the events fact, order-insensitive mins
+    * throughout. The 3-row output is unpivoted from one aggregate row. */
+  private[graft] def funnelStages(events: DataFrame): DataFrame = {
+    val wPrior = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perUser = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rv",
+        min(when(col("event_type") === "view", col("ts"))).over(wPrior))
+      .withColumn("cand_c",
+        when(col("event_type") === "click" && col("ts") > col("rv"), col("ts")))
+      .withColumn("rc", min(col("cand_c")).over(wPrior))
+      .withColumn("cand_p",
+        when(col("event_type") === "purchase" && col("ts") > col("rc"), col("ts")))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("v_ts"),
+        min("cand_c").as("c_ts"),
+        min("cand_p").as("p_ts"))
+    perUser.agg(
+        count(col("v_ts")).as("n_v"),
+        count(col("c_ts")).as("n_c"),
+        count(col("p_ts")).as("n_p"))
+      .select(expr(
+        "stack(3, 1, 'view', n_v, cast(1.0 as double), " +
+          "2, 'view_click', n_c, cast(n_c as double) / cast(n_v as double), " +
+          "3, 'view_click_purchase', n_p, cast(n_p as double) / cast(n_c as double)) " +
+          "as (stage_order, stage, n_users, conv_from_prev)"))
+      .select(col("stage_order").cast("int").as("stage_order"), col("stage"),
+        col("n_users").cast("bigint").as("n_users"), col("conv_from_prev"))
+      .orderBy("stage_order")
+  }
+
+  def q103Funnel(s: SparkSession, dir: String): DataFrame =
+    funnelStages(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_funnel" -> (q103Funnel _),
     "q99_asof_join" -> (q99AsofJoin _),
     "q01_agg" -> (q01Agg _),
     "q02_topk_join" -> (q02TopkJoin _),
@@ -797,6 +847,33 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_funnel" ->
+      """WITH w AS (SELECT user_id, ts, event_id, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rv
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type, rv,
+        |    CASE WHEN event_type = 'click' AND ts > rv THEN ts END AS cand_c
+        |  FROM w),
+        |c2 AS (SELECT user_id, ts, event_type, cand_c,
+        |    MIN(cand_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rc
+        |  FROM c),
+        |u AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts,
+        |    MIN(cand_c) AS c_ts,
+        |    MIN(CASE WHEN event_type = 'purchase' AND ts > rc THEN ts END) AS p_ts
+        |  FROM c2 GROUP BY user_id),
+        |s AS (SELECT COUNT(v_ts) AS n_v, COUNT(c_ts) AS n_c, COUNT(p_ts) AS n_p FROM u)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS stage_order, 'view' AS stage,
+        |    CAST(n_v AS BIGINT) AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev FROM s
+        |  UNION ALL SELECT 2, 'view_click', CAST(n_c AS BIGINT),
+        |    CAST(n_c AS DOUBLE) / CAST(n_v AS DOUBLE) FROM s
+        |  UNION ALL SELECT 3, 'view_click_purchase', CAST(n_p AS BIGINT),
+        |    CAST(n_p AS DOUBLE) / CAST(n_c AS DOUBLE) FROM s)
+        |ORDER BY stage_order""".stripMargin,
     // q99: DuckDB's NATIVE ASOF JOIN — an independent implementation of
     // the same semantics (strictly-prior via `>`), so the hash gate
     // cross-checks the Spark union+window construction against a real

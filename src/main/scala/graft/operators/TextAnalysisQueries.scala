@@ -416,7 +416,47 @@ object TextAnalysisQueries {
         expr("md5(concat_ws('', array_sort(sel)))").as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Exact phrase search over a positional inverted index: documents
+    * containing the 3-token phrase "big order scan" as consecutive
+    * whitespace tokens, with occurrence count and first match position
+    * (0-based). The retrieval primitive a corpus pipeline needs for
+    * targeted contamination probes and boilerplate hunting that q41's
+    * bag-of-words vocabulary cannot answer.
+    *
+    * Plan shape: posexplode to (doc_id, pos, tok) postings, PRUNE to the
+    * phrase's terms inside the scan projection (the isin filter pushes
+    * below the generate, so non-phrase tokens never reach a shuffle),
+    * then offset-aligned equi-joins on (doc_id, pos - i) — the classic
+    * positional-intersection, never a per-document scan of full position
+    * lists. At 100 TB each join key is (doc, position): maximally
+    * spread, no skew; AQE orders/sizes the joins by actual term
+    * frequency (rarest-first comes free from its size estimates). The
+    * same postings relation feeds all three sides from ONE tokenize
+    * (self-joined, so the exchange is reused across the two joins). */
+  private[graft] def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(expr("split(text, ' ')")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+    def side(i: Int): DataFrame = postings
+      .filter(col("tok") === phrase(i))
+      .select(col("doc_id"), (col("pos") - i).as("pos"))
+    phrase.indices.tail
+      .foldLeft(side(0))((acc, i) => acc.join(side(i), Seq("doc_id", "pos")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_matches"),
+        min("pos").cast("bigint").as("first_pos"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_matches"), col("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  def q104PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(s, dir), Seq("big", "order", "scan"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_phrase_search" -> (q104PhraseSearch _),
     "q27_text_stats" -> (q27TextStats _),
     "q73_chunking" -> (q73Chunking _),
     "q74_bpe_merges" -> (q74BpeMerges _),
@@ -465,6 +505,18 @@ object TextAnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q104_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS tok,
+        |    generate_subscripts(toks, 1) - 1 AS pos FROM t),
+        |t0 AS (SELECT doc_id, pos FROM p WHERE tok = 'big'),
+        |t1 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE tok = 'order'),
+        |t2 AS (SELECT doc_id, pos - 2 AS pos FROM p WHERE tok = 'scan')
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(MIN(pos) AS BIGINT) AS first_pos
+        |FROM t0 JOIN t1 USING (doc_id, pos) JOIN t2 USING (doc_id, pos)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q98_bpe_train" -> q98Oracle,
     "q91_winnowing" ->
       """WITH h AS (SELECT doc_id, list_transform(generate_series(1, length(text) - 3),
