@@ -587,7 +587,19 @@ object SimilarityQueries {
       if (trainSampleMod > 1)
         subs.filter(col("vec_id") % trainSampleMod === 0 || col("vec_id") < k)
       else subs
-    val cb = (1 to trainIters).foldLeft(cb0)((c, _) => pqRecenter(pqAssign(trainSubs, c)))
+    // Stage the trained codebook through parquet: it is k*m rows but its
+    // LINEAGE is trainIters unrolled assign+recenter rounds, and the plan
+    // references it twice (corpus encode + probe ADC table) — unstaged,
+    // every trial re-optimizes and re-executes that whole subtree per
+    // reference (the q86/q95 branch-point rule). The write costs one tiny
+    // job; both consumers then read a leaf scan.
+    val cbTrained =
+      (1 to trainIters).foldLeft(cb0)((c, _) => pqRecenter(pqAssign(trainSubs, c)))
+    val cb = {
+      val p = graft.Staging.fresh("pqcb")
+      cbTrained.write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    }
     val encoded = pqAssign(subs, cb).drop("sub")
     val tableScored = e.filter(col("vec_id") < 8)
       .selectExpr("vec_id as probe_id", "nrm as pn", s"stack($m, ${pqSplit("v", m, sub)}) as (tm, psub)")

@@ -284,21 +284,31 @@ object TextAnalysisQueries {
     * state: each word becomes its characters joined by single spaces
     * ("the" → "t h e"), so a token SEQUENCE is a flat string and merge
     * rounds are pure string algebra both engines execute identically. */
+  /** The distinct-WORD frequency table, char-split: (t = "c h a r s",
+    * freq = instance count). The Sennrich BPE-trainer representation —
+    * the corpus instance stream is touched exactly ONCE (this count);
+    * every merge round after it runs over the distinct-word frame and
+    * weights by freq, so rounds cost O(|vocabulary|), not O(corpus).
+    * Merging never collides two distinct words (a merge is a
+    * deterministic rewrite of the word's unchanged character sequence),
+    * so the frame stays keyed by word with no per-round re-group. */
   private def bpeInitialTokens(docs: DataFrame): DataFrame =
     docs.select(explode(expr("split(text, ' ')")).as("w"))
       .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(expr(
-        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')").as("t"))
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')").as("t"),
+        col("freq"))
 
-  /** The corpus-top adjacent token pair of a token-string frame: ONE row
-    * (pair "l r", count), ties to the lexicographically first pair — the
-    * next BPE merge rule. */
+  /** The corpus-top adjacent token pair of a (token-string, freq) frame:
+    * ONE row (pair "l r", instance-weighted count), ties to the
+    * lexicographically first pair — the next BPE merge rule. */
   private def bpeTopPair(words: DataFrame): DataFrame =
-    words.select(expr("split(t, ' ')").as("arr"))
+    words.select(col("freq"), expr("split(t, ' ')").as("arr"))
       .filter(expr("size(arr) >= 2"))
-      .select(explode(expr(
+      .select(col("freq"), explode(expr(
         "transform(sequence(1, size(arr) - 1), i -> concat(arr[i-1], ' ', arr[i]))")).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).cast("bigint").as("cnt"))
+      .groupBy("pair").agg(sum("freq").cast("bigint").as("cnt"))
       .orderBy(desc("cnt"), asc("pair")).limit(1)
 
   /** Apply one merge rule left-to-right non-overlapping — the BPE merge
@@ -316,27 +326,31 @@ object TextAnalysisQueries {
         concat(lit(" "), replace(col("t"), lit(" "), lit("  ")), lit(" ")),
         lit(" " + pairStr.replace(" ", "  ") + " "),
         lit(" " + pairStr.replace(" ", "") + " ")),
-      lit("  "), lit(" "))).as("t"))
+      lit("  "), lit(" "))).as("t"), col("freq"))
 
   /** Iterative BPE tokenizer training, `rounds` unrolled merge rounds —
     * the loop [[q74BpeMerges]] computes one iteration of: count adjacent
     * pairs, adopt the top pair as a merge rule, re-tokenize, repeat. One
     * row per round: the rule, its support count, and the corpus token
     * count after applying it (strictly decreasing while any pair repeats
-    * — BpeSpec's property). Loop mechanics follow the
-    * pagerankConverged discipline: each round's token frame stages
-    * through parquet (unstaged, round r's consumers re-derive rounds
-    * 1..r-1 — O(R^2) corpus passes at a production round count; the
-    * staged cuts are what a trainer's DAG would checkpoint anyway), the
-    * post-merge token count rides the merge write as an Observation,
-    * and the adopted rule is a bounded one-row driver scalar that
-    * becomes a plan-time literal — two jobs per round. */
+    * — BpeSpec's property). The state is the [[bpeInitialTokens]]
+    * distinct-word FREQUENCY table, so the corpus instance stream is
+    * scanned exactly once (the initial count shuffle); every round's
+    * pair count and merge then run over the vocabulary frame with
+    * freq-weighted sums — O(|vocabulary|) per round, the Sennrich
+    * trainer's representation, which is what makes a realistic round
+    * count affordable at 100 TB. Loop mechanics follow the
+    * pagerankConverged discipline: each round's vocabulary frame stages
+    * through parquet, the post-merge token count rides the merge write
+    * as a freq-weighted Observation, and the adopted rule is a bounded
+    * one-row driver scalar that becomes a plan-time literal — two jobs
+    * per round. */
   private[graft] def bpeTrainRounds(docs: DataFrame, rounds: Int): DataFrame = {
     val s = docs.sparkSession
     val ck = graft.Staging.fresh("bpe")
-    // token frames coalesce to a few files per round: the per-round write
-    // is ~megabytes at any realistic shard, and 32 task-files × 4 rounds
-    // of commit overhead otherwise dominates the fixture cost
+    // vocabulary frames coalesce to a few files per round: they are tiny
+    // (distinct words, not instances), and 32 task-files × R rounds of
+    // commit overhead otherwise dominates
     bpeInitialTokens(docs).coalesce(4).write.mode("overwrite").parquet(s"$ck/w0")
     var words = s.read.parquet(s"$ck/w0")
     val perRound = (1 to rounds).map { r =>
@@ -350,7 +364,8 @@ object TextAnalysisQueries {
       val (pair, cnt) = (topRow.getString(0), topRow.getLong(1))
       val obs = org.apache.spark.sql.Observation(s"graft_bpe_round_$r")
       bpeApplyMerge(words, pair)
-        .observe(obs, sum(size(split(col("t"), " "))).cast("long").as("n_after"))
+        .observe(obs,
+          sum(col("freq") * size(split(col("t"), " "))).cast("long").as("n_after"))
         .coalesce(4).write.mode("overwrite").parquet(s"$ck/w$r")
       words = s.read.parquet(s"$ck/w$r")
       (r, pair, pair.replace(" ", ""), cnt,
