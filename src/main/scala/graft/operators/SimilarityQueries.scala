@@ -275,6 +275,63 @@ object SimilarityQueries {
   def q37IvfTopk(s: SparkSession, dir: String): DataFrame =
     ivfTopk(s, dir, nprobe = 1)
 
+  /** q105's near-duplicate cosine threshold (the q26 pair-graph floor —
+    * the synthetic fixture's cosines top out near 0.5, so the production
+    * 0.9x SemDeDup bar would be vacuous here; the plan is
+    * threshold-independent). */
+  private val semDedupTau = 0.35
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023: k-means-cluster
+    * the embedding space, compare pairs ONLY within a cluster, drop all
+    * but one of each near-duplicate set): the trained IVF codebook
+    * assigns every vector to a centroid, within-cluster pairs above
+    * [[semDedupTau]] mark their higher-id member as a victim (greedy
+    * keep-lowest-id, q40's rule), and the output is the per-cluster
+    * dedup scorecard (members / dropped / kept).
+    *
+    * Scale shape: the cluster assignment is the ONLY full-corpus pass
+    * (one broadcast-argmax over the bounded codebook) and is staged
+    * through parquet, because four consumers read it (pair lhs, pair
+    * rhs, member counts, kept counts) — unstaged, each would re-run
+    * training + assignment. The quadratic pair scan is confined to
+    * within-cluster blocks — exactly the SemDeDup design point: at
+    * production scale k grows with the corpus (k ~ sqrt n) so cluster
+    * blocks stay bounded, and a hot cluster is an AQE skew-split of the
+    * one (centroid_id, centroid_id) self-join, the LshSkewSpec-proven
+    * path. Never an all-pairs corpus join. */
+  private[graft] def semDedup(e: DataFrame, tau: Double,
+                              trainSampleMod: Int = 1): DataFrame = {
+    val cb = trainedCodebook(e, trainSampleMod = trainSampleMod)
+    val assigned = {
+      val p = graft.Staging.fresh("semdedup")
+      assign(e, cb).select("vec_id", "v", "nrm", "centroid_id")
+        .write.mode("overwrite").parquet(p)
+      e.sparkSession.read.parquet(p)
+    }
+    val lhs = assigned.select(col("centroid_id"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val rhs = assigned.select(col("centroid_id"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val victims = lhs.join(rhs, Seq("centroid_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", expr("graft_dot(va, vb) / (na * nb)"))
+      .filter(col("cos") >= tau)
+      .select(col("b").as("vec_id")).distinct()
+    val members = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).cast("bigint").as("n_members"))
+    val kept = assigned.join(victims, Seq("vec_id"), "left_anti")
+      .groupBy("centroid_id").agg(count(lit(1)).cast("bigint").as("n_kept"))
+    members.join(kept, Seq("centroid_id"))
+      .select(col("centroid_id").cast("bigint").as("centroid_id"),
+        col("n_members"), (col("n_members") - col("n_kept")).as("n_dropped"),
+        col("n_kept"))
+      .orderBy("centroid_id")
+  }
+
+  /** The oracle-registered SemDeDup instance over the fixture corpus. */
+  def q105SemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedup(normed(s, dir), semDedupTau, trainSampleMod = ivfTrainSampleMod)
+
   /** Embedding-cosine near-duplicate DEDUP (the brief's last dedup family):
     * greedy keep-lowest-id over the q26 near-dup pair graph — any vector
     * with a >= 0.35 neighbor of smaller id is dropped via a left anti-join.
@@ -931,6 +988,7 @@ object SimilarityQueries {
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
     "q37_ivf_topk" -> (q37IvfTopk _),
+    "q105_sem_dedup" -> (q105SemDedup _),
     "q40_embedding_dedup" -> (q40EmbeddingDedup _),
     "q50_cc_clusters" -> (q50CcClusters _),
     "q71_pq_topk" -> (q71PqTopk _),
@@ -1027,6 +1085,33 @@ object SimilarityQueries {
        |  FROM cand)
        |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Oracle twin of q105: identical codebook training + assignment CTEs
+    * as q37, then the within-cluster pair scan, greedy victim set, and
+    * per-cluster scorecard. */
+  private def q105Oracle: String = {
+    val lloyd = (1 to lloydIters).map(k =>
+      oracleAssignCte(s"a$k", s"cb${k - 1}", src = "tn") + ",\n" +
+        oracleRecenterCtes(k)).mkString(",\n")
+    s"""WITH $oracleNormed,
+       |tn AS (SELECT * FROM n WHERE vec_id % $ivfTrainSampleMod = 0 OR vec_id < 16),
+       |cb0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |$lloyd,
+       |${oracleAssignCte("assigned", s"cb$lloydIters")},
+       |pairs AS (SELECT x.centroid_id, x.vec_id AS a, y.vec_id AS b,
+       |    list_reduce(list_transform(generate_series(1, $dim), i -> x.v[i] * y.v[i]), (a2, b2) -> a2 + b2) / (x.nrm * y.nrm) AS cos
+       |  FROM assigned x JOIN assigned y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
+       |victims AS (SELECT DISTINCT b AS vec_id FROM pairs WHERE cos >= $semDedupTau),
+       |members AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM assigned GROUP BY 1),
+       |kept AS (SELECT a2.centroid_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+       |  FROM assigned a2 LEFT JOIN victims vv ON a2.vec_id = vv.vec_id
+       |  WHERE vv.vec_id IS NULL GROUP BY 1)
+       |SELECT CAST(m.centroid_id AS BIGINT) AS centroid_id, m.n_members,
+       |  m.n_members - k2.n_kept AS n_dropped, k2.n_kept
+       |FROM members m JOIN kept k2 USING (centroid_id)
+       |ORDER BY centroid_id""".stripMargin
   }
 
   /** Index-ordered subvector dot for the q71 oracle (bit-equal to
@@ -1149,6 +1234,7 @@ object SimilarityQueries {
          |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
          |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "q37_ivf_topk" -> q37Oracle,
+    "q105_sem_dedup" -> q105Oracle,
     "q71_pq_topk" -> q71Oracle,
     "q95_similarity_pagerank" -> q95Oracle,
     "q26_lsh_cosine" ->
