@@ -791,7 +791,41 @@ object DedupQueries {
       .agg(count(lit(1)).cast("bigint").as("n_shared"))
       .orderBy("src_a", "src_b")
 
+  /** Blocked fuzzy-match entity resolution (the record-linkage dedup a
+    * warehouse runs on its DIMENSIONS, next to this file's document
+    * dedup: the reference's station registry would need exactly this the
+    * day two feeds spell one station differently): candidate pairs are
+    * generated ONLY within a blocking key (nation), then scored with
+    * edit distance and kept at <= 2, reporting per-nation pair and
+    * matched-entity counts against the broadcast nation dim.
+    *
+    * Scale shape: the blocking key bounds the quadratic exactly like
+    * q24's n-gram blocks — candidate generation is an equi-join, never
+    * an all-pairs cross; at production cardinality the block key widens
+    * to (nation, name prefix/soundex) with the same plan. levenshtein
+    * is a codegen'd built-in scoring only surviving candidates. */
+  def q106FuzzyEntityMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nk"), col("c_custkey"), col("c_name"))
+    val a = c.select(col("nk"), col("c_custkey").as("ka"), col("c_name").as("na"))
+    val b = c.select(col("nk"), col("c_custkey").as("kb"), col("c_name").as("nb"))
+    val pairs = a.join(b, Seq("nk"))
+      .filter(col("ka") < col("kb") && levenshtein(col("na"), col("nb")) <= 2)
+    val nPairs = pairs.groupBy("nk")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+    val nMatched = pairs
+      .select(col("nk"), explode(array(col("ka"), col("kb"))).as("k"))
+      .distinct()
+      .groupBy("nk").agg(count(lit(1)).cast("bigint").as("n_matched_custs"))
+    nPairs.join(nMatched, Seq("nk"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("nk"), col("n_name"))), Seq("nk"))
+      .select(col("n_name"), col("n_pairs"), col("n_matched_custs"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_fuzzy_entity_match" -> (q106FuzzyEntityMatch _),
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_minhash_lsh" -> (q22MinhashLsh _),
     "q23_simhash" -> (q23Simhash _),
@@ -821,6 +855,19 @@ object DedupQueries {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q106_fuzzy_entity_match" ->
+      """WITH p AS (SELECT a.c_nationkey AS nk, a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 2),
+        |np AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY nk),
+        |m AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_matched_custs FROM
+        |  (SELECT DISTINCT nk, k FROM
+        |    (SELECT nk, ka AS k FROM p UNION ALL SELECT nk, kb FROM p))
+        |  GROUP BY nk)
+        |SELECT n.n_name, np.n_pairs, m.n_matched_custs
+        |FROM np JOIN m USING (nk) JOIN nation n ON n.n_nationkey = nk
+        |ORDER BY n_name""".stripMargin,
     "q21_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  CAST(COUNT(*) AS BIGINT) AS n_dups, CAST(MIN(doc_id) AS BIGINT) AS keep_id

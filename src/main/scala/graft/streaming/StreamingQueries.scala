@@ -222,14 +222,84 @@ object StreamingQueries {
     s.table(tbl).orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Streaming cardinality sketching: the native KMV aggregate
+    * (functions/Kmv.scala, q101's engine) running INSIDE a streaming
+    * windowed aggregation — per 7-day event-time window, the sketch of
+    * distinct user md5-hashes, with the estimate derived downstream of
+    * the sink. The state-store entry per window is the serialized
+    * bounded sketch (k longs), not a distinct-user set: exactly why a
+    * mergeable bounded-state sketch is THE streaming distinct-count
+    * design at scale — `approx_count_distinct`'s HLL state is the same
+    * shape, but this one's estimate is deterministic, so the DuckDB
+    * twin (windowed k-smallest + the same estimator) hash-checks the
+    * whole pipeline: watermark finalization, sketch state, merge, and
+    * estimator arithmetic. Append mode emits only finalized windows
+    * (window_end <= max ts - 1 h), which the oracle mirrors in its
+    * WHERE. */
+  def q107StreamingKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val ev = StreamSources.events(s, dir)
+    val tbl = s"graft_stream_kmv_${runCounter.incrementAndGet()}"
+    val q = ev
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "7 days"))
+      .agg(expr(s"graft_kmv(h, $k)").as("ks"),
+        count(lit(1)).cast("bigint").as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("n_events"), col("ks"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(tbl)
+      .select(col("w"), col("n_events"),
+        expr("cast(size(ks) as bigint)").as("n_kept"),
+        expr(s"case when size(ks) < $k then cast(size(ks) as double) " +
+          s"else (${k - 1}.0 * 4294967296.0) / cast(element_at(ks, $k) as double) end")
+          .as("est_users"))
+      .orderBy("w")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_streaming_kmv" -> (q107StreamingKmv _),
     "q36_streaming_hourly" -> (q36StreamingHourly _),
     "q52_streaming_dedup" -> (q52StreamingDedup _),
     "q63_streaming_neardup" -> (q63StreamingNearDup _),
     "q72_stream_stream_join" -> (q72StreamStreamJoin _),
   )
 
+  /** DuckDB nibble-Horner for the first n hex digits of md5(x) (the
+    * q88/q59/q101 idiom — DuckDB has no base-16 conv()). */
+  private def duckMd5Int(x: String, n: Int): String =
+    (1 to n).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc) * 16 + (strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1))"
+    }
+
   val oracles: Map[String, String] = Map(
+    // the 7-day windows align to the unix epoch exactly like Spark's
+    // window(); finalization (append mode) keeps windows whose end is at
+    // least the 1 h watermark behind the max event time: w + 169 h <= max
+    "q107_streaming_kmv" ->
+      s"""WITH e AS (SELECT
+         |    make_timestamp((epoch_us(ts) // 604800000000) * 604800000000) AS w,
+         |    ts, ${duckMd5Int("CAST(user_id AS VARCHAR)", 8)} AS h
+         |  FROM events),
+         |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY w),
+         |hh AS (SELECT DISTINCT w, h FROM e),
+         |r AS (SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn FROM hh),
+         |kth AS (SELECT w, max(h) AS h_k, COUNT(*) AS n_kept FROM r WHERE rn <= 16 GROUP BY w)
+         |SELECT strftime(c.w, '%Y-%m-%d %H:%M:%S') AS w, c.n_events,
+         |  CAST(k2.n_kept AS BIGINT) AS n_kept,
+         |  CASE WHEN k2.n_kept < 16 THEN CAST(k2.n_kept AS DOUBLE)
+         |       ELSE (15.0 * 4294967296.0) / CAST(k2.h_k AS DOUBLE) END AS est_users
+         |FROM cnt c JOIN kth k2 USING (w)
+         |WHERE c.w + INTERVAL 169 HOUR <= (SELECT max(ts) FROM events)
+         |ORDER BY w""".stripMargin,
     "q36_streaming_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
