@@ -471,7 +471,44 @@ object CorpusQueries {
       .orderBy("lang")
   }
 
+  /** Epoch-resampling manifest: the step AFTER q69 decides the
+    * temperature-mixture shares — materialize a training corpus where
+    * each document appears floor(rho) or ceil(rho) times, rho being the
+    * language's share-preserving copy rate (share * total / count, so
+    * low-resource languages oversample toward the sqrt-temperature mix
+    * while the corpus keeps ~its size). The fractional remainder is
+    * resolved per document by the q88 salted-hash rule — stable under
+    * corpus growth, no RNG — and copies materialize as a
+    * sequence+explode (S12's generator, zero shuffle: the manifest
+    * inherits the scan's partitioning; the only exchange is the final
+    * bounded per-language audit aggregate). The oracle replays the
+    * identical double arithmetic (same operation order) and hash rule. */
+  def q108EpochResample(s: SparkSession, dir: String): DataFrame = {
+    val everything = org.apache.spark.sql.expressions.Window.partitionBy()
+    val d = Tables.documents(s, dir).select("doc_id", "lang")
+    val weights = d.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("total", sum("c").over(everything))
+      .withColumn("w", expr("sqrt(cast(c as double) / cast(total as double))"))
+      .withColumn("wq", expr("cast(floor(w * 1e9) as bigint)"))
+      .withColumn("share", expr("cast(wq as double) / cast(sum(wq) over () as double)"))
+      .withColumn("rho", expr("share * cast(total as double) / cast(c as double)"))
+      .select("lang", "rho")
+    d.join(broadcast(weights), Seq("lang"))
+      .withColumn("u", expr(
+        "cast(cast(conv(substring(md5(concat('epoch_', cast(doc_id as string))), 1, 4), 16, 10) as bigint) as double) / 65536.0"))
+      .withColumn("n_copies", expr(
+        "cast(floor(rho) as int) + (case when u < rho - floor(rho) then 1 else 0 end)"))
+      .filter(col("n_copies") > 0)
+      .select(col("lang"), col("doc_id"),
+        explode(expr("sequence(1, n_copies)")).as("copy"))
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").cast("bigint").as("n_docs_kept"),
+        count(lit(1)).cast("bigint").as("n_copies"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_epoch_resample" -> (q108EpochResample _),
     "q101_kmv_distinct" -> (q101KmvDistinct _),
     "q66_tfidf" -> (q66Tfidf _),
     "q67_bm25" -> (q67Bm25 _),
@@ -587,6 +624,24 @@ object CorpusQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    "q108_epoch_resample" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+         |w AS (SELECT lang, c, SUM(c) OVER () AS total,
+         |    sqrt(CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE)) AS w FROM c),
+         |q AS (SELECT lang, c, total, CAST(floor(w * 1e9) AS BIGINT) AS wq FROM w),
+         |sh AS (SELECT lang, c, total,
+         |    CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) AS share FROM q),
+         |r AS (SELECT lang, share * CAST(total AS DOUBLE) / CAST(c AS DOUBLE) AS rho FROM sh),
+         |m AS (SELECT d.lang, d.doc_id, rho,
+         |    CAST(floor(rho) AS INTEGER) + (CASE WHEN
+         |      CAST(${duckMd5Int("concat('epoch_', CAST(d.doc_id AS VARCHAR))", 4)} AS DOUBLE) / 65536.0
+         |        < rho - floor(rho) THEN 1 ELSE 0 END) AS n_copies
+         |  FROM documents d JOIN r USING (lang)),
+         |x AS (SELECT lang, doc_id, unnest(generate_series(1, n_copies)) AS copy
+         |  FROM m WHERE n_copies > 0)
+         |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_kept,
+         |  CAST(COUNT(*) AS BIGINT) AS n_copies
+         |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
     "q101_kmv_distinct" ->
       s"""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
          |d AS (SELECT DISTINCT lang, tok FROM t),

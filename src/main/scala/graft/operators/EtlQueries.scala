@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.Tables
-import graft.etl.Warehouse
+import graft.etl.{Warehouse, Zorder}
 import graft.sources.{Station, XmlStations}
 
 /** ETL/ingest-surface operators (SURVEY.md §2.1, §2.2, §3) — the pipeline
@@ -311,7 +311,23 @@ object EtlQueries {
   def q102Scd2Dimension(s: SparkSession, dir: String): DataFrame =
     scd2Runs(Tables.events(s, dir))
 
+  /** Two-dimensional range scan over the Z-ordered partition layout
+    * (etl/Zorder.scala): user buckets {2,3} x day-slices {4,5} rewrite
+    * to 4 of 64 partition cells — pruning multiplies across dimensions
+    * where the reference's 1-D month dirs prune only time. The oracle
+    * runs the same rectangle straight on the source table, so the
+    * layout round-trip (bucket arithmetic, cell rewrite, partitioned
+    * write, pruned read) is all under the hash check; ZorderSpec
+    * asserts the scan actually reads ONLY the rectangle's cells. */
+  def q109ZorderScan(s: SparkSession, dir: String): DataFrame =
+    Zorder.readRectangle(s, dir, Seq(2, 3), Seq(4, 5))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+        sum(expr("cast(value as decimal(18,6))")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_zorder_scan" -> (q109ZorderScan _),
     "q102_scd2_dimension" -> (q102Scd2Dimension _),
     "q30_partitioned_write" -> (q30PartitionedWrite _),
     "q31_ingest_parse" -> (q31IngestParse _),
@@ -372,6 +388,12 @@ object EtlQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q109_zorder_scan" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id % 8 IN (2, 3) AND (dayofmonth(ts) - 1) // 4 IN (4, 5)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q102_scd2_dimension" ->
       """WITH l AS (SELECT user_id, ts, event_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
