@@ -103,6 +103,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"documents must not shuffle for the gate:\n$p")
   }
 
+  test("q102: the whole SCD2 build rides ONE data shuffle") {
+    // lag, run-id running sum, per-run groupBy (user_id clustering
+    // satisfies the (user_id, run_id) distribution), and the lead all
+    // reuse the user_id exchange; the only other exchange is the final
+    // presentation sort's range partitioning
+    val p = plan("q102_scd2_dimension")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected exactly one hash exchange, got $shuffles in:\n$p")
+  }
+
+  test("q103: the funnel chain never self-joins the fact") {
+    val p = plan("q103_funnel")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"funnel must be window-only, no per-stage re-join:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected the single user_id exchange, got $shuffles in:\n$p")
+  }
+
+  test("q104: non-phrase tokens are filtered before any join") {
+    val p = plan("q104_phrase_search")
+    assert(!p.contains("CartesianProduct"), s"positional join must stay equi:\n$p")
+    // the term pruning must sit under the generate output, upstream of the
+    // first exchange — the postings that shuffle are phrase-term postings
+    assert(p.contains("tok#") && p.contains("Filter"),
+      s"expected the term filter in:\n$p")
+    assert("Generate explode".r.findAllIn(p).length <= 3,
+      s"one tokenize per phrase side at most:\n$p")
+  }
+
+  test("q105: the cluster assignment is read as a staged leaf, never re-derived") {
+    val p = plan("q105_sem_dedup")
+    assert(p.contains("graft_semdedup"),
+      s"consumers must scan the staged assignment:\n$p")
+    // training ran BEFORE this plan (inside the staging write): the final
+    // plan must contain no Lloyd machinery (no codebook broadcast argmax)
+    assert(!p.contains("max_by"), s"no assignment argmax may re-run:\n$p")
+  }
+
+  test("q106: candidate generation is a blocked equi-join, never a cross product") {
+    val p = plan("q106_fuzzy_entity_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking key must make the pair join an equi-join:\n$p")
+    assert(p.contains("levenshtein"), s"edit distance must score candidates:\n$p")
+  }
+
   test("q85: the corpus fingerprint sides never re-shuffle — the bucketed index provides them") {
     // the dedup family's production path (verdict joins against the durable
     // bucketed fingerprint index): the ONLY shuffles in the plan may belong
