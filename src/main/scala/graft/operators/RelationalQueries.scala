@@ -808,7 +808,39 @@ object RelationalQueries {
   def q103Funnel(s: SparkSession, dir: String): DataFrame =
     funnelStages(Tables.events(s, dir))
 
+  /** Per-type Pearson correlation between event value and hour-of-day —
+    * the statistical-profiling pass a pipeline runs before trusting a
+    * numeric column, computed DETERMINISTICALLY: `corr()` built-ins
+    * accumulate doubles in partition order (nondeterministic across
+    * partitionings, unhashable across engines), so the moments are
+    * gathered as EXACT integer sums instead — value quantized to
+    * micro-units (bigint), hour as int, the five sums in decimal(38,0)
+    * (order-free integer addition, map-side combinable) — and the
+    * correlation assembled once per group in double with a fixed
+    * operation order mirrored by the oracle. The q95/recenter
+    * fixed-point rule applied to second moments. */
+  def q110ValueHourCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("cast(floor(value * 1e6) as bigint)").as("x"),
+        expr("cast(hour(ts) as bigint)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * cast(x as decimal(38,0))")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * cast(y as decimal(38,0))")).as("syy"),
+        sum(expr("cast(x as decimal(38,0)) * cast(y as decimal(38,0))")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        expr("cast(sx as double) / (1e6 * cast(n as double))").as("mean_value"),
+        expr("cast(sy as double) / cast(n as double)").as("mean_hour"),
+        expr("cast(n * sxy - sx * sy as double) / " +
+          "(sqrt(cast(n * sxx - sx * sx as double)) * " +
+          "sqrt(cast(n * syy - sy * sy as double)))").as("corr"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_value_hour_corr" -> (q110ValueHourCorr _),
     "q103_funnel" -> (q103Funnel _),
     "q99_asof_join" -> (q99AsofJoin _),
     "q01_agg" -> (q01Agg _),
@@ -847,6 +879,25 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer moments (DuckDB sums BIGINT in 128 bits), then the
+    // identical double assembly — corr() built-ins on either side would
+    // be partition-order-dependent and engine-divergent
+    "q110_value_hour_corr" ->
+      """WITH m AS (SELECT event_type,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS x,
+        |    CAST(hour(ts) AS BIGINT) AS y
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM m GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(sx AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)) AS mean_value,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_hour,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+        |FROM g ORDER BY event_type""".stripMargin,
     "q103_funnel" ->
       """WITH w AS (SELECT user_id, ts, event_id, event_type,
         |    MIN(CASE WHEN event_type = 'view' THEN ts END)
