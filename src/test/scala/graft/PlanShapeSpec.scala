@@ -141,11 +141,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("max_by"), s"no assignment argmax may re-run:\n$p")
   }
 
-  test("q106: candidate generation is a blocked equi-join, never a cross product") {
+  test("q106: candidate generation is a blocked equi-join; the scored pairs are a staged leaf") {
     val p = plan("q106_fuzzy_entity_match")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"blocking key must make the pair join an equi-join:\n$p")
-    assert(p.contains("levenshtein"), s"edit distance must score candidates:\n$p")
+    // the levenshtein pass ran once, inside the staging write; both
+    // consuming aggregates must read the staged pair set as a leaf
+    assert(p.contains("graft_fuzzy"),
+      s"aggregates must scan the staged pair set:\n$p")
+    assert(!p.contains("levenshtein"),
+      s"the scoring pass must not re-run per consumer:\n$p")
   }
 
   test("q85: the corpus fingerprint sides never re-shuffle — the bucketed index provides them") {
