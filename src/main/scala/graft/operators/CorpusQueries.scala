@@ -507,7 +507,41 @@ object CorpusQueries {
       .orderBy("lang")
   }
 
+  /** Deterministic fixed-size stratified sample: exactly min(k, n) docs
+    * per language, chosen by salted-hash order ('sample_' salt
+    * decorrelates from q88's split assignment and q108's remainder
+    * rule) — the "give me 50 eval docs per language, stable under
+    * corpus growth for UNSAMPLED languages" primitive (a sampled
+    * language's set shifts only at hash-order boundaries).
+    *
+    * Two-phase selection, never a per-language global sort: a window
+    * inside (lang, hash mod 64) sub-buckets keeps each bucket's k
+    * smallest (pigeonhole: the global k smallest survive), then the
+    * final per-language window ranks at most 64k rows per language —
+    * constant state at any corpus size, the same shape that makes
+    * graft_kmv scale. Ties break on (h, doc_id), mirrored in the
+    * oracle. */
+  def q111StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    import org.apache.spark.sql.expressions.Window
+    val wBucket = Window.partitionBy("lang", "b").orderBy(col("h"), col("doc_id"))
+    val wLang = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        expr("cast(conv(substring(md5(concat('sample_', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+      .withColumn("b", expr("pmod(h, 64)"))
+      .withColumn("brk", row_number().over(wBucket))
+      .filter(col("brk") <= k)
+      .withColumn("rk", row_number().over(wLang))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id").cast("bigint").as("doc_id"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_stratified_sample" -> (q111StratifiedSample _),
     "q108_epoch_resample" -> (q108EpochResample _),
     "q101_kmv_distinct" -> (q101KmvDistinct _),
     "q66_tfidf" -> (q66Tfidf _),
@@ -624,6 +658,14 @@ object CorpusQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    "q111_stratified_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |    ${duckMd5Int("concat('sample_', CAST(doc_id AS VARCHAR))", 8)} AS h
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
+         |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
     "q108_epoch_resample" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
          |w AS (SELECT lang, c, SUM(c) OVER () AS total,
