@@ -841,7 +841,71 @@ object DedupQueries {
       .orderBy("n_name")
   }
 
+  /** EXACT set-similarity join via prefix filtering (the
+    * AllPairs/PPJoin family, Bayardo et al. / Xiao et al.) — the
+    * lossless counterpart to q22's probabilistic MinHash-LSH: every
+    * document pair with shingle-set Jaccard >= tau is found, no false
+    * negatives. Shingles order globally by (document frequency, value);
+    * each document indexes only its PREFIX — the (n - ceil(tau*n) + 1)
+    * RAREST shingles, the shortest prefix a qualifying pair cannot
+    * avoid (a pair with no shared prefix shingle would need its
+    * intersection inside suffixes too short to hold it). Candidates
+    * come from the prefix self equi-join; only candidates pay the exact
+    * intersection count.
+    *
+    * Scale shape: the quadratic lives on PREFIX shingles, which the
+    * rarity order biases toward low-df keys (hot boilerplate shingles
+    * sit in suffixes and never generate pairs); the verify joins are
+    * plain equi-joins grouped per pair. tau tunes the
+    * candidate-vs-recall economics: production near-dup runs at
+    * 0.8-0.9 with prefixes a fraction of this fixture's tau=0.5
+    * (chosen to surface the fixture's planted near-dups). PpjoinSpec
+    * proves losslessness empirically: prefix-filtered output equals
+    * the brute-force any-shared-shingle join. */
+  /** Distinct 3-token shingle sets per document (q112's universe). */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+    .filter(expr("size(toks) >= 3"))
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+      .as("sh"))
+    .distinct()
+
+  private[graft] def ppjoinJaccard(docs: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSets(docs)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("r", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("r") <=
+        col("n") - expr(s"cast(ceil($tau * cast(n as double)) as bigint)") + 1)
+      .select(col("doc_id"), col("sh"))
+    val cands = prefix.select(col("doc_id").as("a"), col("sh"))
+      .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("bigint").as("common"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        expr("cast(common as double) / cast(na + nb - common as double)"))
+      .filter(col("jaccard") >= tau)
+      .select(col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"),
+        col("common"), col("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  def q112PpjoinJaccard(s: SparkSession, dir: String): DataFrame =
+    ppjoinJaccard(Tables.documents(s, dir), tau = 0.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_ppjoin_jaccard" -> (q112PpjoinJaccard _),
     "q106_fuzzy_entity_match" -> (q106FuzzyEntityMatch _),
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_minhash_lsh" -> (q22MinhashLsh _),
@@ -872,6 +936,30 @@ object DedupQueries {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q112_ppjoin_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+        |dfr AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh),
+        |o AS (SELECT s.doc_id, s.sh,
+        |    row_number() OVER (PARTITION BY s.doc_id ORDER BY dfr.df, s.sh) AS r,
+        |    COUNT(*) OVER (PARTITION BY s.doc_id) AS n
+        |  FROM s JOIN dfr USING (sh)),
+        |p AS (SELECT doc_id, sh FROM o
+        |  WHERE r <= n - CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM p x JOIN p y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM cand c JOIN s sa ON sa.doc_id = c.a
+        |  JOIN s sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY c.a, c.b)
+        |SELECT CAST(i.a AS BIGINT) AS a, CAST(i.b AS BIGINT) AS b, i.common,
+        |  CAST(i.common AS DOUBLE) / CAST(x.n + y.n - i.common AS DOUBLE) AS jaccard
+        |FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
+        |WHERE CAST(i.common AS DOUBLE) / CAST(x.n + y.n - i.common AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin,
     "q106_fuzzy_entity_match" ->
       """WITH p AS (SELECT a.c_nationkey AS nk, a.c_custkey AS ka, b.c_custkey AS kb
         |  FROM customer a JOIN customer b

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Prefix-filtered exact set-similarity join (q112 core): constructed
+  * pairs with hand-computable Jaccard, and the LOSSLESSNESS differential
+  * — the prefix-filtered result must equal a brute-force join that
+  * candidates on ANY shared shingle (no prefix restriction), proving the
+  * filter discards no qualifying pair. */
+class PpjoinSpec extends AnyFunSuite {
+  import graft.SparkTestSession.{sfDir, spark}
+  import spark.implicits._
+
+  test("constructed pairs: exact jaccard, threshold edge, disjoint excluded") {
+    // doc 1: shingles {a b c, b c d, c d e}; doc 2 = {a b c, b c d} —
+    // common 2, union 3 -> J = 2/3; doc 3 disjoint; doc 4 too short for
+    // any shingle
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d"),
+      (3L, "x y z w"),
+      (4L, "a b")
+    ).toDF("doc_id", "text")
+    val j = 2.0 / 3.0
+    val out = DedupQueries.ppjoinJaccard(docs, tau = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 2L, j)))
+    // threshold edge: >= keeps an exactly-equal jaccard...
+    val edge = DedupQueries.ppjoinJaccard(docs, tau = j)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(edge === Seq((1L, 2L, 2L, j)))
+    // ...and anything strictly above drops it
+    val strict = DedupQueries.ppjoinJaccard(docs, tau = 0.7)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(strict.isEmpty, "2/3 must fall below a 0.7 threshold")
+  }
+
+  test("prefix filtering is lossless on the fixture") {
+    val tau = 0.5
+    val viaPrefix = DedupQueries
+      .ppjoinJaccard(graft.Tables.documents(spark, sfDir), tau)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // brute force: candidate on ANY shared shingle, same exact verify
+    val sh = DedupQueries.shingleSets(graft.Tables.documents(spark, sfDir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        expr("cast(common as double) / cast(na + nb - common as double)"))
+      .filter(col("jaccard") >= tau)
+      .select(col("a").cast("bigint"), col("b").cast("bigint"),
+        col("common").cast("bigint"), col("jaccard"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaPrefix === brute,
+      "the prefix filter must not drop any qualifying pair")
+    assert(brute.nonEmpty, "fixture must contain at least one near-dup pair")
+  }
+}
