@@ -862,12 +862,20 @@ object DedupQueries {
     * (chosen to surface the fixture's planted near-dups). PpjoinSpec
     * proves losslessness empirically: prefix-filtered output equals
     * the brute-force any-shared-shingle join. */
-  /** Distinct 3-token shingle sets per document (q112's universe). */
+  /** Distinct 5-token shingle sets per document (q112's universe). Five
+    * tokens, not q22's three: prefix filtering lives off shingle RARITY,
+    * and over this fixture's small vocabulary 3-grams average df~240
+    * (measured), putting every prefix key in hot fan-out — the wider
+    * shingle restores the Zipf-tail regime the algorithm assumes
+    * (5-gram df averages 1.05, max 4, at both sf0.01 and sf0.1), which
+    * is also the production practice for exact-overlap dedup (wide
+    * shingles for precision, narrow for recall). */
   private[graft] def shingleSets(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
-    .filter(expr("size(toks) >= 3"))
+    .filter(expr("size(toks) >= 5"))
     .select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+      "transform(sequence(1, size(toks) - 4), i -> " +
+        "concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3]))"))
       .as("sh"))
     .distinct()
 
@@ -938,9 +946,9 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q112_ppjoin_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |s AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh FROM t),
         |dfr AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh),
         |o AS (SELECT s.doc_id, s.sh,
         |    row_number() OVER (PARTITION BY s.doc_id ORDER BY dfr.df, s.sh) AS r,

@@ -13,14 +13,14 @@ class PpjoinSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("constructed pairs: exact jaccard, threshold edge, disjoint excluded") {
-    // doc 1: shingles {a b c, b c d, c d e}; doc 2 = {a b c, b c d} —
-    // common 2, union 3 -> J = 2/3; doc 3 disjoint; doc 4 too short for
-    // any shingle
+    // 5-token shingles: doc 1 = {abcde, bcdef, cdefg}; doc 2 = {abcde,
+    // bcdef} — common 2, union 3 -> J = 2/3; doc 3 disjoint; doc 4 too
+    // short for any shingle
     val docs = Seq(
-      (1L, "a b c d e"),
-      (2L, "a b c d"),
-      (3L, "x y z w"),
-      (4L, "a b")
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f"),
+      (3L, "x y z w v u"),
+      (4L, "a b c d")
     ).toDF("doc_id", "text")
     val j = 2.0 / 3.0
     val out = DedupQueries.ppjoinJaccard(docs, tau = 0.5)
