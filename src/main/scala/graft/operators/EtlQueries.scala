@@ -326,7 +326,46 @@ object EtlQueries {
         sum(expr("cast(value as decimal(18,6))")).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** INCREMENTAL SCD2 maintenance — the nightly form of q102: the
+    * existing dimension (built from events before a day-boundary
+    * cutoff, persisted to the warehouse) absorbs the new day's delta by
+    * rebuilding ONLY touched users (semi-join on the delta's user set)
+    * and carrying every untouched user's rows forward unchanged
+    * (anti-join against the same set). The registered ORACLE is q102's
+    * full-rebuild SQL, so the hash gate PROVES incremental == full
+    * rebuild — the equivalence every incremental pipeline quietly
+    * assumes, here checked on every run (the q23/q65 incremental-dedup
+    * discipline applied to the warehouse dimension).
+    *
+    * Scale shape: delta-bounded work — the rebuild touches
+    * |active users| x their history, not the corpus; the staged dim0 is
+    * the persisted dimension table any warehouse already has (its write
+    * is the previous night's run, included here so the query is
+    * self-contained); the cutoff is a bounded one-row driver scalar
+    * (the q19 dynamic min/max mirror). */
+  def q113Scd2Incremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dayUs = 86400L * 1000000L
+    // "last night's run saw everything before today": the delta is the
+    // final day — users with no event that day ride the carry path
+    // (14/15 touched at sf0.001, 133/150 at sf0.01 — both paths real)
+    val r = ev.agg(max(expr("unix_micros(ts)"))).head()
+    val cutoffUs = (r.getLong(0) / dayUs) * dayUs
+    val base = ev.filter(expr(s"unix_micros(ts) < ${cutoffUs}L"))
+    val delta = ev.filter(expr(s"unix_micros(ts) >= ${cutoffUs}L"))
+    val dim0 = {
+      val p = graft.Staging.fresh("scd2dim")
+      scd2Runs(base).write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    }
+    val touched = delta.select("user_id").distinct()
+    val rebuilt = scd2Runs(ev.join(touched, Seq("user_id"), "left_semi"))
+    val carried = dim0.join(touched, Seq("user_id"), "left_anti")
+    carried.unionByName(rebuilt).orderBy("user_id", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_scd2_incremental" -> (q113Scd2Incremental _),
     "q109_zorder_scan" -> (q109ZorderScan _),
     "q102_scd2_dimension" -> (q102Scd2Dimension _),
     "q30_partitioned_write" -> (q30PartitionedWrite _),
@@ -394,7 +433,14 @@ object EtlQueries {
         |FROM events
         |WHERE user_id % 8 IN (2, 3) AND (dayofmonth(ts) - 1) // 4 IN (4, 5)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q102_scd2_dimension" ->
+    // q113's oracle is the FULL-REBUILD SQL: hash equality proves the
+    // incremental merge (rebuild touched users + carry the rest) is
+    // indistinguishable from rebuilding the whole dimension
+    "q113_scd2_incremental" -> scd2OracleSql,
+    "q102_scd2_dimension" -> scd2OracleSql,
+  ) ++ oraclesRest
+
+  private lazy val scd2OracleSql: String =
       """WITH l AS (SELECT user_id, ts, event_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events),
@@ -414,7 +460,9 @@ object EtlQueries {
         |  strftime(effective_to, '%Y-%m-%d %H:%M:%S.%f') AS effective_to,
         |  CAST(n_events AS BIGINT) AS n_events,
         |  effective_to = TIMESTAMP '9999-12-31 00:00:00' AS is_current
-        |FROM f ORDER BY user_id, version""".stripMargin,
+        |FROM f ORDER BY user_id, version""".stripMargin
+
+  private lazy val oraclesRest: Map[String, String] = Map(
     "q30_partitioned_write" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

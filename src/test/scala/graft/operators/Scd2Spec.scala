@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{col, max, unix_micros}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SCD Type-2 semantics of the q102 core on constructed edges (run
@@ -33,6 +34,25 @@ class Scd2Spec extends AnyFunSuite {
       (7L, 1L, "click", fmt(1000), fmt(3000), 2L, false),
       (7L, 2L, "view", fmt(3000), fmt(4000), 1L, false),
       (7L, 3L, "click", fmt(4000), sentinel, 1L, true)))
+  }
+
+  test("q113's incremental merge equals the full rebuild, non-vacuously") {
+    val full = EtlQueries.q102Scd2Dimension(spark, sfDir)
+      .as[(Long, Long, String, String, String, Long, Boolean)].collect().toSeq
+    val inc = EtlQueries.q113Scd2Incremental(spark, sfDir)
+      .as[(Long, Long, String, String, String, Long, Boolean)].collect().toSeq
+    assert(inc === full, "incremental maintenance must be indistinguishable from a rebuild")
+    // non-vacuity: the delta must touch SOME users but not all — otherwise
+    // the test proves nothing about the carry-forward or rebuild paths
+    val raw = graft.Tables.events(spark, sfDir)
+    val dayUs = 86400L * 1000000L
+    val cutoff = (raw.agg(max(unix_micros(col("ts")))).head().getLong(0) / dayUs) * dayUs
+    val touched = raw.filter(unix_micros(col("ts")) >= cutoff)
+      .select("user_id").distinct().count()
+    val allUsers = raw.select("user_id").distinct().count()
+    assert(touched > 0L, "the delta must touch some users")
+    assert(touched < allUsers || allUsers == 1L,
+      s"expected untouched users to exercise the carry path ($touched of $allUsers touched)")
   }
 
   test("fixture invariants: consecutive versions, chained ranges, one current") {
