@@ -153,6 +153,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the scoring pass must not re-run per consumer:\n$p")
   }
 
+  test("q112: prefix filtering keeps the similarity join equi end to end") {
+    val p = plan("q112_ppjoin_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation and verify must both be equi-joins:\n$p")
+  }
+
   test("q85: the corpus fingerprint sides never re-shuffle — the bucketed index provides them") {
     // the dedup family's production path (verdict joins against the durable
     // bucketed fingerprint index): the ONLY shuffles in the plan may belong

@@ -57,4 +57,14 @@ class RocksDbStateSpec extends AnyFunSuite {
     assert(viaRocks.toSeq === viaDefault.toSeq)
     assert(viaRocks.nonEmpty)
   }
+
+  test("q107 KMV sketch state round-trips through RocksDB identically") {
+    // the TypedImperativeAggregate's serialized buffer is what lives in
+    // the store — a provider that mangled serialize/deserialize would
+    // corrupt the sketch, so windowed estimates must match exactly
+    val viaRocks = graft.streaming.StreamingQueries.q107StreamingKmv(rocks, sfDir).collect()
+    val viaDefault = graft.streaming.StreamingQueries.q107StreamingKmv(spark, sfDir).collect()
+    assert(viaRocks.toSeq === viaDefault.toSeq)
+    assert(viaRocks.nonEmpty)
+  }
 }
