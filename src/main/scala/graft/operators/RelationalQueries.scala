@@ -839,7 +839,45 @@ object RelationalQueries {
           "sqrt(cast(n * syy - sy * sy as double)))").as("corr"))
       .orderBy("event_type")
 
+  /** CUBE aggregation (all four grouping combinations of event type ×
+    * 6-hour band in one pass — q43's ROLLUP sibling, the other
+    * grouping-sets operator the reference's flat GROUP BYs never need
+    * but any BI layer on top of the warehouse does). Spark plans the
+    * Expand + single aggregate; the null grouping markers are coalesced
+    * to sentinels BOTH sides since neither column is nullable. */
+  def q114Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("hband", expr("cast(hour(ts) div 6 as int)"))
+      .cube("event_type", "hband")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hband"), lit(-1)).as("hband"), col("cnt"))
+      .orderBy("event_type", "hband")
+
+  /** INTERSECT / EXCEPT set operators over per-type user sets: users who
+    * both clicked and purchased vs clicked-only — the funnel question
+    * (q103) phrased in set algebra, exercising the two bag/set operators
+    * the board's UNION (q13) and semi/anti joins (q47) do not. Both plan
+    * as hash aggregates over a tagged union — one shuffle each. */
+  def q115SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    val both = users("click").intersect(users("purchase"))
+      .withColumn("relation", lit("click_and_purchase"))
+    val only = users("click").except(users("purchase"))
+      .withColumn("relation", lit("click_no_purchase"))
+    both.unionByName(only)
+      .groupBy("relation")
+      .agg(count(lit(1)).cast("bigint").as("n_users"),
+        min("user_id").cast("bigint").as("min_user"),
+        max("user_id").cast("bigint").as("max_user"))
+      .orderBy("relation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_cube" -> (q114Cube _),
+    "q115_set_ops" -> (q115SetOps _),
     "q110_value_hour_corr" -> (q110ValueHourCorr _),
     "q103_funnel" -> (q103Funnel _),
     "q99_asof_join" -> (q99AsofJoin _),
@@ -879,6 +917,25 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(hband, -1) AS hband, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT event_type, CAST(hour(ts) // 6 AS INTEGER) AS hband FROM events)
+        |GROUP BY CUBE (event_type, hband)
+        |ORDER BY event_type, hband""".stripMargin,
+    "q115_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |tagged AS (
+        |  SELECT 'click_and_purchase' AS relation, user_id
+        |  FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        |  UNION ALL
+        |  SELECT 'click_no_purchase', user_id
+        |  FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p))
+        |SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(MIN(user_id) AS BIGINT) AS min_user,
+        |  CAST(MAX(user_id) AS BIGINT) AS max_user
+        |FROM tagged GROUP BY relation ORDER BY relation""".stripMargin,
     // exact integer moments (DuckDB sums BIGINT in 128 bits), then the
     // identical double assembly — corr() built-ins on either side would
     // be partition-order-dependent and engine-divergent
