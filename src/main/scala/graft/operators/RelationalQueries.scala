@@ -875,7 +875,27 @@ object RelationalQueries {
       .orderBy("relation")
   }
 
+  /** Relative-rank analytics (percent_rank, cume_dist — the two window
+    * functions q46's suite leaves out): each event's standing within its
+    * type by value. Both are rank arithmetic over the same per-type sort
+    * q46 already pays — deterministic because the ordering is total
+    * ((value, event_id)) and both engines define them identically:
+    * percent_rank = (rank-1)/(n-1), cume_dist = peers<=current / n.
+    * Output bounded to the top decile per type to keep the gate small. */
+  def q116RelativeRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("pr") >= 0.9)
+      .select(col("event_type"), col("event_id").cast("bigint").as("event_id"),
+        col("value"), col("pr"), col("cd"))
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_relative_rank" -> (q116RelativeRank _),
     "q114_cube" -> (q114Cube _),
     "q115_set_ops" -> (q115SetOps _),
     "q110_value_hour_corr" -> (q110ValueHourCorr _),
@@ -917,6 +937,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_relative_rank" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr,
+        |    cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cd
+        |  FROM events)
+        |SELECT event_type, CAST(event_id AS BIGINT) AS event_id, value, pr, cd
+        |FROM r WHERE pr >= 0.9 ORDER BY event_type, event_id""".stripMargin,
     "q114_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |  coalesce(hband, -1) AS hband, CAST(COUNT(*) AS BIGINT) AS cnt
