@@ -875,14 +875,68 @@ object RelationalQueries {
       .orderBy("relation")
   }
 
+  /** Value-bucket width for [[q116RelativeRank]]'s distributed rank:
+    * unit-wide buckets over the fixture's value range (~[0, 330]) give a
+    * few hundred ordered buckets per type — the bucket-summary window
+    * stays bounded while no single (type, bucket) partition holds more
+    * than 1/width of a type's rows. Production tunes this the way
+    * packBucketWidth is tuned for q68: granularity is the design input
+    * that bounds the largest intra-bucket sort. */
+  private val q116BucketExpr = "cast(floor(value) as bigint)"
+
   /** Relative-rank analytics (percent_rank, cume_dist — the two window
     * functions q46's suite leaves out): each event's standing within its
-    * type by value. Both are rank arithmetic over the same per-type sort
-    * q46 already pays — deterministic because the ordering is total
-    * ((value, event_id)) and both engines define them identically:
-    * percent_rank = (rank-1)/(n-1), cume_dist = peers<=current / n.
+    * type by value, in the two-phase distributed form. A literal
+    * `percent_rank() OVER (PARTITION BY event_type ORDER BY value)` puts
+    * every event of a type into ONE window partition — event_type is a
+    * bounded enum, so that task holds the type's ENTIRE history at scale
+    * (the q68 straggler, which StragglerGuardSpec now bans board-wide).
+    * Instead, the q68/q111 discipline:
+    *   1. per-(type, value-bucket) counts — a normal scaling groupBy;
+    *   2. a window over the BUCKET SUMMARIES (types x a few hundred
+    *      buckets) yields each bucket's rank offset and the per-type
+    *      total n;
+    *   3. the per-row rank is offset + row_number within one
+    *      (type, bucket) — a bounded partition;
+    *   4. percent_rank = (rank-1)/(n-1), cume_dist = rank/n assembled
+    *      arithmetically (the ordering (value, event_id) is TOTAL, so
+    *      rank == row_number and a row's only peer is itself — both
+    *      identities are exact, and the double divisions are the same
+    *      two divisions the native functions perform, so the result is
+    *      bit-identical to the one-window form; RelativeRankSpec asserts
+    *      it against the naive plan on the fixtures).
     * Output bounded to the top decile per type to keep the gate small. */
   def q116RelativeRank(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("vb", expr(q116BucketExpr))
+    val wOff = Window.partitionBy("event_type").orderBy("vb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("event_type")
+    val summaries = base.groupBy("event_type", "vb")
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .withColumn("n", sum("bc").over(wTot))
+      .select("event_type", "vb", "off", "n")
+    val wIntra = Window.partitionBy("event_type", "vb")
+      .orderBy(col("value"), col("event_id"))
+    base
+      .withColumn("irn", row_number().over(wIntra))
+      .join(broadcast(summaries), Seq("event_type", "vb"))
+      .withColumn("rn", col("off") + col("irn"))
+      .withColumn("pr", when(col("n") > 1,
+        expr("cast(rn - 1 as double) / cast(n - 1 as double)")).otherwise(lit(0.0)))
+      .withColumn("cd", expr("cast(rn as double) / cast(n as double)"))
+      .filter(col("pr") >= 0.9)
+      .select(col("event_type"), col("event_id").cast("bigint").as("event_id"),
+        col("value"), col("pr"), col("cd"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** The naive one-window form of [[q116RelativeRank]] — what the oracle
+    * runs. Kept (test-only) as the equivalence baseline; NOT registered:
+    * at scale each event_type is one window partition. */
+  private[graft] def relativeRankNaive(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("value"))
@@ -965,7 +1019,11 @@ object RelationalQueries {
         |FROM tagged GROUP BY relation ORDER BY relation""".stripMargin,
     // exact integer moments (DuckDB sums BIGINT in 128 bits), then the
     // identical double assembly — corr() built-ins on either side would
-    // be partition-order-dependent and engine-divergent
+    // be partition-order-dependent and engine-divergent. The x products
+    // go through HUGEINT: a BIGINT x*x overflows at |x| > ~3.03e9, i.e.
+    // |value| > ~3037 at the 1e6 quantization — fine on the fixture but
+    // not a bound the operator should inherit (round-8 advice). The
+    // Spark side's decimal(38,0) products hold to |value| < ~1e12.
     "q110_value_hour_corr" ->
       """WITH m AS (SELECT event_type,
         |    CAST(floor(value * 1e6) AS BIGINT) AS x,
@@ -973,7 +1031,8 @@ object RelationalQueries {
         |  FROM events),
         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |    SUM(x) AS sx, SUM(y) AS sy,
-        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(y * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
         |  FROM m GROUP BY event_type)
         |SELECT event_type, n,
         |  CAST(sx AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)) AS mean_value,

@@ -128,8 +128,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // first exchange — the postings that shuffle are phrase-term postings
     assert(p.contains("tok#") && p.contains("Filter"),
       s"expected the term filter in:\n$p")
-    assert("Generate explode".r.findAllIn(p).length <= 3,
-      s"one tokenize per phrase side at most:\n$p")
+    // phraseSearch tokenizes with posexplode (positions matter), which
+    // renders as "Generate posexplode" — the count is EXACT so a refactor
+    // that re-tokenizes per phrase side (or adds an un-staged branch)
+    // fails here rather than passing vacuously (round-8 advice: the old
+    // "Generate explode" regex matched nothing)
+    assert("Generate posexplode".r.findAllIn(p).length == 3,
+      s"expected exactly 3 tokenize (posexplode) nodes:\n$p")
   }
 
   test("q105: the cluster assignment is read as a staged leaf, never re-derived") {

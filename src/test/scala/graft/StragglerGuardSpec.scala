@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Board-wide generalization of PlanShapeSpec's q68 straggler guard
+  * (SCALE.md: "Windows partition by a real entity key"). A window whose
+  * ONLY partition keys are bounded enums (event_type, lang, ...) puts an
+  * entire key-group into one task — correct at fixture scale, a
+  * single-task straggler over a 100 TB fact table. Such a window is legal
+  * only over bounded inputs: bucket/key SUMMARIES (an aggregate beneath
+  * it) or a pigeonhole-capped finer window (the q111 shape) — never over
+  * scan-level rows.
+  *
+  * The per-query form of this assertion existed since round 6 (q68) but
+  * round 8's q116 landed the exact banned shape in its final commit —
+  * a per-query guard cannot catch the NEXT query. This sweep walks every
+  * registered query's physical plan, so any future registration with a
+  * bounded-enum-only scan-level window fails CI by construction. */
+class StragglerGuardSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  /** Partition keys whose cardinality does not grow with the data: a
+    * fixed enum vocabulary, not an entity id. Grow this set with any new
+    * bounded column a fixture table gains. */
+  private val boundedEnumKeys = Set(
+    "event_type", "lang", "label", "source", "relation", "modality",
+    "segment", "stage", "verdict", "region", "band")
+
+  /** Banned windows in one query's physical plan. */
+  private def stragglerWindows(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {
+    // pre-execution initial plan: window shapes are static under AQE
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    exec.collect { case w: WindowExec => w }.filter { w =>
+      val enumOnly = w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+        case a: AttributeReference =>
+          boundedEnumKeys.contains(a.name.toLowerCase)
+        case _ => false
+      }
+      // summaries are fine: an aggregate beneath the window bounds its
+      // input to per-group rows, the q68 two-phase discipline
+      def overSummaries =
+        w.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
+      // the q111 pigeonhole is also fine: a filter over a FINER
+      // (more-keys) window caps each sub-bucket (row_number <= k), so
+      // the enum-only window consumes at most buckets x k rows per
+      // group — dropping that cap filter re-fails this sweep
+      def cappedByFinerWindow =
+        w.child.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+            if f.child.collectFirst {
+              case inner: WindowExec
+                if inner.partitionSpec.size > w.partitionSpec.size => inner
+            }.nonEmpty => f
+        }.nonEmpty
+      enumOnly && !overSummaries && !cappedByFinerWindow
+    }
+  }
+
+  test("board sweep: no bounded-enum-only window consumes scan-level rows") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        stragglerWindows(fn(spark, sfDir)).map { w =>
+          s"$name: window partitioned by " +
+            s"(${w.partitionSpec.mkString(", ")}) over scan-level rows"
+        }
+    }
+    assert(offenders.isEmpty,
+      "bounded-enum-only windows over scan-level rows (single-task " +
+        "stragglers at scale) — use the q68/q111 two-phase bucket form:\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("negative control: the round-8 naive q116 shape trips the detector") {
+    // relativeRankNaive IS round 8's registration (one event_type-only
+    // window straight over the events scan) — kept test-only as the
+    // equivalence baseline. If the detector ever stops seeing it, the
+    // sweep above is vacuous.
+    val naive = graft.operators.RelationalQueries.relativeRankNaive(spark, sfDir)
+    assert(stragglerWindows(naive).nonEmpty,
+      "the detector must flag the naive one-window q116 form")
+    // ...and the registered two-phase q116 is clean
+    val fixed = SparkEntry.queries("q116_relative_rank")(spark, sfDir)
+    assert(stragglerWindows(fixed).isEmpty)
+  }
+}
