@@ -145,6 +145,16 @@ object Bench {
     // tail window carries them; the primary total goes LAST so even a
     // mid-line cut keeps it readable.
     val primaryTotal = results.map { case (_, ts) => median(ts) }.sum
+    // EVERY query's median at 0.1 s precision (~2 KB): the compact line's
+    // top-10 restored round-over-round triage for the slow tail, but
+    // regression analysis of the other ~106 queries previously needed a
+    // local re-run — this line puts the whole board in the artifact tail.
+    // Kept separate from (and before) the final compact line so a tail
+    // cut drops THIS line first and the headline totals last.
+    val allMedians = JsonUtil.obj(
+      results.map { case (k, ts) => k -> f"${median(ts)}%.1f" })
+    println(s"""{"metric":"medians_compact","unit":"sec","sf":"$sfDir",""" +
+      s""""queries":$allMedians}""")
     val top10 = JsonUtil.obj(
       results.sortBy { case (_, ts) => -median(ts) }.take(10)
         .map { case (k, ts) => k -> f"${median(ts)}%.3f" })

@@ -1,0 +1,150 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** Durable layout registry — the piece that makes every "one-time
+  * bootstrap" layout actually one-time ACROSS JVMs.
+  *
+  * Through round 8 the bucketed warehouse tables (q62), the fingerprint
+  * index (q85), and the Z-order layout (q109) lived in `graft.Staging`
+  * dirs swept at JVM exit, with catalog entries that died with the
+  * session: a recurring weekly-crawl pipeline re-paid the full layout
+  * build every session — exactly the cost the layout exists to amortize.
+  * The reference's warehouse persists between Airflow runs
+  * (`/root/reference/airflow/dags/spark_transform_load.py:196-211` keeps
+  * BigQuery tables across DAG invocations); this registry is the
+  * Spark-first analog: layout files under a durable root, plus a small
+  * MANIFEST recording what was built from what, so a new JVM RE-ATTACHES
+  * (re-registers catalog tables over the existing files, zero data jobs)
+  * instead of rebuilding. LayoutReattachSpec proves the attach path runs
+  * no write job and serves the same plans.
+  *
+  * Staleness: the manifest stores a fingerprint of the SOURCE parquet
+  * files (name, size, mtime) and a builder-supplied version string
+  * (layout geometry + code revision). Either changing — a regenerated
+  * fixture, a widened bucket count — misses the attach check and forces
+  * a rebuild. Concurrent first builds in ONE JVM are serialized by the
+  * callers' per-dir `computeIfAbsent`; concurrent builds from two JVMs
+  * are best-effort last-writer-wins (the manifest is written only after
+  * a complete build, so a crashed or in-flight build never attaches). */
+object Layouts {
+
+  /** Durable root (NOT swept at JVM exit — contrast graft.Staging).
+    * Overridable per-run via -Dgraft.warehouse.dir for tests. */
+  def root: String = sys.props.getOrElse("graft.warehouse.dir",
+    System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+
+  /** One bucketed catalog table of a layout: everything a new session
+    * needs to re-register it over the existing files. */
+  case class BucketedReg(table: String, path: String, nBuckets: Int,
+                         key: String, schemaDdl: String)
+
+  case class Manifest(kind: String, version: String, fingerprint: String,
+                      dataPath: String, regs: Seq[BucketedReg])
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Stable base dir for one (kind, source dir). */
+  def baseFor(kind: String, sourceDir: String): String =
+    s"$root/${kind}_${md5hex(sourceDir).take(12)}"
+
+  /** Short stable suffix for catalog-table names derived from a source
+    * dir — deterministic across JVMs (a counter would collide when one
+    * JVM attaches dir A's tables and then builds dir B's). */
+  def nameSuffix(sourceDir: String): String = md5hex(sourceDir).take(8)
+
+  /** Fingerprint of the source files a layout was built from: sorted
+    * (name, size, mtime) of every file under `<sourceDir>/<table>` (file
+    * or directory). A fixture regen changes mtimes → forced rebuild. */
+  def sourceFingerprint(sourceDir: String, tables: Seq[String]): String = {
+    val lines = tables.sorted.flatMap { t =>
+      val p = Paths.get(sourceDir).resolve(s"$t.parquet")
+      if (!Files.exists(p)) Seq(s"$t:absent")
+      else if (Files.isDirectory(p)) {
+        val stream = Files.walk(p)
+        try stream.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+          .map(f => s"$f:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+          .sorted
+        finally stream.close()
+      } else Seq(s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+    }
+    md5hex(lines.mkString("\n"))
+  }
+
+  private def manifestPath(base: String) = Paths.get(base, "_graft_manifest")
+
+  /** Tab-separated, one record per line (schema DDL contains commas but
+    * never tabs/newlines); versioned header so a format change is a
+    * clean rebuild, not a parse error. */
+  private def writeManifest(base: String, m: Manifest): Unit = {
+    val lines = Seq("graft-layout-v1",
+      s"kind\t${m.kind}", s"version\t${m.version}",
+      s"fingerprint\t${m.fingerprint}", s"data\t${m.dataPath}") ++
+      m.regs.map(r =>
+        s"reg\t${r.table}\t${r.path}\t${r.nBuckets}\t${r.key}\t${r.schemaDdl}")
+    Files.createDirectories(Paths.get(base))
+    Files.writeString(manifestPath(base), lines.mkString("\n"))
+  }
+
+  private def readManifest(base: String): Option[Manifest] = {
+    val p = manifestPath(base)
+    if (!Files.exists(p)) return None
+    val lines = Files.readAllLines(p).asScala.toList
+    if (lines.headOption.forall(_ != "graft-layout-v1")) return None
+    val kv = lines.tail.map(_.split("\t", -1)).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    val regs = lines.tail.map(_.split("\t", -1)).collect {
+      case Array("reg", t, path, n, key, ddl) =>
+        BucketedReg(t, path, n.toInt, key, ddl)
+    }
+    for {
+      kind <- kv.get("kind"); version <- kv.get("version")
+      fp <- kv.get("fingerprint"); data <- kv.get("data")
+    } yield Manifest(kind, version, fp, data, regs)
+  }
+
+  /** Re-register a layout's catalog tables in THIS session (catalog
+    * entries are per-JVM; the files are not). CREATE TABLE over the
+    * existing LOCATION with the original bucket spec — zero data jobs;
+    * Spark recovers each file's bucket id from its name. */
+  def register(s: SparkSession, regs: Seq[BucketedReg]): Unit =
+    regs.foreach { r =>
+      if (!s.catalog.tableExists(r.table))
+        s.sql(s"CREATE TABLE ${r.table} (${r.schemaDdl}) USING parquet " +
+          s"CLUSTERED BY (${r.key}) SORTED BY (${r.key}) " +
+          s"INTO ${r.nBuckets} BUCKETS LOCATION '${r.path}'")
+    }
+
+  /** The registry's one entry point: attach if a manifest matches
+    * (same version, same source fingerprint), else run `build` against
+    * the durable base dir and persist the manifest. `build` returns the
+    * catalog registrations (empty for plain-file layouts) and the data
+    * path consumers read. */
+  def attachOrBuild(s: SparkSession, kind: String, version: String,
+                    sourceDir: String, sourceTables: Seq[String])(
+      build: String => (Seq[BucketedReg], String)): Manifest = {
+    val base = baseFor(kind, sourceDir)
+    val fp = sourceFingerprint(sourceDir, sourceTables)
+    readManifest(base) match {
+      case Some(m) if m.kind == kind && m.version == version && m.fingerprint == fp =>
+        register(s, m.regs)
+        m
+      case _ =>
+        // stale or absent: invalidate first so a failed build can never
+        // be attached by a later session
+        Files.deleteIfExists(manifestPath(base))
+        Files.createDirectories(Paths.get(base))
+        val (regs, dataPath) = build(base)
+        val m = Manifest(kind, version, fp, dataPath, regs)
+        writeManifest(base, m)
+        m
+    }
+  }
+}

@@ -75,11 +75,16 @@ object Warehouse {
     * `.parquet(path)` write has nowhere to record); `path` keeps the data
     * external to the warehouse dir. */
   def writeBucketed(df: DataFrame, nBuckets: Int, key: String,
-                    path: String, table: String): Unit =
+                    path: String, table: String): Layouts.BucketedReg = {
     df.write
       .mode("overwrite")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .option("path", path)
       .saveAsTable(table)
+    // everything a manifest needs to re-register this table in a LATER
+    // JVM without touching the data (Layouts.register)
+    Layouts.BucketedReg(table, path, nBuckets, key,
+      df.sparkSession.table(table).schema.toDDL)
+  }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The layouts survive the JVM (round-9 registry, graft.etl.Layouts):
+  * a "new session" — per-JVM caches emptied, catalog entries dropped,
+  * exactly the state a fresh JVM starts in; the durable files and
+  * manifest are what persist — must serve the same queries by
+  * RE-ATTACHING the existing layout, running ZERO rebuild jobs. The
+  * no-rebuild proof is a byte-level snapshot of the layout dir (every
+  * file's path, size, mtime): any write job would touch it. Staleness is
+  * also proven: corrupting the recorded source fingerprint must force a
+  * rebuild. */
+class LayoutReattachSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def snapshot(base: String): Set[(String, Long, Long)] = {
+    val p = Paths.get(base)
+    assert(Files.exists(p), s"layout base missing: $base")
+    val stream = Files.walk(p)
+    try stream.iterator().asScala.filter(Files.isRegularFile(_)).map { f =>
+      (f.toString, Files.size(f), Files.getLastModifiedTime(f).toMillis)
+    }.toSet
+    finally stream.close()
+  }
+
+  test("q85 fingerprint index re-attaches across sessions with zero rebuild jobs") {
+    val r1 = SparkEntry.queries("q85_bucketed_dedup")(spark, sfDir).collect()
+    val base = etl.Layouts.baseFor("fpidx", sfDir)
+    assert(Files.exists(Paths.get(base, "_graft_manifest")),
+      "the build must leave a manifest")
+    val before = snapshot(base)
+
+    operators.DedupQueries.resetFpIndexForTest(spark)
+    assert(spark.catalog.listTables().collect()
+      .forall(!_.name.startsWith("graft_fpidx_")), "catalog reset failed")
+
+    val r2 = SparkEntry.queries("q85_bucketed_dedup")(spark, sfDir).collect()
+    assert(r2.toSeq == r1.toSeq, "attached layout must serve the same verdicts")
+    assert(snapshot(base) == before,
+      "attach must not touch a single layout file (no rebuild job ran)")
+    // and the re-registered tables still carry the bucket spec the
+    // zero-exchange plan depends on
+    val p = SparkEntry.queries("q85_bucketed_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"re-attached tables must read as bucketed:\n$p")
+  }
+
+  test("q62 bucketed pair re-attaches across sessions with zero rebuild jobs") {
+    val r1 = SparkEntry.queries("q62_bucketed_join")(spark, sfDir).collect()
+    val base = etl.Layouts.baseFor("bktoc", sfDir)
+    val before = snapshot(base)
+
+    operators.EtlQueries.resetBucketPairForTest(spark)
+    val r2 = SparkEntry.queries("q62_bucketed_join")(spark, sfDir).collect()
+    assert(r2.toSeq == r1.toSeq)
+    assert(snapshot(base) == before)
+    // the PlanShapeSpec q62 contract must hold on the ATTACHED tables too:
+    // bucketed scans, zero exchanges
+    val p = operators.EtlQueries.bucketedOrdersCustomer(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("Exchange"),
+      s"attached bucketed join must stay exchange-free:\n$p")
+  }
+
+  test("q109 z-order layout re-attaches; a fingerprint mismatch forces a rebuild") {
+    val r1 = SparkEntry.queries("q109_zorder_scan")(spark, sfDir).collect()
+    val base = etl.Layouts.baseFor("zorder", sfDir)
+    val before = snapshot(base)
+
+    etl.Zorder.resetCacheForTest()
+    val r2 = SparkEntry.queries("q109_zorder_scan")(spark, sfDir).collect()
+    assert(r2.toSeq == r1.toSeq)
+    assert(snapshot(base) == before, "attach must reuse the layout files")
+
+    // stale-on-regen: corrupt the stored fingerprint (what a regenerated
+    // source dir does to the real one) — the next miss must REBUILD
+    val mf: Path = Paths.get(base, "_graft_manifest")
+    val doctored = Files.readString(mf).linesIterator.map { l =>
+      if (l.startsWith("fingerprint\t")) "fingerprint\tdeadbeef" else l
+    }.mkString("\n")
+    Files.writeString(mf, doctored)
+    etl.Zorder.resetCacheForTest()
+    val r3 = SparkEntry.queries("q109_zorder_scan")(spark, sfDir).collect()
+    assert(r3.toSeq == r1.toSeq)
+    assert(snapshot(base) != before, "a stale fingerprint must trigger a rebuild")
+  }
+}

@@ -16,16 +16,65 @@ class MultimodalSpec extends AnyFunSuite {
 
   private lazy val media = BinaryPipeline.mediaFromDocuments(spark, sfDir)
 
-  test("resize emits one row per decoded frame with the target geometry, deterministically") {
-    val decoded = BinaryPipeline.decode(media)
-    val a = BinaryPipeline.resize(decoded, 224, 224).collect()
-    val b = BinaryPipeline.resize(BinaryPipeline.decode(media), 224, 224).collect()
-    assert(a.length === decoded.count())
+  test("resize emits one row per media row with the target geometry, deterministically") {
+    val a = BinaryPipeline.resize(media, 224, 224).collect()
+    val b = BinaryPipeline.resize(media, 224, 224).collect()
+    assert(a.length === media.count())
     assert(a.forall(r => r.target_w == 224 && r.target_h == 224))
     assert(a.sortBy(_.doc_id).toSeq === b.sortBy(_.doc_id).toSeq,
       "the resample digest must be a pure function of (input, geometry)")
     // distinct inputs must not collapse to one resized digest
     assert(a.map(_.resized_checksum).distinct.length > 1)
+  }
+
+  /** A real PNG, generated in-test (javax.imageio round-trip): left half
+    * solid dark, right half solid light — known geometry, known pixels. */
+  private def pngBytes(w: Int, h: Int, leftRgb: Int, rightRgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) leftRgb else rightRgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def mediaOf(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.map { case (id, b) => graft.multimodal.MediaRow(id, b, "png") }.toDS()
+  }
+
+  test("a real PNG decodes to its actual geometry (not the length fake)") {
+    val ds = mediaOf(1L -> pngBytes(33, 17, 0x202020, 0xe0e0e0))
+    val d = BinaryPipeline.decode(ds).collect().head
+    assert(d.width === 33 && d.height === 17)
+  }
+
+  test("feature extraction consumes actual pixels: block means of a known image") {
+    // left half lum 0x40=64, right half 0xc0=192 (grayscale: luma == channel)
+    val ds = mediaOf(7L -> pngBytes(64, 64, 0x404040, 0xc0c0c0))
+    val vec = BinaryPipeline.featureExtract(ds, dim = 64).collect().head.embedding
+    // 8x8 grid over a 64x64 image: each cell is uniform — left 4 columns
+    // (64-128)/128 = -0.5, right 4 columns (192-128)/128 = +0.5
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val expected = if (cx < 4) -0.5f else 0.5f
+      assert(vec(cy * 8 + cx) === expected,
+        s"cell ($cx,$cy): got ${vec(cy * 8 + cx)}")
+    }
+  }
+
+  test("resize resamples actual pixels: digest matches the expected ARGB bytes") {
+    val ds = mediaOf(9L -> pngBytes(10, 10, 0xff0000, 0xff0000))
+    val r = BinaryPipeline.resize(ds, 4, 4).collect().head
+    assert(r.width === 10 && r.height === 10)
+    // a uniform red source resamples to uniform red: digest of 16 ARGB
+    // pixels ff ff 00 00, computed independently here
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).foreach { _ =>
+      md.update(Array(0xff.toByte, 0xff.toByte, 0x00.toByte, 0x00.toByte))
+    }
+    val expected = md.digest().map("%02x".format(_)).mkString
+    assert(r.resized_checksum === expected)
   }
 
   test("feature extraction yields embedding-shaped vectors with sane geometry") {

@@ -22,9 +22,10 @@ class StreamingIndexDedupSpec extends AnyFunSuite {
 
   test("a streamed crawl batch is verdicted against the bucketed index exactly as in batch") {
     val docs = Tables.documents(spark, sfDir)
-    val (fpT, nfpT) = DedupQueries.writeFingerprintIndex(
+    val (rFp, rNfp) = DedupQueries.writeFingerprintIndex(
       docs.filter(col("doc_id") % 10 =!= 7), 8,
       Staging.fresh("sidx"), "graft_sidx_stream")
+    val (fpT, nfpT) = (rFp.table, rNfp.table)
 
     // deliver this week's slice as parquet files in a stream source dir
     val batch = docs.filter(col("doc_id") % 10 === 7)
