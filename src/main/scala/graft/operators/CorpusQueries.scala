@@ -540,7 +540,48 @@ object CorpusQueries {
       .orderBy("lang", "rk")
   }
 
+  /** Max sequence length for [[q120PaddingWaste]] (the training-run
+    * context window the packing policy is tuned against). */
+  private val maxSeqLen = 512
+
+  /** Padding/truncation waste profile — the cost sheet a packing policy
+    * (q68) is chosen WITH: for each language, what fraction of tokens a
+    * truncate-to-L policy throws away, and what fraction of compute a
+    * pad-to-L policy burns on padding, under the two standard layouts
+    * (one-doc-per-sequence truncation vs chunked continuation). All
+    * integer sums (exact, order-free, map-side combinable) with the
+    * final fractions as single deterministic double divisions — the
+    * engine-parity contract every profile query here follows.
+    *
+    * Scale: one scan, one bounded groupBy (per language). The per-doc
+    * arithmetic is codegen'd projection work; nothing shuffles but the
+    * partial aggregates. */
+  def q120PaddingWaste(s: SparkSession, dir: String): DataFrame = {
+    val L = maxSeqLen
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("ntok"))
+      .withColumn("kept", expr(s"least(ntok, ${L}L)"))
+      .withColumn("trunc", expr(s"greatest(ntok - ${L}L, 0L)"))
+      .withColumn("seqs", expr(s"(ntok + ${L - 1}L) div ${L}L"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("ntok").cast("bigint").as("total_tokens"),
+        sum("trunc").cast("bigint").as("truncated_tokens"),
+        sum(expr(s"${L}L - kept")).cast("bigint").as("pad_truncate"),
+        sum(expr(s"seqs * ${L}L - ntok")).cast("bigint").as("pad_chunked"),
+        sum("seqs").cast("bigint").as("n_seqs_chunked"))
+      .withColumn("trunc_frac", expr(
+        "cast(truncated_tokens as double) / cast(total_tokens as double)"))
+      .withColumn("pad_frac_truncate", expr(
+        s"cast(pad_truncate as double) / cast(n_docs * ${L}L as double)"))
+      .withColumn("pad_frac_chunked", expr(
+        s"cast(pad_chunked as double) / cast(n_seqs_chunked * ${L}L as double)"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_padding_waste" -> (q120PaddingWaste _),
     "q111_stratified_sample" -> (q111StratifiedSample _),
     "q108_epoch_resample" -> (q108EpochResample _),
     "q101_kmv_distinct" -> (q101KmvDistinct _),
@@ -658,6 +699,28 @@ object CorpusQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    "q120_padding_waste" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |x AS (SELECT lang, ntok,
+        |    CASE WHEN ntok < 512 THEN ntok ELSE 512 END AS kept,
+        |    CASE WHEN ntok > 512 THEN ntok - 512 ELSE 0 END AS trunc,
+        |    (ntok + 511) // 512 AS seqs
+        |  FROM d),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(trunc) AS BIGINT) AS truncated_tokens,
+        |    CAST(SUM(512 - kept) AS BIGINT) AS pad_truncate,
+        |    CAST(SUM(seqs * 512 - ntok) AS BIGINT) AS pad_chunked,
+        |    CAST(SUM(seqs) AS BIGINT) AS n_seqs_chunked
+        |  FROM x GROUP BY lang)
+        |SELECT lang, n_docs, total_tokens, truncated_tokens, pad_truncate,
+        |  pad_chunked, n_seqs_chunked,
+        |  CAST(truncated_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS trunc_frac,
+        |  CAST(pad_truncate AS DOUBLE) / CAST(n_docs * 512 AS DOUBLE) AS pad_frac_truncate,
+        |  CAST(pad_chunked AS DOUBLE) / CAST(n_seqs_chunked * 512 AS DOUBLE) AS pad_frac_chunked
+        |FROM g ORDER BY lang""".stripMargin,
     "q111_stratified_sample" ->
       s"""WITH h AS (SELECT lang, doc_id,
          |    ${duckMd5Int("concat('sample_', CAST(doc_id AS VARCHAR))", 8)} AS h

@@ -948,7 +948,137 @@ object RelationalQueries {
       .orderBy("event_type", "event_id")
   }
 
+  /** KMV sketch SET ALGEBRA — cross-audience overlap from mergeable
+    * summaries (the scale path beside q90's exact source overlap and
+    * q115's exact set ops): per-type user sketches (`graft_kmv`), pair
+    * UNION sketches built columnar from the per-type sketches alone
+    * (k smallest of the merged kept-sets — no re-scan of the fact
+    * table, which is the entire point of a mergeable sketch), and the
+    * intersection estimated by inclusion–exclusion. Exact counts ride
+    * along (the q101 discipline) so the driver hash-checks the sketch
+    * arithmetic AND the rel_err column keeps the estimator honest.
+    *
+    * Determinism: the estimator reads the k-th smallest of a
+    * deterministic hash set — no RNG, no float accumulation order; the
+    * oracle replays the identical k-smallest selection with window
+    * functions. Scale: one (type, user) distinct shuffle + one user_id
+    * equi-join for the exact side; the sketch side after aggregation is
+    * 5 rows of k values — the pair expansion is a bounded broadcast
+    * (types x types), never a data join. At 100 TB only the exact
+    * columns cost anything; a production caller drops them and keeps
+    * the sketch algebra, constant-size per key. */
+  def q117SketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val users = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat('kmvu_', cast(user_id as string))), 1, 8), 16, 10) as bigint)"))
+    val perType = users.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"), expr(s"graft_kmv(h, $k)").as("ks"))
+    def est(ks: String) =
+      s"case when size($ks) < $k then cast(size($ks) as double) " +
+        s"else (${k - 1}.0 * 4294967296.0) / cast(element_at($ks, $k) as double) end"
+    val pa = perType.select(col("event_type").as("ta"),
+      col("n").as("n_a"), col("ks").as("ksa"))
+    val pb = perType.select(col("event_type").as("tb"),
+      col("n").as("n_b"), col("ks").as("ksb"))
+    val pairs = pa.join(broadcast(pb), col("ta") < col("tb"))
+      // KMV union = k smallest of the merged kept-sets (sketch algebra,
+      // exactly the k smallest of the full hash union by containment)
+      .withColumn("ksu",
+        expr(s"slice(array_sort(array_distinct(concat(ksa, ksb))), 1, $k)"))
+    val ua = users.select(col("event_type").as("ta"), col("user_id"))
+    val ub = users.select(col("event_type").as("tb"), col("user_id"))
+    val both = ua.join(ub, "user_id").filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("nb_raw"))
+    pairs.join(broadcast(both), Seq("ta", "tb"), "left")
+      .withColumn("n_both", coalesce(col("nb_raw"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_both"))
+      .withColumn("est_a", expr(est("ksa")))
+      .withColumn("est_b", expr(est("ksb")))
+      .withColumn("est_union", expr(est("ksu")))
+      .withColumn("est_intersect", expr("est_a + est_b - est_union"))
+      .withColumn("rel_err_union",
+        expr("abs(est_union - cast(n_union as double)) / cast(n_union as double)"))
+      .select(col("ta"), col("tb"),
+        col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
+        col("n_both").cast("bigint").as("n_both"),
+        col("n_union").cast("bigint").as("n_union"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_intersect"),
+        col("rel_err_union"))
+      .orderBy("ta", "tb")
+  }
+
+  /** Cohort retention matrix — the user-lifecycle analytics every event
+    * warehouse serves (reference analog: the per-period aggregation
+    * family in `/root/reference/sql/aggregations.sql`, extended to the
+    * cohort x offset grid): users cohorted by FIRST activity day, then
+    * each (cohort, day-offset) cell counts the cohort members active
+    * that day, with the retention rate as one deterministic division
+    * against the offset-0 cell.
+    *
+    * Scale: the cohort assignment is a user_id groupBy and the
+    * matrix join is a user_id equi-join — both on the entity key, never
+    * a bounded one; the retention window runs over the AGGREGATED
+    * cohort x offset grid (days x days rows), never over events. */
+  def q118CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("cast(ts as date)").as("d"))
+    val cohorts = ev.groupBy("user_id").agg(min("d").as("cohort"))
+    val grid = ev.join(cohorts, Seq("user_id"))
+      .withColumn("off", datediff(col("d"), col("cohort")))
+      .groupBy("cohort", "off")
+      .agg(countDistinct("user_id").as("n_users"))
+    val w = Window.partitionBy("cohort")
+    grid
+      .withColumn("cohort_size",
+        max(when(col("off") === 0, col("n_users"))).over(w))
+      .withColumn("retention",
+        expr("cast(n_users as double) / cast(cohort_size as double)"))
+      .select(expr("cast(cohort as string)").as("cohort_day"),
+        col("off").cast("int").as("day_offset"),
+        col("n_users").cast("bigint").as("n_users"),
+        col("cohort_size").cast("bigint").as("cohort_size"),
+        col("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** First-order event-transition matrix (sequence mining's base
+    * primitive, and the sanity check behind any session-based model):
+    * per-user event streams in (ts, event_id) order yield (prev, next)
+    * bigrams via one lag over the user window; counts and row-normalized
+    * transition probabilities follow. The probability division is one
+    * deterministic double op over integer sums.
+    *
+    * Scale: the lag window partitions by user_id (entity key — the q39
+    * sessionize shape); the transition aggregate and its normalizing
+    * window run over the bounded types x types grid. */
+  def q119EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", expr(
+        "cast(n as double) / cast(sum(n) over (partition by from_type) as double)"))
+      .select(col("from_type"), col("to_type"),
+        col("n").cast("bigint").as("n"), col("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** DuckDB has no base-16 conv(); numeric value of the first n hex
+    * digits of md5(x) via nibble Horner (the shared oracle idiom). */
+  private def duckMd5Int(x: String, n: Int): String =
+    (1 to n).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc) * 16 + (strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1))"
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_sketch_overlap" -> (q117SketchOverlap _),
+    "q118_cohort_retention" -> (q118CohortRetention _),
+    "q119_event_transitions" -> (q119EventTransitions _),
     "q116_relative_rank" -> (q116RelativeRank _),
     "q114_cube" -> (q114Cube _),
     "q115_set_ops" -> (q115SetOps _),
@@ -991,6 +1121,70 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the KMV selection exactly: per-type / per-pair k smallest
+    // distinct hashes via row_number, kth value -> (k-1)*2^32 / h_k
+    "q117_sketch_overlap" ->
+      s"""WITH u AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+         |hd AS (SELECT DISTINCT t,
+         |    ${duckMd5Int("concat('kmvu_', CAST(user_id AS VARCHAR))", 8)} AS h
+         |  FROM u),
+         |ty AS (SELECT DISTINCT t FROM u),
+         |p AS (SELECT a.t AS ta, b.t AS tb FROM ty a JOIN ty b ON a.t < b.t),
+         |r AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM hd),
+         |kk AS (SELECT t, max(h) AS h_k, COUNT(*) AS nk FROM r WHERE rn <= 32 GROUP BY t),
+         |ud AS (SELECT DISTINCT p.ta, p.tb, hd.h FROM p JOIN hd ON hd.t = p.ta OR hd.t = p.tb),
+         |ur AS (SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM ud),
+         |uk AS (SELECT ta, tb, max(h) AS h_k, COUNT(*) AS nk FROM ur WHERE rn <= 32 GROUP BY ta, tb),
+         |ex AS (SELECT t, COUNT(*) AS n FROM u GROUP BY t),
+         |eb AS (SELECT p.ta, p.tb, COUNT(*) AS n_both
+         |  FROM p JOIN u a ON a.t = p.ta JOIN u b ON b.t = p.tb AND b.user_id = a.user_id
+         |  GROUP BY p.ta, p.tb),
+         |j AS (SELECT p.ta, p.tb, xa.n AS n_a, xb.n AS n_b,
+         |    COALESCE(eb.n_both, 0) AS n_both,
+         |    CASE WHEN ka.nk < 32 THEN CAST(ka.nk AS DOUBLE)
+         |         ELSE (31.0 * 4294967296.0) / CAST(ka.h_k AS DOUBLE) END AS est_a,
+         |    CASE WHEN kb.nk < 32 THEN CAST(kb.nk AS DOUBLE)
+         |         ELSE (31.0 * 4294967296.0) / CAST(kb.h_k AS DOUBLE) END AS est_b,
+         |    CASE WHEN uk.nk < 32 THEN CAST(uk.nk AS DOUBLE)
+         |         ELSE (31.0 * 4294967296.0) / CAST(uk.h_k AS DOUBLE) END AS est_union
+         |  FROM p JOIN ex xa ON xa.t = p.ta JOIN ex xb ON xb.t = p.tb
+         |  JOIN kk ka ON ka.t = p.ta JOIN kk kb ON kb.t = p.tb
+         |  JOIN uk ON uk.ta = p.ta AND uk.tb = p.tb
+         |  LEFT JOIN eb ON eb.ta = p.ta AND eb.tb = p.tb)
+         |SELECT ta, tb, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_both AS BIGINT) AS n_both,
+         |  CAST(n_a + n_b - n_both AS BIGINT) AS n_union,
+         |  est_a, est_b, est_union,
+         |  est_a + est_b - est_union AS est_intersect,
+         |  abs(est_union - CAST(n_a + n_b - n_both AS DOUBLE))
+         |    / CAST(n_a + n_b - n_both AS DOUBLE) AS rel_err_union
+         |FROM j ORDER BY ta, tb""".stripMargin,
+    "q118_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id),
+        |m AS (SELECT cohort, datediff('day', cohort, d) AS off,
+        |    COUNT(DISTINCT e.user_id) AS n_users
+        |  FROM e JOIN c ON e.user_id = c.user_id GROUP BY cohort, off),
+        |w AS (SELECT cohort, off, n_users,
+        |    MAX(CASE WHEN off = 0 THEN n_users END)
+        |      OVER (PARTITION BY cohort) AS cohort_size
+        |  FROM m)
+        |SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+        |  CAST(off AS INTEGER) AS day_offset,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+        |FROM w ORDER BY cohort_day, day_offset""".stripMargin,
+    "q119_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |t AS (SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+        |  FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
     "q116_relative_rank" ->
       """WITH r AS (SELECT event_type, event_id, value,
         |    percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr,
