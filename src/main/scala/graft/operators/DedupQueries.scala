@@ -185,6 +185,78 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** LSH calibration audit — the measurement a pipeline runs BEFORE
+    * trusting a band geometry at 100 TB: for every banded candidate
+    * pair, the minhash ESTIMATE of similarity (fraction of the 12
+    * signature slots agreeing) against the EXACT token Jaccard, bucketed
+    * by agreement count. The output is the estimator's calibration curve
+    * (est_sim vs avg/min/max true similarity per bucket): a threshold
+    * chosen off this table has a measured meaning, instead of the
+    * folklore s-curve. Exactly the audit that justifies q22's jacc >=
+    * 0.5 verify bar.
+    *
+    * Determinism: agreement counts are integer; the average true Jaccard
+    * goes through the q110 quantize-then-sum discipline (floor(jacc *
+    * 1e9) summed as BIGINT, one final double division) so no float
+    * accumulation order leaks; min/max compare exact doubles.
+    *
+    * Scale: the signature frame is staged once and read by its three
+    * consumers (bands + both pair sides — the q42 staging rule);
+    * candidates come from the banded equi-join, never all-pairs; the
+    * exact-Jaccard verify rides the q22 melt (one corpus tokenize). */
+  def q123LshCalibration(s: SparkSession, dir: String): DataFrame = {
+    val sigRows = Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 3"))
+      .select(col("doc_id"), explode(expr(s"array_distinct($shinglesExpr)")).as("x"))
+      .select(col("doc_id"),
+        concat(md5(col("x")), md5(concat(lit("x"), col("x")))).as("h"))
+    val sigCols = (0 until nHashes)
+      .map(i => min(expr(s"substring(h, ${i * 5 + 1}, 5)")).as(s"s$i"))
+    val ck = graft.Staging.fresh("lshcal")
+    sigRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .write.mode("overwrite").parquet(s"$ck/sig")
+    val sig = s.read.parquet(s"$ck/sig")
+    val stackArgs = (0 until nBands)
+      .map(b => s"$b, concat(s${2 * b}, s${2 * b + 1})").mkString(", ")
+    val bands = sig.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, bkey)")
+    val cand = bucketPairs(bands, "doc_id", "doc_a", "doc_b", None)
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until nHashes).map(i => col(s"s$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until nHashes).map(i => col(s"s$i").as(s"b$i")): _*)
+    val agreeExpr = (0 until nHashes)
+      .map(i => s"cast(a$i = b$i as int)").mkString(" + ")
+    val withAgree = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("agree", expr(agreeExpr))
+      .select("doc_a", "doc_b", "agree")
+    // exact Jaccard over the candidate pairs: the q22 melt (one corpus
+    // tokenize, pair regroup bounded by the candidate count)
+    val melted = withAgree.select(col("doc_a"), col("doc_b"), explode(expr(
+      "array(doc_a, doc_b)")).as("doc_id"))
+    val ts = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("ts"))
+    melted.join(ts, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("ts")), ignoreNulls = true).as("ta"),
+        first(when(col("doc_id") === col("doc_b"), col("ts")), ignoreNulls = true).as("tb"))
+      .withColumn("jacc", expr(
+        "cast(size(array_intersect(ta, tb)) as double) / cast(size(array_union(ta, tb)) as double)"))
+      .join(withAgree, Seq("doc_a", "doc_b"))
+      .withColumn("jq", expr("cast(floor(jacc * 1e9) as bigint)"))
+      .groupBy("agree")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum("jq").as("jq_sum"),
+        min("jacc").as("min_jacc"), max("jacc").as("max_jacc"))
+      .withColumn("est_sim", expr(s"cast(agree as double) / ${nHashes}.0"))
+      .withColumn("avg_jacc", expr(
+        "cast(jq_sum as double) / (1e9 * cast(n_pairs as double))"))
+      .select(col("agree").cast("int").as("agree"), col("est_sim"),
+        col("n_pairs"), col("avg_jacc"), col("min_jacc"), col("max_jacc"))
+      .orderBy("agree")
+  }
+
   /** 32-bit frequency-weighted SimHash fingerprint per document. Each bit b
     * reads one hex digit of md5(token) (digit b/4, bit b%4), sums +/-1 votes
     * over all tokens, and sets the bit if the vote is positive. The 32 bit
@@ -942,6 +1014,7 @@ object DedupQueries {
     "q106_fuzzy_entity_match" -> (q106FuzzyEntityMatch _),
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_minhash_lsh" -> (q22MinhashLsh _),
+    "q123_lsh_calibration" -> (q123LshCalibration _),
     "q23_simhash" -> (q23Simhash _),
     "q24_ngram_jaccard" -> (q24NgramJaccard _),
     "q28_fingerprint" -> (q28Fingerprint _),
@@ -961,6 +1034,9 @@ object DedupQueries {
   private val oracleBands = (0 until nBands)
     .map(b => s"SELECT doc_id, $b AS band, concat(s${2 * b}, s${2 * b + 1}) AS bkey FROM sig")
     .mkString("\n        UNION ALL ")
+  private val oracleAgreeTerms = (0 until nHashes)
+    .map(i => s"CAST(x.s$i = y.s$i AS INT)").mkString(" + ")
+
   private val oracleSimhashTerms = (0 until 32).map { b =>
     val pos = b / 4 + 1
     val j = 1 << (b % 4)
@@ -1010,6 +1086,30 @@ object DedupQueries {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  CAST(COUNT(*) AS BIGINT) AS n_dups, CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q123_lsh_calibration" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |    list_transform(
+         |      list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+         |      x -> concat(md5(x), md5(concat('x', x)))) AS shh
+         |  FROM t WHERE len(toks) >= 3),
+         |sig AS (SELECT doc_id, $oracleSigs FROM sh),
+         |bands AS ($oracleBands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |ag AS (SELECT doc_a, doc_b, ($oracleAgreeTerms) AS agree
+         |  FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id),
+         |ds AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+         |j AS (SELECT doc_a, doc_b, agree,
+         |    CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE) / CAST(len(list_distinct(list_concat(x.ts, y.ts))) AS DOUBLE) AS jacc
+         |  FROM ag JOIN ds x ON doc_a = x.doc_id JOIN ds y ON doc_b = y.doc_id),
+         |q AS (SELECT agree, CAST(floor(jacc * 1e9) AS BIGINT) AS jq, jacc FROM j)
+         |SELECT CAST(agree AS INTEGER) AS agree,
+         |  CAST(agree AS DOUBLE) / ${nHashes}.0 AS est_sim,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(jq) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS avg_jacc,
+         |  MIN(jacc) AS min_jacc, MAX(jacc) AS max_jacc
+         |FROM q GROUP BY agree ORDER BY agree""".stripMargin,
     "q22_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |sh AS (SELECT doc_id,

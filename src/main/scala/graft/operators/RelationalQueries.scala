@@ -1068,6 +1068,67 @@ object RelationalQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Hopping (sliding) window aggregation — the batch analog of a
+    * streaming windowed agg with slide < width (q36 covers tumbling):
+    * 6-hour windows every 3 hours, so each event lands in exactly
+    * width/hop windows. Implemented as the explode-arithmetic form
+    * (sequence + integer window-start derivation) rather than Spark's
+    * `window()` so the window assignment is ENGINE-PARITY ARITHMETIC the
+    * oracle replays digit for digit — the plan shape is the same Expand
+    * + hash-aggregate the built-in plans, and every step is codegen'd
+    * integer math. Window starts emit as epoch micros (formatting is
+    * presentation, not semantics).
+    *
+    * Scale: the explode multiplies rows by width/hop (2 here) BEFORE the
+    * partial aggregate collapses them to (type, window) cells — the
+    * expansion never shuffles; only per-cell partials do. */
+  def q121HoppingWindows(s: SparkSession, dir: String): DataFrame = {
+    val hopUs = 3L * 3600 * 1000000
+    val widthUs = 6L * 3600 * 1000000
+    val perEvent = widthUs / hopUs // windows containing each event
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("t"),
+        col("value"))
+      .select(col("event_type"), col("t"), col("value"),
+        explode(expr(s"sequence(0, ${perEvent - 1}L)")).as("i"))
+      .withColumn("window_start_us",
+        expr(s"(t div ${hopUs}L - i) * ${hopUs}L"))
+      .groupBy("event_type", "window_start_us")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(dec6(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type", "window_start_us")
+  }
+
+  /** Per-user event-sequence assembly — the denormalized "pack an
+    * entity's ordered history into one record" export every
+    * conversational / behavioral training pipeline ends with (sessions
+    * become training sequences). The assembled sequence is verified by
+    * HASH: each user's events sort on the total (t, event_id) order
+    * inside the array (`array_sort` over structs sorts field-wise —
+    * deterministic regardless of arrival order), render canonically,
+    * and digest. The oracle builds the identical string with an ordered
+    * string_agg, so the hash gate proves ASSEMBLY-LEVEL equality, not
+    * just aggregate equality.
+    *
+    * Scale: one user_id shuffle (entity key); per-user state is that
+    * user's history — inherent to the export (a production run caps or
+    * chunks pathological users upstream, the q73 chunking op). */
+  def q122SequenceAssembly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        min("t").cast("bigint").as("first_t"),
+        max("t").cast("bigint").as("last_t"),
+        expr("md5(concat_ws('|', transform(" +
+          "array_sort(collect_list(struct(t, event_id, event_type))), " +
+          "x -> concat(x.t, ':', x.event_id, ':', x.event_type))))")
+          .as("seq_md5"))
+      .select(col("user_id").cast("bigint").as("user_id"), col("n_events"),
+        col("first_t"), col("last_t"), col("seq_md5"))
+      .orderBy("user_id")
+
   /** DuckDB has no base-16 conv(); numeric value of the first n hex
     * digits of md5(x) via nibble Horner (the shared oracle idiom). */
   private def duckMd5Int(x: String, n: Int): String =
@@ -1079,6 +1140,8 @@ object RelationalQueries {
     "q117_sketch_overlap" -> (q117SketchOverlap _),
     "q118_cohort_retention" -> (q118CohortRetention _),
     "q119_event_transitions" -> (q119EventTransitions _),
+    "q121_hopping_windows" -> (q121HoppingWindows _),
+    "q122_sequence_assembly" -> (q122SequenceAssembly _),
     "q116_relative_rank" -> (q116RelativeRank _),
     "q114_cube" -> (q114Cube _),
     "q115_set_ops" -> (q115SetOps _),
@@ -1159,6 +1222,25 @@ object RelationalQueries {
          |  abs(est_union - CAST(n_a + n_b - n_both AS DOUBLE))
          |    / CAST(n_a + n_b - n_both AS DOUBLE) AS rel_err_union
          |FROM j ORDER BY ta, tb""".stripMargin,
+    "q121_hopping_windows" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
+        |x AS (SELECT event_type, t, value, i
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i))
+        |SELECT event_type,
+        |  (t // 10800000000 - i) * 10800000000 AS window_start_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY event_type, window_start_us
+        |ORDER BY event_type, window_start_us""".stripMargin,
+    "q122_sequence_assembly" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_t,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_t,
+        |  md5(string_agg(
+        |    concat(epoch_us(ts), ':', event_id, ':', event_type), '|'
+        |    ORDER BY epoch_us(ts), event_id)) AS seq_md5
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q118_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
         |c AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id),
