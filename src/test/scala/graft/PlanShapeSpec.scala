@@ -282,6 +282,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no winnow-selection subtree may survive into the join plan:\n$p97")
   }
 
+  test("q117: the sketch pair expansion broadcasts a bounded side; no cartesian product") {
+    val p = plan("q117_sketch_overlap")
+    // types x types pair frame: 5 sketch rows joined under ta < tb must
+    // plan as a broadcast nested-loop over the bounded side — a
+    // CartesianProduct here would mean the bounded-broadcast contract
+    // regressed (the sketch algebra must never join the fact table)
+    assert(!p.contains("CartesianProduct"), s"pair expansion must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the bounded sketch side must broadcast:\n$p")
+  }
+
+  test("q123: signatures stage once; nothing downstream re-derives them") {
+    val p = plan("q123_lsh_calibration")
+    assert(p.contains("graft_lshcal"),
+      s"bands and both pair sides must read the staged signature frame:\n$p")
+    // the md5 signature pass ran inside the staging write — if any md5
+    // survives into this plan, a consumer is re-deriving signatures
+    // (3x the corpus hash pass at 100 TB)
+    assert(!p.contains("md5"), s"no signature re-derivation may survive:\n$p")
+    assert(!p.contains("CartesianProduct"), s"candidates must stay banded:\n$p")
+  }
+
   test("q42: candidate generation is a broadcast/hash join over staged leaf scans") {
     val p = plan("q42_simhash_pairs")
     assert(!p.contains("CartesianProduct"), "band join must be an equi-join")
