@@ -73,6 +73,36 @@ object StreamingQueries {
     s.table(tbl).orderBy("h")
   }
 
+  /** Streaming HOPPING (sliding) window count — the window geometry q36's
+    * tumbling form leaves out: 6-hour windows every 3 hours, so each
+    * event belongs to exactly width/hop = 2 overlapping windows and the
+    * state store carries that many concurrent windows per group. Spark's
+    * `window(ts, width, slide)` plans the same Expand the batch twin
+    * (q121) spells out arithmetically — the two queries share the
+    * epoch-aligned assignment `(t div hop − i) · hop`, which the oracle
+    * replays digit for digit. Append mode + 1 h watermark: a window
+    * emits once the watermark passes its END (start + 6 h ≤ max(ts) −
+    * 1 h), after which its state drops — bounded state in a continuous
+    * deployment, the q36 contract. */
+  def q124StreamingHopping(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamSources.events(s, dir)
+    val tbl = s"graft_stream_hopping_${runCounter.incrementAndGet()}"
+    val q = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("cnt"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(tbl).orderBy("w", "event_type")
+  }
+
   /** Streaming DEDUP under at-least-once delivery (the LLM-pipeline event
     * path: upstream producers redeliver, downstream counts must not double):
     * the same events file feeds TWO file sources whose union redelivers
@@ -268,6 +298,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_streaming_kmv" -> (q107StreamingKmv _),
     "q36_streaming_hourly" -> (q36StreamingHourly _),
+    "q124_streaming_hopping" -> (q124StreamingHopping _),
     "q52_streaming_dedup" -> (q52StreamingDedup _),
     "q63_streaming_neardup" -> (q63StreamingNearDup _),
     "q72_stream_stream_join" -> (q72StreamStreamJoin _),
@@ -284,6 +315,19 @@ object StreamingQueries {
     // the 7-day windows align to the unix epoch exactly like Spark's
     // window(); finalization (append mode) keeps windows whose end is at
     // least the 1 h watermark behind the max event time: w + 169 h <= max
+    // the two-shift epoch-aligned assignment is q121's batch arithmetic;
+    // finalization: window END (start + 6 h) at least 1 h behind max ts
+    "q124_streaming_hopping" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+        |x AS (SELECT event_type, (t // 10800000000 - i) * 10800000000 AS ws
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i)),
+        |g AS (SELECT make_timestamp(ws) AS w, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM x GROUP BY ws, event_type)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w, event_type, cnt
+        |FROM g
+        |WHERE w + INTERVAL 7 HOUR <= (SELECT max(ts) FROM events)
+        |ORDER BY w, event_type""".stripMargin,
     "q107_streaming_kmv" ->
       s"""WITH e AS (SELECT
          |    make_timestamp((epoch_us(ts) // 604800000000) * 604800000000) AS w,
