@@ -380,7 +380,80 @@ object EtlQueries {
     carried.unionByName(rebuilt).orderBy("user_id", "version")
   }
 
+  /** Corpus snapshot DIFF — the recrawl-vs-previous-version accounting
+    * every versioned corpus needs (what changed between crawl N-1 and
+    * crawl N), and the board's FULL OUTER JOIN exercise (J1-J9 cover
+    * left/inner/semi/anti; a diff needs both unmatched sides at once).
+    * Version 2 is derived deterministically from the fixture (docs
+    * % 13 removed, % 17 edited, % 19 re-added under a shifted id), both
+    * sides reduce to (doc_id, content-hash) BEFORE the join — the
+    * full-outer shuffle carries two hashes per doc, never document
+    * bodies — and the verdict is pure CASE arithmetic on null-ness and
+    * hash equality. Scale: one doc_id equi-shuffle of id+hash rows; the
+    * output is the bounded per-verdict summary. */
+  def q125SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val v1 = base.select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = base.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text"))).as("h2"))
+      .unionByName(base.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          md5(concat(col("text"), lit(" new"))).as("h2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("change", expr(
+        "case when h1 is null then 'added' when h2 is null then 'removed' " +
+          "when h1 = h2 then 'unchanged' else 'changed' end"))
+      .groupBy("change")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        min("doc_id").cast("bigint").as("min_id"),
+        max("doc_id").cast("bigint").as("max_id"))
+      .orderBy("change")
+  }
+
+  /** Incremental AGGREGATE-VIEW maintenance — the q113 equivalence
+    * discipline applied to a materialized aggregate: yesterday's
+    * (hour, type) count/sum view absorbs today's delta by SUM-MERGING
+    * partial aggregates on overlapping keys, and the registered oracle
+    * is the full recompute, so the hash gate proves merged == full on
+    * every run. The cutoff sits 90 minutes (NOT hour-aligned) before
+    * max(ts), so the boundary hour genuinely exists in BOTH the staged
+    * base and the delta — the merge path is never vacuous. Decimal
+    * partial sums re-sum exactly (order-free integer arithmetic), so
+    * the merge is bit-equal to the one-pass aggregate; the double cast
+    * happens once, after the merge. Scale: the delta aggregate touches
+    * only new data; the merge shuffles |view| + |delta keys| summary
+    * rows, never events. */
+  def q126IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(date_format(expr("date_trunc('hour', ts)"),
+        "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("event_type"), expr("unix_micros(ts)").as("t"),
+        dec6(col("value")).as("v"))
+    val r = ev.agg(max("t")).head()
+    val cutoffUs = r.getLong(0) - 90L * 60 * 1000000
+    val dim0 = {
+      val p = graft.Staging.fresh("aggmv")
+      ev.filter(col("t") < cutoffUs)
+        .groupBy("h", "event_type")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+        .write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    }
+    val delta = ev.filter(col("t") >= cutoffUs)
+      .groupBy("h", "event_type")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+    dim0.unionByName(delta)
+      .groupBy("h", "event_type")
+      .agg(sum("cnt").cast("bigint").as("cnt"),
+        sum("sv").cast("double").as("sum_value"))
+      .orderBy("h", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_snapshot_diff" -> (q125SnapshotDiff _),
+    "q126_incremental_agg" -> (q126IncrementalAgg _),
     "q113_scd2_incremental" -> (q113Scd2Incremental _),
     "q109_zorder_scan" -> (q109ZorderScan _),
     "q102_scd2_dimension" -> (q102Scd2Dimension _),
@@ -453,6 +526,29 @@ object EtlQueries {
     // incremental merge (rebuild touched users + carry the rest) is
     // indistinguishable from rebuilding the whole dimension
     "q113_scd2_incremental" -> scd2OracleSql,
+    "q125_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' edited' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, md5(text || ' new')
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |d AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed'
+        |         WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS change
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM d GROUP BY change ORDER BY change""".stripMargin,
+    // the oracle is the FULL recompute: the hash gate proves the staged
+    // base + delta sum-merge equals a one-pass aggregate
+    "q126_incremental_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
     "q102_scd2_dimension" -> scd2OracleSql,
   ) ++ oraclesRest
 
