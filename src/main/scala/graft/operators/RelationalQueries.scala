@@ -1129,6 +1129,49 @@ object RelationalQueries {
         col("first_t"), col("last_t"), col("seq_md5"))
       .orderBy("user_id")
 
+  /** Explicit GROUPING SETS — the third grouping-sets operator beside
+    * ROLLUP (q43) and CUBE (q114): an arbitrary, non-hierarchical set
+    * list ((type), (band), ()) that neither shorthand expresses, plus
+    * the GROUPING() marker function that distinguishes "null because
+    * aggregated over" from a genuinely null key. Runs through the SQL
+    * path (q35's S13 surface — the DataFrame API spells this
+    * `.cube`/`.rollup` only). One Expand + one aggregate, like its
+    * siblings. */
+  def q128GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("hband", expr("cast(hour(ts) div 6 as int)"))
+      .createOrReplaceTempView("graft_q128_events")
+    s.sql("""
+      SELECT coalesce(event_type, 'ALL') AS event_type,
+             coalesce(hband, -1) AS hband,
+             cast(grouping(event_type) AS int) AS g_type,
+             cast(grouping(hband) AS int) AS g_band,
+             cast(count(*) AS bigint) AS cnt
+      FROM graft_q128_events
+      GROUP BY GROUPING SETS ((event_type), (hband), ())
+      ORDER BY event_type, hband""")
+  }
+
+  /** Conditional / argument aggregate suite — the §2.6 surface corners a
+    * BI user reaches for weekly: count_if, bool_and/bool_or gates, and
+    * max_by/min_by argument selection. Determinism rule: the *_by
+    * ordering argument is the UNIQUE event_id (value at the
+    * latest/earliest event), because arg-selection over a tied ordering
+    * key is engine-arbitrary — the one semantic trap of this family,
+    * documented by construction here. One shuffle on the bounded type
+    * key with map-side partials. */
+  def q129ConditionalAggs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        expr("count_if(value > 100.0)").cast("bigint").as("n_over_100"),
+        expr("bool_and(value > 0.0)").as("all_positive"),
+        expr("bool_or(value > 300.0)").as("any_over_300"),
+        expr("max_by(value, event_id)").as("latest_value"),
+        expr("min_by(value, event_id)").as("earliest_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .orderBy("event_type")
+
   /** DuckDB has no base-16 conv(); numeric value of the first n hex
     * digits of md5(x) via nibble Horner (the shared oracle idiom). */
   private def duckMd5Int(x: String, n: Int): String =
@@ -1142,6 +1185,8 @@ object RelationalQueries {
     "q119_event_transitions" -> (q119EventTransitions _),
     "q121_hopping_windows" -> (q121HoppingWindows _),
     "q122_sequence_assembly" -> (q122SequenceAssembly _),
+    "q128_grouping_sets" -> (q128GroupingSets _),
+    "q129_conditional_aggs" -> (q129ConditionalAggs _),
     "q116_relative_rank" -> (q116RelativeRank _),
     "q114_cube" -> (q114Cube _),
     "q115_set_ops" -> (q115SetOps _),
@@ -1222,6 +1267,24 @@ object RelationalQueries {
          |  abs(est_union - CAST(n_a + n_b - n_both AS DOUBLE))
          |    / CAST(n_a + n_b - n_both AS DOUBLE) AS rel_err_union
          |FROM j ORDER BY ta, tb""".stripMargin,
+    "q128_grouping_sets" ->
+      """WITH e AS (SELECT event_type, CAST(hour(ts) // 6 AS INTEGER) AS hband FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(hband, -1) AS hband,
+        |  CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+        |  CAST(GROUPING(hband) AS INTEGER) AS g_band,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM e GROUP BY GROUPING SETS ((event_type), (hband), ())
+        |ORDER BY event_type, hband""".stripMargin,
+    "q129_conditional_aggs" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(count_if(value > 100.0) AS BIGINT) AS n_over_100,
+        |  bool_and(value > 0.0) AS all_positive,
+        |  bool_or(value > 300.0) AS any_over_300,
+        |  arg_max(value, event_id) AS latest_value,
+        |  arg_min(value, event_id) AS earliest_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q121_hopping_windows" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
         |x AS (SELECT event_type, t, value, i

@@ -470,7 +470,40 @@ object TextAnalysisQueries {
   def q104PhraseSearch(s: SparkSession, dir: String): DataFrame =
     phraseSearch(Tables.documents(s, dir), Seq("big", "order", "scan"))
 
+  /** Array higher-order/collection function suite — the §2.11 surface a
+    * token-array pipeline leans on daily (size/distinct/contains/
+    * position/sort/reverse/slice/element_at/array_max), each with a
+    * DuckDB list_* twin so the whole family is hash-checked in one
+    * query (the q48 string-suite discipline applied to arrays). Scalar
+    * projections per document, one bounded per-language aggregate; every
+    * function is codegen'd (no HOF lambdas that would fall back to
+    * interpreted eval — the graft_dot lesson). */
+  def q127ArraySuite(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .select(col("lang"),
+        expr("size(toks)").as("nt"),
+        expr("size(array_distinct(toks))").as("nd"),
+        expr("cast(array_contains(toks, 'the') as int)").as("has_the"),
+        expr("coalesce(array_position(toks, 'the'), 0L)").as("pos_the"),
+        expr("element_at(array_sort(toks), 1)").as("first_sorted"),
+        expr("element_at(reverse(toks), 1)").as("last_tok"),
+        expr("concat_ws(' ', slice(toks, 2, 3))").as("mid3"),
+        expr("array_max(toks)").as("max_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("nt").cast("bigint").as("sum_tokens"),
+        sum("nd").cast("bigint").as("sum_distinct"),
+        sum("has_the").cast("bigint").as("n_with_the"),
+        sum("pos_the").cast("bigint").as("sum_pos_the"),
+        min("first_sorted").as("min_first_sorted"),
+        max("max_tok").as("max_token"),
+        countDistinct("mid3").cast("bigint").as("n_distinct_mid3"),
+        countDistinct("last_tok").cast("bigint").as("n_distinct_last"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_array_suite" -> (q127ArraySuite _),
     "q104_phrase_search" -> (q104PhraseSearch _),
     "q27_text_stats" -> (q27TextStats _),
     "q73_chunking" -> (q73Chunking _),
@@ -520,6 +553,28 @@ object TextAnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q127_array_suite" ->
+      """WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |x AS (SELECT lang,
+        |    len(toks) AS nt,
+        |    len(list_distinct(toks)) AS nd,
+        |    CAST(list_contains(toks, 'the') AS INTEGER) AS has_the,
+        |    COALESCE(list_position(toks, 'the'), 0) AS pos_the,
+        |    list_sort(toks)[1] AS first_sorted,
+        |    list_reverse(toks)[1] AS last_tok,
+        |    array_to_string(toks[2:4], ' ') AS mid3,
+        |    list_max(toks) AS max_tok
+        |  FROM d)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(nd) AS BIGINT) AS sum_distinct,
+        |  CAST(SUM(has_the) AS BIGINT) AS n_with_the,
+        |  CAST(SUM(pos_the) AS BIGINT) AS sum_pos_the,
+        |  MIN(first_sorted) AS min_first_sorted,
+        |  MAX(max_tok) AS max_token,
+        |  CAST(COUNT(DISTINCT mid3) AS BIGINT) AS n_distinct_mid3,
+        |  CAST(COUNT(DISTINCT last_tok) AS BIGINT) AS n_distinct_last
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
     "q104_phrase_search" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |p AS (SELECT doc_id, unnest(toks) AS tok,
