@@ -50,7 +50,10 @@ object Layouts {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** Stable base dir for one (kind, source dir). */
+  /** Stable base dir for one (kind, source dir). ONE ACTIVE layout per
+    * pair: a version (geometry) change REPLACES the layout on next
+    * build rather than coexisting beside it — callers that need two
+    * geometries of one source use two kinds. */
   def baseFor(kind: String, sourceDir: String): String =
     s"$root/${kind}_${md5hex(sourceDir).take(12)}"
 

@@ -763,7 +763,8 @@ object DedupQueries {
     * corpus-side exchanges). Disk/catalog lifetime matches
     * [[writeFingerprintIndex]]: one table per call, swept at JVM exit. */
   def writeSubstringIndex(docs: DataFrame, k: Int, w: Int, nBuckets: Int,
-                          base: String, table: String): String = {
+                          base: String, table: String)
+      : graft.etl.Layouts.BucketedReg = {
     val ck = graft.Staging.fresh("subidx")
     substringPostings(docs, k, w)
       .write.mode("overwrite").parquet(s"$ck/posts")
@@ -774,8 +775,21 @@ object DedupQueries {
         .select(col("print"), col("doc_id").as("corpus_doc"),
           col("pos").as("corpus_pos"), col("print_df")),
       nBuckets, "print", s"$base/posts", table)
-    table
   }
+
+  /** [[writeSubstringIndex]] through the durable layout registry: one
+    * build per corpus dir ACROSS JVMs — a later session re-attaches the
+    * bucketed posting table from the manifest (zero rebuild jobs; the
+    * winnow+df pass is the cost the index amortizes). Returns the
+    * catalog table name, registered in this session either way. */
+  def attachSubstringIndex(s: SparkSession, dir: String,
+                           k: Int, w: Int, nBuckets: Int): String =
+    graft.etl.Layouts.attachOrBuild(s, "subidx",
+      s"v1;k=$k;w=$w;buckets=$nBuckets", dir, Seq("documents")) { base =>
+      val reg = writeSubstringIndex(Tables.documents(s, dir), k, w, nBuckets,
+        base, s"graft_subidx_${graft.etl.Layouts.nameSuffix(dir)}")
+      (Seq(reg), base)
+    }.regs.head.table
 
   /** Same-offset run verdicts of a NEW batch against a
     * [[writeSubstringIndex]] layout: per (batch doc, corpus doc, offset)

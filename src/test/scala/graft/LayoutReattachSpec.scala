@@ -66,6 +66,30 @@ class LayoutReattachSpec extends AnyFunSuite {
       s"attached bucketed join must stay exchange-free:\n$p")
   }
 
+  test("the substring posting index re-attaches across sessions with zero rebuild jobs") {
+    val table = operators.DedupQueries.attachSubstringIndex(
+      spark, sfDir, k = 12, w = 6, nBuckets = 8)
+    val base = etl.Layouts.baseFor("subidx", sfDir)
+    assert(Files.exists(Paths.get(base, "_graft_manifest")))
+    val before = snapshot(base)
+    val count1 = spark.table(table).count()
+
+    // simulate a fresh JVM: the catalog entry dies with the session
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val table2 = operators.DedupQueries.attachSubstringIndex(
+      spark, sfDir, k = 12, w = 6, nBuckets = 8)
+    assert(table2 === table, "the manifest must reproduce the table name")
+    assert(spark.table(table2).count() === count1)
+    assert(snapshot(base) == before,
+      "attach must not touch a single index file (the winnow pass never re-runs)")
+    // a DIFFERENT geometry is a different layout version: must rebuild,
+    // not silently serve the k=12 index for a k=8 request
+    val other = operators.DedupQueries.attachSubstringIndex(
+      spark, sfDir, k = 8, w = 6, nBuckets = 8)
+    assert(snapshot(base) != before, "a changed geometry must rebuild")
+    assert(spark.table(other).count() > 0)
+  }
+
   test("q109 z-order layout re-attaches; a fingerprint mismatch forces a rebuild") {
     val r1 = SparkEntry.queries("q109_zorder_scan")(spark, sfDir).collect()
     val base = etl.Layouts.baseFor("zorder", sfDir)

@@ -24,7 +24,7 @@ class StreamingSubstringIndexSpec extends AnyFunSuite {
     val corpus = docs.filter(col("doc_id") % 10 =!= 7)
     val table = graft.operators.DedupQueries.writeSubstringIndex(
       corpus, k, w, nBuckets = 8, base = Staging.fresh("subidx_wh"),
-      table = "graft_subidx_stream")
+      table = "graft_subidx_stream").table
 
     // this week's batch: fresh docs (doc_id % 10 == 7, no corpus overlap
     // of run length by construction is NOT guaranteed either way for word
