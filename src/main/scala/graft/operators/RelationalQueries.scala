@@ -1172,6 +1172,29 @@ object RelationalQueries {
         min("value").as("min_value"), max("value").as("max_value"))
       .orderBy("event_type")
 
+  /** MAP-typed column surface — the semi-structured sidecar parsed to a
+    * real MAP (q78 projects one known field; operations over the map
+    * ITSELF — cardinality, key set, lookup — are what a dynamic-schema
+    * properties column needs): `from_json` to MAP<STRING,INT>, then
+    * size / map_keys / element_at, all codegen'd. The oracle reads the
+    * same facts through DuckDB's JSON functions (json_keys, ->> path
+    * lookup) — different machinery, same answers, which is the point of
+    * the parity check. One scan, one bounded per-type aggregate. */
+  def q130MapSuite(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("m", expr("from_json(props, 'map<string,int>')"))
+      .select(col("event_type"),
+        expr("size(m)").as("n_keys"),
+        expr("concat_ws(',', array_sort(map_keys(m)))").as("key_set"),
+        expr("coalesce(element_at(m, 'k'), 0)").as("k_val"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum("n_keys").cast("bigint").as("sum_keys"),
+        countDistinct("key_set").cast("bigint").as("n_key_sets"),
+        min("key_set").as("min_key_set"),
+        sum("k_val").cast("bigint").as("sum_k"))
+      .orderBy("event_type")
+
   /** DuckDB has no base-16 conv(); numeric value of the first n hex
     * digits of md5(x) via nibble Horner (the shared oracle idiom). */
   private def duckMd5Int(x: String, n: Int): String =
@@ -1187,6 +1210,7 @@ object RelationalQueries {
     "q122_sequence_assembly" -> (q122SequenceAssembly _),
     "q128_grouping_sets" -> (q128GroupingSets _),
     "q129_conditional_aggs" -> (q129ConditionalAggs _),
+    "q130_map_suite" -> (q130MapSuite _),
     "q116_relative_rank" -> (q116RelativeRank _),
     "q114_cube" -> (q114Cube _),
     "q115_set_ops" -> (q115SetOps _),
@@ -1276,6 +1300,18 @@ object RelationalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM e GROUP BY GROUPING SETS ((event_type), (hband), ())
         |ORDER BY event_type, hband""".stripMargin,
+    "q130_map_suite" ->
+      """WITH m AS (SELECT event_type,
+        |    len(json_keys(props)) AS n_keys,
+        |    array_to_string(list_sort(json_keys(props)), ',') AS key_set,
+        |    COALESCE(CAST(props->>'k' AS INTEGER), 0) AS k_val
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_keys) AS BIGINT) AS sum_keys,
+        |  CAST(COUNT(DISTINCT key_set) AS BIGINT) AS n_key_sets,
+        |  MIN(key_set) AS min_key_set,
+        |  CAST(SUM(k_val) AS BIGINT) AS sum_k
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q129_conditional_aggs" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(count_if(value > 100.0) AS BIGINT) AS n_over_100,

@@ -502,7 +502,35 @@ object TextAnalysisQueries {
         countDistinct("last_tok").cast("bigint").as("n_distinct_last"))
       .orderBy("lang")
 
+  /** Regex function suite — extract / extract-all / replace / rlike in
+    * one hash-checked pass (q60's PII scrub uses the family in anger;
+    * this pins the primitives). Patterns stay in the dialect
+    * intersection (character classes, quantifiers — no lookaround, no
+    * \\d shorthand) because Spark compiles java.util.regex and DuckDB
+    * compiles RE2: a pattern outside the common subset can MATCH
+    * DIFFERENTLY while both engines accept it, which is exactly the
+    * portability trap this query documents. Scalar projections + one
+    * bounded per-language aggregate. */
+  def q131RegexSuite(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        expr("size(regexp_extract_all(text, '[0-9]+', 0))").as("n_numbers"),
+        expr("regexp_extract(text, '([a-z]+ing)', 1)").as("first_ing"),
+        expr("cast(text rlike '[A-Z][a-z]+' as int)").as("has_capitalized"),
+        expr("length(regexp_replace(text, '[aeiou]', ''))").as("len_novowels"),
+        expr("length(text)").as("len"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_numbers").cast("bigint").as("sum_numbers"),
+        countDistinct("first_ing").cast("bigint").as("n_distinct_ing"),
+        min(when(col("first_ing") =!= "", col("first_ing"))).as("min_ing"),
+        sum("has_capitalized").cast("bigint").as("n_capitalized"),
+        sum("len_novowels").cast("bigint").as("sum_novowel_len"),
+        sum("len").cast("bigint").as("sum_len"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_regex_suite" -> (q131RegexSuite _),
     "q127_array_suite" -> (q127ArraySuite _),
     "q104_phrase_search" -> (q104PhraseSearch _),
     "q27_text_stats" -> (q27TextStats _),
@@ -553,6 +581,22 @@ object TextAnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q131_regex_suite" ->
+      """WITH x AS (SELECT lang,
+        |    len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+        |    regexp_extract(text, '([a-z]+ing)', 1) AS first_ing,
+        |    CAST(regexp_matches(text, '[A-Z][a-z]+') AS INTEGER) AS has_capitalized,
+        |    length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_novowels,
+        |    length(text) AS len
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_numbers) AS BIGINT) AS sum_numbers,
+        |  CAST(COUNT(DISTINCT first_ing) AS BIGINT) AS n_distinct_ing,
+        |  MIN(CASE WHEN first_ing <> '' THEN first_ing END) AS min_ing,
+        |  CAST(SUM(has_capitalized) AS BIGINT) AS n_capitalized,
+        |  CAST(SUM(len_novowels) AS BIGINT) AS sum_novowel_len,
+        |  CAST(SUM(len) AS BIGINT) AS sum_len
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
     "q127_array_suite" ->
       """WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
         |x AS (SELECT lang,
