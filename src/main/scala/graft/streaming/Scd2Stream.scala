@@ -62,17 +62,21 @@ object Scd2Stream {
   /** One micro-batch of raw events against the (lakeDir, dimDir) pair. */
   def maintain(batch: DataFrame, lakeDir: String, dimDir: String): Unit = {
     val s = batch.sparkSession
-    batch.select("user_id", "ts", "event_id", "event_type")
-      .write.mode("append").parquet(lakeDir)
+    // the lake shares the dimension's user-bucket layout, so the history
+    // re-read PRUNES to the touched buckets at the directory level — at
+    // scale a batch touching b of nBuckets buckets reads b/nBuckets of
+    // the lake, not all of it (plus the semi-join inside those buckets)
+    withUb(batch.select("user_id", "ts", "event_id", "event_type"))
+      .write.mode("append").partitionBy("ub").parquet(lakeDir)
     val touched = batch.select("user_id").distinct()
-    val history = s.read.parquet(lakeDir)
-      .join(touched, Seq("user_id"), "left_semi")
-      .dropDuplicates("event_id")
-    val rebuilt = withUb(graft.operators.EtlQueries.scd2Runs(history))
-
     // bounded driver scalar: the touched bucket ids (<= nBuckets values)
     val touchedBuckets = withUb(touched).select("ub").distinct()
       .collect().map(_.getInt(0)).toSeq
+    val history = s.read.parquet(lakeDir)
+      .filter(col("ub").isin(touchedBuckets: _*))
+      .join(touched, Seq("user_id"), "left_semi")
+      .dropDuplicates("event_id")
+    val rebuilt = withUb(graft.operators.EtlQueries.scd2Runs(history))
     val carried = {
       val dim = readDim(s, dimDir)
       if (dim.schema.fieldNames.contains("ub"))
