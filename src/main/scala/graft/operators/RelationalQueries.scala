@@ -1195,6 +1195,33 @@ object RelationalQueries {
         sum("k_val").cast("bigint").as("sum_k"))
       .orderBy("event_type")
 
+  /** Market-basket co-occurrence — the association-mining primitive
+    * (top part pairs sharing an order) and the canonical BOUNDED
+    * self-join: lineitem joins itself on l_orderkey, whose per-key
+    * fanout is the lines-per-order distribution (TPC-H ~4, never
+    * corpus-scale), so pair cardinality is sum(n_i choose 2) — linear
+    * in orders, not quadratic in lineitem. The same query against an
+    * UNBOUNDED key would be the q22-family's job (LSH candidates);
+    * choosing the join by key-fanout is the design rule this query
+    * records. Distinct parts per order first (a part twice in one order
+    * is one basket membership), pairs oriented a < b, global top-20 by
+    * TakeOrderedAndProject. */
+  def q132MarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = li.select(col("ok"), col("pk").as("part_a"))
+    val b = li.select(col("ok"), col("pk").as("part_b"))
+    a.join(b, Seq("ok"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"))
+      .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
+      .limit(20)
+      .select(col("part_a").cast("bigint").as("part_a"),
+        col("part_b").cast("bigint").as("part_b"), col("n_orders"))
+  }
+
   /** DuckDB has no base-16 conv(); numeric value of the first n hex
     * digits of md5(x) via nibble Horner (the shared oracle idiom). */
   private def duckMd5Int(x: String, n: Int): String =
@@ -1211,6 +1238,7 @@ object RelationalQueries {
     "q128_grouping_sets" -> (q128GroupingSets _),
     "q129_conditional_aggs" -> (q129ConditionalAggs _),
     "q130_map_suite" -> (q130MapSuite _),
+    "q132_market_basket" -> (q132MarketBasket _),
     "q116_relative_rank" -> (q116RelativeRank _),
     "q114_cube" -> (q114Cube _),
     "q115_set_ops" -> (q115SetOps _),
@@ -1300,6 +1328,15 @@ object RelationalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM e GROUP BY GROUPING SETS ((event_type), (hband), ())
         |ORDER BY event_type, hband""".stripMargin,
+    "q132_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.ok, a.pk AS part_a, b.pk AS part_b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT CAST(part_a AS BIGINT) AS part_a,
+        |  CAST(part_b AS BIGINT) AS part_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM p GROUP BY part_a, part_b
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     "q130_map_suite" ->
       """WITH m AS (SELECT event_type,
         |    len(json_keys(props)) AS n_keys,
