@@ -1222,6 +1222,78 @@ object RelationalQueries {
         col("part_b").cast("bigint").as("part_b"), col("n_orders"))
   }
 
+  /** Referential-integrity audit — the warehouse data-quality sweep
+    * (§2.13 extension) that must run before any star-join is trusted:
+    * per FK relation, the count of child keys with no parent row, as
+    * one ANTI-join per relation on the FK itself (distinct keys first,
+    * so the shuffle carries key sets, not fact rows). Zero orphans is
+    * the expected fixture answer — the AUDIT, not the orphans, is the
+    * operator. At 100 TB each relation costs one key-distinct + one
+    * anti-join on a scaling key. */
+  def q133IntegrityAudit(s: SparkSession, dir: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key)).distinct()
+        .join(parent.select(col(pkey).as(key)).distinct(), Seq(key), "left_anti")
+        .agg(count(lit(1)).cast("bigint").as("n_orphans"))
+        .withColumn("relation", lit(name))
+    orphans("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionByName(orphans("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .unionByName(orphans("customer->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"))
+      .select(col("relation"), col("n_orphans"))
+      .orderBy("relation")
+  }
+
+  /** Join-key SKEW profile — the pre-join audit behind every salting /
+    * AQE-skew decision (SCALE.md's skew section, as a first-class
+    * operator): the key-frequency distribution of lineitem's part key —
+    * max, p50/p99 (exact `percentile`, bit-identical to DuckDB's
+    * quantile_cont per the q49/q96 proof), and the top-1 key's share of
+    * all rows. One groupBy on the key, then constant-size aggregation
+    * over the key-frequency table; at a 1e9-key domain the percentile
+    * swaps for the q51 sketch, noted here as the scale path. */
+  def q134SkewProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).cast("bigint").as("n_keys"),
+        sum("f").cast("bigint").as("total_rows"),
+        max("f").cast("bigint").as("max_freq"),
+        expr("percentile(f, 0.5)").as("p50_freq"),
+        expr("percentile(f, 0.99)").as("p99_freq"))
+      .withColumn("top1_share",
+        expr("cast(max_freq as double) / cast(total_rows as double)"))
+
+  /** Time-series GAP detection (gaps-and-islands) — the missing-data
+    * audit a pipeline runs on its event feed: per type, active hours,
+    * span, missing-hour count, and the LONGEST outage (max consecutive
+    * missing hours), from one lag over the per-(type, hour) aggregate —
+    * the window runs over hourly summary rows (span/3600 per type),
+    * never events, so the bounded-enum partition is guard-legal by the
+    * summaries rule. All integer hour arithmetic. */
+  def q135GapDetection(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    hourly
+      .withColumn("gap_before", col("hr") - lag("hr", 1).over(w) - 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n_hours_active"),
+        min("hr").cast("bigint").as("first_hr"),
+        max("hr").cast("bigint").as("last_hr"),
+        coalesce(max("gap_before"), lit(0L)).cast("bigint").as("max_gap_hours"))
+      .withColumn("span_hours", col("last_hr") - col("first_hr") + 1)
+      .withColumn("n_gap_hours", col("span_hours") - col("n_hours_active"))
+      .select(col("event_type"), col("n_hours_active"), col("first_hr"),
+        col("last_hr"), col("span_hours").cast("bigint").as("span_hours"),
+        col("n_gap_hours").cast("bigint").as("n_gap_hours"),
+        col("max_gap_hours"))
+      .orderBy("event_type")
+  }
+
   /** DuckDB has no base-16 conv(); numeric value of the first n hex
     * digits of md5(x) via nibble Horner (the shared oracle idiom). */
   private def duckMd5Int(x: String, n: Int): String =
@@ -1239,6 +1311,9 @@ object RelationalQueries {
     "q129_conditional_aggs" -> (q129ConditionalAggs _),
     "q130_map_suite" -> (q130MapSuite _),
     "q132_market_basket" -> (q132MarketBasket _),
+    "q133_integrity_audit" -> (q133IntegrityAudit _),
+    "q134_skew_profile" -> (q134SkewProfile _),
+    "q135_gap_detection" -> (q135GapDetection _),
     "q116_relative_rank" -> (q116RelativeRank _),
     "q114_cube" -> (q114Cube _),
     "q115_set_ops" -> (q115SetOps _),
@@ -1328,6 +1403,42 @@ object RelationalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM e GROUP BY GROUPING SETS ((event_type), (hband), ())
         |ORDER BY event_type, hband""".stripMargin,
+    "q133_integrity_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem->orders' AS relation, CAST((
+        |    SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'orders->customer', CAST((
+        |    SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'customer->nation', CAST((
+        |    SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer) c
+        |    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+        |) ORDER BY relation""".stripMargin,
+    "q134_skew_profile" ->
+      """WITH f AS (SELECT l_partkey, COUNT(*) AS f FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(f) AS BIGINT) AS total_rows,
+        |  CAST(MAX(f) AS BIGINT) AS max_freq,
+        |  quantile_cont(f, 0.5) AS p50_freq,
+        |  quantile_cont(f, 0.99) AS p99_freq,
+        |  CAST(MAX(f) AS DOUBLE) / CAST(SUM(f) AS DOUBLE) AS top1_share
+        |FROM f""".stripMargin,
+    "q135_gap_detection" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr
+        |  FROM events),
+        |g AS (SELECT event_type, hr FROM h GROUP BY event_type, hr),
+        |d AS (SELECT event_type, hr,
+        |    hr - lag(hr) OVER (PARTITION BY event_type ORDER BY hr) - 1 AS gap_before
+        |  FROM g)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours_active,
+        |  CAST(MIN(hr) AS BIGINT) AS first_hr, CAST(MAX(hr) AS BIGINT) AS last_hr,
+        |  CAST(MAX(hr) - MIN(hr) + 1 AS BIGINT) AS span_hours,
+        |  CAST(MAX(hr) - MIN(hr) + 1 - COUNT(*) AS BIGINT) AS n_gap_hours,
+        |  CAST(COALESCE(MAX(gap_before), 0) AS BIGINT) AS max_gap_hours
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q132_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |p AS (SELECT a.ok, a.pk AS part_a, b.pk AS part_b
