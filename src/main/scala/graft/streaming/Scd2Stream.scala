@@ -62,6 +62,11 @@ object Scd2Stream {
   /** One micro-batch of raw events against the (lakeDir, dimDir) pair. */
   def maintain(batch: DataFrame, lakeDir: String, dimDir: String): Unit = {
     val s = batch.sparkSession
+    // AvailableNow can deliver a NO-DATA batch (e.g. the final commit
+    // tick); an empty delta touches no users and no buckets — and the
+    // empty staged write would leave a schema-less dir that cannot be
+    // read back. The guard is the standard foreachBatch idiom.
+    if (batch.isEmpty) return
     // the lake shares the dimension's user-bucket layout, so the history
     // re-read PRUNES to the touched buckets at the directory level — at
     // scale a batch touching b of nBuckets buckets reads b/nBuckets of
