@@ -1294,6 +1294,35 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Latest-wins (SCD Type-1) snapshot — the upsert-compaction view
+    * every CDC/event stream needs beside q102's history-keeping SCD2:
+    * each user's CURRENT state is the attributes of their latest event
+    * under the total (ts, event_id) order. Implemented as ONE max_by
+    * aggregate per attribute over a struct ordering key — one shuffle
+    * with map-side partials, no window, no self-join (the row_number
+    * form pays a per-user sort; the aggregate form is the compaction a
+    * merge-on-read table format runs, expressed relationally). The
+    * ordering key includes the unique event_id, so tied timestamps
+    * cannot make the arg selection engine-arbitrary (the q129 rule) —
+    * encoded as a zero-padded sortable STRING because that composite
+    * ordering is the one form BOTH engines' arg-selection aggregates
+    * accept (Spark's max_by takes a struct, DuckDB's arg_max does not;
+    * fixed-width decimal strings order identically to the integers). */
+  def q136LatestWins(s: SparkSession, dir: String): DataFrame = {
+    val ord = "concat(lpad(cast(unix_micros(ts) as string), 20, '0'), ':', " +
+      "lpad(cast(event_id as string), 20, '0'))"
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        expr(s"max_by(event_type, $ord)").as("last_type"),
+        expr(s"max_by(value, $ord)").as("last_value"),
+        expr(s"max_by(event_id, $ord)").cast("bigint").as("last_event_id"),
+        expr("date_format(max(ts), 'yyyy-MM-dd HH:mm:ss')").as("last_ts"))
+      .select(col("user_id").cast("bigint").as("user_id"), col("n_events"),
+        col("last_type"), col("last_value"), col("last_event_id"), col("last_ts"))
+      .orderBy("user_id")
+  }
+
   /** DuckDB has no base-16 conv(); numeric value of the first n hex
     * digits of md5(x) via nibble Horner (the shared oracle idiom). */
   private def duckMd5Int(x: String, n: Int): String =
@@ -1312,6 +1341,7 @@ object RelationalQueries {
     "q130_map_suite" -> (q130MapSuite _),
     "q132_market_basket" -> (q132MarketBasket _),
     "q133_integrity_audit" -> (q133IntegrityAudit _),
+    "q136_latest_wins" -> (q136LatestWins _),
     "q134_skew_profile" -> (q134SkewProfile _),
     "q135_gap_detection" -> (q135GapDetection _),
     "q116_relative_rank" -> (q116RelativeRank _),
@@ -1403,6 +1433,18 @@ object RelationalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM e GROUP BY GROUPING SETS ((event_type), (hband), ())
         |ORDER BY event_type, hband""".stripMargin,
+    "q136_latest_wins" ->
+      """WITH e AS (SELECT user_id, event_type, value, event_id, ts,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+        |      lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
+        |  FROM events)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  arg_max(event_type, ord) AS last_type,
+        |  arg_max(value, ord) AS last_value,
+        |  CAST(arg_max(event_id, ord) AS BIGINT) AS last_event_id,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q133_integrity_audit" ->
       """SELECT * FROM (
         |  SELECT 'lineitem->orders' AS relation, CAST((

@@ -304,6 +304,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"candidates must stay banded:\n$p")
   }
 
+  test("q132: the basket top-20 plans as TakeOrderedAndProject; the self-join stays equi") {
+    val p = plan("q132_market_basket")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the order-key self-join must stay an equi-join:\n$p")
+  }
+
+  test("q126: the merge consumes the staged base as a leaf, never re-aggregates history") {
+    val p = plan("q126_incremental_agg")
+    assert(p.contains("graft_aggmv"),
+      s"the merge must read last night's staged view:\n$p")
+  }
+
+  test("q133: every integrity relation is an anti-join over distinct keys, no cartesian") {
+    val p = plan("q133_integrity_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"FK audits must be anti equi-joins:\n$p")
+  }
+
   test("q42: candidate generation is a broadcast/hash join over staged leaf scans") {
     val p = plan("q42_simhash_pairs")
     assert(!p.contains("CartesianProduct"), "band join must be an equi-join")
