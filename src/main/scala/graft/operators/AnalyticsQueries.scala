@@ -283,6 +283,73 @@ object AnalyticsQueries {
       .count()
   }
 
+  // ---------------------------------------------------------------- q147
+
+  /** Per-node local clustering coefficient over the co-purchase graph —
+    * q141's global triangle count refined to the node level: coef(v) =
+    * 2 * triangles(v) / (deg(v) * (deg(v) - 1)), the fraction of v's
+    * neighbor pairs that are themselves connected (the community-density
+    * diagnostic next to q95's PageRank centrality). Top-20 under the
+    * total (coef DESC, node ASC) order.
+    *
+    * Same degree-oriented wedge enumeration as q141 (each triangle found
+    * exactly once, wedge fan-out bounded by ~sqrt(|E|) via orientation);
+    * the one addition is the 3-corner explode — 3 rows per triangle,
+    * then a per-node count on a scaling key. The coefficient itself is
+    * ONE double division of two exact BIGINTs (correctly rounded, so the
+    * sort key and value are engine-identical); staged oriented edges
+    * feed both the wedge self-join and the closure probe as leaf scans
+    * (the q141/q86 staging discipline). */
+  def q147ClusteringCoef(s: SparkSession, dir: String): DataFrame =
+    q147ClusteringCoefAll(s, dir).orderBy(desc("coef"), asc("node")).limit(20)
+
+  /** The full per-node frame (every node of degree >= 2) — q147 is its
+    * top-20; TemporalSpec checks the 3x-triangle-sum identity on it. */
+  private[graft] def q147ClusteringCoefAll(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s
+    import s2.implicits._
+    val stage = graft.Staging.fresh("coef")
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("pa"), $"b.p".as("pb")).distinct()
+      .write.mode("overwrite").parquet(s"$stage/edges")
+    val edges = s.read.parquet(s"$stage/edges")
+    val deg = edges.select(col("pa").as("node"))
+      .unionAll(edges.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.withColumnRenamed("node", "pa").withColumnRenamed("d", "da"), "pa")
+      .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("d", "db"), "pb")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
+          .otherwise(col("pb")).as("src"),
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
+          .otherwise(col("pa")).as("dst"))
+      .write.mode("overwrite").parquet(s"$stage/oriented")
+    val oriented = s.read.parquet(s"$stage/oriented")
+    // keep the wedge apex: the closed wedge (u; v, w) IS the triangle,
+    // enumerated once, so its corner explode counts each node's
+    // membership exactly once per triangle
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
+      .select($"e1.src".as("u"), $"e1.dst".as("v"), $"e2.dst".as("w"))
+    val closures = oriented.select(col("src").as("v"), col("dst").as("w"))
+      .unionAll(oriented.select(col("dst").as("v"), col("src").as("w")))
+    val triCnt = wedges.join(closures, Seq("v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(triCnt, Seq("node"), "left")
+      .filter(col("d") >= 2)
+      .select(col("node"), col("d").cast("bigint").as("degree"),
+        coalesce(col("tri"), lit(0L)).cast("bigint").as("triangles"))
+      .withColumn("coef",
+        (col("triangles") * lit(2L)).cast("double") /
+          (col("degree") * (col("degree") - lit(1L))).cast("double"))
+  }
+
   // ---------------------------------------------------------------- q142
 
   /** Calendar / interval arithmetic parity suite — the date dialect
@@ -329,6 +396,7 @@ object AnalyticsQueries {
     "q140_weighted_sample" -> (q140WeightedSample _),
     "q141_triangle_count" -> (q141TriangleCount _),
     "q142_calendar_suite" -> (q142CalendarSuite _),
+    "q147_clustering_coef" -> (q147ClusteringCoef _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -422,5 +490,26 @@ object AnalyticsQueries {
         |  strftime(CAST(d AS TIMESTAMP) + INTERVAL 90 MINUTE,
         |    '%Y-%m-%d %H:%M:%S') AS plus_90min
         |FROM o ORDER BY o_orderkey""".stripMargin,
+    // canonical a<b<c triangles, corners exploded once per triangle;
+    // coef is ONE correctly-rounded division of exact BIGINTs
+    "q147_clustering_coef" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, COUNT(*) AS d
+        |  FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        |  GROUP BY node),
+        |tri3 AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+        |    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |corners AS (SELECT UNNEST([a, b, c]) AS node FROM tri3),
+        |tc AS (SELECT node, COUNT(*) AS tri FROM corners GROUP BY node)
+        |SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(COALESCE(tc.tri, 0) AS BIGINT) AS triangles,
+        |  CAST(COALESCE(tc.tri, 0) * 2 AS DOUBLE)
+        |    / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS coef
+        |FROM deg LEFT JOIN tc ON tc.node = deg.node
+        |WHERE deg.d >= 2
+        |ORDER BY coef DESC, deg.node LIMIT 20""".stripMargin,
   )
 }

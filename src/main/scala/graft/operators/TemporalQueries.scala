@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 fourth-wave temporal/sequence analytics: the time-series
+  * operators an events warehouse grows next — interval concurrency,
+  * ordered path assembly, time-weighted means over irregular samples,
+  * trailing-window anomaly detection, and gap densification with
+  * forward fill. Reference analog: these extend the dashboard family of
+  * `/root/reference/sql/aggregations.sql` (hourly histograms :29-34, the
+  * 7-day moving average :36-42) from regular calendar grids to
+  * irregular event time.
+  *
+  * Determinism contract (results hash-compare against DuckDB): all
+  * cross-row accumulation is BIGINT-exact; doubles appear only in
+  * per-row chains of individually-correctly-rounded ops (+,-,*,/,sqrt)
+  * applied in the SAME order by both engines, or through a terminal
+  * floor/round quantization of such a chain. Every window partitions by
+  * a scaling entity key (user_id) or consumes bounded per-group
+  * SUMMARIES beneath an aggregate (the q68/SCALE.md discipline —
+  * StragglerGuardSpec sweeps these plans like every registration).
+  */
+object TemporalQueries {
+
+  // ---------------------------------------------------------------- q143
+
+  /** Maximum interval concurrency (sweep line) — "how many shipments
+    * were in transit on the busiest day", per return flag. Each lineitem
+    * occupies the derived interval [l_shipdate, l_shipdate + l_quantity
+    * days) — a deterministic transit window the fixture lacks a second
+    * timestamp for (the reference's journeys carry a real
+    * [start_timestamp, end_timestamp) pair; this is that operator over
+    * the fixture's one date).
+    *
+    * The sweep is the scale-safe form: every interval contributes a
+    * +1/-1 boundary delta, deltas collapse to per-(flag, date) NET
+    * changes (one map-side-combinable shuffle on a scaling key), and the
+    * running concurrency is a window over those bounded date SUMMARIES —
+    * never over interval rows. A naive per-day expansion (explode one
+    * row per occupied day) would multiply the fact table by mean
+    * interval length; the sweep reads it once. */
+  def q143MaxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      col("l_shipdate").cast("date").as("d0"),
+      expr("date_add(cast(l_shipdate as date), cast(l_quantity as int))").as("d1"))
+    val deltas = li.select(col("flag"), col("d0").as("d"), lit(1L).as("delta"))
+      .unionAll(li.select(col("flag"), col("d1").as("d"), lit(-1L).as("delta")))
+      .groupBy("flag", "d").agg(sum("delta").as("net"))
+    val conc = deltas.withColumn("c",
+      sum("net").over(Window.partitionBy("flag").orderBy("d")))
+    val peaks = conc.withColumn("peak",
+        max("c").over(Window.partitionBy("flag")))
+      .filter(col("c") === col("peak"))
+      .groupBy("flag")
+      .agg(first("peak").cast("bigint").as("peak_concurrency"),
+        min("d").as("peak_date"))
+    peaks.select(col("flag").as("l_returnflag"), col("peak_concurrency"),
+        col("peak_date"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Test-only brute baseline for TemporalSpec: concurrency at a date =
+    * COUNT of intervals containing it; checked at every boundary date. */
+  private[graft] def concurrencyBrute(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      col("l_shipdate").cast("date").as("d0"),
+      expr("date_add(cast(l_shipdate as date), cast(l_quantity as int))").as("d1"))
+    val dates = li.select(col("flag"), col("d0").as("d")).distinct()
+    dates.join(li, Seq("flag"))
+      .filter(col("d0") <= col("d") && col("d") < col("d1"))
+      .groupBy("flag", "d").agg(count(lit(1)).as("c"))
+      .groupBy("flag").agg(max("c").as("peak"))
+  }
+
+  // ---------------------------------------------------------------- q145
+
+  /** Ordered per-user event path — deterministic LISTAGG/STRING_AGG
+    * parity (BigQuery's STRING_AGG over the analytics view is the
+    * reference-dialect analog). The grouped collect is sorted by the
+    * TOTAL (ts, event_id) order before joining, so the assembled string
+    * is engine-independent where a bare collect_list/string_agg without
+    * ORDER BY is partition-order-arbitrary — the q129 tie rule applied
+    * to sequence assembly (q122 hashes ordered sequences; this is the
+    * presentation-string form a dashboard exports).
+    *
+    * Scale: one shuffle on user_id; per-group state is the user's own
+    * event list — bounded by per-entity activity, the sessionize
+    * assumption (q39/q122), never by corpus size. */
+  def q145EventPaths(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("user_id") < 40)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("path"))
+      .select(col("user_id"), col("n_events").cast("bigint").as("n_events"),
+        col("path"))
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------- q146
+
+  /** Time-weighted average over irregular samples (last-value-hold): the
+    * mean of a piecewise-constant signal where each event's value holds
+    * until the user's next event — the correct average for unevenly
+    * sampled telemetry, where the row-mean over-weights bursty periods.
+    *
+    * Exactness: value is quantized to centi-units (the fixture's own
+    * 2-decimal grid) as BIGINT, weighted by exact microsecond interval
+    * lengths (unix_micros/epoch_us), and summed in BIGINT — the weighted
+    * sum is bounded by max(v_q) * (the user's total observed span) =
+    * 49_002 * 2.6e12 us ~ 1.3e17, inside int64 by ~70x, and the bound
+    * scales with a USER's history span, not corpus size. The final twa =
+    * wsum/total/100 runs the identical 3-op double chain in both
+    * engines. One window (lead) and one aggregation, both keyed on
+    * user_id — a scaling entity key. */
+  def q146TimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t_us"),
+        expr("cast(round(value * 100) as bigint)").as("v_q"))
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    ev.withColumn("dt", lead("t_us", 1).over(w) - col("t_us"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_segments"),
+        sum("dt").cast("bigint").as("total_us"),
+        sum(col("v_q") * col("dt")).as("wsum"))
+      .select(col("user_id"), col("n_segments"), col("total_us"),
+        (col("wsum").cast("double") / col("total_us").cast("double") /
+          lit(100.0)).as("twa"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q148
+
+  /** Trailing-window anomaly detection over daily volumes: each
+    * (event_type, day) count is z-scored against the mean/std of the 7
+    * PRECEDING days (never including itself — the monitoring baseline
+    * convention), flagging volume spikes/dips. The reference's 7-day
+    * moving average (`aggregations.sql:36-42`) is the mean half of this;
+    * the variance half makes it a detector.
+    *
+    * The scan collapses to per-(type, day) counts FIRST (one shuffle,
+    * map-side combinable); the trailing window then rides ~|days| x
+    * |types| summary rows (enum-partitioned over an aggregate — the
+    * legal straggler-guard shape). Moments are exact BIGINT sums; the
+    * z chain — mean = s1/7, var = (7*s2 - s1^2)/42, z = (c - mean)/
+    * sqrt(var) — is the identical op sequence in both engines, and the
+    * emitted z_e6 = floor(z * 1e6) quantizes the identical double. */
+  def q148DayAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s1", sum("cnt").over(w7))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("mean", col("s1").cast("double") / lit(7.0))
+      .withColumn("varr",
+        (lit(7L) * col("s2") - col("s1") * col("s1")).cast("double") / lit(42.0))
+      .filter(col("varr") > 0.0)
+      .withColumn("z",
+        (col("cnt").cast("double") - col("mean")) / sqrt(col("varr")))
+      .select(col("event_type"), col("d"), col("cnt").cast("bigint").as("cnt"),
+        floor(col("z") * lit(1000000.0)).cast("bigint").as("z_e6"))
+      .orderBy("event_type", "d")
+  }
+
+  // ---------------------------------------------------------------- q149
+
+  /** Gap densification with forward fill: expand each user's observed
+    * span to a dense daily spine (sequence+explode — the S12 generator
+    * applied per-entity) and carry the last observed day-close value
+    * across unobserved days (LOCF). Day-close is the value of the day's
+    * LAST event under the total (ts, event_id) order — the q129
+    * arg-selection rule, expressed as a struct max.
+    *
+    * Scale: the spine explode is narrow (one generator row per user-day,
+    * bounded by span length per entity); the fill is last(ignoreNulls)
+    * over the user_id entity key. No global operation anywhere — at
+    * 100 TB this densifies each user independently. */
+  def q149DensifyFfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id") < 30)
+      .select(col("user_id"), col("ts").cast("date").as("d"), col("ts"),
+        col("event_id"), col("value"))
+    val daily = ev.groupBy("user_id", "d")
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .getField("value").as("day_close"))
+    val spine = ev.groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("filled", last("day_close", ignoreNulls = true)
+        .over(Window.partitionBy("user_id").orderBy("d")))
+      .select(col("user_id"), col("d"),
+        col("day_close").isNotNull.as("observed"),
+        expr("cast(round(filled * 100) as bigint)").as("filled_e2"))
+      .orderBy("user_id", "d")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_max_concurrency" -> (q143MaxConcurrency _),
+    "q145_event_paths" -> (q145EventPaths _),
+    "q146_time_weighted_avg" -> (q146TimeWeightedAvg _),
+    "q148_day_anomaly" -> (q148DayAnomaly _),
+    "q149_densify_ffill" -> (q149DensifyFfill _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // sweep line: boundary deltas -> per-date nets -> running sum
+    "q143_max_concurrency" ->
+      """WITH li AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d0,
+        |    CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS d1 FROM lineitem),
+        |deltas AS (SELECT flag, d, SUM(delta) AS net FROM (
+        |    SELECT flag, d0 AS d, 1 AS delta FROM li
+        |    UNION ALL SELECT flag, d1, -1 FROM li)
+        |  GROUP BY flag, d),
+        |conc AS (SELECT flag, d,
+        |    SUM(net) OVER (PARTITION BY flag ORDER BY d) AS c FROM deltas),
+        |pk AS (SELECT flag, MAX(c) AS peak FROM conc GROUP BY flag)
+        |SELECT conc.flag AS l_returnflag,
+        |  CAST(pk.peak AS BIGINT) AS peak_concurrency,
+        |  MIN(conc.d) AS peak_date
+        |FROM conc JOIN pk ON pk.flag = conc.flag AND conc.c = pk.peak
+        |GROUP BY conc.flag, pk.peak ORDER BY l_returnflag""".stripMargin,
+    // ORDER BY inside the aggregate pins the assembled string
+    "q145_event_paths" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS path
+        |FROM events WHERE user_id < 40
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical BIGINT interval arithmetic; identical 3-op double chain
+    "q146_time_weighted_avg" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_q
+        |  FROM events WHERE user_id < 40),
+        |seg AS (SELECT user_id, v_q,
+        |    LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+        |      - t_us AS dt
+        |  FROM ev)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(dt) AS BIGINT) AS total_us,
+        |  CAST(SUM(v_q * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) / 100.0 AS twa
+        |FROM seg WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same exact-moment arithmetic, same op order, same terminal floor
+    "q148_day_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS cnt FROM events GROUP BY event_type, d),
+        |wins AS (SELECT event_type, d, cnt,
+        |    COUNT(*) OVER w AS n7, SUM(cnt) OVER w AS s1,
+        |    SUM(cnt * cnt) OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, d, cnt,
+        |    (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+        |      / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0) AS z
+        |  FROM wins WHERE n7 = 7 AND CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0 > 0.0)
+        |SELECT event_type, d, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(FLOOR(z * 1000000.0) AS BIGINT) AS z_e6
+        |FROM z ORDER BY event_type, d""".stripMargin,
+    // day-close by ROW_NUMBER over the same (ts, event_id) total order;
+    // LAST_VALUE IGNORE NULLS = last(ignoreNulls) under the default frame
+    "q149_densify_ffill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, value
+        |  FROM events WHERE user_id < 30),
+        |daily AS (SELECT user_id, d, value AS day_close FROM (
+        |    SELECT user_id, d, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, d ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) x WHERE rn = 1),
+        |spans AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+        |  FROM ev GROUP BY user_id),
+        |spine AS (SELECT user_id,
+        |    CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM spans),
+        |j AS (SELECT s.user_id, s.d, daily.day_close
+        |  FROM spine s LEFT JOIN daily
+        |    ON daily.user_id = s.user_id AND daily.d = s.d)
+        |SELECT user_id, d, day_close IS NOT NULL AS observed,
+        |  CAST(round(LAST_VALUE(day_close IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY d) * 100) AS BIGINT) AS filled_e2
+        |FROM j ORDER BY user_id, d""".stripMargin,
+  )
+}

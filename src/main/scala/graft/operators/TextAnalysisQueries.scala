@@ -380,6 +380,51 @@ object TextAnalysisQueries {
   def q98BpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrainRounds(Tables.documents(s, dir), 3)
 
+  // ---------------------------------------------------------------- q144
+
+  /** BPE ENCODE — applying the q98-trained merge rules to a corpus
+    * slice, closing the train → apply loop (a tokenizer you can only
+    * train is half an operator; token COUNTS under the trained vocab are
+    * what the packing/budget family q68/q120 consumes upstream).
+    *
+    * The rules come from [[bpeTrainRounds]] over the FULL corpus — a
+    * bounded driver scalar per round (the same one-row class as q19's
+    * min/max mirror) that becomes a plan-time literal of the encode
+    * pass. Encoding then follows the Sennrich-representation discipline
+    * that made q98 affordable: the merge chain is applied once per
+    * DISTINCT word (the vocabulary frame), and per-document counts come
+    * from an instance ⋈ vocabulary equi-join on the word — at 100 TB
+    * the merge arithmetic cost scales with |vocabulary|, not corpus
+    * instances, and both shuffles (vocab build, per-doc sum) ride
+    * scaling keys. Output per document: word/char counts, BPE token
+    * count, and the chars-per-token compression ratio (one
+    * correctly-rounded double division of exact BIGINTs). */
+  def q144BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val rules = bpeTrainRounds(Tables.documents(s, dir), 3)
+      .orderBy("round").select("pair").collect().map(_.getString(0))
+    val inst = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val applied = rules.foldLeft(expr(
+      "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')")) {
+      (t, r) =>
+        trim(replace(replace(
+          concat(lit(" "), replace(t, lit(" "), lit("  ")), lit(" ")),
+          lit(" " + r.replace(" ", "  ") + " "),
+          lit(" " + r.replace(" ", "") + " ")), lit("  "), lit(" ")))
+    }
+    val vocab = inst.select("w").distinct()
+      .select(col("w"), size(split(applied, " ")).as("n_tok"))
+    inst.join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_words"),
+        sum(length(col("w"))).cast("bigint").as("n_chars"),
+        sum("n_tok").cast("bigint").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** True winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the
     * rolling-hash selection scheme behind MOSS, and the principled form
@@ -546,38 +591,79 @@ object TextAnalysisQueries {
     "q61_repetition_ratio" -> (q61RepetitionRatio _),
     "q91_winnowing" -> (q91Winnowing _),
     "q98_bpe_train" -> (q98BpeTrain _),
+    "q144_bpe_encode" -> (q144BpeEncode _),
   )
 
-  /** Unrolled BPE CTE chain for the q98 oracle (w0 → per-round top-pair →
-    * string merge), mirroring [[bpeTrainRounds]] construction for
-    * construction. */
-  private def q98Oracle: String = {
-    val mergeT =
-      "trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', " +
-        "' ' || replace(pair, ' ', '  ') || ' ', " +
-        "' ' || replace(pair, ' ', '') || ' '), '  ', ' '))"
-    val rounds = (1 to 3).map { r =>
+  /** The leftmost-non-overlapping merge rewrite in DuckDB SQL — the
+    * separator-widening replace chain, over columns `t` and `pair`. */
+  private val bpeMergeT =
+    "trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', " +
+      "' ' || replace(pair, ' ', '  ') || ' ', " +
+      "' ' || replace(pair, ' ', '') || ' '), '  ', ' '))"
+
+  /** Unrolled BPE training CTE chain (w0 → per-round top-pair t_r →
+    * merged frame w_r → post-merge count s_r), mirroring
+    * [[bpeTrainRounds]] construction for construction. Shared by the
+    * q98 (training output) and q144 (encode) oracles. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val body = (1 to rounds).map { r =>
       s"""p$r AS (SELECT arr[i] || ' ' || arr[i + 1] AS pair
          |  FROM (SELECT string_split(t, ' ') AS arr FROM w${r - 1}) sp$r,
          |    unnest(generate_series(1, len(arr) - 1)) AS u(i)
          |  WHERE len(arr) >= 2),
          |t$r AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM p$r
          |  GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
-         |w$r AS (SELECT $mergeT AS t FROM w${r - 1} CROSS JOIN t$r),
+         |w$r AS (SELECT $bpeMergeT AS t FROM w${r - 1} CROSS JOIN t$r),
          |s$r AS (SELECT CAST(SUM(len(string_split(t, ' '))) AS BIGINT) AS n FROM w$r)"""
         .stripMargin
     }.mkString(",\n")
+    s"""w0 AS (SELECT array_to_string(list_transform(generate_series(1, length(w)),
+       |    i -> substr(w, i, 1)), ' ') AS t
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) ww
+       |  WHERE length(w) >= 1),
+       |$body""".stripMargin
+  }
+
+  private def q98Oracle: String = {
     val sel = (1 to 3).map { r =>
       s"SELECT CAST($r AS INTEGER) AS round, pair, replace(pair, ' ', '') AS merged, " +
         s"cnt, (SELECT n FROM s$r) AS n_tokens_after FROM t$r"
     }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (SELECT array_to_string(list_transform(generate_series(1, length(w)),
-       |    i -> substr(w, i, 1)), ' ') AS t
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) ww
-       |  WHERE length(w) >= 1),
-       |$rounds
+    s"""WITH ${bpeTrainCtes(3)},
+       |x AS (SELECT 1)
        |$sel
        |ORDER BY round""".stripMargin
+  }
+
+  /** q144 oracle: re-derive the 3 trained rules (the shared chain), then
+    * encode the doc_id < 200 slice — merge chain applied once per
+    * DISTINCT word, instance ⋈ vocabulary join for per-doc counts,
+    * mirroring [[q144BpeEncode]]'s topology as well as its values. */
+  private def q144Oracle: String = {
+    val mergeChain = (1 to 3).foldLeft("t") { (acc, r) =>
+      // apply round r's rule to the accumulated expression: the rule's
+      // `pair` column is disambiguated as t$r.pair
+      "trim(replace(replace(' ' || replace(" + acc + ", ' ', '  ') || ' ', " +
+        s"' ' || replace(t$r.pair, ' ', '  ') || ' ', " +
+        s"' ' || replace(t$r.pair, ' ', '') || ' '), '  ', ' '))"
+    }
+    s"""WITH ${bpeTrainCtes(3)},
+       |inst AS (SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents WHERE doc_id < 200) x
+       |  WHERE length(w) >= 1),
+       |vs AS (SELECT w, array_to_string(list_transform(generate_series(1, length(w)),
+       |    i -> substr(w, i, 1)), ' ') AS t
+       |  FROM (SELECT DISTINCT w FROM inst) v0),
+       |vocab AS (SELECT w, len(string_split($mergeChain, ' ')) AS n_tok
+       |  FROM vs CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3)
+       |SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(i.w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(v.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(length(i.w)) AS DOUBLE) / CAST(SUM(v.n_tok) AS DOUBLE)
+       |    AS chars_per_token
+       |FROM inst i JOIN vocab v ON v.w = i.w
+       |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -632,6 +718,7 @@ object TextAnalysisQueries {
         |FROM t0 JOIN t1 USING (doc_id, pos) JOIN t2 USING (doc_id, pos)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q98_bpe_train" -> q98Oracle,
+    "q144_bpe_encode" -> q144Oracle,
     "q91_winnowing" ->
       """WITH h AS (SELECT doc_id, list_transform(generate_series(1, length(text) - 3),
         |    i -> md5(substr(text, i, 4))) AS h

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{sfDir, spark}
+
+/** Invariant and differential proofs for the round-9 fourth-wave
+  * temporal/sequence operators (q143-q149): the sweep line against a
+  * brute per-date count, the time-weighted mean against a driver-side
+  * recomputation, forward fill against its defining recurrence, the
+  * vocabulary-join BPE encode against direct per-instance encoding, and
+  * the per-node triangle counts against q141's global total.
+  */
+class TemporalSpec extends AnyFunSuite {
+
+  test("q143 sweep-line peak == brute per-date interval-containment count") {
+    val sweep = TemporalQueries.q143MaxConcurrency(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val brute = TemporalQueries.concurrencyBrute(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sweep == brute && sweep.nonEmpty)
+  }
+
+  test("q143 peak date really attains the peak (brute containment at it)") {
+    val rows = TemporalQueries.q143MaxConcurrency(spark, sfDir).collect()
+    val li = graft.Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag").as("flag"),
+      col("l_shipdate").cast("date").as("d0"),
+      expr("date_add(cast(l_shipdate as date), cast(l_quantity as int))").as("d1"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getDate(2)))
+    for (r <- rows) {
+      val (flag, peak, at) = (r.getString(0), r.getLong(1), r.getDate(2))
+      val c = li.count { case (f, d0, d1) =>
+        f == flag && !d0.after(at) && at.before(d1) }
+      assert(c.toLong == peak, s"$flag: containment at $at is $c, peak $peak")
+    }
+  }
+
+  test("q146 time-weighted average == driver-side recomputation (one user)") {
+    val twa = TemporalQueries.q146TimeWeightedAvg(spark, sfDir)
+      .filter(col("user_id") === 7).collect()
+    assert(twa.length == 1)
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id") === 7)
+      .select(expr("unix_micros(ts)"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val segs = ev.zip(ev.tail)
+    val wsum = segs.map { case ((t0, _, v), (t1, _, _)) =>
+      math.round(v * 100) * (t1 - t0) }.sum
+    val total = segs.map { case ((t0, _, _), (t1, _, _)) => t1 - t0 }.sum
+    val expected = wsum.toDouble / total.toDouble / 100.0
+    assert(twa(0).getLong(1) == segs.length)
+    assert(twa(0).getLong(2) == total)
+    assert(twa(0).getDouble(3) == expected)
+  }
+
+  test("q149 forward fill satisfies the LOCF recurrence") {
+    val rows = TemporalQueries.q149DensifyFfill(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getBoolean(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // per user: first row observed; unobserved rows carry the previous
+    // row's value; the spine is dense (consecutive days)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val seq = rs.sortBy(_._2.toEpochDay)
+      assert(seq.head._3, s"user $u spine must start at an observed day")
+      for (Array(prev, cur) <- seq.sliding(2).map(_.toArray)) {
+        assert(cur._2.toEpochDay == prev._2.toEpochDay + 1,
+          s"user $u spine gap at ${cur._2}")
+        if (!cur._3) assert(cur._4 == prev._4,
+          s"user $u ${cur._2}: unobserved day must carry ${prev._4}")
+      }
+    }
+  }
+
+  test("q144 vocabulary-join encode == direct per-instance encode") {
+    // the scalable form pays the merge chain once per DISTINCT word;
+    // this recomputes it per word INSTANCE and compares totals per doc
+    val viaVocab = TextAnalysisQueries.q144BpeEncode(spark, sfDir)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rules = TextAnalysisQueries.bpeTrainRounds(
+      graft.Tables.documents(spark, sfDir), 3)
+      .orderBy("round").select("pair").collect().map(_.getString(0))
+    def applyMerges(w: String): Int = {
+      var t = w.toCharArray.map(_.toString).mkString(" ")
+      for (r <- rules) {
+        t = (" " + t.replace(" ", "  ") + " ")
+          .replace(" " + r.replace(" ", "  ") + " ",
+            " " + r.replace(" ", "") + " ")
+          .replace("  ", " ").trim
+      }
+      t.split(" ").length
+    }
+    val direct = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty)
+          .map(applyMerges).map(_.toLong).sum).toMap
+    assert(viaVocab == direct && viaVocab.nonEmpty)
+  }
+
+  test("q144 token counts sit between word and char counts") {
+    val rows = TextAnalysisQueries.q144BpeEncode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nw, nc, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nw <= nt && nt <= nc,
+        s"doc ${r.getLong(0)}: n_words $nw <= n_bpe $nt <= n_chars $nc violated")
+    }
+  }
+
+  test("q147 per-node triangle counts sum to 3x q141's global total") {
+    val perNode = AnalyticsQueries.q147ClusteringCoefAll(spark, sfDir)
+    val triSum = perNode.agg(sum("triangles")).head().getLong(0)
+    val global = AnalyticsQueries.q141TriangleCount(spark, sfDir)
+      .head().getAs[Long]("n_triangles")
+    assert(triSum == 3 * global && global > 0)
+    // coefficient bounds: a neighbor pair is an edge or not
+    val bad = perNode.filter(col("coef") < 0.0 || col("coef") > 1.0).count()
+    assert(bad == 0)
+  }
+}
