@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, CorpusPipeline, CorpusQueries, DedupQueries, EtlQueries, RelationalQueries, SimilarityQueries, TemporalQueries, TextAnalysisQueries}
+import graft.operators.{AnalyticsQueries, CorpusPipeline, CorpusQueries, DedupQueries, EtlQueries, RelationalQueries, SegmentationQueries, SimilarityQueries, TemporalQueries, TextAnalysisQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,8 @@ object SparkEntry {
     RelationalQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextAnalysisQueries.queries ++
       EtlQueries.queries ++ StreamingQueries.queries ++ CorpusQueries.queries ++
-      CorpusPipeline.queries ++ AnalyticsQueries.queries ++ TemporalQueries.queries
+      CorpusPipeline.queries ++ AnalyticsQueries.queries ++
+      TemporalQueries.queries ++ SegmentationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextAnalysisQueries.oracles ++
       EtlQueries.oracles ++ StreamingQueries.oracles ++ CorpusQueries.oracles ++
-      CorpusPipeline.oracles ++ AnalyticsQueries.oracles ++ TemporalQueries.oracles
+      CorpusPipeline.oracles ++ AnalyticsQueries.oracles ++
+      TemporalQueries.oracles ++ SegmentationQueries.oracles
 }

@@ -230,6 +230,7 @@ object AnalyticsQueries {
     // build-edges + degree-join subtree (the q86/q95 staging discipline)
     val stage = graft.Staging.fresh("tri")
     val op = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 15000)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
       .select($"a.p".as("pa"), $"b.p".as("pb")).distinct()
@@ -275,6 +276,7 @@ object AnalyticsQueries {
     val s2 = s
     import s2.implicits._
     val op = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 15000)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val e = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
       .select($"a.p".as("pa"), $"b.p".as("pb")).distinct()
@@ -310,6 +312,7 @@ object AnalyticsQueries {
     import s2.implicits._
     val stage = graft.Staging.fresh("coef")
     val op = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 15000)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
       .select($"a.p".as("pa"), $"b.p".as("pb")).distinct()
@@ -456,7 +459,8 @@ object AnalyticsQueries {
     // canonical a<b<c closure counts each triangle exactly once; the max
     // out-degree replays the (degree, id) orientation
     "q141_triangle_count" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey < 15000),
         |e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
         |nodes AS (SELECT pa AS node FROM e UNION SELECT pb FROM e),
@@ -493,7 +497,8 @@ object AnalyticsQueries {
     // canonical a<b<c triangles, corners exploded once per triangle;
     // coef is ONE correctly-rounded division of exact BIGINTs
     "q147_clustering_coef" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey < 15000),
         |e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
         |deg AS (SELECT node, COUNT(*) AS d

@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 fifth wave: segmentation / allocation analytics — exact
+  * distributed quantile ASSIGNMENT (RFM tertiles), share-of-total
+  * ratios, robust dispersion (median absolute deviation), and exact
+  * integer proration (largest remainder). Reference analog: the
+  * "contingency bucket" analytics of `/root/reference/sql/
+  * aggregations.sql:45-71` (CASE-bucketed counts) generalized from
+  * hand-picked thresholds to data-derived exact quantile boundaries.
+  *
+  * All rank selection follows the q138/q68 two-phase discipline —
+  * bucket counts on a scaling key, rank offsets from windows over
+  * bucket SUMMARIES, intra-bucket row_number — never a global sort of
+  * entity rows or a bounded-enum scan-level window (StragglerGuardSpec
+  * sweeps these plans). Cross-row sums are BIGINT-exact on quantized
+  * grids; each emitted double is one correctly-rounded op chain
+  * mirrored verbatim in the oracle.
+  */
+object SegmentationQueries {
+
+  // ------------------------------------------------------------ helpers
+
+  /** Exact global boundary rows of `df` at the given 1-based `ranks`
+    * under the TOTAL (v, ck) order — the two-phase selection: per-bucket
+    * counts, a rank-offset window over bucket summaries (bounded rows),
+    * then row_number inside only the target buckets. Returns one row per
+    * rank: (rank, bv, bck). `bucket` must be monotone in v (floor-scale
+    * binning) so bucket order == value order. */
+  private def rankBoundaries(df: DataFrame, v: Column, ck: Column,
+      bucket: Column, ranks: Seq[Long]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(v.as("v"), ck.as("ck"), bucket.as("b"))
+    val wOff = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val sums = base.groupBy("b").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+    val rdf = ranks.toDF("rank")
+    val targets = sums.join(broadcast(rdf),
+        col("off") < col("rank") && col("rank") <= col("off") + col("bc"))
+      .select("b", "off", "rank")
+    base.join(broadcast(targets), Seq("b"))
+      .withColumn("rn", col("off") +
+        row_number().over(Window.partitionBy("b", "rank").orderBy("v", "ck")))
+      .filter(col("rn") === col("rank"))
+      .select(col("rank"), col("v").as("bv"), col("ck").as("bck"))
+  }
+
+  /** Tertile assignment under the total (v, ck) order against the two
+    * collected boundary rows (bounded driver scalars, the q19 mirror
+    * class): 1 if (v, ck) <= b1, 2 if <= b2, else 3. */
+  private def tertile(v: Column, ck: Column,
+      b1: (Long, Long), b2: (Long, Long)): Column =
+    when(v < b1._1 || (v === b1._1 && ck <= b1._2), 1)
+      .when(v < b2._1 || (v === b2._1 && ck <= b2._2), 2)
+      .otherwise(3)
+
+  /** Exact per-group median via the q138 two-phase selection, over a
+    * (g, v) frame: returns (g, n, median) with median = (v_rlo + v_rhi)
+    * / 2 at ranks (n+1) div 2 and n div 2 + 1. `bucket` must be
+    * monotone in v. */
+  private def groupMedian(gv: DataFrame, bucket: Column): DataFrame = {
+    val base = gv.withColumn("vb", bucket)
+    val wOff = Window.partitionBy("g").orderBy("vb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summaries = base.groupBy("g", "vb").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .withColumn("n", sum("bc").over(Window.partitionBy("g")))
+    val targets = summaries
+      .withColumn("rlo", expr("(n + 1) div 2"))
+      .withColumn("rhi", expr("n div 2 + 1"))
+      .filter((col("off") < col("rlo") && col("rlo") <= col("off") + col("bc")) ||
+              (col("off") < col("rhi") && col("rhi") <= col("off") + col("bc")))
+      .select("g", "vb", "off", "n", "rlo", "rhi")
+    val wIntra = Window.partitionBy("g", "vb").orderBy("v")
+    base.join(broadcast(targets), Seq("g", "vb"))
+      .withColumn("rn", col("off") + row_number().over(wIntra))
+      .filter(col("rn") === col("rlo") || col("rn") === col("rhi"))
+      .groupBy("g")
+      .agg(first("n").as("n"),
+        ((min(when(col("rn") === col("rlo"), col("v"))) +
+          min(when(col("rn") === col("rhi"), col("v")))) / 2.0).as("median"))
+  }
+
+  // ---------------------------------------------------------------- q150
+
+  /** RFM customer segmentation with EXACT data-derived tertiles. Per
+    * customer: recency (days from last order to the corpus anchor
+    * date), frequency (order count), monetary (cent-exact lifetime
+    * total). Each dimension's tertile boundaries are the values at
+    * global ranks n/3 and 2n/3 under the total (value, custkey) order —
+    * computed by [[rankBoundaries]] (two-phase, never a global entity
+    * sort) and collected as bounded scalars (two rows per dimension).
+    * Assignment is a tuple comparison against those literals, so ties
+    * straddling a boundary split deterministically and every tertile
+    * has an exact size. Output: one row per non-empty segment
+    * ("rXfYmZ") with its population and monetary mass.
+    *
+    * Scale: the per-customer frame is one shuffle of the orders fact on
+    * its entity key; each boundary pass shuffles that frame once on a
+    * bucket key; assignment is a broadcast of 6 scalar rows. Nothing
+    * sorts entity rows globally. */
+  def q150RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    // bounded driver scalar: the corpus anchor date (max order date)
+    val anchor = orders.agg(max(col("o_orderdate").cast("date"))).head().getDate(0)
+    val pc = orders.groupBy(col("o_custkey").as("ck"))
+      .agg(datediff(lit(anchor), max(col("o_orderdate").cast("date")))
+             .cast("bigint").as("r"),
+           count(lit(1)).as("f"),
+           sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("m"))
+    val n = pc.count()
+    val ranks = Seq(n / 3, 2 * n / 3)
+    def bounds(vc: String, bucket: Column): ((Long, Long), (Long, Long)) = {
+      val rows = rankBoundaries(pc, col(vc), col("ck"), bucket, ranks)
+        .orderBy("rank").collect()
+      ((rows(0).getLong(1), rows(0).getLong(2)),
+       (rows(1).getLong(1), rows(1).getLong(2)))
+    }
+    val (r1, r2) = bounds("r", col("r"))                   // days: unit buckets
+    val (f1, f2) = bounds("f", col("f"))                   // counts: unit buckets
+    val (m1, m2) = bounds("m", expr("m div 100000"))       // cents: 1k-unit buckets
+    pc.select(col("ck"), col("m"),
+        concat(lit("r"), tertile(col("r"), col("ck"), r1, r2).cast("string"),
+               lit("f"), tertile(col("f"), col("ck"), f1, f2).cast("string"),
+               lit("m"), tertile(col("m"), col("ck"), m1, m2).cast("string"))
+          .as("segment"))
+      .groupBy("segment")
+      .agg(count(lit(1)).cast("bigint").as("n_customers"),
+        sum("m").cast("bigint").as("m_cents_total"))
+      .orderBy("segment")
+  }
+
+  // ---------------------------------------------------------------- q151
+
+  /** Share-of-total (RATIO_TO_REPORT) over the region ⟶ nation revenue
+    * hierarchy: each nation's cent-exact revenue as a share of its
+    * region and of the global total. Revenue is BIGINT-exact in 1e-4
+    * currency units (cents x integer discount percent); the two shares
+    * are each ONE double division over exact integers, computed from
+    * windows over the 25-row nation SUMMARY frame (never over lineitem
+    * rows — the q68 summary-window discipline).
+    *
+    * Scale: one fact shuffle (groupBy nation after the dim joins — all
+    * AQE-broadcast at runtime); everything after rides bounded summary
+    * rows. */
+  def q151ShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region_name"), col("n_name").as("nation_name"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+         (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_e4"))
+      .groupBy("region_name", "nation_name")
+      .agg(sum("rev_e4").as("rev_e4"))
+    rev
+      .withColumn("region_e4",
+        sum("rev_e4").over(Window.partitionBy("region_name")))
+      .withColumn("global_e4", sum("rev_e4").over(Window.partitionBy()))
+      .select(col("region_name"), col("nation_name"),
+        col("rev_e4").cast("bigint").as("rev_e4"),
+        (col("rev_e4").cast("double") / col("region_e4").cast("double"))
+          .as("share_of_region"),
+        (col("rev_e4").cast("double") / col("global_e4").cast("double"))
+          .as("share_of_global"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  // ---------------------------------------------------------------- q152
+
+  /** Robust dispersion per event type: exact median and median absolute
+    * deviation (MAD), each via the [[groupMedian]] two-phase selection —
+    * the robust outlier gate next to q70's moment-based one (medians
+    * shrug off the heavy tail that inflates a stddev). The deviation
+    * pass reuses the first pass's 5-row median frame as a broadcast
+    * literal join, so the fact table is scanned twice and sorted never.
+    * Both engines assemble median and MAD from identical rank values
+    * with the identical (lo + hi) / 2 arithmetic. */
+  def q152RobustStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("g"), col("value").as("v"))
+    val med = groupMedian(ev, expr("cast(floor(v) as bigint)"))
+    val dev = ev.join(broadcast(med.select(col("g"), col("median"))), Seq("g"))
+      .select(col("g"), abs(col("v") - col("median")).as("v"))
+    val mad = groupMedian(dev, expr("cast(floor(v) as bigint)"))
+      .select(col("g"), col("median").as("mad"))
+    med.join(mad, Seq("g"))
+      .select(col("g").as("event_type"), col("n").cast("bigint").as("n"),
+        col("median"), col("mad"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q153
+
+  /** Exact integer proration by largest remainder (Hamilton's method):
+    * allocate 1000 units per order across its line items proportional
+    * to quantity, with floor quotas first and the leftover units going
+    * to the largest fractional remainders (ties: lowest line number).
+    * The budget-allocation primitive (impressions, costs, samples) in
+    * the form that is exactly conserved per group — AllocationSpec
+    * asserts sum(alloc) == 1000 for every order.
+    *
+    * Scale: all windows partition by the order key (entity, bounded
+    * per-key fan-out — the q132 rule); arithmetic is pure BIGINT
+    * (quotient/remainder), so the result is engine-exact with no
+    * floating point anywhere. */
+  def q153LargestRemainder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+    val wRank = Window.partitionBy("l_orderkey")
+      .orderBy(desc("rem"), asc("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 3000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("cast(l_quantity as bigint)").as("qty"))
+      .withColumn("qsum", sum("qty").over(w))
+      .withColumn("base", expr("(1000 * qty) div qsum"))
+      .withColumn("rem", expr("(1000 * qty) % qsum"))
+      .withColumn("leftover", lit(1000L) - sum("base").over(w))
+      .withColumn("alloc",
+        col("base") + when(row_number().over(wRank) <= col("leftover"), 1L)
+          .otherwise(0L))
+      .select(col("l_orderkey"), col("l_linenumber").cast("int").as("l_linenumber"),
+        col("qty"), col("alloc"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_rfm_segments" -> (q150RfmSegments _),
+    "q151_share_of_total" -> (q151ShareOfTotal _),
+    "q152_robust_stats" -> (q152RobustStats _),
+    "q153_largest_remainder" -> (q153LargestRemainder _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // boundaries re-derived via row_number (a global sort is fine in the
+    // oracle engine); identical rank targets and tuple comparisons
+    "q150_rfm_segments" ->
+      """WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS a FROM orders),
+        |pc AS (SELECT o_custkey AS ck,
+        |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+        |      (SELECT a FROM anchor)) AS BIGINT) AS r,
+        |    COUNT(*) AS f,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |n AS (SELECT COUNT(*) AS n FROM pc),
+        |rr AS (SELECT r AS v, ck, row_number() OVER (ORDER BY r, ck) AS rn FROM pc),
+        |ff AS (SELECT f AS v, ck, row_number() OVER (ORDER BY f, ck) AS rn FROM pc),
+        |mm AS (SELECT m AS v, ck, row_number() OVER (ORDER BY m, ck) AS rn FROM pc),
+        |b AS (SELECT
+        |    (SELECT v FROM rr, n WHERE rn = n.n // 3) AS r1v,
+        |    (SELECT ck FROM rr, n WHERE rn = n.n // 3) AS r1c,
+        |    (SELECT v FROM rr, n WHERE rn = 2 * n.n // 3) AS r2v,
+        |    (SELECT ck FROM rr, n WHERE rn = 2 * n.n // 3) AS r2c,
+        |    (SELECT v FROM ff, n WHERE rn = n.n // 3) AS f1v,
+        |    (SELECT ck FROM ff, n WHERE rn = n.n // 3) AS f1c,
+        |    (SELECT v FROM ff, n WHERE rn = 2 * n.n // 3) AS f2v,
+        |    (SELECT ck FROM ff, n WHERE rn = 2 * n.n // 3) AS f2c,
+        |    (SELECT v FROM mm, n WHERE rn = n.n // 3) AS m1v,
+        |    (SELECT ck FROM mm, n WHERE rn = n.n // 3) AS m1c,
+        |    (SELECT v FROM mm, n WHERE rn = 2 * n.n // 3) AS m2v,
+        |    (SELECT ck FROM mm, n WHERE rn = 2 * n.n // 3) AS m2c),
+        |seg AS (SELECT pc.ck, pc.m,
+        |    'r' || (CASE WHEN pc.r < b.r1v OR (pc.r = b.r1v AND pc.ck <= b.r1c) THEN 1
+        |        WHEN pc.r < b.r2v OR (pc.r = b.r2v AND pc.ck <= b.r2c) THEN 2
+        |        ELSE 3 END)
+        |    || 'f' || (CASE WHEN pc.f < b.f1v OR (pc.f = b.f1v AND pc.ck <= b.f1c) THEN 1
+        |        WHEN pc.f < b.f2v OR (pc.f = b.f2v AND pc.ck <= b.f2c) THEN 2
+        |        ELSE 3 END)
+        |    || 'm' || (CASE WHEN pc.m < b.m1v OR (pc.m = b.m1v AND pc.ck <= b.m1c) THEN 1
+        |        WHEN pc.m < b.m2v OR (pc.m = b.m2v AND pc.ck <= b.m2c) THEN 2
+        |        ELSE 3 END) AS segment
+        |  FROM pc CROSS JOIN b)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(m) AS BIGINT) AS m_cents_total
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
+    // exact e4-unit revenue; one double division per share
+    "q151_share_of_total" ->
+      """WITH rev AS (SELECT r.r_name AS region_name, nt.n_name AS nation_name,
+        |    SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_e4
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = nt.n_regionkey
+        |  GROUP BY r.r_name, nt.n_name)
+        |SELECT region_name, nation_name, CAST(rev_e4 AS BIGINT) AS rev_e4,
+        |  CAST(rev_e4 AS DOUBLE) /
+        |    CAST(SUM(rev_e4) OVER (PARTITION BY region_name) AS DOUBLE)
+        |    AS share_of_region,
+        |  CAST(rev_e4 AS DOUBLE) / CAST(SUM(rev_e4) OVER () AS DOUBLE)
+        |    AS share_of_global
+        |FROM rev ORDER BY region_name, nation_name""".stripMargin,
+    // the selection arithmetic of q138's oracle, run twice (value, then
+    // absolute deviation from the median)
+    "q152_robust_stats" ->
+      """WITH b AS (SELECT event_type AS g, value AS v FROM events),
+        |n AS (SELECT g, COUNT(*) AS n FROM b GROUP BY g),
+        |r1 AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM b),
+        |med AS (SELECT r1.g,
+        |    (MIN(CASE WHEN rn = (n.n + 1) // 2 THEN v END) +
+        |     MIN(CASE WHEN rn = n.n // 2 + 1 THEN v END)) / 2 AS median
+        |  FROM r1 JOIN n ON n.g = r1.g GROUP BY r1.g),
+        |d AS (SELECT b.g, abs(b.v - med.median) AS v
+        |  FROM b JOIN med ON med.g = b.g),
+        |r2 AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM d),
+        |mad AS (SELECT r2.g,
+        |    (MIN(CASE WHEN rn = (n.n + 1) // 2 THEN v END) +
+        |     MIN(CASE WHEN rn = n.n // 2 + 1 THEN v END)) / 2 AS mad
+        |  FROM r2 JOIN n ON n.g = r2.g GROUP BY r2.g)
+        |SELECT n.g AS event_type, CAST(n.n AS BIGINT) AS n, med.median, mad.mad
+        |FROM n JOIN med ON med.g = n.g JOIN mad ON mad.g = n.g
+        |ORDER BY event_type""".stripMargin,
+    // pure integer quotient/remainder arithmetic, identical both sides
+    "q153_largest_remainder" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey < 3000),
+        |x AS (SELECT l_orderkey, l_linenumber, qty,
+        |    SUM(qty) OVER (PARTITION BY l_orderkey) AS qsum FROM li),
+        |y AS (SELECT l_orderkey, l_linenumber, qty,
+        |    (1000 * qty) // qsum AS base, (1000 * qty) % qsum AS rem,
+        |    1000 - SUM((1000 * qty) // qsum) OVER (PARTITION BY l_orderkey)
+        |      AS leftover
+        |  FROM x),
+        |z AS (SELECT l_orderkey, l_linenumber, qty, base, leftover,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber ASC) AS rk
+        |  FROM y)
+        |SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber, qty,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM z ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}
