@@ -353,6 +353,54 @@ object AnalyticsQueries {
           (col("degree") * (col("degree") - lit(1L))).cast("double"))
   }
 
+  // ---------------------------------------------------------------- q158
+
+  /** k-CORE decomposition (k = 4) of the co-purchase graph by iterative
+    * peeling: repeatedly delete nodes of degree < k until none remain —
+    * the graph-family fixpoint next to q50's connected components and
+    * q95's PageRank, and the standard "dense interaction core"
+    * extraction before community analysis. Registered form: 6 UNROLLED
+    * peel passes (the q95 discipline — KcoreSpec proves pass 6 is
+    * already the fixpoint on the fixture, so the unroll IS the
+    * converged answer and mirrors the oracle CTE chain exactly).
+    * Output: surviving nodes with their core degrees.
+    *
+    * Scale: each pass is one degree aggregation on the node key plus a
+    * semi-join of edges against surviving nodes — O(E) per pass on
+    * scaling keys, pass count bounded by the degeneracy ordering depth.
+    * Each pass's surviving edge set stages through parquet (the
+    * pagerankConverged rotation: plans stay leaf-scans, and on a
+    * cluster the staging root is the executor-loss checkpoint). */
+  def q158Kcore(s: SparkSession, dir: String): DataFrame = {
+    val kMin = 4
+    val passes = 6
+    val stage = graft.Staging.fresh("kcore")
+    val s2 = s
+    import s2.implicits._
+    val op = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 15000)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("pa"), $"b.p".as("pb")).distinct()
+      .write.mode("overwrite").parquet(s"$stage/e0")
+    for (r <- 1 to passes) {
+      val e = s.read.parquet(s"$stage/e${r - 1}")
+      val deg = e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= kMin).select("node")
+      e.join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+        .select("pa", "pb")
+        .write.mode("overwrite").parquet(s"$stage/e$r")
+    }
+    val core = s.read.parquet(s"$stage/e$passes")
+    core.select(col("pa").as("node"))
+      .unionAll(core.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("bigint").as("core_degree"))
+      .orderBy("node")
+  }
+
   // ---------------------------------------------------------------- q142
 
   /** Calendar / interval arithmetic parity suite — the date dialect
@@ -400,7 +448,33 @@ object AnalyticsQueries {
     "q141_triangle_count" -> (q141TriangleCount _),
     "q142_calendar_suite" -> (q142CalendarSuite _),
     "q147_clustering_coef" -> (q147ClusteringCoef _),
+    "q158_kcore" -> (q158Kcore _),
   )
+
+  /** Unrolled 6-pass peeling CTE chain mirroring [[q158Kcore]]. Every
+    * CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a chain where
+    * pass r references pass r-1 three times would re-expand the base
+    * scan 3^6 times (observed as a file-handle explosion). */
+  private def q158Oracle: String = {
+    val passes = (1 to 6).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+         |    SELECT pa AS node FROM e${r - 1}
+         |    UNION ALL SELECT pb FROM e${r - 1}) x$r
+         |  GROUP BY node),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= 4),
+         |e$r AS MATERIALIZED (SELECT pa, pb FROM e${r - 1}
+         |  WHERE pa IN (SELECT node FROM k$r)
+         |    AND pb IN (SELECT node FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_orderkey < 15000),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS pa, b.p AS pb
+       |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |$passes
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM (SELECT pa AS node FROM e6 UNION ALL SELECT pb FROM e6) fin
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // dense day x type grid: the pivot's explicit zeros survive the melt
@@ -516,5 +590,6 @@ object AnalyticsQueries {
         |FROM deg LEFT JOIN tc ON tc.node = deg.node
         |WHERE deg.d >= 2
         |ORDER BY coef DESC, deg.node LIMIT 20""".stripMargin,
+    "q158_kcore" -> q158Oracle,
   )
 }

@@ -165,12 +165,60 @@ object ProjectionQueries {
       .orderBy("d")
   }
 
+  // ---------------------------------------------------------------- q157
+
+  /** Top-20 most-covarying embedding dimension PAIRS in fully exact
+    * integer arithmetic — the feature-redundancy diagnostic feeding
+    * q155's reduction and q156's principal direction (a large |cov(i,j)|
+    * is exactly what a projection should collapse). Population
+    * covariance cross-multiplied to the integer lattice:
+    * cov_e8(i,j) = n·P_ij − S_i·S_j over e4-quantized components, so the
+    * RANKING key is a BIGINT — no floating point anywhere in selection;
+    * the reported double is one mirrored per-row chain. Headroom:
+    * n·P <= 2000·7.2e10 ≈ 1.4e14, S_i·S_j the same — 60000x inside
+    * int64, linear in n (the quantization-scale knob documented at
+    * q156 applies).
+    *
+    * Scale: the pair frame is a per-vector explode to dim² rows that
+    * partial-aggregates map-side to 2016 groups — one shuffle whose
+    * width is the SCHEMA's square, not the corpus; per-dim sums ride
+    * the same scan. */
+  def q157CovarianceTopk(s: SparkSession, dir: String): DataFrame = {
+    val aq = Tables.embeddings(s, dir).select(
+      posexplode(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")))
+      .select((col("pos") + 1).as("d"), col("col").as("a"))
+    val sums = aq.groupBy("d").agg(sum("a").as("sd"), count(lit(1)).as("n"))
+    val pairs = Tables.embeddings(s, dir).select(
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")
+          .as("aq"))
+      .select(explode(expr(
+        // outer stops at dim-1: Spark's sequence(a, b) DESCENDS when
+        // a > b, so sequence(dim+1, dim) would emit inverted pairs
+        s"""flatten(transform(sequence(1, ${dim - 1}), i ->
+           |  transform(sequence(i + 1, $dim), j ->
+           |    struct(i as i, j as j, aq[i-1] * aq[j-1] as p))))""".stripMargin))
+        .as("x"))
+      .select(col("x.i").as("i"), col("x.j").as("j"), col("x.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").as("pij"))
+    pairs
+      .join(sums.select(col("d").as("i"), col("sd").as("si"), col("n")), "i")
+      .join(sums.select(col("d").as("j"), col("sd").as("sj")), "j")
+      .withColumn("cov_e8", col("n") * col("pij") - col("si") * col("sj"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("cov_e8").cast("bigint").as("cov_e8"),
+        (col("cov_e8").cast("double") /
+          (col("n") * col("n")).cast("double") / lit(1.0e8)).as("cov"))
+      .orderBy(abs(col("cov_e8")).desc, col("i"), col("j")).limit(20)
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_knn_classify" -> (q154KnnClassify _),
     "q155_random_projection" -> (q155RandomProjection _),
     "q156_power_iteration" -> (q156PowerIteration _),
+    "q157_covariance_topk" -> (q157CovarianceTopk _),
   )
 
   private val oracleSigns = (0 until rpDim).map { k =>
@@ -253,5 +301,20 @@ object ProjectionQueries {
          |  CAST(FLOOR(ABS(cos_orig - cos_proj) * 1000000.0) AS BIGINT) AS err_e6
          |FROM pairs ORDER BY vec_a, vec_b""".stripMargin,
     "q156_power_iteration" -> q156Oracle,
+    // pure-integer covariance lattice: the ranking key is exact BIGINT
+    "q157_covariance_topk" ->
+      s"""WITH a AS (SELECT vec_id, i AS d,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS aq
+         |  FROM embeddings, unnest(generate_series(1, $dim)) AS t(i)),
+         |s AS (SELECT d, SUM(aq) AS sd, COUNT(*) AS n FROM a GROUP BY d),
+         |p AS (SELECT x.d AS i, y.d AS j, SUM(x.aq * y.aq) AS pij
+         |  FROM a x JOIN a y ON y.vec_id = x.vec_id AND y.d > x.d
+         |  GROUP BY x.d, y.d),
+         |c AS (SELECT p.i, p.j,
+         |    CAST(si.n * p.pij - si.sd * sj.sd AS BIGINT) AS cov_e8, si.n AS n
+         |  FROM p JOIN s si ON si.d = p.i JOIN s sj ON sj.d = p.j)
+         |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, cov_e8,
+         |  CAST(cov_e8 AS DOUBLE) / CAST(n * n AS DOUBLE) / 100000000.0 AS cov
+         |FROM c ORDER BY ABS(cov_e8) DESC, i, j LIMIT 20""".stripMargin,
   )
 }

@@ -1330,6 +1330,39 @@ object RelationalQueries {
       s"(($acc) * 16 + (strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1))"
     }
 
+  // ---------------------------------------------------------------- q160
+
+  /** Candidate-key UNIQUENESS audit across the whole warehouse — for
+    * each table's declared key, total rows vs distinct key values and
+    * the verdict. The constraint-side companion to q133's referential
+    * integrity (FKs point AT these keys; this proves the targets are
+    * actually keys) and the profiling step a loader runs before
+    * declaring a primary key or choosing a bucketing column.
+    *
+    * Scale: one COUNT(DISTINCT key) per table — Spark plans each as the
+    * two-level expand/partial-aggregate on the key (scaling, map-side
+    * combinable); the union is 8 one-row frames. */
+  def q160UniquenessAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, df: DataFrame, keyCols: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(keyCols.head, keyCols.tail: _*).as("n_distinct"))
+        .select(lit(table).as("table_name"),
+          lit(keyCols.mkString(",")).as("key_cols"),
+          col("n_rows").cast("bigint").as("n_rows"),
+          col("n_distinct").cast("bigint").as("n_distinct"),
+          (col("n_rows") === col("n_distinct")).as("is_unique"))
+    Seq(
+      audit("customer", Tables.customer(s, dir), Seq("c_custkey")),
+      audit("documents", Tables.documents(s, dir), Seq("doc_id")),
+      audit("embeddings", Tables.embeddings(s, dir), Seq("vec_id")),
+      audit("events", Tables.events(s, dir), Seq("event_id")),
+      audit("lineitem", Tables.lineitem(s, dir), Seq("l_orderkey", "l_linenumber")),
+      audit("orders", Tables.orders(s, dir), Seq("o_orderkey")),
+      audit("part", Tables.part(s, dir), Seq("p_partkey")),
+      audit("supplier", Tables.supplier(s, dir), Seq("s_suppkey")),
+    ).reduce(_ unionAll _).orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_sketch_overlap" -> (q117SketchOverlap _),
     "q118_cohort_retention" -> (q118CohortRetention _),
@@ -1342,6 +1375,7 @@ object RelationalQueries {
     "q132_market_basket" -> (q132MarketBasket _),
     "q133_integrity_audit" -> (q133IntegrityAudit _),
     "q136_latest_wins" -> (q136LatestWins _),
+    "q160_uniqueness_audit" -> (q160UniquenessAudit _),
     "q134_skew_profile" -> (q134SkewProfile _),
     "q135_gap_detection" -> (q135GapDetection _),
     "q116_relative_rank" -> (q116RelativeRank _),
@@ -1386,6 +1420,23 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_uniqueness_audit" -> Seq(
+      ("customer", "customer", "c_custkey"),
+      ("documents", "documents", "doc_id"),
+      ("embeddings", "embeddings", "vec_id"),
+      ("events", "events", "event_id"),
+      ("lineitem", "lineitem", "(l_orderkey, l_linenumber)"),
+      ("orders", "orders", "o_orderkey"),
+      ("part", "part", "p_partkey"),
+      ("supplier", "supplier", "s_suppkey"),
+    ).map { case (name, tbl, key) =>
+      val keyCols = key.stripPrefix("(").stripSuffix(")").replace(" ", "")
+      s"""SELECT '$name' AS table_name, '$keyCols' AS key_cols,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT $key) AS BIGINT) AS n_distinct,
+         |  COUNT(*) = COUNT(DISTINCT $key) AS is_unique
+         |FROM $tbl""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name"),
     // replays the KMV selection exactly: per-type / per-pair k smallest
     // distinct hashes via row_number, kth value -> (k-1)*2^32 / h_k
     "q117_sketch_overlap" ->

@@ -209,6 +209,39 @@ object TemporalQueries {
       .orderBy("user_id", "d")
   }
 
+  // ---------------------------------------------------------------- q159
+
+  /** Day-of-week SEASONALITY INDEX per event type — each weekday's mean
+    * daily volume relative to the type's overall mean daily volume, in
+    * exact cross-multiplied integer arithmetic:
+    * idx_e6 = floor(1e6 · cnt_dow · days_total / (days_dow · cnt_total)).
+    * The decomposition half of q148's detector (q148 flags deviations
+    * from a trailing baseline; this names the weekly rhythm those
+    * deviations sit on — the reference's peak-hour histogram,
+    * `aggregations.sql:29-34`, one calendar level up).
+    *
+    * Scale: the scan collapses to per-(type, day) counts first (one
+    * map-side-combinable shuffle); everything after is arithmetic over
+    * |types| x 7 summary rows, and the division never leaves the
+    * integer lattice. */
+  def q159SeasonalityIndex(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("d")).cast("bigint"))
+    val byDow = daily.groupBy("event_type", "dow")
+      .agg(sum("cnt").as("cnt_dow"), count(lit(1)).as("days_dow"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("cnt").as("cnt_tot"), count(lit(1)).as("days_tot"))
+    byDow.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("dow"),
+        col("cnt_dow").cast("bigint").as("cnt_dow"),
+        col("days_dow").cast("bigint").as("days_dow"),
+        expr("(1000000 * cnt_dow * days_tot) div (days_dow * cnt_tot)")
+          .cast("bigint").as("idx_e6"))
+      .orderBy("event_type", "dow")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -217,6 +250,7 @@ object TemporalQueries {
     "q146_time_weighted_avg" -> (q146TimeWeightedAvg _),
     "q148_day_anomaly" -> (q148DayAnomaly _),
     "q149_densify_ffill" -> (q149DensifyFfill _),
+    "q159_seasonality_index" -> (q159SeasonalityIndex _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -294,5 +328,23 @@ object TemporalQueries {
         |  CAST(round(LAST_VALUE(day_close IGNORE NULLS) OVER (
         |    PARTITION BY user_id ORDER BY d) * 100) AS BIGINT) AS filled_e2
         |FROM j ORDER BY user_id, d""".stripMargin,
+    // DuckDB dayofweek is Sunday=0 — +1 aligns to Spark (q142 rule);
+    // the index never leaves the integer lattice (cross-multiplied
+    // floor division of positive BIGINTs)
+    "q159_seasonality_index" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS cnt FROM events GROUP BY event_type, d),
+        |dd AS (SELECT event_type, CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |    cnt FROM daily),
+        |bydow AS (SELECT event_type, dow, SUM(cnt) AS cnt_dow,
+        |    COUNT(*) AS days_dow FROM dd GROUP BY event_type, dow),
+        |tot AS (SELECT event_type, SUM(cnt) AS cnt_tot,
+        |    COUNT(*) AS days_tot FROM dd GROUP BY event_type)
+        |SELECT b.event_type, b.dow, CAST(b.cnt_dow AS BIGINT) AS cnt_dow,
+        |  CAST(b.days_dow AS BIGINT) AS days_dow,
+        |  CAST((1000000 * b.cnt_dow * t.days_tot)
+        |    // (b.days_dow * t.cnt_tot) AS BIGINT) AS idx_e6
+        |FROM bydow b JOIN tot t ON t.event_type = b.event_type
+        |ORDER BY b.event_type, b.dow""".stripMargin,
   )
 }

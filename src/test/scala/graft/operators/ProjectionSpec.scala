@@ -51,4 +51,22 @@ class ProjectionSpec extends AnyFunSuite {
     // normalization invariant: some dimension sits at +/-1e4, none beyond
     assert(got.values.map(math.abs).max == 10000L)
   }
+
+  test("q157 distributed covariance lattice == exact driver-side replay") {
+    val got = ProjectionQueries.q157CovarianceTopk(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val m = graft.Tables.embeddings(spark, sfDir)
+      .select(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val dim = 64
+    val n = m.length.toLong
+    val sums = (0 until dim).map(d => m.map(_(d)).sum)
+    val all = for (i <- 0 until dim; j <- i + 1 until dim) yield {
+      val p = m.map(row => row(i) * row(j)).sum
+      (i + 1, j + 1, n * p - sums(i) * sums(j))
+    }
+    val expected = all.sortBy { case (i, j, c) => (-math.abs(c), i, j) }.take(20)
+    assert(got.toSeq == expected)
+  }
 }
