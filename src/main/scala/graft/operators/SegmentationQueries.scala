@@ -108,11 +108,17 @@ object SegmentationQueries {
     val orders = Tables.orders(s, dir)
     // bounded driver scalar: the corpus anchor date (max order date)
     val anchor = orders.agg(max(col("o_orderdate").cast("date"))).head().getDate(0)
-    val pc = orders.groupBy(col("o_custkey").as("ck"))
+    // the per-customer frame feeds FIVE consumers (three boundary
+    // passes, the count, the final assignment) — stage it once so each
+    // reads a leaf scan (the q86/q141 staging discipline)
+    val stageDir = graft.Staging.fresh("rfm")
+    orders.groupBy(col("o_custkey").as("ck"))
       .agg(datediff(lit(anchor), max(col("o_orderdate").cast("date")))
              .cast("bigint").as("r"),
            count(lit(1)).as("f"),
            sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("m"))
+      .write.mode("overwrite").parquet(s"$stageDir/pc")
+    val pc = s.read.parquet(s"$stageDir/pc")
     val n = pc.count()
     val ranks = Seq(n / 3, 2 * n / 3)
     def bounds(vc: String, bucket: Column): ((Long, Long), (Long, Long)) = {
