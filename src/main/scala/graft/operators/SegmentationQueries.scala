@@ -238,6 +238,57 @@ object SegmentationQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // ---------------------------------------------------------------- q162
+
+  /** Deterministic A/B experiment readout with a Welch t statistic:
+    * users are assigned to arms by a salted md5 nibble (the q88
+    * split-manifest idiom — reproducible, uncorrelated with behavior),
+    * the per-user metric is lifetime purchase value, and the arm
+    * comparison reports means plus the e6-quantized Welch t. The
+    * experiment-analysis primitive a product warehouse runs daily.
+    *
+    * Exactness: per-user metrics are centi-unit BIGINTs; each arm's
+    * n/Σm/Σm² are exact integer aggregates (|m| <= ~1.5e6 centi, Σm² <=
+    * ~3e14 — int64 headroom documented); mean, Welch variance
+    * var = (n·Q − S²)/(n·(n−1)), standard error and t run the identical
+    * op chain in both engines with a terminal floor. Two shuffles
+    * (user_id, then the 2-row arm aggregate); the arm join is a bounded
+    * 1-row cross join each side. */
+  def q162AbTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L)).as("m"))
+      .withColumn("arm",
+        when(expr("substring(md5(concat('ab1_', cast(user_id as string))), 1, 1)")
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A").otherwise("B"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("m").as("sm"),
+        sum(col("m") * col("m")).as("qm"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("na"), col("sm").as("sa"), col("qm").as("qa"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("nb"), col("sm").as("sb"), col("qm").as("qb"))
+    a.crossJoin(b)
+      .withColumn("mean_a_c", col("sa").cast("double") / col("na").cast("double"))
+      .withColumn("mean_b_c", col("sb").cast("double") / col("nb").cast("double"))
+      .withColumn("var_a",
+        (col("na") * col("qa") - col("sa") * col("sa")).cast("double") /
+          (col("na") * (col("na") - lit(1L))).cast("double"))
+      .withColumn("var_b",
+        (col("nb") * col("qb") - col("sb") * col("sb")).cast("double") /
+          (col("nb") * (col("nb") - lit(1L))).cast("double"))
+      .withColumn("t",
+        (col("mean_a_c") - col("mean_b_c")) /
+          sqrt(col("var_a") / col("na").cast("double") +
+               col("var_b") / col("nb").cast("double")))
+      .select(col("na").cast("bigint").as("n_a"),
+        col("nb").cast("bigint").as("n_b"),
+        (col("mean_a_c") / lit(100.0)).as("mean_a"),
+        (col("mean_b_c") / lit(100.0)).as("mean_b"),
+        floor(col("t") * lit(1000000.0)).cast("bigint").as("t_e6"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -245,6 +296,7 @@ object SegmentationQueries {
     "q151_share_of_total" -> (q151ShareOfTotal _),
     "q152_robust_stats" -> (q152RobustStats _),
     "q153_largest_remainder" -> (q153LargestRemainder _),
+    "q162_ab_test" -> (q162AbTest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -347,5 +399,37 @@ object SegmentationQueries {
         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc
         |FROM z ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // identical salted-nibble assignment, exact integer moments,
+    // identical Welch chain with terminal floor
+    "q162_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS m
+        |  FROM events GROUP BY user_id),
+        |pa AS (SELECT CASE WHEN substr(md5('ab1_' || CAST(user_id AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm, m
+        |  FROM pu),
+        |ag AS (SELECT arm, COUNT(*) AS n, SUM(m) AS sm, SUM(m * m) AS qm
+        |  FROM pa GROUP BY arm),
+        |ab AS (SELECT
+        |    (SELECT n FROM ag WHERE arm = 'A') AS na,
+        |    (SELECT sm FROM ag WHERE arm = 'A') AS sa,
+        |    (SELECT qm FROM ag WHERE arm = 'A') AS qa,
+        |    (SELECT n FROM ag WHERE arm = 'B') AS nb,
+        |    (SELECT sm FROM ag WHERE arm = 'B') AS sb,
+        |    (SELECT qm FROM ag WHERE arm = 'B') AS qb),
+        |c AS (SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    CAST(na * qa - sa * sa AS DOUBLE)
+        |      / CAST(na * (na - 1) AS DOUBLE) AS va,
+        |    CAST(nb * qb - sb * sb AS DOUBLE)
+        |      / CAST(nb * (nb - 1) AS DOUBLE) AS vb
+        |  FROM ab)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  ma / 100.0 AS mean_a, mb / 100.0 AS mean_b,
+        |  CAST(FLOOR((ma - mb) / sqrt(va / CAST(na AS DOUBLE)
+        |    + vb / CAST(nb AS DOUBLE)) * 1000000.0) AS BIGINT) AS t_e6
+        |FROM c""".stripMargin,
   )
 }

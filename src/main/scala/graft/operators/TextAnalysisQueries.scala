@@ -425,6 +425,48 @@ object TextAnalysisQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q163
+
+  /** Collocation extraction by PMI LIFT — the top adjacent token pairs
+    * whose joint frequency most exceeds independence, ranked by
+    * lift = p(x,y) / (p(x)·p(y)) (PMI without the log: log is monotone,
+    * and ln/log2 are the one function family the cross-engine
+    * determinism contract excludes — the q75 lesson). The corpus
+    * phrase-mining primitive behind tokenizer vocab curation and q104's
+    * phrase index seeding.
+    *
+    * Scale: bigram and unigram counts are two map-side-combinable
+    * shuffles on token keys (the q74 machinery); the totals are 1-row
+    * broadcasts; the support floor (c_pair >= 10) bounds the ranked
+    * frame before the top-k sort. The lift double is one identical
+    * 5-op chain over exact BIGINTs, so ranking ties and values agree
+    * bit-for-bit. */
+  def q163PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(expr("split(text, ' ')").as("arr"))
+    val uni = toks.select(explode(col("arr")).as("w"))
+    val cx = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(count(lit(1)).as("n_uni"))
+    val pairs = toks.filter(expr("size(arr) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(1, size(arr) - 1), i -> struct(arr[i-1] as x, arr[i] as y))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val cp = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_pair"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    cp.filter(col("c_pair") >= 10)
+      .join(cx.select(col("w").as("x"), col("c").as("c_x")), "x")
+      .join(cx.select(col("w").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(np))
+      .withColumn("lift",
+        col("c_pair").cast("double") * col("n_uni").cast("double") /
+          col("c_x").cast("double") * col("n_uni").cast("double") /
+          col("c_y").cast("double") / col("n_pairs").cast("double"))
+      .select(col("x"), col("y"), col("c_pair").cast("bigint").as("c_pair"),
+        col("c_x").cast("bigint").as("c_x"), col("c_y").cast("bigint").as("c_y"),
+        col("lift"))
+      .orderBy(desc("lift"), asc("x"), asc("y")).limit(20)
+  }
+
   /** True winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the
     * rolling-hash selection scheme behind MOSS, and the principled form
@@ -592,6 +634,7 @@ object TextAnalysisQueries {
     "q91_winnowing" -> (q91Winnowing _),
     "q98_bpe_train" -> (q98BpeTrain _),
     "q144_bpe_encode" -> (q144BpeEncode _),
+    "q163_pmi_collocations" -> (q163PmiCollocations _),
   )
 
   /** The leftmost-non-overlapping merge rewrite in DuckDB SQL — the
@@ -719,6 +762,28 @@ object TextAnalysisQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q98_bpe_train" -> q98Oracle,
     "q144_bpe_encode" -> q144Oracle,
+    // identical 5-op double chain over exact counts; log-free lift
+    "q163_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |cx AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+        |nu AS (SELECT COUNT(*) AS n FROM u),
+        |p AS (SELECT toks[i] AS x, toks[i + 1] AS y
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |  WHERE len(toks) >= 2),
+        |cp AS (SELECT x, y, COUNT(*) AS c_pair FROM p GROUP BY x, y),
+        |np AS (SELECT COUNT(*) AS n FROM p)
+        |SELECT cp.x, cp.y, CAST(cp.c_pair AS BIGINT) AS c_pair,
+        |  CAST(a.c AS BIGINT) AS c_x, CAST(b.c AS BIGINT) AS c_y,
+        |  CAST(cp.c_pair AS DOUBLE) * CAST(nu.n AS DOUBLE)
+        |    / CAST(a.c AS DOUBLE) * CAST(nu.n AS DOUBLE)
+        |    / CAST(b.c AS DOUBLE) / CAST(np.n AS DOUBLE) AS lift
+        |FROM cp
+        |JOIN cx a ON a.w = cp.x
+        |JOIN cx b ON b.w = cp.y
+        |CROSS JOIN nu CROSS JOIN np
+        |WHERE cp.c_pair >= 10
+        |ORDER BY lift DESC, cp.x, cp.y LIMIT 20""".stripMargin,
     "q91_winnowing" ->
       """WITH h AS (SELECT doc_id, list_transform(generate_series(1, length(text) - 3),
         |    i -> md5(substr(text, i, 4))) AS h

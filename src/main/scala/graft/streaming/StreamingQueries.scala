@@ -295,9 +295,62 @@ object StreamingQueries {
       .orderBy("w")
   }
 
+  /** STREAMING anomaly detection — q148's trailing z-score detector fed
+    * by a streamed daily-count aggregation: watermarked 1-day tumbling
+    * windows emit FINALIZED (type, day) counts (append mode, the q36
+    * contract — state drops as the watermark passes each day), and the
+    * detector arithmetic then runs over those bounded summaries. The
+    * monitoring deployment shape: the stream maintains the cheap
+    * summary, the detector re-reads summaries — never raw events. The
+    * defensive re-aggregation below is load-bearing under AT-LEAST-ONCE
+    * redelivery (a replayed finalized window upserts to the same (type,
+    * day) key) and keeps the detector input per-group-unique by
+    * construction.
+    *
+    * Determinism: identical to q148 (exact integer moments, mirrored op
+    * chain, terminal floor) over the finalized-day subset, which the
+    * oracle expresses with the same window_end + watermark <= max(ts)
+    * cut as q36/q124. */
+  def q161StreamingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamSources.events(s, dir)
+    val tbl = s"graft_stream_anomaly_${runCounter.incrementAndGet()}"
+    val q = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .select(col("event_type"), col("window.start").cast("date").as("d"),
+        col("cnt"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val daily = s.table(tbl).groupBy("event_type", "d")
+      .agg(sum("cnt").as("cnt"))
+    val w7 = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s1", sum("cnt").over(w7))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("mean", col("s1").cast("double") / lit(7.0))
+      .withColumn("varr",
+        (lit(7L) * col("s2") - col("s1") * col("s1")).cast("double") / lit(42.0))
+      .filter(col("varr") > 0.0)
+      .withColumn("z",
+        (col("cnt").cast("double") - col("mean")) / sqrt(col("varr")))
+      .select(col("event_type"), col("d"), col("cnt").cast("bigint").as("cnt"),
+        floor(col("z") * lit(1000000.0)).cast("bigint").as("z_e6"))
+      .orderBy("event_type", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_streaming_kmv" -> (q107StreamingKmv _),
     "q36_streaming_hourly" -> (q36StreamingHourly _),
+    "q161_streaming_anomaly" -> (q161StreamingAnomaly _),
     "q124_streaming_hopping" -> (q124StreamingHopping _),
     "q52_streaming_dedup" -> (q52StreamingDedup _),
     "q63_streaming_neardup" -> (q63StreamingNearDup _),
@@ -312,6 +365,27 @@ object StreamingQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // q148's exact chain over FINALIZED days only: a 1-day window emits
+    // once its end is >= 1 h behind max(ts) — d + 25 h <= max(ts)
+    "q161_streaming_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS cnt FROM events GROUP BY event_type, d),
+        |fin AS (SELECT event_type, d, cnt FROM daily
+        |  WHERE CAST(d AS TIMESTAMP) + INTERVAL 25 HOUR
+        |    <= (SELECT max(ts) FROM events)),
+        |wins AS (SELECT event_type, d, cnt,
+        |    COUNT(*) OVER w AS n7, SUM(cnt) OVER w AS s1,
+        |    SUM(cnt * cnt) OVER w AS s2
+        |  FROM fin
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, d, cnt,
+        |    (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+        |      / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0) AS z
+        |  FROM wins WHERE n7 = 7 AND CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0 > 0.0)
+        |SELECT event_type, d, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(FLOOR(z * 1000000.0) AS BIGINT) AS z_e6
+        |FROM z ORDER BY event_type, d""".stripMargin,
     // the 7-day windows align to the unix epoch exactly like Spark's
     // window(); finalization (append mode) keeps windows whose end is at
     // least the 1 h watermark behind the max event time: w + 169 h <= max

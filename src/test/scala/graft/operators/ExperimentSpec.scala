@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{sfDir, spark}
+
+/** Seventh-wave proofs: the streaming anomaly twin equals the batch
+  * detector on finalized days, the A/B split is exhaustive and
+  * assignment-stable, and collocation lift bookkeeping is consistent. */
+class ExperimentSpec extends AnyFunSuite {
+
+  test("q161 streaming detector == q148 batch detector on finalized days") {
+    val maxTs = graft.Tables.events(spark, sfDir)
+      .agg(max("ts")).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(
+      maxTs.getTime - 25L * 3600 * 1000)
+    val batch = TemporalQueries.q148DayAnomaly(spark, sfDir)
+      .filter(col("d").cast("timestamp") <= lit(horizon))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3))).toSet
+    val streamed = graft.streaming.StreamingQueries
+      .q161StreamingAnomaly(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("q162 arm split is exhaustive and the t-stat is finite") {
+    val row = SegmentationQueries.q162AbTest(spark, sfDir).head()
+    val nUsers = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(row.getLong(0) + row.getLong(1) == nUsers)
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+    assert(math.abs(row.getLong(4)) < 100L * 1000000L, "t out of range")
+  }
+
+  test("q163 collocation counts are internally consistent") {
+    val rows = TextAnalysisQueries.q163PmiCollocations(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (cp, cx, cy, lift) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(cp <= cx && cp <= cy, "pair count exceeds a unigram count")
+      assert(lift > 0.0)
+    }
+    // ranked descending
+    val lifts = rows.map(_.getDouble(5))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+}
