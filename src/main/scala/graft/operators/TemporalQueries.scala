@@ -242,6 +242,36 @@ object TemporalQueries {
       .orderBy("event_type", "dow")
   }
 
+  // ---------------------------------------------------------------- q164
+
+  /** Native `session_window` sessionization (batch form) — Spark's
+    * built-in gap-based session assignment, hash-checked against an
+    * independent gaps-and-islands construction in the oracle (lag-gap
+    * flags → running session ids → per-session bounds). The built-in
+    * counterpart to q39's `flatMapGroupsWithState` sessionize: same
+    * 30-minute gap, but expressed declaratively so Catalyst plans it as
+    * an aggregation (and the same expression drops into a streaming
+    * groupBy unchanged). Session end = last event + gap, the
+    * session_window convention; a new session starts when the gap is
+    * >= 30 min (windows are end-exclusive, so touching windows do NOT
+    * merge — pinned by the oracle's `>=`).
+    *
+    * Scale: one shuffle on user_id (the entity key); per-group state is
+    * the user's own session list. Timestamps format to whole seconds in
+    * BOTH engines (q36 idiom), which only relabels — session identity
+    * comes from the full-precision arithmetic. */
+  def q164SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -251,6 +281,7 @@ object TemporalQueries {
     "q148_day_anomaly" -> (q148DayAnomaly _),
     "q149_densify_ffill" -> (q149DensifyFfill _),
     "q159_seasonality_index" -> (q159SeasonalityIndex _),
+    "q164_session_window" -> (q164SessionWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,5 +377,25 @@ object TemporalQueries {
         |    // (b.days_dow * t.cnt_tot) AS BIGINT) AS idx_e6
         |FROM bydow b JOIN tot t ON t.event_type = b.event_type
         |ORDER BY b.event_type, b.dow""".stripMargin,
+    // independent gaps-and-islands construction: lag-gap flag (>= 30 min
+    // opens a new session — end-exclusive windows), running session id,
+    // per-session bounds; end = last event + gap
+    "q164_session_window" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x),
+        |s AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en,
+        |    COUNT(*) AS n FROM g GROUP BY user_id, sid)
+        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(en + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(n AS BIGINT) AS n_events
+        |FROM s ORDER BY user_id, session_start""".stripMargin,
   )
 }

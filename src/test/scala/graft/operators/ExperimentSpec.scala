@@ -47,4 +47,27 @@ class ExperimentSpec extends AnyFunSuite {
     val lifts = rows.map(_.getDouble(5))
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q164 sessions partition each user's events with >= 30 min gaps") {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val rows = TemporalQueries.q164SessionWindow(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        java.time.LocalDateTime.parse(r.getString(1), fmt),
+        java.time.LocalDateTime.parse(r.getString(2), fmt),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = graft.Tables.events(spark, sfDir).count()
+    assert(rows.map(_._4).sum == total, "session counts must sum to all events")
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val seq = rs.sortBy(_._2.toString)
+      for (Array(a, b) <- seq.sliding(2).map(_.toArray)) {
+        // next session starts at or after the previous end (= last
+        // event + 30 min); whole-second formatting can only round the
+        // boundary down, hence the 1-second tolerance
+        assert(!b._2.isBefore(a._3.minusSeconds(1)),
+          s"user $u sessions overlap: ${a._3} then ${b._2}")
+      }
+    }
+  }
 }
