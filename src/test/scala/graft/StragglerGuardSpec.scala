@@ -63,18 +63,40 @@ class StragglerGuardSpec extends AnyFunSuite {
     }
   }
 
-  test("board sweep: no bounded-enum-only window consumes scan-level rows") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        stragglerWindows(fn(spark, sfDir)).map { w =>
-          s"$name: window partitioned by " +
-            s"(${w.partitionSpec.mkString(", ")}) over scan-level rows"
-        }
+  /** Exchange budget: a single query plan with a runaway shuffle count
+    * is either re-deriving a subtree that should be staged (the
+    * q86/q150 discipline) or joining without reuse. The cap is a loose
+    * regression tripwire, not a target — today's worst plans sit well
+    * under it (measured by this sweep's failure message when tripped). */
+  private val exchangeBudget = 24
+
+  test("board sweep: no bounded-enum-only window consumes scan-level rows," +
+      " and every plan stays inside the exchange budget") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val budgetBreaches = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sfDir)
+      offenders ++= stragglerWindows(df).map { w =>
+        s"$name: window partitioned by " +
+          s"(${w.partitionSpec.mkString(", ")}) over scan-level rows"
+      }
+      val exec = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val nEx = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.size
+      if (nEx > exchangeBudget)
+        budgetBreaches += s"$name: $nEx exchanges (budget $exchangeBudget)"
     }
     assert(offenders.isEmpty,
       "bounded-enum-only windows over scan-level rows (single-task " +
         "stragglers at scale) — use the q68/q111 two-phase bucket form:\n" +
         offenders.mkString("\n"))
+    assert(budgetBreaches.isEmpty,
+      "plans exceeding the exchange budget — stage the re-derived " +
+        "subtree (SCALE.md):\n" + budgetBreaches.mkString("\n"))
   }
 
   test("negative control: the round-8 naive q116 shape trips the detector") {
