@@ -272,6 +272,51 @@ object TemporalQueries {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  // ---------------------------------------------------------------- q165
+
+  /** Behavior-clone detection: (user, day) event sequences with
+    * near-identical shape across DIFFERENT users — the bot/script
+    * signature hunt, which is sequence near-dedup (the q106 fuzzy-match
+    * discipline applied to q122-style assembled paths instead of
+    * names). Each user-day compresses to its ordered event-type initial
+    * string; candidate pairs come from a blocking equi-join on
+    * (first initial, length-bucket) — never all-pairs — and only
+    * candidates pay the codegen'd levenshtein. Top-20 closest pairs
+    * under the total (distance, keys) order.
+    *
+    * Scale: path assembly is one user-day shuffle (entity keys); the
+    * blocking key bounds the candidate quadratic exactly like q106's
+    * nation block (at production cardinality the block widens to
+    * (initial, len-bucket, day-part) with the same plan). Blocked
+    * candidate generation trades recall for the join bound — the q106
+    * contract, stated rather than hidden. */
+  def q165BehaviorClones(s: SparkSession, dir: String): DataFrame = {
+    val paths = Tables.events(s, dir)
+      .withColumn("d", col("ts").cast("date"))
+      .groupBy("user_id", "d")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => substring(x.getField("event_type"), 1, 1)),
+        "").as("path"))
+      .withColumn("blk_len", expr("length(path) div 4"))
+      .withColumn("blk_c", expr("substring(path, 1, 1)"))
+    val a = paths.select(col("blk_len"), col("blk_c"),
+      col("user_id").as("ua"), col("d").as("da"), col("path").as("pa"))
+    val b = paths.select(col("blk_len"), col("blk_c"),
+      col("user_id").as("ub"), col("d").as("db"), col("path").as("pb"))
+    a.join(b, Seq("blk_len", "blk_c"))
+      .filter(col("ua") < col("ub"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .select(col("ua").cast("bigint").as("user_a"), col("da").as("day_a"),
+        col("ub").cast("bigint").as("user_b"), col("db").as("day_b"),
+        length(col("pa")).cast("int").as("len_a"), col("dist").cast("int").as("dist"))
+      .orderBy(asc("dist"), asc("user_a"), asc("day_a"), asc("user_b"),
+        asc("day_b"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -282,6 +327,7 @@ object TemporalQueries {
     "q149_densify_ffill" -> (q149DensifyFfill _),
     "q159_seasonality_index" -> (q159SeasonalityIndex _),
     "q164_session_window" -> (q164SessionWindow _),
+    "q165_behavior_clones" -> (q165BehaviorClones _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -397,5 +443,23 @@ object TemporalQueries {
         |  strftime(en + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
         |  CAST(n AS BIGINT) AS n_events
         |FROM s ORDER BY user_id, session_start""".stripMargin,
+    // same ordered-assembly (q122/q145 rule), same blocking key, same
+    // candidate filter; levenshtein is exact in both engines
+    "q165_behavior_clones" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS path
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |k AS (SELECT user_id, d, path, length(path) // 4 AS blk_len,
+        |    substr(path, 1, 1) AS blk_c FROM p)
+        |SELECT a.user_id AS user_a, a.d AS day_a,
+        |  b.user_id AS user_b, b.d AS day_b,
+        |  CAST(length(a.path) AS INTEGER) AS len_a,
+        |  CAST(levenshtein(a.path, b.path) AS INTEGER) AS dist
+        |FROM k a JOIN k b
+        |  ON b.blk_len = a.blk_len AND b.blk_c = a.blk_c
+        |  AND a.user_id < b.user_id
+        |ORDER BY dist, user_a, day_a, user_b, day_b
+        |LIMIT 20""".stripMargin,
   )
 }
