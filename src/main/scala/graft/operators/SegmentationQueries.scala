@@ -289,6 +289,80 @@ object SegmentationQueries {
         floor(col("t") * lit(1000000.0)).cast("bigint").as("t_e6"))
   }
 
+  // ---------------------------------------------------------------- q166
+
+  /** Exact GINI COEFFICIENT of customer spend — the inequality /
+    * concentration diagnostic (q81's concentration curve reduced to its
+    * scalar): gini = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with x sorted
+    * ascending and i the 1-based global rank. The global rank comes
+    * from the q116 two-phase discipline — per-bucket counts, offsets
+    * from a window over bucket SUMMARIES, intra-bucket row_number under
+    * the total (spend, custkey) order — never a global entity sort.
+    * Σ rank·x is BIGINT-exact (rank <= n, x <= ~5e7 centi: Σ <= ~1e14,
+    * 5 orders inside int64; the quantization-scale knob applies at
+    * production n); the final division is one mirrored double chain
+    * with terminal floor. */
+  def q166Gini(s: SparkSession, dir: String): DataFrame = {
+    val pc = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("m"))
+      .withColumn("vb", expr("m div 1000000"))
+    val wOff = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pc.groupBy("vb").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .select("vb", "off")
+    val wIntra = Window.partitionBy("vb").orderBy("m", "ck")
+    pc.join(offsets, Seq("vb"))
+      .withColumn("rank", col("off") + row_number().over(wIntra))
+      .agg(count(lit(1)).as("n"), sum("m").as("s0"),
+        sum(col("rank") * col("m")).as("s1"))
+      .select(col("n").cast("bigint").as("n_customers"),
+        col("s0").cast("bigint").as("total_cents"),
+        floor((lit(2L) * col("s1") - (col("n") + lit(1L)) * col("s0"))
+            .cast("double") / (col("n") * col("s0")).cast("double") *
+            lit(1000000.0))
+          .cast("bigint").as("gini_e6"))
+  }
+
+  // ---------------------------------------------------------------- q167
+
+  /** WEIGHTED median document length per language — the smallest
+    * (n_chars, doc_id) at which the cumulative CHARACTER mass reaches
+    * half the language's total: "half this language's bytes live in
+    * documents this short", the right centering statistic for packing
+    * and truncation decisions (q120's waste profile consumes exactly
+    * this boundary). Selection is the [[groupMedian]] two-phase shape
+    * with WEIGHTS: per-(lang, length-bucket) weight sums, a rank-offset
+    * window over bucket summaries, then an intra-bucket cumulative
+    * weight under the total (n_chars, doc_id) order picks the first
+    * row crossing ceil(W/2). Pure integer arithmetic end to end. */
+  def q167WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars").as("w"))
+      .withColumn("vb", expr("w div 64"))
+    val wOff = Window.partitionBy("lang").orderBy("vb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summaries = docs.groupBy("lang", "vb").agg(sum("w").as("bw"))
+      .withColumn("woff", coalesce(sum("bw").over(wOff), lit(0L)))
+      .withColumn("wtot", sum("bw").over(Window.partitionBy("lang")))
+      .withColumn("target", expr("(wtot + 1) div 2"))
+    val targets = summaries
+      .filter(col("woff") < col("target") &&
+              col("target") <= col("woff") + col("bw"))
+      .select("lang", "vb", "woff", "wtot", "target")
+    val wIntra = Window.partitionBy("lang", "vb").orderBy("w", "doc_id")
+    docs.join(broadcast(targets), Seq("lang", "vb"))
+      .withColumn("cum", col("woff") + sum("w").over(
+        wIntra.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") >= col("target"))
+      .groupBy("lang")
+      .agg(first("wtot").as("wtot"),
+        min(struct(col("w"), col("doc_id"))).getField("w").as("med_len"))
+      .select(col("lang"), col("wtot").cast("bigint").as("total_chars"),
+        col("med_len").cast("bigint").as("weighted_median_len"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -297,6 +371,8 @@ object SegmentationQueries {
     "q152_robust_stats" -> (q152RobustStats _),
     "q153_largest_remainder" -> (q153LargestRemainder _),
     "q162_ab_test" -> (q162AbTest _),
+    "q166_gini" -> (q166Gini _),
+    "q167_weighted_median" -> (q167WeightedMedian _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -431,5 +507,33 @@ object SegmentationQueries {
         |  CAST(FLOOR((ma - mb) / sqrt(va / CAST(na AS DOUBLE)
         |    + vb / CAST(nb AS DOUBLE)) * 1000000.0) AS BIGINT) AS t_e6
         |FROM c""".stripMargin,
+    // global rank via row_number (a global sort is fine in the oracle
+    // engine); identical rank formula and terminal chain
+    "q166_gini" ->
+      """WITH pc AS (SELECT o_custkey AS ck,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT m, row_number() OVER (ORDER BY m, ck) AS rank FROM pc),
+        |a AS (SELECT COUNT(*) AS n, SUM(m) AS s0, SUM(rank * m) AS s1 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  CAST(s0 AS BIGINT) AS total_cents,
+        |  CAST(FLOOR(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+        |    / CAST(n * s0 AS DOUBLE) * 1000000.0) AS BIGINT) AS gini_e6
+        |FROM a""".stripMargin,
+    // cumulative weight is monotone under the (w, doc_id) total order,
+    // so MIN(w) over crossing rows is the boundary value
+    "q167_weighted_median" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars AS w FROM documents),
+        |t AS (SELECT lang, SUM(w) AS wtot, (SUM(w) + 1) // 2 AS target
+        |  FROM d GROUP BY lang),
+        |c AS (SELECT lang, w, doc_id,
+        |    SUM(w) OVER (PARTITION BY lang ORDER BY w, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |x AS (SELECT c.lang, c.w, t.wtot FROM c
+        |  JOIN t ON t.lang = c.lang WHERE c.cum >= t.target)
+        |SELECT lang, CAST(wtot AS BIGINT) AS total_chars,
+        |  CAST(MIN(w) AS BIGINT) AS weighted_median_len
+        |FROM x GROUP BY lang, wtot ORDER BY lang""".stripMargin,
   )
 }

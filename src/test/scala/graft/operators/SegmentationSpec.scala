@@ -78,6 +78,41 @@ class SegmentationSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 gini == driver-side exact formula, and sits in [0, 1)") {
+    val row = SegmentationQueries.q166Gini(spark, sfDir).head()
+    val spend = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ck, rs) => (ck, rs.map(_._2).sum) }.toArray
+    val sorted = spend.map { case (ck, m) => (m, ck) }.sorted.map(_._1)
+    val n = sorted.length.toLong
+    val s0 = sorted.sum
+    val s1 = sorted.zipWithIndex.map { case (m, i) => (i + 1) * m }.sum
+    val expected =
+      math.floor((2 * s1 - (n + 1) * s0).toDouble / (n * s0).toDouble * 1e6).toLong
+    assert(row.getLong(0) == n && row.getLong(1) == s0)
+    assert(row.getLong(2) == expected)
+    assert(row.getLong(2) >= 0 && row.getLong(2) < 1000000)
+  }
+
+  test("q167 weighted median splits the character mass at half") {
+    val rows = SegmentationQueries.q167WeightedMedian(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byLang = graft.Tables.documents(spark, sfDir)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    for (r <- rows) {
+      val (lang, tot, med) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val ws = byLang(lang).map(_._2)
+      assert(ws.sum == tot)
+      // mass at or below the boundary reaches ceil(W/2); strictly-below
+      // mass does not
+      assert(ws.filter(_ <= med).sum >= (tot + 1) / 2)
+      assert(ws.filter(_ < med).sum < (tot + 1) / 2)
+    }
+  }
+
   test("q151 shares sum to one per region and globally") {
     val rows = SegmentationQueries.q151ShareOfTotal(spark, sfDir).collect()
     assert(rows.nonEmpty)
