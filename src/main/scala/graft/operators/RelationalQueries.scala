@@ -1363,7 +1363,42 @@ object RelationalQueries {
     ).reduce(_ unionAll _).orderBy("table_name")
   }
 
+  // ---------------------------------------------------------------- q168
+
+  /** NULL-semantics parity suite — the dialect corner the other parity
+    * suites (q127 arrays, q130 maps, q131 regex, q142 calendar) leave
+    * out, pinned to the Spark ∩ DuckDB intersection. The fixture has no
+    * physical nulls, so the suite manufactures them deterministically
+    * (nullif on a real enum; CASE on a real measure) and then exercises
+    * the semantics that differ across engines in the wild: COUNT(col)
+    * vs COUNT(*), COUNT(DISTINCT col) null exclusion, MIN/MAX null
+    * skipping, SUM over an all-null group (NULL, coalesced), null-safe
+    * equality (Spark `<=>` == DuckDB IS NOT DISTINCT FROM), null
+    * GROUPING key membership, and pinned NULLS FIRST presentation
+    * order. All aggregates are BIGINT-exact (quantity is an integral
+    * double). Narrow scan → one grouped aggregate — nothing here costs
+    * more than q01 at any scale. */
+  def q168NullSemantics(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        expr("nullif(l_returnflag, 'N')").as("nl"),
+        expr("case when l_quantity > 40 then cast(null as bigint) " +
+          "else cast(l_quantity as bigint) end").as("nv"))
+      .groupBy("nl")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        count(col("nv")).cast("bigint").as("n_nv_nonnull"),
+        sum(when(col("nv").isNull, 1L).otherwise(0L)).cast("bigint")
+          .as("n_nv_null"),
+        countDistinct(col("nv")).cast("bigint").as("nd_nv"),
+        min("nv").cast("bigint").as("min_nv"),
+        max("nv").cast("bigint").as("max_nv"),
+        coalesce(sum("nv"), lit(0L)).cast("bigint").as("sum_nv"),
+        sum((col("nv") <=> lit(null).cast("bigint")).cast("bigint"))
+          .cast("bigint").as("n_nullsafe_null"))
+      .orderBy(asc_nulls_first("nl"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_null_semantics" -> (q168NullSemantics _),
     "q117_sketch_overlap" -> (q117SketchOverlap _),
     "q118_cohort_retention" -> (q118CohortRetention _),
     "q119_event_transitions" -> (q119EventTransitions _),
@@ -1420,6 +1455,22 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_null_semantics" ->
+      """WITH x AS (SELECT nullif(l_returnflag, 'N') AS nl,
+        |    CASE WHEN l_quantity > 40 THEN CAST(NULL AS BIGINT)
+        |         ELSE CAST(l_quantity AS BIGINT) END AS nv
+        |  FROM lineitem)
+        |SELECT nl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(nv) AS BIGINT) AS n_nv_nonnull,
+        |  CAST(SUM(CASE WHEN nv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nv_null,
+        |  CAST(COUNT(DISTINCT nv) AS BIGINT) AS nd_nv,
+        |  CAST(MIN(nv) AS BIGINT) AS min_nv,
+        |  CAST(MAX(nv) AS BIGINT) AS max_nv,
+        |  CAST(COALESCE(SUM(nv), 0) AS BIGINT) AS sum_nv,
+        |  CAST(SUM(CAST(nv IS NOT DISTINCT FROM NULL AS INTEGER)) AS BIGINT)
+        |    AS n_nullsafe_null
+        |FROM x GROUP BY nl ORDER BY nl NULLS FIRST""".stripMargin,
     "q160_uniqueness_audit" -> Seq(
       ("customer", "customer", "c_custkey"),
       ("documents", "documents", "doc_id"),

@@ -347,10 +347,44 @@ object StreamingQueries {
       .orderBy("event_type", "d")
   }
 
+  /** STREAMING native session windows — q164's declarative
+    * `session_window` expression dropped unchanged into a watermarked
+    * streaming groupBy (the promise in q164's scaladoc, kept): gap
+    * sessions merge in the state store as events arrive, and a session
+    * FINALIZES (append mode) once the watermark passes its end —
+    * last event + 30 min gap + 1 h lateness. State per (user, open
+    * session) is one merged range, the O(1)-per-key sessionize
+    * contract (Sessionize.scala) in the built-in operator. The oracle
+    * replays q164's independent gaps-and-islands chain with the q36
+    * finalization cut. */
+  def q169StreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamSources.events(s, dir)
+    val tbl = s"graft_stream_sessions_${runCounter.incrementAndGet()}"
+    val q = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(tbl).orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_streaming_kmv" -> (q107StreamingKmv _),
     "q36_streaming_hourly" -> (q36StreamingHourly _),
     "q161_streaming_anomaly" -> (q161StreamingAnomaly _),
+    "q169_streaming_sessions" -> (q169StreamingSessions _),
     "q124_streaming_hopping" -> (q124StreamingHopping _),
     "q52_streaming_dedup" -> (q52StreamingDedup _),
     "q63_streaming_neardup" -> (q63StreamingNearDup _),
@@ -365,6 +399,28 @@ object StreamingQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // q164's gaps-and-islands chain + the q36 finalization cut: a
+    // session (end = last event + 30 min) emits once the watermark
+    // (max ts − 1 h) passes its end
+    "q169_streaming_sessions" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x),
+        |s AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en,
+        |    COUNT(*) AS n FROM g GROUP BY user_id, sid)
+        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(en + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(n AS BIGINT) AS n_events
+        |FROM s
+        |WHERE en + INTERVAL 90 MINUTE <= (SELECT max(ts) FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
     // q148's exact chain over FINALIZED days only: a 1-day window emits
     // once its end is >= 1 h behind max(ts) — d + 25 h <= max(ts)
     "q161_streaming_anomaly" ->

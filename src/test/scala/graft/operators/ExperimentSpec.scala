@@ -48,6 +48,28 @@ class ExperimentSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q169 streamed sessions == q164 batch sessions on finalized ends") {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val maxTs = graft.Tables.events(spark, sfDir)
+      .agg(max("ts")).head().getTimestamp(0).toLocalDateTime
+    val batch = TemporalQueries.q164SessionWindow(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      // finalized = session end (already last event + gap) at least the
+      // 1 h watermark behind max ts; the formatted end only ever rounds
+      // DOWN, so compare on the second-truncated boundary both sides use
+      .filter { case (_, _, end, _) =>
+        !java.time.LocalDateTime.parse(end, fmt).isAfter(maxTs.minusHours(1)) }
+      .toSet
+    val streamed = graft.streaming.StreamingQueries
+      .q169StreamingSessions(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("q164 sessions partition each user's events with >= 30 min gaps") {
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
