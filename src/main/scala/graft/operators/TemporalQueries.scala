@@ -292,7 +292,7 @@ object TemporalQueries {
     * contract, stated rather than hidden. */
   def q165BehaviorClones(s: SparkSession, dir: String): DataFrame = {
     val paths = Tables.events(s, dir)
-      .withColumn("d", col("ts").cast("date"))
+      .withColumn("d", date_trunc("week", col("ts")).cast("date"))
       .groupBy("user_id", "d")
       .agg(array_join(
         transform(
@@ -446,10 +446,10 @@ object TemporalQueries {
     // same ordered-assembly (q122/q145 rule), same blocking key, same
     // candidate filter; levenshtein is exact in both engines
     "q165_behavior_clones" ->
-      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d,
+      """WITH p AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS d,
         |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
         |      AS path
-        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |  FROM events GROUP BY user_id, CAST(date_trunc('week', ts) AS DATE)),
         |k AS (SELECT user_id, d, path, length(path) // 4 AS blk_len,
         |    substr(path, 1, 1) AS blk_c FROM p)
         |SELECT a.user_id AS user_a, a.d AS day_a,
