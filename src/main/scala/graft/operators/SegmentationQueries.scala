@@ -363,6 +363,101 @@ object SegmentationQueries {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q170
+
+  /** TWO-PHASE distributed top-k per group — top-3 parts per nation by
+    * exact revenue WITHOUT a per-group global sort: phase 1 ranks
+    * within (nation, part-hash-bucket) and keeps each bucket's top 3;
+    * phase 2 ranks the <= 3·nBuckets survivors per nation. Pigeonhole:
+    * the true global top-3 survive phase 1 in whatever buckets they
+    * hash to, so the phases are LOSSLESS for k <= bucket keep-depth.
+    * This is the q111/q138 discipline applied to ranking: a plain
+    * `row_number over (partition by nation)` on the per-part aggregate
+    * sorts every part of a nation in one task — with a bounded group
+    * key over a scaling part vocabulary that is the q116 straggler in
+    * top-k clothing. Phase-1 partitions are (bounded group) x (hash
+    * bucket), phase-2 input is 3·nBuckets summary rows per group.
+    * Ranking key (rev_e4 DESC, part) is an exact-BIGINT total order, so
+    * both phases and the oracle's one-window form pick identical
+    * rows. */
+  def q170TopkTwoPhase(s: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 32
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("l_partkey").as("part"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+         (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_e4"))
+      .groupBy("nation", "part").agg(sum("rev_e4").as("rev_e4"))
+      .withColumn("bucket", pmod(hash(col("part")), lit(nBuckets)))
+    val w1 = Window.partitionBy("nation", "bucket")
+      .orderBy(desc("rev_e4"), asc("part"))
+    val survivors = rev.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= 3)
+    val w2 = Window.partitionBy("nation").orderBy(desc("rev_e4"), asc("part"))
+    survivors.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 3)
+      .select(col("nation"), col("rank").cast("int").as("rank"),
+        col("part").cast("bigint").as("part"),
+        col("rev_e4").cast("bigint").as("rev_e4"))
+      .orderBy("nation", "rank")
+  }
+
+  /** Test-only single-window baseline for SegmentationSpec: the shape
+    * q170 exists to avoid (per-group global sort). */
+  private[graft] def topkNaive(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("l_partkey").as("part"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+         (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_e4"))
+      .groupBy("nation", "part").agg(sum("rev_e4").as("rev_e4"))
+    rev.withColumn("rank", row_number().over(
+        Window.partitionBy("nation").orderBy(desc("rev_e4"), asc("part"))))
+      .filter(col("rank") <= 3)
+      .select(col("nation"), col("rank").cast("int").as("rank"),
+        col("part").cast("bigint").as("part"),
+        col("rev_e4").cast("bigint").as("rev_e4"))
+      .orderBy("nation", "rank")
+  }
+
+  // ---------------------------------------------------------------- q171
+
+  /** Month-over-month growth report — monthly revenue per region with
+    * absolute and e6-quantized relative deltas via lag over MONTH
+    * SUMMARIES (bounded rows: |regions| x |months|). The reference's
+    * dashboard time-series (`README.md:29-35`) with its derivative. The
+    * pct chain — CAST(delta)/CAST(prev) with terminal floor — is
+    * mirrored; revenue is exact e4-unit BIGINT. */
+  def q171MomGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("m"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+         (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_e4"))
+      .groupBy("region", "m").agg(sum("rev_e4").as("rev_e4"))
+    val w = Window.partitionBy("region").orderBy("m")
+    monthly.withColumn("prev", lag("rev_e4", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("region"), col("m"),
+        col("rev_e4").cast("bigint").as("rev_e4"),
+        (col("rev_e4") - col("prev")).cast("bigint").as("delta_e4"),
+        floor((col("rev_e4") - col("prev")).cast("double") /
+            col("prev").cast("double") * lit(1000000.0))
+          .cast("bigint").as("growth_e6"))
+      .orderBy("region", "m")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -373,6 +468,8 @@ object SegmentationQueries {
     "q162_ab_test" -> (q162AbTest _),
     "q166_gini" -> (q166Gini _),
     "q167_weighted_median" -> (q167WeightedMedian _),
+    "q170_topk_two_phase" -> (q170TopkTwoPhase _),
+    "q171_mom_growth" -> (q171MomGrowth _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -535,5 +632,41 @@ object SegmentationQueries {
         |SELECT lang, CAST(wtot AS BIGINT) AS total_chars,
         |  CAST(MIN(w) AS BIGINT) AS weighted_median_len
         |FROM x GROUP BY lang, wtot ORDER BY lang""".stripMargin,
+    // one-window form: identical because the two-phase selection is
+    // lossless (pigeonhole) and the ranking key is an exact total order
+    "q170_topk_two_phase" ->
+      """WITH rev AS (SELECT nt.n_name AS nation, l.l_partkey AS part,
+        |    SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_e4
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+        |  GROUP BY nt.n_name, l.l_partkey),
+        |r AS (SELECT nation, part, rev_e4, row_number() OVER (
+        |    PARTITION BY nation ORDER BY rev_e4 DESC, part) AS rank
+        |  FROM rev)
+        |SELECT nation, CAST(rank AS INTEGER) AS rank,
+        |  CAST(part AS BIGINT) AS part, CAST(rev_e4 AS BIGINT) AS rev_e4
+        |FROM r WHERE rank <= 3 ORDER BY nation, rank""".stripMargin,
+    "q171_mom_growth" ->
+      """WITH m AS (SELECT r.r_name AS region,
+        |    CAST(date_trunc('month', l.l_shipdate) AS DATE) AS m,
+        |    SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_e4
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = nt.n_regionkey
+        |  GROUP BY r.r_name, CAST(date_trunc('month', l.l_shipdate) AS DATE)),
+        |x AS (SELECT region, m, rev_e4,
+        |    LAG(rev_e4) OVER (PARTITION BY region ORDER BY m) AS prev
+        |  FROM m)
+        |SELECT region, m, CAST(rev_e4 AS BIGINT) AS rev_e4,
+        |  CAST(rev_e4 - prev AS BIGINT) AS delta_e4,
+        |  CAST(FLOOR(CAST(rev_e4 - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS growth_e6
+        |FROM x WHERE prev IS NOT NULL ORDER BY region, m""".stripMargin,
   )
 }

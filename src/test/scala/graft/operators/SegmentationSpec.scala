@@ -113,6 +113,14 @@ class SegmentationSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 two-phase top-k == the single-window form it replaces") {
+    val twoPhase = SegmentationQueries.q170TopkTwoPhase(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val naive = SegmentationQueries.topkNaive(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(twoPhase.toSeq == naive.toSeq && twoPhase.nonEmpty)
+  }
+
   test("q151 shares sum to one per region and globally") {
     val rows = SegmentationQueries.q151ShareOfTotal(spark, sfDir).collect()
     assert(rows.nonEmpty)
