@@ -7,7 +7,7 @@ import graft.Tables
 
 /** Round-9 third-wave analytics operators: the relational corners a user
   * of the reference's analytics layer (`/root/reference/sql/
-  * aggregations.sql`, `sql/weather_analysis.sql`) reaches next once the
+  * aggregations.sql`, `sql/make_view.sql`) reaches next once the
   * pivot/rollup/window family exists, plus two graph/sampling operators a
   * training-data pipeline needs at corpus scale.
   *

@@ -1397,8 +1397,48 @@ object RelationalQueries {
           .cast("bigint").as("n_nullsafe_null"))
       .orderBy(asc_nulls_first("nl"))
 
+  // ---------------------------------------------------------------- q172
+
+  /** DECIMAL money-math parity suite — exact fixed-point arithmetic in
+    * the Spark ∩ DuckDB dialect intersection (the q127/q131/q142/q168
+    * suite family, pointed at the type the warehouse's lat/long columns
+    * already use, §1.3 DECIMAL(8,6)/(9,6)). The fixture's prices and
+    * discounts sit on 2-decimal grids, so double→DECIMAL casts are
+    * exact (no rounding divergence at the boundary), and the
+    * net = price·(1−disc) product stays at scale 4 — EXACT, never
+    * re-rounded. Division, avg, and scale-narrowing casts are
+    * deliberately absent: decimal division result-scale rules differ
+    * across engines, and a narrowing cast rounds HALF_UP in Spark but
+    * half-to-even in DuckDB (measured here: casting this very product
+    * to scale 2 diverged by ~95 cents over 24k rows) — documented
+    * non-surfaces; the exact-arithmetic subset below is the portable
+    * money dialect. SUMs over decimals are exact and order-free — the
+    * money-safe alternative to double accumulation, at any scale. */
+  def q172DecimalSuite(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"),
+        col("l_discount").cast("decimal(4,2)").as("disc"))
+      .withColumn("net",
+        (col("p") * (lit(java.math.BigDecimal.ONE).cast("decimal(4,2)") -
+          col("disc"))).cast("decimal(22,4)"))
+      .groupBy("flag")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum("p").cast("decimal(30,2)").cast("string").as("sum_price"),
+        sum("net").cast("decimal(30,4)").cast("string").as("sum_net"),
+        min("p").cast("decimal(18,2)").cast("string").as("min_price"),
+        max("p").cast("decimal(18,2)").cast("string").as("max_price"),
+        sum(col("p") + col("disc").cast("decimal(18,2)"))
+          .cast("decimal(30,2)").cast("string").as("sum_mixed_scale"))
+      .orderBy("flag")
+  // decimal results surface as canonical fixed-scale STRINGS: wide
+  // decimals lose their exact representation in the compare harness's
+  // dataframe conversion (float64 coercion), while the string form
+  // carries scale and value exactly in both engines
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_null_semantics" -> (q168NullSemantics _),
+    "q172_decimal_suite" -> (q172DecimalSuite _),
     "q117_sketch_overlap" -> (q117SketchOverlap _),
     "q118_cohort_retention" -> (q118CohortRetention _),
     "q119_event_transitions" -> (q119EventTransitions _),
@@ -1455,6 +1495,22 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_decimal_suite" ->
+      """WITH x AS (SELECT l_returnflag AS flag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+        |    CAST(l_discount AS DECIMAL(4,2)) AS disc
+        |  FROM lineitem),
+        |y AS (SELECT flag, p, disc,
+        |    CAST(p * (CAST(1 AS DECIMAL(4,2)) - disc) AS DECIMAL(22,4)) AS net
+        |  FROM x)
+        |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(p) AS DECIMAL(30,2)) AS VARCHAR) AS sum_price,
+        |  CAST(CAST(SUM(net) AS DECIMAL(30,4)) AS VARCHAR) AS sum_net,
+        |  CAST(CAST(MIN(p) AS DECIMAL(18,2)) AS VARCHAR) AS min_price,
+        |  CAST(CAST(MAX(p) AS DECIMAL(18,2)) AS VARCHAR) AS max_price,
+        |  CAST(CAST(SUM(p + CAST(disc AS DECIMAL(18,2))) AS DECIMAL(30,2))
+        |    AS VARCHAR) AS sum_mixed_scale
+        |FROM y GROUP BY flag ORDER BY flag""".stripMargin,
     "q168_null_semantics" ->
       """WITH x AS (SELECT nullif(l_returnflag, 'N') AS nl,
         |    CASE WHEN l_quantity > 40 THEN CAST(NULL AS BIGINT)

@@ -317,6 +317,41 @@ object TemporalQueries {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q173
+
+  /** FLOOR-CAPPED running balance per user — bal_t = max(0, bal_{t-1} +
+    * delta_t) — the inventory/credit recurrence that is genuinely
+    * NON-ASSOCIATIVE: no window frame or prefix sum computes it,
+    * because the clamp couples every step to the previous state. The
+    * scale-correct Spark form is a per-entity ORDERED FOLD: each user's
+    * deltas collect into a (ts, event_id)-sorted array (bounded by
+    * per-entity activity — the sessionize assumption) and a codegen'd
+    * `aggregate` higher-order fold applies the clamp sequentially
+    * in-row. One shuffle on user_id; the sequential dependency never
+    * leaves a single row.
+    *
+    * Credits (signup/view/click) add the centi-quantized value, debits
+    * (purchase/error) subtract it; both engines fold the identical
+    * integer recurrence (DuckDB's list_reduce seeds from the first
+    * element, so the oracle prepends the 0 initial state). */
+  def q173CappedBalance(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("user_id") < 60)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type").isin("purchase", "error"),
+          -expr("cast(round(value * 100) as bigint)"))
+          .otherwise(expr("cast(round(value * 100) as bigint)")).as("delta"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum("delta").cast("bigint").as("net_sum"),
+        expr("""aggregate(
+          transform(
+            array_sort(collect_list(struct(ts, event_id, delta))),
+            x -> x.delta),
+          0L, (acc, d) -> greatest(0L, acc + d))""").as("final_balance"))
+      .select(col("user_id"), col("n_events"), col("net_sum"),
+        col("final_balance").cast("bigint").as("final_balance"))
+      .orderBy("user_id")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -328,6 +363,7 @@ object TemporalQueries {
     "q159_seasonality_index" -> (q159SeasonalityIndex _),
     "q164_session_window" -> (q164SessionWindow _),
     "q165_behavior_clones" -> (q165BehaviorClones _),
+    "q173_capped_balance" -> (q173CappedBalance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -461,5 +497,22 @@ object TemporalQueries {
         |  AND a.user_id < b.user_id
         |ORDER BY dist, user_a, day_a, user_b, day_b
         |LIMIT 20""".stripMargin,
+    // identical integer clamp recurrence; list_reduce seeds from the
+    // first element, so 0 is prepended as the initial state
+    "q173_capped_balance" ->
+      """WITH d AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('purchase', 'error')
+        |      THEN -CAST(round(value * 100) AS BIGINT)
+        |      ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+        |  FROM events WHERE user_id < 60),
+        |g AS (SELECT user_id, COUNT(*) AS n_events, SUM(delta) AS net_sum,
+        |    list(delta ORDER BY ts, event_id) AS deltas
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(net_sum AS BIGINT) AS net_sum,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), deltas),
+        |    (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)) AS BIGINT)
+        |    AS final_balance
+        |FROM g ORDER BY user_id""".stripMargin,
   )
 }

@@ -70,6 +70,21 @@ class ExperimentSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("q173 clamped fold dominates the unclamped sum, and the clamp engages") {
+    val rows = TemporalQueries.q173CappedBalance(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((u, net, fin) <- rows) {
+      assert(fin >= 0, s"user $u negative balance")
+      assert(fin >= math.max(0L, net),
+        s"user $u: clamped fold $fin below unclamped floor ${math.max(0L, net)}")
+    }
+    // on real data the floor actually binds somewhere — otherwise this
+    // operator would be a plain prefix sum and the fold is untested
+    assert(rows.exists { case (_, net, fin) => fin > math.max(0L, net) },
+      "clamp never engaged on the fixture")
+  }
+
   test("q164 sessions partition each user's events with >= 30 min gaps") {
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
