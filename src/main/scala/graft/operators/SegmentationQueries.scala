@@ -458,6 +458,48 @@ object SegmentationQueries {
       .orderBy("region", "m")
   }
 
+  // ---------------------------------------------------------------- q174
+
+  /** Two-sample KOLMOGOROV–SMIRNOV drift statistic between the click
+    * and view value distributions — D = max |F₁(v) − F₂(v)| — the
+    * distribution-shift detector a training-data pipeline runs between
+    * crawls/sources before q69's mixture math trusts them. Exactness:
+    * both empirical CDFs ride cumulative INTEGER counts over per-value
+    * summaries, and the sup is taken over the cross-multiplied BIGINT
+    * |cum₁·n₂ − cum₂·n₁| (no double enters the argmax), with the
+    * attaining value tie-broken to the smallest. Only the final
+    * reported D divides, once.
+    *
+    * Scale: one map-side-combinable shuffle to per-value counts (the
+    * value grid, not the event count, bounds the summary frame); the
+    * CDF windows consume those summaries (aggregate beneath — the
+    * straggler-guard shape); the sup is a single bounded aggregate. */
+  def q174KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cdf = counts
+      .withColumn("cum1", sum("c1").over(wCum))
+      .withColumn("cum2", sum("c2").over(wCum))
+      .withColumn("n1", sum("c1").over(Window.partitionBy()))
+      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+      .withColumn("dnum", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+    cdf.withColumn("dmax", max("dnum").over(Window.partitionBy()))
+      .agg(first(col("n1")).as("na"), first(col("n2")).as("nb"),
+        first(col("dmax")).as("d_num"),
+        min(when(col("dnum") === col("dmax"), col("value"))).as("at_value"))
+      .select(col("na").cast("bigint").as("n_click"),
+        col("nb").cast("bigint").as("n_view"),
+        col("d_num").cast("bigint").as("d_num"),
+        (col("d_num").cast("double") /
+          (col("na") * col("nb")).cast("double")).as("ks"),
+        col("at_value"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -470,6 +512,7 @@ object SegmentationQueries {
     "q167_weighted_median" -> (q167WeightedMedian _),
     "q170_topk_two_phase" -> (q170TopkTwoPhase _),
     "q171_mom_growth" -> (q171MomGrowth _),
+    "q174_ks_drift" -> (q174KsDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -668,5 +711,29 @@ object SegmentationQueries {
         |  CAST(FLOOR(CAST(rev_e4 - prev AS DOUBLE) / CAST(prev AS DOUBLE)
         |    * 1000000.0) AS BIGINT) AS growth_e6
         |FROM x WHERE prev IS NOT NULL ORDER BY region, m""".stripMargin,
+    // sup over exact cross-multiplied BIGINTs; one terminal division
+    "q174_ks_drift" ->
+      """WITH c AS (SELECT value,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY value),
+        |cdf AS (SELECT value,
+        |    SUM(c1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    SUM(c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+        |  FROM c),
+        |d AS (SELECT value, n1, n2, ABS(cum1 * n2 - cum2 * n1) AS dnum,
+        |    MAX(ABS(cum1 * n2 - cum2 * n1)) OVER () AS dmax
+        |  FROM cdf)
+        |SELECT CAST(MIN(n1) AS BIGINT) AS n_click,
+        |  CAST(MIN(n2) AS BIGINT) AS n_view,
+        |  CAST(MIN(dmax) AS BIGINT) AS d_num,
+        |  CAST(MIN(dmax) AS DOUBLE)
+        |    / CAST(MIN(n1) * MIN(n2) AS DOUBLE) AS ks,
+        |  MIN(CASE WHEN dnum = dmax THEN value END) AS at_value
+        |FROM d""".stripMargin,
   )
 }
