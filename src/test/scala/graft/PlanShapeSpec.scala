@@ -329,4 +329,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet") && p.contains("graft_sh42"),
       "both sides must read the staged fingerprint as a leaf scan")
   }
+
+  test("q143: the sweep line never explodes intervals into per-day rows") {
+    val p = plan("q143_max_concurrency")
+    assert(!p.contains("Generate"),
+      s"interval concurrency must ride boundary deltas, not a day explode:\n$p")
+  }
+
+  test("q170: two ranking phases, the first bucketed finer than the group") {
+    val p = plan("q170_topk_two_phase")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 2, s"expected exactly the two ranking windows, got $windows:\n$p")
+    assert(p.contains("bucket"), "phase 1 must partition by (group, hash bucket)")
+  }
+
+  test("q165: clone candidates come from a blocking equi-join, never a cross product") {
+    val p = plan("q165_behavior_clones")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sequence near-dedup must block:\n$p")
+  }
+
+  test("q150: the per-customer frame is staged — assignment reads a leaf scan") {
+    val p = plan("q150_rfm_segments")
+    assert(p.contains("FileScan parquet") && p.contains("graft_rfm"),
+      s"the five-consumer frame must stage through parquet:\n$p")
+    assert(!p.contains("o_totalprice"),
+      s"assignment must not re-derive the orders aggregate:\n$p")
+  }
 }
