@@ -952,6 +952,47 @@ object DedupQueries {
       .orderBy("n_name")
   }
 
+  // ---------------------------------------------------------------- q176
+
+  /** SURVIVORSHIP (golden-record merge) over q106's fuzzy-matched
+    * customer pairs — the MDM step entity resolution exists to feed:
+    * for each matched pair, emit the merged record under explicit,
+    * deterministic field rules (survivor = lowest key; name from the
+    * survivor; balance = richest value — greatest; segment = the q129
+    * total-order tie rule — least). Pair-level merge is the bounded
+    * primitive; CHAINED duplicate groups compose it with q50's
+    * connected components (survivor = component minimum), which is why
+    * the rules here are associative-friendly (min/greatest/least).
+    *
+    * Scale: identical candidate topology to q106 (nation-blocked
+    * equi-join, banded levenshtein on candidates only — no cross
+    * product in any plan); the merge itself is two broadcast-eligible
+    * attribute joins on the customer key. */
+  def q176Survivorship(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nk"), col("c_custkey"),
+        expr("substring(c_name, 10)").as("sfx"), col("c_name"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val a = c.select(col("nk"), col("c_custkey").as("ka"), col("sfx").as("na"))
+    val b = c.select(col("nk"), col("c_custkey").as("kb"), col("sfx").as("nb"))
+    val pairs = a.join(b, Seq("nk"))
+      .filter(col("ka") < col("kb") &&
+        levenshtein(col("na"), col("nb"), 2) =!= -1)
+      .select("ka", "kb")
+    val attrsA = c.select(col("c_custkey").as("ka"), col("c_name").as("name_a"),
+      col("bal").as("bal_a"), col("seg").as("seg_a"))
+    val attrsB = c.select(col("c_custkey").as("kb"),
+      col("bal").as("bal_b"), col("seg").as("seg_b"))
+    pairs.join(attrsA, Seq("ka")).join(attrsB, Seq("kb"))
+      .select(col("ka").cast("bigint").as("survivor_key"),
+        col("kb").cast("bigint").as("merged_from"),
+        col("name_a").as("golden_name"),
+        greatest(col("bal_a"), col("bal_b")).cast("bigint").as("golden_bal_cents"),
+        least(col("seg_a"), col("seg_b")).as("golden_segment"))
+      .orderBy("survivor_key", "merged_from")
+  }
+
   /** EXACT set-similarity join via prefix filtering (the
     * AllPairs/PPJoin family, Bayardo et al. / Xiao et al.) — the
     * lossless counterpart to q22's probabilistic MinHash-LSH: every
@@ -1026,6 +1067,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_ppjoin_jaccard" -> (q112PpjoinJaccard _),
     "q106_fuzzy_entity_match" -> (q106FuzzyEntityMatch _),
+    "q176_survivorship" -> (q176Survivorship _),
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_minhash_lsh" -> (q22MinhashLsh _),
     "q123_lsh_calibration" -> (q123LshCalibration _),
@@ -1083,6 +1125,23 @@ object DedupQueries {
         |FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
         |WHERE CAST(i.common AS DOUBLE) / CAST(x.n + y.n - i.common AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // same blocked candidate join as q106; explicit field merge rules
+    "q176_survivorship" ->
+      """WITH c AS (SELECT c_nationkey AS nk, c_custkey,
+        |    substr(c_name, 10) AS sfx, c_name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |p AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM c a JOIN c b ON b.nk = a.nk AND a.c_custkey < b.c_custkey
+        |    AND levenshtein(a.sfx, b.sfx) <= 2)
+        |SELECT p.ka AS survivor_key, p.kb AS merged_from,
+        |  ca.c_name AS golden_name,
+        |  CAST(GREATEST(ca.bal, cb.bal) AS BIGINT) AS golden_bal_cents,
+        |  LEAST(ca.seg, cb.seg) AS golden_segment
+        |FROM p JOIN c ca ON ca.c_custkey = p.ka
+        |JOIN c cb ON cb.c_custkey = p.kb
+        |ORDER BY survivor_key, merged_from""".stripMargin,
     "q106_fuzzy_entity_match" ->
       """WITH p AS (SELECT a.c_nationkey AS nk, a.c_custkey AS ka, b.c_custkey AS kb
         |  FROM customer a JOIN customer b

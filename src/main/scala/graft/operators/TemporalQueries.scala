@@ -352,6 +352,31 @@ object TemporalQueries {
         col("final_balance").cast("bigint").as("final_balance"))
       .orderBy("user_id")
 
+  // ---------------------------------------------------------------- q175
+
+  /** HALF-LIFE decayed engagement score per user — recency weighting
+    * WITHOUT transcendentals: exp-decay's engine-divergent pow/exp (the
+    * q75/q163 ban) is replaced by the exact dyadic form w = 1e6 >> k,
+    * k = min(age_weeks, 20) — a 1-week half-life on the integer
+    * lattice. Every product and sum is BIGINT-exact, so the ranking a
+    * recommender would consume is bit-stable across engines and
+    * cluster runs. The anchor is one bounded driver scalar (the q19
+    * mirror class); the rest is one scan and one entity-key shuffle. */
+  def q175DecayScore(s: SparkSession, dir: String): DataFrame = {
+    val anchorUs = Tables.events(s, dir)
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    Tables.events(s, dir).filter(col("user_id") < 60)
+      .withColumn("k",
+        expr(s"least((${anchorUs}L - unix_micros(ts)) div 604800000000L, 20L)"))
+      .withColumn("contrib",
+        expr("cast(round(value * 100) as bigint)") *
+          expr("shiftright(1000000L, cast(k as int))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum("contrib").cast("bigint").as("score_e8"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -364,6 +389,7 @@ object TemporalQueries {
     "q164_session_window" -> (q164SessionWindow _),
     "q165_behavior_clones" -> (q165BehaviorClones _),
     "q173_capped_balance" -> (q173CappedBalance _),
+    "q175_decay_score" -> (q175DecayScore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -514,5 +540,15 @@ object TemporalQueries {
         |    (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)) AS BIGINT)
         |    AS final_balance
         |FROM g ORDER BY user_id""".stripMargin,
+    // identical dyadic weights (1e6 >> min(age_weeks, 20)); all-integer
+    "q175_decay_score" ->
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS a FROM events),
+        |e AS (SELECT user_id,
+        |    LEAST(((SELECT a FROM mx) - epoch_us(ts)) // 604800000000, 20) AS k,
+        |    CAST(round(value * 100) AS BIGINT) AS v_q
+        |  FROM events WHERE user_id < 60)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(v_q * (1000000 >> k)) AS BIGINT) AS score_e8
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -67,4 +67,14 @@ class RocksDbStateSpec extends AnyFunSuite {
     assert(viaRocks.toSeq === viaDefault.toSeq)
     assert(viaRocks.nonEmpty)
   }
+
+  test("q169 session-window merge state matches across state-store providers") {
+    // session windows MERGE state entries (ranges coalesce as events
+    // arrive) — the provider operation mix differs from plain window
+    // aggregation, so parity here is not implied by the q52/q107 cases
+    val viaRocks = graft.streaming.StreamingQueries.q169StreamingSessions(rocks, sfDir).collect()
+    val viaDefault = graft.streaming.StreamingQueries.q169StreamingSessions(spark, sfDir).collect()
+    assert(viaRocks.toSeq === viaDefault.toSeq)
+    assert(viaRocks.nonEmpty)
+  }
 }
