@@ -993,6 +993,57 @@ object DedupQueries {
       .orderBy("survivor_key", "merged_from")
   }
 
+  // ---------------------------------------------------------------- q177
+
+  /** GOLDEN RECORDS per connected duplicate COMPONENT — the full entity
+    * -resolution pipeline composed end to end: nation-blocked fuzzy
+    * matching (q106's candidate topology) → connected components over
+    * the match graph (q50's staged min-label propagation, reused — the
+    * loop discipline is the same object code) → q176's associative
+    * merge rules applied per component (survivor = component-minimum
+    * key, exactly what min-label propagation computes; balance = MAX,
+    * segment = MIN over members). Chains merge transitively: a-b, b-c
+    * collapse to one golden record where the pair view keeps two.
+    *
+    * Scale: inherits each stage's contract — blocked candidates, staged
+    * O(V+E) label passes, and a final members ⋈ labels equi-join.
+    * Singleton customers never enter the graph (only matched vertices
+    * carry labels), so the output is exactly the duplicate groups. */
+  def q177GoldenComponents(s: SparkSession, dir: String): DataFrame = {
+    val ck = graft.Staging.fresh("golden")
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nk"), col("c_custkey"),
+        expr("substring(c_name, 10)").as("sfx"), col("c_name"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val a = c.select(col("nk"), col("c_custkey").as("ka"), col("sfx").as("na"))
+    val b = c.select(col("nk"), col("c_custkey").as("kb"), col("sfx").as("nb"))
+    a.join(b, Seq("nk"))
+      .filter(col("ka") < col("kb") &&
+        levenshtein(col("na"), col("nb"), 2) =!= -1)
+      .select("ka", "kb")
+      .write.mode("overwrite").parquet(s"$ck/pairs")
+    val pairs = s.read.parquet(s"$ck/pairs")
+    val und = pairs.select(col("ka").as("src"), col("kb").as("dst"))
+      .union(pairs.select(col("kb").as("src"), col("ka").as("dst")))
+    val verts = und.select("src").distinct()
+    und.union(verts.select(col("src"), col("src").as("dst")))
+      .write.mode("overwrite").parquet(s"$ck/base")
+    val labels = SimilarityQueries.propagateLabels(s, s"$ck/base")
+    val members = labels
+      .join(c.select(col("c_custkey").as("v"), col("bal"), col("seg")), Seq("v"))
+      .groupBy("lbl")
+      .agg(count(lit(1)).cast("bigint").as("n_members"),
+        max("bal").cast("bigint").as("golden_bal_cents"),
+        min("seg").as("golden_segment"))
+    members
+      .join(c.select(col("c_custkey").as("lbl"), col("c_name")), Seq("lbl"))
+      .select(col("lbl").cast("bigint").as("survivor_key"), col("n_members"),
+        col("c_name").as("golden_name"), col("golden_bal_cents"),
+        col("golden_segment"))
+      .orderBy("survivor_key")
+  }
+
   /** EXACT set-similarity join via prefix filtering (the
     * AllPairs/PPJoin family, Bayardo et al. / Xiao et al.) — the
     * lossless counterpart to q22's probabilistic MinHash-LSH: every
@@ -1068,6 +1119,7 @@ object DedupQueries {
     "q112_ppjoin_jaccard" -> (q112PpjoinJaccard _),
     "q106_fuzzy_entity_match" -> (q106FuzzyEntityMatch _),
     "q176_survivorship" -> (q176Survivorship _),
+    "q177_golden_components" -> (q177GoldenComponents _),
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_minhash_lsh" -> (q22MinhashLsh _),
     "q123_lsh_calibration" -> (q123LshCalibration _),
@@ -1125,6 +1177,32 @@ object DedupQueries {
         |FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
         |WHERE CAST(i.common AS DOUBLE) / CAST(x.n + y.n - i.common AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // blocked matches → recursive-CTE components → per-component merge
+    "q177_golden_components" ->
+      """WITH RECURSIVE c AS (SELECT c_nationkey AS nk, c_custkey,
+        |    substr(c_name, 10) AS sfx, c_name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |p AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM c a JOIN c b ON b.nk = a.nk AND a.c_custkey < b.c_custkey
+        |    AND levenshtein(a.sfx, b.sfx) <= 2),
+        |edges AS (SELECT ka AS src, kb AS dst FROM p
+        |  UNION ALL SELECT kb AS src, ka AS dst FROM p),
+        |reach(v, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v),
+        |comp AS (SELECT v, MIN(lbl) AS g FROM reach GROUP BY v),
+        |m AS (SELECT g, COUNT(*) AS n_members, MAX(cm.bal) AS gb,
+        |    MIN(cm.seg) AS gs
+        |  FROM comp JOIN c cm ON cm.c_custkey = comp.v GROUP BY g)
+        |SELECT CAST(m.g AS BIGINT) AS survivor_key,
+        |  CAST(m.n_members AS BIGINT) AS n_members,
+        |  cs.c_name AS golden_name, CAST(m.gb AS BIGINT) AS golden_bal_cents,
+        |  m.gs AS golden_segment
+        |FROM m JOIN c cs ON cs.c_custkey = m.g
+        |ORDER BY survivor_key""".stripMargin,
     // same blocked candidate join as q106; explicit field merge rules
     "q176_survivorship" ->
       """WITH c AS (SELECT c_nationkey AS nk, c_custkey,

@@ -85,6 +85,23 @@ class ExperimentSpec extends AnyFunSuite {
       "clamp never engaged on the fixture")
   }
 
+  test("q177 components cover exactly the matched vertices; survivors are minima") {
+    val comps = DedupQueries.q177GoldenComponents(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.nonEmpty)
+    val pairs = DedupQueries.q176Survivorship(spark, sfDir)
+      .select("survivor_key", "merged_from").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val matched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    // every matched customer lands in exactly one component
+    assert(comps.map(_._2).sum == matched.size)
+    // each survivor key is itself a matched vertex (the component min)
+    assert(comps.forall { case (k, _) => matched(k) })
+    // transitivity: components can only merge pairs, never split them —
+    // at least as many pair rows as (n_members - 1) edges per component
+    assert(pairs.length >= comps.map(_._2 - 1).sum)
+  }
+
   test("q164 sessions partition each user's events with >= 30 min gaps") {
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
