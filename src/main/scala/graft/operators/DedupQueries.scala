@@ -915,30 +915,42 @@ object DedupQueries {
     * an all-pairs cross; at production cardinality the block key widens
     * to (nation, name prefix/soundex) with the same plan. levenshtein
     * is a codegen'd built-in scoring only surviving candidates. */
-  def q106FuzzyEntityMatch(s: SparkSession, dir: String): DataFrame = {
-    // score the digit suffix, not the full name: every name shares the
-    // "Customer#" prefix, and edit distance is invariant under a common
-    // prefix (an optimal alignment maps it to itself), so the banded DP
-    // runs on 9 chars instead of 18 — mirrored in the oracle
-    val c = Tables.customer(s, dir)
-      .select(col("c_nationkey").as("nk"), col("c_custkey"),
-        expr("substring(c_name, 10)").as("sfx"))
-    val a = c.select(col("nk"), col("c_custkey").as("ka"), col("sfx").as("na"))
-    val b = c.select(col("nk"), col("c_custkey").as("kb"), col("sfx").as("nb"))
-    // banded edit distance (threshold form returns -1 past the bound, so
-    // each candidate costs O(len * threshold), not O(len^2)) — and the
-    // surviving pair set is staged: TWO aggregates consume it (pair count,
-    // participant count), and unstaged each would re-run the quadratic
-    // scoring pass
-    val pairs = {
+  /** One staged (nk, ka, kb) fuzzy-match pair set per corpus dir per
+    * JVM (the fpIndexCache idiom): q106, q176, and q177 all consume the
+    * SAME nation-blocked banded-levenshtein candidate scan, and
+    * computeIfAbsent makes the quadratic scoring pass a once-per-corpus
+    * cost instead of once-per-query — the q85 single-index-build rule
+    * applied to entity resolution. The value is a staged parquet path;
+    * every consumer plans against a leaf scan. */
+  private val fuzzyPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Blocked fuzzy candidate pairs, scored once per dir. Scores the
+    * digit suffix, not the full name: every name shares the "Customer#"
+    * prefix, and edit distance is invariant under a common prefix (an
+    * optimal alignment maps it to itself), so the banded DP (threshold
+    * form returns -1 past the bound — O(len · threshold) per candidate)
+    * runs on 9 chars instead of 18 — mirrored in the oracles. */
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = fuzzyPairsCache.computeIfAbsent(dir, _ => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey").as("nk"), col("c_custkey"),
+          expr("substring(c_name, 10)").as("sfx"))
+      val a = c.select(col("nk"), col("c_custkey").as("ka"), col("sfx").as("na"))
+      val b = c.select(col("nk"), col("c_custkey").as("kb"), col("sfx").as("nb"))
       val p = graft.Staging.fresh("fuzzy")
       a.join(b, Seq("nk"))
         .filter(col("ka") < col("kb") &&
           levenshtein(col("na"), col("nb"), 2) =!= -1)
         .select("nk", "ka", "kb")
         .write.mode("overwrite").parquet(p)
-      s.read.parquet(p)
-    }
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  def q106FuzzyEntityMatch(s: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyPairs(s, dir)
     val nPairs = pairs.groupBy("nk")
       .agg(count(lit(1)).cast("bigint").as("n_pairs"))
     val nMatched = pairs
@@ -970,16 +982,10 @@ object DedupQueries {
     * attribute joins on the customer key. */
   def q176Survivorship(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-      .select(col("c_nationkey").as("nk"), col("c_custkey"),
-        expr("substring(c_name, 10)").as("sfx"), col("c_name"),
+      .select(col("c_custkey"), col("c_name"),
         expr("cast(round(c_acctbal * 100) as bigint)").as("bal"),
         col("c_mktsegment").as("seg"))
-    val a = c.select(col("nk"), col("c_custkey").as("ka"), col("sfx").as("na"))
-    val b = c.select(col("nk"), col("c_custkey").as("kb"), col("sfx").as("nb"))
-    val pairs = a.join(b, Seq("nk"))
-      .filter(col("ka") < col("kb") &&
-        levenshtein(col("na"), col("nb"), 2) =!= -1)
-      .select("ka", "kb")
+    val pairs = fuzzyPairs(s, dir).select("ka", "kb")
     val attrsA = c.select(col("c_custkey").as("ka"), col("c_name").as("name_a"),
       col("bal").as("bal_a"), col("seg").as("seg_a"))
     val attrsB = c.select(col("c_custkey").as("kb"),
@@ -1012,18 +1018,10 @@ object DedupQueries {
   def q177GoldenComponents(s: SparkSession, dir: String): DataFrame = {
     val ck = graft.Staging.fresh("golden")
     val c = Tables.customer(s, dir)
-      .select(col("c_nationkey").as("nk"), col("c_custkey"),
-        expr("substring(c_name, 10)").as("sfx"), col("c_name"),
+      .select(col("c_custkey"), col("c_name"),
         expr("cast(round(c_acctbal * 100) as bigint)").as("bal"),
         col("c_mktsegment").as("seg"))
-    val a = c.select(col("nk"), col("c_custkey").as("ka"), col("sfx").as("na"))
-    val b = c.select(col("nk"), col("c_custkey").as("kb"), col("sfx").as("nb"))
-    a.join(b, Seq("nk"))
-      .filter(col("ka") < col("kb") &&
-        levenshtein(col("na"), col("nb"), 2) =!= -1)
-      .select("ka", "kb")
-      .write.mode("overwrite").parquet(s"$ck/pairs")
-    val pairs = s.read.parquet(s"$ck/pairs")
+    val pairs = fuzzyPairs(s, dir).select("ka", "kb")
     val und = pairs.select(col("ka").as("src"), col("kb").as("dst"))
       .union(pairs.select(col("kb").as("src"), col("ka").as("dst")))
     val verts = und.select("src").distinct()
