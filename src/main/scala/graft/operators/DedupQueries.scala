@@ -1113,7 +1113,55 @@ object DedupQueries {
   def q112PpjoinJaccard(s: SparkSession, dir: String): DataFrame =
     ppjoinJaccard(Tables.documents(s, dir), tau = 0.5)
 
+  // ---------------------------------------------------------------- q178
+
+  /** Exact CONTAINMENT join — the DIRECTED set-similarity q112's
+    * symmetric Jaccard cannot express: c(a→b) = |A∩B| / |A| >= t finds
+    * documents (near-)contained in another regardless of the
+    * container's size — the boilerplate-wrapping / quote-expansion
+    * shape, where Jaccard vanishes as the container grows. Prefix
+    * filtering adapts asymmetrically: only the PROBE side indexes its
+    * (n_a − ceil(t·n_a) + 1) rarest shingles, the candidate join probes
+    * the FULL shingle index on the b side — lossless, because a
+    * qualifying intersection (>= ceil(t·n_a) shingles) cannot fit
+    * inside a's (ceil(t·n_a) − 1)-shingle suffix. Rarity ordering keeps
+    * the join keys low-df (hot boilerplate shingles sit in suffixes and
+    * never probe), which is what bounds the full-index fan-out.
+    * Verification counts the exact intersection on candidates only. */
+  def q178ContainmentJoin(s: SparkSession, dir: String): DataFrame =
+    containmentJoin(Tables.documents(s, dir), t = 0.7)
+
+  private[graft] def containmentJoin(docs: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSets(docs)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("r", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("r") <=
+        col("n") - expr(s"cast(ceil($t * cast(n as double)) as bigint)") + 1)
+      .select(col("doc_id"), col("sh"))
+    val cands = prefix.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("bigint").as("common"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .withColumn("containment",
+        expr("cast(common as double) / cast(na as double)"))
+      .filter(col("containment") >= t)
+      .select(col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"),
+        col("common"), col("na"), col("containment"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_containment_join" -> (q178ContainmentJoin _),
     "q112_ppjoin_jaccard" -> (q112PpjoinJaccard _),
     "q106_fuzzy_entity_match" -> (q106FuzzyEntityMatch _),
     "q176_survivorship" -> (q176Survivorship _),
@@ -1151,6 +1199,33 @@ object DedupQueries {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // asymmetric prefix (probe side only) vs the full index; exact
+    // intersection on candidates; one terminal division
+    "q178_containment_join" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |s AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh FROM t),
+        |dfr AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh),
+        |o AS (SELECT s.doc_id, s.sh,
+        |    row_number() OVER (PARTITION BY s.doc_id ORDER BY dfr.df, s.sh) AS r,
+        |    COUNT(*) OVER (PARTITION BY s.doc_id) AS n
+        |  FROM s JOIN dfr USING (sh)),
+        |p AS (SELECT doc_id, sh FROM o
+        |  WHERE r <= n - CAST(ceil(0.7 * CAST(n AS DOUBLE)) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM p x JOIN s y ON x.sh = y.sh AND x.doc_id <> y.doc_id),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY doc_id),
+        |iv AS (SELECT cand.a, cand.b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.a
+        |  JOIN s sb ON sb.doc_id = cand.b AND sb.sh = sa.sh
+        |  GROUP BY cand.a, cand.b)
+        |SELECT iv.a, iv.b, iv.common, sz.n AS na,
+        |  CAST(iv.common AS DOUBLE) / CAST(sz.n AS DOUBLE) AS containment
+        |FROM iv JOIN sz ON sz.doc_id = iv.a
+        |WHERE CAST(iv.common AS DOUBLE) / CAST(sz.n AS DOUBLE) >= 0.7
+        |ORDER BY a, b""".stripMargin,
     "q112_ppjoin_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |  WHERE len(string_split(text, ' ')) >= 5),

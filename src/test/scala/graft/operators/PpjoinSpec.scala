@@ -60,4 +60,44 @@ class PpjoinSpec extends AnyFunSuite {
       "the prefix filter must not drop any qualifying pair")
     assert(brute.nonEmpty, "fixture must contain at least one near-dup pair")
   }
+
+  test("q178 containment: directed semantics on constructed docs") {
+    // doc 1 shingles {abcde,bcdef,cdefg}; doc 2 {abcde,bcdef}:
+    // c(2→1) = 2/2 = 1.0, c(1→2) = 2/3 ≈ .667 — direction matters
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f"),
+      (3L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    val strict = DedupQueries.containmentJoin(docs, t = 0.7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(strict === Set((2L, 1L)), "only the contained direction qualifies")
+    val loose = DedupQueries.containmentJoin(docs, t = 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(loose === Set((2L, 1L), (1L, 2L)))
+  }
+
+  test("q178 asymmetric prefix filtering is lossless on the fixture") {
+    val t = 0.7
+    val viaPrefix = DedupQueries
+      .containmentJoin(graft.Tables.documents(spark, sfDir), t)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val sh = DedupQueries.shingleSets(graft.Tables.documents(spark, sfDir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .withColumn("containment",
+        expr("cast(common as double) / cast(na as double)"))
+      .filter(col("containment") >= t)
+      .select(col("a").cast("bigint"), col("b").cast("bigint"),
+        col("common").cast("bigint"), col("na").cast("bigint"),
+        col("containment"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(viaPrefix === brute,
+      "the probe-side prefix must not drop any qualifying directed pair")
+    assert(brute.nonEmpty, "fixture must contain at least one containment pair")
+  }
 }
