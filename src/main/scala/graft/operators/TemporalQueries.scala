@@ -377,6 +377,134 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q179
+
+  /** Day-over-day DISTRIBUTION drift — q174's exact KS statistic run as
+    * a daily monitor: each day's value distribution against the
+    * previous day's, over a dense generated bucket grid so the two
+    * CDFs align at every comparison point. The continuous-monitoring
+    * form of the drift gate (q174 compares two cohorts once; this
+    * watches a stream of days).
+    *
+    * Exactness: per-(day, bucket) integer counts, cumulative sums over
+    * the generated grid (windows per day over bounded bucket summaries
+    * — aggregate/generator beneath), and the sup over cross-multiplied
+    * BIGINTs; one division per emitted day. The bucket grid is the
+    * value domain's size, not the event count — generation cost is
+    * |days| x |buckets|. */
+  def q179DailyDrift(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("d"),
+        expr("cast(floor(value) as bigint)").as("vb"))
+      .agg(count(lit(1)).as("c"))
+    val days = counts.select("d").distinct()
+    val grid = days.select(col("d"),
+      explode(expr("sequence(0L, 500L)")).as("vb"))
+    val cdf = grid.join(counts, Seq("d", "vb"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("d").orderBy("vb")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("c").over(Window.partitionBy("d")))
+      .select("d", "vb", "cum", "n")
+    val prev = cdf.select(expr("date_add(d, 1)").as("d"), col("vb"),
+      col("cum").as("cum_p"), col("n").as("n_p"))
+    cdf.join(prev, Seq("d", "vb"))
+      .withColumn("dnum", abs(col("cum") * col("n_p") - col("cum_p") * col("n")))
+      .groupBy("d")
+      .agg(first("n").as("n_day"), first("n_p").as("n_prev"),
+        max("dnum").as("d_num"))
+      .select(col("d"), col("n_day").cast("bigint").as("n_day"),
+        col("n_prev").cast("bigint").as("n_prev"),
+        col("d_num").cast("bigint").as("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_day") * col("n_prev")).cast("double")).as("ks"))
+      .orderBy("d")
+  }
+
+  // ---------------------------------------------------------------- q180
+
+  /** Funnel CONVERSION LATENCY — time from a user's first view to their
+    * first subsequent purchase, with the population median computed by
+    * the q138 two-phase selection (bucketed on hours) rather than a
+    * buffering percentile: per-user latencies scale with the user
+    * population, so the selection discipline applies even though the
+    * output is one row. Closes q103's ordered-funnel counting with the
+    * "how long does conversion take" half.
+    *
+    * Exactness: microsecond BIGINT latencies; mean = sum/count is one
+    * mirrored double division; the median is assembled from exact rank
+    * values with the (lo + hi) / 2 arithmetic. */
+  def q180FunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("tv"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tp"))
+      .join(firstView, Seq("user_id"))
+      .filter(col("tp") > col("tv"))
+      .groupBy("user_id").agg((min(col("tp")) - first(col("tv"))).as("lat_us"))
+    val base = lat.select(col("lat_us").as("v"))
+      .withColumn("vb", expr("v div 3600000000"))
+    val wOff = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    val summaries = base.groupBy("vb").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .withColumn("n", sum("bc").over(Window.partitionBy()))
+    val targets = summaries
+      .withColumn("rlo", expr("(n + 1) div 2"))
+      .withColumn("rhi", expr("n div 2 + 1"))
+      .filter((col("off") < col("rlo") && col("rlo") <= col("off") + col("bc")) ||
+              (col("off") < col("rhi") && col("rhi") <= col("off") + col("bc")))
+      .select("vb", "off", "rlo", "rhi")
+    val wIntra = Window.partitionBy("vb").orderBy("v")
+    val med = base.join(broadcast(targets), Seq("vb"))
+      .withColumn("rn", col("off") + row_number().over(wIntra))
+      .filter(col("rn") === col("rlo") || col("rn") === col("rhi"))
+      .agg(((min(when(col("rn") === col("rlo"), col("v"))) +
+             min(when(col("rn") === col("rhi"), col("v")))) / 2.0)
+        .as("median_latency_us"))
+    val stats = lat.agg(count(lit(1)).cast("bigint").as("n_converted"),
+      sum("lat_us").cast("bigint").as("sum_lat_us"))
+    val nv = firstView.agg(count(lit(1)).cast("bigint").as("n_viewers"))
+    nv.crossJoin(stats).crossJoin(med)
+      .select(col("n_viewers"), col("n_converted"),
+        (col("sum_lat_us").cast("double") / col("n_converted").cast("double"))
+          .as("mean_latency_us"),
+        col("median_latency_us"))
+  }
+
+  // ---------------------------------------------------------------- q181
+
+  /** LAG-1 AUTOCORRELATION of daily volumes per event type — how much
+    * today's traffic predicts tomorrow's, the one-number summary of
+    * q159's weekly rhythm and the stationarity check behind q148's
+    * trailing baseline. Pearson r over (x_t, x_{t-1}) day pairs in the
+    * q110 discipline: every moment is an exact BIGINT sum over day
+    * summaries; r's numerator/denominator chain runs identically in
+    * both engines, floor-quantized to e6. */
+  def q181Autocorrelation(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val prev = daily.select(col("event_type"),
+      expr("date_add(d, 1)").as("d"), col("cnt").as("y"))
+    daily.join(prev, Seq("event_type", "d"))
+      .select(col("event_type"), col("cnt").as("x"), col("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n").cast("bigint").as("n_pairs"),
+        floor(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")) *
+            lit(1000000.0))
+          .cast("bigint").as("r_e6"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -390,6 +518,9 @@ object TemporalQueries {
     "q165_behavior_clones" -> (q165BehaviorClones _),
     "q173_capped_balance" -> (q173CappedBalance _),
     "q175_decay_score" -> (q175DecayScore _),
+    "q179_daily_drift" -> (q179DailyDrift _),
+    "q180_funnel_latency" -> (q180FunnelLatency _),
+    "q181_autocorrelation" -> (q181Autocorrelation _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -550,5 +681,63 @@ object TemporalQueries {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(v_q * (1000000 >> k)) AS BIGINT) AS score_e8
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // dense generated bucket grid aligns the two CDFs; sup over exact
+    // cross-multiplied BIGINTs; one division per day
+    "q179_daily_drift" ->
+      """WITH counts AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(floor(value) AS BIGINT) AS vb, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM counts),
+        |grid AS (SELECT d, i AS vb
+        |  FROM days, unnest(generate_series(0, 500)) AS g(i)),
+        |cdf AS (SELECT g.d, g.vb,
+        |    SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.d ORDER BY g.vb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.d) AS n
+        |  FROM grid g LEFT JOIN counts c ON c.d = g.d AND c.vb = g.vb),
+        |j AS (SELECT a.d, a.cum, a.n, b.cum AS cum_p, b.n AS n_p
+        |  FROM cdf a JOIN cdf b ON b.d = a.d - 1 AND b.vb = a.vb)
+        |SELECT d, CAST(MIN(n) AS BIGINT) AS n_day,
+        |  CAST(MIN(n_p) AS BIGINT) AS n_prev,
+        |  CAST(MAX(ABS(cum * n_p - cum_p * n)) AS BIGINT) AS d_num,
+        |  CAST(MAX(ABS(cum * n_p - cum_p * n)) AS DOUBLE)
+        |    / CAST(MIN(n) * MIN(n_p) AS DOUBLE) AS ks
+        |FROM j GROUP BY d ORDER BY d""".stripMargin,
+    // strictly-after first-view purchases; median by the same rank
+    // arithmetic; every division mirrored
+    "q180_funnel_latency" ->
+      """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |lat AS (SELECT e.user_id, MIN(epoch_us(e.ts)) - MIN(fv.tv) AS v
+        |  FROM events e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.tv
+        |  GROUP BY e.user_id),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM lat),
+        |agg AS (SELECT COUNT(*) AS n, SUM(v) AS s FROM lat),
+        |med AS (SELECT CAST(
+        |    MIN(CASE WHEN rn = (agg.n + 1) // 2 THEN v END) +
+        |    MIN(CASE WHEN rn = agg.n // 2 + 1 THEN v END) AS DOUBLE) / 2.0 AS m
+        |  FROM r, agg GROUP BY agg.n)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_viewers,
+        |  CAST(agg.n AS BIGINT) AS n_converted,
+        |  CAST(agg.s AS DOUBLE) / CAST(agg.n AS DOUBLE) AS mean_latency_us,
+        |  med.m AS median_latency_us
+        |FROM agg, med""".stripMargin,
+    // the q110 exact-moment discipline over day summaries
+    "q181_autocorrelation" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS cnt FROM events GROUP BY event_type, d),
+        |p AS (SELECT a.event_type, a.cnt AS x, b.cnt AS y
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.d = a.d - 1),
+        |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+        |  CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS r_e6
+        |FROM m ORDER BY event_type""".stripMargin,
   )
 }
