@@ -500,6 +500,65 @@ object SegmentationQueries {
         col("at_value"))
   }
 
+  // ---------------------------------------------------------------- q182
+
+  /** SCORE CALIBRATION + CUMULATIVE GAINS by decile — the model-eval
+    * readout for q175's decay score: users rank by score, split into
+    * deciles, and each decile reports its conversion rate (does the
+    * score order actual purchasers first?) plus the cumulative share
+    * of all conversions captured — the lift/gains curve a targeting
+    * decision reads.
+    *
+    * The global rank is the q116/q166 two-phase form (score-bucket
+    * counts, offsets over bucket summaries, intra-bucket row_number),
+    * taken ASCENDING and reflected (rank_desc = n + 1 − rank_asc):
+    * negative bucket keys are deliberately avoided because integer
+    * division semantics diverge on negatives (Spark `div` truncates
+    * toward zero, DuckDB `//` floors) — a documented dialect edge. The
+    * reflection makes the effective order (score DESC, user DESC),
+    * which the oracle mirrors verbatim. Deciles, conversion counts,
+    * and cumulative captures are exact integers; the two ratios are
+    * mirrored single divisions over a 10-row summary frame. */
+  def q182ScoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    val anchorUs = Tables.events(s, dir)
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val scored = Tables.events(s, dir)
+      .withColumn("k",
+        expr(s"least((${anchorUs}L - unix_micros(ts)) div 604800000000L, 20L)"))
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100) as bigint)") *
+          expr("shiftright(1000000L, cast(k as int))")).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .withColumn("vb", expr("score div 1000000000"))
+    val wOff = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored.groupBy("vb").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .select("vb", "off")
+    val n = scored.count()
+    val wIntra = Window.partitionBy("vb").orderBy("score", "user_id")
+    val ranked = scored.join(broadcast(offsets), Seq("vb"))
+      .withColumn("rank_desc",
+        lit(n + 1) - (col("off") + row_number().over(wIntra)))
+      .withColumn("decile",
+        expr(s"((rank_desc - 1) * 10) div ${n}L + 1"))
+    val deciles = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+    val totalConv = deciles.agg(sum("n_conv")).head().getLong(0)
+    deciles
+      .withColumn("cum_conv", sum("n_conv").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile").cast("int").as("decile"),
+        col("n_users").cast("bigint").as("n_users"),
+        col("n_conv").cast("bigint").as("n_conv"),
+        (col("n_conv").cast("double") / col("n_users").cast("double"))
+          .as("conversion_rate"),
+        col("cum_conv").cast("bigint").as("cum_conv"),
+        (col("cum_conv").cast("double") / lit(totalConv.toDouble))
+          .as("cum_capture"))
+      .orderBy("decile")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -513,6 +572,7 @@ object SegmentationQueries {
     "q170_topk_two_phase" -> (q170TopkTwoPhase _),
     "q171_mom_growth" -> (q171MomGrowth _),
     "q174_ks_drift" -> (q174KsDrift _),
+    "q182_score_calibration" -> (q182ScoreCalibration _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,5 +795,35 @@ object SegmentationQueries {
         |    / CAST(MIN(n1) * MIN(n2) AS DOUBLE) AS ks,
         |  MIN(CASE WHEN dnum = dmax THEN value END) AS at_value
         |FROM d""".stripMargin,
+    // the reflected two-phase rank == ORDER BY score DESC, user DESC
+    "q182_score_calibration" ->
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS a FROM events),
+        |sc AS (SELECT user_id,
+        |    SUM(CAST(round(value * 100) AS BIGINT) *
+        |      (1000000 >> LEAST(((SELECT a FROM mx) - epoch_us(ts))
+        |        // 604800000000, 20))) AS score,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT score, converted, row_number() OVER (
+        |    ORDER BY score DESC, user_id DESC) AS rank_desc,
+        |    COUNT(*) OVER () AS n
+        |  FROM sc),
+        |d AS (SELECT ((rank_desc - 1) * 10) // n + 1 AS decile, converted
+        |  FROM r),
+        |g AS (SELECT decile, COUNT(*) AS n_users, SUM(converted) AS n_conv
+        |  FROM d GROUP BY decile),
+        |t AS (SELECT SUM(n_conv) AS total FROM g)
+        |SELECT CAST(decile AS INTEGER) AS decile,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_conv AS BIGINT) AS n_conv,
+        |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conversion_rate,
+        |  CAST(SUM(n_conv) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_conv,
+        |  CAST(SUM(n_conv) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST((SELECT total FROM t) AS DOUBLE) AS cum_capture
+        |FROM g ORDER BY decile""".stripMargin,
   )
 }
