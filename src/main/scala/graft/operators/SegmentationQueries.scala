@@ -559,6 +559,54 @@ object SegmentationQueries {
       .orderBy("decile")
   }
 
+  // ---------------------------------------------------------------- q183
+
+  /** SKYLINE (Pareto front) — customers not dominated on (lifetime
+    * spend MAX, recency MIN): the multi-criteria "best tradeoffs"
+    * operator (Börzsönyi et al.'s skyline), here the "valuable AND
+    * active" account list no single score can rank. p dominates q iff
+    * p is >= on every dimension-goal and strictly better on one;
+    * identical points do not dominate each other, so duplicates
+    * survive together (deterministic set semantics).
+    *
+    * Scale shape — grid pruning before any pairwise work: per
+    * spend-bucket minima of recency collapse to bucket SUMMARIES, and
+    * a suffix-min window over the DESC bucket order yields, for each
+    * bucket, the best recency achieved by any STRICTLY-richer bucket —
+    * any point at least that stale is dominated by construction and
+    * never reaches the exact pass. Only the surviving candidates (the
+    * skyline plus same-bucket borderline points — output-sized, not
+    * input-sized) pay the exact dominance anti-join. At 100 TB the
+    * grid refines (more buckets → tighter pruning) with the same two
+    * summary passes. */
+  def q183Skyline(s: SparkSession, dir: String): DataFrame = {
+    val pc = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("m"),
+        datediff(
+          lit(Tables.orders(s, dir)
+            .agg(max(col("o_orderdate").cast("date"))).head().getDate(0)),
+          max(col("o_orderdate").cast("date"))).cast("bigint").as("r"))
+      .withColumn("b", expr("m div 1000000"))
+    val sufMin = pc.groupBy("b").agg(min("r").as("bmin"))
+      .withColumn("suf", min("bmin").over(
+        Window.orderBy(desc("b")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select("b", "suf")
+    val cands = pc.join(sufMin, Seq("b"))
+      .filter(col("suf").isNull || col("r") < col("suf"))
+      .select("ck", "m", "r")
+    val other = cands.select(col("ck").as("ck2"), col("m").as("m2"),
+      col("r").as("r2"))
+    cands.join(other,
+        col("m2") >= col("m") && col("r2") <= col("r") &&
+          (col("m2") > col("m") || col("r2") < col("r")),
+        "left_anti")
+      .select(col("ck").cast("bigint").as("ck"),
+        col("m").cast("bigint").as("spend_cents"),
+        col("r").cast("bigint").as("recency_days"))
+      .orderBy("ck")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -573,6 +621,7 @@ object SegmentationQueries {
     "q171_mom_growth" -> (q171MomGrowth _),
     "q174_ks_drift" -> (q174KsDrift _),
     "q182_score_calibration" -> (q182ScoreCalibration _),
+    "q183_skyline" -> (q183Skyline _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -825,5 +874,19 @@ object SegmentationQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / CAST((SELECT total FROM t) AS DOUBLE) AS cum_capture
         |FROM g ORDER BY decile""".stripMargin,
+    // plain NOT EXISTS dominance — the oracle engine affords the
+    // quadratic the grid pruning exists to avoid
+    "q183_skyline" ->
+      """WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS a FROM orders),
+        |pc AS (SELECT o_custkey AS ck,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m,
+        |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+        |      (SELECT a FROM anchor)) AS BIGINT) AS r
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT ck, CAST(m AS BIGINT) AS spend_cents, r AS recency_days
+        |FROM pc p
+        |WHERE NOT EXISTS (SELECT 1 FROM pc q
+        |  WHERE q.m >= p.m AND q.r <= p.r AND (q.m > p.m OR q.r < p.r))
+        |ORDER BY ck""".stripMargin,
   )
 }

@@ -121,6 +121,25 @@ class SegmentationSpec extends AnyFunSuite {
     assert(twoPhase.toSeq == naive.toSeq && twoPhase.nonEmpty)
   }
 
+  test("q183 grid-pruned skyline == brute dominance over all points") {
+    val got = SegmentationQueries.q183Skyline(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date"),
+        expr("cast(round(o_totalprice * 100) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val anchor = pts.map(_._2.toEpochDay).max
+    val pc = pts.groupBy(_._1).map { case (ck, rs) =>
+      (ck, rs.map(_._3).sum, anchor - rs.map(_._2.toEpochDay).max)
+    }.toArray
+    def dominates(p: (Long, Long, Long), q: (Long, Long, Long)) =
+      p._2 >= q._2 && p._3 <= q._3 && (p._2 > q._2 || p._3 < q._3)
+    val brute = pc.filter(q => !pc.exists(p => dominates(p, q))).toSet
+    assert(got == brute && got.nonEmpty)
+    // mutual non-domination within the front
+    for (a <- got; b <- got if a != b) assert(!dominates(a, b))
+  }
+
   test("q151 shares sum to one per region and globally") {
     val rows = SegmentationQueries.q151ShareOfTotal(spark, sfDir).collect()
     assert(rows.nonEmpty)
