@@ -464,17 +464,72 @@ object SegmentationQueries {
     * and view value distributions — D = max |F₁(v) − F₂(v)| — the
     * distribution-shift detector a training-data pipeline runs between
     * crawls/sources before q69's mixture math trusts them. Exactness:
-    * both empirical CDFs ride cumulative INTEGER counts over per-value
-    * summaries, and the sup is taken over the cross-multiplied BIGINT
+    * both empirical CDFs ride cumulative INTEGER counts per distinct
+    * value, and the sup is taken over the cross-multiplied BIGINT
     * |cum₁·n₂ − cum₂·n₁| (no double enters the argmax), with the
     * attaining value tie-broken to the smallest. Only the final
     * reported D divides, once.
     *
-    * Scale: one map-side-combinable shuffle to per-value counts (the
-    * value grid, not the event count, bounds the summary frame); the
-    * CDF windows consume those summaries (aggregate beneath — the
-    * straggler-guard shape); the sup is a single bounded aggregate. */
+    * Scale (the q116/q138 two-phase discipline — `value` is a
+    * CONTINUOUS double, so per-value "summaries" approach corpus size
+    * and must never feed an unpartitioned window): values quantize to
+    * a 1024-cell bucket grid derived from the data's own min/max (one
+    * bounded scalar pass, the q19 mirror class; no hard-coded domain).
+    * Cumulative-count OFFSETS come from a window over ≤1024 bucket
+    * summaries; the per-distinct-value CDF then rides an intra-bucket
+    * window PARTITIONED by bucket (off + intra cumsum). The bucket map
+    * is monotone in value, so bucket-then-value order IS value order
+    * and every cumulative count — hence D and its attaining value — is
+    * bit-identical to the single-window form (KsEquivalenceSpec); the
+    * sup itself is one map-side-combinable max(struct) aggregate,
+    * argmin-of-ties encoded as max(dnum, −value). */
   def q174KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("i1"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("i2"))
+    // grid bounds + sample sizes in one bounded scalar pass
+    val g = ev.agg(min(expr("cast(round(value * 1000000) as bigint)")).as("lo"),
+        max(expr("cast(round(value * 1000000) as bigint)")).as("hi"),
+        sum("i1").as("n1"), sum("i2").as("n2")).head()
+    require(!g.isNullAt(0), "q174: no click/view events in the corpus")
+    val (lo, span) = (g.getLong(0), math.max(1L, g.getLong(1) - g.getLong(0) + 1))
+    val (n1, n2) = (g.getLong(2), g.getLong(3))
+    val counts = ev
+      .withColumn("vb", expr(
+        s"(cast(round(value * 1000000) as bigint) - ${lo}L) * 1024L div ${span}L"))
+      .groupBy("vb", "value")
+      .agg(sum("i1").as("c1"), sum("i2").as("c2"))
+    val wOff = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.groupBy("vb")
+      .agg(sum("c1").as("b1"), sum("c2").as("b2"))
+      .withColumn("off1", coalesce(sum("b1").over(wOff), lit(0L)))
+      .withColumn("off2", coalesce(sum("b2").over(wOff), lit(0L)))
+      .select("vb", "off1", "off2")
+    val wIntra = Window.partitionBy("vb").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts.join(broadcast(offsets), Seq("vb"))
+      .withColumn("cum1", col("off1") + sum("c1").over(wIntra))
+      .withColumn("cum2", col("off2") + sum("c2").over(wIntra))
+      .withColumn("dnum",
+        abs(col("cum1") * lit(n2) - col("cum2") * lit(n1)))
+      .agg(max(struct(col("dnum"), (-col("value")).as("nv"))).as("m"))
+      .select(lit(n1).cast("bigint").as("n_click"),
+        lit(n2).cast("bigint").as("n_view"),
+        col("m.dnum").cast("bigint").as("d_num"),
+        (col("m.dnum").cast("double") / lit(n1 * n2).cast("double")).as("ks"),
+        (-col("m.nv")).as("at_value"))
+  }
+
+  /** Round-9's registered q174 shape, kept TEST-ONLY as the straggler
+    * guard's negative control and the equivalence baseline: the
+    * `groupBy(value)` "summary" is corpus-sized for a continuous value
+    * column, and both the cumulative window and the n/dmax windows have
+    * an EMPTY partition spec — the whole CDF sorts in one task at 100×.
+    * KsEquivalenceSpec proves the two-phase registration bit-identical;
+    * StragglerGuardSpec must keep flagging this form. */
+  private[graft] def ksDriftNaive(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "view"))
       .groupBy("value")

@@ -391,15 +391,26 @@ object TemporalQueries {
     * — aggregate/generator beneath), and the sup over cross-multiplied
     * BIGINTs; one division per emitted day. The bucket grid is the
     * value domain's size, not the event count — generation cost is
-    * |days| x |buckets|. */
+    * |days| x |buckets|. Grid bounds derive from the data's own
+    * min/max floor(value) (one bounded scalar pass — no hard-coded
+    * domain): ANY grid covering every observed bucket yields the
+    * identical per-day D, because cells below the min carry zero
+    * counts and cells above the max pin both CDFs at their totals
+    * (dnum = |n·n_p − n_p·n| = 0), so the result is invariant under
+    * the bound choice and the oracle needs no mirror of it. */
   def q179DailyDrift(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(s, dir)
       .groupBy(col("ts").cast("date").as("d"),
         expr("cast(floor(value) as bigint)").as("vb"))
       .agg(count(lit(1)).as("c"))
+    val b = Tables.events(s, dir)
+      .agg(min(expr("cast(floor(value) as bigint)")).as("lo"),
+        max(expr("cast(floor(value) as bigint)")).as("hi")).head()
+    require(!b.isNullAt(0), "q179: no events in the corpus")
+    val (gLo, gHi) = (b.getLong(0), b.getLong(1))
     val days = counts.select("d").distinct()
     val grid = days.select(col("d"),
-      explode(expr("sequence(0L, 500L)")).as("vb"))
+      explode(expr(s"sequence(${gLo}L, ${gHi}L)")).as("vb"))
     val cdf = grid.join(counts, Seq("d", "vb"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
       .withColumn("cum", sum("c").over(

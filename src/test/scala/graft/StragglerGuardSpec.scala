@@ -28,7 +28,19 @@ class StragglerGuardSpec extends AnyFunSuite {
     * bounded column a fixture table gains. */
   private val boundedEnumKeys = Set(
     "event_type", "lang", "label", "source", "relation", "modality",
-    "segment", "stage", "verdict", "region", "band")
+    "segment", "stage", "verdict", "region", "band",
+    // dim-bounded hierarchy names: TPC-H fixes nation at 25 rows and
+    // region at 5 — a summary grouped by these is dim-sized, not
+    // fact-sized (q151's share-of-total frame)
+    "nation", "nation_name", "region_name", "n_name", "r_name")
+
+  /** Grouping keys that are DERIVED BUCKETS (floor-scaled quantization
+    * grids, rank deciles): an aggregate grouping only by these produces a
+    * grid-bounded summary frame, which an unpartitioned offset window may
+    * legally consume (the q116/q138/q180 two-phase discipline). A name
+    * outside both this set and [[boundedEnumKeys]] — an entity id, a raw
+    * continuous value — marks the aggregate as corpus-sized. */
+  private val bucketKeys = Set("b", "vb", "decile", "bucket", "blk", "band")
 
   /** Banned windows in one query's physical plan. */
   private def stragglerWindows(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {
@@ -59,7 +71,28 @@ class StragglerGuardSpec extends AnyFunSuite {
                 if inner.partitionSpec.size > w.partitionSpec.size => inner
             }.nonEmpty => f
         }.nonEmpty
-      enumOnly && !overSummaries && !cappedByFinerWindow
+      // Round 9's blind spot (q174): an EMPTY-partition window IS a
+      // single task by construction, so it is legal only over a frame
+      // whose size cannot grow with the data — an aggregate grouping
+      // exclusively by bounded enums and/or derived bucket grids (the
+      // offset-window discipline), or a global (no-grouping) scalar.
+      // An aggregate keyed by a raw entity/value column ("summaries"
+      // that approach corpus size — groupBy over a continuous double)
+      // makes the empty window a 100x straggler even though an
+      // aggregate technically sits beneath it.
+      def emptyOverUnbounded = w.partitionSpec.isEmpty && {
+        w.child.collectFirst { case a: BaseAggregateExec => a } match {
+          case None => true // scan-level rows straight into one task
+          case Some(a) => !a.groupingExpressions.forall {
+            case ar: AttributeReference =>
+              val n = ar.name.toLowerCase
+              boundedEnumKeys.contains(n) || bucketKeys.contains(n)
+            case _ => false
+          }
+        }
+      }
+      (enumOnly && !overSummaries && !cappedByFinerWindow) ||
+        (emptyOverUnbounded && !cappedByFinerWindow)
     }
   }
 
@@ -109,6 +142,21 @@ class StragglerGuardSpec extends AnyFunSuite {
       "the detector must flag the naive one-window q116 form")
     // ...and the registered two-phase q116 is clean
     val fixed = SparkEntry.queries("q116_relative_rank")(spark, sfDir)
+    assert(stragglerWindows(fixed).isEmpty)
+  }
+
+  test("negative control: the round-9 naive q174 shape trips the detector") {
+    // ksDriftNaive IS round 9's registration: groupBy over a CONTINUOUS
+    // double ("per-value summaries" that approach corpus size) feeding
+    // EMPTY-partition cumulative/max windows — the single-task CDF sort
+    // round 9's sweep could not see because it required a non-empty
+    // partition spec. Kept test-only as the equivalence baseline.
+    val naive = graft.operators.SegmentationQueries.ksDriftNaive(spark, sfDir)
+    assert(stragglerWindows(naive).nonEmpty,
+      "the detector must flag the naive empty-partition-window q174 form")
+    // ...and the registered two-phase q174 is clean: its only empty
+    // window rides the <=1024-row bucket-grid summary
+    val fixed = SparkEntry.queries("q174_ks_drift")(spark, sfDir)
     assert(stragglerWindows(fixed).isEmpty)
   }
 }
