@@ -121,4 +121,58 @@ class TemporalSpec extends AnyFunSuite {
     val bad = perNode.filter(col("coef") < 0.0 || col("coef") > 1.0).count()
     assert(bad == 0)
   }
+
+  test("q165 deletion-neighborhood candidates are complete at radius 1" +
+      " (== brute force) and the result is the exact global top-20") {
+    // candidate completeness: every pair within levenshtein 1 must appear
+    // in the blocked candidate set — the lossless-filter proof, not a
+    // fixture-luck recall check
+    val cand = TemporalQueries.q165Candidates(spark, sfDir)
+      .select(col("a.user_id").as("ua"), col("a.d").cast("string").as("da"),
+        col("b.user_id").as("ub"), col("b.d").cast("string").as("db"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val paths = TemporalQueries.q165Paths(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    var nClose = 0
+    implicit val ord: Ordering[(Long, String)] = Ordering.Tuple2[Long, String]
+    for {
+      (ux, dx, px) <- paths; (uy, dy, py) <- paths
+      if ord.lt((ux, dx), (uy, dy)) && math.abs(px.length - py.length) <= 1 &&
+        lev(px, py) <= 1
+    } {
+      nClose += 1
+      assert(cand.contains((ux, dx, uy, dy)),
+        s"radius-1 pair (($ux,$dx),($uy,$dy)) missing from candidates")
+    }
+    assert(nClose > 0, "fixture has no radius-1 pairs; the proof is vacuous")
+  }
+
+  test("q165 candidates cover the round-9 alphabet-blocked top-20" +
+      " (the VERDICT r9 superset contract, at the correctness sf)") {
+    // run at sf0.01 — the driver's correctness scale, where the round-9
+    // registration's top-20 is known to sit entirely within radius 1
+    val dir = "/root/testdata/sf0.01"
+    val old = TemporalQueries.behaviorClonesAlphabetBlocked(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getDate(3).toString, r.getInt(5)))
+    assert(old.length == 20)
+    val cand = TemporalQueries.q165Candidates(spark, dir)
+      .select(col("a.user_id").as("ua"), col("a.d").cast("string").as("da"),
+        col("b.user_id").as("ub"), col("b.d").cast("string").as("db"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    for ((ua, da, ub, db, dist) <- old) {
+      assert(dist <= 1, s"old top-20 pair at dist $dist — contract premise broke")
+      assert(cand.contains((ua, da, ub, db)),
+        s"old top-20 pair (($ua,$da),($ub,$db)) missing from new candidates")
+    }
+  }
 }
