@@ -915,13 +915,16 @@ object DedupQueries {
     * an all-pairs cross; at production cardinality the block key widens
     * to (nation, name prefix/soundex) with the same plan. levenshtein
     * is a codegen'd built-in scoring only surviving candidates. */
-  /** One staged (nk, ka, kb) fuzzy-match pair set per corpus dir per
-    * JVM (the fpIndexCache idiom): q106, q176, and q177 all consume the
-    * SAME nation-blocked banded-levenshtein candidate scan, and
-    * computeIfAbsent makes the quadratic scoring pass a once-per-corpus
-    * cost instead of once-per-query — the q85 single-index-build rule
+  /** One staged (nk, ka, kb) fuzzy-match pair set per corpus per JVM
+    * (the fpIndexCache idiom): q106, q176, and q177 all consume the
+    * SAME blocked banded-levenshtein candidate scan, and
+    * computeIfAbsent makes the scoring pass a once-per-corpus cost
+    * instead of once-per-query — the q85 single-index-build rule
     * applied to entity resolution. The value is a staged parquet path;
-    * every consumer plans against a leaf scan. */
+    * every consumer plans against a leaf scan. The cache key carries
+    * the customer parquet's (mtime, size) fingerprint, so regenerating
+    * a fixture in-session invalidates the staged pairs instead of
+    * silently serving stale candidates. */
   private val fuzzyPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -930,23 +933,66 @@ object DedupQueries {
     * prefix, and edit distance is invariant under a common prefix (an
     * optimal alignment maps it to itself), so the banded DP (threshold
     * form returns -1 past the bound — O(len · threshold) per candidate)
-    * runs on 9 chars instead of 18 — mirrored in the oracles. */
+    * runs on 9 chars instead of 18 — mirrored in the oracles.
+    *
+    * Candidates come from the ≤2-DELETION NEIGHBORHOOD within each
+    * nation (q165's SymSpell blocking at radius 2): each suffix emits
+    * every variant reachable by deleting at most two characters
+    * (1 + L + L·(L−1)/2 md5'd keys — suffixes are short entity
+    * attributes, so this is a small constant), and any two strings
+    * within levenshtein 2 PROVABLY share a variant — an optimal
+    * alignment's ≤2 ops charge at most one deleted character to each
+    * side per op, so both sides reach the alignment's common
+    * subsequence with ≤2 deletions. The filter is therefore lossless
+    * and the oracles stay plain nation-blocked brute force. Unlike the
+    * round-9 registration — a bare equi-join on the 25-value nation
+    * key, a bounded block whose membership grows linearly and pair
+    * work quadratically — the variant key is CONTENT: block count
+    * grows with the id space while block membership stays ~alphabet^2
+    * (strings collapsing onto one variant differ only in the ≤2
+    * deleted characters), so candidate volume is LINEAR in customers.
+    * FuzzyBlockingSpec proves candidates == brute force at sf0.001. */
   private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = fuzzyPairsCache.computeIfAbsent(dir, _ => {
-      val c = Tables.customer(s, dir)
-        .select(col("c_nationkey").as("nk"), col("c_custkey"),
-          expr("substring(c_name, 10)").as("sfx"))
-      val a = c.select(col("nk"), col("c_custkey").as("ka"), col("sfx").as("na"))
-      val b = c.select(col("nk"), col("c_custkey").as("kb"), col("sfx").as("nb"))
+    val f = new java.io.File(s"$dir/customer.parquet")
+    val cacheKey = s"$dir@${f.lastModified}:${f.length}"
+    val path = fuzzyPairsCache.computeIfAbsent(cacheKey, _ => {
       val p = graft.Staging.fresh("fuzzy")
-      a.join(b, Seq("nk"))
-        .filter(col("ka") < col("kb") &&
-          levenshtein(col("na"), col("nb"), 2) =!= -1)
-        .select("nk", "ka", "kb")
+      fuzzyCandidates(s, dir)
+        .filter(levenshtein(col("a.sfx"), col("b.sfx"), 2) =!= -1)
+        .select(col("a.nk").as("nk"), col("a.k").as("ka"), col("b.k").as("kb"))
         .write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
+  }
+
+  /** The radius-2 deletion-neighborhood candidate pairs feeding
+    * [[fuzzyPairs]] (exposed for FuzzyBlockingSpec's completeness
+    * proof): one shuffle on the (nation, variant-md5) key via
+    * [[bucketPairs]], sorted in-bucket expansion, distinct — never a
+    * bare nation-wide join. The id struct carries (custkey, nk, sfx)
+    * so scoring needs no corpus re-join; pairs come out canonically
+    * ordered (a.k < b.k) because custkey leads the struct sort. */
+  private[graft] def fuzzyCandidates(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nk"), col("c_custkey").as("k"),
+        expr("substring(c_name, 10)").as("sfx"))
+      .select(struct(col("k"), col("nk"), col("sfx")).as("id"), col("nk"),
+        explode(expr(
+          // dels0 ∪ dels1 ∪ dels2 via one pair sweep: (i, j) deletes
+          // positions i and j, where i=0 / j=0 mean "no deletion
+          // there" — (0,0) is the identity, (i,0) the single deletes.
+          // The inner filter keeps j ∈ {0} ∪ (i..L], and sequence(i, L)
+          // is always ascending for i ≤ L (sequence(a, b) with a > b
+          // silently DESCENDS in Spark — never generate that shape)
+          "array_distinct(flatten(transform(sequence(0, length(sfx)), i -> " +
+            "transform(filter(concat(array(0), sequence(i, length(sfx))), j -> j = 0 or j > i), j -> " +
+            "md5(concat(" +
+            "substring(sfx, 1, i - 1), " +
+            "substring(sfx, i + 1, case when j = 0 then length(sfx) else j - i - 1 end), " +
+            "case when j = 0 then '' else substring(sfx, j + 1) end))))))")).as("v"))
+      .select(col("id"), lit(0).as("band"), concat(col("nk"), lit(":"), col("v")).as("bkey"))
+    bucketPairs(keyed, "id", "a", "b")
   }
 
   def q106FuzzyEntityMatch(s: SparkSession, dir: String): DataFrame = {
