@@ -20,11 +20,14 @@ case class DecodedRow(doc_id: Long, source: String, n_bytes: Int,
   * analog of a Pandas-UDF `mapInPandas` batch), and a typed output schema.
   * IMAGE payloads decode for real since round 9 — `javax.imageio` ships
   * PNG/JPEG/GIF/BMP readers in the JDK, so geometry, resampling, and
-  * block-mean features all run over actual pixels. The stub boundary has
-  * shrunk to what genuinely has no codec in this container: audio/video
-  * demux, where a deterministic fake (md5 checksum + length-derived
-  * dimensions) stands in — swap it for the codec call and nothing else
-  * changes.
+  * block-mean features all run over actual pixels. AUDIO payloads decode
+  * for real since round 10 — `javax.sound.sampled` ships WAV/AU/AIFF
+  * PCM readers in the JDK, so sample rate, frame counts, peak/mean
+  * amplitude, and block-energy features all run over actual samples.
+  * The stub boundary has shrunk to what genuinely has no codec in this
+  * container: video demux (and compressed audio), where a deterministic
+  * fake (md5 checksum + length-derived dimensions) stands in — swap it
+  * for the codec call and nothing else changes.
   */
 object BinaryPipeline {
 
@@ -100,6 +103,90 @@ object BinaryPipeline {
     }
   }
 
+  /** Real audio decode for payloads a JDK-built-in codec accepts
+    * (javax.sound.sampled ships WAV/AU/AIFF PCM readers — no external
+    * dependency). Returns the format plus the raw PCM frame bytes;
+    * None for everything else (AudioSystem sniffs container headers
+    * before committing, so non-audio rejection is a cheap check). */
+  private def tryDecodeAudio(
+      payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try Some((in.getFormat, in.readAllBytes()))
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Signed 16-bit PCM samples (channel-interleaved) from decoded frame
+    * bytes, or None when the format is not 16-bit integer PCM — the one
+    * layout the sample-level math below handles. */
+  private def pcm16Samples(fmt: javax.sound.sampled.AudioFormat,
+                           frames: Array[Byte]): Option[Array[Int]] = {
+    val enc = fmt.getEncoding
+    if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || frames.length < 2) None
+    else {
+      val n = frames.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val (b0, b1) = (frames(2 * i) & 0xff, frames(2 * i + 1) & 0xff)
+        out(i) = (if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Typed audio decode row: real sample-level facts for decodable
+    * PCM payloads, the documented deterministic fake otherwise. */
+  case class AudioRow(doc_id: Long, source: String, n_bytes: Int,
+                      sample_rate: Int, channels: Int, bits_per_sample: Int,
+                      n_frames: Long, duration_ms: Long,
+                      peak_abs: Int, mean_abs_e6: Long, decoded: Boolean)
+
+  /** Per-partition batch audio decode — the audio twin of [[decode]].
+    * A WAV/AU/AIFF payload reports its REAL format and exact integer
+    * sample statistics (peak and mean absolute amplitude over all
+    * channels — mean is e6-quantized via integer division, so the row
+    * is bit-stable across platforms). Non-audio payloads keep the
+    * length-derived fake with `decoded = false`, so downstream schemas
+    * stay total without pretending the codec ran. */
+  def decodeAudio(ds: Dataset[MediaRow]): Dataset[AudioRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val real = for {
+          (fmt, frames) <- tryDecodeAudio(r.payload)
+          samples <- pcm16Samples(fmt, frames)
+        } yield {
+          var peak = 0; var sumAbs = 0L
+          var i = 0
+          while (i < samples.length) {
+            val a = math.abs(samples(i))
+            if (a > peak) peak = a
+            sumAbs += a
+            i += 1
+          }
+          val nFrames = samples.length.toLong / math.max(1, fmt.getChannels)
+          AudioRow(r.doc_id, r.source, r.payload.length,
+            fmt.getSampleRate.toInt, fmt.getChannels, fmt.getSampleSizeInBits,
+            nFrames,
+            nFrames * 1000L / math.max(1, fmt.getSampleRate.toInt),
+            peak, sumAbs * 1000000L / math.max(1, samples.length),
+            decoded = true)
+        }
+        real.getOrElse(
+          AudioRow(r.doc_id, r.source, r.payload.length,
+            8000 + r.payload.length % 8000, 1 + r.payload.length % 2, 16,
+            r.payload.length.toLong / 2,
+            (r.payload.length.toLong / 2) * 1000L /
+              (8000 + r.payload.length % 8000),
+            0, 0L, decoded = false))
+      }
+    }
+  }
+
   /** Output of the resize pass: original + target geometry and the
     * resampled image's digest. */
   case class ResizedRow(doc_id: Long, width: Int, height: Int,
@@ -165,15 +252,19 @@ object BinaryPipeline {
     * mean integer luminance (BT.601 integer luma: (299R + 587G + 114B) /
     * 1000) scaled to [-1, 1) — the classic block-mean visual descriptor,
     * fully integer until the final scale so it is bit-stable across
-    * platforms. Any dims past g*g repeat the global mean. Non-image
-    * payloads keep the documented stub: a real pipeline runs an ONNX/
-    * vision model per batch (init-once state is exactly what this
-    * mapPartitions carries), and the deterministic md5-chain fake stands
-    * in so downstream geometry is non-degenerate and the media →
-    * embedding → ANN composition stays testable end to end
-    * (MultimodalSpec runs both paths through the graft_dot cosine
-    * path, and checks the real path's block means against a
-    * known-geometry PNG). */
+    * platforms. Any dims past g*g repeat the global mean. A decodable
+    * PCM AUDIO payload yields real sample features instead: the
+    * interleaved sample stream splits into `dim` equal time blocks and
+    * each block contributes its mean absolute amplitude scaled to
+    * [0, 1) — the block-energy envelope descriptor, fully integer
+    * until the final scale. Other payloads keep the documented stub: a
+    * real pipeline runs an ONNX model per batch (init-once state is
+    * exactly what this mapPartitions carries), and the deterministic
+    * md5-chain fake stands in so downstream geometry is non-degenerate
+    * and the media → embedding → ANN composition stays testable end to
+    * end (MultimodalSpec runs all three paths through the graft_dot
+    * cosine path, and checks the real paths' block stats against a
+    * known-geometry PNG and a known-amplitude WAV). */
   def featureExtract(ds: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
@@ -214,12 +305,32 @@ object BinaryPipeline {
             var i = g * g
             while (i < dim) { vec(i) = mean; i += 1 }
           case None =>
-            var block = r.payload
-            var i = 0
-            while (i < dim) {
-              if (i % 16 == 0) { md.reset(); block = md.digest(block) }
-              vec(i) = ((block(i % 16) & 0xff) - 128) / 128.0f
-              i += 1
+            val samplesOpt = tryDecodeAudio(r.payload)
+              .flatMap { case (fmt, frames) => pcm16Samples(fmt, frames) }
+            samplesOpt match {
+              case Some(samples) =>
+                // block-energy envelope: dim equal time blocks, each the
+                // integer mean |amplitude| scaled by 1/32768
+                var i = 0
+                while (i < dim) {
+                  val s0 = i * samples.length / dim
+                  val s1 = math.max((i + 1) * samples.length / dim, s0 + 1)
+                  var sum = 0L; var n = 0L
+                  var j = s0
+                  while (j < math.min(s1, samples.length)) {
+                    sum += math.abs(samples(j)); n += 1; j += 1
+                  }
+                  vec(i) = if (n > 0) (sum / n) / 32768.0f else 0f
+                  i += 1
+                }
+              case None =>
+                var block = r.payload
+                var i = 0
+                while (i < dim) {
+                  if (i % 16 == 0) { md.reset(); block = md.digest(block) }
+                  vec(i) = ((block(i % 16) & 0xff) - 128) / 128.0f
+                  i += 1
+                }
             }
         }
         MediaEmbedding(r.doc_id, vec)

@@ -104,4 +104,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.length === 4 * 3)
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
   }
+
+  /** A real WAV, generated in-test (javax.sound.sampled round-trip):
+    * mono signed 16-bit PCM little-endian at the given rate — known
+    * format, known samples. */
+  private def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("a real WAV decodes to its actual format and exact sample stats") {
+    // 100 frames alternating +1000/-1000: peak 1000, mean |amp| 1000
+    val samples = Array.tabulate(100)(i => if (i % 2 == 0) 1000 else -1000).map(_.toShort)
+    val ds = mediaOf(11L -> wavBytes(16000, samples))
+    val a = BinaryPipeline.decodeAudio(ds).collect().head
+    assert(a.decoded, "WAV must take the real decode path")
+    assert(a.sample_rate === 16000 && a.channels === 1 && a.bits_per_sample === 16)
+    assert(a.n_frames === 100L)
+    assert(a.peak_abs === 1000)
+    assert(a.mean_abs_e6 === 1000L * 1000000L)
+    // ...and a non-audio payload reports decoded = false, not fake-real
+    val fake = BinaryPipeline.decodeAudio(
+      mediaOf(12L -> "not audio at all".getBytes("UTF-8"))).collect().head
+    assert(!fake.decoded)
+  }
+
+  test("feature extraction consumes actual samples: block energy of a known WAV") {
+    // 640 frames: first half silence, second half amplitude 16384 ->
+    // 64 blocks of 10 samples each: blocks 0-31 = 0, blocks 32-63 = 0.5
+    val samples = Array.tabulate(640)(i => if (i < 320) 0 else 16384).map(_.toShort)
+    val ds = mediaOf(13L -> wavBytes(8000, samples))
+    val vec = BinaryPipeline.featureExtract(ds, dim = 64).collect().head.embedding
+    for (i <- 0 until 64) {
+      val expected = if (i < 32) 0f else 0.5f
+      assert(vec(i) === expected, s"block $i: got ${vec(i)}")
+    }
+  }
 }
