@@ -155,6 +155,20 @@ object Bench {
       results.map { case (k, ts) => k -> f"${median(ts)}%.1f" })
     println(s"""{"metric":"medians_compact","unit":"sec","sf":"$sfDir",""" +
       s""""queries":$allMedians}""")
+    // The artifact tail can be as small as ~2000 chars — the NAMED
+    // medians line above is ~4 KB at 183 queries, so round 9's artifact
+    // truncated the early queries out. This line drops the names:
+    // values align positionally with the SORTED registry names (the
+    // same order CORRECTNESS_r*.json lists), "null" marks a query with
+    // no surviving trial, and the whole board fits in ~1 KB — readable
+    // from any tail window together with the final totals line below.
+    val byName = results.toMap
+    val sortedNames = SparkEntry.queries.keys.toSeq.sorted
+    val medianArr = sortedNames
+      .map(n => byName.get(n).map(ts => f"${median(ts)}%.1f").getOrElse("null"))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"medians_by_sorted_name","unit":"sec","sf":"$sfDir",""" +
+      s""""n":${sortedNames.size},"values":$medianArr}""")
     val top10 = JsonUtil.obj(
       results.sortBy { case (_, ts) => -median(ts) }.take(10)
         .map { case (k, ts) => k -> f"${median(ts)}%.3f" })

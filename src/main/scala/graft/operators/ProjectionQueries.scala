@@ -155,6 +155,10 @@ object ProjectionQueries {
         .groupBy("d").agg(sum(col("aq") * col("u")).as("yd"))
         .orderBy("d").collect().map(r => r.getLong(1))
       val ymax = y.map(math.abs).max
+      // a degenerate all-zero quantized matrix would renormalize by 0
+      // into NaN-floored garbage — fail with a message instead
+      require(ymax > 0L,
+        "q156: power iteration hit an all-zero A'Av — degenerate matrix")
       v = y.map(yd =>
         math.floor(yd.toDouble / ymax.toDouble * 10000.0).toLong)
     }

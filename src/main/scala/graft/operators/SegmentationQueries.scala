@@ -120,6 +120,10 @@ object SegmentationQueries {
       .write.mode("overwrite").parquet(s"$stageDir/pc")
     val pc = s.read.parquet(s"$stageDir/pc")
     val n = pc.count()
+    // tertile ranks n/3 and 2n/3 are 0 below n = 3, and bounds() then
+    // indexes two boundary rows that don't exist — fail with a message
+    // instead of an opaque ArrayIndexOutOfBounds
+    require(n >= 3, s"q150: tertile assignment needs >= 3 customers, got $n")
     val ranks = Seq(n / 3, 2 * n / 3)
     def bounds(vc: String, bucket: Column): ((Long, Long), (Long, Long)) = {
       val rows = rankBoundaries(pc, col(vc), col("ck"), bucket, ranks)
@@ -662,6 +666,120 @@ object SegmentationQueries {
       .orderBy("ck")
   }
 
+  // ---------------------------------------------------------------- q184
+
+  /** EXACT multi-quantile per group in ONE two-phase pass — the scale
+    * path q49's own scaladoc names as missing: `percentile()` buffers
+    * every group value in one aggregation state and q51's GK sketch
+    * trades exactness for mergeable state, while this computes the
+    * exact p50/p90/p99 order statistics per event type with bounded
+    * state everywhere. The latency-SLO readout (p50/p90/p99) is THE
+    * production shape for this operator.
+    *
+    * The q138/q180 selection discipline, generalized to k ranks per
+    * group in one pass: cent-quantized values bucket by `v div 100`;
+    * per-(group, bucket) counts feed a rank-offset window over bucket
+    * SUMMARIES (partitioned by group — never scan rows); each target
+    * rank r_p = (p·(n−1)) div 100 + 1 lands in exactly one bucket
+    * (off < r ≤ off+bc); only target buckets rejoin the rows, where a
+    * (group, bucket, p)-partitioned row_number under the TOTAL
+    * (v, event_id) order selects the exact order statistic. All ranks
+    * ride the same summary frame — k quantiles cost one extra
+    * broadcast, not k passes. Values are BIGINT cents end to end; the
+    * oracle re-derives the identical ranks with one per-group
+    * row_number (a group sort is fine in the oracle engine). */
+  def q184GroupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_type").as("g"),
+        expr("cast(round(value * 100) as bigint)").as("v"),
+        col("event_id").as("ei"))
+      .withColumn("vb", expr("v div 100"))
+    val wOff = Window.partitionBy("g").orderBy("vb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summaries = base.groupBy("g", "vb").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .withColumn("n", sum("bc").over(Window.partitionBy("g")))
+    val targets = summaries
+      .select(col("g"), col("vb"), col("off"), col("n"),
+        explode(expr("array(50L, 90L, 99L)")).as("p"))
+      .withColumn("r", expr("(p * (n - 1)) div 100 + 1"))
+      .filter(col("off") < col("r") && col("r") <= col("off") + col("bc"))
+      .select("g", "vb", "off", "n", "p", "r")
+    val wIntra = Window.partitionBy("g", "vb", "p").orderBy("v", "ei")
+    base.join(broadcast(targets), Seq("g", "vb"))
+      .withColumn("rn", col("off") + row_number().over(wIntra))
+      .filter(col("rn") === col("r"))
+      .groupBy("g")
+      .agg(first("n").as("n"),
+        min(when(col("p") === 50, col("v"))).as("p50"),
+        min(when(col("p") === 90, col("v"))).as("p90"),
+        min(when(col("p") === 99, col("v"))).as("p99"))
+      .select(col("g").as("event_type"), col("n").cast("bigint").as("n_events"),
+        col("p50").cast("bigint").as("p50_cents"),
+        col("p90").cast("bigint").as("p90_cents"),
+        col("p99").cast("bigint").as("p99_cents"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q185
+
+  /** EXACT ROC AUC of the q175 decay score predicting NEXT-DAY
+    * conversion — the discrimination half of the model-eval readout
+    * whose calibration half is q182, run as a proper leakage-free
+    * backtest: the score sums only events STRICTLY OLDER than the
+    * corpus's final day (ages rebased to the cutoff), and the label is
+    * "purchased within that final day". AUC is the tie-averaged
+    * Mann–Whitney statistic: U = Σ_pos Σ_neg ([s_p > s_n] +
+    * ½[s_p = s_n]), evaluated WITHOUT pair enumeration by grouping per
+    * distinct score — 2U = Σ_scores pos_s · (2·cum_neg_below + neg_s)
+    * — so every term is BIGINT-exact (the ½ rides as the doubled
+    * statistic) and the one division at the end is mirrored.
+    *
+    * Scale: the score is an unbounded BIGINT key, so cum_neg_below
+    * follows the q174/q116 two-phase discipline — score-bucket counts,
+    * offsets from a window over ≤|buckets| summaries, intra-bucket
+    * cumulative sums partitioned by bucket — never an unpartitioned
+    * window over the per-score frame (StragglerGuardSpec sweeps this
+    * plan like every registration). One entity shuffle (per-user
+    * score+label in a single pass), one bucket shuffle, one bounded
+    * aggregate. */
+  def q185Auc(s: SparkSession, dir: String): DataFrame = {
+    val anchorUs = Tables.events(s, dir)
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val cutoffUs = anchorUs - 86400000000L
+    val scored = Tables.events(s, dir)
+      .withColumn("k",
+        expr(s"least((${cutoffUs}L - unix_micros(ts)) div 604800000000L, 20L)"))
+      .groupBy("user_id")
+      .agg(sum(when(expr(s"unix_micros(ts) <= ${cutoffUs}L"),
+            expr("cast(round(value * 100) as bigint)") *
+              expr("shiftright(1000000L, cast(k as int))"))
+          .otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase" &&
+            expr(s"unix_micros(ts) > ${cutoffUs}L"), 1L).otherwise(0L))
+          .as("conv"))
+      .withColumn("vb", expr("score div 1000000000"))
+    val perScore = scored.groupBy("vb", "score")
+      .agg(sum("conv").as("pos_s"), sum(lit(1L) - col("conv")).as("neg_s"))
+    val wOff = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perScore.groupBy("vb").agg(sum("neg_s").as("bneg"))
+      .withColumn("offneg", coalesce(sum("bneg").over(wOff), lit(0L)))
+      .select("vb", "offneg")
+    val wIntra = Window.partitionBy("vb").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perScore.join(broadcast(offsets), Seq("vb"))
+      .withColumn("cumneg_below",
+        col("offneg") + sum("neg_s").over(wIntra) - col("neg_s"))
+      .agg(sum("pos_s").as("np"), sum("neg_s").as("nn"),
+        sum(col("pos_s") * (lit(2L) * col("cumneg_below") + col("neg_s")))
+          .as("u2"))
+      .select(col("np").cast("bigint").as("n_pos"),
+        col("nn").cast("bigint").as("n_neg"),
+        col("u2").cast("bigint").as("u_doubled"),
+        (col("u2").cast("double") /
+          (lit(2L) * col("np") * col("nn")).cast("double")).as("auc"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -677,6 +795,8 @@ object SegmentationQueries {
     "q174_ks_drift" -> (q174KsDrift _),
     "q182_score_calibration" -> (q182ScoreCalibration _),
     "q183_skyline" -> (q183Skyline _),
+    "q184_group_quantiles" -> (q184GroupQuantiles _),
+    "q185_auc" -> (q185Auc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -929,6 +1049,54 @@ object SegmentationQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / CAST((SELECT total FROM t) AS DOUBLE) AS cum_capture
         |FROM g ORDER BY decile""".stripMargin,
+    // identical rank targets ((p * (n-1)) // 100 + 1) under the
+    // identical (v, event_id) total order; the oracle affords the
+    // per-group sort the two-phase selection exists to avoid
+    "q184_group_quantiles" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v, event_id AS ei
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, ei) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM b)
+        |SELECT g AS event_type, CAST(MIN(n) AS BIGINT) AS n_events,
+        |  CAST(MIN(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN v END)
+        |    AS BIGINT) AS p50_cents,
+        |  CAST(MIN(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN v END)
+        |    AS BIGINT) AS p90_cents,
+        |  CAST(MIN(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN v END)
+        |    AS BIGINT) AS p99_cents
+        |FROM r GROUP BY g ORDER BY event_type""".stripMargin,
+    // identical q175/q182 score arithmetic; the oracle's single-window
+    // cumulative is the shape the two-phase Spark plan replaces, and
+    // both sides sum the identical BIGINT 2U terms
+    "q185_auc" ->
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) - 86400000000 AS cut FROM events),
+        |sc AS (SELECT user_id,
+        |    SUM(CASE WHEN epoch_us(ts) <= (SELECT cut FROM mx)
+        |      THEN CAST(round(value * 100) AS BIGINT) *
+        |        (1000000 >> LEAST(((SELECT cut FROM mx) - epoch_us(ts))
+        |          // 604800000000, 20))
+        |      ELSE 0 END) AS score,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) > (SELECT cut FROM mx)
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT score, SUM(conv) AS pos_s,
+        |    SUM(1 - conv) AS neg_s
+        |  FROM sc GROUP BY score),
+        |c AS (SELECT score, pos_s, neg_s,
+        |    COALESCE(SUM(neg_s) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumneg
+        |  FROM g)
+        |SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+        |  CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+        |  CAST(SUM(pos_s * (2 * cumneg + neg_s)) AS BIGINT) AS u_doubled,
+        |  CAST(SUM(pos_s * (2 * cumneg + neg_s)) AS DOUBLE)
+        |    / CAST(2 * SUM(pos_s) * SUM(neg_s) AS DOUBLE) AS auc
+        |FROM c""".stripMargin,
     // plain NOT EXISTS dominance — the oracle engine affords the
     // quadratic the grid pruning exists to avoid
     "q183_skyline" ->

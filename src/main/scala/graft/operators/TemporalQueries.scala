@@ -143,10 +143,16 @@ object TemporalQueries {
 
   /** Trailing-window anomaly detection over daily volumes: each
     * (event_type, day) count is z-scored against the mean/std of the 7
-    * PRECEDING days (never including itself — the monitoring baseline
-    * convention), flagging volume spikes/dips. The reference's 7-day
-    * moving average (`aggregations.sql:36-42`) is the mean half of this;
-    * the variance half makes it a detector.
+    * preceding OBSERVED days (never including itself — the monitoring
+    * baseline convention), flagging volume spikes/dips. The frame is
+    * rowsBetween(-7, -1) over the observed daily summary, NOT a dense
+    * calendar: across a gap the baseline spans more than 7 calendar
+    * days, and a total-outage day is absent from the frame entirely
+    * (so it cannot be flagged as a dip by THIS detector — q135's
+    * gaps-and-islands query is the outage detector; densify with
+    * q149/q179's day spine first if a calendar baseline is wanted).
+    * The reference's 7-day moving average (`aggregations.sql:36-42`)
+    * is the mean half of this; the variance half makes it a detector.
     *
     * The scan collapses to per-(type, day) counts FIRST (one shuffle,
     * map-side combinable); the trailing window then rides ~|days| x
@@ -459,15 +465,20 @@ object TemporalQueries {
     * counts and cells above the max pin both CDFs at their totals
     * (dnum = |n·n_p − n_p·n| = 0), so the result is invariant under
     * the bound choice and the oracle needs no mirror of it. */
-  def q179DailyDrift(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.events(s, dir)
+  def q179DailyDrift(s: SparkSession, dir: String): DataFrame =
+    dailyKs(Tables.events(s, dir)
       .groupBy(col("ts").cast("date").as("d"),
         expr("cast(floor(value) as bigint)").as("vb"))
-      .agg(count(lit(1)).as("c"))
-    val b = Tables.events(s, dir)
-      .agg(min(expr("cast(floor(value) as bigint)")).as("lo"),
-        max(expr("cast(floor(value) as bigint)")).as("hi")).head()
-    require(!b.isNullAt(0), "q179: no events in the corpus")
+      .agg(count(lit(1)).as("c")))
+
+  /** The day-over-day KS arithmetic over a (d, vb, c) bucket-count
+    * frame — shared by q179 (batch counts) and q186 (stream-finalized
+    * counts): dense covering grid from the frame's own vb bounds (one
+    * bounded scalar pass), per-day cumulative windows over grid-sized
+    * summaries, exact cross-multiplied sup per adjacent-day pair. */
+  private[graft] def dailyKs(counts: DataFrame): DataFrame = {
+    val b = counts.agg(min("vb").as("lo"), max("vb").as("hi")).head()
+    require(!b.isNullAt(0), "dailyKs: no bucket counts")
     val (gLo, gHi) = (b.getLong(0), b.getLong(1))
     val days = counts.select("d").distinct()
     val grid = days.select(col("d"),

@@ -308,9 +308,11 @@ object StreamingQueries {
     * construction.
     *
     * Determinism: identical to q148 (exact integer moments, mirrored op
-    * chain, terminal floor) over the finalized-day subset, which the
-    * oracle expresses with the same window_end + watermark <= max(ts)
-    * cut as q36/q124. */
+    * chain, terminal floor — and the same baseline semantics: the 7
+    * preceding OBSERVED days, so the frame spans more calendar days
+    * across gaps and an all-zero day never enters it) over the
+    * finalized-day subset, which the oracle expresses with the same
+    * window_end + watermark <= max(ts) cut as q36/q124. */
   def q161StreamingAnomaly(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_anomaly_${runCounter.incrementAndGet()}"
@@ -345,6 +347,50 @@ object StreamingQueries {
       .select(col("event_type"), col("d"), col("cnt").cast("bigint").as("cnt"),
         floor(col("z") * lit(1000000.0)).cast("bigint").as("z_e6"))
       .orderBy("event_type", "d")
+  }
+
+  /** STREAMING distribution-drift monitor — q179's day-over-day KS
+    * statistic fed by a streamed (day, value-bucket) count aggregation:
+    * watermarked 1-day tumbling windows emit FINALIZED per-bucket
+    * counts (append mode, the q36/q161 contract — state per key is one
+    * count, dropped as the watermark passes the day), and the exact
+    * drift arithmetic (TemporalQueries.dailyKs, the SAME object code
+    * as the batch monitor) then runs over those bounded summaries. The
+    * q161 deployment shape generalized from volume anomaly to
+    * DISTRIBUTION shift: the stream maintains the cheap histogram, the
+    * detector re-reads summaries — never raw events. The defensive
+    * re-aggregation keeps the input per-(day, bucket)-unique under
+    * at-least-once redelivery.
+    *
+    * Determinism: identical to q179 (covering grid from the summary
+    * frame's own bounds, exact cross-multiplied BIGINT sup, one
+    * division per day) over the finalized-day subset, which the oracle
+    * expresses with the same 25-hour finalization cut as q161. */
+  def q186StreamingDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamSources.events(s, dir)
+    val tbl = s"graft_stream_drift_${runCounter.incrementAndGet()}"
+    val q = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"),
+        expr("cast(floor(value) as bigint)").as("vb"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+      .select(col("window.start").cast("date").as("d"), col("vb"), col("c"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // stage the (day, bucket) summary: dailyKs self-joins its input
+    // (grid ⋈ counts, current ⋈ previous day), and a MemorySink plan
+    // fails DeduplicateRelations under that reuse — a leaf parquet scan
+    // (the q50/q86 staging idiom) is also what a production monitor
+    // would read; the frame is |days| × |buckets|, not events
+    val p = graft.Staging.fresh("streamdrift")
+    s.table(tbl).groupBy("d", "vb").agg(sum("c").as("c"))
+      .write.mode("overwrite").parquet(p)
+    graft.operators.TemporalQueries.dailyKs(s.read.parquet(p))
   }
 
   /** STREAMING native session windows — q164's declarative
@@ -384,6 +430,7 @@ object StreamingQueries {
     "q107_streaming_kmv" -> (q107StreamingKmv _),
     "q36_streaming_hourly" -> (q36StreamingHourly _),
     "q161_streaming_anomaly" -> (q161StreamingAnomaly _),
+    "q186_streaming_drift" -> (q186StreamingDrift _),
     "q169_streaming_sessions" -> (q169StreamingSessions _),
     "q124_streaming_hopping" -> (q124StreamingHopping _),
     "q52_streaming_dedup" -> (q52StreamingDedup _),
@@ -423,6 +470,33 @@ object StreamingQueries {
         |ORDER BY user_id, session_start""".stripMargin,
     // q148's exact chain over FINALIZED days only: a 1-day window emits
     // once its end is >= 1 h behind max(ts) — d + 25 h <= max(ts)
+    // q179's grid arithmetic + the q161 finalization cut; the grid
+    // bounds derive from the finalized counts exactly as the Spark
+    // side derives them from the streamed summary table
+    "q186_streaming_drift" ->
+      """WITH counts AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(floor(value) AS BIGINT) AS vb, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |fin AS (SELECT d, vb, c FROM counts
+        |  WHERE CAST(d AS TIMESTAMP) + INTERVAL 25 HOUR
+        |    <= (SELECT max(ts) FROM events)),
+        |days AS (SELECT DISTINCT d FROM fin),
+        |grid AS (SELECT d, i AS vb
+        |  FROM days, unnest(generate_series((SELECT MIN(vb) FROM fin),
+        |    (SELECT MAX(vb) FROM fin))) AS g(i)),
+        |cdf AS (SELECT g.d, g.vb,
+        |    SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.d ORDER BY g.vb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.d) AS n
+        |  FROM grid g LEFT JOIN fin c ON c.d = g.d AND c.vb = g.vb),
+        |j AS (SELECT a.d, a.cum, a.n, b.cum AS cum_p, b.n AS n_p
+        |  FROM cdf a JOIN cdf b ON b.d = a.d - 1 AND b.vb = a.vb)
+        |SELECT d, CAST(MIN(n) AS BIGINT) AS n_day,
+        |  CAST(MIN(n_p) AS BIGINT) AS n_prev,
+        |  CAST(MAX(ABS(cum * n_p - cum_p * n)) AS BIGINT) AS d_num,
+        |  CAST(MAX(ABS(cum * n_p - cum_p * n)) AS DOUBLE)
+        |    / CAST(MIN(n) * MIN(n_p) AS DOUBLE) AS ks
+        |FROM j GROUP BY d ORDER BY d""".stripMargin,
     "q161_streaming_anomaly" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    COUNT(*) AS cnt FROM events GROUP BY event_type, d),
