@@ -1222,6 +1222,58 @@ object RelationalQueries {
         col("part_b").cast("bigint").as("part_b"), col("n_orders"))
   }
 
+  /** ASSOCIATION RULES over the q132 basket pairs — support, directed
+    * confidence, and lift for every part pair co-purchased in ≥2
+    * orders, both rule directions emitted from one pair frame. The
+    * classic frequent-itemset readout at the k=2 level, mined on the
+    * same bounded-fanout self-join q132 records as the design rule
+    * (pair volume linear in orders — an unbounded key would need the
+    * LSH candidate machinery instead).
+    *
+    * Determinism: counts are exact BIGINTs; confidence and lift are
+    * single mirrored double chains (floor-quantized to e6), with lift
+    * computed as double(n_ab)·double(N) / (double(n_a)·double(n_b)) —
+    * products taken in DOUBLE so no BIGINT overflow at any corpus
+    * size, the identical IEEE op order in both engines. One driver
+    * scalar (the basket count N — the q19 mirror class); item counts
+    * join the pair frame on the part key. Top-50 under the total
+    * (support DESC, antecedent, consequent) order. */
+  def q188AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nBaskets = baskets.select("ok").distinct().count()
+    val items = baskets.groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val a = baskets.select(col("ok"), col("pk").as("pa"))
+    val b = baskets.select(col("ok"), col("pk").as("pb"))
+    val pairs = a.join(b, Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val rules = pairs
+      .select(explode(expr(
+        "array(named_struct('ante', pa, 'cons', pb, 'n_ab', n_ab), " +
+          "named_struct('ante', pb, 'cons', pa, 'n_ab', n_ab))")).as("r"))
+      .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+        col("r.n_ab").as("n_ab"))
+    rules
+      .join(items.select(col("pk").as("ante"), col("n_item").as("n_ante")), Seq("ante"))
+      .join(items.select(col("pk").as("cons"), col("n_item").as("n_cons")), Seq("cons"))
+      .select(col("ante").cast("bigint").as("antecedent"),
+        col("cons").cast("bigint").as("consequent"),
+        col("n_ante").cast("bigint").as("n_ante"),
+        col("n_cons").cast("bigint").as("n_cons"),
+        col("n_ab").cast("bigint").as("n_both"),
+        floor(col("n_ab").cast("double") / col("n_ante").cast("double")
+          * lit(1000000.0)).cast("bigint").as("conf_e6"),
+        floor(col("n_ab").cast("double") * lit(nBaskets.toDouble) /
+          (col("n_ante").cast("double") * col("n_cons").cast("double"))
+          * lit(1000000.0)).cast("bigint").as("lift_e6"))
+      .orderBy(desc("n_both"), col("antecedent"), col("consequent"))
+      .limit(50)
+  }
+
   /** Referential-integrity audit — the warehouse data-quality sweep
     * (§2.13 extension) that must run before any star-join is trusted:
     * per FK relation, the count of child keys with no parent row, as
@@ -1448,6 +1500,7 @@ object RelationalQueries {
     "q129_conditional_aggs" -> (q129ConditionalAggs _),
     "q130_map_suite" -> (q130MapSuite _),
     "q132_market_basket" -> (q132MarketBasket _),
+    "q188_association_rules" -> (q188AssociationRules _),
     "q133_integrity_audit" -> (q133IntegrityAudit _),
     "q136_latest_wins" -> (q136LatestWins _),
     "q160_uniqueness_audit" -> (q160UniquenessAudit _),
@@ -1648,6 +1701,31 @@ object RelationalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM p GROUP BY part_a, part_b
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // identical pair frame (a < b, distinct baskets), both rule
+    // directions, identical double chains inside the floors
+    "q188_association_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT ok) AS n FROM b),
+        |items AS (SELECT pk, COUNT(*) AS n_item FROM b GROUP BY pk),
+        |pairs AS (SELECT a.pk AS pa, b2.pk AS pb, COUNT(*) AS n_ab
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY a.pk, b2.pk HAVING COUNT(*) >= 2),
+        |rules AS (SELECT pa AS ante, pb AS cons, n_ab FROM pairs
+        |  UNION ALL SELECT pb, pa, n_ab FROM pairs)
+        |SELECT CAST(r.ante AS BIGINT) AS antecedent,
+        |  CAST(r.cons AS BIGINT) AS consequent,
+        |  CAST(ia.n_item AS BIGINT) AS n_ante,
+        |  CAST(ic.n_item AS BIGINT) AS n_cons,
+        |  CAST(r.n_ab AS BIGINT) AS n_both,
+        |  CAST(FLOOR(CAST(r.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS conf_e6,
+        |  CAST(FLOOR(CAST(r.n_ab AS DOUBLE) * CAST((SELECT n FROM nb) AS DOUBLE)
+        |    / (CAST(ia.n_item AS DOUBLE) * CAST(ic.n_item AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS lift_e6
+        |FROM rules r
+        |JOIN items ia ON ia.pk = r.ante
+        |JOIN items ic ON ic.pk = r.cons
+        |ORDER BY n_both DESC, antecedent, consequent LIMIT 50""".stripMargin,
     "q130_map_suite" ->
       """WITH m AS (SELECT event_type,
         |    len(json_keys(props)) AS n_keys,

@@ -780,6 +780,65 @@ object SegmentationQueries {
           (lit(2L) * col("np") * col("nn")).cast("double")).as("auc"))
   }
 
+  // ---------------------------------------------------------------- q187
+
+  /** Doubled tie-averaged ranks of a value column — 2·avgrank(v) =
+    * 2·|{values < v}| + ties(v) + 1, an INTEGER for every v — via the
+    * two-phase bucket discipline (offsets over bucket summaries,
+    * intra-bucket cumulative counts; `bucket` must be a monotone
+    * floor-scale of v). Returns one (v, r2) row per distinct value. */
+  private def doubledRanks(vals: DataFrame, bucket: Column): DataFrame = {
+    val base = vals.select(col("v"), bucket.as("vb"))
+    val perV = base.groupBy("vb", "v").agg(count(lit(1)).as("cnt"))
+    val wOff = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perV.groupBy("vb").agg(sum("cnt").as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .select("vb", "off")
+    val wIntra = Window.partitionBy("vb").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perV.join(broadcast(offsets), Seq("vb"))
+      .withColumn("below", col("off") + sum("cnt").over(wIntra) - col("cnt"))
+      .select(col("v"), (lit(2L) * col("below") + col("cnt") + lit(1L)).as("r2"))
+  }
+
+  /** SPEARMAN rank correlation between per-user activity (event count)
+    * and per-user spend (exact cents) — the monotone-association
+    * readout that shrugs off the heavy tails which bend q181's Pearson:
+    * ρ is Pearson over tie-averaged ranks, and every rank here is the
+    * exact integer DOUBLED rank (2·avgrank — the ½ of a tie-average
+    * rides as the factor of two), so all six moments are BIGINT sums
+    * and the one assembled double chain is q181's, floor-quantized
+    * to e6 (scale-invariant under the doubling).
+    *
+    * Scale: global ranking never sorts the user frame in one task —
+    * both rank maps follow the q116/q174 two-phase bucket discipline,
+    * then join back on the VALUE key (a scaling key), and the moments
+    * are one map-side-combinable aggregate. BIGINT headroom: ranks are
+    * ≤ 2n+1, so the cross moments stay exact to n ≈ 1.3M users; past
+    * that the sums widen to decimal(38,0) with the identical plan. */
+  def q187Spearman(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+    val rx = doubledRanks(u.select(col("x").as("v")), expr("v div 16"))
+      .select(col("v").as("x"), col("r2").as("rx"))
+    val ry = doubledRanks(u.select(col("y").as("v")), expr("v div 100000"))
+      .select(col("v").as("y"), col("r2").as("ry"))
+    u.join(rx, Seq("x")).join(ry, Seq("y"))
+      .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .select(col("n").cast("bigint").as("n_users"),
+        floor(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")) *
+            lit(1000000.0))
+          .cast("bigint").as("rho_e6"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -797,6 +856,7 @@ object SegmentationQueries {
     "q183_skyline" -> (q183Skyline _),
     "q184_group_quantiles" -> (q184GroupQuantiles _),
     "q185_auc" -> (q185Auc _),
+    "q187_spearman" -> (q187Spearman _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1097,6 +1157,27 @@ object SegmentationQueries {
         |  CAST(SUM(pos_s * (2 * cumneg + neg_s)) AS DOUBLE)
         |    / CAST(2 * SUM(pos_s) * SUM(neg_s) AS DOUBLE) AS auc
         |FROM c""".stripMargin,
+    // identical doubled tie-averaged ranks (2·rank() + ties − 1 ==
+    // 2·below + ties + 1) via one global window (the shape the
+    // two-phase Spark plan replaces); identical q181 moment chain
+    "q187_spearman" ->
+      """WITH u AS (SELECT user_id, COUNT(*) AS x,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS y
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT
+        |    2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+        |    2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM u),
+        |m AS (SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+        |    SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  CAST(FLOOR(
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
+        |    AS BIGINT) AS rho_e6
+        |FROM m""".stripMargin,
     // plain NOT EXISTS dominance — the oracle engine affords the
     // quadratic the grid pruning exists to avoid
     "q183_skyline" ->

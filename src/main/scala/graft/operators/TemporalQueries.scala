@@ -588,6 +588,37 @@ object TemporalQueries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q189
+
+  /** FIRST-ORDER MARKOV TRANSITION MATRIX over per-user event
+    * sequences — P(next event type | current), the behavioral model
+    * behind q145's assembled paths and the structural summary a
+    * bot-detection or next-action feature reads. Each user's events
+    * order by the total (ts, event_id) key; consecutive pairs count
+    * into the |types|² matrix; each row's probabilities are one
+    * mirrored division over the bounded matrix frame.
+    *
+    * Scale: ONE shuffle on user_id for the lag window (a scaling
+    * entity key — per-user sequences, never a global sort), then a
+    * map-side-combinable aggregate onto the enum² matrix; the share
+    * window partitions the 25-row summary by from_type (enum key over
+    * an aggregate — the legal straggler-guard shape). */
+  def q189TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag("to_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+    pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_n", sum("n").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n").cast("bigint").as("n"),
+        floor(col("n").cast("double") / col("row_n").cast("double")
+          * lit(1000000.0)).cast("bigint").as("p_e6"))
+      .orderBy("from_type", "to_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -602,6 +633,7 @@ object TemporalQueries {
     "q173_capped_balance" -> (q173CappedBalance _),
     "q175_decay_score" -> (q175DecayScore _),
     "q179_daily_drift" -> (q179DailyDrift _),
+    "q189_transition_matrix" -> (q189TransitionMatrix _),
     "q180_funnel_latency" -> (q180FunnelLatency _),
     "q181_autocorrelation" -> (q181Autocorrelation _),
   )
@@ -769,6 +801,20 @@ object TemporalQueries {
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     // dense generated bucket grid aligns the two CDFs; sup over exact
     // cross-multiplied BIGINTs; one division per day
+    // identical (ts, event_id) lag pairing; the per-row share is one
+    // mirrored division over the bounded matrix
+    "q189_transition_matrix" ->
+      """WITH p AS (SELECT user_id, event_type AS to_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS p_e6
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
     "q179_daily_drift" ->
       """WITH counts AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(floor(value) AS BIGINT) AS vb, COUNT(*) AS c
