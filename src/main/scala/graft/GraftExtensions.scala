@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Kmv, Winnow, WinnowPos}
+import graft.functions.{DotProduct, Kmv, Topk, Winnow, WinnowPos}
 
 /** Engine extensions, installed via `spark.sql.extensions`
   * (GraftSession sets it): registers the native functions so they are
@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "graft_kmv expects (hash_col, k)")
         Kmv(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[Topk].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_topk expects (sort_key, payload, k)")
+        Topk(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow_pos"),

@@ -839,6 +839,35 @@ object SegmentationQueries {
           .cast("bigint").as("rho_e6"))
   }
 
+  // ---------------------------------------------------------------- q190
+
+  /** TOP-K PER GROUP via the native bounded-state aggregate — the
+    * third point in the library's top-k design space and the one a
+    * 100 TB pipeline reaches for when k is small: the window
+    * row_number form sorts every group row after a full shuffle;
+    * q170's two-phase pigeonhole is lossless with two window passes;
+    * `graft_topk` (functions/Topk.scala, a TypedImperativeAggregate)
+    * keeps a bounded k-pair TreeSet per group, partial-aggregates
+    * MAP-SIDE, and ships exactly |groups|·k fixed-width pairs through
+    * the exchange — no per-group sort ever materializes. Top-5 events
+    * by cent value per event type; descending order is the negated
+    * key (exact for bigint), ties break on event_id ascending, and
+    * TopkSpec proves the aggregate invariant under repartitioning and
+    * bit-equal to the window form. */
+  def q190NativeTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"),
+        col("event_id"))
+      .groupBy("event_type")
+      .agg(expr("graft_topk(-vc, event_id, 5)").as("tk"))
+      .select(col("event_type"), posexplode(col("tk")))
+      .select(col("event_type"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.v").cast("bigint").as("event_id"),
+        (-col("col.k")).cast("bigint").as("v_cents"))
+      .orderBy("event_type", "rank")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -857,6 +886,7 @@ object SegmentationQueries {
     "q184_group_quantiles" -> (q184GroupQuantiles _),
     "q185_auc" -> (q185Auc _),
     "q187_spearman" -> (q187Spearman _),
+    "q190_native_topk" -> (q190NativeTopk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1178,6 +1208,18 @@ object SegmentationQueries {
         |         CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
         |    AS BIGINT) AS rho_e6
         |FROM m""".stripMargin,
+    // the window-ranked form: both engines express the identical total
+    // (value DESC, event_id ASC) order the bounded-state aggregate keeps
+    "q190_native_topk" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id)
+        |      AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(rn AS INTEGER) AS rank, event_id,
+        |  CAST(vc AS BIGINT) AS v_cents
+        |FROM r WHERE rn <= 5 ORDER BY event_type, rank""".stripMargin,
     // plain NOT EXISTS dominance — the oracle engine affords the
     // quadratic the grid pruning exists to avoid
     "q183_skyline" ->
