@@ -868,6 +868,101 @@ object SegmentationQueries {
         (-col("col.k")).cast("bigint").as("v_cents"))
       .orderBy("event_type", "rank")
 
+  // ---------------------------------------------------------------- q192
+
+  /** IQR (Tukey-fence) OUTLIER GATE per event type — the third member
+    * of the outlier family next to q70's moment z-score and q152's
+    * MAD: flag values outside [p25 − 1.5·IQR, p75 + 1.5·IQR], with the
+    * fences kept EXACT by clearing the halves — 2v < 5·p25 − 3·p75
+    * and 2v > 5·p75 − 3·p25 are the fence tests on the integer
+    * lattice, so no 1.5 ever becomes a double and the gate is
+    * bit-identical across engines. Quartiles come from the q184
+    * two-phase selection (rank (p·(n−1)) div 100 + 1 under the total
+    * (v, event_id) order); the 5-row fence frame broadcasts back over
+    * one more scan. Output: per-type totals, low/high outlier counts,
+    * and the e6-floored outlier share (one mirrored division). */
+  def q192IqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_type").as("g"),
+        expr("cast(round(value * 100) as bigint)").as("v"),
+        col("event_id").as("ei"))
+      .withColumn("vb", expr("v div 100"))
+    val wOff = Window.partitionBy("g").orderBy("vb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summaries = base.groupBy("g", "vb").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .withColumn("n", sum("bc").over(Window.partitionBy("g")))
+    val targets = summaries
+      .select(col("g"), col("vb"), col("off"), col("n"), col("bc"),
+        explode(expr("array(25L, 75L)")).as("p"))
+      .withColumn("r", expr("(p * (n - 1)) div 100 + 1"))
+      .filter(col("off") < col("r") && col("r") <= col("off") + col("bc"))
+      .select("g", "vb", "off", "p", "r")
+    val wIntra = Window.partitionBy("g", "vb", "p").orderBy("v", "ei")
+    val quartiles = base.join(broadcast(targets), Seq("g", "vb"))
+      .withColumn("rn", col("off") + row_number().over(wIntra))
+      .filter(col("rn") === col("r"))
+      .groupBy("g")
+      .agg(min(when(col("p") === 25, col("v"))).as("q1"),
+        min(when(col("p") === 75, col("v"))).as("q3"))
+      .select(col("g"), (lit(5L) * col("q1") - lit(3L) * col("q3")).as("lo2"),
+        (lit(5L) * col("q3") - lit(3L) * col("q1")).as("hi2"))
+    base.join(broadcast(quartiles), Seq("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(lit(2L) * col("v") < col("lo2"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(lit(2L) * col("v") > col("hi2"), 1L).otherwise(0L)).as("n_hi"))
+      .select(col("g").as("event_type"), col("n").cast("bigint").as("n_events"),
+        col("n_lo").cast("bigint").as("n_low_outliers"),
+        col("n_hi").cast("bigint").as("n_high_outliers"),
+        floor((col("n_lo") + col("n_hi")).cast("double") /
+          col("n").cast("double") * lit(1000000.0))
+          .cast("bigint").as("outlier_share_e6"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q193
+
+  /** CUSUM CHANGE-POINT detection over daily volumes per event type —
+    * "did this stream's level shift, and when": the day maximizing the
+    * scaled cumulative deviation |m·C_i − i·T| (C_i = cumulative count
+    * through day i of m observed days, T = total), which is the
+    * classic CUSUM statistic with the mean cleared of division —
+    * every comparison is BIGINT-exact and the argmax cannot be
+    * perturbed by float rounding. The reported magnitude divides once
+    * (mirrored) to the e6-floored normalized deviation.
+    *
+    * Scale: the scan collapses to per-(type, day) counts FIRST; all
+    * windows (day index, cumulative, per-type max) ride the ~|days| ×
+    * |types| summary frame partitioned by the enum over an aggregate —
+    * the legal straggler-guard shape, q148's discipline. Earliest-day
+    * tie-break via min over the attaining days. */
+  def q193Changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+    val wAll = Window.partitionBy("event_type")
+    val dev = daily
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("ci", sum("c").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("t", sum("c").over(wAll))
+      .withColumn("dev", abs(col("m") * col("ci") - col("i") * col("t")))
+    dev.withColumn("dmax", max("dev").over(wAll))
+      .groupBy("event_type")
+      .agg(first("m").as("m"), first("t").as("t"), first("dmax").as("dmax"),
+        min(when(col("dev") === col("dmax"), col("d"))).as("cp_day"))
+      .select(col("event_type"), col("m").cast("bigint").as("n_days"),
+        col("t").cast("bigint").as("n_events"), col("cp_day"),
+        col("dmax").cast("bigint").as("dev_num"),
+        floor(col("dmax").cast("double") /
+          (col("m") * col("t")).cast("double") * lit(1000000.0))
+          .cast("bigint").as("dev_e6"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -887,6 +982,8 @@ object SegmentationQueries {
     "q185_auc" -> (q185Auc _),
     "q187_spearman" -> (q187Spearman _),
     "q190_native_topk" -> (q190NativeTopk _),
+    "q192_iqr_outliers" -> (q192IqrOutliers _),
+    "q193_changepoint" -> (q193Changepoint _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1220,6 +1317,55 @@ object SegmentationQueries {
         |SELECT event_type, CAST(rn AS INTEGER) AS rank, event_id,
         |  CAST(vc AS BIGINT) AS v_cents
         |FROM r WHERE rn <= 5 ORDER BY event_type, rank""".stripMargin,
+    // identical q184 rank targets; identical integer fence tests
+    // (2v vs 5·q1 − 3·q3) — no 1.5 ever becomes a double
+    "q192_iqr_outliers" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v, event_id AS ei
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, ei) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM b),
+        |q AS (SELECT g,
+        |    MIN(CASE WHEN rn = (25 * (n - 1)) // 100 + 1 THEN v END) AS q1,
+        |    MIN(CASE WHEN rn = (75 * (n - 1)) // 100 + 1 THEN v END) AS q3
+        |  FROM r GROUP BY g)
+        |SELECT b.g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN 2 * b.v < 5 * q.q1 - 3 * q.q3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+        |  CAST(SUM(CASE WHEN 2 * b.v > 5 * q.q3 - 3 * q.q1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+        |  CAST(FLOOR(CAST(SUM(CASE WHEN 2 * b.v < 5 * q.q1 - 3 * q.q3
+        |        OR 2 * b.v > 5 * q.q3 - 3 * q.q1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+        |    AS BIGINT) AS outlier_share_e6
+        |FROM b JOIN q ON q.g = b.g
+        |GROUP BY b.g ORDER BY event_type""".stripMargin,
+    // identical scaled CUSUM |m·C_i − i·T| on the integer lattice;
+    // earliest attaining day; one mirrored terminal division
+    "q193_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS c FROM events GROUP BY event_type, d),
+        |x AS (SELECT event_type, d, c,
+        |    row_number() OVER w AS i,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m,
+        |    SUM(c) OVER (PARTITION BY event_type) AS t
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |v AS (SELECT event_type, d, m, t,
+        |    ABS(m * ci - i * t) AS dev,
+        |    MAX(ABS(m * ci - i * t)) OVER (PARTITION BY event_type) AS dmax
+        |  FROM x)
+        |SELECT event_type, CAST(MIN(m) AS BIGINT) AS n_days,
+        |  CAST(MIN(t) AS BIGINT) AS n_events,
+        |  MIN(CASE WHEN dev = dmax THEN d END) AS cp_day,
+        |  CAST(MIN(dmax) AS BIGINT) AS dev_num,
+        |  CAST(FLOOR(CAST(MIN(dmax) AS DOUBLE) /
+        |    CAST(MIN(m) * MIN(t) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS dev_e6
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
     // plain NOT EXISTS dominance — the oracle engine affords the
     // quadratic the grid pruning exists to avoid
     "q183_skyline" ->

@@ -349,6 +349,47 @@ object StreamingQueries {
       .orderBy("event_type", "d")
   }
 
+  /** STREAM-STATIC ENRICHMENT join — the one standard streaming join
+    * geometry the family still lacked next to q72's stream-stream
+    * interval join: the event stream enriches against the BROADCAST
+    * customer dimension (stateless per-row join — a static side needs
+    * no watermark and holds no store state), then aggregates revenue
+    * into watermark-finalized hourly windows per market segment. This
+    * is the canonical "facts arrive, dims sit in the warehouse" deploy
+    * shape; at 100 TB the dim broadcast is the same bounded-side
+    * policy as the batch star joins (SCALE.md), and per-key state is
+    * one (segment, hour) count/sum.
+    *
+    * Inner-join semantics: events without a dimension row drop (every
+    * fixture user has one — the q133 integrity audit is the check a
+    * deployment runs first). Oracle: the batch join + the q36
+    * finalization cut. */
+  def q191StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamSources.events(s, dir)
+    val dim = broadcast(graft.Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")))
+    val tbl = s"graft_stream_enrich_${runCounter.incrementAndGet()}"
+    val q = ev
+      .withWatermark("ts", "1 hour")
+      .join(dim, Seq("user_id"))
+      .groupBy(col("segment"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).cast("bigint")
+          .as("cents"))
+      .select(col("segment"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("n_events"), col("cents"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(tbl).orderBy("segment", "h")
+  }
+
   /** STREAMING distribution-drift monitor — q179's day-over-day KS
     * statistic fed by a streamed (day, value-bucket) count aggregation:
     * watermarked 1-day tumbling windows emit FINALIZED per-bucket
@@ -431,6 +472,7 @@ object StreamingQueries {
     "q36_streaming_hourly" -> (q36StreamingHourly _),
     "q161_streaming_anomaly" -> (q161StreamingAnomaly _),
     "q186_streaming_drift" -> (q186StreamingDrift _),
+    "q191_stream_static_join" -> (q191StreamStaticJoin _),
     "q169_streaming_sessions" -> (q169StreamingSessions _),
     "q124_streaming_hopping" -> (q124StreamingHopping _),
     "q52_streaming_dedup" -> (q52StreamingDedup _),
@@ -548,6 +590,17 @@ object StreamingQueries {
          |FROM cnt c JOIN kth k2 USING (w)
          |WHERE c.w + INTERVAL 169 HOUR <= (SELECT max(ts) FROM events)
          |ORDER BY w""".stripMargin,
+    // the batch join twin + the q36 finalization cut
+    "q191_stream_static_join" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2
+        |HAVING date_trunc('hour', any_value(e.ts)) + INTERVAL 2 HOUR
+        |  <= (SELECT max(ts) FROM events)
+        |ORDER BY segment, h""".stripMargin,
     "q36_streaming_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
