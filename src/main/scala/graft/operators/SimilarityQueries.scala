@@ -113,6 +113,81 @@ object SimilarityQueries {
   def q26LshCosine(s: SparkSession, dir: String): DataFrame =
     lshPairsScored(s, dir).orderBy("vec_a", "vec_b")
 
+  /** HARD-NEGATIVE MINING — for every vector, the most similar vector
+    * carrying a DIFFERENT label: the contrastive-training pair a
+    * retrieval/embedding fine-tune feeds next to its positives (a
+    * negative that is nearly a positive is where the gradient is).
+    * Candidates come from the q26 sign-LSH bands — never all-pairs —
+    * so "hardest" means hardest among band-colliding candidates,
+    * exactly the approximation contract q80's KNN documents; only the
+    * cross-label survivors rank. One row per vector that HAS a
+    * cross-label candidate (a vector whose buckets are all same-label
+    * — the usual case for a well-separated label — simply emits
+    * nothing, which is itself the health signal).
+    *
+    * Scale: the symmetric expansion and the rank window both ride the
+    * candidate-pair frame partitioned by vec_id (an entity key); label
+    * attachment is two equi-joins on the id. */
+  def q194HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairsScored(s, dir)
+    val lbl = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("int").as("lbl"))
+    val sym = pairs.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cos"))
+      .union(pairs.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cos")))
+    val w = Window.partitionBy("v").orderBy(desc("cos"), asc("n"))
+    sym
+      .join(lbl.select(col("vec_id").as("v"), col("lbl").as("v_lbl")), Seq("v"))
+      .join(lbl.select(col("vec_id").as("n"), col("lbl").as("n_lbl")), Seq("n"))
+      .filter(col("v_lbl") =!= col("n_lbl"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("v").cast("bigint").as("vec_id"),
+        col("v_lbl").as("label"),
+        col("n").cast("bigint").as("hard_negative_id"),
+        col("n_lbl").as("neg_label"), col("cos"))
+      .orderBy("vec_id")
+  }
+
+  /** DEDUP CLUSTER REPRESENTATIVES — the "keep the BEST copy" policy
+    * completing the family: q21/q65 keep the minimum id, q177's golden
+    * records merge attributes; this picks each near-dup cluster's
+    * canonical member by QUALITY (longest document text, doc_id
+    * ascending as the tie-break) — the policy a training corpus
+    * actually wants, where near-dups differ by truncation and the
+    * longest copy carries the most signal. Components are q50's staged
+    * min-label propagation (same object code); quality attaches by one
+    * id equi-join to the documents table; the per-cluster argmax is
+    * one max(struct) aggregate (no window, no sort).
+    *
+    * Output: one row per MULTI-member cluster (singletons are not
+    * "dedup decisions"), with the representative, its length, and the
+    * cluster size. */
+  def q195ClusterRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    val ck = Staging.fresh("ccrep")
+    lshPairsScored(s, dir).select("vec_a", "vec_b")
+      .write.mode("overwrite").parquet(s"$ck/pairs")
+    val pairs = s.read.parquet(s"$ck/pairs")
+    val und = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val verts = und.select("src").distinct()
+    und.union(verts.select(col("src"), col("src").as("dst")))
+      .write.mode("overwrite").parquet(s"$ck/base")
+    val members = propagateLabels(s, s"$ck/base")
+      .select(col("lbl").as("cluster_id"), col("v").as("doc_id"))
+    val quality = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("nc"))
+    members.join(quality, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("nc"), (-col("doc_id")).as("nid"))).as("m"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id").cast("bigint").as("cluster_id"),
+        (-col("m.nid")).cast("bigint").as("rep_doc_id"),
+        col("m.nc").cast("bigint").as("rep_n_chars"),
+        col("n_members").cast("bigint").as("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Number of Lloyd (k-means) refinement passes for the q37 codebook. */
   private val lloydIters = 2
 
@@ -991,6 +1066,8 @@ object SimilarityQueries {
     "q105_sem_dedup" -> (q105SemDedup _),
     "q40_embedding_dedup" -> (q40EmbeddingDedup _),
     "q50_cc_clusters" -> (q50CcClusters _),
+    "q194_hard_negatives" -> (q194HardNegatives _),
+    "q195_cluster_reps" -> (q195ClusterRepresentatives _),
     "q71_pq_topk" -> (q71PqTopk _),
     "q80_knn_join" -> (q80KnnJoin _),
     "q83_cluster_diagnostics" -> (q83ClusterDiagnostics _),
@@ -1290,6 +1367,48 @@ object SimilarityQueries {
          |FROM embeddings e
          |WHERE NOT EXISTS (SELECT 1 FROM victims w WHERE w.vec_id = e.vec_id)
          |GROUP BY label ORDER BY label""".stripMargin,
+    // identical LSH candidate construction + label joins; the rank
+    // window expresses the same total (cos DESC, id ASC) order
+    "q194_hard_negatives" ->
+      s"""WITH $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b, cos FROM sc WHERE cos >= 0.35),
+         |sym AS (SELECT vec_a AS v, vec_b AS n, cos FROM pr
+         |  UNION ALL SELECT vec_b AS v, vec_a AS n, cos FROM pr),
+         |lb AS (SELECT vec_id, CAST(label AS INTEGER) AS lbl FROM embeddings),
+         |x AS (SELECT sym.v, sym.n, sym.cos, a.lbl AS v_lbl, b.lbl AS n_lbl,
+         |    row_number() OVER (PARTITION BY sym.v
+         |      ORDER BY sym.cos DESC, sym.n ASC) AS rank
+         |  FROM sym JOIN lb a ON a.vec_id = sym.v
+         |  JOIN lb b ON b.vec_id = sym.n
+         |  WHERE a.lbl <> b.lbl)
+         |SELECT CAST(v AS BIGINT) AS vec_id, v_lbl AS label,
+         |  CAST(n AS BIGINT) AS hard_negative_id, n_lbl AS neg_label, cos
+         |FROM x WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    // q50's recursive component closure + the longest-text argmax per
+    // multi-member component (ties to the smallest doc_id)
+    "q195_cluster_reps" ->
+      s"""WITH RECURSIVE $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+         |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pr),
+         |reach(v, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v),
+         |comp AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+         |q AS (SELECT c.cluster_id, c.doc_id, length(d.text) AS nc,
+         |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(doc_id AS BIGINT) AS rep_doc_id,
+         |  CAST(nc AS BIGINT) AS rep_n_chars,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM q WHERE rn = 1 AND n_members >= 2
+         |ORDER BY cluster_id""".stripMargin,
     // q50: transitive closure of the undirected pair graph via a recursive
     // CTE — reach(v) accumulates every label reachable from v, min(reach)
     // is the component minimum, exactly the label-propagation fixpoint.
