@@ -619,6 +619,42 @@ object TemporalQueries {
       .orderBy("from_type", "to_type")
   }
 
+  // ---------------------------------------------------------------- q196
+
+  /** SESSION ENTRY/EXIT MATRIX with bounce counts — which event type
+    * opens a session, which closes it, and how many sessions are
+    * single-event bounces: the product-analytics readout q164's
+    * session identity exists to feed. Sessions are the native
+    * `session_window` (30-minute gap, the q164 construction whose
+    * parity against an independent gaps-and-islands oracle is already
+    * hash-proven); each session's ordered event list collapses in the
+    * SAME aggregate via one array_sort(collect_list) — entry and exit
+    * are its first/last elements under the total (ts, event_id) order,
+    * so no second window pass runs. Per-entity session state bounds
+    * the collected list (the q173 sessionize assumption).
+    *
+    * Output: per (entry, exit) pair — session count, bounce count, and
+    * the e6-floored bounce share (one mirrored division). */
+  def q196SessionEntryExit(s: SparkSession, dir: String): DataFrame = {
+    val sessions = Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(expr("array_sort(collect_list(struct(ts, event_id, event_type)))")
+        .as("evs"))
+      .select(expr("evs[0].event_type").as("entry_type"),
+        expr("element_at(evs, -1).event_type").as("exit_type"),
+        expr("size(evs)").as("n"))
+    sessions.groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("entry_type"), col("exit_type"),
+        col("n_sessions").cast("bigint").as("n_sessions"),
+        col("n_bounces").cast("bigint").as("n_bounces"),
+        floor(col("n_bounces").cast("double") /
+          col("n_sessions").cast("double") * lit(1000000.0))
+          .cast("bigint").as("bounce_share_e6"))
+      .orderBy("entry_type", "exit_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -634,6 +670,7 @@ object TemporalQueries {
     "q175_decay_score" -> (q175DecayScore _),
     "q179_daily_drift" -> (q179DailyDrift _),
     "q189_transition_matrix" -> (q189TransitionMatrix _),
+    "q196_session_entry_exit" -> (q196SessionEntryExit _),
     "q180_funnel_latency" -> (q180FunnelLatency _),
     "q181_autocorrelation" -> (q181Autocorrelation _),
   )
@@ -801,6 +838,41 @@ object TemporalQueries {
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     // dense generated bucket grid aligns the two CDFs; sup over exact
     // cross-multiplied BIGINTs; one division per day
+    // q164's independent gaps-and-islands session identity (already
+    // parity-proven against session_window), entry/exit via ranked
+    // rows, identical mirrored bounce-share division
+    "q196_session_entry_exit" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x),
+        |e AS (SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d,
+        |    COUNT(*) OVER (PARTITION BY user_id, sid) AS n
+        |  FROM g),
+        |s AS (SELECT user_id, sid,
+        |    MIN(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+        |    MIN(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+        |    MIN(n) AS n
+        |  FROM e GROUP BY user_id, sid)
+        |SELECT entry_type, exit_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  CAST(FLOOR(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS bounce_share_e6
+        |FROM s GROUP BY entry_type, exit_type
+        |ORDER BY entry_type, exit_type""".stripMargin,
     // identical (ts, event_id) lag pairing; the per-row share is one
     // mirrored division over the bounded matrix
     "q189_transition_matrix" ->
