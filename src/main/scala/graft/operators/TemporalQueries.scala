@@ -655,6 +655,99 @@ object TemporalQueries {
       .orderBy("entry_type", "exit_type")
   }
 
+  // ---------------------------------------------------------------- q197
+
+  /** THEIL–SEN robust trend per event type — the median of all
+    * pairwise day-slopes, the estimator that shrugs off the outlier
+    * days that bend an OLS line (the robust counterpart to q181's
+    * Pearson moments, as q152's MAD is to the stddev). Slopes are
+    * RATIONALS (Δcount/Δindex); each maps to an exact BIGINT sort key
+    * by offset-then-quantize — (dp + 10⁶·dq)·10⁹ div dq — where the
+    * offset keeps the numerator positive (daily counts < 10⁶, asserted
+    * in EvalWaveSpec) so BIGINT truncation equals floor in BOTH
+    * engines (Spark `div` truncates toward zero, DuckDB `//` floors —
+    * the q182 dialect edge, sidestepped the same way), and the key is
+    * monotone in the true slope to 1e-9. Median selection reads values
+    * at the two middle ranks, so equal-key ties cannot perturb it.
+    *
+    * Scale: pairs are quadratic in OBSERVED DAYS (time, not corpus —
+    * ~365·years rows per type), generated from the per-(type, day)
+    * summary self-join; every window rides that summary-derived frame
+    * partitioned by type. */
+  def q197TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("d")).cast("long"))
+    val a = daily.select(col("event_type"), col("i").as("ia"), col("c").as("ca"))
+    val b = daily.select(col("event_type"), col("i").as("ib"), col("c").as("cb"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("ib") > col("ia"))
+      .select(col("event_type"),
+        expr("((cb - ca + 1000000L * (ib - ia)) * 1000000000L) div (ib - ia)")
+          .as("k"))
+    val w = Window.partitionBy("event_type").orderBy("k")
+    val ranked = slopes
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    ranked
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("n div 2 + 1"))
+      .groupBy("event_type")
+      .agg(first("n").as("n"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("k"))).as("klo"),
+        min(when(col("rn") === expr("n div 2 + 1"), col("k"))).as("khi"))
+      .select(col("event_type"), col("n").cast("bigint").as("n_pairs"),
+        (col("klo") - lit(1000000000000000L)).cast("bigint").as("slope_lo_e9"),
+        (col("khi") - lit(1000000000000000L)).cast("bigint").as("slope_hi_e9"),
+        (((col("klo") - lit(1000000000000000L)).cast("double") +
+          (col("khi") - lit(1000000000000000L)).cast("double")) / lit(2.0))
+          .as("slope_e9"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q198
+
+  /** AUTOCORRELATION PANEL — q181's lag-1 Pearson generalized to the
+    * full ACF at lags 1..7 in ONE pass: the seasonality fingerprint a
+    * forecaster reads (a weekly rhythm shows as a lag-7 peak — q159's
+    * index, restated as correlations). Each day's count joins its
+    * lag-k partner by calendar date (a zero-event day simply produces
+    * no pair — the q148 observed-day convention), moments accumulate
+    * per (type, lag) as exact BIGINTs over day summaries, and each
+    * r_e6 is the identical q181 floor-quantized chain.
+    *
+    * Scale: the lag explode multiplies the DAY SUMMARY frame by 7,
+    * not the event scan; one map-side-combinable aggregate per
+    * (type, lag) follows. */
+  def q198AcfPanel(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val shifted = daily
+      .select(col("event_type"), col("d"), col("c").as("y"),
+        explode(expr("sequence(1, 7)")).as("lag"))
+      .select(col("event_type"), expr("date_add(d, lag)").as("d"),
+        col("lag"), col("y"))
+    daily.join(shifted, Seq("event_type", "d"))
+      .select(col("event_type"), col("lag"), col("c").as("x"), col("y"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag").cast("int").as("lag"),
+        col("n").cast("bigint").as("n_pairs"),
+        floor(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")) *
+            lit(1000000.0))
+          .cast("bigint").as("r_e6"))
+      .orderBy("event_type", "lag")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -671,6 +764,8 @@ object TemporalQueries {
     "q179_daily_drift" -> (q179DailyDrift _),
     "q189_transition_matrix" -> (q189TransitionMatrix _),
     "q196_session_entry_exit" -> (q196SessionEntryExit _),
+    "q197_theil_sen" -> (q197TheilSen _),
+    "q198_acf_panel" -> (q198AcfPanel _),
     "q180_funnel_latency" -> (q180FunnelLatency _),
     "q181_autocorrelation" -> (q181Autocorrelation _),
   )
@@ -873,6 +968,54 @@ object TemporalQueries {
         |    AS bounce_share_e6
         |FROM s GROUP BY entry_type, exit_type
         |ORDER BY entry_type, exit_type""".stripMargin,
+    // identical offset-then-quantize slope keys (positive numerator,
+    // so // == div); median values read at the two middle ranks
+    "q197_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS c FROM events GROUP BY event_type, d),
+        |x AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+        |  FROM daily),
+        |p AS (SELECT a.event_type,
+        |    ((b.c - a.c + 1000000 * (b.i - a.i)) * 1000000000)
+        |      // (b.i - a.i) AS k
+        |  FROM x a JOIN x b ON b.event_type = a.event_type AND b.i > a.i),
+        |r AS (SELECT event_type, k,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY k) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM p)
+        |SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN k END)
+        |    - 1000000000000000 AS BIGINT) AS slope_lo_e9,
+        |  CAST(MIN(CASE WHEN rn = n // 2 + 1 THEN k END)
+        |    - 1000000000000000 AS BIGINT) AS slope_hi_e9,
+        |  (CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN k END)
+        |      - 1000000000000000 AS DOUBLE)
+        |   + CAST(MIN(CASE WHEN rn = n // 2 + 1 THEN k END)
+        |      - 1000000000000000 AS DOUBLE)) / 2.0 AS slope_e9
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // identical calendar lag pairing over day summaries; the identical
+    // q181 moment chain per (type, lag)
+    "q198_acf_panel" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS c FROM events GROUP BY event_type, d),
+        |pairs AS (SELECT a.event_type, g.k AS lag, a.c AS x, b.c AS y
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) g
+        |  JOIN daily b ON b.event_type = a.event_type
+        |    AND a.d = b.d + CAST(g.k AS INTEGER)),
+        |m AS (SELECT event_type, lag, COUNT(*) AS n, SUM(x) AS sx,
+        |    SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+        |    SUM(y * y) AS syy
+        |  FROM pairs GROUP BY event_type, lag)
+        |SELECT event_type, CAST(lag AS INTEGER) AS lag,
+        |  CAST(n AS BIGINT) AS n_pairs,
+        |  CAST(FLOOR(
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
+        |    AS BIGINT) AS r_e6
+        |FROM m ORDER BY event_type, lag""".stripMargin,
     // identical (ts, event_id) lag pairing; the per-row share is one
     // mirrored division over the bounded matrix
     "q189_transition_matrix" ->

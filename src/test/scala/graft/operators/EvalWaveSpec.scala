@@ -71,6 +71,16 @@ class EvalWaveSpec extends AnyFunSuite {
     }
   }
 
+  test("q197 offset premise: daily counts sit far below the 1e6 slope offset") {
+    // the Theil-Sen sort key adds 1e6*dq before the integer divide so
+    // the numerator stays positive (truncation == floor in both
+    // engines); |dp| < 1e6*dq needs max daily count < 1e6
+    val mx = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date"))
+      .count().agg(max("count")).head().getLong(0)
+    assert(mx < 1000000L, s"daily count $mx breaks the q197 offset premise")
+  }
+
   test("q196 session totals == q164's session count") {
     val q164Sessions = TemporalQueries.q164SessionWindow(spark, sfDir).count()
     val q196Total = TemporalQueries.q196SessionEntryExit(spark, sfDir)
