@@ -1061,20 +1061,37 @@ object DedupQueries {
     * O(V+E) label passes, and a final members ⋈ labels equi-join.
     * Singleton customers never enter the graph (only matched vertices
     * carry labels), so the output is exactly the duplicate groups. */
+  /** One staged (v, lbl) component labeling of the fuzzy-match graph
+    * per corpus per JVM — the ccLabels idiom applied to the ER side:
+    * the multi-pass min-label propagation is a once-per-corpus cost,
+    * keyed on the customer parquet fingerprint like fuzzyPairsCache. */
+  private val erLabelsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def erLabels(s: SparkSession, dir: String): DataFrame = {
+    val f = new java.io.File(s"$dir/customer.parquet")
+    val path = erLabelsCache.computeIfAbsent(
+      s"$dir@${f.lastModified}:${f.length}", _ => {
+        val ck = graft.Staging.fresh("golden")
+        val pairs = fuzzyPairs(s, dir).select("ka", "kb")
+        val und = pairs.select(col("ka").as("src"), col("kb").as("dst"))
+          .union(pairs.select(col("kb").as("src"), col("ka").as("dst")))
+        val verts = und.select("src").distinct()
+        und.union(verts.select(col("src"), col("src").as("dst")))
+          .write.mode("overwrite").parquet(s"$ck/base")
+        SimilarityQueries.propagateLabels(s, s"$ck/base")
+          .write.mode("overwrite").parquet(s"$ck/labels")
+        s"$ck/labels"
+      })
+    s.read.parquet(path)
+  }
+
   def q177GoldenComponents(s: SparkSession, dir: String): DataFrame = {
-    val ck = graft.Staging.fresh("golden")
     val c = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"),
         expr("cast(round(c_acctbal * 100) as bigint)").as("bal"),
         col("c_mktsegment").as("seg"))
-    val pairs = fuzzyPairs(s, dir).select("ka", "kb")
-    val und = pairs.select(col("ka").as("src"), col("kb").as("dst"))
-      .union(pairs.select(col("kb").as("src"), col("ka").as("dst")))
-    val verts = und.select("src").distinct()
-    und.union(verts.select(col("src"), col("src").as("dst")))
-      .write.mode("overwrite").parquet(s"$ck/base")
-    val labels = SimilarityQueries.propagateLabels(s, s"$ck/base")
-    val members = labels
+    val members = erLabels(s, dir)
       .join(c.select(col("c_custkey").as("v"), col("bal"), col("seg")), Seq("v"))
       .groupBy("lbl")
       .agg(count(lit(1)).cast("bigint").as("n_members"),

@@ -179,6 +179,44 @@ object SimilarityQueries {
       .orderBy("cluster_id")
   }
 
+  /** PER-SOURCE DEDUP SCORECARD — which crawl is redundant: for each
+    * source, its total documents, how many sit inside a multi-member
+    * near-dup cluster, how many would be DROPPED under q195's
+    * keep-the-best policy (cluster members that are not the
+    * representative), and the e6-floored drop share. The
+    * budget-allocation readout a corpus owner reads before paying for
+    * the next crawl of each source — q91's source-overlap counts,
+    * restated as an actionable per-source keep/drop bill.
+    *
+    * Scale: rides the once-per-corpus staged component labeling
+    * (ccLabels — no new propagation) and q195's argmax; everything
+    * else is id equi-joins and a bounded per-source aggregate. */
+  def q199SourceDedupScorecard(s: SparkSession, dir: String): DataFrame = {
+    val members = ccLabels(s, dir)
+      .select(col("lbl").as("cluster_id"), col("v").as("doc_id"))
+    val sized = members
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("n_members") >= 2)
+    val reps = q195ClusterRepresentatives(s, dir)
+      .select(col("rep_doc_id").as("doc_id"), lit(1L).as("is_rep"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val flags = sized.join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_rep"), lit(0L)).as("is_rep"))
+    docs.join(flags, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_rep").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("is_rep") === 0L, 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+        col("n_clustered").cast("bigint").as("n_clustered"),
+        col("n_dropped").cast("bigint").as("n_dropped"),
+        floor(col("n_dropped").cast("double") / col("n_docs").cast("double")
+          * lit(1000000.0)).cast("bigint").as("drop_share_e6"))
+      .orderBy("source")
+  }
+
   /** Number of Lloyd (k-means) refinement passes for the q37 codebook. */
   private val lloydIters = 2
 
@@ -1077,6 +1115,7 @@ object SimilarityQueries {
     "q50_cc_clusters" -> (q50CcClusters _),
     "q194_hard_negatives" -> (q194HardNegatives _),
     "q195_cluster_reps" -> (q195ClusterRepresentatives _),
+    "q199_source_dedup_scorecard" -> (q199SourceDedupScorecard _),
     "q71_pq_topk" -> (q71PqTopk _),
     "q80_knn_join" -> (q80KnnJoin _),
     "q83_cluster_diagnostics" -> (q83ClusterDiagnostics _),
@@ -1418,6 +1457,38 @@ object SimilarityQueries {
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM q WHERE rn = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    // q195's component closure + rep selection, LEFT-joined back over
+    // all documents; identical mirrored drop-share division
+    "q199_source_dedup_scorecard" ->
+      s"""WITH RECURSIVE $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+         |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pr),
+         |reach(v, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v),
+         |comp AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+         |sized AS (SELECT doc_id, cluster_id,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members FROM comp),
+         |mult AS (SELECT doc_id, cluster_id FROM sized WHERE n_members >= 2),
+         |q AS (SELECT m.cluster_id, m.doc_id,
+         |    row_number() OVER (PARTITION BY m.cluster_id
+         |      ORDER BY length(d.text) DESC, m.doc_id ASC) AS rn
+         |  FROM mult m JOIN documents d ON d.doc_id = m.doc_id),
+         |fl AS (SELECT doc_id, CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_rep
+         |  FROM q)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clustered,
+         |  CAST(SUM(CASE WHEN fl.is_rep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN fl.is_rep = 0 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+         |    AS BIGINT) AS drop_share_e6
+         |FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY source""".stripMargin,
     // q50: transitive closure of the undirected pair graph via a recursive
     // CTE — reach(v) accumulates every label reachable from v, min(reach)
     // is the component minimum, exactly the label-propagation fixpoint.
