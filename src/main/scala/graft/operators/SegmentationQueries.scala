@@ -963,6 +963,82 @@ object SegmentationQueries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q200
+
+  /** CUPED variance-reduced A/B readout — q162's Welch test upgraded
+    * with the industry-standard pre-period covariate adjustment
+    * (Deng et al., WSDM'13): y_adj = y − θ·(x − x̄) with θ =
+    * cov(x, y)/var(x) over the pooled population, where y is each
+    * user's purchase spend in the final 14 days and x their spend
+    * before it. The arm means of the adjusted metric collapse to pure
+    * moment arithmetic — mean_adj = ȳ_arm − θ·(x̄_arm − x̄) — so NO
+    * per-user adjusted row ever materializes: one entity aggregate,
+    * one bounded arm aggregate, one global moment aggregate. Arms are
+    * q162's identical salted-hash split.
+    *
+    * Determinism: all sums are exact BIGINT cents; every assembled
+    * statistic (θ, ρ², adjusted means) is one fixed-order double
+    * chain over those sums — cross-products of corpus-scale sums take
+    * each operand to double FIRST (the q188 rule), so nothing can
+    * overflow at any scale. ρ²_e6 reports the variance fraction CUPED
+    * removes — the "was the covariate worth it" readout. */
+  def q200CupedAb(s: SparkSession, dir: String): DataFrame = {
+    val anchorUs = Tables.events(s, dir)
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val cutUs = anchorUs - 14L * 86400000000L
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase" &&
+            expr(s"unix_micros(ts) <= ${cutUs}L"),
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" &&
+            expr(s"unix_micros(ts) > ${cutUs}L"),
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(expr("substring(md5(concat('ab1_', cast(user_id as string))), 1, 1)")
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A").otherwise("B"))
+    val g = perUser.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("an"), sum("x").as("asx"), sum("y").as("asy"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("an").as("na"), col("asx").as("sxa"), col("asy").as("sya"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("an").as("nb"), col("asx").as("sxb"), col("asy").as("syb"))
+    a.crossJoin(b).crossJoin(g)
+      .withColumn("theta",
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("xbar", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("adj_a",
+        col("sya").cast("double") / col("na").cast("double") -
+          col("theta") * (col("sxa").cast("double") / col("na").cast("double") -
+            col("xbar")))
+      .withColumn("adj_b",
+        col("syb").cast("double") / col("nb").cast("double") -
+          col("theta") * (col("sxb").cast("double") / col("nb").cast("double") -
+            col("xbar")))
+      .withColumn("cnum",
+        col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("rho2",
+        col("cnum") * col("cnum") /
+          ((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           (col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))))
+      .select(col("na").cast("bigint").as("n_a"),
+        col("nb").cast("bigint").as("n_b"),
+        floor(col("theta") * lit(1000000.0)).cast("bigint").as("theta_e6"),
+        (col("adj_a") / lit(100.0)).as("mean_adj_a"),
+        (col("adj_b") / lit(100.0)).as("mean_adj_b"),
+        ((col("adj_a") - col("adj_b")) / lit(100.0)).as("adj_lift"),
+        floor(col("rho2") * lit(1000000.0)).cast("bigint").as("rho2_e6"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -984,6 +1060,7 @@ object SegmentationQueries {
     "q190_native_topk" -> (q190NativeTopk _),
     "q192_iqr_outliers" -> (q192IqrOutliers _),
     "q193_changepoint" -> (q193Changepoint _),
+    "q200_cuped_ab" -> (q200CupedAb _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1366,6 +1443,52 @@ object SegmentationQueries {
         |    CAST(MIN(m) * MIN(t) AS DOUBLE) * 1000000.0) AS BIGINT)
         |    AS dev_e6
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // identical q162 arm hash, identical pre/post cut, and the
+    // identical fixed-order double chain over exact BIGINT moments
+    "q200_cuped_ab" ->
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) - 1209600000000 AS cut FROM events),
+        |u AS (SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) <= (SELECT cut FROM mx)
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) > (SELECT cut FROM mx)
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y,
+        |    CASE WHEN substr(md5(concat('ab1_', CAST(user_id AS VARCHAR))), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM u),
+        |a AS (SELECT COUNT(*) AS na, SUM(x) AS sxa, SUM(y) AS sya
+        |  FROM u WHERE arm = 'A'),
+        |b AS (SELECT COUNT(*) AS nb, SUM(x) AS sxb, SUM(y) AS syb
+        |  FROM u WHERE arm = 'B'),
+        |c AS (SELECT na, nb,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+        |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS ya,
+        |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS xa,
+        |    CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS yb,
+        |    CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS xb,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cnum,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS vx,
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vy
+        |  FROM g, a, b)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(FLOOR(theta * 1000000.0) AS BIGINT) AS theta_e6,
+        |  (ya - theta * (xa - xbar)) / 100.0 AS mean_adj_a,
+        |  (yb - theta * (xb - xbar)) / 100.0 AS mean_adj_b,
+        |  ((ya - theta * (xa - xbar)) - (yb - theta * (xb - xbar))) / 100.0
+        |    AS adj_lift,
+        |  CAST(FLOOR(cnum * cnum / (vx * vy) * 1000000.0) AS BIGINT)
+        |    AS rho2_e6
+        |FROM c""".stripMargin,
     // plain NOT EXISTS dominance — the oracle engine affords the
     // quadratic the grid pruning exists to avoid
     "q183_skyline" ->

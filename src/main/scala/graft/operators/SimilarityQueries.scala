@@ -148,6 +148,37 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** LABEL-NOISE SUSPECTS by neighborhood voting — every vector whose
+    * LSH-candidate neighborhood MAJORITY-disagrees with its own label
+    * (2·cross > total): the confident-learning-style suspect list a
+    * labeled-set owner reviews before training, and the per-example
+    * sharp end of q83's cluster-cohesion aggregate. Same candidate
+    * frame as q194 (sign-LSH bands — never all-pairs); the vote is one
+    * per-vector aggregate over it.
+    *
+    * Scale: symmetric candidate expansion + two label equi-joins + one
+    * entity-key groupBy; the share is one mirrored floored division. */
+  def q201LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairsScored(s, dir)
+    val lbl = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("int").as("lbl"))
+    val sym = pairs.select(col("vec_a").as("v"), col("vec_b").as("n"))
+      .union(pairs.select(col("vec_b").as("v"), col("vec_a").as("n")))
+    sym
+      .join(lbl.select(col("vec_id").as("v"), col("lbl").as("v_lbl")), Seq("v"))
+      .join(lbl.select(col("vec_id").as("n"), col("lbl").as("n_lbl")), Seq("n"))
+      .groupBy("v", "v_lbl")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("v_lbl") =!= col("n_lbl"), 1L).otherwise(0L)).as("n_cross"))
+      .filter(lit(2L) * col("n_cross") > col("n_neighbors"))
+      .select(col("v").cast("bigint").as("vec_id"), col("v_lbl").as("label"),
+        col("n_neighbors").cast("bigint").as("n_neighbors"),
+        col("n_cross").cast("bigint").as("n_cross"),
+        floor(col("n_cross").cast("double") / col("n_neighbors").cast("double")
+          * lit(1000000.0)).cast("bigint").as("cross_share_e6"))
+      .orderBy("vec_id")
+  }
+
   /** DEDUP CLUSTER REPRESENTATIVES — the "keep the BEST copy" policy
     * completing the family: q21/q65 keep the minimum id, q177's golden
     * records merge attributes; this picks each near-dup cluster's
@@ -1116,6 +1147,7 @@ object SimilarityQueries {
     "q194_hard_negatives" -> (q194HardNegatives _),
     "q195_cluster_reps" -> (q195ClusterRepresentatives _),
     "q199_source_dedup_scorecard" -> (q199SourceDedupScorecard _),
+    "q201_label_noise" -> (q201LabelNoise _),
     "q71_pq_topk" -> (q71PqTopk _),
     "q80_knn_join" -> (q80KnnJoin _),
     "q83_cluster_diagnostics" -> (q83ClusterDiagnostics _),
@@ -1457,6 +1489,26 @@ object SimilarityQueries {
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM q WHERE rn = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    // identical candidate frame and label joins; the majority filter
+    // and share division are exact/mirrored
+    "q201_label_noise" ->
+      s"""WITH $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
+         |sym AS (SELECT vec_a AS v, vec_b AS n FROM pr
+         |  UNION ALL SELECT vec_b AS v, vec_a AS n FROM pr),
+         |lb AS (SELECT vec_id, CAST(label AS INTEGER) AS lbl FROM embeddings),
+         |g AS (SELECT sym.v, a.lbl AS v_lbl, COUNT(*) AS n_neighbors,
+         |    SUM(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END) AS n_cross
+         |  FROM sym JOIN lb a ON a.vec_id = sym.v
+         |  JOIN lb b ON b.vec_id = sym.n
+         |  GROUP BY sym.v, a.lbl)
+         |SELECT CAST(v AS BIGINT) AS vec_id, v_lbl AS label,
+         |  CAST(n_neighbors AS BIGINT) AS n_neighbors,
+         |  CAST(n_cross AS BIGINT) AS n_cross,
+         |  CAST(FLOOR(CAST(n_cross AS DOUBLE) / CAST(n_neighbors AS DOUBLE)
+         |    * 1000000.0) AS BIGINT) AS cross_share_e6
+         |FROM g WHERE 2 * n_cross > n_neighbors ORDER BY vec_id""".stripMargin,
     // q195's component closure + rep selection, LEFT-joined back over
     // all documents; identical mirrored drop-share division
     "q199_source_dedup_scorecard" ->
