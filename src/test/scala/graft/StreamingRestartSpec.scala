@@ -129,6 +129,59 @@ class StreamingRestartSpec extends AnyFunSuite {
         "or the restart proves nothing")
   }
 
+  test("the stream-static enrichment join survives a stop + restart (q191 topology)") {
+    val inDir = Staging.fresh("rse_in")
+    val ckpt = Staging.fresh("rse_ck")
+    val outDir = Staging.fresh("rse_out") + "/out"
+    val dim = broadcast(Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")))
+
+    def runOnce(): Long = {
+      val q = sourceStream(inDir)
+        .withWatermark("ts", "1 hour")
+        .join(dim, Seq("user_id"))
+        .groupBy(col("segment"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).cast("bigint").as("n_events"))
+        .select(col("segment"),
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("n_events"))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    val nA = deliver(inDir, tsNanos < cutoff, "a")
+    assert(runOnce() === nA)
+    val nB = deliver(inDir, tsNanos >= cutoff, "b")
+    assert(runOnce() === nB,
+      "the restarted run must read ONLY the new files — the static dim " +
+        "side must not disturb exactly-once source tracking")
+
+    // recovered stream == batch join with the finalization cut; windows
+    // straddling the restart need state from BOTH runs to count right
+    val ev = Tables.events(spark, sfDir)
+    val mxEpoch = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val expected = ev.join(dim, Seq("user_id"))
+      .groupBy(col("segment"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"))
+      .filter(unix_timestamp(col("window.end")) <= mxEpoch - 3600)
+      .select(col("segment"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val got = spark.read.parquet(outDir).select("segment", "h", "n_events")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("the foreachBatch upsert lake resumes from the same checkpoint without loss or duplication") {
     val inDir = Staging.fresh("rsf_in")
     val ckpt = Staging.fresh("rsf_ck")
