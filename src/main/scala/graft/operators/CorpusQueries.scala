@@ -471,6 +471,52 @@ object CorpusQueries {
       .orderBy("lang")
   }
 
+  /** KMV TIME-ROLLUP — the mergeable-sketch property graft_kmv's
+    * scaladoc names as the entire operational point ("per-day sketches
+    * rolled into per-month"), demonstrated as a query: per-DAY KMV
+    * sketches of distinct users build once from the scan, and the
+    * per-WEEK estimate then derives from the day sketches ALONE —
+    * columnar union of the kept sets, k smallest of the union — never
+    * re-reading events. Exactness of the merge: any of the week's k
+    * smallest distinct hashes is also among its own day's k smallest
+    * (fewer than k values sit below it anywhere), so merged-then-
+    * truncated day sketches equal the week's direct sketch, and the
+    * oracle may sketch the week directly. The exact weekly distinct
+    * count rides alongside for the rel_err audit (the q101 pattern,
+    * lifted from one level to a rollup).
+    *
+    * Scale: the audit's exact countDistinct is the fixture lane; the
+    * production path ships ONLY the day sketches (k longs each) up the
+    * rollup — per-day → per-week → per-month unions without touching
+    * data again. */
+  def q203KmvRollup(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val daily = Tables.events(s, dir)
+      .select(date_trunc("week", col("ts")).cast("date").as("wk"),
+        col("ts").cast("date").as("d"),
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+      .groupBy("wk", "d")
+      .agg(expr(s"graft_kmv(h, $k)").as("ks"))
+    val weekly = daily.groupBy("wk")
+      .agg(count(lit(1)).as("n_days"),
+        expr(s"slice(array_sort(array_distinct(flatten(collect_list(ks)))), 1, $k)")
+          .as("mks"))
+    val exact = Tables.events(s, dir)
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"))
+      .agg(countDistinct("user_id").as("n_exact"))
+    weekly.join(exact, Seq("wk"))
+      .select(col("wk"), col("n_days").cast("bigint").as("n_days"),
+        col("n_exact").cast("bigint").as("n_exact"),
+        expr("cast(size(mks) as bigint)").as("n_kept"),
+        expr(s"case when size(mks) < $k then cast(size(mks) as double) " +
+          s"else (31.0 * 4294967296.0) / cast(element_at(mks, $k) as double) end")
+          .as("est"))
+      .withColumn("rel_err",
+        expr("abs(est - cast(n_exact as double)) / cast(n_exact as double)"))
+      .orderBy("wk")
+  }
+
   /** Epoch-resampling manifest: the step AFTER q69 decides the
     * temperature-mixture shares — materialize a training corpus where
     * each document appears floor(rho) or ceil(rho) times, rho being the
@@ -585,6 +631,7 @@ object CorpusQueries {
     "q111_stratified_sample" -> (q111StratifiedSample _),
     "q108_epoch_resample" -> (q108EpochResample _),
     "q101_kmv_distinct" -> (q101KmvDistinct _),
+    "q203_kmv_rollup" -> (q203KmvRollup _),
     "q66_tfidf" -> (q66Tfidf _),
     "q67_bm25" -> (q67Bm25 _),
     "q68_token_packing" -> (q68TokenPacking _),
@@ -761,6 +808,33 @@ object CorpusQueries {
          |       ELSE (31.0 * 4294967296.0) / CAST(h_k AS DOUBLE) END) - CAST(n_exact AS DOUBLE))
          |    / CAST(n_exact AS DOUBLE) AS rel_err
          |FROM ex JOIN kth USING (lang) ORDER BY lang""".stripMargin,
+    // the oracle sketches each week DIRECTLY: merged-then-truncated day
+    // sketches equal the direct week sketch (any of the week's k
+    // smallest distinct hashes is within its own day's k smallest), so
+    // the rollup needs no mirror of the merge mechanics
+    "q203_kmv_rollup" ->
+      s"""WITH e AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+         |    CAST(ts AS DATE) AS d, user_id FROM events),
+         |days AS (SELECT wk, COUNT(DISTINCT d) AS n_days FROM e GROUP BY wk),
+         |hh AS (SELECT DISTINCT wk,
+         |    ${duckMd5Int("CAST(user_id AS VARCHAR)", 8)} AS h FROM e),
+         |r AS (SELECT wk, h,
+         |    row_number() OVER (PARTITION BY wk ORDER BY h) AS rn FROM hh),
+         |kth AS (SELECT wk, MAX(h) AS h_k, COUNT(*) AS n_kept
+         |  FROM r WHERE rn <= 32 GROUP BY wk),
+         |ex AS (SELECT wk, COUNT(DISTINCT user_id) AS n_exact
+         |  FROM e GROUP BY wk)
+         |SELECT wk, CAST(days.n_days AS BIGINT) AS n_days,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_kept AS BIGINT) AS n_kept,
+         |  CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE (31.0 * 4294967296.0) / CAST(h_k AS DOUBLE) END AS est,
+         |  abs((CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE (31.0 * 4294967296.0) / CAST(h_k AS DOUBLE) END)
+         |      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+         |    AS rel_err
+         |FROM ex JOIN kth USING (wk) JOIN days USING (wk)
+         |ORDER BY wk""".stripMargin,
     "q100_binned_quantiles" ->
       """WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
         |  FROM documents),

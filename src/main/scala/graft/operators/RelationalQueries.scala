@@ -466,6 +466,33 @@ object RelationalQueries {
         col("cnt"), col("sum_value"))
       .orderBy("event_type", "hr")
 
+  /** GROUPING SETS revenue summary — the general form completing the
+    * q43 ROLLUP / q44 PIVOT grouping family: revenue and order counts
+    * at every combination of the (region, segment) hierarchy that a
+    * dashboard actually reads — both, each alone, and the grand total —
+    * in ONE pass (Catalyst expands the sets into a single Expand +
+    * aggregate, not four scans). The grouping id is assembled
+    * explicitly as 2·grouping(region) + grouping(segment) because both
+    * engines ship `grouping()` while their grouping_id() conventions
+    * differ — the assembled id is dialect-free. SQL path via
+    * `parquet.` table syntax (the S13 surface; these dims need no ts
+    * restoration). */
+  def q202GroupingSets(s: SparkSession, dir: String): DataFrame =
+    s.sql(s"""
+      |SELECT coalesce(r_name, '<all>') AS region,
+      |  coalesce(c_mktsegment, '<all>') AS segment,
+      |  CAST(2 * grouping(r_name) + grouping(c_mktsegment) AS INT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents
+      |FROM parquet.`$dir/orders.parquet` o
+      |JOIN parquet.`$dir/customer.parquet` c ON c.c_custkey = o.o_custkey
+      |JOIN parquet.`$dir/nation.parquet` n ON n.n_nationkey = c.c_nationkey
+      |JOIN parquet.`$dir/region.parquet` r ON r.r_regionkey = n.n_regionkey
+      |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name),
+      |  (c_mktsegment), ())
+      |ORDER BY gid, region, segment""".stripMargin)
+
   /** PIVOT event types into measure columns (extends §2.6; the explicit
     * value list keeps the output schema static — schema inference from
     * data would be a driver-side distinct scan). Catalyst rewrites this to
@@ -1535,6 +1562,7 @@ object RelationalQueries {
     "q38_two_phase_distinct" -> (q38TwoPhaseDistinct _),
     "q39_sessionize" -> (q39Sessionize _),
     "q43_rollup" -> (q43Rollup _),
+    "q202_grouping_sets" -> (q202GroupingSets _),
     "q44_pivot" -> (q44Pivot _),
     "q45_approx_distinct" -> (q45ApproxDistinct _),
     "q46_window_suite" -> (q46WindowSuite _),
@@ -2013,6 +2041,24 @@ object RelationalQueries {
         |FROM events
         |GROUP BY ROLLUP(event_type, CAST(hour(ts) AS INTEGER))
         |ORDER BY event_type, hr""".stripMargin,
+    // identical sets and the identical assembled grouping id
+    // (2·grouping(region) + grouping(segment) — both engines ship
+    // grouping(); their grouping_id() conventions differ)
+    "q202_grouping_sets" ->
+      """SELECT COALESCE(r_name, '<all>') AS region,
+        |  COALESCE(c_mktsegment, '<all>') AS segment,
+        |  CAST(2 * GROUPING(r_name) + GROUPING(c_mktsegment) AS INTEGER)
+        |    AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name),
+        |  (c_mktsegment), ())
+        |ORDER BY gid, region, segment""".stripMargin,
     "q44_pivot" ->
       """SELECT CAST(ts AS DATE) AS d,
         |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
