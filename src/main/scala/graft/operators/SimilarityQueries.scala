@@ -179,6 +179,63 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** PER-SOURCE EMBEDDING-NORM DRIFT — the two-sample KS statistic
+    * between each source's embedding-norm distribution and the REST of
+    * the corpus: the "was this source embedded by a different model
+    * version / preprocessing" health check an embedding pipeline runs
+    * before trusting cross-source similarity (norms shift first when
+    * an encoder changes). Norms e6-quantize and the statistic is the
+    * exact KS of the QUANTIZED distributions: per-(source, cell)
+    * integer counts on a 256-cell grid derived from the data's own
+    * min/max (the q174/q179 discipline — one bounded scalar pass, no
+    * hard-coded domain), dense per-source grids via sequence+explode,
+    * cumulative windows partitioned by source over grid summaries, the
+    * rest-of-corpus CDF as the global-minus-source INTEGER difference,
+    * and the sup over cross-multiplied BIGINTs; one division per
+    * source at the end. */
+  def q204EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = normed(s, dir).select(col("vec_id"), col("nrm"))
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      .select(col("source"), expr("cast(round(nrm * 1000000) as bigint)").as("nq"))
+    val g = base.agg(min("nq").as("lo"), max("nq").as("hi"),
+      count(lit(1)).as("n")).head()
+    require(!g.isNullAt(0), "q204: no embeddings joined a document source")
+    val (lo, span) = (g.getLong(0), math.max(1L, g.getLong(1) - g.getLong(0) + 1))
+    val nAll = g.getLong(2)
+    val cells = base
+      .withColumn("vb", expr(s"(nq - ${lo}L) * 256L div ${span}L"))
+      .groupBy("source", "vb").agg(count(lit(1)).as("c"))
+    val globalCells = cells.groupBy("vb").agg(sum("c").as("gc"))
+    val grid = cells.select("source").distinct()
+      .select(col("source"), explode(expr("sequence(0L, 255L)")).as("vb"))
+    val cdf = grid
+      .join(cells, Seq("source", "vb"), "left")
+      .join(globalCells, Seq("vb"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("gc", coalesce(col("gc"), lit(0L)))
+      .withColumn("cumS", sum("c").over(
+        Window.partitionBy("source").orderBy("vb")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cumG", sum("gc").over(
+        Window.partitionBy("source").orderBy("vb")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nS", sum("c").over(Window.partitionBy("source")))
+      .withColumn("cumR", col("cumG") - col("cumS"))
+      .withColumn("nR", lit(nAll) - col("nS"))
+      .withColumn("dnum",
+        abs(col("cumS") * col("nR") - col("cumR") * col("nS")))
+    cdf.groupBy("source")
+      .agg(first("nS").as("n_source"), first("nR").as("n_rest"),
+        max("dnum").as("d_num"))
+      .select(col("source"), col("n_source").cast("bigint").as("n_source"),
+        col("n_rest").cast("bigint").as("n_rest"),
+        col("d_num").cast("bigint").as("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_source") * col("n_rest")).cast("double")).as("ks"))
+      .orderBy("source")
+  }
+
   /** DEDUP CLUSTER REPRESENTATIVES — the "keep the BEST copy" policy
     * completing the family: q21/q65 keep the minimum id, q177's golden
     * records merge attributes; this picks each near-dup cluster's
@@ -1164,6 +1221,7 @@ object SimilarityQueries {
     "q195_cluster_reps" -> (q195ClusterRepresentatives _),
     "q199_source_dedup_scorecard" -> (q199SourceDedupScorecard _),
     "q201_label_noise" -> (q201LabelNoise _),
+    "q204_embedding_drift" -> (q204EmbeddingDrift _),
     "q71_pq_topk" -> (q71PqTopk _),
     "q80_knn_join" -> (q80KnnJoin _),
     "q83_cluster_diagnostics" -> (q83ClusterDiagnostics _),
@@ -1505,6 +1563,42 @@ object SimilarityQueries {
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM q WHERE rn = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    // identical e6 quantization, identical 256-cell grid arithmetic
+    // (nonneg operands, so // == div), identical integer CDFs and sup
+    "q204_embedding_drift" ->
+      s"""WITH $oracleNormed,
+         |b AS (SELECT d.source, CAST(round(n.nrm * 1000000) AS BIGINT) AS nq
+         |  FROM n JOIN documents d ON d.doc_id = n.vec_id),
+         |g AS (SELECT MIN(nq) AS lo, MAX(nq) AS hi, COUNT(*) AS nall FROM b),
+         |cells AS (SELECT source,
+         |    (nq - (SELECT lo FROM g)) * 256
+         |      // GREATEST(1, (SELECT hi FROM g) - (SELECT lo FROM g) + 1)
+         |      AS vb,
+         |    COUNT(*) AS c
+         |  FROM b GROUP BY 1, 2),
+         |gcx AS (SELECT vb, SUM(c) AS gc FROM cells GROUP BY vb),
+         |grid AS (SELECT s.source, t.i AS vb
+         |  FROM (SELECT DISTINCT source FROM cells) s,
+         |    unnest(generate_series(0, 255)) AS t(i)),
+         |cdf AS (SELECT grid.source, grid.vb,
+         |    SUM(COALESCE(cells.c, 0)) OVER w AS cums,
+         |    SUM(COALESCE(gcx.gc, 0)) OVER w AS cumg,
+         |    SUM(COALESCE(cells.c, 0)) OVER (PARTITION BY grid.source) AS ns
+         |  FROM grid
+         |  LEFT JOIN cells ON cells.source = grid.source AND cells.vb = grid.vb
+         |  LEFT JOIN gcx ON gcx.vb = grid.vb
+         |  WINDOW w AS (PARTITION BY grid.source ORDER BY grid.vb
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |dd AS (SELECT source, ns, (SELECT nall FROM g) - ns AS nr,
+         |    ABS(cums * ((SELECT nall FROM g) - ns) - (cumg - cums) * ns)
+         |      AS dnum
+         |  FROM cdf)
+         |SELECT source, CAST(MIN(ns) AS BIGINT) AS n_source,
+         |  CAST(MIN(nr) AS BIGINT) AS n_rest,
+         |  CAST(MAX(dnum) AS BIGINT) AS d_num,
+         |  CAST(MAX(dnum) AS DOUBLE) / CAST(MIN(ns) * MIN(nr) AS DOUBLE)
+         |    AS ks
+         |FROM dd GROUP BY source ORDER BY source""".stripMargin,
     // identical candidate frame and label joins; the majority filter
     // and share division are exact/mirrored
     "q201_label_noise" ->
