@@ -429,11 +429,49 @@ object SimilarityQueries {
     * recall@3 >= 0.6 at nprobe=1, monotone recall in nprobe, and exact
     * equality with q25 at nprobe=16 (all buckets searched). The oracle
     * runs the identical nprobe=1 construction so q37 matches exactly. */
+  /** Staged trained-IVF-codebook and full-corpus assignment per
+    * (corpus fingerprint, training sample mod) per JVM — the
+    * pqCodebookCache idiom: both are deterministic functions of
+    * exactly that key, so Lloyd training and the assignment scan are
+    * once-per-corpus INDEX BUILDS shared by q37 and q105 instead of
+    * per-query costs. Spec paths that construct their own frames keep
+    * calling the uncached builders. */
+  private val ivfCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfAssignedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def corpusKey(dir: String, mod: Int): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    s"$dir@${f.lastModified}:${f.length}:$mod"
+  }
+
+  private def trainedCodebookCached(s: SparkSession, dir: String,
+                                    mod: Int): DataFrame = {
+    val p = ivfCodebookCache.computeIfAbsent(corpusKey(dir, mod), _ => {
+      val pth = graft.Staging.fresh("ivfcb")
+      trainedCodebook(normed(s, dir), trainSampleMod = mod)
+        .write.mode("overwrite").parquet(pth)
+      pth
+    })
+    s.read.parquet(p)
+  }
+
+  private def ivfAssigned(s: SparkSession, dir: String, mod: Int): DataFrame = {
+    val p = ivfAssignedCache.computeIfAbsent(corpusKey(dir, mod), _ => {
+      val pth = graft.Staging.fresh("ivfassign")
+      assign(normed(s, dir), trainedCodebookCached(s, dir, mod))
+        .select("vec_id", "v", "nrm", "centroid_id")
+        .write.mode("overwrite").parquet(pth)
+      pth
+    })
+    s.read.parquet(p)
+  }
+
   private[graft] def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = normed(s, dir)
-    val cb = trainedCodebook(e, trainSampleMod = ivfTrainSampleMod)
-    val assigned = assign(e, cb)
-      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
+    val cb = trainedCodebookCached(s, dir, ivfTrainSampleMod)
+    val assigned = ivfAssigned(s, dir, ivfTrainSampleMod)
     // top-nprobe centroids per probe, same ordering as `assign`'s argmax
     // (highest cosine, ties to the lowest centroid id) so nprobe=1 is
     // exactly the assigned bucket; 8 x 16 rows, window cost is nil
@@ -500,6 +538,14 @@ object SimilarityQueries {
         .write.mode("overwrite").parquet(p)
       e.sparkSession.read.parquet(p)
     }
+    semDedupFromAssigned(assigned, tau)
+  }
+
+  /** The SemDeDup scorecard from a pre-staged assignment frame — the
+    * path q105 takes through the once-per-corpus [[ivfAssigned]]
+    * index; [[semDedup]] keeps the self-contained form for constructed
+    * spec inputs. */
+  private def semDedupFromAssigned(assigned: DataFrame, tau: Double): DataFrame = {
     val lhs = assigned.select(col("centroid_id"), col("vec_id").as("a"),
       col("v").as("va"), col("nrm").as("na"))
     val rhs = assigned.select(col("centroid_id"), col("vec_id").as("b"),
@@ -520,9 +566,11 @@ object SimilarityQueries {
       .orderBy("centroid_id")
   }
 
-  /** The oracle-registered SemDeDup instance over the fixture corpus. */
+  /** The oracle-registered SemDeDup instance over the fixture corpus —
+    * reads the shared staged assignment index instead of re-running
+    * training + the assignment scan per invocation. */
   def q105SemDedup(s: SparkSession, dir: String): DataFrame =
-    semDedup(normed(s, dir), semDedupTau, trainSampleMod = ivfTrainSampleMod)
+    semDedupFromAssigned(ivfAssigned(s, dir, ivfTrainSampleMod), semDedupTau)
 
   /** Embedding-cosine near-duplicate DEDUP (the brief's last dedup family):
     * greedy keep-lowest-id over the q26 near-dup pair graph — any vector
