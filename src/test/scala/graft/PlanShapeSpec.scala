@@ -139,8 +139,10 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q105: the cluster assignment is read as a staged leaf, never re-derived") {
     val p = plan("q105_sem_dedup")
-    assert(p.contains("graft_semdedup"),
-      s"consumers must scan the staged assignment:\n$p")
+    // round 10: the staged assignment became the shared once-per-corpus
+    // ivfassign index (the pqCodebookCache idiom) — same leaf-scan shape
+    assert(p.contains("graft_ivfassign"),
+      s"consumers must scan the staged assignment index:\n$p")
     // training ran BEFORE this plan (inside the staging write): the final
     // plan must contain no Lloyd machinery (no codebook broadcast argmax)
     assert(!p.contains("max_by"), s"no assignment argmax may re-run:\n$p")
