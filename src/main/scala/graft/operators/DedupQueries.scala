@@ -1123,9 +1123,31 @@ object DedupQueries {
     * plain equi-joins grouped per pair. tau tunes the
     * candidate-vs-recall economics: production near-dup runs at
     * 0.8-0.9 with prefixes a fraction of this fixture's tau=0.5
-    * (chosen to surface the fixture's planted near-dups). PpjoinSpec
-    * proves losslessness empirically: prefix-filtered output equals
-    * the brute-force any-shared-shingle join. */
+    * (chosen to surface the fixture's planted near-dups).
+    *
+    * All three pruning filters of the PPJoin family run in the
+    * candidate stage, each provably lossless:
+    *   - prefix filter: a qualifying pair must share a prefix shingle
+    *     (else its intersection would fit inside a suffix shorter than
+    *     the required overlap);
+    *   - length filter: J(A,B) <= min/max of the set sizes, so
+    *     min(na,nb) >= tau * max(na,nb) is necessary — applied BEFORE
+    *     the pair groupBy, so oversize-mismatched pairs never shuffle;
+    *   - positional filter: at the globally-RAREST shared shingle
+    *     (positions ra in A, rb in B under the rarity order) every
+    *     shared shingle sorts at-or-after it, so common <= 1 +
+    *     min(na-ra, nb-rb); a qualifying pair needs common >=
+    *     ceil(tau/(1+tau) * (na+nb)) [J >= tau <=> common >= that], and
+    *     the rarest shared shingle of a qualifying pair IS in both
+    *     prefixes (if it sat outside A's prefix, common <= na - pa =
+    *     ceil(tau*na) - 1 < tau*na <= common by the length filter —
+    *     contradiction), so max-over-shared-prefix-shingles of the
+    *     bound is a valid upper bound on common.
+    * The epsilon guards (1e-9) only ever LOOSEN a float-rounded bound,
+    * preserving losslessness. PpjoinSpec proves it empirically: the
+    * filtered result equals the brute-force any-shared-shingle join.
+    * Carrying (r, n) through the prefix also lets the verify stage skip
+    * the two per-side size re-joins the unfiltered form needed. */
   /** Distinct 5-token shingle sets per document (q112's universe). Five
     * tokens, not q22's three: prefix filtering lives off shingle RARITY,
     * and over this fixture's small vocabulary 3-grams average df~240
@@ -1149,22 +1171,33 @@ object DedupQueries {
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     val prefix = sh.join(dfreq, "sh")
-      .withColumn("r", row_number().over(wOrd))
+      .withColumn("r", row_number().over(wOrd).cast("bigint"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("r") <=
         col("n") - expr(s"cast(ceil($tau * cast(n as double)) as bigint)") + 1)
-      .select(col("doc_id"), col("sh"))
-    val cands = prefix.select(col("doc_id").as("a"), col("sh"))
-      .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
+      .select(col("doc_id"), col("sh"), col("r"), col("n"))
+    val cands = prefix
+      .select(col("doc_id").as("a"), col("sh"),
+        col("r").as("ra"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("b"), col("sh"),
+        col("r").as("rb"), col("n").as("nb")), "sh")
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n"))
+      // length filter: necessary for J >= tau, applied pre-shuffle
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(tau) * greatest(col("na"), col("nb")).cast("double") - lit(1e-9))
+      // positional filter: overlap reachable from this shared shingle on
+      .withColumn("ub",
+        lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")))
+      .groupBy("a", "b")
+      .agg(max("ub").as("max_ub"), max("na").as("na"), max("nb").as("nb"))
+      .filter(col("max_ub").cast("double") >= expr(
+        s"ceil($tau / (1.0 + $tau) * cast(na + nb as double) - 1e-9)"))
+      .select("a", "b", "na", "nb")
     cands
       .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).cast("bigint").as("common"))
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).cast("bigint").as("common"))
       .withColumn("jaccard",
         expr("cast(common as double) / cast(na + nb - common as double)"))
       .filter(col("jaccard") >= tau)
@@ -1190,7 +1223,16 @@ object DedupQueries {
     * inside a's (ceil(t·n_a) − 1)-shingle suffix. Rarity ordering keeps
     * the join keys low-df (hot boilerplate shingles sit in suffixes and
     * never probe), which is what bounds the full-index fan-out.
-    * Verification counts the exact intersection on candidates only. */
+    * Verification counts the exact intersection on candidates only.
+    *
+    * The q112 pruning filters carry over in their directed forms, both
+    * lossless: the LENGTH bound nb >= t*na (common <= nb and common >=
+    * ceil(t*na) force it) prunes pre-shuffle, and the POSITIONAL bound
+    * common <= 1 + min(na-ra, nb-rb) holds at the rarest shared
+    * shingle, which for a qualifying pair sits inside a's prefix (else
+    * common <= na - pa = ceil(t*na) - 1 < required) — so requiring
+    * max_ub >= ceil(t*na) discards no qualifying directed pair.
+    * PpjoinSpec's brute-force differential proves both. */
   def q178ContainmentJoin(s: SparkSession, dir: String): DataFrame =
     containmentJoin(Tables.documents(s, dir), t = 0.7)
 
@@ -1199,22 +1241,32 @@ object DedupQueries {
     val sh = shingleSets(docs)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val prefix = sh.join(dfreq, "sh")
-      .withColumn("r", row_number().over(wOrd))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("r", row_number().over(wOrd).cast("bigint"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .filter(col("r") <=
-        col("n") - expr(s"cast(ceil($t * cast(n as double)) as bigint)") + 1)
-      .select(col("doc_id"), col("sh"))
-    val cands = prefix.select(col("doc_id").as("a"), col("sh"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
+      .select(col("doc_id"), col("sh"), col("r"), col("n"))
+    val prefix = ranked.filter(col("r") <=
+      col("n") - expr(s"cast(ceil($t * cast(n as double)) as bigint)") + 1)
+    val cands = prefix
+      .select(col("doc_id").as("a"), col("sh"),
+        col("r").as("ra"), col("n").as("na"))
+      .join(ranked.select(col("doc_id").as("b"), col("sh"),
+        col("r").as("rb"), col("n").as("nb")), "sh")
       .filter(col("a") =!= col("b"))
-      .select("a", "b").distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n"))
+      // directed length bound: the container must hold the intersection
+      .filter(col("nb").cast("double") >=
+        lit(t) * col("na").cast("double") - lit(1e-9))
+      .withColumn("ub",
+        lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")))
+      .groupBy("a", "b")
+      .agg(max("ub").as("max_ub"), max("na").as("na"))
+      .filter(col("max_ub").cast("double") >=
+        expr(s"ceil($t * cast(na as double) - 1e-9)"))
+      .select(col("a"), col("b"), col("na").cast("bigint").as("na"))
     cands
       .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).cast("bigint").as("common"))
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .groupBy("a", "b", "na").agg(count(lit(1)).cast("bigint").as("common"))
       .withColumn("containment",
         expr("cast(common as double) / cast(na as double)"))
       .filter(col("containment") >= t)
