@@ -56,11 +56,14 @@ object Zorder {
     .withColumn("db", expr(s"cast((dayofmonth(ts) - 1) div 4 as int)"))
     .withColumn("zb", expr(s"cast($zExpr as int)"))
 
-  /** One layout per source dir, cached per JVM and DURABLE across JVMs
-    * (graft.etl.Layouts: a later session re-attaches via the manifest —
-    * zero rebuild jobs — and a regenerated source dir misses the
-    * fingerprint check and rebuilds, so the pre-round-9 stale-on-regen
-    * hazard is gone). computeIfAbsent locks per key: one dir's first
+  /** One layout per source FINGERPRINT (graft.CorpusKey over the events
+    * part files — round 11: the bare-dir key let an in-session regen
+    * serve a stale path for the JVM lifetime), cached per JVM and
+    * DURABLE across JVMs (graft.etl.Layouts: a later session re-attaches
+    * via the manifest — zero rebuild jobs — and a regenerated source dir
+    * misses the fingerprint check and rebuilds, so the pre-round-9
+    * stale-on-regen hazard is gone; CacheFingerprintSpec proves the
+    * in-session regen miss too). computeIfAbsent locks per key: one dir's first
     * build no longer serializes an unrelated dir's behind it (the
     * fpIndexCache idiom, unified per round-8 advice). */
   private val layouts =
@@ -70,7 +73,7 @@ object Zorder {
   private[graft] def resetCacheForTest(): Unit = layouts.clear()
 
   def layoutFor(s: SparkSession, dir: String): String =
-    layouts.computeIfAbsent(dir, _ =>
+    layouts.computeIfAbsent(graft.CorpusKey(dir, "events.parquet"), _ =>
       graft.etl.Layouts.attachOrBuild(s, "zorder", s"v1;bits=$bits", dir,
         Seq("events")) { base =>
         val path = s"$base/data"

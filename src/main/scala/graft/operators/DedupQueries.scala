@@ -488,7 +488,7 @@ object DedupQueries {
       corpusPrints.filter(col("nfp").isNotNull)
         .select(col("nfp").as("cnfp")).distinct())
 
-  /** One bucketed index layout per corpus dir per JVM. q85 is the
+  /** One bucketed index layout per corpus fingerprint (CorpusKey) per JVM. q85 is the
     * RECURRING verdict-run shape — the layout write is its one-time
     * bootstrap — so repeated invocations (bench trials, a long-lived
     * session) reuse the pair instead of accumulating one catalog pair
@@ -607,12 +607,13 @@ object DedupQueries {
     * joins. What q85 adds over q65 is the PLAN: zero corpus-side
     * exchanges (asserted in PlanShapeSpec), the recurring-run shape a
     * weekly crawl ingest actually executes. The layout builds ONCE per
-    * corpus dir per JVM ([[fpIndexCache]]) and later invocations reuse
+    * corpus fingerprint per JVM ([[fpIndexCache]], CorpusKey-keyed) and later invocations reuse
     * it, so what repeated runs measure is exactly the recurring verdict
     * cost — one small-batch shuffle against the standing index. */
   def q85BucketedIncDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (fpT, nfpT) = fpIndexCache.computeIfAbsent(dir, _ => {
+    val (fpT, nfpT) = fpIndexCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ => {
       // version string pins the layout geometry AND the corpus-slice
       // definition: changing either misses the attach check and rebuilds
       val m = graft.etl.Layouts.attachOrBuild(s, "fpidx",
@@ -922,7 +923,7 @@ object DedupQueries {
     * instead of once-per-query — the q85 single-index-build rule
     * applied to entity resolution. The value is a staged parquet path;
     * every consumer plans against a leaf scan. The cache key carries
-    * the customer parquet's (mtime, size) fingerprint, so regenerating
+    * the customer parquet's part-file CorpusKey fingerprint, so regenerating
     * a fixture in-session invalidates the staged pairs instead of
     * silently serving stale candidates. */
   private val fuzzyPairsCache =
@@ -953,8 +954,7 @@ object DedupQueries {
     * deleted characters), so candidate volume is LINEAR in customers.
     * FuzzyBlockingSpec proves candidates == brute force at sf0.001. */
   private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
-    val f = new java.io.File(s"$dir/customer.parquet")
-    val cacheKey = s"$dir@${f.lastModified}:${f.length}"
+    val cacheKey = graft.CorpusKey(dir, "customer.parquet")
     val path = fuzzyPairsCache.computeIfAbsent(cacheKey, _ => {
       val p = graft.Staging.fresh("fuzzy")
       fuzzyCandidates(s, dir)
@@ -1069,9 +1069,8 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def erLabels(s: SparkSession, dir: String): DataFrame = {
-    val f = new java.io.File(s"$dir/customer.parquet")
     val path = erLabelsCache.computeIfAbsent(
-      s"$dir@${f.lastModified}:${f.length}", _ => {
+      graft.CorpusKey(dir, "customer.parquet"), _ => {
         val ck = graft.Staging.fresh("golden")
         val pairs = fuzzyPairs(s, dir).select("ka", "kb")
         val und = pairs.select(col("ka").as("src"), col("kb").as("dst"))

@@ -441,10 +441,8 @@ object SimilarityQueries {
   private val ivfAssignedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def corpusKey(dir: String, mod: Int): String = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    s"$dir@${f.lastModified}:${f.length}:$mod"
-  }
+  private def corpusKey(dir: String, mod: Int): String =
+    s"${graft.CorpusKey(dir, "embeddings.parquet")}:$mod"
 
   private def trainedCodebookCached(s: SparkSession, dir: String,
                                     mod: Int): DataFrame = {
@@ -633,16 +631,15 @@ object SimilarityQueries {
     * chain, and computeIfAbsent makes the multi-pass propagation a
     * once-per-corpus cost instead of once-per-query (measured ~7 s per
     * extra consumer at sf0.1). Keyed on the embeddings parquet's
-    * (mtime, size) so a fixture regen invalidates staged labels.
+    * the part-file CorpusKey so a fixture regen invalidates staged labels.
     * fresh() inside the builder keeps concurrent FIRST builds on
     * disjoint dirs; computeIfAbsent serializes per key. */
   private val ccLabelsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ccLabels(s: SparkSession, dir: String): DataFrame = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
     val path = ccLabelsCache.computeIfAbsent(
-      s"$dir@${f.lastModified}:${f.length}", _ => {
+      graft.CorpusKey(dir, "embeddings.parquet"), _ => {
         val ck = Staging.fresh("cc")
         lshPairsScored(s, dir).select("vec_a", "vec_b")
           .write.mode("overwrite").parquet(s"$ck/pairs")
@@ -919,8 +916,7 @@ object SimilarityQueries {
     // once-per-corpus INDEX BUILD, not a per-query cost (a production
     // PQ index trains once and serves queries for months).
     val cb = {
-      val f = new java.io.File(s"$dir/embeddings.parquet")
-      val key = s"$dir@${f.lastModified}:${f.length}" +
+      val key = graft.CorpusKey(dir, "embeddings.parquet") +
         s":$m:$k:$trainIters:$trainSampleMod"
       val p = pqCodebookCache.computeIfAbsent(key, _ => {
         val cbTrained = (1 to trainIters)
