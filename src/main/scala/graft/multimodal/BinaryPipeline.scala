@@ -313,8 +313,10 @@ object BinaryPipeline {
                 // integer mean |amplitude| scaled by 1/32768
                 var i = 0
                 while (i < dim) {
-                  val s0 = i * samples.length / dim
-                  val s1 = math.max((i + 1) * samples.length / dim, s0 + 1)
+                  // Long block bounds: i * samples.length overflows Int
+                  // past ~33M samples (a ~67 MB PCM payload at dim=64)
+                  val s0 = (i.toLong * samples.length / dim).toInt
+                  val s1 = math.max(((i + 1).toLong * samples.length / dim).toInt, s0 + 1)
                   var sum = 0L; var n = 0L
                   var j = s0
                   while (j < math.min(s1, samples.length)) {

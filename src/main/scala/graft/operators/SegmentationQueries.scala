@@ -813,9 +813,13 @@ object SegmentationQueries {
     * Scale: global ranking never sorts the user frame in one task —
     * both rank maps follow the q116/q174 two-phase bucket discipline,
     * then join back on the VALUE key (a scaling key), and the moments
-    * are one map-side-combinable aggregate. BIGINT headroom: ranks are
-    * ≤ 2n+1, so the cross moments stay exact to n ≈ 1.3M users; past
-    * that the sums widen to decimal(38,0) with the identical plan. */
+    * are one map-side-combinable aggregate. Headroom: ranks are
+    * ≤ 2n+1, so a BIGINT product wraps past n ≈ 1.3M users — the
+    * cross/square products therefore cast to decimal(38,0) BEFORE the
+    * sum (round 11: the doc claimed this widening but the code summed
+    * LongType, silently wrong at scale in non-ANSI mode), keeping the
+    * moments exact to ~1e9 users with the identical plan shape; the
+    * oracle's HUGEINT sums are exact the same way. */
   def q187Spearman(s: SparkSession, dir: String): DataFrame = {
     val u = Tables.events(s, dir)
       .groupBy("user_id")
@@ -827,14 +831,17 @@ object SegmentationQueries {
       .select(col("v").as("y"), col("r2").as("ry"))
     u.join(rx, Seq("x")).join(ry, Seq("y"))
       .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
-        sum(col("rx") * col("ry")).as("sxy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"))
+        sum(col("rx").cast("decimal(19,0)") * col("ry")).as("sxy"),
+        sum(col("rx").cast("decimal(19,0)") * col("rx")).as("sxx"),
+        sum(col("ry").cast("decimal(19,0)") * col("ry")).as("syy"))
       .select(col("n").cast("bigint").as("n_users"),
         floor(
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")) *
+          (col("n") * col("sxy") -
+            col("sx").cast("decimal(19,0)") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") -
+              col("sx").cast("decimal(19,0)") * col("sx")).cast("double") *
+                 (col("n") * col("syy") -
+              col("sy").cast("decimal(19,0)") * col("sy")).cast("double")) *
             lit(1000000.0))
           .cast("bigint").as("rho_e6"))
   }

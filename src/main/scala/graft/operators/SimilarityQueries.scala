@@ -277,8 +277,20 @@ object SimilarityQueries {
     * restated as an actionable per-source keep/drop bill.
     *
     * Scale: rides the once-per-corpus staged component labeling
-    * (ccLabels — no new propagation) and q195's argmax; everything
-    * else is id equi-joins and a bounded per-source aggregate. */
+    * (ccLabels — no new propagation) plus q195's argmax shape;
+    * everything else is id equi-joins and a bounded per-source
+    * aggregate.
+    *
+    * Sizing semantics (round 11): clusters are sized BEFORE the
+    * documents join and the representative is the argmax over the
+    * DOC-HAVING members of those pre-sized clusters — exactly this
+    * query's oracle. q195 sizes after its inner documents join (its
+    * own oracle's convention), so q199 derives its reps inline rather
+    * than through q195: on a corpus where some embedding vec_id has no
+    * documents row the two conventions genuinely differ, and each
+    * query must mirror its own oracle (the fixtures are join-total, so
+    * both emit identical rows there — the q133 integrity audit is the
+    * check a deployment runs before trusting either). */
   def q199SourceDedupScorecard(s: SparkSession, dir: String): DataFrame = {
     val members = ccLabels(s, dir)
       .select(col("lbl").as("cluster_id"), col("v").as("doc_id"))
@@ -286,9 +298,14 @@ object SimilarityQueries {
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .filter(col("n_members") >= 2)
-    val reps = q195ClusterRepresentatives(s, dir)
-      .select(col("rep_doc_id").as("doc_id"), lit(1L).as("is_rep"))
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val reps = sized
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("nc")),
+        Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("nc"), (-col("doc_id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("doc_id"), lit(1L).as("is_rep"))
     val flags = sized.join(reps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("is_rep"), lit(0L)).as("is_rep"))
