@@ -24,10 +24,17 @@ case class DecodedRow(doc_id: Long, source: String, n_bytes: Int,
   * for real since round 10 — `javax.sound.sampled` ships WAV/AU/AIFF
   * PCM readers in the JDK, so sample rate, frame counts, peak/mean
   * amplitude, and block-energy features all run over actual samples.
-  * The stub boundary has shrunk to what genuinely has no codec in this
-  * container: video demux (and compressed audio), where a deterministic
-  * fake (md5 checksum + length-derived dimensions) stands in — swap it
-  * for the codec call and nothing else changes.
+  * VIDEO demuxes for real since round 11 — a hand-rolled parser for two
+  * genuinely self-describing containers: Y4M (YUV4MPEG2, ffmpeg's raw
+  * interchange format: text header + FRAME-delimited planar YUV) and
+  * AVI with MJPEG frames (a RIFF chunk walk to the `movi` list; every
+  * `..dc` chunk is a standalone JPEG the JDK's ImageIO decodes) — so
+  * frame counts, geometry, rate sampling, and per-frame luma statistics
+  * all run over actual frames. The stub boundary has shrunk to
+  * compressed inter-frame codecs (H.264 etc.) and compressed audio,
+  * where a deterministic fake (md5 checksum + length-derived
+  * dimensions) stands in — swap it for the codec call and nothing else
+  * changes.
   */
 object BinaryPipeline {
 
@@ -187,6 +194,185 @@ object BinaryPipeline {
     }
   }
 
+  /** One demuxed video frame: geometry plus the raw 8-bit luma plane
+    * (BT.601 integer luma for decoded-RGB sources, the native Y plane
+    * for planar-YUV sources — the same quantity either way). */
+  private[multimodal] final case class VideoFrame(width: Int, height: Int,
+                                                  luma: Array[Byte])
+
+  /** BT.601 integer luma plane of a decoded image — shared by the image
+    * block-mean path and the MJPEG frame path so both quantize pixels
+    * identically: (299R + 587G + 114B) / 1000, integer throughout. */
+  private def lumaOfImage(img: java.awt.image.BufferedImage): VideoFrame = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        out(y * w + x) = ((299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+          + 114 * (p & 0xff)) / 1000).toByte
+        x += 1
+      }
+      y += 1
+    }
+    VideoFrame(w, h, out)
+  }
+
+  /** Y4M (YUV4MPEG2) demux: ASCII stream header `YUV4MPEG2 W<w> H<h>
+    * F<n>:<d> ... C<fmt>\n`, then per frame an ASCII `FRAME...\n` marker
+    * followed by the raw planar YUV bytes — luma plane first, which is
+    * exactly what the frame statistics need, no color conversion at all.
+    * Supports the C420 family (default), C422, C444, and Cmono chroma
+    * layouts (they only change how many chroma bytes to SKIP per frame).
+    * None for anything that is not a well-formed Y4M stream. */
+  private def tryDemuxY4m(p: Array[Byte]): Option[Vector[VideoFrame]] =
+    try {
+      val magic = "YUV4MPEG2"
+      if (p.length < magic.length + 1 ||
+          !p.take(magic.length).sameElements(magic.getBytes("US-ASCII")))
+        return None
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i < p.length && p(i) != '\n') i += 1
+        i
+      }
+      val hEnd = lineEnd(0)
+      if (hEnd >= p.length) return None
+      val params = new String(p, 0, hEnd, "US-ASCII").split(' ').drop(1)
+      var w = -1; var h = -1; var chroma = "420"
+      params.foreach { t =>
+        if (t.startsWith("W")) w = t.drop(1).toInt
+        else if (t.startsWith("H")) h = t.drop(1).toInt
+        else if (t.startsWith("C")) chroma = t.drop(1)
+      }
+      if (w <= 0 || h <= 0) return None
+      val chromaBytes =
+        if (chroma.startsWith("420")) 2 * ((w + 1) / 2) * ((h + 1) / 2)
+        else if (chroma.startsWith("422")) 2 * ((w + 1) / 2) * h
+        else if (chroma.startsWith("444")) 2 * w * h
+        else if (chroma == "mono") 0
+        else return None
+      val frameMagic = "FRAME".getBytes("US-ASCII")
+      val frames = Vector.newBuilder[VideoFrame]
+      var pos = hEnd + 1
+      while (pos < p.length) {
+        if (pos + frameMagic.length > p.length ||
+            !java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(p, pos, pos + frameMagic.length),
+              frameMagic)) return None
+        val fEnd = lineEnd(pos)
+        if (fEnd >= p.length) return None
+        val dataStart = fEnd + 1
+        if (dataStart + w * h + chromaBytes > p.length) return None
+        frames += VideoFrame(w, h,
+          java.util.Arrays.copyOfRange(p, dataStart, dataStart + w * h))
+        pos = dataStart + w * h + chromaBytes
+      }
+      val out = frames.result()
+      if (out.isEmpty) None else Some(out)
+    } catch { case _: Exception => None }
+
+  /** AVI/MJPEG demux: RIFF('AVI ') chunk walk. Chunks are
+    * (fourcc, le32 size, payload, even-pad); the frames live in the
+    * LIST('movi') — every `..dc` sub-chunk (optionally nested inside
+    * LIST('rec ') groups) is a standalone JPEG that ImageIO decodes
+    * (JPEG ships in the JDK), converted to the shared BT.601 luma
+    * plane. Header lists (hdrl/strl) are skipped — each MJPEG frame is
+    * self-describing, so the demux needs no stream-format chunk. None
+    * for non-AVI payloads or AVIs whose frames no JDK codec accepts
+    * (e.g. H.264 in AVI) — the documented compressed-codec boundary. */
+  private def tryDemuxAvi(p: Array[Byte]): Option[Vector[VideoFrame]] =
+    try {
+      if (p.length < 12) return None
+      def fourcc(at: Int) = new String(p, at, 4, "US-ASCII")
+      def le32(at: Int): Int =
+        (p(at) & 0xff) | ((p(at + 1) & 0xff) << 8) |
+          ((p(at + 2) & 0xff) << 16) | ((p(at + 3) & 0xff) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      val frames = Vector.newBuilder[VideoFrame]
+      def scanChunks(from: Int, until: Int, inMovi: Boolean): Unit = {
+        var pos = from
+        while (pos + 8 <= until) {
+          val id = fourcc(pos)
+          val size = le32(pos + 4)
+          if (size < 0 || pos + 8 + size > until) return
+          if (id == "LIST" && size >= 4) {
+            val listType = fourcc(pos + 8)
+            scanChunks(pos + 12, pos + 8 + size,
+              inMovi || listType == "movi" || listType == "rec ")
+          } else if (inMovi && id.endsWith("dc") && size > 0) {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(p, pos + 8, pos + 8 + size)))
+            if (img != null) frames += lumaOfImage(img)
+          }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      scanChunks(12, math.min(p.length, 8 + le32(4)), inMovi = false)
+      val out = frames.result()
+      if (out.isEmpty) None else Some(out)
+    } catch { case _: Exception => None }
+
+  /** Demux a video payload into its luma-plane frames, or None when the
+    * container is neither Y4M nor a JDK-decodable AVI. */
+  private[multimodal] def demuxVideo(p: Array[Byte]): Option[Vector[VideoFrame]] =
+    tryDemuxY4m(p).orElse(tryDemuxAvi(p))
+
+  /** Typed per-frame video decode row: real geometry and exact integer
+    * luma statistics for demuxable payloads; the q53-shaped fixed-size
+    * byte-slice fake (width/height 0, `decoded = false`) otherwise, so
+    * downstream schemas stay total without pretending a codec ran. */
+  case class VideoFrameRow(doc_id: Long, frame_idx: Int, width: Int,
+                           height: Int, n_bytes: Int, mean_luma: Int,
+                           frame_md5: String, decoded: Boolean)
+
+  /** Per-partition batch video decode + RATE SAMPLING — the video twin
+    * of [[decode]]/[[decodeAudio]]: demux, keep every `every`-th frame,
+    * and emit exact integer per-frame facts (mean luma is an integer
+    * division over the full plane; the digest covers the raw luma
+    * bytes, so rows are bit-stable across platforms). The mapPartitions
+    * boundary carries the once-per-batch decoder state exactly where a
+    * real codec's native context would live. */
+  def decodeVideo(ds: Dataset[MediaRow], every: Int = 1): Dataset[VideoFrameRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+      rows.flatMap { r =>
+        demuxVideo(r.payload) match {
+          case Some(frames) =>
+            frames.zipWithIndex.collect {
+              case (f, i) if i % every == 0 =>
+                var sum = 0L
+                var j = 0
+                while (j < f.luma.length) { sum += f.luma(j) & 0xff; j += 1 }
+                md.reset()
+                VideoFrameRow(r.doc_id, i, f.width, f.height, f.luma.length,
+                  (sum / math.max(1, f.luma.length)).toInt,
+                  hex(md.digest(f.luma)), decoded = true)
+            }
+          case None =>
+            val frameBytes = 256
+            val n = (r.payload.length + frameBytes - 1) / frameBytes
+            (0 until n by every).map { i =>
+              val from = i * frameBytes
+              val until = math.min(from + frameBytes, r.payload.length)
+              val slice = java.util.Arrays.copyOfRange(r.payload, from, until)
+              var sum = 0L
+              var j = 0
+              while (j < slice.length) { sum += slice(j) & 0xff; j += 1 }
+              md.reset()
+              VideoFrameRow(r.doc_id, i, 0, 0, slice.length,
+                (sum / math.max(1, slice.length)).toInt,
+                hex(md.digest(slice)), decoded = false)
+            }
+        }
+      }
+    }
+  }
+
   /** Output of the resize pass: original + target geometry and the
     * resampled image's digest. */
   case class ResizedRow(doc_id: Long, width: Int, height: Int,
@@ -265,6 +451,42 @@ object BinaryPipeline {
     * end (MultimodalSpec runs all three paths through the graft_dot
     * cosine path, and checks the real paths' block stats against a
     * known-geometry PNG and a known-amplitude WAV). */
+  /** g x g block-mean luma grid over a raw luma plane, written into
+    * `vec` scaled to [-1, 1); dims past g*g repeat the global mean.
+    * Shared by the image path (via [[lumaOfImage]]) and the video path
+    * (frame 0's plane), so both quantize identically. Fully integer
+    * until the final scale — bit-stable across platforms. */
+  private def blockMeanInto(f: VideoFrame, dim: Int, vec: Array[Float]): Unit = {
+    val (w, h) = (f.width, f.height)
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    var globalSum = 0L; var globalN = 0L
+    var cy = 0
+    while (cy < g) {
+      var cx = 0
+      while (cx < g) {
+        val (x0, x1) = (cx * w / g, math.max((cx + 1) * w / g, cx * w / g + 1))
+        val (y0, y1) = (cy * h / g, math.max((cy + 1) * h / g, cy * h / g + 1))
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            sum += f.luma(y * w + x) & 0xff; n += 1; x += 1
+          }
+          y += 1
+        }
+        val i = cy * g + cx
+        if (i < dim && n > 0) vec(i) = ((sum / n) - 128) / 128.0f
+        globalSum += sum; globalN += n
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = if (globalN > 0) ((globalSum / globalN) - 128) / 128.0f else 0f
+    var i = g * g
+    while (i < dim) { vec(i) = mean; i += 1 }
+  }
+
   def featureExtract(ds: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
@@ -273,37 +495,7 @@ object BinaryPipeline {
         val vec = new Array[Float](dim)
         tryDecodeImage(r.payload) match {
           case Some(img) =>
-            val (w, h) = (img.getWidth, img.getHeight)
-            val g = math.max(1, math.sqrt(dim.toDouble).toInt)
-            var globalSum = 0L; var globalN = 0L
-            var cy = 0
-            while (cy < g) {
-              var cx = 0
-              while (cx < g) {
-                val (x0, x1) = (cx * w / g, math.max((cx + 1) * w / g, cx * w / g + 1))
-                val (y0, y1) = (cy * h / g, math.max((cy + 1) * h / g, cy * h / g + 1))
-                var sum = 0L; var n = 0L
-                var y = y0
-                while (y < math.min(y1, h)) {
-                  var x = x0
-                  while (x < math.min(x1, w)) {
-                    val p = img.getRGB(x, y)
-                    val lum = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
-                      + 114 * (p & 0xff)) / 1000
-                    sum += lum; n += 1; x += 1
-                  }
-                  y += 1
-                }
-                val i = cy * g + cx
-                if (i < dim && n > 0) vec(i) = ((sum / n) - 128) / 128.0f
-                globalSum += sum; globalN += n
-                cx += 1
-              }
-              cy += 1
-            }
-            val mean = if (globalN > 0) ((globalSum / globalN) - 128) / 128.0f else 0f
-            var i = g * g
-            while (i < dim) { vec(i) = mean; i += 1 }
+            blockMeanInto(lumaOfImage(img), dim, vec)
           case None =>
             val samplesOpt = tryDecodeAudio(r.payload)
               .flatMap { case (fmt, frames) => pcm16Samples(fmt, frames) }
@@ -326,12 +518,20 @@ object BinaryPipeline {
                   i += 1
                 }
               case None =>
-                var block = r.payload
-                var i = 0
-                while (i < dim) {
-                  if (i % 16 == 0) { md.reset(); block = md.digest(block) }
-                  vec(i) = ((block(i % 16) & 0xff) - 128) / 128.0f
-                  i += 1
+                demuxVideo(r.payload) match {
+                  case Some(frames) =>
+                    // key-frame visual descriptor: frame 0's block-mean
+                    // luma grid — the thumbnail convention, identical
+                    // quantization to the still-image path
+                    blockMeanInto(frames.head, dim, vec)
+                  case None =>
+                    var block = r.payload
+                    var i = 0
+                    while (i < dim) {
+                      if (i % 16 == 0) { md.reset(); block = md.digest(block) }
+                      vec(i) = ((block(i % 16) & 0xff) - 128) / 128.0f
+                      i += 1
+                    }
                 }
             }
         }

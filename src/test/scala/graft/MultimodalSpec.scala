@@ -150,4 +150,122 @@ class MultimodalSpec extends AnyFunSuite {
       assert(vec(i) === expected, s"block $i: got ${vec(i)}")
     }
   }
+
+  /** A real Y4M stream, generated in-test: C420 planar frames with the
+    * given per-frame luma planes (chroma planes zero-filled — the demux
+    * skips them). */
+  private def y4mBytes(w: Int, h: Int, lumaFrames: Array[Byte]*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    val chroma = new Array[Byte](2 * ((w + 1) / 2) * ((h + 1) / 2))
+    lumaFrames.foreach { luma =>
+      require(luma.length == w * h)
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(luma)
+      bos.write(chroma)
+    }
+    bos.toByteArray
+  }
+
+  /** A real AVI/MJPEG container, generated in-test: RIFF('AVI ') holding
+    * a LIST('movi') of `00dc` chunks, each a JDK-encoded JPEG. */
+  private def aviBytes(jpegs: Array[Byte]*): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(id.getBytes("US-ASCII"))
+      val n = body.length
+      bos.write(Array[Byte](n.toByte, (n >> 8).toByte, (n >> 16).toByte, (n >> 24).toByte))
+      bos.write(body)
+      if ((n & 1) == 1) bos.write(0) // RIFF chunks pad to even
+      bos.toByteArray
+    }
+    val movi = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("movi".getBytes("US-ASCII"))
+      jpegs.foreach(j => bos.write(chunk("00dc", j)))
+      bos.toByteArray
+    }
+    val riffBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("AVI ".getBytes("US-ASCII"))
+      bos.write(chunk("LIST", movi))
+      bos.toByteArray
+    }
+    chunk("RIFF", riffBody)
+  }
+
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("a real Y4M demuxes to its actual frames: geometry, count, exact luma means") {
+    val f0 = Array.fill[Byte](32)(64)           // uniform 64
+    val f1 = Array.fill[Byte](32)(192.toByte)   // uniform 192
+    val f2 = Array.tabulate[Byte](32)(i => if (i % 8 < 4) 0 else 200.toByte)
+    val ds = mediaOf(21L -> y4mBytes(8, 4, f0, f1, f2))
+    val rows = BinaryPipeline.decodeVideo(ds).collect().sortBy(_.frame_idx)
+    assert(rows.length === 3)
+    assert(rows.forall(r => r.decoded && r.width == 8 && r.height == 4
+      && r.n_bytes == 32))
+    assert(rows.map(_.mean_luma).toSeq === Seq(64, 192, 100))
+    // the digest covers the actual luma plane bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(f0).map("%02x".format(_)).mkString
+    assert(rows.head.frame_md5 === expected)
+  }
+
+  test("video rate sampling keeps every n-th demuxed frame") {
+    val frames = (0 until 6).map(i => Array.fill[Byte](32)((i * 20).toByte))
+    val ds = mediaOf(22L -> y4mBytes(8, 4, frames: _*))
+    val rows = BinaryPipeline.decodeVideo(ds, every = 2).collect().sortBy(_.frame_idx)
+    assert(rows.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(rows.map(_.mean_luma).toSeq === Seq(0, 40, 80))
+  }
+
+  test("a real AVI/MJPEG demuxes via the RIFF walk: per-frame JPEG decode") {
+    val j0 = jpegBytes(16, 12, 0x808080)
+    val j1 = jpegBytes(16, 12, 0x404040)
+    val ds = mediaOf(23L -> aviBytes(j0, j1))
+    val rows = BinaryPipeline.decodeVideo(ds).collect().sortBy(_.frame_idx)
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.decoded && r.width == 16 && r.height == 12))
+    // JPEG is lossy but a uniform field decodes (near-)uniform: compare
+    // against an independent decode of the same frame bytes
+    def meanOf(jpeg: Array[Byte]): Int = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      var sum = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+          + 114 * (p & 0xff)) / 1000
+      }
+      (sum / (img.getWidth * img.getHeight)).toInt
+    }
+    assert(rows.map(_.mean_luma).toSeq === Seq(meanOf(j0), meanOf(j1)))
+    assert(rows(0).mean_luma > rows(1).mean_luma + 30,
+      "the two planted frames must be distinguishable")
+  }
+
+  test("feature extraction consumes actual video frames: frame-0 block means") {
+    // frame 0 uniform luma 64 -> every block (64-128)/128 = -0.5; a
+    // second, different frame proves frame 0 is the one described
+    val f0 = Array.fill[Byte](64 * 64)(64)
+    val f1 = Array.fill[Byte](64 * 64)(192.toByte)
+    val ds = mediaOf(24L -> y4mBytes(64, 64, f0, f1))
+    val vec = BinaryPipeline.featureExtract(ds, dim = 64).collect().head.embedding
+    assert(vec.forall(_ === -0.5f), s"got ${vec.toSeq.take(4)}...")
+  }
+
+  test("non-video payloads keep the byte-slice fallback with decoded=false") {
+    val ds = mediaOf(25L -> ("x" * 600).getBytes("UTF-8"))
+    val rows = BinaryPipeline.decodeVideo(ds).collect().sortBy(_.frame_idx)
+    assert(rows.length === 3) // ceil(600/256)
+    assert(rows.forall(r => !r.decoded && r.width == 0 && r.height == 0))
+    assert(rows.map(_.n_bytes).toSeq === Seq(256, 256, 88))
+  }
 }
