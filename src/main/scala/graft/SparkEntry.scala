@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, CorpusPipeline, CorpusQueries, DedupQueries, EtlQueries, ProjectionQueries, RelationalQueries, SegmentationQueries, SimilarityQueries, TemporalQueries, TextAnalysisQueries}
+import graft.operators.{AnalyticsQueries, CorpusPipeline, CorpusQueries, DedupQueries, EtlQueries, ProjectionQueries, QualityFilterQueries, RelationalQueries, SegmentationQueries, SimilarityQueries, TemporalQueries, TextAnalysisQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,8 @@ object SparkEntry {
       SimilarityQueries.queries ++ TextAnalysisQueries.queries ++
       EtlQueries.queries ++ StreamingQueries.queries ++ CorpusQueries.queries ++
       CorpusPipeline.queries ++ AnalyticsQueries.queries ++
-      TemporalQueries.queries ++ SegmentationQueries.queries ++ ProjectionQueries.queries
+      TemporalQueries.queries ++ SegmentationQueries.queries ++
+      ProjectionQueries.queries ++ QualityFilterQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++ TextAnalysisQueries.oracles ++
       EtlQueries.oracles ++ StreamingQueries.oracles ++ CorpusQueries.oracles ++
       CorpusPipeline.oracles ++ AnalyticsQueries.oracles ++
-      TemporalQueries.oracles ++ SegmentationQueries.oracles ++ ProjectionQueries.oracles
+      TemporalQueries.oracles ++ SegmentationQueries.oracles ++
+      ProjectionQueries.oracles ++ QualityFilterQueries.oracles
 }
