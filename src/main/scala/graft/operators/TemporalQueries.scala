@@ -143,30 +143,52 @@ object TemporalQueries {
 
   /** Trailing-window anomaly detection over daily volumes: each
     * (event_type, day) count is z-scored against the mean/std of the 7
-    * preceding OBSERVED days (never including itself — the monitoring
-    * baseline convention), flagging volume spikes/dips. The frame is
-    * rowsBetween(-7, -1) over the observed daily summary, NOT a dense
-    * calendar: across a gap the baseline spans more than 7 calendar
-    * days, and a total-outage day is absent from the frame entirely
-    * (so it cannot be flagged as a dip by THIS detector — q135's
-    * gaps-and-islands query is the outage detector; densify with
-    * q149/q179's day spine first if a calendar baseline is wanted).
-    * The reference's 7-day moving average (`aggregations.sql:36-42`)
-    * is the mean half of this; the variance half makes it a detector.
+    * preceding CALENDAR days (never including itself — the monitoring
+    * baseline convention), flagging volume spikes/dips. Round 11: the
+    * daily summary densifies onto each type's q149-style day spine
+    * (sequence+explode over the observed span, absent days coalesced
+    * to count 0) BEFORE the window, so rowsBetween(-7, -1) is exactly
+    * 7 calendar days even across gaps and a TOTAL-OUTAGE day now emits
+    * a cnt=0 row that can flag as the dip it is (the round-10 board
+    * documented the observed-days caveat; the spine removes it). The
+    * reference's 7-day moving average (`aggregations.sql:36-42`) is
+    * the mean half of this; the variance half makes it a detector.
     *
     * The scan collapses to per-(type, day) counts FIRST (one shuffle,
-    * map-side combinable); the trailing window then rides ~|days| x
+    * map-side combinable); the spine explode is narrow and bounded by
+    * each type's span; the trailing window then rides ~|days| x
     * |types| summary rows (enum-partitioned over an aggregate — the
     * legal straggler-guard shape). Moments are exact BIGINT sums; the
     * z chain — mean = s1/7, var = (7*s2 - s1^2)/42, z = (c - mean)/
     * sqrt(var) — is the identical op sequence in both engines, and the
-    * emitted z_e6 = floor(z * 1e6) quantizes the identical double. */
+    * emitted z_e6 = floor(z * 1e6) quantizes the identical double.
+    * Shared with q161's streaming twin ([[dayAnomaly]] is the same
+    * object code over the stream's finalized daily summaries). */
   def q148DayAnomaly(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), col("ts").cast("date").as("d"))
       .agg(count(lit(1)).as("cnt"))
+    dayAnomaly(daily)
+  }
+
+  /** The densify-then-z-score detector over a (event_type, d, cnt)
+    * daily summary — q148's core, shared verbatim by q161. */
+  private[graft] def dayAnomaly(daily: DataFrame): DataFrame = {
+    val spine = daily.groupBy("event_type")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"),
+        lit(0L).as("cnt"))
+    // densify by union+max rather than spine⟕daily: an observed day
+    // carries (cnt, 0) -> max = cnt, an absent day only 0 — same rows,
+    // one aggregate instead of a join (and no self-join of the summary
+    // frame, which trips attribute dedup on streaming memory sinks)
+    val dense = daily.select(col("event_type"), col("d"),
+        col("cnt").cast("bigint").as("cnt"))
+      .unionByName(spine)
+      .groupBy("event_type", "d").agg(max("cnt").as("cnt"))
     val w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
-    daily
+    dense
       .withColumn("n7", count(lit(1)).over(w7))
       .withColumn("s1", sum("cnt").over(w7))
       .withColumn("s2", sum(col("cnt") * col("cnt")).over(w7))
@@ -181,6 +203,32 @@ object TemporalQueries {
         floor(col("z") * lit(1000000.0)).cast("bigint").as("z_e6"))
       .orderBy("event_type", "d")
   }
+
+  /** The detector's SQL twin, parameterized on the daily-summary CTE
+    * name — shared by the q148 and q161 oracles so both engines run
+    * the identical spine + window + z chain. */
+  private[graft] def dayAnomalySql(dailyCte: String): String =
+    s"""spans AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+       |  FROM $dailyCte GROUP BY event_type),
+       |spine AS (SELECT event_type,
+       |    CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d,
+       |    CAST(0 AS BIGINT) AS cnt
+       |  FROM spans),
+       |dense AS (SELECT event_type, d, MAX(cnt) AS cnt FROM (
+       |    SELECT event_type, d, CAST(cnt AS BIGINT) AS cnt FROM $dailyCte
+       |    UNION ALL SELECT event_type, d, cnt FROM spine)
+       |  GROUP BY event_type, d),
+       |wins AS (SELECT event_type, d, cnt,
+       |    COUNT(*) OVER w AS n7, SUM(cnt) OVER w AS s1,
+       |    SUM(cnt * cnt) OVER w AS s2
+       |  FROM dense
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+       |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |z AS (SELECT event_type, d, cnt,
+       |    (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+       |      / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0) AS z
+       |  FROM wins WHERE n7 = 7
+       |    AND CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0 > 0.0)""".stripMargin
 
   // ---------------------------------------------------------------- q149
 
@@ -809,21 +857,12 @@ object TemporalQueries {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same exact-moment arithmetic, same op order, same terminal floor
     "q148_day_anomaly" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
-        |    COUNT(*) AS cnt FROM events GROUP BY event_type, d),
-        |wins AS (SELECT event_type, d, cnt,
-        |    COUNT(*) OVER w AS n7, SUM(cnt) OVER w AS s1,
-        |    SUM(cnt * cnt) OVER w AS s2
-        |  FROM daily
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
-        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        |z AS (SELECT event_type, d, cnt,
-        |    (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
-        |      / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0) AS z
-        |  FROM wins WHERE n7 = 7 AND CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0 > 0.0)
-        |SELECT event_type, d, CAST(cnt AS BIGINT) AS cnt,
-        |  CAST(FLOOR(z * 1000000.0) AS BIGINT) AS z_e6
-        |FROM z ORDER BY event_type, d""".stripMargin,
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+         |    COUNT(*) AS cnt FROM events GROUP BY event_type, d),
+         |${dayAnomalySql("daily")}
+         |SELECT event_type, d, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(FLOOR(z * 1000000.0) AS BIGINT) AS z_e6
+         |FROM z ORDER BY event_type, d""".stripMargin,
     // day-close by ROW_NUMBER over the same (ts, event_id) total order;
     // LAST_VALUE IGNORE NULLS = last(ignoreNulls) under the default frame
     "q149_densify_ffill" ->

@@ -307,12 +307,13 @@ object StreamingQueries {
     * day) key) and keeps the detector input per-group-unique by
     * construction.
     *
-    * Determinism: identical to q148 (exact integer moments, mirrored op
-    * chain, terminal floor — and the same baseline semantics: the 7
-    * preceding OBSERVED days, so the frame spans more calendar days
-    * across gaps and an all-zero day never enters it) over the
-    * finalized-day subset, which the oracle expresses with the same
-    * window_end + watermark <= max(ts) cut as q36/q124. */
+    * Determinism: identical to q148 (the SAME object code —
+    * TemporalQueries.dayAnomaly: q149-style day-spine densification so
+    * the baseline is 7 CALENDAR days and an all-zero day inside the
+    * finalized span flags as a dip, then exact integer moments, the
+    * mirrored z chain, terminal floor) over the finalized-day subset,
+    * which the oracle expresses with the same window_end + watermark
+    * <= max(ts) cut as q36/q124. */
   def q161StreamingAnomaly(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_anomaly_${runCounter.incrementAndGet()}"
@@ -331,22 +332,7 @@ object StreamingQueries {
     q.awaitTermination()
     val daily = s.table(tbl).groupBy("event_type", "d")
       .agg(sum("cnt").as("cnt"))
-    val w7 = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
-    daily
-      .withColumn("n7", count(lit(1)).over(w7))
-      .withColumn("s1", sum("cnt").over(w7))
-      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w7))
-      .filter(col("n7") === 7)
-      .withColumn("mean", col("s1").cast("double") / lit(7.0))
-      .withColumn("varr",
-        (lit(7L) * col("s2") - col("s1") * col("s1")).cast("double") / lit(42.0))
-      .filter(col("varr") > 0.0)
-      .withColumn("z",
-        (col("cnt").cast("double") - col("mean")) / sqrt(col("varr")))
-      .select(col("event_type"), col("d"), col("cnt").cast("bigint").as("cnt"),
-        floor(col("z") * lit(1000000.0)).cast("bigint").as("z_e6"))
-      .orderBy("event_type", "d")
+    graft.operators.TemporalQueries.dayAnomaly(daily)
   }
 
   /** STREAM-STATIC ENRICHMENT join — the one standard streaming join
@@ -540,24 +526,15 @@ object StreamingQueries {
         |    / CAST(MIN(n) * MIN(n_p) AS DOUBLE) AS ks
         |FROM j GROUP BY d ORDER BY d""".stripMargin,
     "q161_streaming_anomaly" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
-        |    COUNT(*) AS cnt FROM events GROUP BY event_type, d),
-        |fin AS (SELECT event_type, d, cnt FROM daily
-        |  WHERE CAST(d AS TIMESTAMP) + INTERVAL 25 HOUR
-        |    <= (SELECT max(ts) FROM events)),
-        |wins AS (SELECT event_type, d, cnt,
-        |    COUNT(*) OVER w AS n7, SUM(cnt) OVER w AS s1,
-        |    SUM(cnt * cnt) OVER w AS s2
-        |  FROM fin
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
-        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        |z AS (SELECT event_type, d, cnt,
-        |    (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
-        |      / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0) AS z
-        |  FROM wins WHERE n7 = 7 AND CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0 > 0.0)
-        |SELECT event_type, d, CAST(cnt AS BIGINT) AS cnt,
-        |  CAST(FLOOR(z * 1000000.0) AS BIGINT) AS z_e6
-        |FROM z ORDER BY event_type, d""".stripMargin,
+      s"""WITH daily0 AS (SELECT event_type, CAST(ts AS DATE) AS d,
+         |    COUNT(*) AS cnt FROM events GROUP BY event_type, d),
+         |fin AS (SELECT event_type, d, cnt FROM daily0
+         |  WHERE CAST(d AS TIMESTAMP) + INTERVAL 25 HOUR
+         |    <= (SELECT max(ts) FROM events)),
+         |${graft.operators.TemporalQueries.dayAnomalySql("fin")}
+         |SELECT event_type, d, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(FLOOR(z * 1000000.0) AS BIGINT) AS z_e6
+         |FROM z ORDER BY event_type, d""".stripMargin,
     // the 7-day windows align to the unix epoch exactly like Spark's
     // window(); finalization (append mode) keeps windows whose end is at
     // least the 1 h watermark behind the max event time: w + 169 h <= max

@@ -175,4 +175,37 @@ class TemporalSpec extends AnyFunSuite {
         s"old top-20 pair (($ua,$da),($ub,$db)) missing from new candidates")
     }
   }
+
+  test("q148 detector: a total-outage day densifies to cnt=0 and flags as a dip") {
+    import spark.implicits._
+    // 15 observed days with a mild 4/5/6 rhythm, day 10 entirely absent
+    val counts = (1 to 15).filter(_ != 10)
+      .map(i => ("a", java.sql.Date.valueOf(f"2024-03-$i%02d"),
+        (4 + i % 3).toLong))
+    val daily = counts.toDF("event_type", "d", "cnt")
+    val out = TemporalQueries.dayAnomaly(daily).collect()
+      .map(r => r.getDate(1).toString -> (r.getLong(2), r.getLong(3))).toMap
+    // the outage day is IN the output with count 0...
+    val (gapCnt, gapZ) = out("2024-03-10")
+    assert(gapCnt === 0L, "densification must emit the absent day")
+    assert(gapZ < -1000000L, s"an all-zero day must flag as a dip, z_e6=$gapZ")
+    // ...and the baselines are 7 CALENDAR days: replay the recurrence
+    // over the dense series driver-side and compare every emitted z
+    val dense = (1 to 15).map { i =>
+      f"2024-03-$i%02d" -> (if (i == 10) 0L else (4 + i % 3).toLong)
+    }
+    for (i <- 8 to 15) {
+      val window = dense.slice(i - 8, i - 1).map(_._2)
+      val (s1, s2) = (window.sum, window.map(c => c * c).sum)
+      val varr = (7L * s2 - s1 * s1).toDouble / 42.0
+      val key = dense(i - 1)._1
+      if (varr > 0.0) {
+        val z = (dense(i - 1)._2.toDouble - s1.toDouble / 7.0) / math.sqrt(varr)
+        assert(out(key)._2 === math.floor(z * 1e6).toLong,
+          s"day $key: calendar-window replay mismatch")
+      } else assert(!out.contains(key))
+    }
+    // days before a full 7-day baseline never emit
+    assert(!out.contains("2024-03-01") && !out.contains("2024-03-07"))
+  }
 }
