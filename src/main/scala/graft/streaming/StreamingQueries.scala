@@ -41,6 +41,16 @@ object StreamingQueries {
 
   private val runCounter = new AtomicInteger(0)
 
+  /** Start one bounded AvailableNow topology and drain it to completion,
+    * under the bounded state-partition fan-out
+    * ([[StreamSources.withBoundedState]] — state partitioning is a
+    * deployment knob; the harness keyspace needs 8, a 100 TB pipeline
+    * sizes it to key cardinality). */
+  private def drain(s: SparkSession,
+                    w: org.apache.spark.sql.streaming.DataStreamWriter[
+                      org.apache.spark.sql.Row]): Unit =
+    StreamSources.withBoundedState(s) { w.start().awaitTermination() }
+
   /** Event-time tumbling-window count (the dashboard's journeys-over-time
     * series, `/root/reference/README.md:29-35`, in streaming form): file
     * source → watermark → 1-hour window → AvailableNow → memory sink.
@@ -56,7 +66,7 @@ object StreamingQueries {
   def q36StreamingHourly(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_hourly_${runCounter.incrementAndGet()}"
-    val q = ev
+    drain(s, ev
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).cast("bigint").as("cnt"))
@@ -67,9 +77,7 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.table(tbl).orderBy("h")
   }
 
@@ -87,7 +95,7 @@ object StreamingQueries {
   def q124StreamingHopping(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_hopping_${runCounter.incrementAndGet()}"
-    val q = ev
+    drain(s, ev
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
       .agg(count(lit(1)).cast("bigint").as("cnt"))
@@ -97,9 +105,7 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.table(tbl).orderBy("w", "event_type")
   }
 
@@ -118,7 +124,7 @@ object StreamingQueries {
   def q52StreamingDedup(s: SparkSession, dir: String): DataFrame = {
     val redelivered = StreamSources.events(s, dir).union(StreamSources.events(s, dir))
     val tbl = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
-    val q = redelivered
+    drain(s, redelivered
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"))
@@ -128,9 +134,7 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.table(tbl).orderBy("h")
   }
 
@@ -186,7 +190,7 @@ object StreamingQueries {
       .withColumn("ts", expr(
         "timestampadd(MINUTE, cast(conv(substring(md5(bkey), 1, 4), 16, 10) as int) % 2880, " +
           "timestamp'2024-01-01 00:00:00')"))
-    val q = keyed
+    drain(s, keyed
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("bkey")
       .groupBy(window(col("ts"), "1 hour"))
@@ -196,9 +200,7 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.table(tbl).orderBy("h")
   }
 
@@ -234,7 +236,7 @@ object StreamingQueries {
         col("ts").as("pts"))
       .withWatermark("pts", "1 hour")
     val tbl = s"graft_stream_join_${runCounter.incrementAndGet()}"
-    val q = clicks.join(purchases,
+    drain(s, clicks.join(purchases,
         col("user_id") === col("p_user") &&
           col("pts") >= col("cts") &&
           col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
@@ -246,9 +248,7 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.table(tbl).orderBy("user_id", "click_id", "purchase_id")
   }
 
@@ -270,7 +270,7 @@ object StreamingQueries {
     val k = 16
     val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_kmv_${runCounter.incrementAndGet()}"
-    val q = ev
+    drain(s, ev
       .withColumn("h",
         expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"))
       .withWatermark("ts", "1 hour")
@@ -283,9 +283,7 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.table(tbl)
       .select(col("w"), col("n_events"),
         expr("cast(size(ks) as bigint)").as("n_kept"),
@@ -317,7 +315,7 @@ object StreamingQueries {
   def q161StreamingAnomaly(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_anomaly_${runCounter.incrementAndGet()}"
-    val q = ev
+    drain(s, ev
       .withWatermark("ts", "1 hour")
       .groupBy(col("event_type"), window(col("ts"), "1 day"))
       .agg(count(lit(1)).cast("bigint").as("cnt"))
@@ -327,9 +325,7 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val daily = s.table(tbl).groupBy("event_type", "d")
       .agg(sum("cnt").as("cnt"))
     graft.operators.TemporalQueries.dayAnomaly(daily)
@@ -356,7 +352,7 @@ object StreamingQueries {
       .select(col("c_custkey").as("user_id"),
         col("c_mktsegment").as("segment")))
     val tbl = s"graft_stream_enrich_${runCounter.incrementAndGet()}"
-    val q = ev
+    drain(s, ev
       .withWatermark("ts", "1 hour")
       .join(dim, Seq("user_id"))
       .groupBy(col("segment"), window(col("ts"), "1 hour"))
@@ -370,9 +366,7 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.table(tbl).orderBy("segment", "h")
   }
 
@@ -396,7 +390,7 @@ object StreamingQueries {
   def q186StreamingDrift(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_drift_${runCounter.incrementAndGet()}"
-    val q = ev
+    drain(s, ev
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"),
         expr("cast(floor(value) as bigint)").as("vb"))
@@ -406,9 +400,7 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     // stage the (day, bucket) summary: dailyKs self-joins its input
     // (grid ⋈ counts, current ⋈ previous day), and a MemorySink plan
     // fails DeduplicateRelations under that reuse — a leaf parquet scan
@@ -433,7 +425,7 @@ object StreamingQueries {
   def q169StreamingSessions(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_sessions_${runCounter.incrementAndGet()}"
-    val q = ev
+    drain(s, ev
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).cast("bigint").as("n_events"))
@@ -447,9 +439,7 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     s.table(tbl).orderBy("user_id", "session_start")
   }
 
