@@ -796,6 +796,79 @@ object TemporalQueries {
       .orderBy("event_type", "lag")
   }
 
+  // ---------------------------------------------------------------- q208
+
+  /** INTERVAL-OVERLAP JOIN by bucket-and-verify — the join geometry Spark
+    * has no native operator for (a range predicate between two interval
+    * sets plans as BroadcastNestedLoopJoin or a cartesian product, both
+    * quadratic): per-(user, day) activity spans [min ts, max ts] joined
+    * to global "incident" hours (hours whose volume is ≥ 1.5× the mean
+    * hourly volume — the exact-integer form 2·cnt·H ≥ 3·T), emitting per
+    * span the count of incident hours it overlaps and the exact overlap
+    * microseconds.
+    *
+    * The scale pattern: each span EXPLODES into the hour buckets it
+    * touches (bounded by span length / bucket width + 1 — here ≤ 25),
+    * the bucket becomes an EQUI-join key, and the exact range predicate
+    * verifies after the hash join. Bucketing is the coarse filter, the
+    * predicate is the truth — the plan is a hash join plus a bounded
+    * explode instead of a nested loop over |spans| × |hours|. Here the
+    * incident side is bounded (hours in the retention window), so it
+    * BROADCASTS and the span side never shuffles for the join at all;
+    * the only exchange is the final per-(user, day) re-aggregation,
+    * map-side combinable. Were both sides corpus-scale, the same
+    * construction shuffles on the bucket key — a scaling key with
+    * bounded per-key expansion. IntervalJoinSpec proves the bucketed
+    * form == the brute-force range-predicate join and that the plan
+    * contains no nested-loop or cartesian node.
+    *
+    * Overlap arithmetic is closed-interval, BIGINT-exact:
+    * least(a1, h+1h) − greatest(a0, h) in unix microseconds (0 for a
+    * single-point span inside the hour — counted, zero width). */
+  def q208IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val spans = ev.groupBy(col("user_id"), col("ts").cast("date").as("d"))
+      .agg(min("ts").as("a0"), max("ts").as("a1"))
+    val hourly = ev.groupBy(date_trunc("HOUR", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    bucketedOverlap(spans, incidentHours(hourly))
+  }
+
+  /** Hours whose volume is ≥ 1.5× the mean hourly volume, as exact
+    * integers (2·cnt·H ≥ 3·T). T and H are BOUNDED DRIVER SCALARS (two
+    * values over the bounded hour summary — the q150 idiom; a totals
+    * cross join would put a 1-row BroadcastNestedLoopJoin in the plan,
+    * and Catalyst folds a constant-key hash join right back into one).
+    * The threshold is a monitoring constant, so folding it to literals
+    * keeps the incident filter a pure predicate. */
+  private[graft] def incidentHours(hourly: DataFrame): DataFrame = {
+    val r = hourly.agg(sum("cnt"), count(lit(1))).first()
+    val (t, nh) = (r.getLong(0), r.getLong(1))
+    hourly.filter(col("cnt") * lit(nh) * lit(2L) >= lit(t) * lit(3L))
+      .select(col("h"))
+  }
+
+  /** The bucket-and-verify core over a (user_id, d, a0, a1) span frame
+    * and a bounded incident-hour frame — shared by q208 and its spec's
+    * brute-force comparison. */
+  private[graft] def bucketedOverlap(spans: DataFrame, incidents: DataFrame): DataFrame =
+    spans.select(col("user_id"), col("d"), col("a0"), col("a1"),
+        explode(expr(
+          "sequence(date_trunc('HOUR', a0), date_trunc('HOUR', a1), interval 1 hour)"))
+          .as("h"))
+      .join(broadcast(incidents), Seq("h"))
+      // exact verify: redundant when the bucket equals the B interval (as
+      // here), load-bearing whenever buckets are coarser — always stated
+      .filter(col("a0") < col("h") + expr("interval 1 hour") && col("h") <= col("a1"))
+      .groupBy("user_id", "d")
+      .agg(count(lit(1)).cast("bigint").as("n_inc_hours"),
+        sum(least(unix_micros(col("a1")), unix_micros(col("h")) + lit(3600000000L))
+          - greatest(unix_micros(col("a0")), unix_micros(col("h"))))
+          .cast("bigint").as("overlap_us"))
+      .select(col("user_id").cast("bigint").as("user_id"), col("d"),
+        col("n_inc_hours"), col("overlap_us"))
+      .orderBy("user_id", "d")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -816,6 +889,7 @@ object TemporalQueries {
     "q198_acf_panel" -> (q198AcfPanel _),
     "q180_funnel_latency" -> (q180FunnelLatency _),
     "q181_autocorrelation" -> (q181Autocorrelation _),
+    "q208_interval_overlap" -> (q208IntervalOverlap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1125,5 +1199,27 @@ object TemporalQueries {
         |           * CAST(n * syy - sy * sy AS DOUBLE))
         |    * 1000000.0) AS BIGINT) AS r_e6
         |FROM m ORDER BY event_type""".stripMargin,
+    // bucket-and-verify == direct range join (the buckets are exactly the
+    // hours each span touches); identical closed-interval µs arithmetic
+    "q208_interval_overlap" ->
+      """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    MIN(ts) AS a0, MAX(ts) AS a1 FROM events GROUP BY user_id, d),
+        |hourly AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+        |  FROM events GROUP BY h),
+        |tot AS (SELECT SUM(cnt) AS t, COUNT(*) AS nh FROM hourly),
+        |inc AS (SELECT h FROM hourly, tot WHERE cnt * nh * 2 >= t * 3),
+        |ex AS (SELECT user_id, d, a0, a1,
+        |    UNNEST(generate_series(date_trunc('hour', a0),
+        |      date_trunc('hour', a1), INTERVAL 1 HOUR)) AS h
+        |  FROM spans),
+        |j AS (SELECT user_id, d,
+        |    LEAST(epoch_us(a1), epoch_us(h) + 3600000000)
+        |      - GREATEST(epoch_us(a0), epoch_us(h)) AS ov
+        |  FROM ex JOIN inc USING (h)
+        |  WHERE a0 < h + INTERVAL 1 HOUR AND h <= a1)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, d,
+        |  CAST(COUNT(*) AS BIGINT) AS n_inc_hours,
+        |  CAST(SUM(ov) AS BIGINT) AS overlap_us
+        |FROM j GROUP BY user_id, d ORDER BY user_id, d""".stripMargin,
   )
 }
