@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -626,7 +627,111 @@ object CorpusQueries {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q209
+
+  /** GROUP QUANTILES FROM A HASH RESERVOIR — bounded-state distributed
+    * quantile estimation, the sketch answer next to q100's binned
+    * histogram and q184/q192's exact two-phase selection: per source,
+    * keep the k=32 documents with the smallest salted-md5 hash of
+    * their id (`graft_topk(h, doc_id, k)` — a mergeable, map-side
+    * combinable, ORDER-INVARIANT uniform sample: the k smallest hashes
+    * of a fixed hash function are the same set under any partitioning,
+    * unlike rand()-based reservoirs), then read nearest-rank p50/p90
+    * off the sample. The exchange carries |sources|·k fixed-width
+    * pairs; the sampled values come back through a BROADCAST semi-join
+    * of the id manifest against the scan — the corpus never shuffles.
+    * Estimates are deterministic and the DuckDB oracle replays the
+    * identical construction (hash row_number ≤ k, same rank formula
+    * (p·(m−1)) div 100 + 1), so parity is exact even where the
+    * estimate differs from the true quantile. When a group has ≤ k
+    * documents the sample IS the group and the estimate equals the
+    * exact nearest-rank quantile (SamplingSpec proves both regimes).
+    * At 100 TB: k rows of state per group, one broadcast, one scan —
+    * the quantile-monitoring shape that never sorts the corpus. */
+  def q209ReservoirQuantiles(s: SparkSession, dir: String): DataFrame =
+    reservoirQuantiles(Tables.documents(s, dir), 32)
+
+  /** The q209 core over any (source, doc_id, n_chars) frame — shared
+    * with SamplingSpec's synthetic above-k regime and invariance
+    * proofs. */
+  private[graft] def reservoirQuantiles(docs: DataFrame, k: Int): DataFrame = {
+    val res = docs
+      .select(col("source"), col("doc_id"),
+        expr("cast(conv(substring(md5(concat('rsv_', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        expr(s"graft_topk(h, doc_id, $k)").as("tk"))
+    val ids = res.select(col("source").as("rsource"), col("n_docs"),
+      explode(col("tk")).as("p")).select(col("rsource"), col("n_docs"),
+      col("p.v").as("doc_id"))
+    val sampled = docs.select(col("doc_id"), col("n_chars").as("v"))
+      .join(broadcast(ids), Seq("doc_id"))
+    val wr = Window.partitionBy("rsource").orderBy("v", "doc_id")
+    sampled
+      .withColumn("r", row_number().over(wr))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("rsource")))
+      .groupBy(col("rsource").as("source"))
+      .agg(max("n_docs").cast("bigint").as("n_docs"),
+        max("m").cast("bigint").as("sample_n"),
+        max(when(col("r") === expr("(50 * (m - 1)) div 100 + 1"), col("v")))
+          .cast("bigint").as("p50_est"),
+        max(when(col("r") === expr("(90 * (m - 1)) div 100 + 1"), col("v")))
+          .cast("bigint").as("p90_est"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q210
+
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT by priority sampling
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007 — the scheme whose k-sample
+    * supports unbiased subset-sum estimates): per language, draw k=16
+    * documents with probability increasing in WEIGHT (token mass —
+    * n_chars — the standard corpus-mixing weight), deterministically.
+    * Each doc gets priority q = floor(w · 2^32 / (h+1)) where h is a
+    * salted 32-bit md5 uniform; the sample is the k LARGEST priorities
+    * (`graft_topk(-q, doc_id, k)` — bounded state, mergeable,
+    * partition-invariant). The double chain w·2^32/(h+1) is one exact
+    * product (w ≤ 2^13 so w·2^32 ≤ 2^45 is exactly representable) and
+    * one correctly-rounded division, then a terminal floor — the
+    * q188/SCALE.md discipline, so both engines compute the identical
+    * BIGINT priority. Output is the per-language sample manifest
+    * (rank, doc, weight, priority) a mixture-construction job feeds
+    * from. At 100 TB: one scan, |langs|·k state, no corpus shuffle —
+    * where naive weighted sampling sorts the corpus by priority. */
+  def q210PrioritySample(s: SparkSession, dir: String): DataFrame =
+    prioritySample(Tables.documents(s, dir), 16)
+
+  /** The q210 core over any (lang, doc_id, n_chars) frame — shared
+    * with SamplingSpec's brute-force and invariance proofs. */
+  private[graft] def prioritySample(docsIn: DataFrame, k: Int): DataFrame = {
+    val manifest = docsIn
+      .select(col("lang"), col("doc_id"), col("n_chars").as("w"),
+        expr("cast(conv(substring(md5(concat('prio_', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+      .withColumn("pri",
+        floor(col("w").cast("double") * lit(4294967296.0)
+          / (col("h") + lit(1L)).cast("double")).cast("bigint"))
+      .groupBy("lang")
+      .agg(expr(s"graft_topk(-pri, doc_id, $k)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.v").cast("bigint").as("doc_id"),
+        (-col("col.k")).cast("bigint").as("priority"))
+    // weight fetch: the |langs|·k manifest broadcasts against the scan
+    // (the q209 semi-join shape — the corpus side never shuffles)
+    docsIn
+      .select(col("doc_id"), col("n_chars").cast("bigint").as("weight"))
+      .join(broadcast(manifest), Seq("doc_id"))
+      .select(col("lang"), col("rank"), col("doc_id"), col("weight"),
+        col("priority"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_reservoir_quantiles" -> (q209ReservoirQuantiles _),
+    "q210_priority_sample" -> (q210PrioritySample _),
     "q120_padding_waste" -> (q120PaddingWaste _),
     "q111_stratified_sample" -> (q111StratifiedSample _),
     "q108_epoch_resample" -> (q108EpochResample _),
@@ -746,6 +851,42 @@ object CorpusQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // identical construction: salted-hash row_number <= k is the same
+    // sample set as graft_topk's k smallest (h, doc_id) pairs; the
+    // nearest-rank formula (p*(m-1)) div 100 + 1 mirrors digit for digit
+    "q209_reservoir_quantiles" ->
+      s"""WITH h AS (SELECT source, doc_id, n_chars,
+         |    ${duckMd5Int("concat('rsv_', CAST(doc_id AS VARCHAR))", 8)} AS h
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS hr,
+         |    COUNT(*) OVER (PARTITION BY source) AS n_docs
+         |  FROM h),
+         |s AS (SELECT source, n_docs, doc_id, n_chars FROM r WHERE hr <= 32),
+         |rk AS (SELECT source, n_docs, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+         |    COUNT(*) OVER (PARTITION BY source) AS m
+         |  FROM s)
+         |SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(MAX(m) AS BIGINT) AS sample_n,
+         |  CAST(MAX(CASE WHEN r = (50 * (m - 1)) // 100 + 1 THEN n_chars END) AS BIGINT) AS p50_est,
+         |  CAST(MAX(CASE WHEN r = (90 * (m - 1)) // 100 + 1 THEN n_chars END) AS BIGINT) AS p90_est
+         |FROM rk GROUP BY source ORDER BY source""".stripMargin,
+    // same exact-product/one-division/terminal-floor priority chain;
+    // k largest priorities per lang, ties to the lowest doc_id
+    "q210_priority_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+         |    ${duckMd5Int("concat('prio_', CAST(doc_id AS VARCHAR))", 8)} AS h
+         |  FROM documents),
+         |p AS (SELECT lang, doc_id, w,
+         |    CAST(FLOOR(CAST(w AS DOUBLE) * 4294967296.0 / CAST(h + 1 AS DOUBLE)) AS BIGINT) AS pri
+         |  FROM h),
+         |r AS (SELECT lang, doc_id, w, pri,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rank
+         |  FROM p)
+         |SELECT lang, CAST(rank AS INTEGER) AS rank,
+         |  CAST(doc_id AS BIGINT) AS doc_id, w AS weight, pri AS priority
+         |FROM r WHERE rank <= 16 ORDER BY lang, rank""".stripMargin,
     "q120_padding_waste" ->
       """WITH d AS (SELECT lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
