@@ -1274,7 +1274,96 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
+  // ---------------------------------------------------------------- q207
+
+  /** BLOOM-FILTER SEMI-JOIN DECONTAMINATION — the shape q64's exact
+    * join takes when the benchmark's shingle set outgrows a broadcast
+    * (an eval suite of 1e7 shingles is ~320 MB of md5 strings; its
+    * 2^20-bit Bloom filter is 128 KB): the bench side folds into a
+    * bit array (3 positions per shingle from disjoint 8-hex windows of
+    * its md5, `bit_or` words — a bounded, mergeable, deterministic
+    * aggregate), the array BROADCASTS, and every corpus shingle tests
+    * its 3 bits in a codegen'd scalar projection. Only survivors — the
+    * true hits plus a measured false-positive residue — reach the
+    * exact confirmation join, so the corpus-side exchange carries the
+    * candidate stream, not the corpus. No false negatives by
+    * construction (a present key's bits are all set); the FP rate is
+    * part of the output, not an assumption: per doc the result carries
+    * the bloom-candidate count next to the exact-hit count, and
+    * BloomDeconSpec asserts candidates ⊇ hits, per-doc hit parity with
+    * [[decontaminate]], and a bounded realized FP rate.
+    *
+    * The "benchmark" here is the BOUNDED slice doc_id % 37 == 0 AND
+    * doc_id < 18500 (≤ 500 docs at any scale — unlike q64's unbounded
+    * fixture slice, an eval suite does not grow with the corpus), and
+    * m = 2^20 bits / k = 3 sizes the filter to ≤ 0.5% FP at that
+    * bound. Power-of-two m keeps the 32-bit-window mod exactly
+    * uniform. Words pack 32 bits per BIGINT so every shift stays in
+    * DuckDB's checked range; the oracle replays the identical
+    * positions, words, and tests digit for digit. */
+  def q207BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchCond = col("doc_id") % 37 === 0 && col("doc_id") < 18500
+    bloomDecontaminate(docs.filter(!benchCond), docs.filter(benchCond))
+  }
+
+  /** Bloom positions of a hex-hash column `g`: 3 disjoint 8-hex
+    * windows mod m (m a power of two). */
+  private def bloomPos(i: Int): String =
+    s"cast(conv(substring(g, ${8 * i + 1}, 8), 16, 10) as bigint) % $bloomBits"
+
+  private val bloomBits = 1048576L // 2^20
+  private val bloomWords = (bloomBits / 32L).toInt
+
+  /** Library form over arbitrary (doc_id, text) frames — q207's core,
+    * shared with BloomDeconSpec's adversarial fixtures. */
+  private[graft] def bloomDecontaminate(train: DataFrame, bench: DataFrame): DataFrame = {
+    val benchSet = shingleHashes(bench).select("g").distinct()
+    // bench -> 3 positions per shingle -> 32-bit words -> one dense row
+    val words = benchSet
+      .select(explode(expr(
+        s"array(${bloomPos(0)}, ${bloomPos(1)}, ${bloomPos(2)})")).as("p"))
+      .groupBy(expr("cast(p div 32 as int)").as("w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 32 as int)))").as("bits"))
+    val bloomRow = words
+      .agg(expr("map_from_entries(collect_list(struct(w, bits)))").as("m"))
+      .select(expr(
+        s"transform(sequence(0, ${bloomWords - 1}), i -> coalesce(element_at(m, i), cast(0 as bigint)))")
+        .as("bloom"))
+    // corpus: per-doc distinct-shingle counts ride the projection (no
+    // explode, no shuffle); the exploded stream tests its bits against
+    // the broadcast array and only survivors reach the exact join
+    val trainSh = shingleHashes(train)
+    val candidates = trainSh
+      .crossJoin(broadcast(bloomRow))
+      .withColumn("hit3", expr((0 to 2).map { i =>
+        s"(element_at(bloom, cast((${bloomPos(i)}) div 32 as int) + 1) " +
+          s"& shiftleft(cast(1 as bigint), cast((${bloomPos(i)}) % 32 as int))) != 0"
+      }.mkString(" AND ")))
+      .filter(col("hit3"))
+      .select("doc_id", "g")
+    val candAgg = candidates
+      .join(benchSet.withColumn("inb", lit(1)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_cand"),
+        sum(coalesce(col("inb"), lit(0))).cast("bigint").as("n_hits"))
+    val docTotals = train
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 3"))
+      .select(col("doc_id"), expr(
+        s"cast(size(array_distinct(transform($shinglesExpr, x -> md5(x)))) as bigint)")
+        .as("n_shingles"))
+    docTotals.join(candAgg, Seq("doc_id"), "left")
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("n_shingles"),
+        coalesce(col("n_cand"), lit(0L)).cast("bigint").as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).cast("bigint").as("n_hits"))
+      .withColumn("verdict",
+        expr("case when n_hits > 0 then 'contaminated' else 'clean' end"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_bloom_decontaminate" -> (q207BloomDecontaminate _),
     "q178_containment_join" -> (q178ContainmentJoin _),
     "q112_ppjoin_jaccard" -> (q112PpjoinJaccard _),
     "q106_fuzzy_entity_match" -> (q106FuzzyEntityMatch _),
@@ -1312,7 +1401,53 @@ object DedupQueries {
       s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
 
+  /** Numeric value of the 8-hex window of column `c` at 1-based offset
+    * `off` via nibble Horner (DuckDB has no conv()). */
+  private def duckHexWindow(c: String, off: Int): String =
+    (off until off + 8).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc) * 16 + (strpos('0123456789abcdef', substr($c, $i, 1)) - 1))"
+    }
+
   val oracles: Map[String, String] = Map(
+    // identical positions (3 disjoint 8-hex windows mod 2^20), identical
+    // 32-bit words, identical 3-bit test, then the same exact confirm
+    "q207_bloom_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+         |    x -> md5(x)))) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0 AND doc_id < 18500),
+         |train AS (SELECT doc_id, g FROM sh WHERE NOT (doc_id % 37 = 0 AND doc_id < 18500)),
+         |bp AS (SELECT (${duckHexWindow("g", 1)}) % 1048576 AS p FROM bench
+         |  UNION ALL SELECT (${duckHexWindow("g", 9)}) % 1048576 FROM bench
+         |  UNION ALL SELECT (${duckHexWindow("g", 17)}) % 1048576 FROM bench),
+         |words AS (SELECT p // 32 AS w,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+         |  FROM bp GROUP BY w),
+         |trp AS (SELECT doc_id, g,
+         |    (${duckHexWindow("g", 1)}) % 1048576 AS p0,
+         |    (${duckHexWindow("g", 9)}) % 1048576 AS p1,
+         |    (${duckHexWindow("g", 17)}) % 1048576 AS p2
+         |  FROM train),
+         |cand AS (SELECT trp.doc_id, trp.g FROM trp
+         |  JOIN words w0 ON w0.w = p0 // 32
+         |    AND (w0.bits & (CAST(1 AS BIGINT) << CAST(p0 % 32 AS INTEGER))) != 0
+         |  JOIN words w1 ON w1.w = p1 // 32
+         |    AND (w1.bits & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INTEGER))) != 0
+         |  JOIN words w2 ON w2.w = p2 // 32
+         |    AND (w2.bits & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INTEGER))) != 0),
+         |ca AS (SELECT c.doc_id, COUNT(*) AS n_cand,
+         |    SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+         |  FROM cand c LEFT JOIN bench b ON c.g = b.g GROUP BY c.doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+         |SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
+         |  CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+         |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CASE WHEN COALESCE(n_hits, 0) > 0 THEN 'contaminated' ELSE 'clean' END AS verdict
+         |FROM tot LEFT JOIN ca ON tot.doc_id = ca.doc_id
+         |ORDER BY doc_id""".stripMargin,
     // asymmetric prefix (probe side only) vs the full index; exact
     // intersection on candidates; one terminal division
     "q178_containment_join" ->
