@@ -729,7 +729,65 @@ object CorpusQueries {
       .orderBy("lang", "rank")
   }
 
+  // ---------------------------------------------------------------- q211
+
+  /** BIGRAM-LM QUALITY SCORE — the Markov generalization of q75's
+    * unigram scorer and the in-engine form of the CCNet practice of
+    * scoring documents against a corpus language model: train add-one-
+    * smoothed bigram transition probabilities on the corpus itself
+    * (c2(w1,w2) bigram counts; c1(w1) = Σ_w2 c2, the prefix mass,
+    * DERIVED from the bigram counts so numerator and denominator come
+    * from one exchange; V = |vocab| for the smoothing floor), then
+    * score each document by its mean smoothed transition probability
+    * p = (c2+1)/(c1+V). Gibberish token sequences make rare
+    * transitions and score near the 1/(c1+V) smoothing floor;
+    * boilerplate scores high — the same separation a log-perplexity
+    * gives, WITHOUT logs: each per-bigram p quantizes to
+    * floor(p·1e12) (one correctly-rounded double division of two
+    * exact longs, the q75 lattice discipline — engine log() ULP
+    * differences never arise), the quantized terms sum exactly, and
+    * one terminal division yields the score.
+    *
+    * Scale: bigram counting is one shuffle on the (w1,w2) pair — a
+    * scaling key; the prefix mass re-aggregates the counted frame
+    * (|vocab²| rows, not the corpus); scoring joins the doc bigram
+    * stream against the two count frames on scaling keys; V rides as
+    * a broadcast scalar. Stop-wordy skew on hot prefixes is AQE's
+    * skew-split case, as in every token join here. */
+  def q211BigramQuality(s: SparkSession, dir: String): DataFrame =
+    bigramQuality(Tables.documents(s, dir))
+
+  /** The q211 core over any (doc_id, text) frame — shared with
+    * CorpusSpec's separation and self-consistency proofs. */
+  private[graft] def bigramQuality(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] as w1, toks[i] as w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = docs
+      .select(explode(expr("split(text, ' ')")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    bi.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("pq", expr(
+        "cast(floor(cast(c2 + 1 as double) / cast(c1 + v as double) * 1e12) as bigint)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"), sum("pq").as("spq"))
+      .withColumn("score", expr(
+        "cast(spq as double) / (1e12 * cast(n_bigrams as double))"))
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("n_bigrams"),
+        col("score"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_bigram_quality" -> (q211BigramQuality _),
     "q209_reservoir_quantiles" -> (q209ReservoirQuantiles _),
     "q210_priority_sample" -> (q210PrioritySample _),
     "q120_padding_waste" -> (q120PaddingWaste _),
@@ -851,6 +909,26 @@ object CorpusQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // same add-one bigram chain: exact counts, one e12-floored division
+    // per bigram, exact integer sum, one terminal division
+    "q211_bigram_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+        |  FROM t WHERE len(toks) >= 2),
+        |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bb GROUP BY w1, w2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sc AS (SELECT bb.doc_id,
+        |    CAST(FLOOR(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) * 1e12) AS BIGINT) AS pq
+        |  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(pq) AS DOUBLE) / (1e12 * CAST(COUNT(*) AS DOUBLE)) AS score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // identical construction: salted-hash row_number <= k is the same
     // sample set as graft_topk's k smallest (h, doc_id) pairs; the
     // nearest-rank formula (p*(m-1)) div 100 + 1 mirrors digit for digit

@@ -248,4 +248,33 @@ class CorpusSpec extends AnyFunSuite {
     val b = bm25.map(_.getDouble(1))
     assert(b.toSeq == b.sortBy(-_).toSeq)
   }
+
+  test("q211 bigram score separates a predictable doc from a gibberish one") {
+    import spark.implicits._
+    // 20 copies of one repeated sentence (high-count transitions) + one
+    // doc of 40 unique never-repeated tokens (every transition at the
+    // smoothing floor) + filler
+    val sentence = "the cat sat on the mat and the dog sat on the rug"
+    val gibberish = (0 until 40).map(i => s"zq${i}x").mkString(" ")
+    val rows = (0L until 20L).map(i => (i, sentence)) :+ (20L -> gibberish)
+    val out = CorpusQueries.bigramQuality(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(0L) > 5 * out(20L),
+      s"predictable ${out(0L)} must dominate gibberish ${out(20L)}")
+    assert(out.values.forall(s => s > 0.0 && s <= 1.0))
+  }
+
+  test("q211 single-repeated-bigram corpus scores exactly the closed form") {
+    import spark.implicits._
+    // corpus = n copies of "a b": c2(a,b) = n, c1(a) = n, V = 2
+    // p = (n+1)/(n+2); score = floor(p*1e12)/1e12 exactly
+    val n = 7
+    val rows = (0L until n.toLong).map(i => (i, "a b"))
+    val out = CorpusQueries.bigramQuality(rows.toDF("doc_id", "text")).collect()
+    val expect = math.floor((n + 1).toDouble / (n + 2).toDouble * 1e12) / 1e12
+    out.foreach { r =>
+      assert(r.getLong(1) === 1L)
+      assert(r.getDouble(2) === expect)
+    }
+  }
 }
