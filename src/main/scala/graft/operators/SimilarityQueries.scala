@@ -335,7 +335,7 @@ object SimilarityQueries {
     * quantizers on thousands of points regardless of corpus size), which
     * is the real lever: Lloyd passes bounded by the sample, one full
     * pass left (the bucket assignment). */
-  private val ivfTrainSampleMod = 2
+  private[graft] val ivfTrainSampleMod = 2
 
   /** Nearest-centroid assignment: broadcast the bounded codebook, argmax
     * cosine per vector (the same broadcast-argmin shape as the reference's
@@ -472,7 +472,7 @@ object SimilarityQueries {
     s.read.parquet(p)
   }
 
-  private def ivfAssigned(s: SparkSession, dir: String, mod: Int): DataFrame = {
+  private[graft] def ivfAssigned(s: SparkSession, dir: String, mod: Int): DataFrame = {
     val p = ivfAssignedCache.computeIfAbsent(corpusKey(dir, mod), _ => {
       val pth = graft.Staging.fresh("ivfassign")
       assign(normed(s, dir), trainedCodebookCached(s, dir, mod))
@@ -908,6 +908,34 @@ object SimilarityQueries {
   private val pqCodebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Stage the trained PQ codebook through parquet: it is k*m rows but
+    * its LINEAGE is trainIters unrolled assign+recenter rounds, and the
+    * plan references it twice (corpus encode + probe ADC table) —
+    * unstaged, every trial re-optimizes and re-executes that whole
+    * subtree per reference (the q86/q95 branch-point rule). The write
+    * costs one tiny job; both consumers then read a leaf scan. The
+    * staged path caches per (corpus fingerprint, training geometry) per
+    * JVM — the fuzzyPairs/ccLabels idiom: the codebook is a
+    * deterministic function of exactly that key, so Lloyd training is a
+    * once-per-corpus INDEX BUILD, not a per-query cost (a production
+    * PQ index trains once and serves queries for months). Shared by
+    * q71's pure-PQ search and q212's IVF-ADC composition. */
+  private def pqCodebookCached(s: SparkSession, dir: String,
+                               cb0: DataFrame, trainSubs: DataFrame,
+                               m: Int, k: Int, trainIters: Int,
+                               trainSampleMod: Int): DataFrame = {
+    val key = graft.CorpusKey(dir, "embeddings.parquet") +
+      s":$m:$k:$trainIters:$trainSampleMod"
+    val p = pqCodebookCache.computeIfAbsent(key, _ => {
+      val cbTrained = (1 to trainIters)
+        .foldLeft(cb0)((c, _) => pqRecenter(pqAssign(trainSubs, c)))
+      val pth = graft.Staging.fresh("pqcb")
+      cbTrained.write.mode("overwrite").parquet(pth)
+      pth
+    })
+    s.read.parquet(p)
+  }
+
   private[graft] def pqTopk(s: SparkSession, dir: String,
                             m: Int, k: Int, shortlist: Int,
                             trainIters: Int = pqTrainIters,
@@ -921,29 +949,7 @@ object SimilarityQueries {
       if (trainSampleMod > 1)
         subs.filter(col("vec_id") % trainSampleMod === 0 || col("vec_id") < k)
       else subs
-    // Stage the trained codebook through parquet: it is k*m rows but its
-    // LINEAGE is trainIters unrolled assign+recenter rounds, and the plan
-    // references it twice (corpus encode + probe ADC table) — unstaged,
-    // every trial re-optimizes and re-executes that whole subtree per
-    // reference (the q86/q95 branch-point rule). The write costs one tiny
-    // job; both consumers then read a leaf scan. The staged path caches
-    // per (corpus fingerprint, training geometry) per JVM — the
-    // fuzzyPairs/ccLabels idiom: the codebook is a deterministic
-    // function of exactly that key, so Lloyd training is a
-    // once-per-corpus INDEX BUILD, not a per-query cost (a production
-    // PQ index trains once and serves queries for months).
-    val cb = {
-      val key = graft.CorpusKey(dir, "embeddings.parquet") +
-        s":$m:$k:$trainIters:$trainSampleMod"
-      val p = pqCodebookCache.computeIfAbsent(key, _ => {
-        val cbTrained = (1 to trainIters)
-          .foldLeft(cb0)((c, _) => pqRecenter(pqAssign(trainSubs, c)))
-        val pth = graft.Staging.fresh("pqcb")
-        cbTrained.write.mode("overwrite").parquet(pth)
-        pth
-      })
-      s.read.parquet(p)
-    }
+    val cb = pqCodebookCached(s, dir, cb0, trainSubs, m, k, trainIters, trainSampleMod)
     val encoded = pqAssign(subs, cb).drop("sub")
     val tableScored = e.filter(col("vec_id") < 8)
       .selectExpr("vec_id as probe_id", "nrm as pn", s"stack($m, ${pqSplit("v", m, sub)}) as (tm, psub)")
@@ -993,6 +999,84 @@ object SimilarityQueries {
 
   def q71PqTopk(s: SparkSession, dir: String): DataFrame =
     pqTopk(s, dir, pqM, pqK, pqShortlist, trainSampleMod = pqTrainSampleMod)
+
+  // ---------------------------------------------------------------- q212
+
+  /** IVF-ADC — the production ANN composition (faiss's IVFADC index
+    * class, Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011 §V): q37's inverted file decides WHERE to look
+    * (the probe searches only its assigned centroid's bucket), q71's
+    * product-quantization codes decide the ADC ranking WITHIN the
+    * bucket, and the exact rerank touches only the shortlist. Both
+    * trained structures come from the staged once-per-corpus index
+    * caches (the IVF codebook + full-corpus assignment, the PQ
+    * codebook), so the query-time plan is: encode-scan ⋈ broadcast ADC
+    * table restricted by bucket ⋈ broadcast shortlist rerank.
+    *
+    * At 100 TB this is THE billion-scale retrieval shape: the scan
+    * reads pqM one-byte codes + one centroid id per vector (not 64
+    * floats), bucket restriction divides the ADC work by the centroid
+    * count, and full vectors are read only for |probes| × shortlist
+    * rerank fetches. The bucket restriction can only REMOVE candidates
+    * vs q71's global ADC (IvfAdcSpec proves the subset relation and
+    * recall against q25's exact baseline); with nprobe widening the
+    * search this converges to q71 exactly as q37 converges to q25.
+    *
+    * Determinism: the IVF and PQ constructions are the registered
+    * q37/q71 instances verbatim — the oracle composes their CTE
+    * machinery (IVF cb*, PQ pcb*) and replays the restricted ADC scan
+    * digit for digit. */
+  def q212IvfAdc(s: SparkSession, dir: String): DataFrame = {
+    val m = pqM
+    val sub = pqSub
+    val assigned = ivfAssigned(s, dir, ivfTrainSampleMod)
+    val e = normed(s, dir)
+    val cb0 = e.filter(col("vec_id") < pqK)
+      .selectExpr("vec_id as cid", s"stack($m, ${pqSplit("v", m, sub)}) as (m, csub)")
+    val allSubs = e.selectExpr("vec_id", "nrm", s"stack($m, ${pqSplit("v", m, sub)}) as (m, sub)")
+    val trainSubs = allSubs.filter(col("vec_id") % pqTrainSampleMod === 0 || col("vec_id") < pqK)
+    val cb = pqCodebookCached(s, dir, cb0, trainSubs, m, pqK, pqTrainIters, pqTrainSampleMod)
+    // encode with the centroid id riding the combine (constant per vec)
+    val subsC = assigned.selectExpr("vec_id", "nrm", "centroid_id",
+      s"stack($m, ${pqSplit("v", m, sub)}) as (m, sub)")
+    val encoded = subsC.join(broadcast(cb), Seq("m"))
+      .withColumn("dist", expr(
+        "graft_dot(sub, sub) - 2 * graft_dot(sub, csub) + graft_dot(csub, csub)"))
+      .groupBy("vec_id", "nrm", "centroid_id", "m")
+      .agg(expr("max_by(cid, struct(-dist, -cid))").as("code"))
+    val probesC = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"), col("centroid_id").as("pcentroid"))
+    val tableScored = probesC
+      .selectExpr("probe_id", "pn", "pcentroid",
+        s"stack($m, ${pqSplit("pv", m, sub)}) as (tm, psub)")
+      .join(broadcast(cb.withColumnRenamed("m", "tm")), Seq("tm"))
+      .withColumn("part", expr("graft_dot(psub, csub)"))
+      .select("probe_id", "pn", "pcentroid", "tm", "cid", "part")
+    val parts = (0 until m).map(i => max(when(col("m") === i, col("part"))).as(s"p$i"))
+    val adc = encoded.join(broadcast(tableScored),
+        col("m") === col("tm") && col("code") === col("cid") &&
+          col("centroid_id") === col("pcentroid") &&
+          col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "pn", "vec_id", "nrm")
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("approx_cos", expr(
+        s"(${(0 until m).map(i => s"p$i").mkString(" + ")}) / (pn * nrm)"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(desc("approx_cos"), asc("vec_id"))
+    val short = adc.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= pqShortlist)
+      .select("probe_id", "vec_id")
+    val wExact = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    assigned.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(probesC.select("probe_id", "pv", "pn")), Seq("probe_id"))
+      .withColumn("cos", expr(dotFold.format("pv", "v") + " / (pn * nrm)"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+        col("vec_id").cast("bigint").as("neighbor_id"),
+        col("rank").cast("int").as("rank"), col("cos"))
+      .orderBy("probe_id", "rank")
+  }
 
   /** KNN self-join: the top-3 neighbors of EVERY corpus vector (not a
     * bounded probe set — the all-corpus retrieval shape behind
@@ -1284,6 +1368,7 @@ object SimilarityQueries {
     "q201_label_noise" -> (q201LabelNoise _),
     "q204_embedding_drift" -> (q204EmbeddingDrift _),
     "q71_pq_topk" -> (q71PqTopk _),
+    "q212_ivf_adc" -> (q212IvfAdc _),
     "q80_knn_join" -> (q80KnnJoin _),
     "q83_cluster_diagnostics" -> (q83ClusterDiagnostics _),
     "q84_modality_coverage" -> (q84ModalityCoverage _),
@@ -1434,7 +1519,7 @@ object SimilarityQueries {
        |      / (COUNT(*) * 4294967296e0) AS mean
        |  FROM pa$k CROSS JOIN generate_series(1, $pqSub) t(i)
        |  GROUP BY m, code, t.i),
-       |cb$k AS (SELECT m, cid, list(mean ORDER BY pos) AS csub FROM pm$k GROUP BY m, cid)""".stripMargin
+       |pcb$k AS (SELECT m, cid, list(mean ORDER BY pos) AS csub FROM pm$k GROUP BY m, cid)""".stripMargin
 
   private def q71Oracle: String = {
     val subCase = (0 until pqM).map { m =>
@@ -1446,15 +1531,15 @@ object SimilarityQueries {
       .map(m => s"MAX(CASE WHEN e2.m = $m THEN part END) AS p$m").mkString(",\n         |    ")
     val scoreSum = (0 until pqM).map(m => s"p$m").mkString(" + ")
     val train = (1 to pqTrainIters).map(k =>
-      oraclePqAssignCte(s"pa$k", s"cb${k - 1}", src = "tsub") + ",\n" +
+      oraclePqAssignCte(s"pa$k", s"pcb${k - 1}", src = "tsub") + ",\n" +
         oraclePqRecenterCtes(k)).mkString(",\n")
-    val cbF = s"cb$pqTrainIters"
+    val cbF = s"pcb$pqTrainIters"
     s"""WITH $oracleNormed,
        |sub AS (SELECT vec_id, nrm, t.m AS m, $subCase AS sub
        |  FROM n CROSS JOIN (VALUES $mValues) t(m)),
        |tsub AS (SELECT * FROM sub
        |  WHERE vec_id % $pqTrainSampleMod = 0 OR vec_id < $pqK),
-       |cb0 AS (SELECT vec_id AS cid, m, sub AS csub FROM sub WHERE vec_id < $pqK),
+       |pcb0 AS (SELECT vec_id AS cid, m, sub AS csub FROM sub WHERE vec_id < $pqK),
        |$train,
        |${oraclePqAssignCte("paE", cbF)},
        |enc AS (SELECT vec_id, nrm, m, code FROM paE),
@@ -1473,6 +1558,68 @@ object SimilarityQueries {
        |rr AS (SELECT s2.probe_id, s2.vec_id AS neighbor_id,
        |    list_reduce(list_transform(generate_series(1, $dim), i -> p.pv[i] * c.v[i]), (a2, b2) -> a2 + b2) / (p.pn * c.nrm) AS cos
        |  FROM short s2 JOIN n c ON s2.vec_id = c.vec_id JOIN probes p ON s2.probe_id = p.probe_id),
+       |r AS (SELECT probe_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM rr)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  rank, cos
+       |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Oracle twin of q212: q37's IVF CTE chain (cb*) + q71's PQ CTE
+    * chain (pcb*) + the bucket-restricted ADC scan. The two codebook
+    * namespaces compose in one WITH because the PQ builders emit pcb*
+    * names. */
+  private def q212Oracle: String = {
+    val subCase = (0 until pqM).map { m =>
+      if (m < pqM - 1) s"WHEN $m THEN v[${m * pqSub + 1}:${(m + 1) * pqSub}]"
+      else s"ELSE v[${m * pqSub + 1}:${(m + 1) * pqSub}]"
+    }.mkString("CASE t.m ", " ", " END")
+    val mValues = (0 until pqM).map(m => s"($m)").mkString(", ")
+    val pivots = (0 until pqM)
+      .map(m => s"MAX(CASE WHEN e2.m = $m THEN part END) AS p$m").mkString(",\n         |    ")
+    val scoreSum = (0 until pqM).map(m => s"p$m").mkString(" + ")
+    val lloyd = (1 to lloydIters).map(k =>
+      oracleAssignCte(s"a$k", s"cb${k - 1}", src = "tn") + ",\n" +
+        oracleRecenterCtes(k)).mkString(",\n")
+    val train = (1 to pqTrainIters).map(k =>
+      oraclePqAssignCte(s"pa$k", s"pcb${k - 1}", src = "tsub") + ",\n" +
+        oraclePqRecenterCtes(k)).mkString(",\n")
+    val pcbF = s"pcb$pqTrainIters"
+    s"""WITH $oracleNormed,
+       |tn AS (SELECT * FROM n WHERE vec_id % $ivfTrainSampleMod = 0 OR vec_id < 16),
+       |cb0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |$lloyd,
+       |${oracleAssignCte("assigned", s"cb$lloydIters")},
+       |sub AS (SELECT vec_id, nrm, t.m AS m, $subCase AS sub
+       |  FROM n CROSS JOIN (VALUES $mValues) t(m)),
+       |tsub AS (SELECT * FROM sub
+       |  WHERE vec_id % $pqTrainSampleMod = 0 OR vec_id < $pqK),
+       |pcb0 AS (SELECT vec_id AS cid, m, sub AS csub FROM sub WHERE vec_id < $pqK),
+       |$train,
+       |${oraclePqAssignCte("paE", pcbF)},
+       |enc AS (SELECT p2.vec_id, p2.nrm, p2.m, p2.code, a2.centroid_id
+       |  FROM paE p2 JOIN assigned a2 ON p2.vec_id = a2.vec_id),
+       |probes0 AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn, centroid_id AS pcentroid
+       |  FROM assigned WHERE vec_id < 8),
+       |tbl AS (SELECT pr.probe_id, pr.pn, pr.pcentroid, p.m AS tm, c.cid,
+       |    ${oraclePqDot("p.sub", "c.csub")} AS part
+       |  FROM probes0 pr JOIN sub p ON p.vec_id = pr.probe_id
+       |  JOIN $pcbF c ON p.m = c.m),
+       |sc AS (SELECT t.probe_id, t.pn, e2.vec_id, e2.nrm,
+       |    $pivots
+       |  FROM enc e2 JOIN tbl t ON e2.m = t.tm AND e2.code = t.cid
+       |    AND e2.centroid_id = t.pcentroid AND e2.vec_id <> t.probe_id
+       |  GROUP BY t.probe_id, t.pn, e2.vec_id, e2.nrm),
+       |short AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY ($scoreSum) / (pn * nrm) DESC, vec_id ASC) AS arank
+       |    FROM sc) WHERE arank <= $pqShortlist),
+       |rr AS (SELECT s2.probe_id, s2.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, $dim), i -> p.pv[i] * c.v[i]), (a2, b2) -> a2 + b2) / (p.pn * c.nrm) AS cos
+       |  FROM short s2 JOIN n c ON s2.vec_id = c.vec_id
+       |  JOIN probes0 p ON s2.probe_id = p.probe_id),
        |r AS (SELECT probe_id, neighbor_id, cos,
        |    CAST(row_number() OVER (PARTITION BY probe_id
        |      ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
@@ -1528,6 +1675,7 @@ object SimilarityQueries {
     "q37_ivf_topk" -> q37Oracle,
     "q105_sem_dedup" -> q105Oracle,
     "q71_pq_topk" -> q71Oracle,
+    "q212_ivf_adc" -> q212Oracle,
     "q95_similarity_pagerank" -> q95Oracle,
     "q26_lsh_cosine" ->
       s"""WITH $oracleNormed,
