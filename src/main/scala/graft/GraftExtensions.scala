@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Kmv, Topk, Winnow, WinnowPos}
+import graft.functions.{BloomTest, DotProduct, Kmv, Topk, Winnow, WinnowPos}
 
 /** Engine extensions, installed via `spark.sql.extensions`
   * (GraftSession sets it): registers the native functions so they are
@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           "graft_topk expects (sort_key, payload, k)")
         Topk(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_test"),
+      new ExpressionInfo(classOf[BloomTest].getName, "graft_bloom_test"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bloom_test expects (hex_string, bits_literal)")
+        BloomTest(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow_pos"),

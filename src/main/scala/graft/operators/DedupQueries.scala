@@ -1282,16 +1282,31 @@ object DedupQueries {
     * 2^20-bit Bloom filter is 128 KB): the bench side folds into a
     * bit array (3 positions per shingle from disjoint 8-hex windows of
     * its md5, `bit_or` words — a bounded, mergeable, deterministic
-    * aggregate), the array BROADCASTS, and every corpus shingle tests
-    * its 3 bits in a codegen'd scalar projection. Only survivors — the
-    * true hits plus a measured false-positive residue — reach the
-    * exact confirmation join, so the corpus-side exchange carries the
-    * candidate stream, not the corpus. No false negatives by
-    * construction (a present key's bits are all set); the FP rate is
+    * aggregate), the 128 KB word array is COLLECTED ONCE to the driver
+    * (the bounded-premise-scalar idiom — bounded by filter sizing, not
+    * by data; see q150's tertiles, q208's incident threshold) and rides
+    * into [[graft.functions.BloomTest]] `graft_bloom_test(g, bits)` as
+    * a foldable literal, so every corpus shingle tests its 3 bits in a
+    * pure scalar predicate — zero joins, no per-row array column. Only
+    * survivors — the true hits plus a measured false-positive residue —
+    * reach the exact confirmation join, so the corpus-side exchange
+    * carries the candidate stream, not the corpus. No false negatives
+    * by construction (a present key's bits are all set); the FP rate is
     * part of the output, not an assumption: per doc the result carries
     * the bloom-candidate count next to the exact-hit count, and
     * BloomDeconSpec asserts candidates ⊇ hits, per-doc hit parity with
     * [[decontaminate]], and a bounded realized FP rate.
+    *
+    * ONE corpus scan: the shingle array is built per doc, the Bloom
+    * test runs INSIDE the array (`filter(gs, g -> graft_bloom_test)`),
+    * and `n_shingles`/`n_cand` are array sizes in the same projection —
+    * so only the candidate shingles (plus one `explode_outer` row per
+    * doc, which keeps clean docs in the output) ever leave the scan,
+    * and the single doc_id exchange is map-side combined. The previous
+    * form re-tokenized the corpus a second time for the totals and
+    * carried a 262 KB array column through a single-row
+    * BroadcastNestedLoopJoin — 37 s at sf0.1; this form is the shape
+    * PlanShapeSpec pins (no nested-loop join, one corpus aggregate).
     *
     * The "benchmark" here is the BOUNDED slice doc_id % 37 == 0 AND
     * doc_id < 18500 (≤ 500 docs at any scale — unlike q64's unbounded
@@ -1300,12 +1315,47 @@ object DedupQueries {
     * bound. Power-of-two m keeps the 32-bit-window mod exactly
     * uniform. Words pack 32 bits per BIGINT so every shift stays in
     * DuckDB's checked range; the oracle replays the identical
-    * positions, words, and tests digit for digit. */
+    * positions, words, and tests digit for digit.
+    *
+    * The filter itself is a DURABLE LAYOUT (the q85/q109 manifest
+    * idiom, [[graft.etl.Layouts]]): a recurring crawl-slice verdict
+    * reattaches the standing 128 KB word file keyed by the corpus
+    * fingerprint instead of re-folding the bench side every run;
+    * LayoutReattachSpec proves the reattach runs zero build jobs. */
   def q207BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val benchCond = col("doc_id") % 37 === 0 && col("doc_id") < 18500
-    bloomDecontaminate(docs.filter(!benchCond), docs.filter(benchCond))
+    val bits = stagedBloomBits(s, dir, docs.filter(benchCond))
+    bloomDecontaminateWith(docs.filter(!benchCond), docs.filter(benchCond), bits)
   }
+
+  /** Per-JVM memo of the durable Bloom word array, keyed by corpus
+    * content fingerprint — same discipline as [[fpIndexCache]]. */
+  private val bloomBitsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** Attach-or-build the q207 Bloom word array as a durable layout:
+    * built once per (corpus fingerprint, filter geometry), persisted as
+    * a 128 KB little-endian long file under [[graft.etl.Layouts.root]],
+    * reattached by later JVMs with a single bounded file read. */
+  private def stagedBloomBits(s: SparkSession, dir: String,
+                              bench: DataFrame): Array[Long] =
+    bloomBitsCache.computeIfAbsent(graft.CorpusKey(dir, "documents.parquet"), _ => {
+      val m = graft.etl.Layouts.attachOrBuild(
+        s, "bloomwords", s"v1:m=$bloomBits:k=3:slice=37/18500",
+        dir, Seq("documents")) { base =>
+        val arr = bloomWordBits(bench)
+        val bb = java.nio.ByteBuffer.allocate(8 * arr.length)
+        arr.foreach(bb.putLong)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(base, "words.bin"), bb.array())
+        (Seq.empty, s"$base/words.bin")
+      }
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(m.dataPath))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(bb.getLong)
+    })
 
   /** Bloom positions of a hex-hash column `g`: 3 disjoint 8-hex
     * windows mod m (m a power of two). */
@@ -1315,50 +1365,56 @@ object DedupQueries {
   private val bloomBits = 1048576L // 2^20
   private val bloomWords = (bloomBits / 32L).toInt
 
-  /** Library form over arbitrary (doc_id, text) frames — q207's core,
-    * shared with BloomDeconSpec's adversarial fixtures. */
-  private[graft] def bloomDecontaminate(train: DataFrame, bench: DataFrame): DataFrame = {
-    val benchSet = shingleHashes(bench).select("g").distinct()
-    // bench -> 3 positions per shingle -> 32-bit words -> one dense row
-    val words = benchSet
+  /** Fold the bench side into the packed 2^20-bit word array:
+    * 3 positions per distinct shingle -> 32-bit words via `bit_or` —
+    * a bounded, mergeable aggregate whose result is 128 KB regardless
+    * of corpus size, then ONE driver collect of ≤ [[bloomWords]] rows. */
+  private[graft] def bloomWordBits(bench: DataFrame): Array[Long] = {
+    val rows = shingleHashes(bench).select("g").distinct()
       .select(explode(expr(
         s"array(${bloomPos(0)}, ${bloomPos(1)}, ${bloomPos(2)})")).as("p"))
       .groupBy(expr("cast(p div 32 as int)").as("w"))
       .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 32 as int)))").as("bits"))
-    val bloomRow = words
-      .agg(expr("map_from_entries(collect_list(struct(w, bits)))").as("m"))
-      .select(expr(
-        s"transform(sequence(0, ${bloomWords - 1}), i -> coalesce(element_at(m, i), cast(0 as bigint)))")
-        .as("bloom"))
-    // corpus: per-doc distinct-shingle counts ride the projection (no
-    // explode, no shuffle); the exploded stream tests its bits against
-    // the broadcast array and only survivors reach the exact join
-    val trainSh = shingleHashes(train)
-    val candidates = trainSh
-      .crossJoin(broadcast(bloomRow))
-      .withColumn("hit3", expr((0 to 2).map { i =>
-        s"(element_at(bloom, cast((${bloomPos(i)}) div 32 as int) + 1) " +
-          s"& shiftleft(cast(1 as bigint), cast((${bloomPos(i)}) % 32 as int))) != 0"
-      }.mkString(" AND ")))
-      .filter(col("hit3"))
-      .select("doc_id", "g")
-    val candAgg = candidates
-      .join(benchSet.withColumn("inb", lit(1)), Seq("g"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("bigint").as("n_cand"),
-        sum(coalesce(col("inb"), lit(0))).cast("bigint").as("n_hits"))
-    val docTotals = train
+      .collect()
+    val arr = new Array[Long](bloomWords)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Library form over arbitrary (doc_id, text) frames — q207's core,
+    * shared with BloomDeconSpec's adversarial fixtures. */
+  private[graft] def bloomDecontaminate(train: DataFrame, bench: DataFrame): DataFrame =
+    bloomDecontaminateWith(train, bench, bloomWordBits(bench))
+
+  private[graft] def bloomDecontaminateWith(train: DataFrame, bench: DataFrame,
+                                            bits: Array[Long]): DataFrame = {
+    val benchSet = shingleHashes(bench).select("g").distinct()
+    val bitsLit = lit(bits)
+    // ONE corpus scan: shingle array, Bloom-filtered candidate array,
+    // and both sizes in a single projection; explode_outer keeps clean
+    // docs (empty candidate array) in the stream as one null-g row
+    val perDoc = train
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
-      .select(col("doc_id"), expr(
-        s"cast(size(array_distinct(transform($shinglesExpr, x -> md5(x)))) as bigint)")
-        .as("n_shingles"))
-    docTotals.join(candAgg, Seq("doc_id"), "left")
-      .select(col("doc_id").cast("bigint").as("doc_id"), col("n_shingles"),
-        coalesce(col("n_cand"), lit(0L)).cast("bigint").as("n_cand"),
-        coalesce(col("n_hits"), lit(0L)).cast("bigint").as("n_hits"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform($shinglesExpr, x -> md5(x)))").as("gs"))
+      .withColumn("cand_gs",
+        filter(col("gs"), g => call_function("graft_bloom_test", g, bitsLit)))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        expr("cast(size(gs) as bigint)").as("n_shingles"),
+        expr("cast(size(cand_gs) as bigint)").as("n_cand"),
+        explode_outer(col("cand_gs")).as("g"))
+    // exact confirm on survivors only; the doc_id exchange carries
+    // candidates + one row per doc, map-side combined
+    perDoc
+      .join(benchSet.withColumn("inb", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(max("n_shingles").as("n_shingles"),
+        max("n_cand").as("n_cand"),
+        sum(coalesce(col("inb"), lit(0L))).cast("bigint").as("n_hits"))
       .withColumn("verdict",
         expr("case when n_hits > 0 then 'contaminated' else 'clean' end"))
+      .select("doc_id", "n_shingles", "n_cand", "n_hits", "verdict")
       .orderBy("doc_id")
   }
 
