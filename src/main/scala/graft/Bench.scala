@@ -135,7 +135,21 @@ object Bench {
          Option.empty[Double])
       }.get
     }
-    println(s"""{"metric":"total",${sweepJson(results, errors, nTrials, sfDir)}${
+    // FIRST line: the driver-contract JSON, compact enough to always
+    // parse — every per-query median but NO raw trials / per-query trial
+    // counts (the fields that grew round 11's full line past the driver's
+    // line-capture limit and left "parsed": null). ~6 KB at 212 queries.
+    val primaryTotal0 = results.map { case (_, ts) => median(ts) }.sum
+    val qMedians = JsonUtil.obj(
+      results.map { case (k, ts) => k -> f"${median(ts)}%.3f" })
+    val errJson0 = JsonUtil.obj(errors.map { case (k, v) => k -> JsonUtil.quote(v) })
+    println(s"""{"metric":"total","value":${f"$primaryTotal0%.3f"},"unit":"sec",""" +
+      s""""aggregation":"median","n_trials":$nTrials,"queries":$qMedians,""" +
+      s""""n_ok":${results.size},"n_err":${errors.size},"errors":$errJson0,""" +
+      s""""sf":"$sfDir"}""")
+    // full-detail line (raw trials, per-query trial counts, secondary
+    // sweep) for forensic round-over-round analysis; may exceed capture
+    println(s"""{"metric":"total_full",${sweepJson(results, errors, nTrials, sfDir)}${
       sec.map(_._1).getOrElse("")}}""")
     // The artifact keeps only the TAIL of this program's output, and the
     // full line above scales with query count x trial count x two sweeps

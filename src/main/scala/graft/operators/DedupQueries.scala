@@ -1334,6 +1334,10 @@ object DedupQueries {
   private val bloomBitsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
+  /** Test hook (LayoutReattachSpec): empty the per-JVM memo so the next
+    * invocation exercises the durable attach path a fresh JVM takes. */
+  private[graft] def resetBloomBitsForTest(): Unit = bloomBitsCache.clear()
+
   /** Attach-or-build the q207 Bloom word array as a durable layout:
     * built once per (corpus fingerprint, filter geometry), persisted as
     * a 128 KB little-endian long file under [[graft.etl.Layouts.root]],

@@ -90,6 +90,22 @@ class LayoutReattachSpec extends AnyFunSuite {
     assert(spark.table(other).count() > 0)
   }
 
+  test("q207 bloom word file re-attaches across sessions with zero rebuild jobs") {
+    val r1 = SparkEntry.queries("q207_bloom_decontaminate")(spark, sfDir).collect()
+    val base = etl.Layouts.baseFor("bloomwords", sfDir)
+    assert(Files.exists(Paths.get(base, "_graft_manifest")),
+      "the first run must persist the word-array layout")
+    assert(Files.size(Paths.get(base, "words.bin")) === 8L * 32768,
+      "the word file is the 128 KB packed filter, independent of corpus size")
+    val before = snapshot(base)
+
+    operators.DedupQueries.resetBloomBitsForTest()
+    val r2 = SparkEntry.queries("q207_bloom_decontaminate")(spark, sfDir).collect()
+    assert(r2.toSeq == r1.toSeq, "the attached filter must serve identical verdicts")
+    assert(snapshot(base) == before,
+      "attach must reuse the standing word file (the bench-side fold never re-runs)")
+  }
+
   test("q109 z-order layout re-attaches; a fingerprint mismatch forces a rebuild") {
     val r1 = SparkEntry.queries("q109_zorder_scan")(spark, sfDir).collect()
     val base = etl.Layouts.baseFor("zorder", sfDir)

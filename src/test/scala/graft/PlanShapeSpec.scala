@@ -160,6 +160,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the scoring pass must not re-run per consumer:\n$p")
   }
 
+  test("q207: the Bloom probe is a pure scalar predicate — no nested-loop join, one corpus scan") {
+    // the 128 KB word array must ride into the plan as a foldable literal
+    // inside graft_bloom_test, NEVER as a joined array column: a single-row
+    // BroadcastNestedLoopJoin materializing the array per shingle row was
+    // the round-11 37 s outlier. One scan serves totals AND candidates, so
+    // exactly two file scans may appear (corpus + bench confirm side).
+    val exec = SparkEntry.queries("q207_bloom_decontaminate")(spark, sfDir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the word array must ride a literal, not a join:\n${p.take(4000)}")
+    assert(p.contains("graft_bloom_test"),
+      s"the native Bloom predicate must gate the corpus side:\n${p.take(4000)}")
+    val scans = executedNodes(exec).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2,
+      s"one corpus scan + one bench scan expected, got ${scans.size}")
+  }
+
   test("q112: prefix filtering keeps the similarity join equi end to end") {
     val p = plan("q112_ppjoin_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
