@@ -15,16 +15,27 @@ package graft
   *     in-session fixture regeneration could silently serve stale
   *     staged state.
   * This helper walks the PART FILES instead: max mtime + total bytes +
-  * file count + a hash of the sorted file names. Spark embeds a fresh
-  * job UUID in every part-file name, so any rewrite — even one landing
-  * in the same second with identical sizes — changes the name hash and
-  * misses the cache. CacheFingerprintSpec proves the regen-miss for
-  * each cached family.
+  * file count + an MD5 digest of the sorted RELATIVE paths. Spark
+  * embeds a fresh job UUID in every part-file name, so any rewrite —
+  * even one landing in the same second with identical sizes — changes
+  * the path digest and misses the cache; relative paths (not bare
+  * basenames) keep nested directories with coincidentally equal file
+  * names distinct, and a real digest removes the 32-bit
+  * `String.hashCode` collision surface a cache-identity key should not
+  * carry. CacheFingerprintSpec proves the regen-miss for each cached
+  * family.
   *
-  * All seven caches key through here (ivfCodebookCache, ivfAssignedCache,
-  * pqCodebookCache, ccLabelsCache, fuzzyPairsCache, erLabelsCache,
-  * fpIndexCache) plus the Z-order layout map; callers append their own
-  * geometry suffixes (sample mod, sub-vector count) after the key.
+  * Every staged per-JVM cache keys through here (the dedup/similarity
+  * codebook, label, pair, and fingerprint-index caches, the Z-order
+  * layout map, the quality-filter feature stage, and the streaming
+  * schema-probe cache); callers append their own geometry suffixes
+  * (sample mod, sub-vector count) after the key.
+  *
+  * LOCAL-FS ASSUMPTION: the walk uses `java.io.File`, matching the
+  * single-JVM local[32] deployment this library is driven under; a
+  * cluster deployment reading object storage would port this walk to
+  * the Hadoop FileSystem listing (same fields are available there) —
+  * the KEY FORMAT is storage-agnostic, only the walk is not.
   */
 object CorpusKey {
 
@@ -34,9 +45,10 @@ object CorpusKey {
   def apply(dir: String, table: String): String = {
     val root = new java.io.File(dir, table)
     require(root.exists(), s"CorpusKey: source missing: ${root.getPath}")
+    val rootPath = root.toPath
     var maxMtime = 0L
     var bytes = 0L
-    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rels = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(f: java.io.File): Unit =
       if (f.isDirectory) {
         val cs = f.listFiles()
@@ -44,10 +56,12 @@ object CorpusKey {
       } else {
         maxMtime = math.max(maxMtime, f.lastModified())
         bytes += f.length()
-        names += f.getName
+        rels += rootPath.relativize(f.toPath).toString
       }
     walk(root)
-    val nameHash = names.sorted.mkString("\n").hashCode
-    s"${root.getPath}@$maxMtime:$bytes:${names.size}:$nameHash"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(rels.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${root.getPath}@$maxMtime:$bytes:${rels.size}:$digest"
   }
 }

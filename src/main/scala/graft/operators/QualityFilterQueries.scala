@@ -71,9 +71,11 @@ object QualityFilterQueries {
     col("doc_id"),
     lit(10L).as("x0"),
     expr("cast(least(size(split(text, ' ')), 100) as bigint)").as("x1"),
-    expr(s"cast((100 * size(filter(split(text, ' '), t -> t IN ($stopList))))" +
+    // numerators in BIGINT before the *100: size() is INT, and 100 * a
+    // >21M-token doc would overflow 32 bits — x1 is capped, these are not
+    expr(s"cast((100 * cast(size(filter(split(text, ' '), t -> t IN ($stopList))) as bigint))" +
       " div greatest(size(split(text, ' ')), 1) as bigint)").as("x2"),
-    expr("cast((100 * size(array_distinct(split(text, ' '))))" +
+    expr("cast((100 * cast(size(array_distinct(split(text, ' '))) as bigint))" +
       " div greatest(size(split(text, ' ')), 1) as bigint)").as("x3"),
     expr("cast(case when n_chars >= 300 then 1 else 0 end as bigint)").as("y"))
 

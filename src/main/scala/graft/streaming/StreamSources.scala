@@ -40,6 +40,12 @@ object StreamSources {
     * partitioning on the group key only moves rows between stores), which
     * the oracle parity of every streaming query continues to check. */
   private[graft] def withBoundedState[T](s: SparkSession)(body: => T): T = {
+    // NOTE: this temporarily mutates the SESSION-GLOBAL shuffle-partition
+    // conf and restores it in finally — safe under the harness's strictly
+    // sequential query execution (one drain at a time per session), but a
+    // concurrent or nested query on the same SparkSession would observe
+    // the temporary value. A multi-tenant deployment should scope the
+    // override with SparkSession.newSession() per stream instead.
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "4"))

@@ -44,8 +44,9 @@ object StreamingQueries {
   /** Start one bounded AvailableNow topology and drain it to completion,
     * under the bounded state-partition fan-out
     * ([[StreamSources.withBoundedState]] — state partitioning is a
-    * deployment knob; the harness keyspace needs 8, a 100 TB pipeline
-    * sizes it to key cardinality). */
+    * deployment knob; the harness default lives there
+    * (GRAFT_STREAM_STATE_PARTITIONS, measured optimum in SCALE.md), a
+    * 100 TB pipeline sizes it to key cardinality). */
   private def drain(s: SparkSession,
                     w: org.apache.spark.sql.streaming.DataStreamWriter[
                       org.apache.spark.sql.Row]): Unit =
