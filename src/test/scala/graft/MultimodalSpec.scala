@@ -261,6 +261,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(vec.forall(_ === -0.5f), s"got ${vec.toSeq.take(4)}...")
   }
 
+  test("pixel-stats parity: the same frame as Y4M and as MJPEG decodes to the same luma") {
+    // the two container paths must agree on WHAT a pixel is: the Y4M
+    // path reads the raw Y plane, the MJPEG path decodes JPEG via
+    // ImageIO and converts through the shared BT.601 integer luma — a
+    // gray frame (R=G=B=v has luma exactly v) built from 8x8-aligned
+    // uniform regions survives JPEG's DCT quantization (near-)exactly,
+    // so the two decodes must report the same geometry and luma stats
+    val (w, h) = (64, 64)
+    val luma = Array.tabulate[Byte](w * h)(i =>
+      if (i / w < h / 2) 100.toByte else 200.toByte)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = luma(y * w + x) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val ds = mediaOf(26L -> y4mBytes(w, h, luma), 27L -> aviBytes(bos.toByteArray))
+
+    val rows = BinaryPipeline.decodeVideo(ds).collect()
+    val ry = rows.find(_.doc_id == 26L).get
+    val rj = rows.find(_.doc_id == 27L).get
+    assert(ry.decoded && rj.decoded)
+    assert((ry.width, ry.height) === (rj.width, rj.height),
+      "both containers must report the true frame geometry")
+    assert(math.abs(ry.mean_luma - rj.mean_luma) <= 1,
+      s"mean luma must match across containers: y4m=${ry.mean_luma} mjpeg=${rj.mean_luma}")
+
+    // and the downstream FEATURES are pixel-derived the same way: the
+    // 8x8 block means of the two decodes agree within JPEG tolerance
+    val vecs = BinaryPipeline.featureExtract(ds, dim = 64).collect()
+      .map(r => r.doc_id -> r.embedding).toMap
+    vecs(26L).zip(vecs(27L)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) <= 2f / 128f,
+        s"block $i: y4m=$a mjpeg=$b diverge beyond JPEG quantization")
+    }
+  }
+
   test("non-video payloads keep the byte-slice fallback with decoded=false") {
     val ds = mediaOf(25L -> ("x" * 600).getBytes("UTF-8"))
     val rows = BinaryPipeline.decodeVideo(ds).collect().sortBy(_.frame_idx)
