@@ -451,7 +451,50 @@ object EtlQueries {
       .orderBy("h", "event_type")
   }
 
+  // ---------------------------------------------------------------- q214
+
+  /** MERGE (SCD-upsert) — the one relational verb the warehouse surface
+    * lacked: matched-UPDATE / not-matched-INSERT /
+    * not-matched-by-source-DELETE resolved in ONE full-outer pass, the
+    * semantics of SQL MERGE audited as a frame. The scenario is the
+    * recurring dim rebuild a warehouse runs nightly: the standing
+    * customer-balance dim (bootstrapped without every third customer —
+    * the q113 fixture discipline) absorbs an update feed aggregated
+    * from the recent-orders window; a matched customer's balance grows
+    * by their recent spend, a new customer inserts at their spend, and
+    * a customer absent from the feed leaves the active dim. The audit
+    * frame carries (action, old, new) per key so every verb is under
+    * the oracle hash, not just the surviving rows.
+    *
+    * Scale: the merge is ONE equi full-outer join on the dim key after
+    * a map-side-combinable aggregate of the feed — the feed aggregate's
+    * output partitioning (o_custkey) IS the join partitioning, so the
+    * aggregated side reaches the join with no further exchange, and
+    * the plan carries exactly two data shuffles (feed aggregate, dim) —
+    * PlanShapeSpec pins both counts. Exact cents throughout; no
+    * nondeterministic float addition under the hash. */
+  def q214MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").cast("bigint").as("k"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("bal_c"))
+    val source = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+      .groupBy(col("o_custkey").cast("bigint").as("k"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("recent_c"))
+    target.join(source, Seq("k"), "full_outer")
+      .select(col("k").as("c_custkey"),
+        when(col("bal_c").isNotNull && col("recent_c").isNotNull, "update")
+          .when(col("bal_c").isNull, "insert")
+          .otherwise("delete").as("action"),
+        col("bal_c").as("old_bal_c"),
+        when(col("recent_c").isNotNull,
+          coalesce(col("bal_c"), lit(0L)) + col("recent_c")).as("new_bal_c"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_merge_upsert" -> (q214MergeUpsert _),
     "q125_snapshot_diff" -> (q125SnapshotDiff _),
     "q126_incremental_agg" -> (q126IncrementalAgg _),
     "q113_scd2_incremental" -> (q113Scd2Incremental _),
@@ -516,6 +559,22 @@ object EtlQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // MERGE semantics replayed as the equivalent full-outer CTE: the
+    // same three verbs, exact cents, identical null conventions
+    "q214_merge_upsert" ->
+      """WITH t AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |s AS (SELECT CAST(o_custkey AS BIGINT) AS k,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS recent_c
+        |  FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY o_custkey)
+        |SELECT COALESCE(t.k, s.k) AS c_custkey,
+        |  CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN 'update'
+        |       WHEN t.k IS NULL THEN 'insert' ELSE 'delete' END AS action,
+        |  t.bal_c AS old_bal_c,
+        |  CASE WHEN s.k IS NOT NULL THEN COALESCE(t.bal_c, 0) + s.recent_c END AS new_bal_c
+        |FROM t FULL OUTER JOIN s ON t.k = s.k
+        |ORDER BY c_custkey""".stripMargin,
     "q109_zorder_scan" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -180,6 +180,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one corpus scan + one bench scan expected, got ${scans.size}")
   }
 
+  test("q214: the merge rides one full-outer join and exactly two data shuffles") {
+    // MERGE = one equi full-outer SMJ; the feed aggregate's output
+    // partitioning (the dim key) must satisfy the join so the
+    // aggregated side reaches it with no third exchange
+    val exec = SparkEntry.queries("q214_merge_upsert")(spark, sfDir)
+      .queryExecution.executedPlan
+    val nodes = executedNodes(exec)
+    val smjs = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.size == 1 && smjs.head.joinType.toString == "FullOuter",
+      s"expected exactly one full-outer SMJ, got ${smjs.map(_.joinType)}")
+    val hashEx = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.startsWith("hashpartitioning") => e
+    }
+    assert(hashEx.size == 2,
+      s"expected two data shuffles (dim + feed aggregate), got ${hashEx.size}")
+  }
+
   test("q112: prefix filtering keeps the similarity join equi end to end") {
     val p = plan("q112_ppjoin_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
