@@ -210,16 +210,123 @@ object QualityFilterQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q213
+
+  /** Hashed-n-gram bucket count: 16 buckets addressed by the 8th hex
+    * nibble of each gram's md5 — `conv` of ONE hex char, because
+    * value_of_8_hex_window % 16 IS the window's last nibble, so both
+    * engines read a single digit instead of parsing 8 (the q207
+    * position family reduced to its cheapest exact form). */
+  private val nB = 16
+
+  /** fastText-shaped feature frame: token unigrams AND word bigrams
+    * hash into [[nB]] shared buckets; x_j = grams landing in bucket j
+    * (a bag-of-hashed-ngrams count vector), bias 10, same weak label.
+    * All counts are exact small integers — the wider sibling of
+    * [[features]], same lattice discipline. */
+  private[graft] def ngramFeatures(docs: DataFrame): DataFrame = {
+    def buckets(arr: String) =
+      s"transform($arr, t -> cast(conv(substring(md5(t), 8, 1), 16, 10) as bigint))"
+    // slice(toks, 1, 0) is the TYPED empty array — sequence(1, 0)
+    // DESCENDS in Spark (the q157 trap), so 1-token docs need the guard
+    val bigrams = "case when size(toks) >= 2 then " +
+      "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i])) " +
+      "else slice(toks, 1, 0) end"
+    val base = docs.select(col("doc_id"),
+        expr("split(text, ' ')").as("toks"),
+        expr("cast(case when n_chars >= 300 then 1 else 0 end as bigint)").as("y"))
+      .withColumn("hu", expr(buckets("toks")))
+      .withColumn("hb", expr(buckets(bigrams)))
+    val xs = (0 until nB).map(j => expr(
+      s"cast(size(filter(hu, h -> h = $j)) + size(filter(hb, h -> h = $j)) as bigint)")
+      .as(s"x$j"))
+    base.select((col("doc_id") +: lit(10L).as("xb") +: xs) :+ col("y"): _*)
+  }
+
+  private val ngramFeatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedNgramFeatures(s: SparkSession, dir: String): DataFrame = {
+    val p = ngramFeatCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ => {
+        val pth = graft.Staging.fresh("qngfeat")
+        ngramFeatures(Tables.documents(s, dir))
+          .write.mode("overwrite").parquet(pth)
+        pth
+      })
+    s.read.parquet(p)
+  }
+
+  private val q213Cols: IndexedSeq[String] = "xb" +: (0 until nB).map("x" + _)
+
+  /** q213's own schedule: the 17-weight space moves ~1/4 as far per
+    * pass per weight as q205's 4-weight space (gradient mass spreads
+    * over the buckets), so the wider model takes larger steps for more
+    * passes. Constants chosen by a fixture sweep; the oracle unrolls
+    * the same schedule. */
+  private val lrDiv13 = 128L
+  private val iters13 = 24
+
+  /** [[train]] generalized to an arbitrary feature width: identical
+    * fixed-point arithmetic, one (1 + width)-scalar aggregate per pass. */
+  private[graft] def trainWide(feats: DataFrame, cols: IndexedSeq[String],
+                               lrDivW: Long, itersW: Int): (Array[Long], Long) = {
+    val w = Array.fill(cols.size)(0L)
+    var n = 0L
+    for (_ <- 1 to itersW) {
+      val m = cols.indices.map(j => s"${w(j)}*${cols(j)}").mkString(" + ")
+      val aggs = cols.map(c => sum(expr(s"(p - y*$S) * $c")).as(s"g_$c"))
+      val r = feats.withColumn("p", expr(pExpr(m)))
+        .agg(count(lit(1)).as("n"), aggs: _*).head()
+      n = r.getLong(0)
+      val d = lrDivW * n
+      var j = 0
+      while (j < cols.size) { w(j) -= Math.floorDiv(r.getLong(j + 1), d); j += 1 }
+    }
+    (w, n)
+  }
+
+  private val ngramWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private def trainedNgramWeights(s: SparkSession, dir: String): Array[Long] =
+    ngramWeightsCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"),
+      _ => trainWide(stagedNgramFeatures(s, dir), q213Cols, lrDiv13, iters13)._1)
+
+  /** q213 — the q205 classifier re-based on the HASHED N-GRAM feature
+    * vector (the fastText bag-of-ngrams form): 17 learned weights over
+    * bucket counts instead of 4 over hand features, trained by the
+    * identical fixed-point GD loop (weights as literals, one wider
+    * map-side-combinable aggregate per pass, bounded driver scalars).
+    * Reports every learned e6 weight plus training accuracy, so the
+    * whole weight vector sits under the oracle hash. Headroom: each
+    * gradient term is <= S * x_j with x_j <= 2L (grams per doc), so the
+    * BIGINT sums are exact to ~4.6e7 docs per 1e5-gram doc —
+    * MomentHeadroomSpec's discipline, documented at the premise. */
+  def q213NgramQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val w = trainedNgramWeights(s, dir)
+    val m = q213Cols.indices.map(j => s"${w(j)}*${q213Cols(j)}").mkString(" + ")
+    val wCols = lit(w(0)).as("wb_e6") +:
+      (0 until nB).map(j => lit(w(j + 1)).as(s"w${j}_e6"))
+    stagedNgramFeatures(s, dir)
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(expr(s"case when (($m) >= 0) = (y = 1) then 1 else 0 end"))
+          .cast("bigint").as("n_correct"))
+      .select(wCols ++ Seq(col("n_docs"), col("n_correct")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_train_quality_filter" -> (q205TrainQualityFilter _),
     "q206_quality_scorecard" -> (q206QualityScorecard _),
+    "q213_ngram_quality_filter" -> (q213NgramQualityFilter _),
   )
 
   // ------------------------------------------------------------- oracles
 
   /** The feature CTE — the identical projection in DuckDB list syntax. */
   private val fCte =
-    s"""f AS (SELECT doc_id,
+    s"""f AS MATERIALIZED (SELECT doc_id,
        |    CAST(10 AS BIGINT) AS x0,
        |    CAST(LEAST(len(string_split(text, ' ')), 100) AS BIGINT) AS x1,
        |    CAST((100 * len(list_filter(string_split(text, ' '),
@@ -240,7 +347,7 @@ object QualityFilterQueries {
                 |    (SELECT COUNT(*) FROM f) AS n)""".stripMargin
     val its = (1 to iters).map { k =>
       val d = "(256 * n)"
-      s"""g$k AS (SELECT
+      s"""g$k AS MATERIALIZED (SELECT
          |    CAST(SUM((p - y*$S) * x0) AS BIGINT) AS g0,
          |    CAST(SUM((p - y*$S) * x1) AS BIGINT) AS g1,
          |    CAST(SUM((p - y*$S) * x2) AS BIGINT) AS g2,
@@ -251,7 +358,7 @@ object QualityFilterQueries {
          |      LEAST($S, GREATEST(0, ${2 * S}
          |        + (w.a0*x0 + w.a1*x1 + w.a2*x2 + w.a3*x3)) // 4) AS p
          |    FROM f, w${k - 1} w) z),
-         |w$k AS (SELECT
+         |w$k AS MATERIALIZED (SELECT
          |    a0 - (g0 - ((g0 % $d) + $d) % $d) // $d AS a0,
          |    a1 - (g1 - ((g1 % $d) + $d) % $d) // $d AS a1,
          |    a2 - (g2 - ((g2 % $d) + $d) % $d) // $d AS a2,
@@ -262,7 +369,72 @@ object QualityFilterQueries {
     (w0 +: its).mkString(",\n")
   }
 
+  /** q213's feature CTE: the identical hashed-gram buckets in DuckDB
+    * list syntax (strpos nibble read == Spark's 1-char conv). */
+  private val fCte13: String = {
+    val xs = (0 until nB).map(j =>
+      s"    CAST(len(list_filter(hu, h -> h = $j)) + len(list_filter(hb, h -> h = $j)) AS BIGINT) AS x$j")
+      .mkString(",\n")
+    s"""t13 AS (SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents),
+       |n13 AS (SELECT doc_id,
+       |    list_transform(toks, t -> strpos('0123456789abcdef', substr(md5(t), 8, 1)) - 1) AS hu,
+       |    list_transform(list_transform(generate_series(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1]),
+       |      g -> strpos('0123456789abcdef', substr(md5(g), 8, 1)) - 1) AS hb,
+       |    CAST(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM t13),
+       |f AS MATERIALIZED (SELECT doc_id, CAST(10 AS BIGINT) AS xb,
+       |$xs,
+       |    y
+       |  FROM n13)""".stripMargin
+  }
+
+  /** The unrolled training chain at q213's width — [[trainCtes]]'s
+    * generator parameterized by the 17 feature columns. */
+  private def trainCtes13: String = {
+    val cols = q213Cols
+    val w0 = s"""w0 AS (SELECT ${cols.indices.map(j => s"CAST(0 AS BIGINT) AS a$j")
+      .mkString(", ")}, (SELECT COUNT(*) FROM f) AS n)"""
+    val its = (1 to iters13).map { k =>
+      val d = s"($lrDiv13 * n)"
+      val margin = cols.indices.map(j => s"w.a$j*${cols(j)}").mkString(" + ")
+      val gs = cols.indices.map(j =>
+        s"    CAST(SUM((p - y*$S) * ${cols(j)}) AS BIGINT) AS g$j").mkString(",\n")
+      val carries = cols.indices.map(j => s"MAX(a$j) AS a$j").mkString(", ")
+      val reads = cols.indices.map(j => s"w.a$j").mkString(", ")
+      val ups = cols.indices.map(j =>
+        s"    a$j - (g$j - ((g$j % $d) + $d) % $d) // $d AS a$j").mkString(",\n")
+      s"""g$k AS MATERIALIZED (SELECT
+         |$gs,
+         |    $carries, MAX(n) AS n
+         |  FROM (SELECT f.*, $reads, w.n,
+         |      LEAST($S, GREATEST(0, ${2 * S} + ($margin)) // 4) AS p
+         |    FROM f, w${k - 1} w) z),
+         |w$k AS MATERIALIZED (SELECT
+         |$ups,
+         |    n
+         |  FROM g$k)""".stripMargin
+    }
+    (w0 +: its).mkString(",\n")
+  }
+
+  private val q213Oracle: String = {
+    val margin = q213Cols.indices.map(j => s"w.a$j*${q213Cols(j)}").mkString(" + ")
+    val wOut = (s"CAST(w.a0 AS BIGINT) AS wb_e6" +:
+      (0 until nB).map(j => s"CAST(w.a${j + 1} AS BIGINT) AS w${j}_e6"))
+      .mkString(",\n  ")
+    s"""WITH $fCte13,
+       |${trainCtes13},
+       |acc AS (SELECT CAST(SUM(CASE WHEN (($margin) >= 0) = (y = 1)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |  FROM f, w$iters13 w)
+       |SELECT $wOut,
+       |  CAST(w.n AS BIGINT) AS n_docs, acc.n_correct
+       |FROM w$iters13 w, acc""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q213_ngram_quality_filter" -> q213Oracle,
     "q205_train_quality_filter" ->
       s"""WITH $fCte,
          |$trainCtes,

@@ -59,6 +59,35 @@ class QualityFilterSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("q213: the hashed-ngram filter learns well above the majority baseline") {
+    // the fastText bag-of-ngrams variant must learn the same weak label
+    // from 16 hashed bucket counts alone — no hand features
+    val r = graft.SparkEntry.queries("q213_ngram_quality_filter")(spark, sfDir)
+      .collect().head
+    val (n, correct) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"))
+    val majority = {
+      val pos = fixtureFeats.agg(sum("y")).collect().head.getLong(0)
+      math.max(pos, n - pos).toDouble / n
+    }
+    assert(correct.toDouble / n > 0.9, s"accuracy ${correct.toDouble / n}")
+    assert(correct.toDouble / n > majority + 0.2,
+      s"must beat majority $majority by a margin, got ${correct.toDouble / n}")
+  }
+
+  test("q213 features: bucket counts conserve the total gram count") {
+    // sum over buckets == unigrams + bigrams per doc (= 2L-1 for L >= 2):
+    // the hash PARTITIONS the grams, it must not drop or double-count
+    val f = QualityFilterQueries.ngramFeatures(
+      graft.Tables.documents(spark, sfDir))
+    val xsum = (0 until 16).map(j => col(s"x$j")).reduce(_ + _)
+    val bad = f.join(graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), expr("size(split(text, ' '))").as("len")),
+        Seq("doc_id"))
+      .filter(xsum =!= expr("len + greatest(len - 1, 0)"))
+      .count()
+    assert(bad === 0L, "hashed buckets must partition the gram multiset exactly")
+  }
+
   test("q206 scorecard is consistent with the trained decision rule") {
     val sc = graft.SparkEntry.queries("q206_quality_scorecard")(spark, sfDir)
       .collect()
