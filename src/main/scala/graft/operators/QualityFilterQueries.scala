@@ -316,10 +316,128 @@ object QualityFilterQueries {
       .select(wCols ++ Seq(col("n_docs"), col("n_correct")): _*)
   }
 
+  // ---------------------------------------------------------------- q215
+
+  /** q215 — RULES-BASED quality gate audit (the Gopher/C4 practice:
+    * Rae et al. 2021 §A.1.1, Raffel et al. 2020 §2.2): five hand
+    * threshold rules evaluated per document, reported as a per-source
+    * audit — how many documents each RULE rejects, how many pass ALL
+    * rules, and the e6-floored pass share. The rules-based sibling of
+    * the LEARNED filter (q205/q206): production pipelines run this gate
+    * first and train the model on what survives.
+    *
+    * The five rules, all on the exact integer lattice (ratios are
+    * integer per-cents via `div`, operands non-negative so trunc ==
+    * floor in both engines):
+    *   - word count within [25, 90] (too short = fragment, too long =
+    *     concatenation artifact at fixture scale);
+    *   - mean word length (x10) within [40, 52] — gibberish screens;
+    *   - at least one stopword from the q27 probe set present (the
+    *     Gopher "stop word" rule);
+    *   - distinct-token share >= 40% (the repetition screen, q61's
+    *     ratio as a hard gate);
+    *   - max single-token share <= 12% (the "most common word" C4/
+    *     Gopher screen; row-local max over the distinct-token counts).
+    *
+    * Scale shape: every rule evaluates inside one codegen'd scan
+    * projection (row-local array ops, no explode — the per-doc token
+    * array never leaves its row), then ONE map-side-combinable
+    * aggregate on the bounded source key. No joins, one shuffle of
+    * |sources| x 8 small integers. The max-share rule is O(distinct x
+    * n) per row on a <=100-token fixture doc — bounded by the word-
+    * count rule itself at production scale (docs past the cap fail r1
+    * regardless, so the gate can short-circuit the expensive rule on
+    * the capped prefix). */
+  def q215RulesGate(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(s, dir)
+      .select(col("source"), expr("split(text, ' ')").as("toks"))
+      .select(col("source"),
+        expr("cast(greatest(size(toks), 1) as bigint)").as("n"),
+        expr("cast(aggregate(toks, 0L, (acc, x) -> acc + length(x)) as bigint)")
+          .as("chars"),
+        expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
+        expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
+          .as("nstop"),
+        expr("cast(array_max(transform(array_distinct(toks), " +
+          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"))
+      .select(col("source"),
+        expr("case when n between 25 and 90 then 0 else 1 end").as("f_wc"),
+        expr("case when (10 * chars) div n between 40 and 52 then 0 else 1 end")
+          .as("f_mwl"),
+        expr("case when nstop >= 1 then 0 else 1 end").as("f_stop"),
+        expr("case when (100 * nd) div n >= 40 then 0 else 1 end").as("f_rep"),
+        expr("case when (100 * mf) div n <= 12 then 0 else 1 end").as("f_top"))
+    m.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("f_wc").cast("bigint").as("fail_wordcount"),
+        sum("f_mwl").cast("bigint").as("fail_wordlen"),
+        sum("f_stop").cast("bigint").as("fail_stopword"),
+        sum("f_rep").cast("bigint").as("fail_repetition"),
+        sum("f_top").cast("bigint").as("fail_topshare"),
+        sum(expr("case when f_wc + f_mwl + f_stop + f_rep + f_top = 0 " +
+          "then 1 else 0 end")).cast("bigint").as("n_pass"))
+      .withColumn("pass_share_e6",
+        expr("(1000000 * n_pass) div n_docs").cast("bigint"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q217
+
+  /** q217 — DSIR importance scoring (Data Selection with Importance
+    * Resampling, Xie et al. 2023): rank raw-corpus documents by how
+    * much they look like a TARGET distribution, with both
+    * distributions summarized as hashed-n-gram bucket frequencies.
+    * Target here = the `lang = 'en'` slice (the "high-quality
+    * reference corpus" stand-in); raw = the whole corpus. Per-bucket
+    * importance lift_e6(b) = floor(1e6 * t_b * R / (r_b * T)) — the
+    * likelihood ratio p_target(b) / p_raw(b) on the integer lattice
+    * (DSIR's log-sum score is a product of per-gram ratios; ranking by
+    * the count-weighted SUM of e6 lifts is the same monotone family
+    * without transcendentals — the q66/q163 log-free discipline).
+    * Output: the top-20 documents by importance score.
+    *
+    * Scale shape: bucket totals are TWO bounded aggregates over the
+    * staged n-gram frame (16 partial sums each, map-side combined);
+    * the 16 lifts are bounded premise scalars (independent of corpus
+    * size — the q150/q207 idiom) that ride back into one codegen'd
+    * scan projection as literals; the top-20 is
+    * TakeOrderedAndProject. One equi-join for metadata, no other
+    * shuffle. Headroom: 1e6 * t_b * R <= 1e6 * G^2 for G total grams —
+    * exact to G ~ 3e6 in BIGINT (fixture G ~ 6e4); past that the lift
+    * computation widens to decimal(38,0) with the identical plan (the
+    * q187 discipline), and the per-doc score (<= max_lift * grams_per_
+    * doc) stays comfortably in BIGINT. */
+  def q217DsirImportance(s: SparkSession, dir: String): DataFrame = {
+    val f = stagedNgramFeatures(s, dir)
+    val meta = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val withMeta = f.join(meta, Seq("doc_id"))
+    val sums = (0 until nB).map(j => sum(col(s"x$j")).as(s"s$j"))
+    val raw = f.agg(sums.head, sums.tail: _*).head()
+    val tgt = withMeta.filter(col("lang") === "en")
+      .agg(sums.head, sums.tail: _*).head()
+    val bigR = (0 until nB).map(raw.getLong).sum
+    val bigT = (0 until nB).map(tgt.getLong).sum
+    // Long division truncates; every operand is non-negative, so this
+    // is floor — the same value DuckDB's // produces
+    val lift = (0 until nB).map { j =>
+      (1000000L * tgt.getLong(j) * bigR) /
+        math.max(raw.getLong(j) * bigT, 1L)
+    }
+    val scoreExpr = (0 until nB).map(j => s"${lift(j)}L * x$j").mkString(" + ")
+    val gramsExpr = (0 until nB).map("x" + _).mkString(" + ")
+    withMeta.select(col("doc_id"), col("lang"), col("source"),
+        expr(s"cast($gramsExpr as bigint)").as("n_grams"),
+        expr(s"cast($scoreExpr as bigint)").as("dsir_score_e6"))
+      .orderBy(desc("dsir_score_e6"), asc("doc_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_train_quality_filter" -> (q205TrainQualityFilter _),
     "q206_quality_scorecard" -> (q206QualityScorecard _),
     "q213_ngram_quality_filter" -> (q213NgramQualityFilter _),
+    "q215_rules_gate" -> (q215RulesGate _),
+    "q217_dsir_importance" -> (q217DsirImportance _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -433,7 +551,64 @@ object QualityFilterQueries {
        |FROM w$iters13 w, acc""".stripMargin
   }
 
+  private val q217Oracle: String = {
+    val ss = (0 until nB).map(j => s"CAST(SUM(x$j) AS BIGINT) AS s$j").mkString(", ")
+    val ts = (0 until nB).map(j => s"CAST(SUM(x$j) AS BIGINT) AS t$j").mkString(", ")
+    val bigR = (0 until nB).map("s" + _).mkString(" + ")
+    val bigT = (0 until nB).map("t" + _).mkString(" + ")
+    val lifts = (0 until nB).map(j =>
+      s"CAST((1000000 * t$j * ($bigR)) // GREATEST(s$j * ($bigT), 1) AS BIGINT) AS l$j")
+      .mkString(",\n    ")
+    val score = (0 until nB).map(j => s"l$j * x$j").mkString(" + ")
+    val grams = (0 until nB).map("x" + _).mkString(" + ")
+    s"""WITH $fCte13,
+       |dl AS (SELECT f.*, d.lang, d.source
+       |  FROM f JOIN documents d USING (doc_id)),
+       |raw AS (SELECT $ss FROM f),
+       |tgt AS (SELECT $ts FROM dl WHERE lang = 'en'),
+       |lift AS (SELECT
+       |    $lifts
+       |  FROM raw, tgt)
+       |SELECT dl.doc_id, dl.lang, dl.source,
+       |  CAST($grams AS BIGINT) AS n_grams,
+       |  CAST($score AS BIGINT) AS dsir_score_e6
+       |FROM dl, lift
+       |ORDER BY dsir_score_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q217_dsir_importance" -> q217Oracle,
+    "q215_rules_gate" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT source,
+         |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+         |    CAST(len(list_filter(list_distinct(toks),
+         |        t -> t IN ($stopList))) AS BIGINT) AS nstop,
+         |    CAST(list_max(list_transform(list_distinct(toks),
+         |        t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS mf
+         |  FROM t),
+         |r AS (SELECT source,
+         |    CASE WHEN n BETWEEN 25 AND 90 THEN 0 ELSE 1 END AS f_wc,
+         |    CASE WHEN (10 * chars) // n BETWEEN 40 AND 52 THEN 0 ELSE 1 END AS f_mwl,
+         |    CASE WHEN nstop >= 1 THEN 0 ELSE 1 END AS f_stop,
+         |    CASE WHEN (100 * nd) // n >= 40 THEN 0 ELSE 1 END AS f_rep,
+         |    CASE WHEN (100 * mf) // n <= 12 THEN 0 ELSE 1 END AS f_top
+         |  FROM m),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(f_wc) AS BIGINT) AS fail_wordcount,
+         |    CAST(SUM(f_mwl) AS BIGINT) AS fail_wordlen,
+         |    CAST(SUM(f_stop) AS BIGINT) AS fail_stopword,
+         |    CAST(SUM(f_rep) AS BIGINT) AS fail_repetition,
+         |    CAST(SUM(f_top) AS BIGINT) AS fail_topshare,
+         |    CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_rep + f_top = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |  FROM r GROUP BY source)
+         |SELECT source, n_docs, fail_wordcount, fail_wordlen, fail_stopword,
+         |  fail_repetition, fail_topshare, n_pass,
+         |  CAST((1000000 * n_pass) // n_docs AS BIGINT) AS pass_share_e6
+         |FROM g ORDER BY source""".stripMargin,
     "q213_ngram_quality_filter" -> q213Oracle,
     "q205_train_quality_filter" ->
       s"""WITH $fCte,

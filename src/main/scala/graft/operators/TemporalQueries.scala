@@ -869,6 +869,50 @@ object TemporalQueries {
         col("n_inc_hours"), col("overlap_us"))
       .orderBy("user_id", "d")
 
+  // ---------------------------------------------------------------- q216
+
+  /** q216 — trailing-7-day EXACT distinct active users per (event_type,
+    * day): the sliding-window COUNT DISTINCT neither engine's window
+    * frame can express (DISTINCT aggregates are unsupported OVER a
+    * frame in both Spark and DuckDB), decomposed into shuffles that all
+    * carry scaling keys:
+    *   1. distinct (type, user, activity-day) — collapses the event
+    *      stream to at most one row per user-day (map-side combine);
+    *   2. a BOUNDED explode of each activity day to the 7 window ends
+    *      it can serve (fanout = window length, a constant — never a
+    *      row-count-dependent generate);
+    *   3. distinct (type, user, window-end) — a user active on several
+    *      days inside one window still counts once;
+    *   4. count per (type, window-end), semi-joined back to days that
+    *      actually had events so the spine never outruns the data.
+    * The alternative single-window form (collect a 7-day user set per
+    * day) buffers unbounded user lists per partition; this shape's
+    * state is one row per (user, day) — the board's two-phase window
+    * discipline applied to DISTINCT.
+    *
+    * Scale: shuffles 1 and 3 are partial-aggregated distincts on
+    * (type, user, day) — at 100 TB the 7x fanout of step 2 happens
+    * AFTER the first collapse, so it multiplies user-days, not events.
+    * No window function at all; every aggregate is hash-based. */
+  def q216SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ed = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        col("ts").cast("date").as("d"))
+      .distinct()
+    val days = ed.select("event_type", "d").distinct()
+    val covered = ed
+      .select(col("event_type"), col("user_id"), col("d"),
+        explode(expr("sequence(0, 6)")).as("off"))
+      .select(col("event_type"), col("user_id"),
+        expr("date_add(d, off)").as("d"))
+      .distinct()
+    covered
+      .join(days, Seq("event_type", "d"), "left_semi")
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).cast("bigint").as("active_users_7d"))
+      .orderBy("event_type", "d")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -890,9 +934,22 @@ object TemporalQueries {
     "q180_funnel_latency" -> (q180FunnelLatency _),
     "q181_autocorrelation" -> (q181Autocorrelation _),
     "q208_interval_overlap" -> (q208IntervalOverlap _),
+    "q216_sliding_distinct" -> (q216SlidingDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the bounded-fanout decomposition's oracle is the direct range
+    // join + COUNT DISTINCT — fine at oracle scale, unbounded at ours
+    "q216_sliding_distinct" ->
+      """WITH ed AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+        |    FROM events),
+        |days AS (SELECT DISTINCT event_type, d FROM ed)
+        |SELECT days.event_type, days.d,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users_7d
+        |FROM days JOIN ed e ON e.event_type = days.event_type
+        |  AND e.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY days.event_type, days.d
+        |ORDER BY days.event_type, days.d""".stripMargin,
     // sweep line: boundary deltas -> per-date nets -> running sum
     "q143_max_concurrency" ->
       """WITH li AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d0,
