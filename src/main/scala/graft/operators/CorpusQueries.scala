@@ -762,6 +762,60 @@ object CorpusQueries {
     bigramScore(bigrams(docs), s.read.parquet(c2p), s.read.parquet(c1p), v)
   }
 
+  // ---------------------------------------------------------------- q219
+
+  /** q219 — CCNet HEAD/MIDDLE/TAIL partition (Wenzek et al. 2020 §3.3):
+    * split each language's documents into equal thirds by LM quality
+    * score and report the per-(lang, bucket) bill — doc counts, bigram
+    * mass, and the score range each bucket spans. This is the
+    * composition CCNet actually ships: q211's trained LM scores the
+    * corpus, and the per-language score distribution decides which
+    * third of the data a doc lands in (head = best-scoring — training
+    * mixes then oversample head, drop tail).
+    *
+    * Tertile assignment uses the EXACT per-language rank via the
+    * two-phase bucket discipline (the q116/q150 shape): coarse score
+    * buckets (floor(score * 1e4), monotone in score) aggregate to
+    * per-(lang, bucket) summaries; offsets come from a window over
+    * SUMMARIES (|langs x buckets| rows, bounded); the intra-bucket
+    * row_number runs per (lang, vb) — bucket-bounded partitions, never
+    * a whole-language sort on one task (the StragglerGuard ban). Rank
+    * r of n, ascending by (score, doc_id): tail = r <= n/3, middle to
+    * 2n/3, head above. The score doubles are engine-identical (q211's
+    * lattice), so both engines compute the same ranks.
+    *
+    * Scale: LM counts come from the staged once-per-corpus leaves;
+    * scoring is q211's join; the partition adds one (lang, vb)
+    * aggregate, one summary window, one bucket-bounded intra window,
+    * and one bounded final aggregate — no corpus-wide sort anywhere. */
+  def q219CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (c2p, c1p, v) = stagedBigramLm(s,
+      graft.CorpusKey(dir, "documents.parquet"), docs)
+    val scored = bigramScore(bigrams(docs),
+      s.read.parquet(c2p), s.read.parquet(c1p), v)
+    val base = scored
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("vb", expr("cast(floor(score * 1e4) as bigint)"))
+    val wOff = Window.partitionBy("lang").orderBy("vb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sums = base.groupBy("lang", "vb").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .withColumn("n", sum("bc").over(Window.partitionBy("lang")))
+      .select("lang", "vb", "off", "n")
+    val wIntra = Window.partitionBy("lang", "vb").orderBy("score", "doc_id")
+    base.join(sums, Seq("lang", "vb"))
+      .withColumn("r", col("off") + row_number().over(wIntra))
+      .withColumn("bucket", expr(
+        "case when r <= n div 3 then 'tail' " +
+        "when r <= (2 * n) div 3 then 'middle' else 'head' end"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_bigrams").cast("bigint").as("sum_bigrams"),
+        min("score").as("min_score"), max("score").as("max_score"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Exploded (doc_id, w1, w2) bigram stream of a (doc_id, text) frame. */
   private[graft] def bigrams(docs: DataFrame): DataFrame = docs
     .withColumn("toks", expr("split(text, ' ')"))
@@ -838,6 +892,7 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_bigram_quality" -> (q211BigramQuality _),
+    "q219_ccnet_buckets" -> (q219CcnetBuckets _),
     "q209_reservoir_quantiles" -> (q209ReservoirQuantiles _),
     "q210_priority_sample" -> (q210PrioritySample _),
     "q120_padding_waste" -> (q120PaddingWaste _),
@@ -958,27 +1013,49 @@ object CorpusQueries {
       s"(($acc) * 16 + (strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1))"
     }
 
+  /** The add-one bigram-LM scoring chain (exact counts, one e12-floored
+    * division per bigram, exact integer sum, one terminal division) —
+    * ends at `ds(doc_id, n_bigrams, score)`. Shared by q211 and q219. */
+  private val bigramScoreCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+      |  FROM t WHERE len(toks) >= 2),
+      |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bb GROUP BY w1, w2),
+      |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |sc AS (SELECT bb.doc_id,
+      |    CAST(FLOOR(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) * 1e12) AS BIGINT) AS pq
+      |  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+      |ds AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(pq) AS DOUBLE) / (1e12 * CAST(COUNT(*) AS DOUBLE)) AS score
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // same add-one bigram chain: exact counts, one e12-floored division
-    // per bigram, exact integer sum, one terminal division
     "q211_bigram_quality" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |bi AS (SELECT doc_id,
-        |    unnest(list_transform(generate_series(1, len(toks) - 1),
-        |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
-        |  FROM t WHERE len(toks) >= 2),
-        |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
-        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bb GROUP BY w1, w2),
-        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
-        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
-        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
-        |sc AS (SELECT bb.doc_id,
-        |    CAST(FLOOR(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) * 1e12) AS BIGINT) AS pq
-        |  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  CAST(SUM(pq) AS DOUBLE) / (1e12 * CAST(COUNT(*) AS DOUBLE)) AS score
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $bigramScoreCtes
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, score
+         |FROM ds ORDER BY doc_id""".stripMargin,
+    "q219_ccnet_buckets" ->
+      s"""WITH $bigramScoreCtes,
+         |scd AS (SELECT ds.doc_id, ds.n_bigrams, ds.score, d.lang
+         |  FROM ds JOIN documents d USING (doc_id)),
+         |r AS (SELECT lang, n_bigrams, score,
+         |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS r,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM scd),
+         |b AS (SELECT lang, n_bigrams, score,
+         |    CASE WHEN r <= n // 3 THEN 'tail'
+         |         WHEN r <= (2 * n) // 3 THEN 'middle'
+         |         ELSE 'head' END AS bucket
+         |  FROM r)
+         |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+         |  MIN(score) AS min_score, MAX(score) AS max_score
+         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     // identical construction: salted-hash row_number <= k is the same
     // sample set as graft_topk's k smallest (h, doc_id) pairs; the
     // nearest-rank formula (p*(m-1)) div 100 + 1 mirrors digit for digit

@@ -52,7 +52,7 @@ object DedupQueries {
   /** Word 3-shingles of a `toks` array column (both engines produce the
     * same list: Spark arrays are 0-indexed, DuckDB lists 1-indexed, so the
     * index arithmetic differs but the shingle sets are identical). */
-  private val shinglesExpr =
+  private[graft] val shinglesExpr =
     "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
 
   /** Per-row form of q22's shingle-hash list (each shingle → the same dual
@@ -392,7 +392,7 @@ object DedupQueries {
 
   /** Exploded distinct word-3-shingle hashes of a (doc_id, text) frame —
     * the shared front half of the decontamination library surface. */
-  private def shingleHashes(docs: DataFrame): DataFrame =
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
@@ -1342,7 +1342,7 @@ object DedupQueries {
     * built once per (corpus fingerprint, filter geometry), persisted as
     * a 128 KB little-endian long file under [[graft.etl.Layouts.root]],
     * reattached by later JVMs with a single bounded file read. */
-  private def stagedBloomBits(s: SparkSession, dir: String,
+  private[graft] def stagedBloomBits(s: SparkSession, dir: String,
                               bench: DataFrame): Array[Long] =
     bloomBitsCache.computeIfAbsent(graft.CorpusKey(dir, "documents.parquet"), _ => {
       val m = graft.etl.Layouts.attachOrBuild(
@@ -1468,46 +1468,51 @@ object DedupQueries {
       s"(($acc) * 16 + (strpos('0123456789abcdef', substr($c, $i, 1)) - 1))"
     }
 
+  /** q207's oracle: identical positions (3 disjoint 8-hex windows mod
+    * 2^20), identical 32-bit words, identical 3-bit test, then the same
+    * exact confirm. Shared verbatim with the STREAMING twin (q220) —
+    * the stream computes the same verdicts, so it answers to the same
+    * oracle. */
+  private[graft] lazy val q207OracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+       |    x -> md5(x)))) AS g
+       |  FROM t WHERE len(toks) >= 3),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0 AND doc_id < 18500),
+       |train AS (SELECT doc_id, g FROM sh WHERE NOT (doc_id % 37 = 0 AND doc_id < 18500)),
+       |bp AS (SELECT (${duckHexWindow("g", 1)}) % 1048576 AS p FROM bench
+       |  UNION ALL SELECT (${duckHexWindow("g", 9)}) % 1048576 FROM bench
+       |  UNION ALL SELECT (${duckHexWindow("g", 17)}) % 1048576 FROM bench),
+       |words AS (SELECT p // 32 AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+       |  FROM bp GROUP BY w),
+       |trp AS (SELECT doc_id, g,
+       |    (${duckHexWindow("g", 1)}) % 1048576 AS p0,
+       |    (${duckHexWindow("g", 9)}) % 1048576 AS p1,
+       |    (${duckHexWindow("g", 17)}) % 1048576 AS p2
+       |  FROM train),
+       |cand AS (SELECT trp.doc_id, trp.g FROM trp
+       |  JOIN words w0 ON w0.w = p0 // 32
+       |    AND (w0.bits & (CAST(1 AS BIGINT) << CAST(p0 % 32 AS INTEGER))) != 0
+       |  JOIN words w1 ON w1.w = p1 // 32
+       |    AND (w1.bits & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INTEGER))) != 0
+       |  JOIN words w2 ON w2.w = p2 // 32
+       |    AND (w2.bits & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INTEGER))) != 0),
+       |ca AS (SELECT c.doc_id, COUNT(*) AS n_cand,
+       |    SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+       |  FROM cand c LEFT JOIN bench b ON c.g = b.g GROUP BY c.doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+       |SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
+       |  CAST(n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       |  CASE WHEN COALESCE(n_hits, 0) > 0 THEN 'contaminated' ELSE 'clean' END AS verdict
+       |FROM tot LEFT JOIN ca ON tot.doc_id = ca.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // identical positions (3 disjoint 8-hex windows mod 2^20), identical
-    // 32-bit words, identical 3-bit test, then the same exact confirm
-    "q207_bloom_decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
-         |    x -> md5(x)))) AS g
-         |  FROM t WHERE len(toks) >= 3),
-         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0 AND doc_id < 18500),
-         |train AS (SELECT doc_id, g FROM sh WHERE NOT (doc_id % 37 = 0 AND doc_id < 18500)),
-         |bp AS (SELECT (${duckHexWindow("g", 1)}) % 1048576 AS p FROM bench
-         |  UNION ALL SELECT (${duckHexWindow("g", 9)}) % 1048576 FROM bench
-         |  UNION ALL SELECT (${duckHexWindow("g", 17)}) % 1048576 FROM bench),
-         |words AS (SELECT p // 32 AS w,
-         |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
-         |  FROM bp GROUP BY w),
-         |trp AS (SELECT doc_id, g,
-         |    (${duckHexWindow("g", 1)}) % 1048576 AS p0,
-         |    (${duckHexWindow("g", 9)}) % 1048576 AS p1,
-         |    (${duckHexWindow("g", 17)}) % 1048576 AS p2
-         |  FROM train),
-         |cand AS (SELECT trp.doc_id, trp.g FROM trp
-         |  JOIN words w0 ON w0.w = p0 // 32
-         |    AND (w0.bits & (CAST(1 AS BIGINT) << CAST(p0 % 32 AS INTEGER))) != 0
-         |  JOIN words w1 ON w1.w = p1 // 32
-         |    AND (w1.bits & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INTEGER))) != 0
-         |  JOIN words w2 ON w2.w = p2 // 32
-         |    AND (w2.bits & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INTEGER))) != 0),
-         |ca AS (SELECT c.doc_id, COUNT(*) AS n_cand,
-         |    SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
-         |  FROM cand c LEFT JOIN bench b ON c.g = b.g GROUP BY c.doc_id),
-         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
-         |SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
-         |  CAST(n_shingles AS BIGINT) AS n_shingles,
-         |  CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
-         |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
-         |  CASE WHEN COALESCE(n_hits, 0) > 0 THEN 'contaminated' ELSE 'clean' END AS verdict
-         |FROM tot LEFT JOIN ca ON tot.doc_id = ca.doc_id
-         |ORDER BY doc_id""".stripMargin,
+    "q207_bloom_decontaminate" -> q207OracleSql,
     // asymmetric prefix (probe side only) vs the full index; exact
     // intersection on candidates; one terminal division
     "q178_containment_join" ->

@@ -84,11 +84,11 @@ object SimilarityQueries {
     * 4 bands of 4 sign bits -> band-key equi-join -> exact cosine >= 0.35
     * on candidates. Recall is a function of the band geometry, and the
     * oracle runs the identical construction, so results match exactly. */
-  /** Unordered near-dup pairs (vec_a < vec_b, cos >= 0.35) — q26 minus its
-    * presentation sort, shared with q50 (which consumes the pairs as a
-    * graph and has no use for a total order). */
-  private def lshPairsScored(s: SparkSession, dir: String): DataFrame = {
-    val e = normed(s, dir)
+  /** The (vec_id, band, bkey) sign-LSH band frame — 16 hyperplane
+    * projections folded into 4 bands of 4 sign bits, one stack() row
+    * per band. The shared candidate-generation substrate of q26/q40/
+    * q50 (pair form) and q218 (probe form). */
+  private def bandFrame(e: DataFrame): DataFrame = {
     val withProj = (0 until nPlanes).foldLeft(e) { (d, h) =>
       val arr = planes(h).map(w => s"cast($w as double)").mkString("array(", ", ", ")")
       d.withColumn(s"pj$h", expr(dotFold.format("v", arr)))
@@ -99,7 +99,15 @@ object SimilarityQueries {
         .mkString("concat(", ", ", ")")
       s"$b, $bits"
     }.mkString(", ")
-    val bands = withProj.selectExpr("vec_id", s"stack($nBands, $bandKeys) as (band, bkey)")
+    withProj.selectExpr("vec_id", s"stack($nBands, $bandKeys) as (band, bkey)")
+  }
+
+  /** Unordered near-dup pairs (vec_a < vec_b, cos >= 0.35) — q26 minus its
+    * presentation sort, shared with q50 (which consumes the pairs as a
+    * graph and has no use for a total order). */
+  private def lshPairsScored(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val bands = bandFrame(e)
     val cand = DedupQueries.bucketPairs(bands, "vec_id", "vec_a", "vec_b")
     cand
       .join(e.as("x"), col("vec_a") === col("x.vec_id"))
@@ -1355,7 +1363,65 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------- q218
+
+  /** q218 — retrieval EVALUATION: recall@10 and reciprocal rank of the
+    * sign-LSH index (q26's band geometry) against the exact cosine
+    * top-10, per probe — the readout that decides whether an ANN
+    * index's recall is good enough to replace the exact scan (the
+    * IR-evaluation half the ANN family lacked; recall@k and MRR are
+    * the standard pair). Per probe (vec_id < 32): how many of the true
+    * top-10 the index's own ranked top-10 recovers, and 2520/r where r
+    * is the index rank of the FIRST true-top-10 hit (2520 = lcm(1..10),
+    * so every reciprocal rank is an exact integer — no float division;
+    * 0 when the index misses all ten).
+    *
+    * Scale shape: candidates come from the band frame joined against a
+    * BROADCAST probe band-key set (32 probes x 4 bands — premise-
+    * bounded, the q25 justification), so the corpus-side work is one
+    * band equi-join, never all-pairs; both rankings are two-phase-free
+    * here because the per-probe candidate partition is index-bounded.
+    * The exact baseline costs one broadcast probe sweep over the
+    * corpus — the same audit-time cost q25 already pays; production
+    * runs it on a sampled probe set exactly like this. */
+  def q218RetrievalRecall(s: SparkSession, dir: String): DataFrame = {
+    val nProbes = 32
+    val e = normed(s, dir)
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    // exact top-10 per probe
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    val ex10 = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", expr(dotFold.format("pv", "v") + " / (pn * nrm)"))
+      .withColumn("erank", row_number().over(w))
+      .filter(col("erank") <= 10)
+      .select("probe_id", "vec_id", "erank")
+    // index top-10 per probe: banded candidates, exact cosine rerank
+    val bands = bandFrame(e)
+    val pb = bands.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("band"), col("bkey"))
+    val cand = bands.join(broadcast(pb), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    val ann10 = cand
+      .join(e, "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cos", expr(dotFold.format("pv", "v") + " / (pn * nrm)"))
+      .withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= 10)
+      .select("probe_id", "vec_id", "arank")
+    ex10.join(ann10, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(col("arank")).cast("bigint").as("n_hits10"),
+        coalesce(expr("2520 div min(arank)"), lit(0)).cast("bigint")
+          .as("rr_x2520"))
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+        col("n_hits10"), col("rr_x2520"))
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_retrieval_recall" -> (q218RetrievalRecall _),
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
     "q37_ivf_topk" -> (q37IvfTopk _),
@@ -1642,7 +1708,41 @@ object SimilarityQueries {
        |    list_reduce(list_transform(generate_series(1, $dim), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
        |  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id)""".stripMargin
 
+  /** q218's oracle: the identical band construction (shared CTE text),
+    * probe-restricted candidates, both rankings, LEFT-join scoring. */
+  private val q218Oracle: String =
+    s"""WITH $oracleNormed,
+       |proj AS (SELECT vec_id, v, nrm,
+       |    $oracleProjs
+       |  FROM n),
+       |bands AS ($oracleBandSelects),
+       |pb AS (SELECT vec_id AS probe_id, band, bkey FROM bands WHERE vec_id < 32),
+       |cand AS (SELECT DISTINCT pb.probe_id, b.vec_id
+       |  FROM bands b JOIN pb ON b.band = pb.band AND b.bkey = pb.bkey
+       |    AND b.vec_id <> pb.probe_id),
+       |asc1 AS (SELECT c.probe_id, c.vec_id,
+       |    list_reduce(list_transform(generate_series(1, $dim), i -> p.v[i] * x.v[i]), (a, b) -> a + b) / (p.nrm * x.nrm) AS cos
+       |  FROM cand c JOIN n x ON c.vec_id = x.vec_id JOIN n p ON c.probe_id = p.vec_id),
+       |ann AS (SELECT probe_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS arank
+       |  FROM asc1),
+       |exj AS (SELECT p.vec_id AS probe_id, c.vec_id,
+       |    list_reduce(list_transform(generate_series(1, $dim), i -> p.v[i] * c.v[i]), (a, b) -> a + b) / (p.nrm * c.nrm) AS cos
+       |  FROM n p JOIN n c ON c.vec_id <> p.vec_id WHERE p.vec_id < 32),
+       |ex AS (SELECT probe_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS erank
+       |  FROM exj)
+       |SELECT CAST(e.probe_id AS BIGINT) AS probe_id,
+       |  CAST(COUNT(a.arank) AS BIGINT) AS n_hits10,
+       |  CAST(COALESCE(2520 // MIN(a.arank), 0) AS BIGINT) AS rr_x2520
+       |FROM ex e LEFT JOIN (SELECT * FROM ann WHERE arank <= 10) a
+       |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+       |WHERE e.erank <= 10
+       |GROUP BY e.probe_id
+       |ORDER BY probe_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q218_retrieval_recall" -> q218Oracle,
     "q92_quantization_audit" ->
       s"""WITH e AS (SELECT CAST(label AS INTEGER) AS label,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

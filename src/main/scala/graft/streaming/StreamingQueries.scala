@@ -444,7 +444,72 @@ object StreamingQueries {
     s.table(tbl).orderBy("user_id", "session_start")
   }
 
+  // ---------------------------------------------------------------- q220
+
+  /** q220 — STREAMING Bloom-filter decontamination: q207's verdicts
+    * computed as crawl slices ARRIVE instead of in a batch sweep — the
+    * deployment shape a standing eval-suite filter actually runs in
+    * (the benchmark is fixed; the corpus streams past it forever).
+    *
+    * Topology: the durable Bloom word array (the q207 layout, attached
+    * once per corpus fingerprint) rides the STREAM as a foldable
+    * literal inside `graft_bloom_test`, so the per-microbatch plan is
+    * a stateless scan projection — shingle array, in-array Bloom
+    * filter, candidate explode — followed by one stream-static
+    * broadcast LEFT join against the exact bench shingle set. No
+    * watermark, no state store: every operator is stateless, which is
+    * what makes the filter arbitrarily scalable (state size zero; the
+    * only memory is the 128 KB literal and the broadcast bench set,
+    * both bounded by eval-suite sizing, not by stream volume).
+    * Candidate rows land in the sink; the per-doc verdict aggregate
+    * runs downstream over the sink table (in production, over the
+    * lake) — the same split q65's incremental dedup uses.
+    *
+    * Stream == batch: the emitted verdicts equal q207's batch output
+    * row for row, so q220 answers to the SAME oracle. */
+  def q220StreamingDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docsB = graft.Tables.documents(s, dir)
+    val benchCond = expr("doc_id % 37 = 0 AND doc_id < 18500")
+    val bits = graft.operators.DedupQueries.stagedBloomBits(
+      s, dir, docsB.filter(benchCond))
+    val benchSet = graft.operators.DedupQueries
+      .shingleHashes(docsB.filter(benchCond))
+      .select("g").distinct().withColumn("inb", lit(1L))
+    val bitsLit = lit(bits)
+    val sh = graft.operators.DedupQueries.shinglesExpr
+    val stream = StreamSources.documents(s, dir)
+      .filter(expr("NOT (doc_id % 37 = 0 AND doc_id < 18500)"))
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 3"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform($sh, x -> md5(x)))").as("gs"))
+      .withColumn("cand_gs",
+        filter(col("gs"), g => call_function("graft_bloom_test", g, bitsLit)))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        expr("cast(size(gs) as bigint)").as("n_shingles"),
+        expr("cast(size(cand_gs) as bigint)").as("n_cand"),
+        explode_outer(col("cand_gs")).as("g"))
+      .join(broadcast(benchSet), Seq("g"), "left")
+    val tbl = s"graft_stream_decon_${runCounter.incrementAndGet()}"
+    drain(s, stream
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()))
+    s.table(tbl)
+      .groupBy("doc_id")
+      .agg(max("n_shingles").as("n_shingles"),
+        max("n_cand").as("n_cand"),
+        sum(coalesce(col("inb"), lit(0L))).cast("bigint").as("n_hits"))
+      .withColumn("verdict",
+        expr("case when n_hits > 0 then 'contaminated' else 'clean' end"))
+      .select("doc_id", "n_shingles", "n_cand", "n_hits", "verdict")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_streaming_decontaminate" -> (q220StreamingDecontaminate _),
     "q107_streaming_kmv" -> (q107StreamingKmv _),
     "q36_streaming_hourly" -> (q36StreamingHourly _),
     "q161_streaming_anomaly" -> (q161StreamingAnomaly _),
@@ -465,6 +530,9 @@ object StreamingQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // stream == batch verdicts: q220 answers to q207's oracle verbatim
+    "q220_streaming_decontaminate" ->
+      graft.operators.DedupQueries.q207OracleSql,
     // q164's gaps-and-islands chain + the q36 finalization cut: a
     // session (end = last event + 30 min) emits once the watermark
     // (max ts − 1 h) passes its end
