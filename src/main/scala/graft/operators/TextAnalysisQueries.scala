@@ -616,7 +616,78 @@ object TextAnalysisQueries {
         sum("len").cast("bigint").as("sum_len"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q221
+
+  /** TextRank iteration count — kept small so the oracle's unrolled CTE
+    * chain stays linear (the q95 discipline); KEYWORD rankings are
+    * already stable at 3 passes on the fixture. */
+  private val trIters = 3
+
+  /** q221 — TEXTRANK keyword extraction (Mihalcea & Tarau 2004): rank
+    * words by PageRank over the adjacent-token co-occurrence graph and
+    * report the global top-20 — the graph-centrality keyword scorer
+    * next to the frequency family (q41 vocabulary, q66 TF-IDF, q163
+    * PMI): a word matters if it co-occurs with words that matter, not
+    * merely if it is frequent.
+    *
+    * Composition, not new machinery: the co-occurrence pairs (adjacent
+    * tokens, canonical order, distinct — the unweighted window-2 graph
+    * of the paper) stage to parquet, and the rank loop IS q95's
+    * integer-lattice PageRank ([[SimilarityQueries.pagerankUnrolled]],
+    * same object code: damping 85/100, rank scale 1e12, split-div
+    * overflow form, floor semantics both engines). Node ids are WORDS
+    * (strings) — the rank arithmetic never touches the id type.
+    *
+    * Scale: pair extraction is one explode + distinct on a scaling
+    * (w1, w2) key; each rank pass is one join + aggregate over staged
+    * leaf scans (the q95/q158 rotation). Vocabulary, not corpus size,
+    * bounds the graph. */
+  def q221Textrank(s: SparkSession, dir: String): DataFrame = {
+    val stage = graft.Staging.fresh("trank")
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] as a, toks[i] as b))")).as("p"))
+      .select(least(col("p.a"), col("p.b")).as("vec_a"),
+        greatest(col("p.a"), col("p.b")).as("vec_b"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$stage/pairs")
+    SimilarityQueries.pagerankUnrolled(s, s"$stage/pairs", trIters)
+      .select(col("v").as("word"), col("deg").cast("bigint").as("degree"),
+        expr("cast(rank as double) / 1e12").as("rank"))
+      .orderBy(desc("rank"), asc("word")).limit(20)
+  }
+
+  /** Unrolled TextRank oracle — the q95 chain over the word graph. */
+  private def q221Oracle: String = {
+    val passes = (1 to trIters).map { k =>
+      s"""c$k AS (SELECT e.dst, CAST(SUM(r.rank * 85 // (100 * r.deg)) AS BIGINT) AS inflow
+         |  FROM edges e JOIN r${k - 1} r ON e.src = r.v GROUP BY e.dst),
+         |r$k AS (SELECT d.src AS v, d.deg,
+         |    CAST(150000000000 AS BIGINT) + COALESCE(c$k.inflow, CAST(0 AS BIGINT)) AS rank
+         |  FROM deg d LEFT JOIN c$k ON d.src = c$k.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |bp AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p
+       |  FROM t WHERE len(toks) >= 2),
+       |pr AS (SELECT DISTINCT LEAST(p.a, p.b) AS vec_a, GREATEST(p.a, p.b) AS vec_b
+       |  FROM bp WHERE p.a <> p.b),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+       |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pr),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS v, deg, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+       |$passes
+       |SELECT v AS word, CAST(deg AS BIGINT) AS degree,
+       |  CAST(rank AS DOUBLE) / 1e12 AS rank
+       |FROM r$trIters ORDER BY rank DESC, word ASC LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_textrank" -> (q221Textrank _),
     "q131_regex_suite" -> (q131RegexSuite _),
     "q127_array_suite" -> (q127ArraySuite _),
     "q104_phrase_search" -> (q104PhraseSearch _),
@@ -710,6 +781,7 @@ object TextAnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q221_textrank" -> q221Oracle,
     "q131_regex_suite" ->
       """WITH x AS (SELECT lang,
         |    len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
