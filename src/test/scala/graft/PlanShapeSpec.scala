@@ -398,4 +398,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("o_totalprice"),
       s"assignment must not re-derive the orders aggregate:\n$p")
   }
+
+  test("q216: the sliding distinct plans with NO window operator at all") {
+    // the whole point of the decomposition: hash aggregates + a bounded
+    // sequence(0,6) explode, never a per-(type) ordered window
+    val p = plan("q216_sliding_distinct")
+    assert(!"\\bWindow\\b".r.findAllIn(p).hasNext,
+      s"sliding COUNT DISTINCT must not fall back to a window:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the bounded 7-day fanout generate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no unbounded join geometry:\n$p")
+  }
+
+  test("q218: probe sides broadcast; candidate generation stays equi") {
+    val p = plan("q218_retrieval_recall")
+    assert(p.contains("BroadcastExchange"),
+      s"the bounded probe band/vector sets must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // exactly ONE nested-loop join is by design: the exact-baseline
+    // sweep broadcasts the 32 bounded probes over the corpus with a
+    // non-equi self-exclusion (the q25 shape). The ANN candidate path
+    // must stay equi end to end.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1,
+      s"expected only the exact-baseline probe sweep as BNLJ, got $bnlj:\n$p")
+  }
+
+  test("q217: scoring reads the staged n-gram frame as a leaf, never re-tokenizes") {
+    val p = plan("q217_dsir_importance")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("split(text"),
+      s"the scoring pass must ride the staged bucket counts, not re-tokenize:\n$p")
+  }
 }
