@@ -373,6 +373,77 @@ object BinaryPipeline {
     }
   }
 
+  /** 64-bit AVERAGE HASH (aHash) of a luma plane — the classic
+    * perceptual near-dup fingerprint for images (an 8x8 grid of block
+    * means thresholded at their own mean; near-identical images differ
+    * in a few bits, unrelated images in ~32): integer block means over
+    * the same bounds arithmetic as [[blockMeanInto]] (so the hash and
+    * the feature vector quantize pixels identically), global mean =
+    * floor of the block-mean average, bit j set iff block j is
+    * STRICTLY brighter than the mean. Banded hamming-distance joins
+    * over this hash are exactly q23/q42's simhash machinery — the
+    * image near-dup pipeline is those operators pointed at this
+    * column. */
+  private[multimodal] def aHashOfFrame(f: VideoFrame): Long = {
+    val g = 8
+    val (w, h) = (f.width, f.height)
+    val means = new Array[Long](g * g)
+    var cy = 0
+    while (cy < g) {
+      var cx = 0
+      while (cx < g) {
+        val (x0, x1) = (cx * w / g, math.max((cx + 1) * w / g, cx * w / g + 1))
+        val (y0, y1) = (cy * h / g, math.max((cy + 1) * h / g, cy * h / g + 1))
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            sum += f.luma(y * w + x) & 0xff; n += 1; x += 1
+          }
+          y += 1
+        }
+        means(cy * g + cx) = if (n > 0) sum / n else 0L
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = means.sum / (g * g)
+    var bits = 0L
+    var i = 0
+    while (i < g * g) {
+      if (means(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-document perceptual hash: real pixels when a JDK codec decodes
+    * the payload (still image, or frame 0 of a demuxed video — the
+    * thumbnail convention), otherwise the documented deterministic
+    * fallback (first 16 md5 hex digits as a long — content-stable, so
+    * EXACT payload dupes still collide; near-dup geometry only exists
+    * on the real-pixel path). */
+  case class AHashRow(doc_id: Long, source: String, ahash: Long, real: Boolean)
+
+  def perceptualHash(ds: Dataset[MediaRow]): Dataset[AHashRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val frame = tryDecodeImage(r.payload).map(lumaOfImage)
+          .orElse(demuxVideo(r.payload).map(_.head))
+        frame match {
+          case Some(f) => AHashRow(r.doc_id, r.source, aHashOfFrame(f), real = true)
+          case None =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(r.payload).take(8)
+            AHashRow(r.doc_id, r.source,
+              java.nio.ByteBuffer.wrap(hex).getLong, real = false)
+        }
+      }
+    }
+  }
+
   /** Output of the resize pass: original + target geometry and the
     * resampled image's digest. */
   case class ResizedRow(doc_id: Long, width: Int, height: Int,

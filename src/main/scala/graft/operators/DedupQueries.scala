@@ -1422,7 +1422,53 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q223
+
+  /** q223 — DUPLICATED-N-GRAM boilerplate audit (the RefinedWeb/Gopher
+    * "fraction of duplicate n-grams" curation metric, Penedo et al.
+    * 2023 §G / Rae et al. 2021 §A.1.2): for each document, the share
+    * of its distinct word trigrams that also appear in at least one
+    * OTHER document, rolled up per source — the per-source readout
+    * that separates template-heavy feeds (headers, navigation, legal
+    * boilerplate stamped across documents) from sources contributing
+    * novel text. Distinct from the pairwise dedup family: no pairs
+    * are formed — corpus-level n-gram document frequency is the whole
+    * signal, so cost stays linear where any pair construction would
+    * not be.
+    *
+    * A doc's trigram is "duplicated" when its corpus document
+    * frequency >= 2 (it appears in some other doc; within-doc repeats
+    * do not count — the trigram stream is per-doc DISTINCT, q22's
+    * shingle discipline via [[shingleHashes]]).
+    *
+    * Scale: one (trigram) shuffle for the df counts (map-side
+    * combined), one equi-join of the doc-trigram stream against them
+    * on the same scaling key, one doc_id aggregate, one bounded
+    * source rollup. Ratios are exact integer e6 per-cents over the
+    * SUMS (never a mean of per-doc ratios — the q82 weighting rule). */
+  def q223BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = shingleHashes(docs)
+    val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(expr("case when df >= 2 then 1 else 0 end")).as("n_dup"))
+    perDoc
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_tri").cast("bigint").as("sum_tri"),
+        sum("n_dup").cast("bigint").as("sum_dup"),
+        sum(expr("case when 1000000 * n_dup div n_tri >= 900000 " +
+          "then 1 else 0 end")).cast("bigint").as("n_boilerplate"))
+      .withColumn("dup_share_e6",
+        expr("(1000000 * sum_dup) div sum_tri").cast("bigint"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_boilerplate_ngrams" -> (q223BoilerplateNgrams _),
     "q207_bloom_decontaminate" -> (q207BloomDecontaminate _),
     "q178_containment_join" -> (q178ContainmentJoin _),
     "q112_ppjoin_jaccard" -> (q112PpjoinJaccard _),
@@ -1512,6 +1558,24 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q223_boilerplate_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+        |    x -> md5(x)))) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+        |d AS (SELECT sh.doc_id, COUNT(*) AS n_tri,
+        |    SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sh JOIN df USING (g) GROUP BY sh.doc_id)
+        |SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tri) AS BIGINT) AS sum_tri,
+        |  CAST(SUM(n_dup) AS BIGINT) AS sum_dup,
+        |  CAST(SUM(CASE WHEN 1000000 * n_dup // n_tri >= 900000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+        |  CAST((1000000 * SUM(n_dup)) // SUM(n_tri) AS BIGINT) AS dup_share_e6
+        |FROM d JOIN documents doc USING (doc_id)
+        |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
     "q207_bloom_decontaminate" -> q207OracleSql,
     // asymmetric prefix (probe side only) vs the full index; exact
     // intersection on candidates; one terminal division

@@ -1515,7 +1515,45 @@ object RelationalQueries {
   // dataframe conversion (float64 coercion), while the string form
   // carries scale and value exactly in both engines
 
+  // ---------------------------------------------------------------- q222
+
+  /** q222 — CORRELATED SCALAR SUBQUERY parity: orders whose value beats
+    * 1.5x their own customer's average order value — the classic
+    * correlated-aggregate predicate, written AS a correlated subquery
+    * on purpose (two of them: the per-customer count and the
+    * per-customer cent sum) and left to Catalyst's
+    * RewriteCorrelatedScalarSubquery to DECORRELATE into one
+    * aggregate-plus-join. The surface verb the registry lacked: every
+    * prior per-group-threshold query hand-writes the groupBy + join;
+    * this one proves the declarative form plans to the same shape (the
+    * plan has hash joins over ONE orders aggregate — PlanShapeSpec
+    * pins no per-row subplan, no nested loop).
+    *
+    * The comparison stays on the exact integer lattice inside the
+    * subquery predicate: 2 * cnt * cents > 3 * sum_cents avoids the
+    * order-dependent float AVG entirely (1.5x as a 2/3 cross-multiply,
+    * the q192 halves-cleared discipline).
+    *
+    * Scale: decorrelation turns the O(n^2)-looking per-row subquery
+    * into one map-side-combinable customer aggregate joined back on
+    * the scaling key — exactly what a hand-written plan would do. */
+  def q222CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_sq_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM graft_sq_orders o
+        |WHERE 2 * (SELECT COUNT(*) FROM graft_sq_orders o2
+        |             WHERE o2.o_custkey = o.o_custkey)
+        |      * CAST(round(o.o_totalprice * 100) AS BIGINT)
+        |    > 3 * (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |             FROM graft_sq_orders o2
+        |             WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_correlated_subquery" -> (q222CorrelatedSubquery _),
     "q168_null_semantics" -> (q168NullSemantics _),
     "q172_decimal_suite" -> (q172DecimalSuite _),
     "q117_sketch_overlap" -> (q117SketchOverlap _),
@@ -1576,6 +1614,18 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical correlated form — DuckDB decorrelates it the same way
+    "q222_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders o
+        |WHERE 2 * (SELECT COUNT(*) FROM orders o2
+        |             WHERE o2.o_custkey = o.o_custkey)
+        |      * CAST(round(o.o_totalprice * 100) AS BIGINT)
+        |    > 3 * (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |             FROM orders o2
+        |             WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q172_decimal_suite" ->
       """WITH x AS (SELECT l_returnflag AS flag,
         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,

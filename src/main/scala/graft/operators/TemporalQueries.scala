@@ -913,9 +913,45 @@ object TemporalQueries {
       .orderBy("event_type", "d")
   }
 
+  // ---------------------------------------------------------------- q224
+
+  /** q224 — LIFETIME cumulative distinct users per (event_type, day):
+    * the unbounded-window sibling of q216's trailing distinct, via the
+    * FIRST-OCCURRENCE trick — a user contributes to every day from
+    * their first activity on, so the cumulative distinct count at day
+    * d is simply the running sum of "users whose first day is d":
+    *   1. min activity day per (type, user) — one shuffle, map-side
+    *      combined;
+    *   2. count first-days per (type, day) — the summary frame;
+    *   3. one running-sum window over SUMMARIES (|days| rows per type,
+    *      the q148 day-spine discipline), densified onto the active-day
+    *      spine so days with no new users still report.
+    * No fanout at all (unlike the trailing window, an unbounded window
+    * never needs one), no distinct state beyond the user-day collapse.
+    * The oracle is the INDEPENDENT formulation — a correlated
+    * COUNT(DISTINCT) over every prefix — so the equivalence of the
+    * first-occurrence decomposition is what the hash check proves. */
+  def q224CumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ed = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), col("ts").cast("date").as("d"))
+    val first = ed.groupBy("event_type", "user_id").agg(min("d").as("d"))
+    val newPerDay = first.groupBy("event_type", "d")
+      .agg(count(lit(1)).as("nn"))
+    val days = ed.select("event_type", "d").distinct()
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(newPerDay, Seq("event_type", "d"), "left")
+      .withColumn("nn", coalesce(col("nn"), lit(0L)))
+      .withColumn("lifetime_users", sum("nn").over(w).cast("bigint"))
+      .select(col("event_type"), col("d"),
+        col("nn").cast("bigint").as("n_new"), col("lifetime_users"))
+      .orderBy("event_type", "d")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_cumulative_distinct" -> (q224CumulativeDistinct _),
     "q143_max_concurrency" -> (q143MaxConcurrency _),
     "q145_event_paths" -> (q145EventPaths _),
     "q146_time_weighted_avg" -> (q146TimeWeightedAvg _),
@@ -938,6 +974,22 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the independent prefix formulation: correlated COUNT(DISTINCT)
+    // per (type, day) — what proves the first-occurrence decomposition
+    "q224_cumulative_distinct" ->
+      """WITH ed AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+        |    FROM events),
+        |days AS (SELECT DISTINCT event_type, d FROM ed),
+        |firsts AS (SELECT event_type, user_id, MIN(d) AS fd
+        |  FROM ed GROUP BY event_type, user_id)
+        |SELECT days.event_type, days.d,
+        |  CAST((SELECT COUNT(*) FROM firsts f
+        |     WHERE f.event_type = days.event_type AND f.fd = days.d) AS BIGINT)
+        |    AS n_new,
+        |  CAST((SELECT COUNT(DISTINCT e.user_id) FROM ed e
+        |     WHERE e.event_type = days.event_type AND e.d <= days.d) AS BIGINT)
+        |    AS lifetime_users
+        |FROM days ORDER BY days.event_type, days.d""".stripMargin,
     // the bounded-fanout decomposition's oracle is the direct range
     // join + COUNT DISTINCT — fine at oracle scale, unbounded at ours
     "q216_sliding_distinct" ->

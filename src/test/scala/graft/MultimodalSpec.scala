@@ -307,4 +307,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(r => !r.decoded && r.width == 0 && r.height == 0))
     assert(rows.map(_.n_bytes).toSeq === Seq(256, 256, 88))
   }
+
+  /** pngBytes with one 8x8 grid cell (cx, cy) of a 64x64 image overridden. */
+  private def pngWithCell(leftRgb: Int, rightRgb: Int,
+                          cx: Int, cy: Int, cellRgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val base = if (x < 32) leftRgb else rightRgb
+      val inCell = x / 8 == cx && y / 8 == cy
+      img.setRGB(x, y, if (inCell) cellRgb else base)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash consumes actual pixels: known image, exact expected 64 bits") {
+    // left half luma 64, right half 192: mean 128, exactly the right
+    // 4 block-columns of every row are brighter -> bits cx >= 4
+    val ds = mediaOf(30L -> pngBytes(64, 64, 0x404040, 0xc0c0c0))
+    val h = BinaryPipeline.perceptualHash(ds).collect().head
+    val expected = (0 until 8).flatMap(cy => (4 until 8).map(cy * 8 + _))
+      .foldLeft(0L)((a, b) => a | (1L << b))
+    assert(h.real, "a PNG must take the real-pixel path")
+    assert(h.ahash === expected,
+      f"expected ${expected}%016x got ${h.ahash}%016x")
+  }
+
+  test("aHash near-dup geometry: one changed block flips one bit; inversion flips all") {
+    val base = mediaOf(31L -> pngBytes(64, 64, 0x404040, 0xc0c0c0))
+    val oneCell = mediaOf(32L -> pngWithCell(0x404040, 0xc0c0c0, 1, 3, 0xc0c0c0))
+    val inverted = mediaOf(33L -> pngBytes(64, 64, 0xc0c0c0, 0x404040))
+    val hb = BinaryPipeline.perceptualHash(base).collect().head.ahash
+    val hc = BinaryPipeline.perceptualHash(oneCell).collect().head.ahash
+    val hi = BinaryPipeline.perceptualHash(inverted).collect().head.ahash
+    assert(java.lang.Long.bitCount(hb ^ hc) === 1,
+      f"one brightened block must flip exactly its own bit: ${hb ^ hc}%016x")
+    assert(java.lang.Long.bitCount(hb ^ hi) === 64,
+      "a luma inversion flips every bit")
+  }
+
+  test("aHash fallback is content-stable and flagged as not-real") {
+    val p = "not an image at all".getBytes("UTF-8")
+    val a = BinaryPipeline.perceptualHash(mediaOf(40L -> p)).collect().head
+    val b = BinaryPipeline.perceptualHash(mediaOf(41L -> p)).collect().head
+    assert(!a.real && !b.real)
+    assert(a.ahash === b.ahash, "same payload, same fallback hash — exact " +
+      "payload dupes still collide on the hash column")
+  }
 }
