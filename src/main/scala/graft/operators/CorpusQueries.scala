@@ -890,7 +890,53 @@ object CorpusQueries {
     bigramScore(bi, c2, c1, v)
   }
 
+  // ---------------------------------------------------------------- q225
+
+  /** q225 — per-source TOKEN-DISTRIBUTION drift: each source's hashed
+    * unigram distribution against the REST of the corpus (global minus
+    * source — the q204 embedding-drift idiom on the categorical side),
+    * reported as exact total-variation distance on the integer
+    * lattice: TV = Σ_b |obs_b·R − rest_b·S| / (2·S·R), with the sum of
+    * cross-multiplied absolute differences an exact BIGINT and one
+    * integer e6 floor at the end. The "different tokenizer / different
+    * crawl parser" health check: a source whose token mix diverges
+    * from the corpus flags here before it skews the mixture math
+    * (q69) downstream. TV rather than χ²/KL because it needs no
+    * division or log per bucket — the whole statistic stays exact.
+    *
+    * Scale: one (source, bucket) aggregate over the exploded token
+    * stream (map-side combined; output bounded at |sources|·16 rows),
+    * then summary-frame joins only — the grid densify, the global
+    * bucket totals, and the two-pass S/R fold all run on ≤ 320 rows
+    * regardless of corpus size. Headroom: obs·R ≤ G² for G total
+    * grams; 1e6·Σ|…| ≤ 2e6·G² stays in BIGINT to G ≈ 2e6 (fixture
+    * G ≈ 6e4); past that the final fold widens to decimal(38,0), same
+    * plan (the q187 discipline). */
+  def q225TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val tb = Tables.documents(s, dir)
+      .select(col("source"), explode(expr("split(text, ' ')")).as("tok"))
+      .select(col("source"),
+        expr("cast(conv(substring(md5(tok), 8, 1), 16, 10) as bigint)").as("b"))
+    val cnt = tb.groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+    val grid = cnt.select("source").distinct()
+      .crossJoin(s.range(16).select(col("id").as("b")))
+    val obs = grid.join(cnt, Seq("source", "b"), "left")
+      .select(col("source"), col("b"), coalesce(col("cnt"), lit(0L)).as("obs"))
+    val gb = obs.groupBy("b").agg(sum("obs").as("g"))
+    val j = obs.join(gb, Seq("b")).withColumn("rest", col("g") - col("obs"))
+    val sr = j.groupBy("source")
+      .agg(sum("obs").as("sg"), sum("rest").as("rg"))
+    j.join(sr, Seq("source"))
+      .groupBy("source")
+      .agg(max("sg").as("sg"), max("rg").as("rg"),
+        sum(abs(col("obs") * col("rg") - col("rest") * col("sg"))).as("sa"))
+      .select(col("source"), col("sg").cast("bigint").as("n_grams"),
+        expr("(1000000 * sa) div (2 * sg * rg)").cast("bigint").as("tv_e6"))
+      .orderBy(desc("tv_e6"), asc("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_token_drift" -> (q225TokenDrift _),
     "q211_bigram_quality" -> (q211BigramQuality _),
     "q219_ccnet_buckets" -> (q219CcnetBuckets _),
     "q209_reservoir_quantiles" -> (q209ReservoirQuantiles _),
@@ -1035,6 +1081,30 @@ object CorpusQueries {
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q225_token_drift" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |tb AS (SELECT source,
+        |    CAST(strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1 AS BIGINT) AS b
+        |  FROM tk),
+        |grid AS (SELECT s.source, g.b
+        |  FROM (SELECT DISTINCT source FROM tb) s,
+        |       (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS b) g),
+        |obs AS (SELECT grid.source, grid.b, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS obs
+        |  FROM grid LEFT JOIN (SELECT source, b, COUNT(*) AS cnt
+        |    FROM tb GROUP BY source, b) o
+        |    ON o.source = grid.source AND o.b = grid.b),
+        |gb AS (SELECT b, SUM(obs) AS g FROM obs GROUP BY b),
+        |j AS (SELECT obs.source, obs.b, obs.obs, gb.g - obs.obs AS rest
+        |  FROM obs JOIN gb USING (b)),
+        |sr AS (SELECT source, SUM(obs) AS sg, SUM(rest) AS rg
+        |  FROM j GROUP BY source),
+        |st AS (SELECT j.source, MAX(sr.sg) AS sg, MAX(sr.rg) AS rg,
+        |    SUM(ABS(j.obs * sr.rg - j.rest * sr.sg)) AS sa
+        |  FROM j JOIN sr ON sr.source = j.source GROUP BY j.source)
+        |SELECT source, CAST(sg AS BIGINT) AS n_grams,
+        |  CAST((1000000 * sa) // (2 * sg * rg) AS BIGINT) AS tv_e6
+        |FROM st ORDER BY tv_e6 DESC, source""".stripMargin,
     "q211_bigram_quality" ->
       s"""WITH $bigramScoreCtes
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, score

@@ -1467,7 +1467,47 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q226
+
+  /** q226 — SPLIT-LEAKAGE audit: near-duplicate pairs that STRADDLE the
+    * q88 train/valid/test split — the eval-integrity check every data
+    * paper reports (a test document whose near-twin sits in train is a
+    * leaked eval point; random document-level splits leak exactly this
+    * way when the corpus has near-dups). Composes two standing pieces
+    * with zero new machinery: the q22 minhash-LSH near-pair stream
+    * (same [[minhashLshPairs]] object code, same 0.5 Jaccard bar) and
+    * q88's salted-hash split assignment (same 'split_' salt, same
+    * bucket arithmetic — a doc's split here IS its split in the
+    * manifest). Output: the pair-count matrix over unordered split
+    * pairs, with cross-split rows flagged as leaks.
+    *
+    * Scale: everything is the q22 plan plus two id equi-joins against
+    * a projection of the corpus and one bounded (≤ 6 row) aggregate.
+    * The split column derives in the scan projection — no extra
+    * shuffle. */
+  def q226SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(s, dir, maxBucketSize = None)
+      .select("doc_a", "doc_b")
+    val sp = Tables.documents(s, dir)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('split_', cast(doc_id as string))), 1, 4), 16, 10) as int) % 100"))
+      .select(col("doc_id"), expr(
+        "case when bucket < 90 then 'train' when bucket < 95 then 'valid' " +
+          "else 'test' end").as("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+      .withColumn("is_leak",
+        expr("case when split_lo <> split_hi then 1 else 0 end").cast("int"))
+      .orderBy("split_lo", "split_hi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_split_leakage" -> (q226SplitLeakage _),
     "q223_boilerplate_ngrams" -> (q223BoilerplateNgrams _),
     "q207_bloom_decontaminate" -> (q207BloomDecontaminate _),
     "q178_containment_join" -> (q178ContainmentJoin _),
@@ -1506,6 +1546,25 @@ object DedupQueries {
     s"(CASE WHEN list_sum(list_transform(toks, t -> 2 * (((strpos('0123456789abcdef', substr(md5(t), $pos, 1)) - 1) // $j) % 2) - 1)) > 0 " +
       s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
+
+  /** The minhash-LSH near-pair chain (signatures → bands → candidates →
+    * exact verify) — ends at `j(doc_a, doc_b, jacc)`. Shared by the q22
+    * oracle and its consumers (q226 filters it at the same 0.5 bar). */
+  private lazy val lshPairCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_transform(
+       |      list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+       |      x -> concat(md5(x), md5(concat('x', x)))) AS shh
+       |  FROM t WHERE len(toks) >= 3),
+       |sig AS (SELECT doc_id, $oracleSigs FROM sh),
+       |bands AS ($oracleBands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |ds AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+       |j AS (SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE) / CAST(len(list_distinct(list_concat(x.ts, y.ts))) AS DOUBLE) AS jacc
+       |  FROM cand JOIN ds x ON doc_a = x.doc_id JOIN ds y ON doc_b = y.doc_id)""".stripMargin
 
   /** Numeric value of the 8-hex window of column `c` at 1-based offset
     * `off` via nibble Horner (DuckDB has no conv()). */
@@ -1713,22 +1772,29 @@ object DedupQueries {
          |  MIN(jacc) AS min_jacc, MAX(jacc) AS max_jacc
          |FROM q GROUP BY agree ORDER BY agree""".stripMargin,
     "q22_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |sh AS (SELECT doc_id,
-         |    list_transform(
-         |      list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
-         |      x -> concat(md5(x), md5(concat('x', x)))) AS shh
-         |  FROM t WHERE len(toks) >= 3),
-         |sig AS (SELECT doc_id, $oracleSigs FROM sh),
-         |bands AS ($oracleBands),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |ds AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
-         |j AS (SELECT doc_a, doc_b,
-         |    CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE) / CAST(len(list_distinct(list_concat(x.ts, y.ts))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN ds x ON doc_a = x.doc_id JOIN ds y ON doc_b = y.doc_id)
+      s"""WITH $lshPairCtes
          |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jacc
          |FROM j WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q226_split_leakage" ->
+      s"""WITH $lshPairCtes,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ((strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         |     + (strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         |     + (strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 < 90 THEN 'train'
+         |    WHEN ((strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         |     + (strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         |     + (strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 < 95 THEN 'valid'
+         |    ELSE 'test' END AS split
+         |  FROM documents),
+         |lab AS (SELECT LEAST(a.split, b.split) AS split_lo,
+         |    GREATEST(a.split, b.split) AS split_hi
+         |  FROM j JOIN sp a ON j.doc_a = a.doc_id JOIN sp b ON j.doc_b = b.doc_id
+         |  WHERE j.jacc >= 0.5)
+         |SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS INTEGER) AS is_leak
+         |FROM lab GROUP BY split_lo, split_hi ORDER BY split_lo, split_hi""".stripMargin,
     "q23_simhash" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, $oracleSimhashTerms AS simhash
          |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
