@@ -135,6 +135,42 @@ class SelectionWaveSpec extends AnyFunSuite {
       "stream and batch must produce identical rows in identical order")
   }
 
+  test("q225: TV distances are bounded and every source is accounted for") {
+    val r = graft.SparkEntry.queries("q225_token_drift")(spark, sfDir).collect()
+    val nSources = graft.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(r.length === nSources)
+    r.foreach { row =>
+      val tv = row.getAs[Long]("tv_e6")
+      assert(tv >= 0L && tv <= 1000000L, s"TV must live in [0, 1]: $tv")
+      assert(row.getAs[Long]("n_grams") > 0L)
+    }
+  }
+
+  test("q226: the leakage matrix re-derives from q22's pairs and q88's splits") {
+    val got = graft.SparkEntry.queries("q226_split_leakage")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_pairs"), r.getAs[Int]("is_leak")))).toMap
+    val pairs = graft.SparkEntry.queries("q22_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val split = graft.Tables.documents(spark, sfDir)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('split_', cast(doc_id as string))), 1, 4), 16, 10) as int) % 100"))
+      .selectExpr("doc_id",
+        "case when bucket < 90 then 'train' when bucket < 95 then 'valid' else 'test' end as s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs.groupBy { case (a, b) =>
+      val (x, y) = (split(a), split(b))
+      (if (x <= y) x else y, if (x <= y) y else x)
+    }.map { case (k, v) => k -> v.length.toLong }
+    assert(got.view.mapValues(_._1).toMap === expected,
+      "the matrix must count exactly q22's pairs bucketed by q88's splits")
+    got.foreach { case ((lo, hi), (_, leak)) =>
+      assert(leak === (if (lo == hi) 0 else 1))
+    }
+  }
+
   test("q221: the hub of a star co-occurrence graph ranks first") {
     val rows = (0L until 12L).map(i => (i, s"hub word$i", "en", "src0")) ++
       Seq((12L, "lonely pairx", "en", "src0"))
