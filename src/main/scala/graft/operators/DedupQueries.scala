@@ -126,7 +126,28 @@ object DedupQueries {
     * everything else in this query; halving it matters more than any join
     * tweak. */
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashLshPairs(s, dir, maxBucketSize = None)
+    stagedLshPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** The UNCAPPED q22 pair stream as a staged parquet leaf, once per
+    * corpus fingerprint per JVM (the fuzzyPairsCache idiom): the
+    * signature+verify pass is the expensive part and is a pure function
+    * of the corpus, so its consumers (q22's presentation sort, q226's
+    * split labeling) read a leaf scan. Capped variants (LshSkewSpec)
+    * stay on the direct path — the cap is a production knob, not a
+    * corpus property. */
+  private val lshPairsStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = lshPairsStageCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ => {
+        val pth = graft.Staging.fresh("lshpairs")
+        minhashLshPairs(s, dir, maxBucketSize = None)
+          .write.mode("overwrite").parquet(pth)
+        pth
+      })
+    s.read.parquet(p)
+  }
 
   /** q22 with the hot-bucket cap exposed: the oracle-registered form keeps
     * every bucket (cap None — exact w.r.t. the band construction); a
@@ -1486,8 +1507,7 @@ object DedupQueries {
     * The split column derives in the scan projection — no extra
     * shuffle. */
   def q226SplitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(s, dir, maxBucketSize = None)
-      .select("doc_a", "doc_b")
+    val pairs = stagedLshPairs(s, dir).select("doc_a", "doc_b")
     val sp = Tables.documents(s, dir)
       .withColumn("bucket", expr(
         "cast(conv(substring(md5(concat('split_', cast(doc_id as string))), 1, 4), 16, 10) as int) % 100"))
