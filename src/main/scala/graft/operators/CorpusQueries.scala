@@ -918,7 +918,9 @@ object CorpusQueries {
       .select(col("source"),
         expr("cast(conv(substring(md5(tok), 8, 1), 16, 10) as bigint)").as("b"))
     val cnt = tb.groupBy("source", "b").agg(count(lit(1)).as("cnt"))
-    val grid = cnt.select("source").distinct()
+    // sources from the metadata column directly — deriving them from
+    // `cnt` would drag the token explode into a second corpus pass
+    val grid = Tables.documents(s, dir).select("source").distinct()
       .crossJoin(s.range(16).select(col("id").as("b")))
     val obs = grid.join(cnt, Seq("source", "b"), "left")
       .select(col("source"), col("b"), coalesce(col("cnt"), lit(0L)).as("obs"))
