@@ -1420,7 +1420,111 @@ object SimilarityQueries {
       .orderBy("probe_id")
   }
 
+  // ---------------------------------------------------------------- q228
+
+  /** q228 — embedding-TRUNCATION recall audit (the Matryoshka question,
+    * Kusupati et al. 2022: can retrieval run on the first 16 of 64
+    * dimensions, quartering vector storage and dot-product cost?):
+    * per probe, how much of the exact full-dimension top-10 the exact
+    * TRUNCATED-cosine top-10 recovers — q218's recall@10 + MRR readout
+    * pointed at a different index, where the candidate ranking is not
+    * an ANN structure but the same brute-force scan under a cheaper
+    * metric. Reported per probe (vec_id < 32): `n_hits10` (overlap of
+    * the two top-10 sets) and `rr_x2520` (2520/r for the truncated
+    * rank r of the first full-metric top-10 hit; 2520 = lcm(1..10)
+    * keeps every reciprocal rank an exact integer; 0 on a total miss).
+    *
+    * Both rankings ride ONE broadcast probe sweep: each (probe,
+    * candidate) row carries the full cosine and the truncated cosine,
+    * and two row_number windows over the SAME per-probe partition
+    * (one shuffle, two sorts) rank them — no second join, no second
+    * pass over the corpus. The sweep is the audit-time cost q25/q218
+    * already pay and production samples probes exactly like this.
+    * Truncated arithmetic reuses the full-vector machinery on a
+    * slice() prefix — same native dot, same fold order, so the oracle
+    * twin is bit-equal and ties break on the shared (score, vec_id)
+    * key identically in both engines. */
+  private[graft] def truncationRecall(s: SparkSession, dir: String,
+                                      tdim: Int): DataFrame = {
+    val e = normed(s, dir)
+      .withColumn("tv", expr(s"slice(v, 1, $tdim)"))
+      .withColumn("tnrm", expr("sqrt(" + dotFold.format("tv", "tv") + ")"))
+    val probes = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"), col("tv").as("ptv"), col("tnrm").as("ptn"))
+    val wf = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    val wt = Window.partitionBy("probe_id").orderBy(desc("tcos"), asc("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", expr(dotFold.format("pv", "v") + " / (pn * nrm)"))
+      .withColumn("tcos", expr(dotFold.format("ptv", "tv") + " / (ptn * tnrm)"))
+      .withColumn("erank", row_number().over(wf))
+      .withColumn("trank", row_number().over(wt))
+      .filter(col("erank") <= 10)
+      .groupBy("probe_id")
+      .agg(count(when(col("trank") <= 10, 1)).cast("bigint").as("n_hits10"),
+        coalesce(expr("2520 div min(case when trank <= 10 then trank end)"),
+          lit(0)).cast("bigint").as("rr_x2520"))
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+        col("n_hits10"), col("rr_x2520"))
+      .orderBy("probe_id")
+  }
+
+  def q228TruncationRecall(s: SparkSession, dir: String): DataFrame =
+    truncationRecall(s, dir, tdim = 16)
+
+  // ---------------------------------------------------------------- q229
+
+  /** q229 — contrastive TRIPLET mining (anchor, positive, negative):
+    * the training-pair assembly step an embedding fine-tune runs over
+    * a labeled corpus (Schroff et al. 2015's mining taxonomy). For
+    * every vector that has both, emit its best SAME-label neighbor
+    * (the positive) and its best CROSS-label neighbor (q194's hard
+    * negative) from the sign-LSH candidate frame — never all-pairs,
+    * the q194/q201 contract — and classify the triplet: `hard` when
+    * the negative outscores the positive (the gradient-rich case),
+    * `semi_hard` otherwise. Anchors missing either side emit nothing:
+    * no positive candidate means the label is an LSH singleton, no
+    * negative means the neighborhood is label-pure — both are health
+    * signals, not rows.
+    *
+    * One symmetric candidate expansion, two label equi-joins, ONE
+    * row_number window partitioned by (anchor, side) — positives and
+    * negatives rank in the same shuffle — then a two-way conditional
+    * pivot per anchor. The margin is exact: both cosines are the
+    * bit-reproducible shared-fold doubles, and their difference
+    * e6-floors identically in both engines. */
+  def q229TripletMining(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairsScored(s, dir)
+    val lbl = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("int").as("lbl"))
+    val sym = pairs.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cos"))
+      .union(pairs.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cos")))
+    val w = Window.partitionBy("v", "is_cross").orderBy(desc("cos"), asc("n"))
+    sym
+      .join(lbl.select(col("vec_id").as("v"), col("lbl").as("v_lbl")), Seq("v"))
+      .join(lbl.select(col("vec_id").as("n"), col("lbl").as("n_lbl")), Seq("n"))
+      .withColumn("is_cross", (col("v_lbl") =!= col("n_lbl")).cast("int"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .groupBy("v", "v_lbl")
+      .agg(max(when(col("is_cross") === 0, col("n"))).as("pos_id"),
+        max(when(col("is_cross") === 0, col("cos"))).as("pos_cos"),
+        max(when(col("is_cross") === 1, col("n"))).as("neg_id"),
+        max(when(col("is_cross") === 1, col("cos"))).as("neg_cos"))
+      .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+      .select(col("v").cast("bigint").as("anchor_id"),
+        col("v_lbl").as("label"),
+        col("pos_id").cast("bigint").as("pos_id"), col("pos_cos"),
+        col("neg_id").cast("bigint").as("neg_id"), col("neg_cos"),
+        expr("cast(floor((pos_cos - neg_cos) * 1e6) as bigint)").as("margin_e6"),
+        expr("case when neg_cos >= pos_cos then 'hard' else 'semi_hard' end")
+          .as("kind"))
+      .orderBy("anchor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_triplet_mining" -> (q229TripletMining _),
+    "q228_truncation_recall" -> (q228TruncationRecall _),
     "q218_retrieval_recall" -> (q218RetrievalRecall _),
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
@@ -1741,7 +1845,30 @@ object SimilarityQueries {
        |GROUP BY e.probe_id
        |ORDER BY probe_id""".stripMargin
 
+  /** q228's oracle: both cosines on each (probe, candidate) row, two
+    * rankings over the same partition, overlap scoring — the Spark
+    * plan re-expressed with the shared fold order. */
+  private val q228Oracle: String =
+    s"""WITH $oracleNormed,
+       |t AS (SELECT vec_id, v, nrm,
+       |    sqrt(list_reduce(list_transform(generate_series(1, 16), i -> v[i] * v[i]), (a, b) -> a + b)) AS tnrm
+       |  FROM n),
+       |j AS (SELECT p.vec_id AS probe_id, c.vec_id,
+       |    list_reduce(list_transform(generate_series(1, $dim), i -> p.v[i] * c.v[i]), (a, b) -> a + b) / (p.nrm * c.nrm) AS cos,
+       |    list_reduce(list_transform(generate_series(1, 16), i -> p.v[i] * c.v[i]), (a, b) -> a + b) / (p.tnrm * c.tnrm) AS tcos
+       |  FROM t p JOIN t c ON c.vec_id <> p.vec_id WHERE p.vec_id < 32),
+       |r AS (SELECT probe_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS erank,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY tcos DESC, vec_id ASC) AS INTEGER) AS trank
+       |  FROM j)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |  CAST(COUNT(CASE WHEN trank <= 10 THEN 1 END) AS BIGINT) AS n_hits10,
+       |  CAST(COALESCE(2520 // MIN(CASE WHEN trank <= 10 THEN trank END), 0) AS BIGINT) AS rr_x2520
+       |FROM r WHERE erank <= 10
+       |GROUP BY probe_id ORDER BY probe_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q228_truncation_recall" -> q228Oracle,
     "q218_retrieval_recall" -> q218Oracle,
     "q92_quantization_audit" ->
       s"""WITH e AS (SELECT CAST(label AS INTEGER) AS label,
@@ -1832,6 +1959,32 @@ object SimilarityQueries {
          |GROUP BY label ORDER BY label""".stripMargin,
     // identical LSH candidate construction + label joins; the rank
     // window expresses the same total (cos DESC, id ASC) order
+    "q229_triplet_mining" ->
+      s"""WITH $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b, cos FROM sc WHERE cos >= 0.35),
+         |sym AS (SELECT vec_a AS v, vec_b AS n, cos FROM pr
+         |  UNION ALL SELECT vec_b AS v, vec_a AS n, cos FROM pr),
+         |lb AS (SELECT vec_id, CAST(label AS INTEGER) AS lbl FROM embeddings),
+         |x AS (SELECT sym.v, sym.n, sym.cos, a.lbl AS v_lbl,
+         |    CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END AS is_cross
+         |  FROM sym JOIN lb a ON a.vec_id = sym.v
+         |  JOIN lb b ON b.vec_id = sym.n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY v, is_cross
+         |    ORDER BY cos DESC, n ASC) AS rk FROM x),
+         |p AS (SELECT v, v_lbl,
+         |    MAX(CASE WHEN is_cross = 0 THEN n END) AS pos_id,
+         |    MAX(CASE WHEN is_cross = 0 THEN cos END) AS pos_cos,
+         |    MAX(CASE WHEN is_cross = 1 THEN n END) AS neg_id,
+         |    MAX(CASE WHEN is_cross = 1 THEN cos END) AS neg_cos
+         |  FROM r WHERE rk = 1 GROUP BY v, v_lbl)
+         |SELECT CAST(v AS BIGINT) AS anchor_id, v_lbl AS label,
+         |  CAST(pos_id AS BIGINT) AS pos_id, pos_cos,
+         |  CAST(neg_id AS BIGINT) AS neg_id, neg_cos,
+         |  CAST(floor((pos_cos - neg_cos) * 1e6) AS BIGINT) AS margin_e6,
+         |  CASE WHEN neg_cos >= pos_cos THEN 'hard' ELSE 'semi_hard' END AS kind
+         |FROM p WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+         |ORDER BY anchor_id""".stripMargin,
     "q194_hard_negatives" ->
       s"""WITH $oracleNormed,
          |$oraclePairSc,

@@ -508,7 +508,65 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q227
+
+  /** q227 — STREAMING trailing-24h distinct active users per hour (the
+    * rolling-DAU readout every live pipeline dashboards): q216's
+    * two-phase sliding-DISTINCT decomposition run ONLINE. A sliding
+    * COUNT DISTINCT is the one window neither engine's frame supports,
+    * and streaming adds the constraint that per-window user SETS cannot
+    * be buffered (unbounded state per window). The batch decomposition
+    * transfers verbatim because each of its pieces maps onto a bounded
+    * streaming operator:
+    *   1. a STATELESS projection truncates each event to its hour and
+    *      explodes it onto the 24 trailing window-hours it serves
+    *      (fanout = window length, a constant);
+    *   2. `dropDuplicatesWithinWatermark(user_id, wh)` collapses a
+    *      user's many events inside one window to ONE row — state is
+    *      exactly the distinct (user, window-hour) pairs inside the
+    *      watermark horizon, the same bound the batch distinct carries,
+    *      and keys expire as the watermark passes;
+    *   3. a windowed COUNT over the deduped pairs — plain bounded
+    *      window state, never a set.
+    * Chained stateful operators (dedup → windowed agg) propagate the
+    * watermark through both stores, the q52 contract.
+    *
+    * Watermark geometry: the event-time column is the DERIVED window
+    * hour `wh`, which runs up to 23 h AHEAD of the event's own hour
+    * (an event serves windows into its future). The 25 h delay is
+    * therefore 23 h of self-induced skew + 2 h of real arrival
+    * lateness: watermark = max(wh) − 25 h = max event hour − 2 h, so
+    * an in-order event's own-hour row (its lowest wh) is never late,
+    * and dedup state for a window-hour outlives the last event that
+    * can feed it by a full day. Append mode emits a window once its
+    * end clears that watermark — hour H reports once max event hour
+    * reaches H + 3 — and both state stores drop the hour on the same
+    * tick. Everything is hour-aligned, so the finalization cut is
+    * exact integer arithmetic the oracle replays. */
+  def q227StreamingSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamSources.events(s, dir)
+    val tbl = s"graft_stream_sliding_${runCounter.incrementAndGet()}"
+    val covered = ev
+      .select(col("user_id"), date_trunc("HOUR", col("ts")).as("eh"))
+      .select(col("user_id"), col("eh"), explode(expr("sequence(0, 23)")).as("off"))
+      .select(col("user_id"), expr("timestampadd(HOUR, off, eh)").as("wh"))
+    drain(s, covered
+      .withWatermark("wh", "25 hours")
+      .dropDuplicatesWithinWatermark("user_id", "wh")
+      .groupBy(window(col("wh"), "1 hour"))
+      .agg(count(lit(1)).cast("bigint").as("active_users_24h"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("active_users_24h"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()))
+    s.table(tbl).orderBy("h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_streaming_sliding_distinct" -> (q227StreamingSlidingDistinct _),
     "q220_streaming_decontaminate" -> (q220StreamingDecontaminate _),
     "q107_streaming_kmv" -> (q107StreamingKmv _),
     "q36_streaming_hourly" -> (q36StreamingHourly _),
@@ -530,6 +588,22 @@ object StreamingQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // q216's bounded-fanout decomposition at hour grain + the q36
+    // finalization cut: window END (wh + 1 h) at least the 25 h
+    // watermark behind max(wh) = max event hour + 23 h  ⇔  wh + 3 h
+    // <= max event hour (all hour-aligned — an exact cut)
+    "q227_streaming_sliding_distinct" ->
+      """WITH eh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS eh
+        |    FROM events),
+        |cov AS (SELECT DISTINCT user_id, eh + off * INTERVAL 1 HOUR AS wh
+        |  FROM eh CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS off))
+        |SELECT strftime(wh, '%Y-%m-%d %H:%M:%S') AS h,
+        |  CAST(COUNT(*) AS BIGINT) AS active_users_24h
+        |FROM cov
+        |GROUP BY wh
+        |HAVING wh + INTERVAL 3 HOUR
+        |  <= (SELECT max(date_trunc('hour', ts)) FROM events)
+        |ORDER BY h""".stripMargin,
     // stream == batch verdicts: q220 answers to q207's oracle verbatim
     "q220_streaming_decontaminate" ->
       graft.operators.DedupQueries.q207OracleSql,
