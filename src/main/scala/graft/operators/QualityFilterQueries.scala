@@ -432,12 +432,97 @@ object QualityFilterQueries {
       .orderBy(desc("dsir_score_e6"), asc("doc_id")).limit(20)
   }
 
+  // ---------------------------------------------------------------- q230
+
+  /** q230 — FILTER-ENSEMBLE agreement audit: the three independent
+    * quality filters the board trains or hand-tunes — the five-rule
+    * Gopher/C4 gate (q215), the unigram-LM score against the corpus
+    * mean (q75's lattice), and the duplicated-trigram gate (q61's
+    * ratio as a hard cut) — evaluated per DOCUMENT and cross-tabulated
+    * per source: how often each passes, how often all three agree, and
+    * every pairwise agreement count. This is the ensemble step a
+    * production curation pipeline runs before composing filters (a
+    * filter that never disagrees with another is redundant; one that
+    * always disagrees is measuring something else), re-expressed as
+    * one exact-integer audit.
+    *
+    * Verdict arithmetic, all exact: the rules verdict is q215's five
+    * integer-per-cent cuts; the repetition verdict is q61's trigram
+    * gate via 5·(n_grams − n_distinct) ≤ n_grams (docs under 3 tokens
+    * pass — no gram is computable); the LM verdict compares each
+    * doc's e12 token-probability mass against the corpus mean by
+    * decimal(38,0) cross-multiply — spq·ΣN ≥ Σspq·n — so no division
+    * ever happens. Σspq and ΣN are BOUNDED DRIVER SCALARS (two values,
+    * the q150/q208 idiom), folded into the predicate as literals.
+    *
+    * Scale shape: one row-local codegen'd scan for rules + repetition
+    * (token arrays never leave their row), q75's tokenize → vocab join
+    * → per-doc regroup for the LM mass (the join carries scaling keys;
+    * the vocab side partial-aggregates map-side), one doc_id equi-join
+    * to combine, one bounded groupBy on source. */
+  def q230FilterEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"), col("source"),
+        expr("cast(greatest(size(toks), 1) as bigint)").as("n"),
+        expr("cast(aggregate(toks, 0L, (acc, x) -> acc + length(x)) as bigint)")
+          .as("chars"),
+        expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
+        expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
+          .as("nstop"),
+        expr("cast(array_max(transform(array_distinct(toks), " +
+          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"),
+        expr("cast(size(toks) - 2 as bigint)").as("ng"),
+        expr("cast(size(array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))) as bigint)").as("ndg"))
+      .select(col("doc_id"), col("source"),
+        expr("case when n between 25 and 90 and (10 * chars) div n between 40 and 52 " +
+          "and nstop >= 1 and (100 * nd) div n >= 40 and (100 * mf) div n <= 12 " +
+          "then 1 else 0 end").as("v_rules"),
+        expr("case when ng < 1 then 1 when 5 * (ng - ndg) <= ng then 1 else 0 end")
+          .as("v_rep"))
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totalV = counts.agg(sum("cnt")).first().getLong(0)
+    val perDoc = tok.join(counts, Seq("tok"))
+      .withColumn("pq", expr(
+        s"cast(floor(cast(cnt as double) / cast($totalV as double) * 1e12) as bigint)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("pq").as("spq"))
+    val t = perDoc.agg(sum(col("spq").cast("decimal(38,0)")), sum("n_tokens")).first()
+    val (sspq, sn) = (t.getDecimal(0).toBigInteger, t.getLong(1))
+    val lm = perDoc.select(col("doc_id"),
+      expr(s"case when cast(spq as decimal(38,0)) * $sn >= " +
+        s"cast('$sspq' as decimal(38,0)) * n_tokens then 1 else 0 end").as("v_lm"))
+    flags.join(lm, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("v_rules").cast("bigint").as("n_pass_rules"),
+        sum("v_lm").cast("bigint").as("n_pass_lm"),
+        sum("v_rep").cast("bigint").as("n_pass_rep"),
+        sum(expr("v_rules * v_lm * v_rep")).cast("bigint").as("n_pass_all"),
+        sum(expr("case when v_rules = v_lm then 1 else 0 end")).cast("bigint")
+          .as("n_agree_rules_lm"),
+        sum(expr("case when v_rules = v_rep then 1 else 0 end")).cast("bigint")
+          .as("n_agree_rules_rep"),
+        sum(expr("case when v_lm = v_rep then 1 else 0 end")).cast("bigint")
+          .as("n_agree_lm_rep"),
+        sum(expr("case when v_rules = v_lm and v_lm = v_rep then 1 else 0 end"))
+          .as("n_unanimous"))
+      .withColumn("unanimous_share_e6",
+        expr("(1000000 * n_unanimous) div n_docs").cast("bigint"))
+      .drop("n_unanimous")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_train_quality_filter" -> (q205TrainQualityFilter _),
     "q206_quality_scorecard" -> (q206QualityScorecard _),
     "q213_ngram_quality_filter" -> (q213NgramQualityFilter _),
     "q215_rules_gate" -> (q215RulesGate _),
     "q217_dsir_importance" -> (q217DsirImportance _),
+    "q230_filter_ensemble" -> (q230FilterEnsemble _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -578,6 +663,59 @@ object QualityFilterQueries {
 
   val oracles: Map[String, String] = Map(
     "q217_dsir_importance" -> q217Oracle,
+    "q230_filter_ensemble" ->
+      s"""WITH tq AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |    FROM documents),
+         |m AS (SELECT doc_id, source,
+         |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+         |    CAST(len(list_filter(list_distinct(toks),
+         |        t -> t IN ($stopList))) AS BIGINT) AS nstop,
+         |    CAST(list_max(list_transform(list_distinct(toks),
+         |        t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS mf,
+         |    CAST(len(toks) - 2 AS BIGINT) AS ng,
+         |    CAST(len(list_distinct(list_transform(
+         |        generate_series(1, GREATEST(len(toks) - 2, 1)),
+         |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS BIGINT)
+         |      AS ndg
+         |  FROM tq),
+         |flags AS (SELECT doc_id, source,
+         |    CASE WHEN n BETWEEN 25 AND 90
+         |      AND (10 * chars) // n BETWEEN 40 AND 52
+         |      AND nstop >= 1 AND (100 * nd) // n >= 40
+         |      AND (100 * mf) // n <= 12 THEN 1 ELSE 0 END AS v_rules,
+         |    CASE WHEN ng < 1 THEN 1 WHEN 5 * (ng - ndg) <= ng THEN 1 ELSE 0 END
+         |      AS v_rep
+         |  FROM m),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         |tt AS (SELECT SUM(cnt) AS total FROM c),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    SUM(CAST(FLOOR(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1e12)
+         |      AS BIGINT)) AS spq
+         |  FROM tok JOIN c USING (tok) CROSS JOIN tt GROUP BY doc_id),
+         |ts AS (SELECT SUM(spq) AS sspq, SUM(n_tokens) AS sn FROM pd),
+         |lm AS (SELECT doc_id,
+         |    CASE WHEN spq * ts.sn >= ts.sspq * n_tokens THEN 1 ELSE 0 END AS v_lm
+         |  FROM pd CROSS JOIN ts),
+         |v AS (SELECT f.source, f.v_rules, f.v_rep, lm.v_lm
+         |  FROM flags f JOIN lm USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(v_rules) AS BIGINT) AS n_pass_rules,
+         |  CAST(SUM(v_lm) AS BIGINT) AS n_pass_lm,
+         |  CAST(SUM(v_rep) AS BIGINT) AS n_pass_rep,
+         |  CAST(SUM(v_rules * v_lm * v_rep) AS BIGINT) AS n_pass_all,
+         |  CAST(SUM(CASE WHEN v_rules = v_lm THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree_rules_lm,
+         |  CAST(SUM(CASE WHEN v_rules = v_rep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree_rules_rep,
+         |  CAST(SUM(CASE WHEN v_lm = v_rep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree_lm_rep,
+         |  CAST((1000000 * SUM(CASE WHEN v_rules = v_lm AND v_lm = v_rep
+         |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS unanimous_share_e6
+         |FROM v GROUP BY source ORDER BY source""".stripMargin,
     "q215_rules_gate" ->
       s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
          |m AS (SELECT source,

@@ -77,6 +77,37 @@ class RollingAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q230: member verdicts re-derive from the standalone filters") {
+    val ens = graft.SparkEntry.queries("q230_filter_ensemble")(spark, sfDir)
+      .collect()
+    // rules member == q215's per-source pass counts, source for source
+    val rules = graft.SparkEntry.queries("q215_rules_gate")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_pass")).toMap
+    ens.foreach { r =>
+      assert(r.getAs[Long]("n_pass_rules") === rules(r.getString(0)),
+        s"source ${r.getString(0)}: rules member diverges from q215")
+    }
+    // repetition member == q61's keep verdicts plus the short-doc pass-through
+    val q61keep = graft.SparkEntry.queries("q61_repetition_ratio")(spark, sfDir)
+      .collect().count(_.getAs[Boolean]("keep_doc")).toLong
+    val shortDocs = graft.Tables.documents(spark, sfDir)
+      .filter(expr("size(split(text, ' ')) < 3")).count()
+    assert(ens.map(_.getAs[Long]("n_pass_rep")).sum === q61keep + shortDocs)
+    // internal consistency: unanimity is the floor of every pairwise count
+    ens.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val pairs = Seq("n_agree_rules_lm", "n_agree_rules_rep", "n_agree_lm_rep")
+        .map(r.getAs[Long])
+      val unanimous = r.getAs[Long]("unanimous_share_e6") * n / 1000000L
+      pairs.foreach(p => assert(p >= 0L && p <= n))
+      assert(r.getAs[Long]("n_pass_all") <= Seq("n_pass_rules", "n_pass_lm",
+        "n_pass_rep").map(r.getAs[Long]).min)
+      assert(pairs.forall(_ >= r.getAs[Long]("n_pass_all")),
+        "a pairwise agreement count cannot undercut the all-pass count")
+      assert(unanimous <= pairs.min + 1)
+    }
+  }
+
   test("q228: recall and reciprocal-rank bounds, and a nontrivial fixture floor") {
     val r = graft.SparkEntry.queries("q228_truncation_recall")(spark, sfDir)
       .collect()
