@@ -913,6 +913,41 @@ object TemporalQueries {
       .orderBy("event_type", "d")
   }
 
+  // ---------------------------------------------------------------- q231
+
+  /** q231 — trailing-7-day sliding MEDIAN of event value per (type,
+    * day): the robust sibling of q08's RANGE-frame moving average. A
+    * frame-median exists in both engines only as a per-ROW recompute
+    * (each output row re-sorts its whole frame — O(rows x window) and
+    * a single partition per type), so the registered form computes
+    * each WINDOW ONCE: q216's bounded 7-day fanout routes every event
+    * to the (<=7) window-ends it serves, one hash aggregate per (type,
+    * window-end) takes the exact interpolated median, and the
+    * window-end spine is semi-joined to days that had events so the
+    * fanout never outruns the data. The fanout multiplies the event
+    * stream by a CONSTANT (the window length), after which everything
+    * shuffles on scaling keys.
+    *
+    * `percentile` here is exact (it buffers the group — the q96
+    * caveat) and bit-identical to DuckDB's quantile_cont (the q49-
+    * proven interpolating pair); when a (type, day) group stops
+    * fitting, q100's binned estimate or q51's GK sketch is the same
+    * decomposition with fixed state — the fanout is the part that
+    * carries over unchanged. */
+  def q231SlidingMedian(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("ts").cast("date").as("d"))
+    val days = ev.select("event_type", "d").distinct()
+    ev.select(col("event_type"), col("value"),
+        explode(expr("sequence(0, 6)")).as("off"), col("d"))
+      .select(col("event_type"), col("value"), expr("date_add(d, off)").as("d"))
+      .join(days, Seq("event_type", "d"), "left_semi")
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).cast("bigint").as("n_7d"),
+        expr("percentile(value, 0.5)").as("median_7d"))
+      .orderBy("event_type", "d")
+  }
+
   // ---------------------------------------------------------------- q224
 
   /** q224 — LIFETIME cumulative distinct users per (event_type, day):
@@ -971,6 +1006,7 @@ object TemporalQueries {
     "q181_autocorrelation" -> (q181Autocorrelation _),
     "q208_interval_overlap" -> (q208IntervalOverlap _),
     "q216_sliding_distinct" -> (q216SlidingDistinct _),
+    "q231_sliding_median" -> (q231SlidingMedian _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -992,6 +1028,19 @@ object TemporalQueries {
         |FROM days ORDER BY days.event_type, days.d""".stripMargin,
     // the bounded-fanout decomposition's oracle is the direct range
     // join + COUNT DISTINCT — fine at oracle scale, unbounded at ours
+    // the independent range-join formulation — correct at oracle scale,
+    // a per-day re-join at ours; what the hash check proves is that the
+    // bounded-fanout decomposition computes the same windows
+    "q231_sliding_median" ->
+      """WITH e AS (SELECT event_type, value, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT event_type, d FROM e)
+        |SELECT days.event_type, days.d,
+        |  CAST(COUNT(*) AS BIGINT) AS n_7d,
+        |  quantile_cont(e.value, 0.5) AS median_7d
+        |FROM days JOIN e ON e.event_type = days.event_type
+        |  AND e.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY days.event_type, days.d
+        |ORDER BY days.event_type, days.d""".stripMargin,
     "q216_sliding_distinct" ->
       """WITH ed AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
         |    FROM events),

@@ -542,7 +542,16 @@ object StreamingQueries {
     * end clears that watermark — hour H reports once max event hour
     * reaches H + 3 — and both state stores drop the hour on the same
     * tick. Everything is hour-aligned, so the finalization cut is
-    * exact integer arithmetic the oracle replays. */
+    * exact integer arithmetic the oracle replays.
+    *
+    * Deployment knob: on a stream with many events per user-hour, a
+    * THIRD stateful stage — dropDuplicatesWithinWatermark(user, hour)
+    * BEFORE the explode — collapses the stream so the 24x fanout
+    * multiplies user-hours, not events (the q216 batch ordering). The
+    * fixture collapses under 5%, which does not buy back a state
+    * store, so the registered form keeps two stages; the crossover is
+    * events-per-user-hour > ~state-write-cost/row-cost, measured per
+    * pipeline. */
   def q227StreamingSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_sliding_${runCounter.incrementAndGet()}"

@@ -108,6 +108,31 @@ class RollingAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q231: fanout decomposition == an independent driver-side window median") {
+    val got = graft.SparkEntry.queries("q231_sliding_median")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("cast(ts as date)").as("d"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val byType = rows.groupBy(_._1)
+    val want = byType.toSeq.flatMap { case (t, rs) =>
+      rs.map(_._2).distinct.sorted((a: java.time.LocalDate, b: java.time.LocalDate) =>
+        a.compareTo(b)).map { d =>
+        val w = rs.filter(r => !r._2.isAfter(d) && !r._2.isBefore(d.minusDays(6)))
+          .map(_._3).sorted
+        // interpolated median, the percentile/quantile_cont convention
+        val n = w.length
+        val med = if (n % 2 == 1) w(n / 2) else {
+          val (lo, hi) = (w(n / 2 - 1), w(n / 2))
+          lo + (hi - lo) * 0.5
+        }
+        (t, d.toString, n.toLong, med)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq === want)
+  }
+
   test("q228: recall and reciprocal-rank bounds, and a nontrivial fixture floor") {
     val r = graft.SparkEntry.queries("q228_truncation_recall")(spark, sfDir)
       .collect()
