@@ -399,6 +399,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"assignment must not re-derive the orders aggregate:\n$p")
   }
 
+  test("q231: the sliding median plans with NO window operator at all") {
+    // same discipline as q216: the trailing window is a bounded fanout
+    // plus per-(type, window-end) hash aggregates, never a frame median
+    val p = plan("q231_sliding_median")
+    assert(!"\\bWindow\\b".r.findAllIn(p).hasNext,
+      s"sliding median must not fall back to a frame recompute:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the bounded 7-day fanout generate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no unbounded join geometry:\n$p")
+  }
+
+  test("q229: top-1 per (anchor, side) rides WindowGroupLimit, and label joins are equi") {
+    val p = plan("q229_triplet_mining")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-1 filter should push down as a group limit:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must stay banded, never all-pairs:\n$p")
+  }
+
   test("q216: the sliding distinct plans with NO window operator at all") {
     // the whole point of the decomposition: hash aggregates + a bounded
     // sequence(0,6) explode, never a per-(type) ordered window
