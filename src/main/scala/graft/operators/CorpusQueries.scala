@@ -961,7 +961,55 @@ object CorpusQueries {
     "q88_split_manifest" -> (q88SplitManifest _),
     "q96_length_profile" -> (q96LengthProfile _),
     "q100_binned_quantiles" -> (q100BinnedQuantiles _),
+    "q235_shard_manifest" -> (q235ShardManifest _),
   )
+
+  // ---------------------------------------------------------------- q235
+
+  /** q235 — deterministic GLOBAL SHUFFLE + exact balanced shard
+    * manifest: the training-data writer's final act. A trainer wants
+    * shards that are (a) a deterministic permutation of the corpus —
+    * re-running the writer bit-reproduces every shard; (b) SHUFFLED —
+    * adjacent documents decorrelated so each shard is an unbiased
+    * corpus sample; (c) EXACTLY balanced — |shard sizes| differ by at
+    * most 1 document, not the ±sqrt(n) of a bare hash mod. The salted
+    * hash gives (a)+(b); an exact global rank over the hash order plus
+    * round-robin assignment (shard = (rank−1) mod 8) gives (c).
+    *
+    * The global rank is the board's two-phase form (q116/q170 — never
+    * one unpartitioned window over document rows): hash-prefix buckets
+    * (h div 2^22, 1024 cells — monotone in h, so bucket-major order IS
+    * global hash order), bucket offsets from one running sum over the
+    * ≤1024-row bucket summary, exact in-bucket ranks from a
+    * bucket-partitioned row_number. Bucket count is the parallelism
+    * knob: it scales with the cluster (each bucket's window sees
+    * n/buckets rows), while the oracle's single global row_number is
+    * the independent formulation the hash check proves equivalent.
+    * Per-shard n_langs (distinct languages present) is the audit that
+    * the shuffle actually mixed strata. */
+  def q235ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat('shard_', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("bucket", expr("h div 4194304"))
+      .select(col("doc_id"), col("lang"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("ntok"),
+        col("h"), col("bucket"))
+    val wo = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = d.groupBy("bucket").agg(count(lit(1)).as("bc"))
+      .withColumn("off", sum("bc").over(wo) - col("bc"))
+      .select("bucket", "off")
+    val wi = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    d.join(off, "bucket")
+      .withColumn("rank", col("off") + row_number().over(wi))
+      .withColumn("shard", expr("cast((rank - 1) % 8 as bigint)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("ntok").cast("bigint").as("tokens"),
+        countDistinct("lang").cast("bigint").as("n_langs"))
+      .orderBy("shard")
+  }
 
   /** Deterministic stratified train/valid/test split manifest (90/5/5):
     * each document's split is a pure function of a salted md5 of its id
@@ -1286,6 +1334,19 @@ object CorpusQueries {
         |  CAST(MIN(ntok) AS BIGINT) AS min_tok,
         |  CAST(MAX(ntok) AS BIGINT) AS max_tok
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q235_shard_manifest" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |    ${duckMd5Int("'shard_' || CAST(doc_id AS VARCHAR)", 8)} AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, ntok,
+         |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank
+         |  FROM d)
+         |SELECT CAST((rank - 1) % 8 AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ntok) AS BIGINT) AS tokens,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
     "q88_split_manifest" ->
       """WITH b AS (SELECT lang, text,
         |    ((strpos('0123456789abcdef', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096

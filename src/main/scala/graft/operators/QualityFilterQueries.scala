@@ -210,6 +210,43 @@ object QualityFilterQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q233
+
+  /** q233 — CALIBRATION audit of the trained quality filter (the
+    * reliability-diagram readout, Guo et al. 2017: a score used as a
+    * sampling weight or a threshold knob is only as good as its
+    * calibration, so production curation audits predicted probability
+    * against observed label rate before trusting the scores): bucket
+    * the model's hard-sigmoid score p ∈ [0, S] into 10 fixed deciles
+    * and report, per bucket, the support, the exact predicted-mass sum,
+    * the positive count, and the calibration gap.
+    *
+    * Everything stays on the integer lattice the q205 trainer already
+    * lives on: p IS an e6 integer, the bucket is least(9, p div S/10)
+    * (the p = S boundary folds into the top decile), `sum_p_e6` and
+    * `n_pos` are exact BIGINT sums, and `gap_e6` =
+    * |sum_p − n_pos·S| div n is the exact per-bucket ECE numerator —
+    * no float anywhere, so the audit is bit-identical cross-engine.
+    * Cost: one codegen'd scan over the staged 5-column feature frame
+    * with the cached weights as literals, one ≤10-group aggregate —
+    * the same per-pass shape as a single GD iteration, trivially
+    * map-side-combinable at any corpus size. */
+  def q233CalibrationAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = trainedWeights(s, dir)
+    val m = marginExpr(w.map(_.toString))
+    stagedFeatures(s, dir)
+      .withColumn("p", expr(pExpr(m)))
+      .withColumn("bucket", expr(s"least(9L, p div ${S / 10})"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("p").cast("bigint").as("sum_p_e6"),
+        sum("y").cast("bigint").as("n_pos"))
+      .select(col("bucket").cast("bigint").as("bucket"), col("n_docs"),
+        col("sum_p_e6"), col("n_pos"),
+        expr(s"abs(sum_p_e6 - n_pos * $S) div n_docs").as("gap_e6"))
+      .orderBy("bucket")
+  }
+
   // ---------------------------------------------------------------- q213
 
   /** Hashed-n-gram bucket count: 16 buckets addressed by the 8th hex
@@ -517,6 +554,7 @@ object QualityFilterQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_calibration_audit" -> (q233CalibrationAudit _),
     "q205_train_quality_filter" -> (q205TrainQualityFilter _),
     "q206_quality_scorecard" -> (q206QualityScorecard _),
     "q213_ngram_quality_filter" -> (q213NgramQualityFilter _),
@@ -759,6 +797,20 @@ object QualityFilterQueries {
          |  CAST(w.a2 AS BIGINT) AS w2_e6, CAST(w.a3 AS BIGINT) AS w3_e6,
          |  CAST(w.n AS BIGINT) AS n_docs, acc.n_correct
          |FROM w$iters w, acc""".stripMargin,
+    "q233_calibration_audit" ->
+      s"""WITH $fCte,
+         |$trainCtes,
+         |z AS (SELECT f.y,
+         |    LEAST($S, GREATEST(0, ${2 * S}
+         |      + (w.a0*x0 + w.a1*x1 + w.a2*x2 + w.a3*x3)) // 4) AS p
+         |  FROM f, w$iters w),
+         |b AS (SELECT LEAST(9, p // ${S / 10}) AS bucket, p, y FROM z)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(p) AS BIGINT) AS sum_p_e6,
+         |  CAST(SUM(y) AS BIGINT) AS n_pos,
+         |  CAST(abs(SUM(p) - SUM(y) * $S) // COUNT(*) AS BIGINT) AS gap_e6
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q206_quality_scorecard" ->
       s"""WITH $fCte,
          |$trainCtes,

@@ -1522,7 +1522,62 @@ object SimilarityQueries {
       .orderBy("anchor_id")
   }
 
+  // ---------------------------------------------------------------- q232
+
+  /** q232 — INT8-quantized retrieval recall (the serving-compression
+    * question next to q228's dimension-truncation one: can retrieval
+    * run on 1-byte codes, quartering vector memory?): per probe, how
+    * much of the exact full-precision top-10 the int8 ranking recovers,
+    * in q228's readout (`n_hits10` overlap + `rr_x2520` exact-integer
+    * reciprocal rank).
+    *
+    * The quantizer is q92's per-vector symmetric absmax
+    * (scale = max|x|/127, code = floor(x/scale + 0.5) ∈ [-127, 127]) —
+    * and the reason this metric is EXACTLY portable is that per-vector
+    * scales CANCEL in the cosine: cos(s_a·q_a, s_b·q_b) =
+    * Σq_aq_b / (|q_a||q_b|). So the candidate ranking key is a pure
+    * BIGINT code dot (order-free, no float accumulation anywhere; the
+    * code self-dots are ≤ 64·127² ≈ 1.03e6 so their product ≲ 1.07e12
+    * is exactly double-representable) divided once by one sqrt — two
+    * IEEE ops from exact integers, bit-identical in both engines. This
+    * is a determinism property the float metrics (q228's truncated
+    * cosine) only get from the shared-fold-order discipline; int8
+    * scoring gets it from the integer lattice itself.
+    *
+    * Same sweep economics as q228: both rankings ride ONE broadcast
+    * probe expansion and two row_number windows over the SAME per-probe
+    * partition — one shuffle, no second corpus pass. */
+  def q232Int8Recall(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0d"))
+      .withColumn("q", expr(
+        "transform(v, x -> cast(floor(x / scale + 0.5d) as bigint))"))
+      .withColumn("qn2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+    val probes = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"), col("q").as("pq"), col("qn2").as("pqn2"))
+    val wf = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    val wq = Window.partitionBy("probe_id").orderBy(desc("qcos"), asc("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", expr(dotFold.format("pv", "v") + " / (pn * nrm)"))
+      .withColumn("iq", expr(
+        "aggregate(zip_with(pq, q, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("qcos", expr(
+        "cast(iq as double) / sqrt(cast(pqn2 * qn2 as double))"))
+      .withColumn("erank", row_number().over(wf))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("erank") <= 10)
+      .groupBy("probe_id")
+      .agg(count(when(col("qrank") <= 10, 1)).cast("bigint").as("n_hits10"),
+        coalesce(expr("2520 div min(case when qrank <= 10 then qrank end)"),
+          lit(0)).cast("bigint").as("rr_x2520"))
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+        col("n_hits10"), col("rr_x2520"))
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_int8_recall" -> (q232Int8Recall _),
     "q229_triplet_mining" -> (q229TripletMining _),
     "q228_truncation_recall" -> (q228TruncationRecall _),
     "q218_retrieval_recall" -> (q218RetrievalRecall _),
@@ -1867,7 +1922,37 @@ object SimilarityQueries {
        |FROM r WHERE erank <= 10
        |GROUP BY probe_id ORDER BY probe_id""".stripMargin
 
+  /** q232's oracle: the identical absmax quantizer, the identical
+    * BIGINT code dot (order-free), one division by one sqrt of an
+    * exactly-representable integer product — the lattice, not fold
+    * order, is what makes the two engines agree. */
+  private val q232Oracle: String =
+    s"""WITH $oracleNormed,
+       |qz AS (SELECT vec_id, v, nrm,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM n),
+       |q AS (SELECT vec_id, v, nrm,
+       |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+       |  FROM qz),
+       |qq AS (SELECT vec_id, v, nrm, q,
+       |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS qn2
+       |  FROM q),
+       |j AS (SELECT p.vec_id AS probe_id, c.vec_id,
+       |    list_reduce(list_transform(generate_series(1, $dim), i -> p.v[i] * c.v[i]), (a, b) -> a + b) / (p.nrm * c.nrm) AS cos,
+       |    CAST(list_reduce(list_transform(generate_series(1, $dim), i -> p.q[i] * c.q[i]), (a, b) -> a + b) AS DOUBLE)
+       |      / sqrt(CAST(p.qn2 * c.qn2 AS DOUBLE)) AS qcos
+       |  FROM qq p JOIN qq c ON c.vec_id <> p.vec_id WHERE p.vec_id < 32),
+       |r AS (SELECT probe_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS erank,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, vec_id ASC) AS INTEGER) AS qrank
+       |  FROM j)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |  CAST(COUNT(CASE WHEN qrank <= 10 THEN 1 END) AS BIGINT) AS n_hits10,
+       |  CAST(COALESCE(2520 // MIN(CASE WHEN qrank <= 10 THEN qrank END), 0) AS BIGINT) AS rr_x2520
+       |FROM r WHERE erank <= 10
+       |GROUP BY probe_id ORDER BY probe_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q232_int8_recall" -> q232Oracle,
     "q228_truncation_recall" -> q228Oracle,
     "q218_retrieval_recall" -> q218Oracle,
     "q92_quantization_audit" ->

@@ -948,6 +948,66 @@ object TemporalQueries {
       .orderBy("event_type", "d")
   }
 
+  // ---------------------------------------------------------------- q237
+
+  /** q237 — trailing-7-day rolling CROSS-correlation matrix over the
+    * event-type daily-volume series (the co-movement monitor next to
+    * q198's autocorrelation and q179's drift: "did errors start moving
+    * with purchases this week?"). For every unordered type pair and
+    * every day, the exact Pearson correlation of the two types' daily
+    * counts over the trailing 7 days.
+    *
+    * Shape: one (type, day) count aggregate — the only corpus-sized
+    * pass — densified onto the distinct-types × distinct-days grid
+    * (missing days count 0, so series align by calendar, not by
+    * presence), one equi-join on the day index pairing the grid with
+    * itself (grid rows = |types|·|days|, bounded summaries), and ONE
+    * (ta, tb)-partitioned RANGE window carrying all five moment sums —
+    * a range frame over the integer epoch-day, so calendar gaps in the
+    * spine can never silently widen the window.
+    *
+    * Determinism: every moment (n, Σa, Σb, Σa², Σb², Σab) is an exact
+    * BIGINT window sum; the correlation numerator and both variance
+    * terms are exact integer combinations of them; the only float work
+    * is the final cast-sqrt-divide-floor chain, the identical IEEE op
+    * sequence in both engines (the q188 rule: cross-products of
+    * independent counts get doubles — sqrt(d1)·sqrt(d2), never the
+    * BIGINT product d1·d2, which would overflow first). Exactness
+    * headroom: with per-day counts c, the moments are ≤ 49c² —
+    * cast-to-double-exact past c ~ 1e7 per day per type. */
+  def q237RollingCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("ts").cast("date").as("d"))
+    val days = ev.select("d").distinct()
+    val types = ev.select("t").distinct()
+    val cnt = ev.groupBy("t", "d").agg(count(lit(1)).as("c"))
+    val grid = types.crossJoin(days)
+      .join(cnt, Seq("t", "d"), "left")
+      .select(col("t"), col("d"),
+        expr("datediff(d, date'1970-01-01')").as("di"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("t").as("ta"), col("d"), col("di"),
+      col("c").as("ca"))
+    val b = grid.select(col("t").as("tb"), col("di").as("di2"),
+      col("c").as("cb"))
+    val w = Window.partitionBy("ta", "tb").orderBy("di").rangeBetween(-6, 0)
+    a.join(b, col("di") === col("di2") && col("ta") < col("tb"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sa", sum("ca").over(w))
+      .withColumn("sb", sum("cb").over(w))
+      .withColumn("saa", sum(expr("ca * ca")).over(w))
+      .withColumn("sbb", sum(expr("cb * cb")).over(w))
+      .withColumn("sab", sum(expr("ca * cb")).over(w))
+      .select(col("ta"), col("tb"), col("d"),
+        col("n").cast("bigint").as("n_days"),
+        expr("case when n*saa - sa*sa > 0 and n*sbb - sb*sb > 0 then " +
+          "cast(floor(cast(n*sab - sa*sb as double) " +
+          "/ (sqrt(cast(n*saa - sa*sa as double)) " +
+          "* sqrt(cast(n*sbb - sb*sb as double))) * 1e6) as bigint) end")
+          .as("corr7_e6"))
+      .orderBy("ta", "tb", "d")
+  }
+
   // ---------------------------------------------------------------- q224
 
   /** q224 — LIFETIME cumulative distinct users per (event_type, day):
@@ -1007,9 +1067,39 @@ object TemporalQueries {
     "q208_interval_overlap" -> (q208IntervalOverlap _),
     "q216_sliding_distinct" -> (q216SlidingDistinct _),
     "q231_sliding_median" -> (q231SlidingMedian _),
+    "q237_rolling_correlation" -> (q237RollingCorrelation _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q237_rolling_correlation" ->
+      """WITH ev AS (SELECT event_type AS t, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM ev),
+        |types AS (SELECT DISTINCT t FROM ev),
+        |cnt AS (SELECT t, d, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY t, d),
+        |grid AS (SELECT ty.t, dy.d,
+        |    datediff('day', DATE '1970-01-01', dy.d) AS di,
+        |    COALESCE(c.c, 0) AS c
+        |  FROM types ty CROSS JOIN days dy
+        |  LEFT JOIN cnt c ON c.t = ty.t AND c.d = dy.d),
+        |p AS (SELECT a.t AS ta, b.t AS tb, a.d, a.di, a.c AS ca, b.c AS cb
+        |  FROM grid a JOIN grid b ON a.di = b.di AND a.t < b.t),
+        |m AS (SELECT ta, tb, d,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(ca) OVER w AS BIGINT) AS sa,
+        |    CAST(SUM(cb) OVER w AS BIGINT) AS sb,
+        |    CAST(SUM(ca * ca) OVER w AS BIGINT) AS saa,
+        |    CAST(SUM(cb * cb) OVER w AS BIGINT) AS sbb,
+        |    CAST(SUM(ca * cb) OVER w AS BIGINT) AS sab
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY ta, tb ORDER BY di
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT ta, tb, d, n AS n_days,
+        |  CASE WHEN n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0 THEN
+        |    CAST(FLOOR(CAST(n*sab - sa*sb AS DOUBLE)
+        |      / (sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+        |      * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))) * 1e6) AS BIGINT)
+        |  END AS corr7_e6
+        |FROM m ORDER BY ta, tb, d""".stripMargin,
     // the independent prefix formulation: correlated COUNT(DISTINCT)
     // per (type, day) — what proves the first-occurrence decomposition
     "q224_cumulative_distinct" ->

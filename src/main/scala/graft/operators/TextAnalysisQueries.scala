@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -686,7 +687,106 @@ object TextAnalysisQueries {
        |FROM r$trIters ORDER BY rank DESC, word ASC LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q234
+
+  /** q234 — skip-gram training-pair generation with frequency
+    * subsampling (the word2vec data-assembly pass, Mikolov et al. 2013:
+    * every embedding trainer consumes (center, context) pairs drawn
+    * from a window over the subsampled token stream, where
+    * high-frequency words are dropped with probability
+    * 1 − sqrt(t / f_rel) before pairing). The whole pass is exact:
+    *
+    *   - the drop decision is the cross-multiplied integer form of
+    *     Mikolov's rule — occurrence hash h ∈ [0, 65536) from a salted
+    *     md5 of (doc_id, pos), kept iff h²·f ≤ (t·65536²)·N with
+    *     t = 1/1024, so P(keep) = sqrt(t·N/f) exactly as published but
+    *     with zero float arithmetic (the q222/q230 cross-multiply
+    *     discipline; h²·f is BIGINT-exact to corpus token frequencies
+    *     of ~2.1e9 — beyond, widen to decimal(38,0), the q187 path);
+    *   - surviving occurrences COMPACT per document (row_number over
+    *     the doc partition — an entity key) so the ±2 window spans the
+    *     subsampled stream, not raw offsets: dropping a hot word pulls
+    *     its neighbors together, exactly the variance-reduction effect
+    *     the subsampling is for;
+    *   - pairing is a BOUNDED fanout (each kept token emits its +1/+2
+    *     context slots — the q216 explode discipline, never a per-doc
+    *     self-join on an inequality) resolved by ONE equi-join on
+    *     (doc, slot), then symmetrized.
+    *
+    * Scale: two corpus-sized shuffles (the token-frequency aggregate
+    * and the pair count), one broadcast 1-row total, one doc-keyed
+    * window, one equi-join on a scaling key. Output: the top-25
+    * (center, context) pairs — the head of the co-occurrence table a
+    * trainer's unigram/pair statistics are built from. */
+  def q234SkipgramPairs(s: SparkSession, dir: String): DataFrame =
+    skipgramPairFrame(Tables.documents(s, dir))
+      .orderBy(desc("cnt"), asc("center"), asc("context"))
+      .limit(25)
+
+  /** The full symmetrized pair-count frame (pre-top-k) — factored so
+    * WriterWaveSpec can assert symmetry and the rare-word-keep
+    * guarantee over the whole table, and so a caller wanting the full
+    * co-occurrence output skips the presentation cut. */
+  private[graft] def skipgramPairFrame(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val kept = toks
+      .join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), '_', " +
+          "cast(pos as string))), 1, 4), 16, 10) as bigint)"))
+      .filter(expr("h * h * f <= 4194304 * n_total"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val c = kept.select(col("doc_id"), col("pos"), col("tok"))
+      .withColumn("cpos", row_number().over(w))
+    val r = c.select(col("doc_id").as("rdoc"), col("cpos").as("rpos"),
+      col("tok").as("rtok"))
+    val fwd = c
+      .select(col("doc_id"), col("tok").as("ltok"),
+        explode(expr("array(cpos + 1, cpos + 2)")).as("tpos"))
+      .join(r, col("doc_id") === col("rdoc") && col("tpos") === col("rpos"))
+    fwd.select(col("ltok").as("center"), col("rtok").as("context"))
+      .union(fwd.select(col("rtok").as("center"), col("ltok").as("context")))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+  }
+
+  /** q234's oracle: the identical salted-hash subsample (nibble-Horner
+    * hex parse), compaction, and ±2 pairing — the pair join written as
+    * the direct position condition DuckDB plans as an equi-join on doc
+    * plus a residual. */
+  private def q234Oracle: String = {
+    val h = (1 to 4).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc) * 16 + (strpos('0123456789abcdef', substr(" +
+        s"md5(CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR)), $i, 1)) - 1))"
+    }
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |tok AS (SELECT doc_id, unnest(arr) AS tok,
+       |    generate_subscripts(arr, 1) AS pos FROM t),
+       |fr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY tok),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+       |kept AS (SELECT k.doc_id, k.pos, k.tok
+       |  FROM tok k JOIN fr USING (tok) CROSS JOIN nt
+       |  WHERE ($h) * ($h) * f <= 4194304 * n_total),
+       |c AS (SELECT doc_id, tok,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS cpos
+       |  FROM kept),
+       |fwd AS (SELECT l.tok AS ltok, r.tok AS rtok
+       |  FROM c l JOIN c r ON l.doc_id = r.doc_id
+       |    AND (r.cpos = l.cpos + 1 OR r.cpos = l.cpos + 2)),
+       |sym AS (SELECT ltok AS center, rtok AS context FROM fwd
+       |  UNION ALL SELECT rtok AS center, ltok AS context FROM fwd)
+       |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM sym GROUP BY center, context
+       |ORDER BY cnt DESC, center ASC, context ASC LIMIT 25""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_skipgram_pairs" -> (q234SkipgramPairs _),
     "q221_textrank" -> (q221Textrank _),
     "q131_regex_suite" -> (q131RegexSuite _),
     "q127_array_suite" -> (q127ArraySuite _),
@@ -781,6 +881,7 @@ object TextAnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q234_skipgram_pairs" -> q234Oracle,
     "q221_textrank" -> q221Oracle,
     "q131_regex_suite" ->
       """WITH x AS (SELECT lang,

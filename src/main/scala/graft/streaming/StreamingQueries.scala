@@ -294,6 +294,47 @@ object StreamingQueries {
       .orderBy("w")
   }
 
+  /** q236 — streaming PER-WINDOW TOP-K via the native bounded-state
+    * aggregate: `graft_topk` (functions/Topk.scala, q190's engine)
+    * running INSIDE a watermarked tumbling window — the online
+    * leaderboard ("top events by value per 6-hour window") every
+    * monitoring surface maintains. The state-store entry per window is
+    * the serialized k-pair TreeSet — exactly q107's KMV story applied
+    * to ranking: a window row_number would buffer and sort EVERY row
+    * of the window in state; the TypedImperativeAggregate's state is k
+    * fixed-width pairs regardless of window traffic, partial-aggregated
+    * map-side before the state store ever sees it. Determinism: the
+    * k-smallest-distinct-pairs contract is merge-order-invariant
+    * (TopkSpec), so micro-batch boundaries cannot perturb the result
+    * and the batch-SQL oracle hash-checks the whole pipeline. Append
+    * mode emits only FINALIZED windows (end ≤ max ts − 1 h, the q36
+    * contract), which the oracle mirrors in its WHERE. */
+  def q236StreamingTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamSources.events(s, dir)
+    val tbl = s"graft_stream_topk_${runCounter.incrementAndGet()}"
+    drain(s, ev
+      .select(col("ts"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(expr("graft_topk(-vc, event_id, 3)").as("tk"),
+        count(lit(1)).cast("bigint").as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("n_events"), col("tk"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()))
+    s.table(tbl)
+      .select(col("w"), col("n_events"), posexplode(col("tk")))
+      .select(col("w"), col("n_events"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.v").cast("bigint").as("event_id"),
+        (-col("col.k")).cast("bigint").as("v_cents"))
+      .orderBy("w", "rank")
+  }
+
   /** STREAMING anomaly detection — q148's trailing z-score detector fed
     * by a streamed daily-count aggregation: watermarked 1-day tumbling
     * windows emit FINALIZED (type, day) counts (append mode, the q36
@@ -578,6 +619,7 @@ object StreamingQueries {
     "q227_streaming_sliding_distinct" -> (q227StreamingSlidingDistinct _),
     "q220_streaming_decontaminate" -> (q220StreamingDecontaminate _),
     "q107_streaming_kmv" -> (q107StreamingKmv _),
+    "q236_streaming_topk" -> (q236StreamingTopk _),
     "q36_streaming_hourly" -> (q36StreamingHourly _),
     "q161_streaming_anomaly" -> (q161StreamingAnomaly _),
     "q186_streaming_drift" -> (q186StreamingDrift _),
@@ -613,6 +655,26 @@ object StreamingQueries {
         |HAVING wh + INTERVAL 3 HOUR
         |  <= (SELECT max(date_trunc('hour', ts)) FROM events)
         |ORDER BY h""".stripMargin,
+    // 6-hour epoch-aligned buckets + the q36 finalization cut
+    // (window end w + 6 h emits once <= max(ts) - 1 h); ranking is the
+    // q190 window form, the independent formulation of the bounded
+    // TreeSet state
+    "q236_streaming_topk" ->
+      """WITH e AS (SELECT
+        |    make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS w,
+        |    event_id, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |f AS (SELECT * FROM e
+        |  WHERE w + INTERVAL 7 HOUR <= (SELECT max(ts) FROM events)),
+        |n AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_events FROM f GROUP BY w),
+        |r AS (SELECT w, event_id, vc,
+        |    row_number() OVER (PARTITION BY w ORDER BY vc DESC, event_id) AS rn
+        |  FROM f)
+        |SELECT strftime(r.w, '%Y-%m-%d %H:%M:%S') AS w, n.n_events,
+        |  CAST(rn AS INTEGER) AS rank, r.event_id,
+        |  CAST(vc AS BIGINT) AS v_cents
+        |FROM r JOIN n USING (w) WHERE rn <= 3
+        |ORDER BY w, rank""".stripMargin,
     // stream == batch verdicts: q220 answers to q207's oracle verbatim
     "q220_streaming_decontaminate" ->
       graft.operators.DedupQueries.q207OracleSql,
