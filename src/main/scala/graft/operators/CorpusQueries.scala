@@ -962,7 +962,49 @@ object CorpusQueries {
     "q96_length_profile" -> (q96LengthProfile _),
     "q100_binned_quantiles" -> (q100BinnedQuantiles _),
     "q235_shard_manifest" -> (q235ShardManifest _),
+    "q240_source_vocab_overlap" -> (q240SourceVocabOverlap _),
   )
+
+  // ---------------------------------------------------------------- q240
+
+  /** q240 — SOURCE VOCABULARY-OVERLAP matrix: exact Jaccard similarity
+    * between every pair of sources' token vocabularies — the
+    * source-redundancy readout a mixture designer checks before
+    * weighting (q69) or deduplicating (q199) across sources: two crawls
+    * with 0.9 vocabulary Jaccard are the same distribution wearing two
+    * names.
+    *
+    * Shape: ONE corpus-sized shuffle (the distinct (source, token)
+    * collapse — map-side combined); the intersection self-join keys on
+    * the TOKEN (a scaling key), and its per-token fanout is bounded by
+    * the source alphabet (≤ |sources| rows share a token), so pair
+    * volume is linear in vocabulary — the q132 key-fanout rule with the
+    * bounded side as the fanout, not the key. Union sizes come from
+    * inclusion-exclusion on the per-source counts (no union
+    * materialization), and the e6 Jaccard is one exact integer
+    * division. The source-pair spine is a bounded cross of the
+    * |sources|-row summary, so zero-overlap pairs still report. */
+  def q240SourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val vs = st.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = st.select(col("source").as("sa"), col("tok"))
+      .join(st.select(col("source").as("sb"), col("tok")), "tok")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("ninter"))
+    vs.select(col("source").as("sa"), col("v").as("va"))
+      .crossJoin(vs.select(col("source").as("sb"), col("v").as("vb")))
+      .filter(col("sa") < col("sb"))
+      .join(inter, Seq("sa", "sb"), "left")
+      .withColumn("ninter", coalesce(col("ninter"), lit(0L)))
+      .select(col("sa"), col("sb"),
+        col("va").cast("bigint").as("va"),
+        col("vb").cast("bigint").as("vb"),
+        col("ninter").cast("bigint").as("n_shared"),
+        expr("(1000000 * ninter) div (va + vb - ninter)").as("jaccard_e6"))
+      .orderBy("sa", "sb")
+  }
 
   // ---------------------------------------------------------------- q235
 
@@ -1334,6 +1376,23 @@ object CorpusQueries {
         |  CAST(MIN(ntok) AS BIGINT) AS min_tok,
         |  CAST(MAX(ntok) AS BIGINT) AS max_tok
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q240_source_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM st GROUP BY source),
+        |i AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |sp AS (SELECT a.source AS sa, a.v AS va, b.source AS sb, b.v AS vb
+        |  FROM vs a JOIN vs b ON a.source < b.source)
+        |SELECT sp.sa, sp.sb, sp.va, sp.vb,
+        |  COALESCE(i.ninter, 0) AS n_shared,
+        |  CAST((1000000 * COALESCE(i.ninter, 0))
+        |    // (sp.va + sp.vb - COALESCE(i.ninter, 0)) AS BIGINT) AS jaccard_e6
+        |FROM sp LEFT JOIN i ON i.sa = sp.sa AND i.sb = sp.sb
+        |ORDER BY sp.sa, sp.sb""".stripMargin,
     "q235_shard_manifest" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,

@@ -1547,7 +1547,11 @@ object SimilarityQueries {
     * Same sweep economics as q228: both rankings ride ONE broadcast
     * probe expansion and two row_number windows over the SAME per-probe
     * partition — one shuffle, no second corpus pass. */
-  def q232Int8Recall(s: SparkSession, dir: String): DataFrame = {
+  /** The shared q232/q238 sweep: every (probe, candidate) row carrying
+    * BOTH rank columns — `erank` under the full-precision cosine,
+    * `qrank` under the exact-integer int8 code dot — from one broadcast
+    * probe expansion and two row_number windows over one exchange. */
+  private[graft] def int8Ranked(s: SparkSession, dir: String): DataFrame = {
     val e = normed(s, dir)
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0d"))
       .withColumn("q", expr(
@@ -1566,6 +1570,10 @@ object SimilarityQueries {
         "cast(iq as double) / sqrt(cast(pqn2 * qn2 as double))"))
       .withColumn("erank", row_number().over(wf))
       .withColumn("qrank", row_number().over(wq))
+  }
+
+  def q232Int8Recall(s: SparkSession, dir: String): DataFrame =
+    int8Ranked(s, dir)
       .filter(col("erank") <= 10)
       .groupBy("probe_id")
       .agg(count(when(col("qrank") <= 10, 1)).cast("bigint").as("n_hits10"),
@@ -1574,10 +1582,49 @@ object SimilarityQueries {
       .select(col("probe_id").cast("bigint").as("probe_id"),
         col("n_hits10"), col("rr_x2520"))
       .orderBy("probe_id")
+
+  // ---------------------------------------------------------------- q238
+
+  /** q238 — RANK-BIASED OVERLAP (Webber et al. 2010) between the
+    * full-precision and int8 rankings, the top-weighted agreement
+    * metric a retrieval team actually reports next to recall: RBO@10
+    * with persistence p = 1/2 is (1−p)·Σ_{d=1..10} p^{d−1}·(ov_d/d),
+    * where ov_d counts candidates both rankings place in their top d.
+    * p = 1/2 makes every weight DYADIC, so the whole statistic is an
+    * exact integer: rbo_num = Σ_d 2^{10−d}·(2520/d)·ov_d (2520 =
+    * lcm(1..10) clears every /d; max = 2520·1023 when the rankings
+    * agree at every depth), and the e6 readout is one exact integer
+    * division — no float anywhere, the q232 lattice story extended to
+    * the whole agreement curve.
+    *
+    * Shape: rides [[int8Ranked]]'s single sweep; each doubly-top-10
+    * row fans out to the depths it serves (explode(sequence(max(eq,
+    * qr), 10)) — the q216 bounded-fanout discipline, ≤10 rows per
+    * hit), then two bounded aggregates. Probes with zero overlap
+    * report 0 via the probe-spine left join. */
+  def q238RankAgreement(s: SparkSession, dir: String): DataFrame = {
+    val r = int8Ranked(s, dir)
+    val spine = r.select(col("probe_id")).distinct()
+    val terms = r
+      .filter(col("erank") <= 10 && col("qrank") <= 10)
+      .withColumn("d", explode(expr("sequence(greatest(erank, qrank), 10)")))
+      .groupBy("probe_id", "d")
+      .agg(count(lit(1)).as("ov"))
+      .withColumn("term", expr(
+        "cast(shiftleft(1, 10 - d) as bigint) * (2520 div d) * ov"))
+      .groupBy("probe_id")
+      .agg(sum("term").as("rbo_num"))
+    spine.join(terms, Seq("probe_id"), "left")
+      .withColumn("rbo_num", coalesce(col("rbo_num"), lit(0L)))
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+        col("rbo_num").cast("bigint").as("rbo_num"),
+        expr(s"(rbo_num * 1000000) div ${2520 * 1023}").as("rbo_e6"))
+      .orderBy("probe_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q232_int8_recall" -> (q232Int8Recall _),
+    "q238_rank_agreement" -> (q238RankAgreement _),
     "q229_triplet_mining" -> (q229TripletMining _),
     "q228_truncation_recall" -> (q228TruncationRecall _),
     "q218_retrieval_recall" -> (q218RetrievalRecall _),
@@ -1926,8 +1973,10 @@ object SimilarityQueries {
     * BIGINT code dot (order-free), one division by one sqrt of an
     * exactly-representable integer product — the lattice, not fold
     * order, is what makes the two engines agree. */
-  private val q232Oracle: String =
-    s"""WITH $oracleNormed,
+  /** The shared ranked-CTE chain for q232/q238 — ends at
+    * `r(probe_id, vec_id, erank, qrank)`. */
+  private val int8RankedCtes: String =
+    s"""$oracleNormed,
        |qz AS (SELECT vec_id, v, nrm,
        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM n),
        |q AS (SELECT vec_id, v, nrm,
@@ -1944,14 +1993,36 @@ object SimilarityQueries {
        |r AS (SELECT probe_id, vec_id,
        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS erank,
        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, vec_id ASC) AS INTEGER) AS qrank
-       |  FROM j)
+       |  FROM j)""".stripMargin
+
+  private val q232Oracle: String =
+    s"""WITH $int8RankedCtes
        |SELECT CAST(probe_id AS BIGINT) AS probe_id,
        |  CAST(COUNT(CASE WHEN qrank <= 10 THEN 1 END) AS BIGINT) AS n_hits10,
        |  CAST(COALESCE(2520 // MIN(CASE WHEN qrank <= 10 THEN qrank END), 0) AS BIGINT) AS rr_x2520
        |FROM r WHERE erank <= 10
        |GROUP BY probe_id ORDER BY probe_id""".stripMargin
 
+  /** q238's oracle: the shared ranked chain, the identical bounded
+    * depth fanout, and the same dyadic-integer RBO assembly. */
+  private val q238Oracle: String =
+    s"""WITH $int8RankedCtes,
+       |ov AS (SELECT probe_id,
+       |    unnest(generate_series(GREATEST(erank, qrank), 10)) AS d
+       |  FROM r WHERE erank <= 10 AND qrank <= 10),
+       |oc AS (SELECT probe_id, d, CAST(COUNT(*) AS BIGINT) AS ov
+       |  FROM ov GROUP BY probe_id, d),
+       |t AS (SELECT probe_id,
+       |    CAST(SUM((1 << (10 - d)) * (2520 // d) * ov) AS BIGINT) AS rbo_num
+       |  FROM oc GROUP BY probe_id),
+       |sp AS (SELECT DISTINCT probe_id FROM r)
+       |SELECT CAST(sp.probe_id AS BIGINT) AS probe_id,
+       |  COALESCE(t.rbo_num, 0) AS rbo_num,
+       |  CAST((COALESCE(t.rbo_num, 0) * 1000000) // ${2520 * 1023} AS BIGINT) AS rbo_e6
+       |FROM sp LEFT JOIN t USING (probe_id) ORDER BY probe_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q238_rank_agreement" -> q238Oracle,
     "q232_int8_recall" -> q232Oracle,
     "q228_truncation_recall" -> q228Oracle,
     "q218_retrieval_recall" -> q218Oracle,

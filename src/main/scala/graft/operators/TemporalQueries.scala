@@ -1043,6 +1043,49 @@ object TemporalQueries {
       .orderBy("event_type", "d")
   }
 
+  // ---------------------------------------------------------------- q239
+
+  /** q239 — multi-touch LINEAR ATTRIBUTION with exact proration: every
+    * purchase's cents split EQUALLY across the user's clicks in the
+    * trailing 7 days (the marketing-analytics workhorse between q180's
+    * first-touch funnel and q175's decay scoring), with the split kept
+    * exact by q153's largest-remainder arithmetic — each touch gets
+    * vc div k, and the vc mod k leftover cents go to the k earliest
+    * touches one cent each, so per-purchase conservation
+    * (Σ attributed == vc) holds as an integer identity, never a float
+    * rounding hope. All operands are non-negative, so div/mod agree
+    * across engines (the posmod discipline's cheap case).
+    *
+    * Shape: one user-keyed equi-join carrying the event-time range
+    * predicate (purchase×click fanout per user is bounded by per-user
+    * activity — the q132 key-fanout rule; a user-unbounded variant
+    * would ride q208's bucket-and-verify instead), two windows over
+    * the SAME purchase-id partition (one shuffle: the touch count and
+    * the tie-broken touch rank), one user-level rollup. */
+  def q239LinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts").as("pts"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts"))
+    val wk = Window.partitionBy("pid")
+    val wr = Window.partitionBy("pid").orderBy("cts", "cid")
+    p.join(c, Seq("user_id"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") >= expr("pts - INTERVAL 7 DAY"))
+      .withColumn("k", count(lit(1)).over(wk))
+      .withColumn("rnk", row_number().over(wr))
+      .withColumn("att", expr(
+        "vc div k + case when rnk <= vc % k then 1 else 0 end"))
+      .groupBy("user_id")
+      .agg(countDistinct("pid").cast("bigint").as("n_purchases"),
+        count(lit(1)).cast("bigint").as("n_touches"),
+        sum("att").cast("bigint").as("attributed_cents"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1068,9 +1111,30 @@ object TemporalQueries {
     "q216_sliding_distinct" -> (q216SlidingDistinct _),
     "q231_sliding_median" -> (q231SlidingMedian _),
     "q237_rolling_correlation" -> (q237RollingCorrelation _),
+    "q239_linear_attribution" -> (q239LinearAttribution _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q239_linear_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS pid, ts AS pts,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS cid, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (SELECT p.user_id, p.pid, p.vc, c.cid, c.cts
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |  WHERE c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 7 DAY),
+        |r AS (SELECT user_id, pid, vc,
+        |    CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS k,
+        |    CAST(row_number() OVER (PARTITION BY pid ORDER BY cts, cid)
+        |      AS BIGINT) AS rnk
+        |  FROM t)
+        |SELECT user_id,
+        |  CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(vc // k + CASE WHEN rnk <= vc % k THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS attributed_cents
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q237_rolling_correlation" ->
       """WITH ev AS (SELECT event_type AS t, CAST(ts AS DATE) AS d FROM events),
         |days AS (SELECT DISTINCT d FROM ev),

@@ -144,6 +144,104 @@ class WriterWaveSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q238: RBO replays exactly from the ranked sweep and is" +
+      " consistent with q232's overlap") {
+    val got = graft.SparkEntry.queries("q238_rank_agreement")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver-side exact replay: collect both rank columns and assemble
+    // the dyadic-integer RBO independently of the fanout plan
+    val ranked = SimilarityQueries.int8Ranked(spark, sfDir)
+      .select("probe_id", "erank", "qrank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byProbe = ranked.groupBy(_._1)
+    assert(got.keySet == byProbe.keySet.map(identity))
+    byProbe.foreach { case (p, rows) =>
+      val rbo = (1 to 10).map { d =>
+        val ov = rows.count(t => t._2 <= d && t._3 <= d)
+        (1L << (10 - d)) * (2520L / d) * ov
+      }.sum
+      assert(got(p)._1 == rbo, s"probe $p: rbo_num ${got(p)._1} != $rbo")
+      assert(got(p)._2 == rbo * 1000000L / (2520L * 1023L),
+        s"probe $p: rbo_e6 law")
+    }
+    // ov@10 IS q232's n_hits10, so the d=10 term ties the two readouts
+    val recall = graft.SparkEntry.queries("q232_int8_recall")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    recall.foreach { case (p, h) =>
+      assert(got(p)._1 >= 252L * h, s"probe $p: rbo below its d=10 floor")
+      assert((got(p)._1 == 0L) == (h == 0L), s"probe $p: zero-law")
+    }
+  }
+
+  test("q239: attribution conserves every touched purchase's cents" +
+      " exactly") {
+    val got = graft.SparkEntry.queries("q239_linear_attribution")(
+      spark, sfDir).collect()
+    val totalAttributed = got.map(_.getLong(3)).sum
+    // independent conservation side: the cents of purchases that have
+    // at least one click in the trailing 7 days (a semi-join, no
+    // proration arithmetic shared with the query under test)
+    val ev = graft.Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts").as("pts"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val touched = p.join(c, Seq("user_id"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") >= expr("pts - INTERVAL 7 DAY"))
+      .select("pid", "vc").distinct()
+    val want = touched.agg(sum("vc")).first().getLong(0)
+    assert(totalAttributed == want,
+      s"attributed $totalAttributed != touched purchase cents $want")
+    got.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      "touches per user can never undercut purchases"))
+  }
+
+  test("q240: the overlap matrix is a complete pair spine with exact" +
+      " inclusion-exclusion bounds, and one cell re-derives directly") {
+    val got = graft.SparkEntry.queries("q240_source_vocab_overlap")(
+      spark, sfDir).collect()
+    val sources = graft.Tables.documents(spark, sfDir)
+      .select("source").distinct().count().toInt
+    assert(got.length == sources * (sources - 1) / 2, "pair spine")
+    got.foreach { r =>
+      val (va, vb, sh, j) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+      assert(sh <= math.min(va, vb), "intersection bound")
+      assert(j >= 0 && j <= 1000000L, "jaccard range")
+      assert(j == 1000000L * sh / (va + vb - sh), "jaccard law")
+    }
+    // re-derive one cell with a direct distinct-union count
+    val r0 = got.head
+    val docs = graft.Tables.documents(spark, sfDir)
+    def vocab(src: String) = docs.filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("tok")).distinct()
+    val union = vocab(r0.getString(0)).union(vocab(r0.getString(1)))
+      .distinct().count()
+    assert(union == r0.getLong(2) + r0.getLong(3) - r0.getLong(4),
+      "inclusion-exclusion must match the direct union count")
+  }
+
+  test("q241: fertility laws — every word yields at least one token," +
+      " every token at least one char, languages partition the corpus") {
+    val got = graft.SparkEntry.queries("q241_tokenizer_fertility")(
+      spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) >= 1, "n_words")
+      assert(r.getLong(2) >= r.getLong(1), "tokens >= words")
+      assert(r.getLong(3) >= 1000000L, "fertility >= 1 token/word")
+      assert(r.getLong(4) >= 1000000L, "chars/token >= 1")
+    }
+    val nWords = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1).count()
+    assert(got.map(_.getLong(1)).sum == nWords,
+      "per-language word counts must partition the corpus")
+  }
+
   test("q237: every correlation is a bounded e6 integer and the whole" +
       " matrix replays exactly from the daily counts") {
     val got = graft.SparkEntry.queries("q237_rolling_correlation")(
