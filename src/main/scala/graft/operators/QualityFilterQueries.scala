@@ -498,6 +498,151 @@ object QualityFilterQueries {
     * the vocab side partial-aggregates map-side), one doc_id equi-join
     * to combine, one bounded groupBy on source. */
   def q230FilterEnsemble(s: SparkSession, dir: String): DataFrame = {
+    ensembleVerdicts(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("v_rules").cast("bigint").as("n_pass_rules"),
+        sum("v_lm").cast("bigint").as("n_pass_lm"),
+        sum("v_rep").cast("bigint").as("n_pass_rep"),
+        sum(expr("v_rules * v_lm * v_rep")).cast("bigint").as("n_pass_all"),
+        sum(expr("case when v_rules = v_lm then 1 else 0 end")).cast("bigint")
+          .as("n_agree_rules_lm"),
+        sum(expr("case when v_rules = v_rep then 1 else 0 end")).cast("bigint")
+          .as("n_agree_rules_rep"),
+        sum(expr("case when v_lm = v_rep then 1 else 0 end")).cast("bigint")
+          .as("n_agree_lm_rep"),
+        sum(expr("case when v_rules = v_lm and v_lm = v_rep then 1 else 0 end"))
+          .as("n_unanimous"))
+      .withColumn("unanimous_share_e6",
+        expr("(1000000 * n_unanimous) div n_docs").cast("bigint"))
+      .drop("n_unanimous")
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q243
+
+  /** Shrinkage strength: pseudo-document count pulled from the global
+    * prior (the empirical-Bayes m; a source with n ≪ m reads as the
+    * prior, one with n ≫ m as its own rate). */
+  private val priorM = 20L
+
+  /** q243 — EMPIRICAL-BAYES source prior: each source's q215 pass rate
+    * shrunk toward the global rate by a pseudo-count prior —
+    * shrunk = (k + m·K/N) / (n + m) — the standard fix for ranking
+    * sources by quality when per-source support varies by orders of
+    * magnitude (a 3-document source with 3 passes must NOT outrank a
+    * 10k-document source at 92%; raw-rate ranking does exactly that).
+    * This is the per-DOMAIN quality prior a crawl curation pipeline
+    * maintains between runs (domains are sources at web scale).
+    *
+    * All arithmetic exact: shrunk_e6 = floor(1e6·(k·N + m·K) /
+    * (N·(n + m))) over BIGINTs — one rational per source, operands
+    * non-negative so trunc == floor in both engines. Headroom:
+    * 1e6·k·N ≤ 1e6·N² — exact to N ~ 3e6 documents; past that the
+    * numerator widens to decimal(38,0) with the identical plan (the
+    * q187 discipline; the MomentHeadroomSpec pattern pins the fixture
+    * bound).
+    *
+    * Scale shape: one row-local codegen'd scan evaluates the five-rule
+    * verdict (q215's projection — token arrays never leave their row),
+    * ONE map-side-combinable aggregate on the bounded source key, and
+    * the global (K, N) rides in as a broadcast single row (the q163
+    * totals idiom — 2 scalars, not a data-sized side). Zero other
+    * shuffles. */
+  def q243SourcePrior(s: SparkSession, dir: String): DataFrame = {
+    val verdicts = Tables.documents(s, dir)
+      .select(col("source"), expr("split(text, ' ')").as("toks"))
+      .select(col("source"),
+        expr("cast(greatest(size(toks), 1) as bigint)").as("n"),
+        expr("cast(aggregate(toks, 0L, (acc, x) -> acc + length(x)) as bigint)")
+          .as("chars"),
+        expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
+        expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
+          .as("nstop"),
+        expr("cast(array_max(transform(array_distinct(toks), " +
+          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"))
+      .select(col("source"),
+        expr("case when n between 25 and 90 and (10 * chars) div n between 40 and 52 " +
+          "and nstop >= 1 and (100 * nd) div n >= 40 and (100 * mf) div n <= 12 " +
+          "then 1L else 0L end").as("pass"))
+    val perSource = verdicts.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("pass").cast("bigint").as("n_pass"))
+    val global = perSource
+      .agg(sum("n_docs").cast("bigint").as("big_n"),
+        sum("n_pass").cast("bigint").as("big_k"))
+    perSource.crossJoin(broadcast(global))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        expr("(1000000 * n_pass) div n_docs").cast("bigint").as("raw_e6"),
+        expr("(1000000 * big_k) div big_n").cast("bigint").as("prior_e6"),
+        expr(s"(1000000 * (n_pass * big_n + $priorM * big_k)) div " +
+          s"(big_n * (n_docs + $priorM))").cast("bigint").as("shrunk_e6"))
+      .orderBy(desc("shrunk_e6"), asc("source"))
+  }
+
+  // ---------------------------------------------------------------- q244
+
+  /** q244 — PAIRWISE COHEN'S KAPPA between the three quality gates
+    * (rules/LM/repetition — q230's verdict triple): chance-corrected
+    * agreement, the statistic that separates "these filters agree
+    * because they measure the same thing" from "they agree because
+    * both pass almost everything". Raw agreement (q230's n_agree_*)
+    * saturates when base rates are extreme; kappa is what the ensemble
+    * design decision actually needs.
+    *
+    * Exact arithmetic: with the 2×2 table (a=both pass, b=first only,
+    * c=second only, d=both fail), kappa = (n(a+d) − X) / (n² − X)
+    * where X = (a+b)(a+c) + (c+d)(b+d). Numerator can be NEGATIVE
+    * (worse-than-chance agreement), and Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors — so the e6 readout divides
+    * magnitudes only: kappa_e6 = sign(num)·((1e6·|num|) div den), both
+    * engines seeing non-negative operands. Headroom: 1e6·n² — exact to
+    * n ~ 3e6 documents, decimal(38,0) past that (the q243/q187 note).
+    *
+    * Scale shape: the verdict frame is q230's (one row-local scan for
+    * rules+repetition, q75's vocab join for the LM mass, one doc_id
+    * equi-join), then ONE global aggregate producing 13 bounded sums;
+    * the three pair rows assemble from that single row via stack — no
+    * per-pair re-scan. */
+  def q244FilterKappa(s: SparkSession, dir: String): DataFrame = {
+    val v = ensembleVerdicts(s, dir)
+    val g = v.agg(
+      count(lit(1)).cast("bigint").as("n"),
+      sum(expr("v_rules * v_lm")).cast("bigint").as("a_rl"),
+      sum(expr("v_rules * (1 - v_lm)")).cast("bigint").as("b_rl"),
+      sum(expr("(1 - v_rules) * v_lm")).cast("bigint").as("c_rl"),
+      sum(expr("(1 - v_rules) * (1 - v_lm)")).cast("bigint").as("d_rl"),
+      sum(expr("v_rules * v_rep")).cast("bigint").as("a_rr"),
+      sum(expr("v_rules * (1 - v_rep)")).cast("bigint").as("b_rr"),
+      sum(expr("(1 - v_rules) * v_rep")).cast("bigint").as("c_rr"),
+      sum(expr("(1 - v_rules) * (1 - v_rep)")).cast("bigint").as("d_rr"),
+      sum(expr("v_lm * v_rep")).cast("bigint").as("a_lr"),
+      sum(expr("v_lm * (1 - v_rep)")).cast("bigint").as("b_lr"),
+      sum(expr("(1 - v_lm) * v_rep")).cast("bigint").as("c_lr"),
+      sum(expr("(1 - v_lm) * (1 - v_rep)")).cast("bigint").as("d_lr"))
+    g.selectExpr("n",
+        "stack(3, 'rules_lm', a_rl, b_rl, c_rl, d_rl, " +
+          "'rules_rep', a_rr, b_rr, c_rr, d_rr, " +
+          "'lm_rep', a_lr, b_lr, c_lr, d_lr) as (pair, a, b, c, d)")
+      .select(col("pair"), col("n"),
+        col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"),
+        col("c").cast("bigint").as("c"), col("d").cast("bigint").as("d"),
+        expr("(1000000 * (a + d)) div n").cast("bigint").as("po_e6"),
+        expr("((a + b) * (a + c) + (c + d) * (b + d))").as("x"))
+      .select(col("pair"), col("n"), col("a"), col("b"), col("c"), col("d"),
+        col("po_e6"),
+        expr("(1000000 * x) div (n * n)").cast("bigint").as("pe_e6"),
+        expr("case when n * (a + d) - x >= 0 " +
+          "then (1000000 * (n * (a + d) - x)) div greatest(n * n - x, 1) " +
+          "else -((1000000 * (x - n * (a + d))) div greatest(n * n - x, 1)) end")
+          .cast("bigint").as("kappa_e6"))
+      .orderBy("pair")
+  }
+
+  /** The per-document verdict triple shared by q230 (cross-tab) and
+    * q244 (kappa): v_rules / v_rep from one row-local scan, v_lm from
+    * q75's vocab-join mass against the corpus mean. */
+  private def ensembleVerdicts(s: SparkSession, dir: String): DataFrame = {
     val flags = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), expr("split(text, ' ')").as("toks"))
       .select(col("doc_id"), col("source"),
@@ -533,24 +678,6 @@ object QualityFilterQueries {
       expr(s"case when cast(spq as decimal(38,0)) * $sn >= " +
         s"cast('$sspq' as decimal(38,0)) * n_tokens then 1 else 0 end").as("v_lm"))
     flags.join(lm, Seq("doc_id"))
-      .groupBy("source")
-      .agg(count(lit(1)).cast("bigint").as("n_docs"),
-        sum("v_rules").cast("bigint").as("n_pass_rules"),
-        sum("v_lm").cast("bigint").as("n_pass_lm"),
-        sum("v_rep").cast("bigint").as("n_pass_rep"),
-        sum(expr("v_rules * v_lm * v_rep")).cast("bigint").as("n_pass_all"),
-        sum(expr("case when v_rules = v_lm then 1 else 0 end")).cast("bigint")
-          .as("n_agree_rules_lm"),
-        sum(expr("case when v_rules = v_rep then 1 else 0 end")).cast("bigint")
-          .as("n_agree_rules_rep"),
-        sum(expr("case when v_lm = v_rep then 1 else 0 end")).cast("bigint")
-          .as("n_agree_lm_rep"),
-        sum(expr("case when v_rules = v_lm and v_lm = v_rep then 1 else 0 end"))
-          .as("n_unanimous"))
-      .withColumn("unanimous_share_e6",
-        expr("(1000000 * n_unanimous) div n_docs").cast("bigint"))
-      .drop("n_unanimous")
-      .orderBy("source")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -561,9 +688,54 @@ object QualityFilterQueries {
     "q215_rules_gate" -> (q215RulesGate _),
     "q217_dsir_importance" -> (q217DsirImportance _),
     "q230_filter_ensemble" -> (q230FilterEnsemble _),
+    "q243_source_prior" -> (q243SourcePrior _),
+    "q244_filter_kappa" -> (q244FilterKappa _),
   )
 
   // ------------------------------------------------------------- oracles
+
+  /** The shared verdict-triple CTE chain (q230's construction), ending
+    * at `v(source, v_rules, v_rep, v_lm)` — consumed by the q230
+    * cross-tab and the q244 kappa assembly. */
+  private val ensembleVerdictCtes =
+    s"""tq AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |    FROM documents),
+       |m AS (SELECT doc_id, source,
+       |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n,
+       |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+       |    CAST(len(list_filter(list_distinct(toks),
+       |        t -> t IN ($stopList))) AS BIGINT) AS nstop,
+       |    CAST(list_max(list_transform(list_distinct(toks),
+       |        t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS mf,
+       |    CAST(len(toks) - 2 AS BIGINT) AS ng,
+       |    CAST(len(list_distinct(list_transform(
+       |        generate_series(1, GREATEST(len(toks) - 2, 1)),
+       |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS BIGINT)
+       |      AS ndg
+       |  FROM tq),
+       |flags AS (SELECT doc_id, source,
+       |    CASE WHEN n BETWEEN 25 AND 90
+       |      AND (10 * chars) // n BETWEEN 40 AND 52
+       |      AND nstop >= 1 AND (100 * nd) // n >= 40
+       |      AND (100 * mf) // n <= 12 THEN 1 ELSE 0 END AS v_rules,
+       |    CASE WHEN ng < 1 THEN 1 WHEN 5 * (ng - ndg) <= ng THEN 1 ELSE 0 END
+       |      AS v_rep
+       |  FROM m),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+       |tt AS (SELECT SUM(cnt) AS total FROM c),
+       |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    SUM(CAST(FLOOR(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1e12)
+       |      AS BIGINT)) AS spq
+       |  FROM tok JOIN c USING (tok) CROSS JOIN tt GROUP BY doc_id),
+       |ts AS (SELECT SUM(spq) AS sspq, SUM(n_tokens) AS sn FROM pd),
+       |lm AS (SELECT doc_id,
+       |    CASE WHEN spq * ts.sn >= ts.sspq * n_tokens THEN 1 ELSE 0 END AS v_lm
+       |  FROM pd CROSS JOIN ts),
+       |v AS (SELECT f.source, f.v_rules, f.v_rep, lm.v_lm
+       |  FROM flags f JOIN lm USING (doc_id))""".stripMargin
 
   /** The feature CTE — the identical projection in DuckDB list syntax. */
   private val fCte =
@@ -701,45 +873,65 @@ object QualityFilterQueries {
 
   val oracles: Map[String, String] = Map(
     "q217_dsir_importance" -> q217Oracle,
-    "q230_filter_ensemble" ->
-      s"""WITH tq AS (SELECT doc_id, source, string_split(text, ' ') AS toks
-         |    FROM documents),
-         |m AS (SELECT doc_id, source,
+    "q243_source_prior" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT source,
          |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n,
          |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars,
          |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
          |    CAST(len(list_filter(list_distinct(toks),
          |        t -> t IN ($stopList))) AS BIGINT) AS nstop,
          |    CAST(list_max(list_transform(list_distinct(toks),
-         |        t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS mf,
-         |    CAST(len(toks) - 2 AS BIGINT) AS ng,
-         |    CAST(len(list_distinct(list_transform(
-         |        generate_series(1, GREATEST(len(toks) - 2, 1)),
-         |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS BIGINT)
-         |      AS ndg
-         |  FROM tq),
-         |flags AS (SELECT doc_id, source,
+         |        t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS mf
+         |  FROM t),
+         |v AS (SELECT source,
          |    CASE WHEN n BETWEEN 25 AND 90
          |      AND (10 * chars) // n BETWEEN 40 AND 52
          |      AND nstop >= 1 AND (100 * nd) // n >= 40
-         |      AND (100 * mf) // n <= 12 THEN 1 ELSE 0 END AS v_rules,
-         |    CASE WHEN ng < 1 THEN 1 WHEN 5 * (ng - ndg) <= ng THEN 1 ELSE 0 END
-         |      AS v_rep
+         |      AND (100 * mf) // n <= 12 THEN 1 ELSE 0 END AS pass
          |  FROM m),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
-         |tt AS (SELECT SUM(cnt) AS total FROM c),
-         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |    SUM(CAST(FLOOR(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1e12)
-         |      AS BIGINT)) AS spq
-         |  FROM tok JOIN c USING (tok) CROSS JOIN tt GROUP BY doc_id),
-         |ts AS (SELECT SUM(spq) AS sspq, SUM(n_tokens) AS sn FROM pd),
-         |lm AS (SELECT doc_id,
-         |    CASE WHEN spq * ts.sn >= ts.sspq * n_tokens THEN 1 ELSE 0 END AS v_lm
-         |  FROM pd CROSS JOIN ts),
-         |v AS (SELECT f.source, f.v_rules, f.v_rep, lm.v_lm
-         |  FROM flags f JOIN lm USING (doc_id))
+         |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(pass) AS BIGINT) AS n_pass
+         |  FROM v GROUP BY source),
+         |g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS big_n,
+         |    CAST(SUM(n_pass) AS BIGINT) AS big_k FROM ps)
+         |SELECT source, n_docs, n_pass,
+         |  CAST((1000000 * n_pass) // n_docs AS BIGINT) AS raw_e6,
+         |  CAST((1000000 * big_k) // big_n AS BIGINT) AS prior_e6,
+         |  CAST((1000000 * (n_pass * big_n + $priorM * big_k))
+         |    // (big_n * (n_docs + $priorM)) AS BIGINT) AS shrunk_e6
+         |FROM ps CROSS JOIN g ORDER BY shrunk_e6 DESC, source""".stripMargin,
+    "q244_filter_kappa" ->
+      s"""WITH $ensembleVerdictCtes,
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(v_rules * v_lm) AS BIGINT) AS a_rl,
+         |    CAST(SUM(v_rules * (1 - v_lm)) AS BIGINT) AS b_rl,
+         |    CAST(SUM((1 - v_rules) * v_lm) AS BIGINT) AS c_rl,
+         |    CAST(SUM((1 - v_rules) * (1 - v_lm)) AS BIGINT) AS d_rl,
+         |    CAST(SUM(v_rules * v_rep) AS BIGINT) AS a_rr,
+         |    CAST(SUM(v_rules * (1 - v_rep)) AS BIGINT) AS b_rr,
+         |    CAST(SUM((1 - v_rules) * v_rep) AS BIGINT) AS c_rr,
+         |    CAST(SUM((1 - v_rules) * (1 - v_rep)) AS BIGINT) AS d_rr,
+         |    CAST(SUM(v_lm * v_rep) AS BIGINT) AS a_lr,
+         |    CAST(SUM(v_lm * (1 - v_rep)) AS BIGINT) AS b_lr,
+         |    CAST(SUM((1 - v_lm) * v_rep) AS BIGINT) AS c_lr,
+         |    CAST(SUM((1 - v_lm) * (1 - v_rep)) AS BIGINT) AS d_lr
+         |  FROM v),
+         |p AS (SELECT 'rules_lm' AS pair, n, a_rl AS a, b_rl AS b, c_rl AS c, d_rl AS d FROM g
+         |  UNION ALL SELECT 'rules_rep', n, a_rr, b_rr, c_rr, d_rr FROM g
+         |  UNION ALL SELECT 'lm_rep', n, a_lr, b_lr, c_lr, d_lr FROM g),
+         |x AS (SELECT pair, n, a, b, c, d,
+         |    (a + b) * (a + c) + (c + d) * (b + d) AS x FROM p)
+         |SELECT pair, n, a, b, c, d,
+         |  CAST((1000000 * (a + d)) // n AS BIGINT) AS po_e6,
+         |  CAST((1000000 * x) // (n * n) AS BIGINT) AS pe_e6,
+         |  CAST(CASE WHEN n * (a + d) - x >= 0
+         |    THEN (1000000 * (n * (a + d) - x)) // GREATEST(n * n - x, 1)
+         |    ELSE -((1000000 * (x - n * (a + d))) // GREATEST(n * n - x, 1)) END
+         |    AS BIGINT) AS kappa_e6
+         |FROM x ORDER BY pair""".stripMargin,
+    "q230_filter_ensemble" ->
+      s"""WITH $ensembleVerdictCtes
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(v_rules) AS BIGINT) AS n_pass_rules,
          |  CAST(SUM(v_lm) AS BIGINT) AS n_pass_lm,

@@ -121,6 +121,50 @@ object SimilarityQueries {
   def q26LshCosine(s: SparkSession, dir: String): DataFrame =
     lshPairsScored(s, dir).orderBy("vec_a", "vec_b")
 
+  // ---------------------------------------------------------------- q242
+
+  /** q242 — SEMANTIC decontamination: flag corpus vectors whose
+    * embedding is near-duplicate to any BENCHMARK vector (the 1-in-37
+    * held-out slice, q64's bench idiom). The embedding-space companion
+    * to the shingle family (q64 exact / q207 Bloom): paraphrased or
+    * reformatted benchmark leakage shares no shingle but lands in the
+    * same embedding neighborhood — exactly what modern decontamination
+    * recipes check after the lexical pass. One row per CONTAMINATED
+    * corpus vector: match count, best benchmark match, best cosine.
+    *
+    * Scale shape: candidates come from the q26 sign-LSH band equi-join
+    * restricted to (corpus × bench) — never all-pairs, and the shuffle
+    * keys are the content-derived band keys (the round-10 blocking
+    * rule). The exact cosine runs on candidates only; the verdict
+    * aggregate groups on the scaling vec_id key with a max(struct)
+    * (map-side combinable — no window, no second sort). Recall is the
+    * band geometry's, same contract as q26, and the oracle runs the
+    * identical construction so results match exactly. The bench side
+    * is 1/37 of the corpus here; a real eval suite is BOUNDED, and its
+    * band frame would broadcast (the q64 note). */
+  def q242SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val bands = bandFrame(e)
+    val bench = bands.filter(col("vec_id") % 37 === 0)
+      .select(col("band"), col("bkey"), col("vec_id").as("bid"))
+    val corpus = bands.filter(col("vec_id") % 37 =!= 0)
+      .select(col("band"), col("bkey"), col("vec_id").as("cid"))
+    val cand = corpus.join(bench, Seq("band", "bkey"))
+      .select("cid", "bid").distinct()
+    cand
+      .join(e.as("x"), col("cid") === col("x.vec_id"))
+      .join(e.as("y"), col("bid") === col("y.vec_id"))
+      .withColumn("cos", expr(dotFold.format("x.v", "y.v") + " / (x.nrm * y.nrm)"))
+      .filter(col("cos") >= 0.35)
+      .groupBy("cid")
+      .agg(count(lit(1)).cast("bigint").as("n_bench_matches"),
+        max(struct(col("cos"), (-col("bid")).as("nb"))).as("m"))
+      .select(col("cid").cast("bigint").as("vec_id"), col("n_bench_matches"),
+        (-col("m.nb")).cast("bigint").as("best_bench_id"),
+        col("m.cos").as("best_cos"))
+      .orderBy("vec_id")
+  }
+
   /** HARD-NEGATIVE MINING — for every vector, the most similar vector
     * carrying a DIFFERENT label: the contrastive-training pair a
     * retrieval/embedding fine-tune feeds next to its positives (a
@@ -1623,6 +1667,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_semantic_decontaminate" -> (q242SemanticDecontaminate _),
     "q232_int8_recall" -> (q232Int8Recall _),
     "q238_rank_agreement" -> (q238RankAgreement _),
     "q229_triplet_mining" -> (q229TripletMining _),
@@ -2022,6 +2067,29 @@ object SimilarityQueries {
        |FROM sp LEFT JOIN t USING (probe_id) ORDER BY probe_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the identical band construction (shared CTE text), corpus × bench
+    // candidates, exact-cosine verify, window-ranked best match — an
+    // independent formulation of the Spark side's max(struct) verdict
+    "q242_semantic_decontaminate" ->
+      s"""WITH $oracleNormed,
+         |proj AS (SELECT vec_id, v, nrm,
+         |    $oracleProjs
+         |  FROM n),
+         |bands AS ($oracleBandSelects),
+         |cand AS (SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
+         |  FROM bands c JOIN bands b ON c.band = b.band AND c.bkey = b.bkey
+         |  WHERE c.vec_id % 37 <> 0 AND b.vec_id % 37 = 0),
+         |sc AS (SELECT cid, bid,
+         |    list_reduce(list_transform(generate_series(1, $dim), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+         |  FROM cand JOIN n x ON cid = x.vec_id JOIN n y ON bid = y.vec_id),
+         |f AS (SELECT * FROM sc WHERE cos >= 0.35),
+         |r AS (SELECT cid, bid, cos,
+         |    row_number() OVER (PARTITION BY cid ORDER BY cos DESC, bid ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cid) AS nm
+         |  FROM f)
+         |SELECT CAST(cid AS BIGINT) AS vec_id, CAST(nm AS BIGINT) AS n_bench_matches,
+         |  CAST(bid AS BIGINT) AS best_bench_id, cos AS best_cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q238_rank_agreement" -> q238Oracle,
     "q232_int8_recall" -> q232Oracle,
     "q228_truncation_recall" -> q228Oracle,

@@ -837,7 +837,103 @@ object TextAnalysisQueries {
        |ORDER BY cnt DESC, center ASC, context ASC LIMIT 25""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q245
+
+  /** q245 — N-GRAM DIVERSITY per source: the type/token ratio on
+    * 3-grams plus the singleton share and the hottest-gram share — the
+    * corpus-diversity readout (self-BLEU's integer cousin) a data-mix
+    * designer reads next to volume: a source with high token count but
+    * collapsing 3-gram diversity is templated/boilerplate text that
+    * dedup won't fully catch (q223 finds the hot grams; this scores
+    * the DISTRIBUTION). Singleton share estimates the unseen-mass /
+    * Good-Turing direction; top-gram share is the degenerate-template
+    * alarm.
+    *
+    * All exact: counts are BIGINTs, shares are e6 floor divisions of
+    * non-negative operands (trunc == floor both engines).
+    *
+    * Scale shape: one explode → ONE map-side-combinable shuffle on the
+    * scaling (source, gram) key → a bounded per-source rollup (count/
+    * sum/max/conditional-sum over per-gram counts — all combinable).
+    * The gram strings never re-sort; no window, no join, two
+    * exchanges total, the second over |sources| rows. */
+  def q245NgramDiversity(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("source"), expr("split(text, ' ')").as("toks"))
+      .filter(expr("size(toks) >= 3"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("g"))
+    grams.groupBy("source", "g").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_types"),
+        sum("c").cast("bigint").as("n_grams"),
+        sum(expr("case when c = 1 then 1 else 0 end")).cast("bigint")
+          .as("n_singletons"),
+        max("c").cast("bigint").as("top_count"))
+      .select(col("source"), col("n_types"), col("n_grams"), col("n_singletons"),
+        col("top_count"),
+        expr("(1000000 * n_types) div n_grams").cast("bigint").as("ttr_e6"),
+        expr("(1000000 * n_singletons) div n_grams").cast("bigint")
+          .as("singleton_e6"),
+        expr("(1000000 * top_count) div n_grams").cast("bigint").as("top_share_e6"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q246
+
+  /** Vocabulary size for the q246 coverage audit (a premise constant —
+    * production sweeps 32k/64k/128k the same way). */
+  private val oovK = 256
+
+  /** q246 — OOV RATE per language under a TOP-K frequency vocabulary:
+    * the coverage audit run before freezing any word-level vocabulary
+    * (classic word-embedding / softmax-vocab sizing, and the equity
+    * twin of q241's fertility — a language whose instance OOV share is
+    * 3× pays it in UNK tokens). Reports per language: token instances,
+    * instance OOV share, distinct word types, and type OOV share —
+    * instances answer "how much text breaks", types answer "how much
+    * vocabulary is missing" (they diverge exactly when the missing
+    * words are frequent).
+    *
+    * Determinism: the vocabulary is the top-$oovK$ by (count DESC,
+    * token ASC) — a TOTAL order, so the cut is engine-identical; shares
+    * are e6 floor divisions on BIGINTs.
+    *
+    * Scale shape: one token shuffle for global counts; the vocabulary
+    * cut is TakeOrderedAndProject (bounded K, never a global sort);
+    * per-(lang, word) counts are a second map-side-combinable shuffle;
+    * the vocab side joins BROADCAST — justified because K is bounded
+    * by the premise, not by data (the q25 probe-set rule); the rollup
+    * key is the bounded lang enum. */
+  def q246OovRate(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("lang"), explode(expr("split(text, ' ')")).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(oovK)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    val langWord = tok.groupBy("lang", "w")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+    langWord.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(sum("cnt").cast("bigint").as("n_instances"),
+        sum(expr("case when in_vocab is null then cnt else 0L end")).cast("bigint")
+          .as("n_oov_instances"),
+        count(lit(1)).cast("bigint").as("n_types"),
+        sum(expr("case when in_vocab is null then 1 else 0 end")).cast("bigint")
+          .as("n_oov_types"))
+      .select(col("lang"), col("n_instances"), col("n_oov_instances"),
+        col("n_types"), col("n_oov_types"),
+        expr("(1000000 * n_oov_instances) div n_instances").cast("bigint")
+          .as("oov_instance_e6"),
+        expr("(1000000 * n_oov_types) div n_types").cast("bigint")
+          .as("oov_type_e6"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_ngram_diversity" -> (q245NgramDiversity _),
+    "q246_oov_rate" -> (q246OovRate _),
     "q234_skipgram_pairs" -> (q234SkipgramPairs _),
     "q221_textrank" -> (q221Textrank _),
     "q131_regex_suite" -> (q131RegexSuite _),
@@ -958,6 +1054,46 @@ object TextAnalysisQueries {
        |GROUP BY i.lang ORDER BY i.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q245_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT source,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |c AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g GROUP BY source, g),
+        |r AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(c) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |    CAST(MAX(c) AS BIGINT) AS top_count
+        |  FROM c GROUP BY source)
+        |SELECT source, n_types, n_grams, n_singletons, top_count,
+        |  CAST((1000000 * n_types) // n_grams AS BIGINT) AS ttr_e6,
+        |  CAST((1000000 * n_singletons) // n_grams AS BIGINT) AS singleton_e6,
+        |  CAST((1000000 * top_count) // n_grams AS BIGINT) AS top_share_e6
+        |FROM r ORDER BY source""".stripMargin,
+    "q246_oov_rate" ->
+      s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |gc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |vr AS (SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS rn FROM gc),
+         |vocab AS (SELECT w, 1 AS in_vocab FROM vr WHERE rn <= $oovK),
+         |lw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY lang, w),
+         |j AS (SELECT lw.lang, lw.cnt, vocab.in_vocab
+         |  FROM lw LEFT JOIN vocab USING (w)),
+         |r AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_instances,
+         |    CAST(SUM(CASE WHEN in_vocab IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS n_oov_instances,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_oov_types
+         |  FROM j GROUP BY lang)
+         |SELECT lang, n_instances, n_oov_instances, n_types, n_oov_types,
+         |  CAST((1000000 * n_oov_instances) // n_instances AS BIGINT)
+         |    AS oov_instance_e6,
+         |  CAST((1000000 * n_oov_types) // n_types AS BIGINT) AS oov_type_e6
+         |FROM r ORDER BY lang""".stripMargin,
     "q241_tokenizer_fertility" -> q241Oracle,
     "q234_skipgram_pairs" -> q234Oracle,
     "q221_textrank" -> q221Oracle,

@@ -335,6 +335,54 @@ object StreamingQueries {
       .orderBy("w", "rank")
   }
 
+  /** q247 — STREAMING QUANTILES via a fixed-domain histogram sketch:
+    * per watermarked 1-day window, per-value-bin counts maintained in
+    * stream state, with exact rank selection (p50/p95) over the
+    * finalized bin summaries downstream of the sink. The latency-SLO
+    * monitor shape: a percentile over an unbounded stream needs
+    * bounded state, and the fixed histogram IS the standard answer —
+    * state per window is AT MOST the grid size (512 bins here, a
+    * premise constant like q100's batch twin), regardless of window
+    * traffic, and bins partial-aggregate map-side before the state
+    * store sees them. Selection is exact integer arithmetic (smallest
+    * bin with 2·cum ≥ n / 20·cum ≥ 19·n — ceil-rank without division),
+    * so the whole pipeline — watermark finalization, bin state, merge,
+    * selection — hash-checks against the batch oracle. The quantile is
+    * the bin's lower edge (resolution = grid step, the documented
+    * approximation contract, exactly q100's). Append mode emits only
+    * FINALIZED windows (end ≤ max ts − 1 h, the q36 contract), which
+    * the oracle mirrors in its WHERE. */
+  def q247StreamingQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamSources.events(s, dir)
+    val tbl = s"graft_stream_quant_${runCounter.incrementAndGet()}"
+    drain(s, ev
+      .select(col("ts"),
+        expr("least(511L, greatest(0L, cast(floor(value) as bigint)))").as("bin"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("bin"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("bin"), col("cnt"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()))
+    // rank selection over ≤512-bin summaries per window — the legal
+    // bounded-grid window shape (StragglerGuard's summary exemption)
+    val W = org.apache.spark.sql.expressions.Window
+    val cumW = W.partitionBy("w").orderBy("bin")
+      .rowsBetween(W.unboundedPreceding, 0)
+    s.table(tbl)
+      .withColumn("cum", sum("cnt").over(cumW))
+      .withColumn("n", sum("cnt").over(W.partitionBy("w")))
+      .groupBy("w")
+      .agg(max("n").cast("bigint").as("n_events"),
+        min(when(expr("2 * cum >= n"), col("bin"))).cast("bigint").as("p50_bin"),
+        min(when(expr("20 * cum >= 19 * n"), col("bin"))).cast("bigint").as("p95_bin"))
+      .orderBy("w")
+  }
+
   /** STREAMING anomaly detection — q148's trailing z-score detector fed
     * by a streamed daily-count aggregation: watermarked 1-day tumbling
     * windows emit FINALIZED (type, day) counts (append mode, the q36
@@ -616,6 +664,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_streaming_quantiles" -> (q247StreamingQuantiles _),
     "q227_streaming_sliding_distinct" -> (q227StreamingSlidingDistinct _),
     "q220_streaming_decontaminate" -> (q220StreamingDecontaminate _),
     "q107_streaming_kmv" -> (q107StreamingKmv _),
@@ -639,6 +688,26 @@ object StreamingQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // the batch histogram twin + the q36 finalization cut (1-day
+    // window + 1 h watermark = 25 h behind max ts)
+    "q247_streaming_quantiles" ->
+      """WITH e AS (SELECT
+        |    make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w,
+        |    LEAST(511, GREATEST(0, CAST(FLOOR(value) AS BIGINT))) AS bin
+        |  FROM events
+        |  WHERE make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+        |    + INTERVAL 25 HOUR <= (SELECT max(ts) FROM events)),
+        |c AS (SELECT w, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY w, bin),
+        |cum AS (SELECT w, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY w ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY w) AS n
+        |  FROM c)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w,
+        |  CAST(MAX(n) AS BIGINT) AS n_events,
+        |  CAST(MIN(CASE WHEN 2 * cum >= n THEN bin END) AS BIGINT) AS p50_bin,
+        |  CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN bin END) AS BIGINT) AS p95_bin
+        |FROM cum GROUP BY w ORDER BY w""".stripMargin,
     // q216's bounded-fanout decomposition at hour grain + the q36
     // finalization cut: window END (wh + 1 h) at least the 25 h
     // watermark behind max(wh) = max event hour + 23 h  ⇔  wh + 3 h

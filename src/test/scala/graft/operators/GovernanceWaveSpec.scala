@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{sfDir, spark}
+
+/** In-Spark differential proofs for the round-12 governance wave —
+  * independent of the DuckDB oracle gate: q242's flagged matches are
+  * true near-duplicates under exact recomputation, q243's shrinkage
+  * lands between the raw and prior rates, q244's kappa replays exactly
+  * from its own contingency cells, q245/q246's shares obey their
+  * conservation laws, and q247's streamed histogram quantiles equal a
+  * batch recomputation. */
+class GovernanceWaveSpec extends AnyFunSuite {
+
+  test("q242 flagged rows are true near-duplicates of true bench vectors") {
+    val out = SimilarityQueries.q242SemanticDecontaminate(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 37 != 0, "corpus side must exclude bench ids")
+      assert(r.getLong(2) % 37 == 0, "best match must be a bench id")
+      assert(r.getLong(1) >= 1L)
+    }
+    // exact recomputation of each (vec, best_bench) cosine — the flag
+    // may under-report (band recall), but never over-report
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val pairs = SimilarityQueries.q242SemanticDecontaminate(spark, sfDir)
+      .select(col("vec_id").as("fid"), col("best_bench_id").as("bb"), col("best_cos"))
+      .join(e.as("x"), col("fid") === col("x.vec_id"))
+      .join(e.as("y"), col("bb") === col("y.vec_id"))
+      .withColumn("re", expr("graft_dot(x.v, y.v) / (x.nrm * y.nrm)"))
+      .select(col("best_cos"), col("re")).collect()
+    pairs.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "reported cosine must replay exactly")
+      assert(r.getDouble(1) >= 0.35)
+    }
+  }
+
+  test("q243 shrunk rate lies between the raw rate and the global prior") {
+    val rows = QualityFilterQueries.q243SourcePrior(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, prior, shrunk) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      // floor rounding can place the e6 readout one unit outside
+      assert(shrunk >= math.min(raw, prior) - 1 && shrunk <= math.max(raw, prior) + 1,
+        s"source ${r.getString(0)}: shrunk=$shrunk outside [$raw, $prior]")
+    }
+  }
+
+  test("q244 kappa replays exactly from its own contingency cells") {
+    val rows = QualityFilterQueries.q244FilterKappa(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (n, a, b, c, d) =
+        (BigInt(r.getLong(1)), BigInt(r.getLong(2)), BigInt(r.getLong(3)),
+          BigInt(r.getLong(4)), BigInt(r.getLong(5)))
+      assert(a + b + c + d == n)
+      val x = (a + b) * (a + c) + (c + d) * (b + d)
+      val num = n * (a + d) - x
+      val den = (n * n - x).max(BigInt(1))
+      val expect =
+        if (num >= 0) (BigInt(1000000) * num) / den
+        else -((BigInt(1000000) * -num) / den)
+      assert(BigInt(r.getLong(8)) == expect, s"pair ${r.getString(0)}")
+      assert(r.getLong(8) >= -1000000L && r.getLong(8) <= 1000000L)
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= 1000000L)
+      assert(r.getLong(7) >= 0L && r.getLong(7) <= 1000000L)
+    }
+  }
+
+  test("q245 diversity counters obey their conservation laws") {
+    val rows = TextAnalysisQueries.q245NgramDiversity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (types, grams, singles, top) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(singles <= types && types <= grams && top >= 1L && top <= grams)
+      assert(r.getLong(5) <= 1000000L && r.getLong(6) <= 1000000L &&
+        r.getLong(7) <= 1000000L)
+    }
+    val totalGrams = graft.Tables.documents(spark, sfDir)
+      .select(expr("split(text, ' ')").as("t")).filter(expr("size(t) >= 3"))
+      .agg(sum(expr("size(t) - 2"))).first().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalGrams)
+  }
+
+  test("q246 OOV instances conserve the corpus token count") {
+    val rows = TextAnalysisQueries.q246OovRate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(4) <= r.getLong(3))
+      assert(r.getLong(5) <= 1000000L && r.getLong(6) <= 1000000L)
+    }
+    val totalTokens = graft.Tables.documents(spark, sfDir)
+      .agg(sum(expr("size(split(text, ' '))"))).first().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == totalTokens)
+  }
+
+  test("q247 streamed histogram quantiles equal a batch recomputation") {
+    val streamed = graft.streaming.StreamingQueries
+      .q247StreamingQuantiles(spark, sfDir).collect().toSeq
+    assert(streamed.nonEmpty)
+    streamed.foreach(r => assert(r.getLong(2) <= r.getLong(3), "p50 <= p95"))
+    val W = org.apache.spark.sql.expressions.Window
+    val maxTs = graft.Tables.events(spark, sfDir).agg(max("ts")).first()
+      .getTimestamp(0).getTime
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(expr("timestamp_micros((unix_micros(ts) div 86400000000) * 86400000000)")
+        .as("wstart"),
+        expr("least(511L, greatest(0L, cast(floor(value) as bigint)))").as("bin"))
+      .filter(expr(s"unix_millis(wstart) + 90000000 <= $maxTs"))
+      .groupBy(date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("w"), col("bin"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        W.partitionBy("w").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(W.partitionBy("w")))
+      .groupBy("w")
+      .agg(max("n").cast("bigint").as("n_events"),
+        min(when(expr("2 * cum >= n"), col("bin"))).cast("bigint").as("p50_bin"),
+        min(when(expr("20 * cum >= 19 * n"), col("bin"))).cast("bigint").as("p95_bin"))
+      .orderBy("w").collect().toSeq
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq))
+  }
+}
