@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomTest, DotProduct, Kmv, Topk, Winnow, WinnowPos}
+import graft.functions.{BloomTest, DotProduct, Hist, Kmv, Topk, Winnow, WinnowPos}
 
 /** Engine extensions, installed via `spark.sql.extensions`
   * (GraftSession sets it): registers the native functions so they are
@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "graft_bloom_test expects (hex_string, bits_literal)")
         BloomTest(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hist"),
+      new ExpressionInfo(classOf[Hist].getName, "graft_hist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_hist expects (bin, nbins_literal)")
+        Hist(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow_pos"),

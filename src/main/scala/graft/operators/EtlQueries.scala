@@ -493,6 +493,62 @@ object EtlQueries {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- q250
+
+  /** q250 — TAKEDOWN deletion (the right-to-be-forgotten / opt-out
+    * removal every training-corpus custodian must serve): delete a
+    * bounded id list from a source-partitioned document lake by
+    * rewriting ONLY the partitions the list touches, then audit the
+    * lake. The GDPR/opt-out twin of the Scd2Stream discipline:
+    * per-request work is O(touched partitions), never O(lake) — at
+    * 100 TB a thousand-id takedown rewrites a handful of directories
+    * while the other ten thousand are untouched files (dynamic
+    * partition overwrite replaces exactly the partitions present in
+    * the written frame; byte-identity of untouched partitions is the
+    * LayoutReattachSpec-proven property of the layout machinery).
+    *
+    * The takedown list here is the deterministic 1-in-101 id slice (a
+    * premise literal both engines read identically); a production list
+    * arrives as a bounded side input and BROADCASTS — the discovery
+    * join (which sources does the list touch?) and the anti-join both
+    * carry the list on the build side, so the lake never shuffles.
+    *
+    * The audit is honest: n_after is re-read from the REWRITTEN lake —
+    * so a broken rewrite fails the oracle gate rather than cancelling
+    * out arithmetically. (The full-lake audit scan is the AUDIT's
+    * cost, not the delete's; a production run audits the touched
+    * partitions only.) The touched-source list is a bounded driver
+    * scalar — at most |partitions| strings, the q19/q150 idiom. */
+  def q250TakedownDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("takedown")
+    val docs = Tables.documents(s, dir)
+    Warehouse.writePartitioned(docs, "source", path, firstRun = true)
+    val lake = s.read.parquet(path)
+    val hit = col("doc_id") % 101 === 0
+    // pre-pass: per-source totals + hit counts (one scan, also the
+    // touched-partition discovery)
+    // the pre-pass MATERIALIZES before the rewrite (the lazy plan would
+    // otherwise re-read files the overwrite has replaced) — bounded by
+    // |partitions| rows, the bounded-driver-scalar idiom
+    val preRows = lake.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_before"),
+        sum(when(hit, 1L).otherwise(0L)).cast("bigint").as("n_deleted"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val touched = preRows.filter(_._3 > 0).map(_._1).sorted
+    // rewrite ONLY touched partitions, survivors only
+    if (touched.nonEmpty)
+      Warehouse.upsertPartitions(
+        lake.filter(col("source").isin(touched: _*)).filter(!hit),
+        "source", path)
+    val after = s.read.parquet(path).groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_after"))
+    import s.implicits._
+    preRows.toDF("source", "n_before", "n_deleted")
+      .join(after, Seq("source"))
+      .select(col("source"), col("n_before"), col("n_deleted"), col("n_after"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
     "q125_snapshot_diff" -> (q125SnapshotDiff _),
@@ -500,6 +556,7 @@ object EtlQueries {
     "q113_scd2_incremental" -> (q113Scd2Incremental _),
     "q109_zorder_scan" -> (q109ZorderScan _),
     "q102_scd2_dimension" -> (q102Scd2Dimension _),
+    "q250_takedown_delete" -> (q250TakedownDelete _),
     "q30_partitioned_write" -> (q30PartitionedWrite _),
     "q31_ingest_parse" -> (q31IngestParse _),
     "q32_csv_roundtrip" -> (q32CsvRoundtrip _),
@@ -634,6 +691,14 @@ object EtlQueries {
         |FROM f ORDER BY user_id, version""".stripMargin
 
   private lazy val oraclesRest: Map[String, String] = Map(
+    "q250_takedown_delete" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_before,
+        |  CAST(SUM(CASE WHEN doc_id % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(COUNT(*) - SUM(CASE WHEN doc_id % 101 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_after
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q30_partitioned_write" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

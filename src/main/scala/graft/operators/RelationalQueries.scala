@@ -1334,6 +1334,51 @@ object RelationalQueries {
     * all rows. One groupBy on the key, then constant-size aggregation
     * over the key-frequency table; at a 1e9-key domain the percentile
     * swaps for the q51 sketch, noted here as the scale path. */
+  /** q249 — JOIN-CARDINALITY pre-audit: the EXACT output size of a
+    * prospective equi-join (events ⋈ orders on the customer key),
+    * computed WITHOUT materializing the join — |A ⋈ B| = Σ_k
+    * c_A(k)·c_B(k) over per-key counts — plus the top contributing key
+    * and its output share. q134 profiles ONE side's skew; this is the
+    * two-sided question a planner actually asks before committing a
+    * 100 TB shuffle ("is this join 3× my input or 3000×, and is one
+    * key responsible?") — the input to every broadcast/salt/AQE
+    * decision, at the cost of two aggregations instead of the join.
+    *
+    * Scale shape: two map-side-combinable groupBys on the scaling join
+    * key, then an equi-join of the DISTINCT-KEY frames (orders of
+    * magnitude smaller than the fact tables; inner join because a key
+    * absent from either side contributes zero pairs), one bounded
+    * global aggregate, and a top-5 TakeOrderedAndProject unioned back
+    * as audit rows. All counts exact BIGINTs; contribution products
+    * bounded by max_freq_A · max_freq_B (fixture ≤ 2e5·2e5; decimal
+    * widening past ~3e9·3e9, the q187 note). */
+  def q249JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    val ca = Tables.events(s, dir)
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("ca"))
+    val cb = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cb"))
+    val contrib = ca.join(cb, Seq("k"))
+      .select(col("k").cast("bigint").as("k"),
+        col("ca").cast("bigint").as("ca"), col("cb").cast("bigint").as("cb"),
+        (col("ca") * col("cb")).cast("bigint").as("pairs"))
+    val totals = contrib.agg(
+      count(lit(1)).cast("bigint").as("n_join_keys"),
+      sum("pairs").cast("bigint").as("total_pairs"),
+      max("pairs").cast("bigint").as("max_pairs"))
+    val top = contrib.orderBy(desc("pairs"), asc("k")).limit(5)
+      .crossJoin(broadcast(totals))
+      .select(lit("key").as("row_kind"), col("k"), col("ca"), col("cb"),
+        col("pairs"),
+        expr("(1000000 * pairs) div total_pairs").cast("bigint").as("share_e6"))
+    val summary = totals
+      .select(lit("total").as("row_kind"), lit(-1L).as("k"),
+        col("n_join_keys").as("ca"), col("max_pairs").as("cb"),
+        col("total_pairs").as("pairs"),
+        expr("(1000000 * max_pairs) div total_pairs").cast("bigint")
+          .as("share_e6"))
+    summary.unionAll(top).orderBy(col("row_kind"), desc("pairs"), asc("k"))
+  }
+
   def q134SkewProfile(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_partkey").agg(count(lit(1)).as("f"))
@@ -1570,6 +1615,7 @@ object RelationalQueries {
     "q136_latest_wins" -> (q136LatestWins _),
     "q160_uniqueness_audit" -> (q160UniquenessAudit _),
     "q134_skew_profile" -> (q134SkewProfile _),
+    "q249_join_cardinality" -> (q249JoinCardinality _),
     "q135_gap_detection" -> (q135GapDetection _),
     "q116_relative_rank" -> (q116RelativeRank _),
     "q114_cube" -> (q114Cube _),
@@ -1757,6 +1803,27 @@ object RelationalQueries {
         |  quantile_cont(f, 0.99) AS p99_freq,
         |  CAST(MAX(f) AS DOUBLE) / CAST(SUM(f) AS DOUBLE) AS top1_share
         |FROM f""".stripMargin,
+    "q249_join_cardinality" ->
+      """WITH ca AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM events GROUP BY user_id),
+        |cb AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM orders GROUP BY o_custkey),
+        |contrib AS (SELECT CAST(ca.k AS BIGINT) AS k, ca.ca, cb.cb,
+        |    CAST(ca.ca * cb.cb AS BIGINT) AS pairs
+        |  FROM ca JOIN cb USING (k)),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+        |    CAST(SUM(pairs) AS BIGINT) AS total_pairs,
+        |    CAST(MAX(pairs) AS BIGINT) AS max_pairs FROM contrib),
+        |top AS (SELECT 'key' AS row_kind, k, ca, cb, pairs,
+        |    CAST((1000000 * pairs) // t.total_pairs AS BIGINT) AS share_e6
+        |  FROM contrib CROSS JOIN t
+        |  ORDER BY pairs DESC, k ASC LIMIT 5),
+        |summary AS (SELECT 'total' AS row_kind, CAST(-1 AS BIGINT) AS k,
+        |    n_join_keys AS ca, max_pairs AS cb, total_pairs AS pairs,
+        |    CAST((1000000 * max_pairs) // total_pairs AS BIGINT) AS share_e6
+        |  FROM t)
+        |SELECT * FROM (SELECT * FROM summary UNION ALL SELECT * FROM top)
+        |ORDER BY row_kind, pairs DESC, k ASC""".stripMargin,
     "q135_gap_detection" ->
       """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr
         |  FROM events),

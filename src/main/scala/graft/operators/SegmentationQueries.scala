@@ -1046,9 +1046,60 @@ object SegmentationQueries {
         floor(col("rho2") * lit(1000000.0)).cast("bigint").as("rho2_e6"))
   }
 
+  // ---------------------------------------------------------------- q248
+
+  /** q248 — NATIVE HISTOGRAM quantiles: per event type, one
+    * `graft_hist` aggregate (functions/Hist.scala) carries the whole
+    * 512-bin value histogram as a single fixed-width buffer, and the
+    * p50/p95 rank selection then runs ROW-LOCALLY over the bounded
+    * array — a single shuffle of |types| × 4 KB buffers, zero windows,
+    * zero second pass. The bounded-state ladder's third rung next to
+    * `graft_kmv` (distincts) and `graft_topk` (ranking): where the
+    * two-phase bucket form (q100/q184) shuffles one row per (group,
+    * touched bin) and selects through window offsets, the sketch form
+    * ships ONE buffer per group and selects with a fold — and, being
+    * element-wise-mergeable, per-shard histograms (per-day → per-month)
+    * union without re-reading data.
+    *
+    * Determinism: integer counters under element-wise merge are
+    * order/partition/merge invariant; selection is the exact smallest-
+    * bin-with-2·cum≥n rule (ceil-rank without division, q247's), so
+    * the DuckDB twin (per-bin GROUP BY + the same selection)
+    * hash-matches. The quantile is the bin's lower edge — resolution =
+    * grid step, q100's documented approximation contract.
+    *
+    * The selection fold is a higher-order `aggregate` (CodegenFallback,
+    * the documented HOF caveat) — legal here because it evaluates over
+    * |event types| ROWS, never the corpus: the codegen'd hot path is
+    * the scan projection + the native aggregate. */
+  def q248NativeHistogram(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("least(511L, greatest(0L, cast(floor(value) as bigint)))").as("bin"))
+      .groupBy("event_type")
+      .agg(expr("graft_hist(bin, 512)").as("h"),
+        count(lit(1)).cast("bigint").as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        expr("""aggregate(h,
+          named_struct('i', 0L, 'cum', 0L, 'p50', -1L, 'p95', -1L),
+          (acc, x) -> named_struct(
+            'i', acc.i + 1,
+            'cum', acc.cum + x,
+            'p50', case when acc.p50 = -1L and 2 * (acc.cum + x) >= n_events
+              then acc.i else acc.p50 end,
+            'p95', case when acc.p95 = -1L and 20 * (acc.cum + x) >= 19 * n_events
+              then acc.i else acc.p95 end),
+          acc -> acc)""").as("sel"))
+      .select(col("event_type"), col("n_events"),
+        col("sel.p50").cast("bigint").as("p50_bin"),
+        col("sel.p95").cast("bigint").as("p95_bin"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_native_histogram" -> (q248NativeHistogram _),
     "q150_rfm_segments" -> (q150RfmSegments _),
     "q151_share_of_total" -> (q151ShareOfTotal _),
     "q152_robust_stats" -> (q152RobustStats _),
@@ -1071,6 +1122,22 @@ object SegmentationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-bin GROUP BY counts + the identical smallest-bin ceil-rank
+    // selection — the sketch's independent formulation
+    "q248_native_histogram" ->
+      """WITH e AS (SELECT event_type,
+        |    LEAST(511, GREATEST(0, CAST(FLOOR(value) AS BIGINT))) AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY event_type, bin),
+        |cum AS (SELECT event_type, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        |  CAST(MIN(CASE WHEN 2 * cum >= n THEN bin END) AS BIGINT) AS p50_bin,
+        |  CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN bin END) AS BIGINT) AS p95_bin
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
     // boundaries re-derived via row_number (a global sort is fine in the
     // oracle engine); identical rank targets and tuple comparisons
     "q150_rfm_segments" ->

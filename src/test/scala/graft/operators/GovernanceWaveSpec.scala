@@ -98,6 +98,31 @@ class GovernanceWaveSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == totalTokens)
   }
 
+  test("q249's pair arithmetic equals the materialized join's row count") {
+    val out = RelationalQueries.q249JoinCardinality(spark, sfDir).collect()
+    val total = out.find(_.getString(0) == "total").get
+    val joined = graft.Tables.events(spark, sfDir).select(col("user_id").as("k"))
+      .join(graft.Tables.orders(spark, sfDir).select(col("o_custkey").as("k")), "k")
+      .count()
+    assert(total.getLong(4) == joined,
+      "sum of per-key count products must equal the real join size")
+    val keys = out.filter(_.getString(0) == "key")
+    assert(keys.length == 5)
+    keys.foreach(r => assert(r.getLong(2) * r.getLong(3) == r.getLong(4)))
+  }
+
+  test("q250 deletion conserves and the lake actually shrinks") {
+    val rows = EtlQueries.q250TakedownDelete(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) == r.getLong(3),
+        s"source ${r.getString(0)}: before - deleted != after (lake rewrite broken)")
+    }
+    val expectHits = graft.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 101 = 0")).count()
+    assert(rows.map(_.getLong(2)).sum == expectHits && expectHits > 0)
+  }
+
   test("q247 streamed histogram quantiles equal a batch recomputation") {
     val streamed = graft.streaming.StreamingQueries
       .q247StreamingQuantiles(spark, sfDir).collect().toSeq
