@@ -493,6 +493,44 @@ object EtlQueries {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- q252
+
+  /** q252 — POINT-IN-TIME (as-of-version) join against the SCD2
+    * dimension: label every purchase with the user's BROWSING segment
+    * at purchase time — the consuming half of the SCD2 family (q102
+    * builds the history, q113 maintains it; this is why it exists).
+    * The dimension collapses the NON-purchase event stream into
+    * validity-ranged segment versions; each purchase then joins the
+    * version whose [effective_from, effective_to) contains its
+    * timestamp. Purchases before a user's first profile event take
+    * segment 'none' (the left-join contract, reported not dropped).
+    *
+    * Scale shape: one equi-join on the scaling user key with the range
+    * containment as a residual condition — per-user fanout is the
+    * user's version count, bounded by activity (the q132/q239 key-
+    * fanout rule), and chained non-overlapping ranges guarantee each
+    * purchase matches AT MOST one version (no join-induced
+    * duplication). One bounded groupBy on the segment enum after. */
+  def q252PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val dim = scd2Runs(Tables.events(s, dir)
+        .filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("du"), col("segment"),
+        to_timestamp(col("effective_from"), tsFmt).as("ef"),
+        to_timestamp(col("effective_to"), tsFmt).as("et"))
+    val purch = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    purch.join(dim,
+        col("user_id") === col("du") &&
+          col("ef") <= col("ts") && col("ts") < col("et"), "left")
+      .groupBy(coalesce(col("segment"), lit("none")).as("segment_at_purchase"))
+      .agg(count(lit(1)).cast("bigint").as("n_purchases"),
+        sum("cents").cast("bigint").as("cents_total"),
+        countDistinct("user_id").cast("bigint").as("n_users"))
+      .orderBy("segment_at_purchase")
+  }
+
   // ---------------------------------------------------------------- q250
 
   /** q250 — TAKEDOWN deletion (the right-to-be-forgotten / opt-out
@@ -557,6 +595,7 @@ object EtlQueries {
     "q109_zorder_scan" -> (q109ZorderScan _),
     "q102_scd2_dimension" -> (q102Scd2Dimension _),
     "q250_takedown_delete" -> (q250TakedownDelete _),
+    "q252_pit_join" -> (q252PitJoin _),
     "q30_partitioned_write" -> (q30PartitionedWrite _),
     "q31_ingest_parse" -> (q31IngestParse _),
     "q32_csv_roundtrip" -> (q32CsvRoundtrip _),
@@ -668,20 +707,28 @@ object EtlQueries {
     "q102_scd2_dimension" -> scd2OracleSql,
   ) ++ oraclesRest
 
+  /** The SCD2 run-collapse CTE chain ending at
+    * `f(user_id, run_id, segment, effective_from, effective_to,
+    * n_events)`, parameterized on the source relation — shared by the
+    * q102/q113 dimension oracles (`events`) and q252's point-in-time
+    * join (the non-purchase profile slice). */
+  private def scd2Ctes(src: String): String =
+    s"""l AS (SELECT user_id, ts, event_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM $src),
+       |c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg FROM l),
+       |rn AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM c),
+       |g AS (SELECT user_id, run_id, event_type AS segment,
+       |    MIN(ts) AS effective_from, COUNT(*) AS n_events
+       |  FROM rn GROUP BY 1, 2, 3),
+       |f AS (SELECT user_id, run_id, segment, effective_from,
+       |    coalesce(lead(effective_from) OVER (PARTITION BY user_id ORDER BY run_id),
+       |      TIMESTAMP '9999-12-31 00:00:00') AS effective_to, n_events
+       |  FROM g)""".stripMargin
+
   private lazy val scd2OracleSql: String =
-      """WITH l AS (SELECT user_id, ts, event_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg FROM l),
-        |rn AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM c),
-        |g AS (SELECT user_id, run_id, event_type AS segment,
-        |    MIN(ts) AS effective_from, COUNT(*) AS n_events
-        |  FROM rn GROUP BY 1, 2, 3),
-        |f AS (SELECT user_id, run_id, segment, effective_from,
-        |    coalesce(lead(effective_from) OVER (PARTITION BY user_id ORDER BY run_id),
-        |      TIMESTAMP '9999-12-31 00:00:00') AS effective_to, n_events
-        |  FROM g)
+      s"""WITH ${scd2Ctes("events")}
         |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(run_id AS BIGINT) AS version,
         |  segment,
         |  strftime(effective_from, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
@@ -691,6 +738,19 @@ object EtlQueries {
         |FROM f ORDER BY user_id, version""".stripMargin
 
   private lazy val oraclesRest: Map[String, String] = Map(
+    "q252_pit_join" ->
+      s"""WITH ev2 AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+         |${scd2Ctes("ev2")},
+         |p AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |j AS (SELECT p.user_id, p.cents, f.segment
+         |  FROM p LEFT JOIN f ON p.user_id = f.user_id
+         |    AND f.effective_from <= p.ts AND p.ts < f.effective_to)
+         |SELECT coalesce(segment, 'none') AS segment_at_purchase,
+         |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_total,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q250_takedown_delete" ->
       """SELECT source,
         |  CAST(COUNT(*) AS BIGINT) AS n_before,

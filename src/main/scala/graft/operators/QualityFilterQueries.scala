@@ -601,25 +601,32 @@ object QualityFilterQueries {
     *
     * Scale shape: the verdict frame is q230's (one row-local scan for
     * rules+repetition, q75's vocab join for the LM mass, one doc_id
-    * equi-join), then ONE global aggregate producing 13 bounded sums;
-    * the three pair rows assemble from that single row via stack — no
-    * per-pair re-scan. */
+    * equi-join), COLLAPSED FIRST to the 8-cell (v_rules, v_lm, v_rep)
+    * contingency cube — one map-side-combinable count — so every heavy
+    * verdict expression evaluates exactly ONCE per row; the 13 pair
+    * sums then assemble from the 8 bounded cells. (The first cut
+    * summed 13 products straight off the verdict frame: CollapseProject
+    * inlined the full rules/repetition CASE chains into EACH sum — the
+    * q97 optimizer trap — and measured 25.5 s at sf0.1 vs q230's 2.4 s
+    * over the same frame. The cube form is ~2 s.) */
   def q244FilterKappa(s: SparkSession, dir: String): DataFrame = {
-    val v = ensembleVerdicts(s, dir)
-    val g = v.agg(
-      count(lit(1)).cast("bigint").as("n"),
-      sum(expr("v_rules * v_lm")).cast("bigint").as("a_rl"),
-      sum(expr("v_rules * (1 - v_lm)")).cast("bigint").as("b_rl"),
-      sum(expr("(1 - v_rules) * v_lm")).cast("bigint").as("c_rl"),
-      sum(expr("(1 - v_rules) * (1 - v_lm)")).cast("bigint").as("d_rl"),
-      sum(expr("v_rules * v_rep")).cast("bigint").as("a_rr"),
-      sum(expr("v_rules * (1 - v_rep)")).cast("bigint").as("b_rr"),
-      sum(expr("(1 - v_rules) * v_rep")).cast("bigint").as("c_rr"),
-      sum(expr("(1 - v_rules) * (1 - v_rep)")).cast("bigint").as("d_rr"),
-      sum(expr("v_lm * v_rep")).cast("bigint").as("a_lr"),
-      sum(expr("v_lm * (1 - v_rep)")).cast("bigint").as("b_lr"),
-      sum(expr("(1 - v_lm) * v_rep")).cast("bigint").as("c_lr"),
-      sum(expr("(1 - v_lm) * (1 - v_rep)")).cast("bigint").as("d_lr"))
+    val cells = ensembleVerdicts(s, dir)
+      .groupBy("v_rules", "v_lm", "v_rep")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+    val g = cells.agg(
+      sum("cnt").cast("bigint").as("n"),
+      sum(expr("v_rules * v_lm * cnt")).cast("bigint").as("a_rl"),
+      sum(expr("v_rules * (1 - v_lm) * cnt")).cast("bigint").as("b_rl"),
+      sum(expr("(1 - v_rules) * v_lm * cnt")).cast("bigint").as("c_rl"),
+      sum(expr("(1 - v_rules) * (1 - v_lm) * cnt")).cast("bigint").as("d_rl"),
+      sum(expr("v_rules * v_rep * cnt")).cast("bigint").as("a_rr"),
+      sum(expr("v_rules * (1 - v_rep) * cnt")).cast("bigint").as("b_rr"),
+      sum(expr("(1 - v_rules) * v_rep * cnt")).cast("bigint").as("c_rr"),
+      sum(expr("(1 - v_rules) * (1 - v_rep) * cnt")).cast("bigint").as("d_rr"),
+      sum(expr("v_lm * v_rep * cnt")).cast("bigint").as("a_lr"),
+      sum(expr("v_lm * (1 - v_rep) * cnt")).cast("bigint").as("b_lr"),
+      sum(expr("(1 - v_lm) * v_rep * cnt")).cast("bigint").as("c_lr"),
+      sum(expr("(1 - v_lm) * (1 - v_rep) * cnt")).cast("bigint").as("d_lr"))
     g.selectExpr("n",
         "stack(3, 'rules_lm', a_rl, b_rl, c_rl, d_rl, " +
           "'rules_rep', a_rr, b_rr, c_rr, d_rr, " +

@@ -335,6 +335,54 @@ object StreamingQueries {
       .orderBy("w", "rank")
   }
 
+  /** q251 — q247's readout with the NATIVE histogram sketch in stream
+    * state: `graft_hist` (functions/Hist.scala, q248's engine) inside
+    * the watermarked 1-day window, completing the bounded-state sketch
+    * triple in streaming (q107 KMV distincts, q236 top-k ranking, this
+    * one distributions). Where q247 keys state on (window, bin) — up to
+    * 512 state-store entries and checkpoint rows per window — the
+    * sketch form stores ONE 4 KB buffer per window, partial-aggregated
+    * map-side before the state store sees it, and the rank selection
+    * is a row-local fold downstream of the sink (q248's, zero
+    * windows). Same output contract as q247 (exact smallest-bin
+    * ceil-rank selection, append-mode finalized windows), so the same
+    * batch oracle hash-checks both topologies — the A/B that PROVES
+    * the two state layouts agree. */
+  def q251StreamingHist(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamSources.events(s, dir)
+    val tbl = s"graft_stream_hist_${runCounter.incrementAndGet()}"
+    drain(s, ev
+      .select(col("ts"),
+        expr("least(511L, greatest(0L, cast(floor(value) as bigint)))").as("bin"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(expr("graft_hist(bin, 512)").as("h"),
+        count(lit(1)).cast("bigint").as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("n_events"), col("h"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()))
+    s.table(tbl)
+      .select(col("w"), col("n_events"),
+        expr("""aggregate(h,
+          named_struct('i', 0L, 'cum', 0L, 'p50', -1L, 'p95', -1L),
+          (acc, x) -> named_struct(
+            'i', acc.i + 1,
+            'cum', acc.cum + x,
+            'p50', case when acc.p50 = -1L and 2 * (acc.cum + x) >= n_events
+              then acc.i else acc.p50 end,
+            'p95', case when acc.p95 = -1L and 20 * (acc.cum + x) >= 19 * n_events
+              then acc.i else acc.p95 end),
+          acc -> acc)""").as("sel"))
+      .select(col("w"), col("n_events"),
+        col("sel.p50").cast("bigint").as("p50_bin"),
+        col("sel.p95").cast("bigint").as("p95_bin"))
+      .orderBy("w")
+  }
+
   /** q247 — STREAMING QUANTILES via a fixed-domain histogram sketch:
     * per watermarked 1-day window, per-value-bin counts maintained in
     * stream state, with exact rank selection (p50/p95) over the
@@ -665,6 +713,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_streaming_quantiles" -> (q247StreamingQuantiles _),
+    "q251_streaming_hist" -> (q251StreamingHist _),
     "q227_streaming_sliding_distinct" -> (q227StreamingSlidingDistinct _),
     "q220_streaming_decontaminate" -> (q220StreamingDecontaminate _),
     "q107_streaming_kmv" -> (q107StreamingKmv _),
@@ -687,10 +736,12 @@ object StreamingQueries {
       s"(($acc) * 16 + (strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1))"
     }
 
-  val oracles: Map[String, String] = Map(
-    // the batch histogram twin + the q36 finalization cut (1-day
-    // window + 1 h watermark = 25 h behind max ts)
-    "q247_streaming_quantiles" ->
+  /** The batch histogram-quantile twin + the q36 finalization cut
+    * (1-day window + 1 h watermark = 25 h behind max ts) — ONE oracle
+    * for both state layouts: q247's (window, bin) keys and q251's
+    * single graft_hist buffer must produce identical finalized
+    * readouts. */
+  private val histQuantileOracle: String =
       """WITH e AS (SELECT
         |    make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w,
         |    LEAST(511, GREATEST(0, CAST(FLOOR(value) AS BIGINT))) AS bin
@@ -707,7 +758,11 @@ object StreamingQueries {
         |  CAST(MAX(n) AS BIGINT) AS n_events,
         |  CAST(MIN(CASE WHEN 2 * cum >= n THEN bin END) AS BIGINT) AS p50_bin,
         |  CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN bin END) AS BIGINT) AS p95_bin
-        |FROM cum GROUP BY w ORDER BY w""".stripMargin,
+        |FROM cum GROUP BY w ORDER BY w""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q247_streaming_quantiles" -> histQuantileOracle,
+    "q251_streaming_hist" -> histQuantileOracle,
     // q216's bounded-fanout decomposition at hour grain + the q36
     // finalization cut: window END (wh + 1 h) at least the 25 h
     // watermark behind max(wh) = max event hour + 23 h  ⇔  wh + 3 h

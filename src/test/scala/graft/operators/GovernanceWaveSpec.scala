@@ -123,6 +123,24 @@ class GovernanceWaveSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == expectHits && expectHits > 0)
   }
 
+  test("q251 (one sketch buffer per window) == q247 ((window,bin) state)") {
+    val a = graft.streaming.StreamingQueries
+      .q247StreamingQuantiles(spark, sfDir).collect().toSeq.map(_.toSeq)
+    val b = graft.streaming.StreamingQueries
+      .q251StreamingHist(spark, sfDir).collect().toSeq.map(_.toSeq)
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("q252 conserves purchases: every purchase lands in exactly one row") {
+    val rows = EtlQueries.q252PitJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalPurchases = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == totalPurchases,
+      "chained SCD2 ranges must match each purchase at most once, " +
+        "and the left join must keep unmatched ones")
+  }
+
   test("q247 streamed histogram quantiles equal a batch recomputation") {
     val streamed = graft.streaming.StreamingQueries
       .q247StreamingQuantiles(spark, sfDir).collect().toSeq
