@@ -1526,7 +1526,53 @@ object DedupQueries {
       .orderBy("split_lo", "split_hi")
   }
 
+  // ---------------------------------------------------------------- q253
+
+  /** q253 — CONTAMINATION REPORT: the per-source union readout over the
+    * two orthogonal benchmark-leak detectors — LEXICAL (q64's shared
+    * 3-shingle hits against the bench slice) and SEMANTIC (q242's
+    * embedding near-dup verdicts) — with both/either breakdowns. The
+    * governance summary a corpus custodian actually files: the lexical
+    * pass catches verbatim and near-verbatim leaks, the semantic pass
+    * catches paraphrases that share no shingle, and the OVERLAP of the
+    * two is the calibration signal (a semantic detector that never
+    * fires where the lexical one does is misconfigured; one that only
+    * fires there is redundant). Modern decontamination recipes run
+    * exactly this union before training.
+    *
+    * Scale shape: both detectors are the board's existing scale-shapes
+    * (shingle-hash equi-join; sign-LSH band equi-join) composed by two
+    * LEFT joins on the scaling doc_id key plus one bounded source
+    * rollup. Verdict frames carry one row per FLAGGED doc — far
+    * smaller than the corpus — so AQE broadcasts them at runtime. */
+  def q253ContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir)
+      .filter(col("doc_id") % 37 =!= 0)
+      .select("doc_id", "source")
+    val lex = q64Decontaminate(s, dir)
+      .select(col("doc_id"), lit(1L).as("f_lex"))
+    val sem = SimilarityQueries.q242SemanticDecontaminate(s, dir)
+      .select(col("vec_id").as("doc_id"), lit(1L).as("f_sem"))
+    corpus
+      .join(lex, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("f_lex"), lit(0L)).as("fl"),
+        coalesce(col("f_sem"), lit(0L)).as("fs"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("fl").cast("bigint").as("n_lexical"),
+        sum("fs").cast("bigint").as("n_semantic"),
+        sum(expr("fl * fs")).cast("bigint").as("n_both"),
+        sum(expr("case when fl + fs >= 1 then 1 else 0 end")).cast("bigint")
+          .as("n_any"))
+      .withColumn("any_share_e6",
+        expr("(1000000 * n_any) div n_docs").cast("bigint"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_contamination_report" -> (q253ContaminationReport _),
     "q226_split_leakage" -> (q226SplitLeakage _),
     "q223_boilerplate_ngrams" -> (q223BoilerplateNgrams _),
     "q207_bloom_decontaminate" -> (q207BloomDecontaminate _),
@@ -1840,6 +1886,34 @@ object DedupQueries {
          |  FROM cand JOIN s x ON doc_a = x.doc_id JOIN s y ON doc_b = y.doc_id)
          |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, hamming
          |FROM h WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin,
+    // the q64 lexical chain + the q242 semantic chain (shared CTE text
+    // from SimilarityQueries), two left joins, one source rollup
+    "q253_contamination_report" ->
+      s"""WITH ${SimilarityQueries.semanticDeconCtes},
+         |semhit AS (SELECT DISTINCT cid AS doc_id FROM sdf),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+         |    x -> md5(x)))) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0),
+         |train AS (SELECT doc_id, g FROM sh WHERE doc_id % 37 <> 0),
+         |lexhit AS (SELECT DISTINCT train.doc_id FROM train JOIN bench USING (g)),
+         |corpus AS (SELECT doc_id, source FROM documents WHERE doc_id % 37 <> 0),
+         |v AS (SELECT c.source,
+         |    CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS fl,
+         |    CASE WHEN s2.doc_id IS NULL THEN 0 ELSE 1 END AS fs
+         |  FROM corpus c
+         |  LEFT JOIN lexhit l ON c.doc_id = l.doc_id
+         |  LEFT JOIN semhit s2 ON c.doc_id = s2.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(fl) AS BIGINT) AS n_lexical,
+         |  CAST(SUM(fs) AS BIGINT) AS n_semantic,
+         |  CAST(SUM(fl * fs) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN fl + fs >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+         |  CAST((1000000 * SUM(CASE WHEN fl + fs >= 1 THEN 1 ELSE 0 END))
+         |    // COUNT(*) AS BIGINT) AS any_share_e6
+         |FROM v GROUP BY source ORDER BY source""".stripMargin,
     "q64_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

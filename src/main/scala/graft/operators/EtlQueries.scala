@@ -493,6 +493,52 @@ object EtlQueries {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- q256
+
+  /** q256 — COMPACTION (the OPTIMIZE/small-files maintenance verb): a
+    * day-partitioned lake written under task scatter (8 writer tasks ×
+    * 30 day partitions ≈ hundreds of tiny files — exactly what
+    * streaming upserts and over-parallel ingests leave behind) is
+    * rewritten to ONE file per partition via a partition-keyed
+    * repartition + dynamic partition overwrite, then audited from the
+    * re-read lake. Small files are a real 100 TB tax — footer/open cost
+    * per file per task, listing pressure, undersized row groups — and
+    * the fix is this exact pass, run partition-by-partition so it
+    * never holds the table.
+    *
+    * The oracle proves data CONSERVATION (the audit aggregate over the
+    * compacted lake equals the source aggregate — a broken rewrite
+    * loses or duplicates rows and fails the hash); the file-count
+    * collapse itself is an engine-side fact the oracle cannot see, so
+    * GovernanceWaveSpec asserts it from the filesystem (before > after,
+    * after == |partitions|). */
+  def q256Compaction(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("compact")
+    val ev = Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.repartition(8, col("event_id"))
+      .write.partitionBy("day").mode("overwrite").parquet(path)
+    val lake = s.read.parquet(path)
+    Warehouse.upsertPartitions(lake.repartition(col("day")), "day", path)
+    s.read.parquet(path)
+      .groupBy("day")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum(expr("cast(round(value * 100) as bigint)")).cast("bigint")
+          .as("cents_total"),
+        expr("count(distinct event_id)").cast("bigint").as("n_distinct_ids"))
+      .orderBy("day")
+  }
+
+  /** File count per partition dir under `path` — q256's spec hook
+    * (parquet part files only; excludes _SUCCESS and metadata). */
+  private[graft] def partFileCounts(path: String): Map[String, Int] = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .map(d => d.getName ->
+        d.listFiles().count(f => f.getName.endsWith(".parquet")))
+      .toMap
+  }
+
   // ---------------------------------------------------------------- q252
 
   /** q252 — POINT-IN-TIME (as-of-version) join against the SCD2
@@ -596,6 +642,7 @@ object EtlQueries {
     "q102_scd2_dimension" -> (q102Scd2Dimension _),
     "q250_takedown_delete" -> (q250TakedownDelete _),
     "q252_pit_join" -> (q252PitJoin _),
+    "q256_compaction" -> (q256Compaction _),
     "q30_partitioned_write" -> (q30PartitionedWrite _),
     "q31_ingest_parse" -> (q31IngestParse _),
     "q32_csv_roundtrip" -> (q32CsvRoundtrip _),
@@ -737,20 +784,32 @@ object EtlQueries {
         |  effective_to = TIMESTAMP '9999-12-31 00:00:00' AS is_current
         |FROM f ORDER BY user_id, version""".stripMargin
 
+  /** The q252 point-in-time join oracle — shared verbatim by q255's
+    * stream-static twin (same output contract, stateless topology). */
+  private[graft] lazy val pitJoinOracleSql: String =
+    s"""WITH ev2 AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+       |${scd2Ctes("ev2")},
+       |p AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |j AS (SELECT p.user_id, p.cents, f.segment
+       |  FROM p LEFT JOIN f ON p.user_id = f.user_id
+       |    AND f.effective_from <= p.ts AND p.ts < f.effective_to)
+       |SELECT coalesce(segment, 'none') AS segment_at_purchase,
+       |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |  CAST(SUM(cents) AS BIGINT) AS cents_total,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   private lazy val oraclesRest: Map[String, String] = Map(
-    "q252_pit_join" ->
-      s"""WITH ev2 AS (SELECT * FROM events WHERE event_type <> 'purchase'),
-         |${scd2Ctes("ev2")},
-         |p AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
-         |  FROM events WHERE event_type = 'purchase'),
-         |j AS (SELECT p.user_id, p.cents, f.segment
-         |  FROM p LEFT JOIN f ON p.user_id = f.user_id
-         |    AND f.effective_from <= p.ts AND p.ts < f.effective_to)
-         |SELECT coalesce(segment, 'none') AS segment_at_purchase,
-         |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
-         |  CAST(SUM(cents) AS BIGINT) AS cents_total,
-         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q252_pit_join" -> pitJoinOracleSql,
+    // conservation: the compacted lake's audit equals the source
+    // aggregate (file-count collapse asserted filesystem-side in spec)
+    "q256_compaction" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_total,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q250_takedown_delete" ->
       """SELECT source,
         |  CAST(COUNT(*) AS BIGINT) AS n_before,

@@ -2066,27 +2066,33 @@ object SimilarityQueries {
        |  CAST((COALESCE(t.rbo_num, 0) * 1000000) // ${2520 * 1023} AS BIGINT) AS rbo_e6
        |FROM sp LEFT JOIN t USING (probe_id) ORDER BY probe_id""".stripMargin
 
+  /** q242's CTE chain up to the verified corpus×bench near-dup pairs
+    * `sdf(cid, bid, cos)` — shared with q253's contamination report
+    * (DedupQueries), which consumes the distinct contaminated cids. */
+  private[graft] lazy val semanticDeconCtes: String =
+    s"""$oracleNormed,
+       |proj AS (SELECT vec_id, v, nrm,
+       |    $oracleProjs
+       |  FROM n),
+       |bands AS ($oracleBandSelects),
+       |cand AS (SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
+       |  FROM bands c JOIN bands b ON c.band = b.band AND c.bkey = b.bkey
+       |  WHERE c.vec_id % 37 <> 0 AND b.vec_id % 37 = 0),
+       |ssc AS (SELECT cid, bid,
+       |    list_reduce(list_transform(generate_series(1, $dim), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+       |  FROM cand JOIN n x ON cid = x.vec_id JOIN n y ON bid = y.vec_id),
+       |sdf AS (SELECT * FROM ssc WHERE cos >= 0.35)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the identical band construction (shared CTE text), corpus × bench
     // candidates, exact-cosine verify, window-ranked best match — an
     // independent formulation of the Spark side's max(struct) verdict
     "q242_semantic_decontaminate" ->
-      s"""WITH $oracleNormed,
-         |proj AS (SELECT vec_id, v, nrm,
-         |    $oracleProjs
-         |  FROM n),
-         |bands AS ($oracleBandSelects),
-         |cand AS (SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
-         |  FROM bands c JOIN bands b ON c.band = b.band AND c.bkey = b.bkey
-         |  WHERE c.vec_id % 37 <> 0 AND b.vec_id % 37 = 0),
-         |sc AS (SELECT cid, bid,
-         |    list_reduce(list_transform(generate_series(1, $dim), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
-         |  FROM cand JOIN n x ON cid = x.vec_id JOIN n y ON bid = y.vec_id),
-         |f AS (SELECT * FROM sc WHERE cos >= 0.35),
+      s"""WITH $semanticDeconCtes,
          |r AS (SELECT cid, bid, cos,
          |    row_number() OVER (PARTITION BY cid ORDER BY cos DESC, bid ASC) AS rn,
          |    COUNT(*) OVER (PARTITION BY cid) AS nm
-         |  FROM f)
+         |  FROM sdf)
          |SELECT CAST(cid AS BIGINT) AS vec_id, CAST(nm AS BIGINT) AS n_bench_matches,
          |  CAST(bid AS BIGINT) AS best_bench_id, cos AS best_cos
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,

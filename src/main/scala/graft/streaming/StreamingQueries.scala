@@ -335,6 +335,50 @@ object StreamingQueries {
       .orderBy("w", "rank")
   }
 
+  /** q255 — STREAMING POINT-IN-TIME enrichment: the purchase stream
+    * joined (stream-static, LEFT) to the batch-built SCD2 browsing-
+    * segment dimension on user + validity range — q252's consuming
+    * join with the fact side arriving as a stream, the production
+    * shape of "label each event with the dimension version valid at
+    * its event time". STATELESS: a stream-static join buffers nothing
+    * (no watermark state, no finalization cut — every purchase emits
+    * exactly once under AvailableNow), the dimension is a static plan
+    * the micro-batches re-probe; per-event fanout is at most one
+    * version by the chained-range guarantee. Same output contract as
+    * q252, so the batch oracle hash-checks the streamed topology —
+    * the stream/batch A/B the SCD2 family's maintenance queries
+    * (q113/Scd2Stream) already get from their shared rebuild oracle. */
+  def q255StreamingPit(s: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val dim = graft.operators.EtlQueries.scd2Runs(
+        graft.Tables.events(s, dir).filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("du"), col("segment"),
+        to_timestamp(col("effective_from"), tsFmt).as("ef"),
+        to_timestamp(col("effective_to"), tsFmt).as("et"))
+    val purch = StreamSources.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val tbl = s"graft_stream_pit_${runCounter.incrementAndGet()}"
+    drain(s, purch
+      .join(dim,
+        col("user_id") === col("du") &&
+          col("ef") <= col("ts") && col("ts") < col("et"), "left")
+      .select(col("user_id"), col("cents"),
+        coalesce(col("segment"), lit("none")).as("segment_at_purchase"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()))
+    s.table(tbl)
+      .groupBy("segment_at_purchase")
+      .agg(count(lit(1)).cast("bigint").as("n_purchases"),
+        sum("cents").cast("bigint").as("cents_total"),
+        expr("count(distinct user_id)").cast("bigint").as("n_users"))
+      .orderBy("segment_at_purchase")
+  }
+
   /** q251 — q247's readout with the NATIVE histogram sketch in stream
     * state: `graft_hist` (functions/Hist.scala, q248's engine) inside
     * the watermarked 1-day window, completing the bounded-state sketch
@@ -714,6 +758,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_streaming_quantiles" -> (q247StreamingQuantiles _),
     "q251_streaming_hist" -> (q251StreamingHist _),
+    "q255_streaming_pit" -> (q255StreamingPit _),
     "q227_streaming_sliding_distinct" -> (q227StreamingSlidingDistinct _),
     "q220_streaming_decontaminate" -> (q220StreamingDecontaminate _),
     "q107_streaming_kmv" -> (q107StreamingKmv _),
@@ -763,6 +808,9 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "q247_streaming_quantiles" -> histQuantileOracle,
     "q251_streaming_hist" -> histQuantileOracle,
+    // q252's batch oracle verbatim — the stream-static topology is
+    // stateless, so no finalization cut applies
+    "q255_streaming_pit" -> graft.operators.EtlQueries.pitJoinOracleSql,
     // q216's bounded-fanout decomposition at hour grain + the q36
     // finalization cut: window END (wh + 1 h) at least the 25 h
     // watermark behind max(wh) = max event hour + 23 h  ⇔  wh + 3 h

@@ -141,6 +141,47 @@ class GovernanceWaveSpec extends AnyFunSuite {
         "and the left join must keep unmatched ones")
   }
 
+  test("q253 union arithmetic ties out against both detectors") {
+    val rows = DedupQueries.q253ContaminationReport(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lex, sem, both, any) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(both <= math.min(lex, sem))
+      assert(any == lex + sem - both, "inclusion-exclusion must hold per source")
+    }
+    val lexDocs = DedupQueries.q64Decontaminate(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == lexDocs)
+    val semDocs = SimilarityQueries.q242SemanticDecontaminate(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir),
+        col("vec_id") === col("doc_id"), "left_semi").count()
+    assert(rows.map(_.getLong(3)).sum == semDocs)
+  }
+
+  test("q255 (stream-static PIT) == q252 (batch PIT)") {
+    val a = EtlQueries.q252PitJoin(spark, sfDir).collect().toSeq.map(_.toSeq)
+    val b = graft.streaming.StreamingQueries.q255StreamingPit(spark, sfDir)
+      .collect().toSeq.map(_.toSeq)
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("q256's compaction mechanism collapses files and conserves rows") {
+    val path = graft.Staging.fresh("compact_spec")
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.repartition(8, col("event_id"))
+      .write.partitionBy("day").mode("overwrite").parquet(path)
+    val before = EtlQueries.partFileCounts(path)
+    val rowsBefore = spark.read.parquet(path).count()
+    graft.etl.Warehouse.upsertPartitions(
+      spark.read.parquet(path).repartition(col("day")), "day", path)
+    val after = EtlQueries.partFileCounts(path)
+    assert(before.keySet == after.keySet)
+    assert(before.values.sum > after.values.sum, "compaction must shrink file count")
+    assert(after.values.forall(_ == 1), "one file per partition after compaction")
+    assert(spark.read.parquet(path).count() == rowsBefore)
+  }
+
   test("q247 streamed histogram quantiles equal a batch recomputation") {
     val streamed = graft.streaming.StreamingQueries
       .q247StreamingQuantiles(spark, sfDir).collect().toSeq
