@@ -610,4 +610,85 @@ object BinaryPipeline {
       }
     }
   }
+
+  /** Per-document audio activity segmentation (q257's engine): block
+    * count, active-block count, activity segments (maximal runs of
+    * active blocks), and the longest segment — the VAD-shaped pass an
+    * audio curation pipeline runs to trim silence and split takes. */
+  case class AudioSegRow(doc_id: Long, source: String, n_blocks: Long,
+                         n_active_blocks: Long, n_segments: Long,
+                         longest_segment: Long)
+
+  /** Mono signed 16-bit PCM little-endian WAV bytes — the
+    * MultimodalSpec generator promoted to the library as the
+    * deterministic audio ingest stand-in (this container has no audio
+    * fixtures), exercised through the REAL javax.sound encode path. */
+  private def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a WAV per document (amplitude (code%32+1)·1000 per
+    * character, 0 for spaces, alternating sign), round-trip it through
+    * the REAL javax.sound encode → decode path, then segment the
+    * DECODED samples: 8-sample blocks, a block is ACTIVE when its
+    * absolute-amplitude sum reaches 104000 (8 × the mid amplitude),
+    * segments are maximal active runs. The amplitude rule is plain
+    * integer arithmetic on character codes, so the DuckDB oracle can
+    * re-derive every block verdict from the text alone — which makes
+    * the whole encode/decode/segment pipeline sit under the hash gate
+    * (a codec bug that perturbs one sample flips a block sum). Per-
+    * partition init, one pass per payload, no shuffle. */
+  def audioSegments(docs: org.apache.spark.sql.DataFrame)
+      : Dataset[AudioSegRow] = {
+    import docs.sparkSession.implicits._
+    docs.selectExpr("doc_id", "source", "text")
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, src, text) =>
+          val samples = new Array[Short](text.length)
+          var i = 0
+          while (i < text.length) {
+            val c = text.charAt(i)
+            val a = if (c == ' ') 0 else ((c.toInt % 32) + 1) * 1000
+            samples(i) = (if (i % 2 == 0) a else -a).toShort
+            i += 1
+          }
+          val decoded = (for {
+            (fmt, frames) <- tryDecodeAudio(wavBytes(8000, samples))
+            s <- pcm16Samples(fmt, frames)
+          } yield s).getOrElse(
+            sys.error(s"doc $id: synthesized WAV failed to decode"))
+          val nBlocks = (decoded.length + 7) / 8
+          var (nActive, nSeg, longest, run) = (0L, 0L, 0L, 0L)
+          var b = 0
+          while (b < nBlocks) {
+            var sumAbs = 0L
+            var j = b * 8
+            val end = math.min(decoded.length, j + 8)
+            while (j < end) { sumAbs += math.abs(decoded(j)); j += 1 }
+            if (sumAbs >= 104000L) {
+              nActive += 1; run += 1
+              if (run == 1) nSeg += 1
+              if (run > longest) longest = run
+            } else run = 0
+            b += 1
+          }
+          AudioSegRow(id, src, nBlocks.toLong, nActive, nSeg, longest)
+        }
+      }
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -580,6 +581,39 @@ object QualityFilterQueries {
       .orderBy(desc("shrunk_e6"), asc("source"))
   }
 
+  // ---------------------------------------------------------------- q254
+
+  /** q254 — QUALITY-WEIGHTED MIXTURE quotas: a 1,000,000-token training
+    * budget allocated across sources in proportion to their shrunk
+    * quality prior (q243's empirical-Bayes rate), with the allocation
+    * made EXACT by q153's largest-remainder arithmetic — Σ quotas ==
+    * budget as an integer identity, no float drift, engine-identical
+    * tie-breaks ((remainder DESC, source ASC), a total order). This is
+    * the step between scoring sources and building the corpus: the
+    * mixture table a sampler (q69/q108's machinery) consumes.
+    *
+    * Scale shape: q243's aggregates (one scan, one bounded source
+    * rollup, a broadcast 1-row global), then the proration windows run
+    * over the |sources| SUMMARY rows — the bounded-summary exemption
+    * StragglerGuard encodes; no document-level window exists. */
+  def q254QualityMixture(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L
+    val weights = q243SourcePrior(s, dir).select("source", "n_docs", "shrunk_e6")
+    val w = Window.partitionBy(lit(1))
+    val wRank = Window.partitionBy(lit(1)).orderBy(desc("rem"), asc("source"))
+    weights
+      .withColumn("wsum", sum("shrunk_e6").over(w))
+      .withColumn("base", expr(s"($budget * shrunk_e6) div wsum"))
+      .withColumn("rem", expr(s"($budget * shrunk_e6) % wsum"))
+      .withColumn("leftover", lit(budget) - sum("base").over(w))
+      .withColumn("quota_tokens",
+        col("base") + when(row_number().over(wRank) <= col("leftover"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("n_docs"), col("shrunk_e6"),
+        col("quota_tokens").cast("bigint").as("quota_tokens"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q244
 
   /** q244 — PAIRWISE COHEN'S KAPPA between the three quality gates
@@ -697,9 +731,36 @@ object QualityFilterQueries {
     "q230_filter_ensemble" -> (q230FilterEnsemble _),
     "q243_source_prior" -> (q243SourcePrior _),
     "q244_filter_kappa" -> (q244FilterKappa _),
+    "q254_quality_mixture" -> (q254QualityMixture _),
   )
 
   // ------------------------------------------------------------- oracles
+
+  /** The q243 per-source pass-rate chain ending at
+    * `ps(source, n_docs, n_pass)` + the global `g(big_n, big_k)` —
+    * shared by the q243 prior and the q254 mixture allocation. */
+  private lazy val sourcePriorCtes: String =
+    s"""t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |m AS (SELECT source,
+       |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n,
+       |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+       |    CAST(len(list_filter(list_distinct(toks),
+       |        t -> t IN ($stopList))) AS BIGINT) AS nstop,
+       |    CAST(list_max(list_transform(list_distinct(toks),
+       |        t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS mf
+       |  FROM t),
+       |v AS (SELECT source,
+       |    CASE WHEN n BETWEEN 25 AND 90
+       |      AND (10 * chars) // n BETWEEN 40 AND 52
+       |      AND nstop >= 1 AND (100 * nd) // n >= 40
+       |      AND (100 * mf) // n <= 12 THEN 1 ELSE 0 END AS pass
+       |  FROM m),
+       |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(pass) AS BIGINT) AS n_pass
+       |  FROM v GROUP BY source),
+       |g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS big_n,
+       |    CAST(SUM(n_pass) AS BIGINT) AS big_k FROM ps)""".stripMargin
 
   /** The shared verdict-triple CTE chain (q230's construction), ending
     * at `v(source, v_rules, v_rep, v_lm)` — consumed by the q230
@@ -881,33 +942,29 @@ object QualityFilterQueries {
   val oracles: Map[String, String] = Map(
     "q217_dsir_importance" -> q217Oracle,
     "q243_source_prior" ->
-      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
-         |m AS (SELECT source,
-         |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n,
-         |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars,
-         |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
-         |    CAST(len(list_filter(list_distinct(toks),
-         |        t -> t IN ($stopList))) AS BIGINT) AS nstop,
-         |    CAST(list_max(list_transform(list_distinct(toks),
-         |        t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS mf
-         |  FROM t),
-         |v AS (SELECT source,
-         |    CASE WHEN n BETWEEN 25 AND 90
-         |      AND (10 * chars) // n BETWEEN 40 AND 52
-         |      AND nstop >= 1 AND (100 * nd) // n >= 40
-         |      AND (100 * mf) // n <= 12 THEN 1 ELSE 0 END AS pass
-         |  FROM m),
-         |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(pass) AS BIGINT) AS n_pass
-         |  FROM v GROUP BY source),
-         |g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS big_n,
-         |    CAST(SUM(n_pass) AS BIGINT) AS big_k FROM ps)
+      s"""WITH $sourcePriorCtes
          |SELECT source, n_docs, n_pass,
          |  CAST((1000000 * n_pass) // n_docs AS BIGINT) AS raw_e6,
          |  CAST((1000000 * big_k) // big_n AS BIGINT) AS prior_e6,
          |  CAST((1000000 * (n_pass * big_n + $priorM * big_k))
          |    // (big_n * (n_docs + $priorM)) AS BIGINT) AS shrunk_e6
          |FROM ps CROSS JOIN g ORDER BY shrunk_e6 DESC, source""".stripMargin,
+    "q254_quality_mixture" ->
+      s"""WITH $sourcePriorCtes,
+         |wgt AS (SELECT source, n_docs,
+         |    CAST((1000000 * (n_pass * big_n + $priorM * big_k))
+         |      // (big_n * (n_docs + $priorM)) AS BIGINT) AS shrunk_e6
+         |  FROM ps CROSS JOIN g),
+         |a AS (SELECT source, n_docs, shrunk_e6,
+         |    SUM(shrunk_e6) OVER () AS wsum FROM wgt),
+         |b AS (SELECT *, (1000000 * shrunk_e6) // wsum AS base,
+         |    (1000000 * shrunk_e6) % wsum AS rem FROM a),
+         |c AS (SELECT *, 1000000 - SUM(base) OVER () AS leftover,
+         |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM b)
+         |SELECT source, n_docs, shrunk_e6,
+         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         |    AS quota_tokens
+         |FROM c ORDER BY source""".stripMargin,
     "q244_filter_kappa" ->
       s"""WITH $ensembleVerdictCtes,
          |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,

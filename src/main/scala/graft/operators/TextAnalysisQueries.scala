@@ -931,7 +931,35 @@ object TextAnalysisQueries {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q257
+
+  /** q257 — AUDIO ACTIVITY SEGMENTATION (the VAD-shaped pass): per
+    * source, block/active-block counts, activity segments, and the
+    * longest take, over REAL decoded PCM — each document synthesizes a
+    * WAV (deterministic character→amplitude rule, spaces silent),
+    * round-trips it through javax.sound's actual encode → decode path,
+    * and segments the DECODED samples (multimodal/BinaryPipeline
+    * .audioSegments). Because the amplitude rule is integer arithmetic
+    * on character codes, the DuckDB twin re-derives every block verdict
+    * from the text alone — putting the codec round-trip itself under
+    * the hash gate, one level stronger than q29's byte-level checks.
+    *
+    * Scale shape: the decode is the mapPartitions batch boundary (the
+    * multimodal idiom — per-partition codec init, one pass per
+    * payload, no shuffle); the rollup is one bounded source aggregate. */
+  def q257AudioSegments(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BinaryPipeline.audioSegments(Tables.documents(s, dir))
+      .toDF()
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_blocks").cast("bigint").as("n_blocks"),
+        sum("n_active_blocks").cast("bigint").as("n_active_blocks"),
+        sum("n_segments").cast("bigint").as("n_segments"),
+        max("longest_segment").cast("bigint").as("max_longest"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_audio_segments" -> (q257AudioSegments _),
     "q245_ngram_diversity" -> (q245NgramDiversity _),
     "q246_oov_rate" -> (q246OovRate _),
     "q234_skipgram_pairs" -> (q234SkipgramPairs _),
@@ -1054,6 +1082,38 @@ object TextAnalysisQueries {
        |GROUP BY i.lang ORDER BY i.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // re-derives each 8-char block's amplitude sum from the text alone
+    // (amp = 0 for space, (ascii%32+1)*1000 otherwise) — the codec
+    // round-trip on the Spark side must land on exactly these verdicts
+    "q257_audio_segments" ->
+      """WITH d AS (SELECT doc_id, source, text, length(text) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, u.b AS b,
+        |    CASE WHEN list_sum(list_transform(
+        |        generate_series(u.b * 8 + 1, LEAST(n, u.b * 8 + 8)),
+        |        i -> CASE WHEN substr(text, CAST(i AS INTEGER), 1) = ' ' THEN 0
+        |          ELSE (ascii(substr(text, CAST(i AS INTEGER), 1)) % 32 + 1) * 1000
+        |          END)) >= 104000 THEN 1 ELSE 0 END AS act
+        |  FROM d, unnest(generate_series(0, (n + 7) // 8 - 1)) u(b)),
+        |act AS (SELECT doc_id, source, b,
+        |    b - row_number() OVER (PARTITION BY doc_id ORDER BY b) AS grp
+        |  FROM b WHERE act = 1),
+        |seg AS (SELECT doc_id, grp, COUNT(*) AS len
+        |  FROM act GROUP BY doc_id, grp),
+        |perdoc AS (SELECT d.doc_id, d.source, (d.n + 7) // 8 AS nb,
+        |    COALESCE(a.nact, 0) AS nact,
+        |    COALESCE(sg.nseg, 0) AS nseg, COALESCE(sg.maxlen, 0) AS maxlen
+        |  FROM d
+        |  LEFT JOIN (SELECT doc_id, COUNT(*) AS nact FROM act GROUP BY doc_id) a
+        |    USING (doc_id)
+        |  LEFT JOIN (SELECT doc_id, COUNT(*) AS nseg, MAX(len) AS maxlen
+        |    FROM seg GROUP BY doc_id) sg USING (doc_id))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nb) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(nact) AS BIGINT) AS n_active_blocks,
+        |  CAST(SUM(nseg) AS BIGINT) AS n_segments,
+        |  CAST(MAX(maxlen) AS BIGINT) AS max_longest
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     "q245_ngram_diversity" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT source,

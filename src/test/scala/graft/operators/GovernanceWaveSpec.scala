@@ -182,6 +182,33 @@ class GovernanceWaveSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == rowsBefore)
   }
 
+  test("q254 quotas conserve the budget exactly and follow the weights") {
+    val rows = QualityFilterQueries.q254QualityMixture(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sum == 1000000L, "sum of quotas == budget")
+    // monotone: a strictly higher weight never gets a smaller quota
+    val byW = rows.sortBy(r => (r.getLong(2), r.getLong(3)))
+    byW.sliding(2).foreach {
+      case Array(lo, hi) =>
+        if (hi.getLong(2) > lo.getLong(2))
+          assert(hi.getLong(3) >= lo.getLong(3))
+      case _ =>
+    }
+  }
+
+  test("q257 block counts conserve text length through the codec round-trip") {
+    val rows = TextAnalysisQueries.q257AudioSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "active <= blocks")
+      assert(r.getLong(4) <= r.getLong(3), "segments <= active blocks")
+    }
+    val expectBlocks = graft.Tables.documents(spark, sfDir)
+      .agg(sum(expr("(length(text) + 7) div 8"))).first().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == expectBlocks,
+      "decoded sample count must equal the synthesized character count")
+  }
+
   test("q247 streamed histogram quantiles equal a batch recomputation") {
     val streamed = graft.streaming.StreamingQueries
       .q247StreamingQuantiles(spark, sfDir).collect().toSeq
