@@ -611,6 +611,62 @@ object BinaryPipeline {
     }
   }
 
+  /** Per-document video scene detection (q260's engine): frame count,
+    * scene count, and longest scene from REAL demuxed luma planes. */
+  case class VideoSceneRow(doc_id: Long, source: String, n_frames: Long,
+                           n_scenes: Long, longest_scene: Long)
+
+  /** Synthesize a Y4M stream per document (one 8×8 constant-luma frame
+    * per character, luma = code % 256), demux it through the REAL Y4M
+    * parser, and cut scenes where consecutive frames' mean luma moves
+    * by ≥ 8 — the shot-boundary pass a video curation pipeline runs
+    * before frame sampling (q53 samples a rate; this finds the cuts).
+    * The luma rule is integer arithmetic on character codes, so the
+    * DuckDB oracle re-derives every boundary from the text alone and
+    * the container round-trip sits under the hash gate (q257's audio
+    * discipline applied to video). Per-partition batch, no shuffle. */
+  def videoScenes(docs: org.apache.spark.sql.DataFrame)
+      : Dataset[VideoSceneRow] = {
+    import docs.sparkSession.implicits._
+    docs.selectExpr("doc_id", "source", "text")
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, src, text) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+          val chroma = new Array[Byte](2 * 4 * 4)
+          var i = 0
+          while (i < text.length) {
+            bos.write("FRAME\n".getBytes("US-ASCII"))
+            val luma = new Array[Byte](64)
+            java.util.Arrays.fill(luma, (text.charAt(i).toInt % 256).toByte)
+            bos.write(luma)
+            bos.write(chroma)
+            i += 1
+          }
+          val frames = demuxVideo(bos.toByteArray).getOrElse(
+            sys.error(s"doc $id: synthesized Y4M failed to demux"))
+          // mean luma of a constant plane IS the char code — but compute
+          // it from the DEMUXED bytes so the parser is what's checked
+          val lumas = frames.map { f =>
+            var s2 = 0L
+            var j = 0
+            while (j < f.luma.length) { s2 += f.luma(j) & 0xff; j += 1 }
+            s2 / f.luma.length
+          }
+          var (nScenes, longest, run) = (0L, 0L, 0L)
+          var k = 0
+          while (k < lumas.length) {
+            val cut = k == 0 || math.abs(lumas(k) - lumas(k - 1)) >= 8
+            if (cut) { nScenes += 1; run = 1L } else run += 1
+            if (run > longest) longest = run
+            k += 1
+          }
+          VideoSceneRow(id, src, lumas.length.toLong, nScenes, longest)
+        }
+      }
+  }
+
   /** Per-document audio activity segmentation (q257's engine): block
     * count, active-block count, activity segments (maximal runs of
     * active blocks), and the longest segment — the VAD-shaped pass an

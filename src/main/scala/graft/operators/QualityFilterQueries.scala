@@ -581,6 +581,52 @@ object QualityFilterQueries {
       .orderBy(desc("shrunk_e6"), asc("source"))
   }
 
+  // ---------------------------------------------------------------- q258
+
+  /** q258 — CLASSIFIER EVALUATION: the trained quality filter's
+    * confusion cells and per-source precision / recall / F1 / accuracy
+    * against its weak label — the eval table any learned gate ships
+    * with (q205 reports one global accuracy; a filter with 99%
+    * accuracy on the head source and 40% recall on a tail source is a
+    * mixture bug this table surfaces and that number hides).
+    *
+    * All exact: the confusion cells are four product sums of {0,1}
+    * columns; precision = tp/(tp+fp), recall = tp/(tp+fn),
+    * F1 = 2tp/(2tp+fp+fn), accuracy = (tp+tn)/n — each one e6-floored
+    * BIGINT rational with GREATEST(·,1) guarding empty denominators
+    * (a source with no predicted positives reads precision 0, not an
+    * error).
+    *
+    * Scale shape: the margin evaluates over the STAGED integer feature
+    * frame (a parquet leaf — no text reprocessing, no q244-style heavy
+    * expression to inline), one doc_id equi-join for the source
+    * column, one bounded source rollup. */
+  def q258ClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    val w = trainedWeights(s, dir)
+    val m = marginExpr(w.map(_.toString))
+    val meta = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    stagedFeatures(s, dir).join(meta, Seq("doc_id"))
+      .select(col("source"),
+        expr(s"case when ($m) >= 0 then 1L else 0L end").as("pred"), col("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(expr("pred * y")).cast("bigint").as("tp"),
+        sum(expr("pred * (1 - y)")).cast("bigint").as("fp"),
+        sum(expr("(1 - pred) * y")).cast("bigint").as("fn"),
+        sum(expr("(1 - pred) * (1 - y)")).cast("bigint").as("tn"))
+      .select(col("source"), col("n_docs"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        expr("(1000000 * tp) div greatest(tp + fp, 1)").cast("bigint")
+          .as("precision_e6"),
+        expr("(1000000 * tp) div greatest(tp + fn, 1)").cast("bigint")
+          .as("recall_e6"),
+        expr("(2000000 * tp) div greatest(2 * tp + fp + fn, 1)").cast("bigint")
+          .as("f1_e6"),
+        expr("(1000000 * (tp + tn)) div n_docs").cast("bigint")
+          .as("accuracy_e6"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q254
 
   /** q254 — QUALITY-WEIGHTED MIXTURE quotas: a 1,000,000-token training
@@ -732,6 +778,7 @@ object QualityFilterQueries {
     "q243_source_prior" -> (q243SourcePrior _),
     "q244_filter_kappa" -> (q244FilterKappa _),
     "q254_quality_mixture" -> (q254QualityMixture _),
+    "q258_classifier_eval" -> (q258ClassifierEval _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1067,6 +1114,26 @@ object QualityFilterQueries {
          |  CAST(SUM(y) AS BIGINT) AS n_pos,
          |  CAST(abs(SUM(p) - SUM(y) * $S) // COUNT(*) AS BIGINT) AS gap_e6
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q258_classifier_eval" ->
+      s"""WITH $fCte,
+         |$trainCtes,
+         |z AS (SELECT f.doc_id, f.y,
+         |    CASE WHEN (w.a0*x0 + w.a1*x1 + w.a2*x2 + w.a3*x3) >= 0
+         |      THEN 1 ELSE 0 END AS pred
+         |  FROM f, w$iters w),
+         |c AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(pred * y) AS BIGINT) AS tp,
+         |    CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+         |    CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+         |    CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+         |  FROM z JOIN documents d ON d.doc_id = z.doc_id
+         |  GROUP BY d.source)
+         |SELECT source, n_docs, tp, fp, fn, tn,
+         |  CAST((1000000 * tp) // GREATEST(tp + fp, 1) AS BIGINT) AS precision_e6,
+         |  CAST((1000000 * tp) // GREATEST(tp + fn, 1) AS BIGINT) AS recall_e6,
+         |  CAST((2000000 * tp) // GREATEST(2 * tp + fp + fn, 1) AS BIGINT) AS f1_e6,
+         |  CAST((1000000 * (tp + tn)) // n_docs AS BIGINT) AS accuracy_e6
+         |FROM c ORDER BY source""".stripMargin,
     "q206_quality_scorecard" ->
       s"""WITH $fCte,
          |$trainCtes,

@@ -639,6 +639,51 @@ object SimilarityQueries {
   def q105SemDedup(s: SparkSession, dir: String): DataFrame =
     semDedupFromAssigned(ivfAssigned(s, dir, ivfTrainSampleMod), semDedupTau)
 
+  // ---------------------------------------------------------------- q259
+
+  /** q259 — CLUSTER × SOURCE balance audit: which sources are over- or
+    * under-represented in which embedding clusters — the TOPIC-BALANCE
+    * diagnostic a mixture designer reads before setting q254's quotas
+    * (a source whose mass concentrates in two clusters adds volume,
+    * not coverage; a cluster fed by one source is a provenance risk).
+    * Cells are scored by exact independence lift — lift_e6 =
+    * ⌊1e6 · n_cell · N / (n_cluster · n_source)⌋ — and the top-20
+    * deviations from 1e6 surface (the chi-square shape on the integer
+    * lattice, the q188 family).
+    *
+    * Scale shape: the trained-codebook assignment is the STAGED
+    * once-per-corpus leaf (q105's ivfAssigned — no re-train, no
+    * re-assign), one doc_id equi-join for the source column, one
+    * map-side-combinable (cluster, source) count, and every join after
+    * that runs over ≤ |clusters|·|sources| summary cells with bounded
+    * marginals. Headroom: 1e6·n·N ≤ 1e6·N² — exact to N ~ 3e6 rows,
+    * decimal(38,0) past that (the q187 note). */
+  def q259ClusterSourceBalance(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(s, dir, ivfTrainSampleMod)
+      .select("vec_id", "centroid_id")
+    val meta = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val cells = assigned.join(meta, Seq("vec_id"))
+      .groupBy("centroid_id", "source")
+      .agg(count(lit(1)).cast("bigint").as("n_cell"))
+    val rowM = cells.groupBy("centroid_id")
+      .agg(sum("n_cell").cast("bigint").as("n_cluster"))
+    val colM = cells.groupBy("source")
+      .agg(sum("n_cell").cast("bigint").as("n_source"))
+    val tot = cells.agg(sum("n_cell").cast("bigint").as("n_total"))
+    cells.join(rowM, Seq("centroid_id")).join(colM, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_e6",
+        expr("(1000000 * n_cell * n_total) div (n_cluster * n_source)")
+          .cast("bigint"))
+      .withColumn("dev_e6", expr("abs(lift_e6 - 1000000)").cast("bigint"))
+      .select(col("centroid_id").cast("bigint").as("centroid_id"),
+        col("source"), col("n_cell"), col("n_cluster"), col("n_source"),
+        col("lift_e6"), col("dev_e6"))
+      .orderBy(desc("dev_e6"), asc("centroid_id"), asc("source"))
+      .limit(20)
+  }
+
   /** Embedding-cosine near-duplicate DEDUP (the brief's last dedup family):
     * greedy keep-lowest-id over the q26 near-dup pair graph — any vector
     * with a >= 0.35 neighbor of smaller id is dropped via a left anti-join.
@@ -1668,6 +1713,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q242_semantic_decontaminate" -> (q242SemanticDecontaminate _),
+    "q259_cluster_source_balance" -> (q259ClusterSourceBalance _),
     "q232_int8_recall" -> (q232Int8Recall _),
     "q238_rank_agreement" -> (q238RankAgreement _),
     "q229_triplet_mining" -> (q229TripletMining _),
@@ -1806,6 +1852,39 @@ object SimilarityQueries {
        |  m.n_members - k2.n_kept AS n_dropped, k2.n_kept
        |FROM members m JOIN kept k2 USING (centroid_id)
        |ORDER BY centroid_id""".stripMargin
+  }
+
+  /** q259's oracle: the q105 Lloyd chain to `assigned`, the documents
+    * join, exact cell/marginal counts, the same lift arithmetic and
+    * deviation ranking. */
+  private def q259Oracle: String = {
+    val lloyd = (1 to lloydIters).map(k =>
+      oracleAssignCte(s"a$k", s"cb${k - 1}", src = "tn") + ",\n" +
+        oracleRecenterCtes(k)).mkString(",\n")
+    s"""WITH $oracleNormed,
+       |tn AS (SELECT * FROM n WHERE vec_id % $ivfTrainSampleMod = 0 OR vec_id < 16),
+       |cb0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |$lloyd,
+       |${oracleAssignCte("assigned", s"cb$lloydIters")},
+       |cells AS (SELECT a2.centroid_id, d.source, CAST(COUNT(*) AS BIGINT) AS n_cell
+       |  FROM assigned a2 JOIN documents d ON d.doc_id = a2.vec_id
+       |  GROUP BY 1, 2),
+       |rm AS (SELECT centroid_id, CAST(SUM(n_cell) AS BIGINT) AS n_cluster
+       |  FROM cells GROUP BY 1),
+       |cm AS (SELECT source, CAST(SUM(n_cell) AS BIGINT) AS n_source
+       |  FROM cells GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n_total FROM cells),
+       |sc2 AS (SELECT c.centroid_id, c.source, c.n_cell, rm.n_cluster,
+       |    cm.n_source,
+       |    CAST((1000000 * c.n_cell * tt.n_total)
+       |      // (rm.n_cluster * cm.n_source) AS BIGINT) AS lift_e6
+       |  FROM cells c JOIN rm USING (centroid_id) JOIN cm USING (source)
+       |  CROSS JOIN tt)
+       |SELECT CAST(centroid_id AS BIGINT) AS centroid_id, source, n_cell,
+       |  n_cluster, n_source, lift_e6,
+       |  CAST(abs(lift_e6 - 1000000) AS BIGINT) AS dev_e6
+       |FROM sc2
+       |ORDER BY dev_e6 DESC, centroid_id ASC, source ASC LIMIT 20""".stripMargin
   }
 
   /** Index-ordered subvector dot for the q71 oracle (bit-equal to
@@ -2097,6 +2176,7 @@ object SimilarityQueries {
          |  CAST(bid AS BIGINT) AS best_bench_id, cos AS best_cos
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q238_rank_agreement" -> q238Oracle,
+    "q259_cluster_source_balance" -> q259Oracle,
     "q232_int8_recall" -> q232Oracle,
     "q228_truncation_recall" -> q228Oracle,
     "q218_retrieval_recall" -> q218Oracle,

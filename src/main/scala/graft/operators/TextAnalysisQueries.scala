@@ -958,7 +958,35 @@ object TextAnalysisQueries {
         max("longest_segment").cast("bigint").as("max_longest"))
       .orderBy("source")
 
+  // ---------------------------------------------------------------- q260
+
+  /** q260 — VIDEO SCENE DETECTION (shot boundaries): per source, frame
+    * and scene counts plus the longest take, over REAL demuxed Y4M —
+    * each document synthesizes a Y4M stream (one 8×8 constant-luma
+    * frame per character), runs it through the actual container parser
+    * (multimodal/BinaryPipeline.videoScenes), and cuts where
+    * consecutive frames' mean luma moves ≥ 8. The video sibling of
+    * q257's audio pass, same contract: the luma rule is integer
+    * arithmetic on character codes, so the DuckDB twin re-derives
+    * every boundary from the text alone — the demux itself is under
+    * the hash gate (one corrupted plane shifts a mean and flips a
+    * cut). q53 samples frames at a rate; this finds where the cuts
+    * are, which is what a frame-sampling curation pass actually wants.
+    *
+    * Scale shape: mapPartitions batch decode (the multimodal idiom),
+    * one bounded source rollup, no shuffle before it. */
+  def q260VideoScenes(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BinaryPipeline.videoScenes(Tables.documents(s, dir))
+      .toDF()
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_frames").cast("bigint").as("n_frames"),
+        sum("n_scenes").cast("bigint").as("n_scenes"),
+        max("longest_scene").cast("bigint").as("max_longest"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_video_scenes" -> (q260VideoScenes _),
     "q257_audio_segments" -> (q257AudioSegments _),
     "q245_ngram_diversity" -> (q245NgramDiversity _),
     "q246_oov_rate" -> (q246OovRate _),
@@ -1082,6 +1110,33 @@ object TextAnalysisQueries {
        |GROUP BY i.lang ORDER BY i.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // re-derives every shot boundary from character codes (luma =
+    // ascii % 256, cut at |Δ| >= 8) — the demuxed planes must land on
+    // exactly these verdicts
+    "q260_video_scenes" ->
+      """WITH d AS (SELECT doc_id, source, text, length(text) AS n
+        |  FROM documents),
+        |fr AS (SELECT doc_id, source, u.i AS i,
+        |    ascii(substr(text, CAST(u.i AS INTEGER), 1)) % 256 AS luma
+        |  FROM d, unnest(generate_series(1, n)) u(i)),
+        |c AS (SELECT doc_id, source, i, luma,
+        |    CASE WHEN lag(luma) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |      OR abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY i)) >= 8
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM fr),
+        |sid AS (SELECT doc_id, source, i,
+        |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY i) AS scene
+        |  FROM c),
+        |scenes AS (SELECT doc_id, source, scene, COUNT(*) AS len
+        |  FROM sid GROUP BY 1, 2, 3),
+        |perdoc AS (SELECT doc_id, source, COUNT(*) AS nsc, MAX(len) AS maxlen,
+        |    SUM(len) AS nfr
+        |  FROM scenes GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nfr) AS BIGINT) AS n_frames,
+        |  CAST(SUM(nsc) AS BIGINT) AS n_scenes,
+        |  CAST(MAX(maxlen) AS BIGINT) AS max_longest
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     // re-derives each 8-char block's amplitude sum from the text alone
     // (amp = 0 for space, (ascii%32+1)*1000 otherwise) — the codec
     // round-trip on the Spark side must land on exactly these verdicts

@@ -209,6 +209,49 @@ class GovernanceWaveSpec extends AnyFunSuite {
       "decoded sample count must equal the synthesized character count")
   }
 
+  test("q258 confusion cells conserve and tie out against q205's accuracy") {
+    val rows = QualityFilterQueries.q258ClassifierEval(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+        == r.getLong(1), "tp+fp+fn+tn must equal n_docs")
+    }
+    val q205 = QualityFilterQueries.q205TrainQualityFilter(spark, sfDir)
+      .collect().head
+    val correct = rows.map(r => r.getLong(2) + r.getLong(5)).sum
+    assert(correct == q205.getLong(5),
+      "sum of per-source tp+tn must equal q205's global n_correct")
+  }
+
+  test("q259 lift cells are internally consistent") {
+    val rows = SimilarityQueries.q259ClusterSourceBalance(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)),
+        "cell count bounded by both marginals")
+      assert(r.getLong(6) == math.abs(r.getLong(5) - 1000000L),
+        "deviation must replay from the lift")
+    }
+    // ranked by deviation, descending
+    rows.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi.getLong(6) >= lo.getLong(6))
+      case _ =>
+    }
+  }
+
+  test("q260 frame counts conserve text length through the demux") {
+    val rows = TextAnalysisQueries.q260VideoScenes(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "scenes <= frames")
+      assert(r.getLong(4) <= r.getLong(2), "longest <= frames")
+    }
+    val totalChars = graft.Tables.documents(spark, sfDir)
+      .agg(sum(expr("length(text)"))).first().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalChars,
+      "every character must demux to exactly one frame")
+  }
+
   test("q247 streamed histogram quantiles equal a batch recomputation") {
     val streamed = graft.streaming.StreamingQueries
       .q247StreamingQuantiles(spark, sfDir).collect().toSeq
