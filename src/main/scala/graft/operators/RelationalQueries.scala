@@ -1582,6 +1582,40 @@ object RelationalQueries {
     * Scale: decorrelation turns the O(n^2)-looking per-row subquery
     * into one map-side-combinable customer aggregate joined back on
     * the scaling key — exactly what a hand-written plan would do. */
+  /** q262 — correlated EXISTS / NOT EXISTS decorrelation parity: the
+    * textbook predicate-subquery pair ("customers WITH a big order" /
+    * "customers WITHOUT one"), written as literal correlated SQL so
+    * Catalyst's RewritePredicateSubquery is what executes — the EXISTS
+    * becomes a left-semi join and the NOT EXISTS a null-aware anti
+    * join, the same plans q47's explicit semi/anti DataFrame forms
+    * produce (this query pins the SQL-surface path; q47 pins the DSL
+    * path). q222 covers the correlated SCALAR subquery; this closes
+    * the predicate-subquery half of the decorrelation surface.
+    *
+    * Scale shape after rewrite: one equi-join on the scaling customer
+    * key per branch, aggregated to the bounded segment enum — the
+    * subquery never executes per-row. The threshold predicate pushes
+    * into the orders scan on both branches. */
+  def q262ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_x_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_x_orders")
+    s.sql(
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN EXISTS (
+        |      SELECT 1 FROM graft_x_orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_totalprice > 200000) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_big_order,
+        |  CAST(SUM(CASE WHEN NOT EXISTS (
+        |      SELECT 1 FROM graft_x_orders o
+        |      WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_never_ordered
+        |FROM graft_x_customer c
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   def q222CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("graft_sq_orders")
     s.sql(
@@ -1599,6 +1633,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_correlated_subquery" -> (q222CorrelatedSubquery _),
+    "q262_exists_subquery" -> (q262ExistsSubquery _),
     "q168_null_semantics" -> (q168NullSemantics _),
     "q172_decimal_suite" -> (q172DecimalSuite _),
     "q117_sketch_overlap" -> (q117SketchOverlap _),
@@ -1661,6 +1696,21 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     // the identical correlated form — DuckDB decorrelates it the same way
+    "q262_exists_subquery" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN EXISTS (
+        |      SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_totalprice > 200000) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_big_order,
+        |  CAST(SUM(CASE WHEN NOT EXISTS (
+        |      SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_never_ordered
+        |FROM customer c
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q222_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents

@@ -1096,10 +1096,70 @@ object SegmentationQueries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q261
+
+  /** q261 — HISTOGRAM SKETCH ROLLUP: per-day `graft_hist` sketches land
+    * in a parquet sketch store (one 512-long array per day), and the
+    * GLOBAL p50/p95/p99 then computes from the stored sketches ALONE —
+    * element-wise sums over (day × bin) summary rows, never a second
+    * event scan. The q203/q117 mergeable-sketch economics applied to
+    * distributions: at 100 TB the raw table is scanned once per
+    * ingest day ever; every later question (global quantiles, any
+    * month's, any day-range's) is arithmetic over |days| × 4 KB
+    * buffers. Exactly why `graft_hist`'s merge is element-wise
+    * addition (HistSpec proves merge-path invariance — which is the
+    * statement that the rollup sum IS the direct aggregation).
+    *
+    * Scale shape: one event scan (the daily sketch build, map-side
+    * partial aggregation), one bounded posexplode over |days|·512
+    * summary rows, one bin-keyed sum, rank selection over 512 rows.
+    * All integers; same ceil-rank rule as q247/q248. */
+  def q261HistRollup(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.Staging.fresh("histstore")
+    Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr("least(511L, greatest(0L, cast(floor(value) as bigint)))").as("bin"))
+      .groupBy("day")
+      .agg(expr("graft_hist(bin, 512)").as("h"),
+        count(lit(1)).cast("bigint").as("n"))
+      .write.mode("overwrite").parquet(store)
+    val daily = s.read.parquet(store)
+    // element-wise rollup: (pos, cnt) summary rows → ONE merged array
+    // row, then the q248 row-local fold — windowless by construction
+    // (the straggler sweep flagged the first cut's unpartitioned
+    // cumulative window over these rows; 512 bounded rows make the
+    // collect_list assembly trivially safe)
+    daily.select(posexplode(col("h")))
+      .groupBy("pos").agg(sum("col").cast("bigint").as("cnt"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cnt))), " +
+        "x -> x.cnt)").as("h"))
+      .crossJoin(broadcast(daily.agg(
+        count(lit(1)).cast("bigint").as("n_days"),
+        sum("n").cast("bigint").as("n_events"))))
+      .select(col("n_days"), col("n_events"),
+        expr("""aggregate(h,
+          named_struct('i', 0L, 'cum', 0L, 'p50', -1L, 'p95', -1L, 'p99', -1L),
+          (acc, x) -> named_struct(
+            'i', acc.i + 1,
+            'cum', acc.cum + x,
+            'p50', case when acc.p50 = -1L and 2 * (acc.cum + x) >= n_events
+              then acc.i else acc.p50 end,
+            'p95', case when acc.p95 = -1L and 20 * (acc.cum + x) >= 19 * n_events
+              then acc.i else acc.p95 end,
+            'p99', case when acc.p99 = -1L and 100 * (acc.cum + x) >= 99 * n_events
+              then acc.i else acc.p99 end),
+          acc -> acc)""").as("sel"))
+      .select(col("n_days"), col("n_events"),
+        col("sel.p50").cast("bigint").as("p50_bin"),
+        col("sel.p95").cast("bigint").as("p95_bin"),
+        col("sel.p99").cast("bigint").as("p99_bin"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q248_native_histogram" -> (q248NativeHistogram _),
+    "q261_hist_rollup" -> (q261HistRollup _),
     "q150_rfm_segments" -> (q150RfmSegments _),
     "q151_share_of_total" -> (q151ShareOfTotal _),
     "q152_robust_stats" -> (q152RobustStats _),
@@ -1122,6 +1182,23 @@ object SegmentationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // direct per-bin counts + the same ceil-rank selection — if the
+    // day→global rollup loses or double-counts anything, this mismatches
+    "q261_hist_rollup" ->
+      """WITH e AS (SELECT
+        |    LEAST(511, GREATEST(0, CAST(FLOOR(value) AS BIGINT))) AS bin,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY bin),
+        |cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER () AS n FROM c),
+        |d AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events FROM e)
+        |SELECT d.n_days, d.n_events,
+        |  CAST(MIN(CASE WHEN 2 * cum >= n THEN bin END) AS BIGINT) AS p50_bin,
+        |  CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN bin END) AS BIGINT) AS p95_bin,
+        |  CAST(MIN(CASE WHEN 100 * cum >= 99 * n THEN bin END) AS BIGINT) AS p99_bin
+        |FROM cum CROSS JOIN d GROUP BY d.n_days, d.n_events""".stripMargin,
     // per-bin GROUP BY counts + the identical smallest-bin ceil-rank
     // selection — the sketch's independent formulation
     "q248_native_histogram" ->

@@ -252,6 +252,44 @@ class GovernanceWaveSpec extends AnyFunSuite {
       "every character must demux to exactly one frame")
   }
 
+  test("q261's day-sketch rollup equals one-pass direct aggregation") {
+    val roll = SegmentationQueries.q261HistRollup(spark, sfDir).collect().head
+    val direct = graft.Tables.events(spark, sfDir)
+      .select(expr("least(511L, greatest(0L, cast(floor(value) as bigint)))").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).cast("bigint").as("cnt"))
+      .orderBy("bin").collect()
+    val n = direct.map(_.getLong(1)).sum
+    def sel(num: Long, den: Long): Long = {
+      var cum = 0L
+      direct.collectFirst {
+        case r if { cum += r.getLong(1); den * cum >= num * n } => r.getLong(0)
+      }.get
+    }
+    assert(roll.getLong(1) == n)
+    assert(roll.getLong(2) == sel(1, 2) && roll.getLong(3) == sel(19, 20) &&
+      roll.getLong(4) == sel(99, 100))
+  }
+
+  test("q262 decorrelates: counts match explicit semi/anti joins, no subquery at runtime") {
+    val rows = RelationalQueries.q262ExistsSubquery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cust = graft.Tables.customer(spark, sfDir)
+    val ord = graft.Tables.orders(spark, sfDir)
+    val big = cust.join(ord.filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("c_custkey")).distinct(),
+      Seq("c_custkey"), "left_semi")
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val never = cust.join(ord.select(col("o_custkey").as("c_custkey")).distinct(),
+      Seq("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == big.getOrElse(r.getString(0), 0L))
+      assert(r.getLong(3) == never.getOrElse(r.getString(0), 0L))
+    }
+  }
+
   test("q247 streamed histogram quantiles equal a batch recomputation") {
     val streamed = graft.streaming.StreamingQueries
       .q247StreamingQuantiles(spark, sfDir).collect().toSeq
