@@ -639,6 +639,51 @@ object SimilarityQueries {
   def q105SemDedup(s: SparkSession, dir: String): DataFrame =
     semDedupFromAssigned(ivfAssigned(s, dir, ivfTrainSampleMod), semDedupTau)
 
+  // ---------------------------------------------------------------- q263
+
+  /** q263 — SEMANTIC-DECONTAMINATION RECALL calibration: q242's banded
+    * verdicts measured against the EXACT corpus × bench sweep — per
+    * cosine band ([0.35,0.5), [0.5,0.7), [0.7,1]), how many true
+    * contaminated vectors exist and how many the bands caught. The
+    * q123 discipline (every approximate operator ships with its
+    * calibration query): band recall is a geometry property, and this
+    * is the table that says whether the geometry clears the bar before
+    * anyone trusts q242/q253's verdicts. Near-dups at higher cosine
+    * collide in more bands, so recall should RISE with the band — the
+    * monotone shape the spec pins.
+    *
+    * Scale shape: the exact sweep is corpus ⋈ bench with the BENCH
+    * side bounded (an eval suite; 1/37 here) — the corpus never
+    * shuffles, the bench frame broadcasts (AQE elects it from size),
+    * and the per-vector verdict aggregates on the scaling vec_id key.
+    * The banded side reuses q242's candidate machinery. One bounded
+    * 3-row rollup at the end. */
+  def q263SemanticRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val bench = e.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("bid"), col("v").as("bv"), col("nrm").as("bn"))
+    val corpus = e.filter(col("vec_id") % 37 =!= 0)
+    // exact: best bench cosine per corpus vector (one sweep)
+    val exact = corpus.crossJoin(bench)
+      .withColumn("cos", expr(dotFold.format("v", "bv") + " / (nrm * bn)"))
+      .groupBy("vec_id").agg(max("cos").as("best_cos"))
+      .filter(col("best_cos") >= 0.35)
+    val flagged = q242SemanticDecontaminate(s, dir)
+      .select(col("vec_id"), lit(1L).as("caught"))
+    exact.join(flagged, Seq("vec_id"), "left")
+      .select(
+        expr("case when best_cos >= 0.7 then '0.70+' " +
+          "when best_cos >= 0.5 then '0.50-0.70' else '0.35-0.50' end")
+          .as("cos_band"),
+        coalesce(col("caught"), lit(0L)).as("caught"))
+      .groupBy("cos_band")
+      .agg(count(lit(1)).cast("bigint").as("n_true"),
+        sum("caught").cast("bigint").as("n_caught"))
+      .withColumn("recall_e6",
+        expr("(1000000 * n_caught) div n_true").cast("bigint"))
+      .orderBy("cos_band")
+  }
+
   // ---------------------------------------------------------------- q259
 
   /** q259 — CLUSTER × SOURCE balance audit: which sources are over- or
@@ -1714,6 +1759,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q242_semantic_decontaminate" -> (q242SemanticDecontaminate _),
     "q259_cluster_source_balance" -> (q259ClusterSourceBalance _),
+    "q263_semantic_recall" -> (q263SemanticRecall _),
     "q232_int8_recall" -> (q232Int8Recall _),
     "q238_rank_agreement" -> (q238RankAgreement _),
     "q229_triplet_mining" -> (q229TripletMining _),
@@ -2177,6 +2223,29 @@ object SimilarityQueries {
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q238_rank_agreement" -> q238Oracle,
     "q259_cluster_source_balance" -> q259Oracle,
+    // the exact corpus × bench sweep + the shared band-candidate chain;
+    // every cosine is the same index-ordered fold, so MAX and the band
+    // cuts agree bit-for-bit
+    "q263_semantic_recall" ->
+      s"""WITH $semanticDeconCtes,
+         |caught AS (SELECT DISTINCT cid FROM sdf),
+         |bench2 AS (SELECT vec_id AS bid, v AS bv, nrm AS bn FROM n
+         |  WHERE vec_id % 37 = 0),
+         |corp AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 37 <> 0),
+         |ex AS (SELECT c.vec_id,
+         |    MAX(list_reduce(list_transform(generate_series(1, $dim), i -> c.v[i] * b.bv[i]), (a2, b2) -> a2 + b2) / (c.nrm * b.bn)) AS best_cos
+         |  FROM corp c CROSS JOIN bench2 b GROUP BY c.vec_id),
+         |t AS (SELECT vec_id, best_cos FROM ex WHERE best_cos >= 0.35),
+         |j AS (SELECT
+         |    CASE WHEN best_cos >= 0.7 THEN '0.70+'
+         |         WHEN best_cos >= 0.5 THEN '0.50-0.70'
+         |         ELSE '0.35-0.50' END AS cos_band,
+         |    CASE WHEN caught.cid IS NULL THEN 0 ELSE 1 END AS caught
+         |  FROM t LEFT JOIN caught ON t.vec_id = caught.cid)
+         |SELECT cos_band, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(caught) AS BIGINT) AS n_caught,
+         |  CAST((1000000 * SUM(caught)) // COUNT(*) AS BIGINT) AS recall_e6
+         |FROM j GROUP BY cos_band ORDER BY cos_band""".stripMargin,
     "q232_int8_recall" -> q232Oracle,
     "q228_truncation_recall" -> q228Oracle,
     "q218_retrieval_recall" -> q218Oracle,

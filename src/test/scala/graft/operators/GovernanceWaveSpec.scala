@@ -290,6 +290,21 @@ class GovernanceWaveSpec extends AnyFunSuite {
     }
   }
 
+  test("q263 recall rises with the cosine band and never exceeds 1") {
+    val rows = SimilarityQueries.q263SemanticRecall(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, t, c, e6) =>
+      assert(c <= t && e6 <= 1000000L)
+    }
+    val byBand = rows.map { case (b, _, _, e6) => b -> e6 }.toMap
+    // monotone where both bands exist: closer duplicates collide in
+    // more LSH bands
+    for {
+      lo <- byBand.get("0.35-0.50"); hi <- byBand.get("0.70+")
+    } assert(hi >= lo, s"recall must not fall with similarity: $byBand")
+  }
+
   test("q247 streamed histogram quantiles equal a batch recomputation") {
     val streamed = graft.streaming.StreamingQueries
       .q247StreamingQuantiles(spark, sfDir).collect().toSeq
