@@ -1526,6 +1526,70 @@ object DedupQueries {
       .orderBy("split_lo", "split_hi")
   }
 
+  // ---------------------------------------------------------------- q265
+
+  /** q265 — CORPUS DATACARD: the one-table release summary a corpus
+    * ships with — per source: volume (docs / tokens / chars), the
+    * five-rule quality pass count (q215's gate), exact-duplicate
+    * membership (docs sharing a q21 fingerprint with any other doc),
+    * and lexical benchmark contamination (q64's shingle hits) — each
+    * as a count and an e6 share. Every number is an existing
+    * operator's arithmetic; the datacard's value is ONE hash-gated
+    * table a release process can diff between crawls (datasheets /
+    * data-statements practice, made cheap enough to regenerate per
+    * build).
+    *
+    * Scale shape: one row-local scan for volume+quality (token arrays
+    * never leave their row), the fingerprint dup-membership pass (one
+    * md5 shuffle + a count join — q21's shape), the q64 shingle
+    * equi-join for contamination, then LEFT joins of three bounded
+    * per-source frames. No window, no unbounded key anywhere. */
+  def q265CorpusDatacard(s: SparkSession, dir: String): DataFrame = {
+    val stopList = QualityFilterQueries.stopList
+    val docs = Tables.documents(s, dir)
+    val base = docs
+      .select(col("source"), col("n_chars"), expr("split(text, ' ')").as("toks"))
+      .select(col("source"), col("n_chars"),
+        expr("cast(size(toks) as bigint)").as("n_tok"),
+        expr("cast(greatest(size(toks), 1) as bigint)").as("n"),
+        expr("cast(aggregate(toks, 0L, (acc, x) -> acc + length(x)) as bigint)")
+          .as("chars"),
+        expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
+        expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
+          .as("nstop"),
+        expr("cast(array_max(transform(array_distinct(toks), " +
+          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"))
+      .select(col("source"), col("n_chars"), col("n_tok"),
+        expr("case when n between 25 and 90 and (10 * chars) div n between 40 and 52 " +
+          "and nstop >= 1 and (100 * nd) div n >= 40 and (100 * mf) div n <= 12 " +
+          "then 1L else 0L end").as("pass"))
+    val vol = base.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_tok").cast("bigint").as("n_tokens"),
+        sum("n_chars").cast("bigint").as("n_chars"),
+        sum("pass").cast("bigint").as("n_pass_rules"))
+    val fp = fingerprints(docs).select("doc_id", "fp")
+    val dupCounts = fp.groupBy("fp").agg(count(lit(1)).as("c"))
+    val dups = fp.join(dupCounts, Seq("fp")).filter(col("c") > 1)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).cast("bigint").as("n_dup_docs"))
+    val lex = q64Decontaminate(s, dir)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).cast("bigint").as("n_contaminated"))
+    vol.join(dups, Seq("source"), "left").join(lex, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_pass_rules"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("pass_share_e6",
+        expr("(1000000 * n_pass_rules) div n_docs").cast("bigint"))
+      .withColumn("dup_share_e6",
+        expr("(1000000 * n_dup_docs) div n_docs").cast("bigint"))
+      .withColumn("contam_share_e6",
+        expr("(1000000 * n_contaminated) div n_docs").cast("bigint"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q253
 
   /** q253 — CONTAMINATION REPORT: the per-source union readout over the
@@ -1573,6 +1637,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q253_contamination_report" -> (q253ContaminationReport _),
+    "q265_corpus_datacard" -> (q265CorpusDatacard _),
     "q226_split_leakage" -> (q226SplitLeakage _),
     "q223_boilerplate_ngrams" -> (q223BoilerplateNgrams _),
     "q207_bloom_decontaminate" -> (q207BloomDecontaminate _),
@@ -1886,6 +1951,59 @@ object DedupQueries {
          |  FROM cand JOIN s x ON doc_a = x.doc_id JOIN s y ON doc_b = y.doc_id)
          |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, hamming
          |FROM h WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin,
+    // the q215 volume/quality projection + q21's fingerprint dup pass +
+    // q64's shingle chain, assembled per source
+    "q265_corpus_datacard" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars,
+         |    string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, source, n_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+         |    CAST(len(list_filter(list_distinct(toks),
+         |        t2 -> t2 IN (${QualityFilterQueries.stopList}))) AS BIGINT) AS nstop,
+         |    CAST(list_max(list_transform(list_distinct(toks),
+         |        t2 -> len(list_filter(toks, x -> x = t2)))) AS BIGINT) AS mf
+         |  FROM t),
+         |v AS (SELECT doc_id, source, n_chars, n_tok,
+         |    CASE WHEN n BETWEEN 25 AND 90
+         |      AND (10 * chars) // n BETWEEN 40 AND 52
+         |      AND nstop >= 1 AND (100 * nd) // n >= 40
+         |      AND (100 * mf) // n <= 12 THEN 1 ELSE 0 END AS pass
+         |  FROM m),
+         |vol AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |    CAST(SUM(pass) AS BIGINT) AS n_pass_rules
+         |  FROM v GROUP BY source),
+         |fpt AS (SELECT doc_id, source,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM documents),
+         |fc AS (SELECT fp, COUNT(*) AS c FROM fpt GROUP BY fp),
+         |dups AS (SELECT fpt.source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+         |  FROM fpt JOIN fc USING (fp) WHERE fc.c > 1 GROUP BY fpt.source),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_transform(generate_series(1, len(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+         |    x -> md5(x)))) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0),
+         |train AS (SELECT doc_id, g FROM sh WHERE doc_id % 37 <> 0),
+         |lexdoc AS (SELECT DISTINCT train.doc_id FROM train JOIN bench USING (g)),
+         |lex AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+         |  FROM lexdoc JOIN documents d USING (doc_id) GROUP BY d.source)
+         |SELECT vol.source, vol.n_docs, vol.n_tokens, vol.n_chars,
+         |  vol.n_pass_rules,
+         |  CAST(COALESCE(dups.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(COALESCE(lex.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  CAST((1000000 * vol.n_pass_rules) // vol.n_docs AS BIGINT)
+         |    AS pass_share_e6,
+         |  CAST((1000000 * COALESCE(dups.n_dup_docs, 0)) // vol.n_docs AS BIGINT)
+         |    AS dup_share_e6,
+         |  CAST((1000000 * COALESCE(lex.n_contaminated, 0)) // vol.n_docs AS BIGINT)
+         |    AS contam_share_e6
+         |FROM vol LEFT JOIN dups USING (source) LEFT JOIN lex USING (source)
+         |ORDER BY source""".stripMargin,
     // the q64 lexical chain + the q242 semantic chain (shared CTE text
     // from SimilarityQueries), two left joins, one source rollup
     "q253_contamination_report" ->

@@ -62,7 +62,7 @@ object QualityFilterQueries {
   /** Fixed GD iterations (unrolled in the oracle's CTE chain). */
   private val iters = 8
   /** The q27-family English stopword probe set. */
-  private val stopList = "'the','a','of','and','to','is','in','it'"
+  private[graft] val stopList = "'the','a','of','and','to','is','in','it'"
 
   /** The 4 integer features + label, one narrow codegen'd projection.
     * x0 bias (10 — same magnitude as the ratio features' steps), x1

@@ -1088,7 +1088,53 @@ object TemporalQueries {
 
   // ------------------------------------------------------------ registry
 
+  // ---------------------------------------------------------------- q264
+
+  /** q264 — BURSTINESS (Fano factor) per event type: the
+    * variance-to-mean ratio of DAILY counts over each type's densified
+    * calendar span — the overdispersion readout that separates a
+    * Poisson-ish steady stream (fano ≈ 1) from a bursty one (≫ 1) and
+    * from a quota-throttled one (< 1); capacity planning and anomaly-
+    * threshold tuning (q148/q161's z-cuts) both key off it. Densifying
+    * onto the q149 day spine is load-bearing: a type with silent days
+    * is exactly the bursty case, and dropping its zero days biases the
+    * mean up and the variance down.
+    *
+    * Exact arithmetic: fano = var/mean = (n·Σx² − S²) / ((n−1)·S) over
+    * BIGINT daily counts, e6-floored; the numerator is non-negative by
+    * Cauchy–Schwarz so trunc == floor in both engines. Headroom:
+    * 1e6·n·Σx² — exact to ~3e3 days of ~2e4-event days at 1e6 scale
+    * (fixture ~30×2e4); decimal(38,0) past that (the q187 note).
+    *
+    * Scale shape: one map-side-combinable (type, day) count, a bounded
+    * per-type spine explode (q149's), one bounded-enum rollup. No
+    * windows, no joins. */
+  def q264Burstiness(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), expr("cast(ts as date)").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"),
+        lit(0L).as("cnt"))
+    val dense = daily
+      .select(col("event_type"), col("d"), col("cnt").cast("bigint").as("cnt"))
+      .unionByName(spine)
+      .groupBy("event_type", "d").agg(max("cnt").as("cnt"))
+    dense.groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        sum("cnt").cast("bigint").as("n_events"),
+        sum(expr("cnt * cnt")).cast("bigint").as("s2"))
+      .filter(col("n_days") >= 2 && col("n_events") > 0)
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        expr("(1000000 * (n_days * s2 - n_events * n_events)) div " +
+          "((n_days - 1) * n_events)").cast("bigint").as("fano_e6"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_burstiness" -> (q264Burstiness _),
     "q224_cumulative_distinct" -> (q224CumulativeDistinct _),
     "q143_max_concurrency" -> (q143MaxConcurrency _),
     "q145_event_paths" -> (q145EventPaths _),
@@ -1115,6 +1161,28 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q264_burstiness" ->
+      """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+        |  FROM c GROUP BY event_type),
+        |spine AS (SELECT event_type,
+        |    CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d,
+        |    CAST(0 AS BIGINT) AS cnt
+        |  FROM spans),
+        |dense AS (SELECT event_type, d, MAX(cnt) AS cnt FROM (
+        |    SELECT * FROM c UNION ALL SELECT * FROM spine)
+        |  GROUP BY event_type, d),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        |  FROM dense GROUP BY event_type)
+        |SELECT event_type, n_days, n_events,
+        |  CAST((1000000 * (n_days * s2 - n_events * n_events))
+        |    // ((n_days - 1) * n_events) AS BIGINT) AS fano_e6
+        |FROM g WHERE n_days >= 2 AND n_events > 0
+        |ORDER BY event_type""".stripMargin,
     "q239_linear_attribution" ->
       """WITH p AS (SELECT user_id, event_id AS pid, ts AS pts,
         |    CAST(round(value * 100) AS BIGINT) AS vc

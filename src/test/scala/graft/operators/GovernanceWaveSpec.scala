@@ -305,6 +305,33 @@ class GovernanceWaveSpec extends AnyFunSuite {
     } assert(hi >= lo, s"recall must not fall with similarity: $byBand")
   }
 
+  test("q264 Fano factor is non-negative and counts conserve") {
+    val rows = TemporalQueries.q264Burstiness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, "Cauchy-Schwarz: var/mean cannot be negative")
+      assert(r.getLong(1) >= 2L)
+    }
+    val total = graft.Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+  }
+
+  test("q265 datacard columns tie out against their source operators") {
+    val rows = DedupQueries.q265CorpusDatacard(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1) && r.getLong(5) <= r.getLong(1) &&
+        r.getLong(6) <= r.getLong(1))
+    }
+    val passTotal = QualityFilterQueries.q243SourcePrior(spark, sfDir)
+      .collect().map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(4)).sum == passTotal,
+      "rules-pass counts must equal q243's")
+    val lexTotal = DedupQueries.q64Decontaminate(spark, sfDir).count()
+    assert(rows.map(_.getLong(6)).sum == lexTotal,
+      "contamination counts must equal q64's flagged docs")
+  }
+
   test("q247 streamed histogram quantiles equal a batch recomputation") {
     val streamed = graft.streaming.StreamingQueries
       .q247StreamingQuantiles(spark, sfDir).collect().toSeq
