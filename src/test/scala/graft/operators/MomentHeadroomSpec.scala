@@ -117,6 +117,51 @@ class MomentHeadroomSpec extends AnyFunSuite {
     checkRoom("q187 n*sxy <= 4*n^4", 4 * bd(n).pow(4), D38)
   }
 
+  test("q243/q254: shrinkage rationals fit int64 — 1e6 * N^2 bound") {
+    // shrunk_e6's numerator is 1e6*(k*N + m*K) <= 1e6*(1+m)*N^2 with
+    // m = 20 pseudo-docs; q254's allocation reuses the same operands
+    val n = Tables.documents(spark, sfDir).count()
+    checkRoom("q243 1e6*(k*N + 20*K) <= 21e6*N^2",
+      BigDecimal(21000000) * bd(n) * bd(n), I64)
+  }
+
+  test("q244: kappa cells fit int64 — 1e6 * n^2 bound") {
+    // pe's numerator X <= n^2 and the e6 readout multiplies by 1e6
+    val n = Tables.documents(spark, sfDir).count()
+    checkRoom("q244 1e6*n^2", BigDecimal(1000000) * bd(n) * bd(n), I64)
+  }
+
+  test("q249: join-cardinality products fit int64 — 1e6 * maxCa * maxCb bound") {
+    // pairs = ca*cb per key; share_e6 multiplies total_pairs by 1e6
+    val ca = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .agg(max("count"), sum("count")).head()
+    val cb = Tables.orders(spark, sfDir).groupBy("o_custkey").count()
+      .agg(max("count")).head()
+    val total = bd(ca.getLong(1)) * bd(cb.getLong(0)) // <= sum(ca)*maxCb
+    checkRoom("q249 1e6*total_pairs <= 1e6*sum(ca)*maxCb",
+      BigDecimal(1000000) * total, I64)
+  }
+
+  test("q259: balance lift fits int64 — 1e6 * N^2 bound") {
+    // lift_e6's numerator is 1e6 * n_cell * n_total <= 1e6 * N^2
+    val n = Tables.embeddings(spark, sfDir).count()
+    checkRoom("q259 1e6*n_cell*N <= 1e6*N^2",
+      BigDecimal(1000000) * bd(n) * bd(n), I64)
+  }
+
+  test("q264: Fano numerator fits int64 — 1e6 * days * maxC^2 bound") {
+    // numerator = 1e6 * (n_days * s2 - S^2), with s2 <= days * maxC^2
+    val r = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("days"), max("c").as("mc"))
+      .agg(max("days").as("days"), max("mc").as("mc")).head()
+    val (days, mc) = (bd(r.getLong(0)), bd(r.getLong(1)))
+    checkRoom("q264 1e6*days^2*maxC^2",
+      BigDecimal(1000000) * days * days * mc * mc, I64)
+  }
+
   test("q200: CUPED covariate moments fit int64 — n * maxX * maxY bound") {
     // global sxy = sum(x*y) accumulates in LongType; x, y are per-user
     // pre/post cents; the assembled chain takes sums to double FIRST
