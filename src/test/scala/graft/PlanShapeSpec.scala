@@ -452,4 +452,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("split(text"),
       s"the scoring pass must ride the staged bucket counts, not re-tokenize:\n$p")
   }
+
+  test("q242: semantic decontamination candidates come from a band equi-join") {
+    val p = plan("q242_semantic_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus x bench must be band-blocked, never all-pairs:\n$p")
+  }
+
+  test("q252: the PIT join is ONE equi-join on the user key (range residual)") {
+    val p = plan("q252_pit_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"validity containment must ride the user equi-key:\n$p")
+  }
+
+  test("q248: the native histogram aggregates without any window operator") {
+    val p = plan("q248_native_histogram")
+    assert(p.contains("graft_hist"), s"must plan the native aggregate:\n$p")
+    assert(!p.contains("Window"), s"rank selection must be row-local:\n$p")
+  }
+
+  test("q249: the pre-audit joins aggregated key frames, not fact tables") {
+    val p = plan("q249_join_cardinality")
+    // both join inputs are HashAggregate outputs — the fact tables never
+    // meet directly (that's the join this audit exists to avoid)
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-key counts must partial-aggregate map-side:\n$p")
+  }
 }
