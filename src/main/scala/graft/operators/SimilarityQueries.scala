@@ -639,6 +639,48 @@ object SimilarityQueries {
   def q105SemDedup(s: SparkSession, dir: String): DataFrame =
     semDedupFromAssigned(ivfAssigned(s, dir, ivfTrainSampleMod), semDedupTau)
 
+  // ---------------------------------------------------------------- q266
+
+  /** q266 — DUPLICATION CONCENTRATION: the exact Gini coefficient of
+    * q50's near-dup CLUSTER SIZES, plus the cluster count, clustered-
+    * doc mass, and the largest cluster — the one-row answer to "is
+    * duplication spread thin or concentrated in a few mega-clusters?".
+    * The distinction drives remediation: a high-Gini corpus has a few
+    * template/mirror explosions that one targeted fix removes; a
+    * low-Gini one has diffuse near-dups only threshold tuning
+    * addresses. (Cluster-size skew is also exactly the LSH hot-bucket
+    * and SemDeDup hot-cluster risk surface — SCALE.md's skew section —
+    * so this is that risk, quantified.)
+    *
+    * Scale shape: cluster sizes come from the STAGED ccLabels fixpoint
+    * (once per corpus per JVM); the Gini rank rides q166's two-phase
+    * discipline — offsets from a window over size-BUCKET summaries
+    * (bounded grid), intra-bucket row_number under the total
+    * (n_members, cluster_id) order — never a global sort of the
+    * scaling cluster frame. One exact integer rank-sum, one terminal
+    * float division (identical op chain in both engines). */
+  def q266DupConcentration(s: SparkSession, dir: String): DataFrame = {
+    val sizes = q50CcClusters(s, dir)
+      .select(col("cluster_id").as("cid"), col("n_members").as("m"))
+      .withColumn("vb", expr("m div 4"))
+    val wOff = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sizes.groupBy("vb").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .select("vb", "off")
+    val wIntra = Window.partitionBy("vb").orderBy("m", "cid")
+    sizes.join(offsets, Seq("vb"))
+      .withColumn("rank", col("off") + row_number().over(wIntra))
+      .agg(count(lit(1)).as("n"), sum("m").as("s0"),
+        sum(col("rank") * col("m")).as("s1"), max("m").as("mx"))
+      .select(col("n").cast("bigint").as("n_clusters"),
+        col("s0").cast("bigint").as("n_docs_clustered"),
+        col("mx").cast("bigint").as("max_cluster"),
+        floor((lit(2L) * col("s1") - (col("n") + lit(1L)) * col("s0"))
+            .cast("double") / (col("n") * col("s0")).cast("double") *
+            lit(1000000.0))
+          .cast("bigint").as("gini_e6"))
+  }
+
   // ---------------------------------------------------------------- q263
 
   /** q263 — SEMANTIC-DECONTAMINATION RECALL calibration: q242's banded
@@ -1760,6 +1802,7 @@ object SimilarityQueries {
     "q242_semantic_decontaminate" -> (q242SemanticDecontaminate _),
     "q259_cluster_source_balance" -> (q259ClusterSourceBalance _),
     "q263_semantic_recall" -> (q263SemanticRecall _),
+    "q266_dup_concentration" -> (q266DupConcentration _),
     "q232_int8_recall" -> (q232Int8Recall _),
     "q238_rank_agreement" -> (q238RankAgreement _),
     "q229_triplet_mining" -> (q229TripletMining _),
@@ -2496,17 +2539,39 @@ object SimilarityQueries {
     // CTE — reach(v) accumulates every label reachable from v, min(reach)
     // is the component minimum, exactly the label-propagation fixpoint.
     "q50_cc_clusters" ->
-      s"""WITH RECURSIVE $oracleNormed,
-         |$oraclePairSc,
-         |pr AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
-         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
-         |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pr),
-         |reach(v, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v),
-         |comp AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v)
+      s"""WITH RECURSIVE $ccCompCtes
          |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
          |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // the q50 component chain + a single global rank (fine in the
+    // oracle engine) + the identical Gini rank-sum arithmetic
+    "q266_dup_concentration" ->
+      s"""WITH RECURSIVE $ccCompCtes,
+         |cs AS (SELECT cluster_id AS cid, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM comp GROUP BY cluster_id),
+         |rk AS (SELECT cid, m,
+         |    row_number() OVER (ORDER BY m, cid) AS rank FROM cs),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(m) AS BIGINT) AS s0,
+         |    CAST(SUM(rank * m) AS BIGINT) AS s1,
+         |    CAST(MAX(m) AS BIGINT) AS mx FROM rk)
+         |SELECT n AS n_clusters, s0 AS n_docs_clustered, mx AS max_cluster,
+         |  CAST(FLOOR(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+         |    / CAST(n * s0 AS DOUBLE) * 1000000.0) AS BIGINT) AS gini_e6
+         |FROM g""".stripMargin,
   )
+
+  /** The q50 recursive component chain ending at `comp(v, cluster_id)`
+    * — shared by the q50 cluster listing and q266's concentration
+    * statistic. */
+  private lazy val ccCompCtes: String =
+    s"""$oracleNormed,
+       |$oraclePairSc,
+       |pr AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+       |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pr),
+       |reach(v, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v),
+       |comp AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 }

@@ -332,6 +332,23 @@ class GovernanceWaveSpec extends AnyFunSuite {
       "contamination counts must equal q64's flagged docs")
   }
 
+  test("q266 concentration ties out against q50's cluster listing") {
+    val r = SimilarityQueries.q266DupConcentration(spark, sfDir).collect().head
+    val sizes = SimilarityQueries.q50CcClusters(spark, sfDir)
+      .collect().map(_.getLong(1)).sorted
+    assert(r.getLong(0) == sizes.length)
+    assert(r.getLong(1) == sizes.sum)
+    assert(r.getLong(2) == sizes.max)
+    // exact replay of the rank-sum Gini from the sorted sizes
+    val n = BigInt(sizes.length)
+    val s0 = sizes.map(BigInt(_)).sum
+    val s1 = sizes.zipWithIndex.map { case (m, i) => BigInt(i + 1) * m }.sum
+    val gini = math.floor(
+      (2 * s1 - (n + 1) * s0).toDouble / (n * s0).toDouble * 1e6).toLong
+    assert(r.getLong(3) == gini)
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+  }
+
   test("q247 streamed histogram quantiles equal a batch recomputation") {
     val streamed = graft.streaming.StreamingQueries
       .q247StreamingQuantiles(spark, sfDir).collect().toSeq
