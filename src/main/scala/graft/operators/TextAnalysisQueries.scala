@@ -985,7 +985,46 @@ object TextAnalysisQueries {
         max("longest_scene").cast("bigint").as("max_longest"))
       .orderBy("source")
 
+  // ---------------------------------------------------------------- q267
+
+  /** q267 — VOCABULARY-SIZING CURVE: instance coverage and OOV share
+    * at K ∈ {64, 128, 256, 512} — the sweep a tokenizer/vocab designer
+    * reads before freezing K (q246 reports ONE operating point; sizing
+    * decisions come from the knee of this curve). Key identity:
+    * coverage at K is Σ of the top-K words' OWN counts, so once the
+    * top-512 frame exists (TakeOrderedAndProject — bounded, never a
+    * global sort) the whole curve is arithmetic over 512 summary rows;
+    * the corpus is scanned once for counts and once for the total,
+    * nothing joins back.
+    *
+    * All exact: counts are BIGINTs, the (count DESC, token ASC) cut is
+    * a total order, shares are e6 floor divisions. */
+  def q267VocabCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select(explode(expr("split(text, ' ')")).as("w"))
+    val total = tok.agg(count(lit(1)).cast("bigint").as("n_instances"))
+    // top-512 counts to the driver: bounded by the K premise, not data
+    // (the q207/q150 bounded-premise-scalar idiom) — a first cut ranked
+    // them with an unpartitioned row_number, which the straggler sweep
+    // rightly flagged (it cannot see the LIMIT bound statically)
+    val top = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(512)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }
+    val curve = Seq(64, 128, 256, 512).map { k =>
+      (k.toLong, top.take(k).map(_._2).sum)
+    }
+    curve.toDF("k", "covered_instances")
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered_instances"), col("n_instances"),
+        expr("(1000000 * (n_instances - covered_instances)) div n_instances")
+          .cast("bigint").as("oov_instance_e6"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_vocab_curve" -> (q267VocabCurve _),
     "q260_video_scenes" -> (q260VideoScenes _),
     "q257_audio_segments" -> (q257AudioSegments _),
     "q245_ngram_diversity" -> (q245NgramDiversity _),
@@ -1110,6 +1149,21 @@ object TextAnalysisQueries {
        |GROUP BY i.lang ORDER BY i.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q267_vocab_curve" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_instances FROM tok),
+        |gc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+        |vr AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+        |  FROM gc),
+        |top AS (SELECT rank, c FROM vr WHERE rank <= 512),
+        |cov AS (SELECT k, CAST(SUM(c) AS BIGINT) AS covered_instances
+        |  FROM top, (SELECT unnest([64, 128, 256, 512]) AS k)
+        |  WHERE rank <= k GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS k, covered_instances, tt.n_instances,
+        |  CAST((1000000 * (tt.n_instances - covered_instances))
+        |    // tt.n_instances AS BIGINT) AS oov_instance_e6
+        |FROM cov CROSS JOIN tt ORDER BY k""".stripMargin,
     // re-derives every shot boundary from character codes (luma =
     // ascii % 256, cut at |Δ| >= 8) — the demuxed planes must land on
     // exactly these verdicts
