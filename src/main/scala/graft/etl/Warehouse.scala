@@ -51,6 +51,34 @@ object Warehouse {
       .partitionBy(partCol)
       .parquet(path)
 
+  /** Self-overwrite-safe partition rewrite: for frames DERIVED FROM the
+    * same path they overwrite (a takedown's survivors, a compaction's
+    * re-bin), `upsertPartitions` alone is a correctness hazard — the
+    * input is a lazy plan over the target's files, and while the default
+    * commit protocol happens to delete partition dirs only at commitJob
+    * (after read tasks finish), Spark does not GUARANTEE read-your-
+    * overwrite through the DataFrameWriter path: under task retry,
+    * speculation, or an object-store committer a re-attempted read task
+    * can find its source files already replaced and the surviving rows
+    * are silently lost — and a takedown has no upstream to rebuild from.
+    *
+    * So: materialize to a fresh staging path FIRST (a durable,
+    * independent copy — stronger than persist(), whose evicted blocks
+    * recompute from the very files the overwrite replaces), then
+    * overwrite the target from the staged copy. The staged read pins
+    * `df.schema` explicitly so partition-column type inference cannot
+    * drift types (e.g. a "yyyy-MM-dd" string partition re-inferred as
+    * DATE) between the two hops. Cost: one extra write of the REWRITTEN
+    * slice only — O(touched), never O(table) — which is the price of a
+    * rewrite that survives retries. */
+  def rewritePartitionsStaged(df: DataFrame, partCol: String,
+                              path: String): Unit = {
+    val staging = graft.Staging.fresh("rewrite-stage")
+    df.write.mode("overwrite").partitionBy(partCol).parquet(staging)
+    val staged = df.sparkSession.read.schema(df.schema).parquet(staging)
+    upsertPartitions(staged, partCol, path)
+  }
+
   /** Partition-pruned read (ref S3/S4: path-level month selection,
     * `transform_load.py:261-263,465-483`). The equality predicate on the
     * partition column never reads non-matching directories. */

@@ -635,11 +635,16 @@ object BinaryPipeline {
           val bos = new java.io.ByteArrayOutputStream()
           bos.write("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
           val chroma = new Array[Byte](2 * 4 * 4)
+          // one frame per CODE POINT, not per UTF-16 unit: the DuckDB
+          // twin's substr/length/ascii are code-point semantics, so a
+          // non-BMP character must be ONE frame here too (charAt would
+          // split it into two surrogate frames and diverge the counts)
+          val cps = text.codePoints().toArray
           var i = 0
-          while (i < text.length) {
+          while (i < cps.length) {
             bos.write("FRAME\n".getBytes("US-ASCII"))
             val luma = new Array[Byte](64)
-            java.util.Arrays.fill(luma, (text.charAt(i).toInt % 256).toByte)
+            java.util.Arrays.fill(luma, (cps(i) % 256).toByte)
             bos.write(luma)
             bos.write(chroma)
             i += 1
@@ -715,19 +720,28 @@ object BinaryPipeline {
       .as[(Long, String, String)]
       .mapPartitions { rows =>
         rows.map { case (id, src, text) =>
-          val samples = new Array[Short](text.length)
+          // one sample per CODE POINT (the q260 rule): the DuckDB twin's
+          // substr/length/ascii count code points, so surrogate pairs
+          // must be ONE sample, and the amplitude comes from the full
+          // code point — charAt/length would diverge on non-BMP text
+          val cps = text.codePoints().toArray
+          val samples = new Array[Short](cps.length)
           var i = 0
-          while (i < text.length) {
-            val c = text.charAt(i)
-            val a = if (c == ' ') 0 else ((c.toInt % 32) + 1) * 1000
+          while (i < cps.length) {
+            val c = cps(i)
+            val a = if (c == ' '.toInt) 0 else ((c % 32) + 1) * 1000
             samples(i) = (if (i % 2 == 0) a else -a).toShort
             i += 1
           }
-          val decoded = (for {
-            (fmt, frames) <- tryDecodeAudio(wavBytes(8000, samples))
-            s <- pcm16Samples(fmt, frames)
-          } yield s).getOrElse(
-            sys.error(s"doc $id: synthesized WAV failed to decode"))
+          // empty text ⇒ zero blocks, no codec round-trip to run (a
+          // zero-frame WAV is codec-edge behavior we need not depend on)
+          val decoded =
+            if (samples.isEmpty) Array.empty[Int]
+            else (for {
+              (fmt, frames) <- tryDecodeAudio(wavBytes(8000, samples))
+              s <- pcm16Samples(fmt, frames)
+            } yield s).getOrElse(
+              sys.error(s"doc $id: synthesized WAV failed to decode"))
           val nBlocks = (decoded.length + 7) / 8
           var (nActive, nSeg, longest, run) = (0L, 0L, 0L, 0L)
           var b = 0

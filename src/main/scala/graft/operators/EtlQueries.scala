@@ -519,7 +519,12 @@ object EtlQueries {
     ev.repartition(8, col("event_id"))
       .write.partitionBy("day").mode("overwrite").parquet(path)
     val lake = s.read.parquet(path)
-    Warehouse.upsertPartitions(lake.repartition(col("day")), "day", path)
+    // staged rewrite: the re-binned frame is a lazy plan over the very
+    // files the overwrite replaces — materialize to staging first
+    // (Warehouse.rewritePartitionsStaged) so task retry/speculation can
+    // never re-read replaced files. Staging is written pre-repartitioned
+    // (one file per day), so the final hop preserves the collapse.
+    Warehouse.rewritePartitionsStaged(lake.repartition(col("day")), "day", path)
     s.read.parquet(path)
       .groupBy("day")
       .agg(count(lit(1)).cast("bigint").as("n_rows"),
@@ -619,9 +624,12 @@ object EtlQueries {
         sum(when(hit, 1L).otherwise(0L)).cast("bigint").as("n_deleted"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     val touched = preRows.filter(_._3 > 0).map(_._1).sorted
-    // rewrite ONLY touched partitions, survivors only
+    // rewrite ONLY touched partitions, survivors only — via the STAGED
+    // path (Warehouse.rewritePartitionsStaged): the survivor frame is a
+    // lazy plan over the files being replaced, and only a durable
+    // staging copy makes the rewrite safe under task retry/speculation
     if (touched.nonEmpty)
-      Warehouse.upsertPartitions(
+      Warehouse.rewritePartitionsStaged(
         lake.filter(col("source").isin(touched: _*)).filter(!hit),
         "source", path)
     val after = s.read.parquet(path).groupBy("source")

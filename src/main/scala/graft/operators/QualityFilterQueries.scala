@@ -538,11 +538,12 @@ object QualityFilterQueries {
     *
     * All arithmetic exact: shrunk_e6 = floor(1e6·(k·N + m·K) /
     * (N·(n + m))) over BIGINTs — one rational per source, operands
-    * non-negative so trunc == floor in both engines. Headroom:
-    * 1e6·k·N ≤ 1e6·N² — exact to N ~ 3e6 documents; past that the
-    * numerator widens to decimal(38,0) with the identical plan (the
-    * q187 discipline; the MomentHeadroomSpec pattern pins the fixture
-    * bound).
+    * non-negative so trunc == floor in both engines. Headroom: the
+    * numerator bound is 1e6·(k·N + m·K) ≤ 1e6·(N² + 20·N²) = 21e6·N²
+    * (the m=20 pseudo-count term included) — int64-exact to
+    * N ~ 6.6e5 documents; past that the numerator widens to
+    * decimal(38,0) with the identical plan (the q187 discipline;
+    * MomentHeadroomSpec pins exactly this 21e6·N² bound).
     *
     * Scale shape: one row-local codegen'd scan evaluates the five-rule
     * verdict (q215's projection — token arrays never leave their row),
@@ -572,12 +573,19 @@ object QualityFilterQueries {
     val global = perSource
       .agg(sum("n_docs").cast("bigint").as("big_n"),
         sum("n_pass").cast("bigint").as("big_k"))
+    // denominators guarded with greatest(·,1) (the q258 discipline): on a
+    // degenerate input Spark's `div` yields NULL where DuckDB's `//`
+    // RAISES — the guard makes both engines agree on the zero answer
+    // instead of diverging in failure mode. No-op when big_n >= 1.
     perSource.crossJoin(broadcast(global))
       .select(col("source"), col("n_docs"), col("n_pass"),
-        expr("(1000000 * n_pass) div n_docs").cast("bigint").as("raw_e6"),
-        expr("(1000000 * big_k) div big_n").cast("bigint").as("prior_e6"),
+        expr("(1000000 * n_pass) div greatest(n_docs, 1)").cast("bigint")
+          .as("raw_e6"),
+        expr("(1000000 * big_k) div greatest(big_n, 1)").cast("bigint")
+          .as("prior_e6"),
         expr(s"(1000000 * (n_pass * big_n + $priorM * big_k)) div " +
-          s"(big_n * (n_docs + $priorM))").cast("bigint").as("shrunk_e6"))
+          s"greatest(big_n * (n_docs + $priorM), 1)").cast("bigint")
+          .as("shrunk_e6"))
       .orderBy(desc("shrunk_e6"), asc("source"))
   }
 
@@ -649,8 +657,12 @@ object QualityFilterQueries {
     val wRank = Window.partitionBy(lit(1)).orderBy(desc("rem"), asc("source"))
     weights
       .withColumn("wsum", sum("shrunk_e6").over(w))
-      .withColumn("base", expr(s"($budget * shrunk_e6) div wsum"))
-      .withColumn("rem", expr(s"($budget * shrunk_e6) % wsum"))
+      // greatest(wsum,1): if EVERY source's shrunk prior is 0, Spark's
+      // `div` would yield NULL quotas while DuckDB's `//` raises — the
+      // guard makes both engines emit the all-zero allocation (the q258
+      // denominator discipline). No-op whenever any source passes.
+      .withColumn("base", expr(s"($budget * shrunk_e6) div greatest(wsum, 1)"))
+      .withColumn("rem", expr(s"($budget * shrunk_e6) % greatest(wsum, 1)"))
       .withColumn("leftover", lit(budget) - sum("base").over(w))
       .withColumn("quota_tokens",
         col("base") + when(row_number().over(wRank) <= col("leftover"), 1L)
@@ -991,21 +1003,21 @@ object QualityFilterQueries {
     "q243_source_prior" ->
       s"""WITH $sourcePriorCtes
          |SELECT source, n_docs, n_pass,
-         |  CAST((1000000 * n_pass) // n_docs AS BIGINT) AS raw_e6,
-         |  CAST((1000000 * big_k) // big_n AS BIGINT) AS prior_e6,
+         |  CAST((1000000 * n_pass) // GREATEST(n_docs, 1) AS BIGINT) AS raw_e6,
+         |  CAST((1000000 * big_k) // GREATEST(big_n, 1) AS BIGINT) AS prior_e6,
          |  CAST((1000000 * (n_pass * big_n + $priorM * big_k))
-         |    // (big_n * (n_docs + $priorM)) AS BIGINT) AS shrunk_e6
+         |    // GREATEST(big_n * (n_docs + $priorM), 1) AS BIGINT) AS shrunk_e6
          |FROM ps CROSS JOIN g ORDER BY shrunk_e6 DESC, source""".stripMargin,
     "q254_quality_mixture" ->
       s"""WITH $sourcePriorCtes,
          |wgt AS (SELECT source, n_docs,
          |    CAST((1000000 * (n_pass * big_n + $priorM * big_k))
-         |      // (big_n * (n_docs + $priorM)) AS BIGINT) AS shrunk_e6
+         |      // GREATEST(big_n * (n_docs + $priorM), 1) AS BIGINT) AS shrunk_e6
          |  FROM ps CROSS JOIN g),
          |a AS (SELECT source, n_docs, shrunk_e6,
          |    SUM(shrunk_e6) OVER () AS wsum FROM wgt),
-         |b AS (SELECT *, (1000000 * shrunk_e6) // wsum AS base,
-         |    (1000000 * shrunk_e6) % wsum AS rem FROM a),
+         |b AS (SELECT *, (1000000 * shrunk_e6) // GREATEST(wsum, 1) AS base,
+         |    (1000000 * shrunk_e6) % GREATEST(wsum, 1) AS rem FROM a),
          |c AS (SELECT *, 1000000 - SUM(base) OVER () AS leftover,
          |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM b)
          |SELECT source, n_docs, shrunk_e6,

@@ -1183,9 +1183,13 @@ object TextAnalysisQueries {
         |  FROM c),
         |scenes AS (SELECT doc_id, source, scene, COUNT(*) AS len
         |  FROM sid GROUP BY 1, 2, 3),
-        |perdoc AS (SELECT doc_id, source, COUNT(*) AS nsc, MAX(len) AS maxlen,
+        |perscene AS (SELECT doc_id, COUNT(*) AS nsc, MAX(len) AS maxlen,
         |    SUM(len) AS nfr
-        |  FROM scenes GROUP BY 1, 2)
+        |  FROM scenes GROUP BY 1),
+        |perdoc AS (SELECT d.doc_id, d.source,
+        |    COALESCE(p.nsc, 0) AS nsc, COALESCE(p.maxlen, 0) AS maxlen,
+        |    COALESCE(p.nfr, 0) AS nfr
+        |  FROM d LEFT JOIN perscene p USING (doc_id))
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(nfr) AS BIGINT) AS n_frames,
         |  CAST(SUM(nsc) AS BIGINT) AS n_scenes,
