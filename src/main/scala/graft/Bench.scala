@@ -4,12 +4,15 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 
 /** Benchmark main — runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE full JSON line (all per-query medians + raw trials, primary
-  * and secondary sweeps), then a second compact JSON line restating the
-  * headline numbers (totals, n_ok/n_err, top-10 slowest) for tail-limited
-  * artifact capture. A failing query is reported in "errors" (name →
-  * message) and excluded from the total instead of silently timing as ~0 s
-  * and improving it.
+  * prints a short stack of JSON lines ordered most-expendable-FIRST,
+  * because the driver's artifact capture keeps only the output TAIL: the
+  * full-detail line (raw trials, secondary sweep), then two compact
+  * medians boards, then the compact totals line, and LAST the
+  * driver-contract line (`"metric":"total"` with every per-query median) —
+  * the one line the driver must parse, so it must survive any tail
+  * window. A failing query is reported in "errors" (name → message) and
+  * excluded from the total instead of silently timing as ~0 s and
+  * improving it.
   */
 object Bench {
 
@@ -135,18 +138,6 @@ object Bench {
          Option.empty[Double])
       }.get
     }
-    // FIRST line: the driver-contract JSON, compact enough to always
-    // parse — every per-query median but NO raw trials / per-query trial
-    // counts (the fields that grew round 11's full line past the driver's
-    // line-capture limit and left "parsed": null). ~6 KB at 212 queries.
-    val primaryTotal0 = results.map { case (_, ts) => median(ts) }.sum
-    val qMedians = JsonUtil.obj(
-      results.map { case (k, ts) => k -> f"${median(ts)}%.3f" })
-    val errJson0 = JsonUtil.obj(errors.map { case (k, v) => k -> JsonUtil.quote(v) })
-    println(s"""{"metric":"total","value":${f"$primaryTotal0%.3f"},"unit":"sec",""" +
-      s""""aggregation":"median","n_trials":$nTrials,"queries":$qMedians,""" +
-      s""""n_ok":${results.size},"n_err":${errors.size},"errors":$errJson0,""" +
-      s""""sf":"$sfDir"}""")
     // full-detail line (raw trials, per-query trial counts, secondary
     // sweep) for forensic round-over-round analysis; may exceed capture
     println(s"""{"metric":"total_full",${sweepJson(results, errors, nTrials, sfDir)}${
@@ -191,6 +182,19 @@ object Bench {
     println(s"""{"metric":"total_compact","unit":"sec","aggregation":"median",""" +
       s""""n_trials":$nTrials,"sf":"$sfDir","top10_slowest":$top10,$secTotal""" +
       s""""n_ok":${results.size},"n_err":${errors.size},"value":${f"$primaryTotal%.3f"}}""")
+    // LAST line: the driver-contract JSON — every per-query median but NO
+    // raw trials (the fields that grew round 11's full line past the
+    // capture limit). The artifact keeps only the TAIL of this program's
+    // output, so the line the driver must parse has to print LAST: round
+    // 12 emitted it first and the tail window cut exactly it, leaving
+    // "parsed": null. Order above is most-expendable-first.
+    val qMedians = JsonUtil.obj(
+      results.map { case (k, ts) => k -> f"${median(ts)}%.3f" })
+    val errJson0 = JsonUtil.obj(errors.map { case (k, v) => k -> JsonUtil.quote(v) })
+    println(s"""{"metric":"total","value":${f"$primaryTotal%.3f"},"unit":"sec",""" +
+      s""""aggregation":"median","n_trials":$nTrials,"queries":$qMedians,""" +
+      s""""n_ok":${results.size},"n_err":${errors.size},"errors":$errJson0,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
     // non-zero only when a query produced NO successful trial in the
     // PRIMARY sweep — a transient single-trial hiccup is reported in

@@ -401,6 +401,82 @@ object AnalyticsQueries {
       .orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q268
+
+  /** Observation-driven k-core peel to CONVERGENCE over a staged edge
+    * list (parquet at `edges0Dir`, long columns pa/pb, canonical
+    * pa < pb, distinct) — the convergence twin q158's fixed 6-pass
+    * unroll lacks: on a graph whose degeneracy ordering is deeper than
+    * the unroll, the unroll returns a PARTIALLY peeled edge set and (as
+    * long as an oracle mirrors the same depth) no hash gate can notice;
+    * this loop peels until the surviving edge count is STABLE, so its
+    * answer is the fixpoint at any depth (KcoreSpec constructs a graph
+    * the 6-pass unroll does not finish and proves this loop does).
+    *
+    * Discipline is propagateLabels/pagerankConverged's staged rotation:
+    * each pass reads the previous pass's parquet leaf and writes the
+    * next (plans stay leaf-scans — no lineage growth, and the staging
+    * root is the executor-loss checkpoint on a cluster); the stopping
+    * count rides the pass's WRITE job as a named Observation — one job
+    * per pass, never a write plus a separate count. Edge counts
+    * strictly decrease on every non-fixpoint pass (a peeled node takes
+    * at least one edge with it), so `after == before` IS the fixpoint
+    * test and the loop terminates in at most |V| passes; an emptied
+    * graph stabilizes at 0 the same way. Two dirs rotate: pass N
+    * overwrites pass N-2's dir, which nothing reads any more. */
+  private[graft] def kcoreConverged(s: SparkSession, edges0Dir: String,
+                                    kMin: Int, stage: String): DataFrame = {
+    var curDir = edges0Dir
+    var prevCount = -1L
+    var pass = 0
+    var converged = false
+    while (!converged) {
+      pass += 1
+      val e = s.read.parquet(curDir)
+      val deg = e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= kMin).select("node")
+      val out = s"$stage/c${pass % 2 + 1}"
+      val obs = org.apache.spark.sql.Observation()
+      e.join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+        .select("pa", "pb")
+        .observe(obs, count(lit(1)).as("edges"))
+        .write.mode("overwrite").parquet(out)
+      val after = obs.get("edges").asInstanceOf[Long]
+      converged = after == prevCount
+      prevCount = after
+      curDir = out
+    }
+    s.read.parquet(curDir)
+  }
+
+  /** q268 — k-CORE to CONVERGENCE (k = 4): the same co-purchase graph
+    * and peel rule as q158, but Observation-driven to the fixpoint
+    * instead of a fixed unroll ([[kcoreConverged]]) — and checked
+    * against a DuckDB RECURSIVE-CTE oracle that also peels to its own
+    * fixpoint, so the hash gate holds at ANY degeneracy depth (q158's
+    * gate holds only while the fixture converges within its unroll).
+    * On the fixture both agree (KcoreSpec proves loop == unroll at
+    * depth 6); q158 stays registered as the mirrored-unroll form. */
+  def q268KcoreConverged(s: SparkSession, dir: String): DataFrame = {
+    val stage = graft.Staging.fresh("kcorec")
+    val s2 = s
+    import s2.implicits._
+    val op = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 15000)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("pa"), $"b.p".as("pb")).distinct()
+      .write.mode("overwrite").parquet(s"$stage/e0")
+    val core = kcoreConverged(s, s"$stage/e0", 4, stage)
+    core.select(col("pa").as("node"))
+      .unionAll(core.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("bigint").as("core_degree"))
+      .orderBy("node")
+  }
+
   // ---------------------------------------------------------------- q142
 
   /** Calendar / interval arithmetic parity suite — the date dialect
@@ -449,6 +525,7 @@ object AnalyticsQueries {
     "q142_calendar_suite" -> (q142CalendarSuite _),
     "q147_clustering_coef" -> (q147ClusteringCoef _),
     "q158_kcore" -> (q158Kcore _),
+    "q268_kcore_converged" -> (q268KcoreConverged _),
   )
 
   /** Unrolled 6-pass peeling CTE chain mirroring [[q158Kcore]]. Every
@@ -476,7 +553,51 @@ object AnalyticsQueries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** q268: the recursive-CTE peel to DuckDB's OWN fixpoint — the oracle
+    * twin of [[kcoreConverged]]'s Observation loop, depth-independent by
+    * construction. Each recursive step re-derives degrees from the
+    * previous iteration's edges inside a nested WITH (every inner CTE
+    * MATERIALIZED — the q158 inlining lesson) and emits the kept edges
+    * only while they SHRANK; at the fixpoint it emits nothing and the
+    * recursion stops. One subtlety: if the core empties, the last
+    * recorded iteration is the final non-empty edge set (the step that
+    * found zero survivors emitted zero rows), so the outer query applies
+    * ONE more peel to the max-iteration rows — identity at a true
+    * fixpoint, exactly-empty in the emptied-core case. */
+  private def q268Oracle: String =
+    """WITH RECURSIVE op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+      |    l_partkey AS p FROM lineitem WHERE l_orderkey < 15000),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS pa, b.p AS pb
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      |peel AS (
+      |  SELECT 0 AS it, pa, pb FROM e0
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    WITH cur AS MATERIALIZED (SELECT it, pa, pb FROM peel),
+      |    deg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+      |        SELECT pa AS node FROM cur UNION ALL SELECT pb FROM cur) x
+      |      GROUP BY node),
+      |    kept AS MATERIALIZED (SELECT c.it, c.pa, c.pb FROM cur c
+      |      WHERE c.pa IN (SELECT node FROM deg WHERE d >= 4)
+      |        AND c.pb IN (SELECT node FROM deg WHERE d >= 4))
+      |    SELECT k.it + 1 AS it, k.pa, k.pb FROM kept k
+      |    WHERE (SELECT COUNT(*) FROM kept) < (SELECT COUNT(*) FROM cur)
+      |  ) s
+      |),
+      |fin AS MATERIALIZED (SELECT pa, pb FROM peel
+      |  WHERE it = (SELECT MAX(it) FROM peel)),
+      |fdeg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+      |    SELECT pa AS node FROM fin UNION ALL SELECT pb FROM fin) x
+      |  GROUP BY node),
+      |core AS MATERIALIZED (SELECT pa, pb FROM fin
+      |  WHERE pa IN (SELECT node FROM fdeg WHERE d >= 4)
+      |    AND pb IN (SELECT node FROM fdeg WHERE d >= 4))
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+      |FROM (SELECT pa AS node FROM core UNION ALL SELECT pb FROM core) n
+      |GROUP BY node ORDER BY node""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q268_kcore_converged" -> q268Oracle,
     // dense day x type grid: the pivot's explicit zeros survive the melt
     "q137_unpivot" ->
       """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),

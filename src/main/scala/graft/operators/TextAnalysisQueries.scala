@@ -1003,22 +1003,31 @@ object TextAnalysisQueries {
     import s.implicits._
     val tok = Tables.documents(s, dir)
       .select(explode(expr("split(text, ' ')")).as("w"))
-    val total = tok.agg(count(lit(1)).cast("bigint").as("n_instances"))
-    // top-512 counts to the driver: bounded by the K premise, not data
-    // (the q207/q150 bounded-premise-scalar idiom) — a first cut ranked
-    // them with an unpartitioned row_number, which the straggler sweep
-    // rightly flagged (it cannot see the LIMIT bound statically)
+    // ONE corpus scan carries BOTH products: the per-word counts feed the
+    // bounded top-512 cut (TakeOrderedAndProject — every grouped row is
+    // examined to find the top-k, so it all flows through the observe
+    // point first) while an Observation on the same aggregate sums the
+    // counts into the instance total — the r12 form paid a second full
+    // scan + aggregate for a number the first job already had in hand.
+    // Top-512 to the driver: bounded by the K premise, not data (the
+    // q207/q150 bounded-premise-scalar idiom) — a first cut ranked with
+    // an unpartitioned row_number, which the straggler sweep rightly
+    // flagged (it cannot see the LIMIT bound statically).
+    val obs = org.apache.spark.sql.Observation()
     val top = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .observe(obs, sum(col("c")).cast("bigint").as("n_instances"))
       .orderBy(desc("c"), asc("w")).limit(512)
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (w, c) => (-c, w) }
+    val nInstances = obs.get("n_instances").asInstanceOf[Long]
     val curve = Seq(64, 128, 256, 512).map { k =>
       (k.toLong, top.take(k).map(_._2).sum)
     }
     curve.toDF("k", "covered_instances")
-      .crossJoin(broadcast(total))
-      .select(col("k"), col("covered_instances"), col("n_instances"),
-        expr("(1000000 * (n_instances - covered_instances)) div n_instances")
+      .select(col("k"), col("covered_instances"),
+        lit(nInstances).cast("bigint").as("n_instances"),
+        expr(s"(1000000 * (${nInstances}L - covered_instances)) div " +
+          s"greatest(${nInstances}L, 1L)")
           .cast("bigint").as("oov_instance_e6"))
       .orderBy("k")
   }
