@@ -24,10 +24,10 @@ object StreamSources {
     schemaCache.computeIfAbsent(graft.CorpusKey(dir, table),
       _ => s.read.parquet(s"$dir/$table").schema)
 
-  /** Run `body` (a start + awaitTermination of one bounded streaming
-    * topology) with the shuffle-partition count — which fixes the state
-    * store's partition fan-out for the lifetime of the query's checkpoint
-    * — bounded low. State partitioning is a per-pipeline DEPLOYMENT
+  /** A per-stream child session whose shuffle-partition count — which
+    * fixes the state store's partition fan-out for the lifetime of the
+    * query's checkpoint — is bounded low; build the whole topology (and
+    * read its memory sink) on the returned session. State partitioning is a per-pipeline DEPLOYMENT
     * knob, not a semantics knob: every stateful operator writes one delta
     * file per state partition per micro-batch to the checkpoint, so a
     * harness-scale keyspace under the session's 32 batch partitions pays
@@ -39,18 +39,20 @@ object StreamSources {
     * Results are partition-count-independent (hash
     * partitioning on the group key only moves rows between stores), which
     * the oracle parity of every streaming query continues to check. */
-  private[graft] def withBoundedState[T](s: SparkSession)(body: => T): T = {
-    // NOTE: this temporarily mutates the SESSION-GLOBAL shuffle-partition
-    // conf and restores it in finally — safe under the harness's strictly
-    // sequential query execution (one drain at a time per session), but a
-    // concurrent or nested query on the same SparkSession would observe
-    // the temporary value. A multi-tenant deployment should scope the
-    // override with SparkSession.newSession() per stream instead.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "4"))
-    try body
-    finally s.conf.set(key, prev)
+  private[graft] def boundedStateSession(s: SparkSession): SparkSession = {
+    // A CHILD session (newSession: same SparkContext, shared cached data
+    // and extensions-injected functions, but its OWN SQLConf and temp-view
+    // catalog), so the override is visible only to the one topology built
+    // on it — a concurrent drain or batch query on the parent (or on a
+    // sibling child) can never observe it. This replaced a set/restore of
+    // the parent session's conf, which was safe only under strictly
+    // sequential drains; ConcurrentDrainSpec drives two drains at once.
+    // Builder-level configs (UTC, nanosAsLong, extensions) live in the
+    // shared SparkConf, so the child inherits them.
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "4"))
+    ss
   }
 
   /** readStream over the events parquet (file-source streams need a

@@ -41,16 +41,25 @@ object StreamingQueries {
 
   private val runCounter = new AtomicInteger(0)
 
-  /** Start one bounded AvailableNow topology and drain it to completion,
-    * under the bounded state-partition fan-out
-    * ([[StreamSources.withBoundedState]] — state partitioning is a
+  /** Start one bounded AvailableNow topology and drain it to completion
+    * on a CHILD session scoped to this stream
+    * ([[StreamSources.boundedStateSession]] — state partitioning is a
     * deployment knob; the harness default lives there
     * (GRAFT_STREAM_STATE_PARTITIONS, measured optimum in SCALE.md), a
-    * 100 TB pipeline sizes it to key cardinality). */
-  private def drain(s: SparkSession,
-                    w: org.apache.spark.sql.streaming.DataStreamWriter[
-                      org.apache.spark.sql.Row]): Unit =
-    StreamSources.withBoundedState(s) { w.start().awaitTermination() }
+    * 100 TB pipeline sizes it to key cardinality). The topology builder
+    * receives the child session and must construct EVERYTHING on it —
+    * sources, static join sides, the writer — because temp views (and so
+    * the memory sink's table) are session-scoped; drain returns the child
+    * so the caller reads the sink from it. Two drains can now run
+    * concurrently without observing each other's state-partition override
+    * (ConcurrentDrainSpec). */
+  private def drain(s: SparkSession)(
+      mk: SparkSession => org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): SparkSession = {
+    val ss = StreamSources.boundedStateSession(s)
+    mk(ss).start().awaitTermination()
+    ss
+  }
 
   /** Event-time tumbling-window count (the dashboard's journeys-over-time
     * series, `/root/reference/README.md:29-35`, in streaming form): file
@@ -65,9 +74,8 @@ object StreamingQueries {
     * horizon, which the oracle twin expresses with a HAVING on max(ts):
     * window_end ≤ max(ts) − 1 h  ⇔  hour + 2 h ≤ max(ts). */
   def q36StreamingHourly(s: SparkSession, dir: String): DataFrame = {
-    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_hourly_${runCounter.incrementAndGet()}"
-    drain(s, ev
+    val ss = drain(s) { ss => StreamSources.events(ss, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).cast("bigint").as("cnt"))
@@ -78,8 +86,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl).orderBy("h")
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl).orderBy("h")
   }
 
   /** Streaming HOPPING (sliding) window count — the window geometry q36's
@@ -94,9 +103,8 @@ object StreamingQueries {
     * 1 h), after which its state drops — bounded state in a continuous
     * deployment, the q36 contract. */
   def q124StreamingHopping(s: SparkSession, dir: String): DataFrame = {
-    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_hopping_${runCounter.incrementAndGet()}"
-    drain(s, ev
+    val ss = drain(s) { ss => StreamSources.events(ss, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
       .agg(count(lit(1)).cast("bigint").as("cnt"))
@@ -106,8 +114,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl).orderBy("w", "event_type")
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl).orderBy("w", "event_type")
   }
 
   /** Streaming DEDUP under at-least-once delivery (the LLM-pipeline event
@@ -123,9 +132,9 @@ object StreamingQueries {
     * the finalized-window oracle is q36's — a double-delivered stream that
     * hash-matches the clean batch aggregate IS the test. */
   def q52StreamingDedup(s: SparkSession, dir: String): DataFrame = {
-    val redelivered = StreamSources.events(s, dir).union(StreamSources.events(s, dir))
     val tbl = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
-    drain(s, redelivered
+    val ss = drain(s) { ss =>
+      StreamSources.events(ss, dir).union(StreamSources.events(ss, dir))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"))
@@ -135,8 +144,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl).orderBy("h")
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl).orderBy("h")
   }
 
   /** CONTENT-based streaming near-dup (the form an ingest pipeline needs,
@@ -167,18 +177,19 @@ object StreamingQueries {
     * comparison order-free.) State stays bounded: dedup keys and window
     * state both expire with the 1-hour watermark. */
   def q63StreamingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_stream_neardup_${runCounter.incrementAndGet()}"
+    val ss = drain(s) { ss =>
     // one delivery = documents + every-10th-doc near-dup variants; two
     // deliveries via independent file sources, as in q52
     def once(): DataFrame = {
-      val docs = StreamSources.documents(s, dir)
+      val docs = StreamSources.documents(ss, dir)
       docs.select(col("doc_id"), col("text"))
-        .unionByName(StreamSources.documents(s, dir)
+        .unionByName(StreamSources.documents(ss, dir)
           .filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), concat(col("text"), lit(" dup")).as("text")))
     }
     val redelivered = once().unionByName(once())
-    val tbl = s"graft_stream_neardup_${runCounter.incrementAndGet()}"
-    val keyed = redelivered
+    redelivered
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
       .withColumn("hs", expr(graft.operators.DedupQueries.hashedShinglesExpr))
@@ -191,7 +202,6 @@ object StreamingQueries {
       .withColumn("ts", expr(
         "timestampadd(MINUTE, cast(conv(substring(md5(bkey), 1, 4), 16, 10) as int) % 2880, " +
           "timestamp'2024-01-01 00:00:00')"))
-    drain(s, keyed
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("bkey")
       .groupBy(window(col("ts"), "1 hour"))
@@ -201,8 +211,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl).orderBy("h")
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl).orderBy("h")
   }
 
   /** Stream-stream interval join (purchase attribution): clicks joined to
@@ -227,17 +238,18 @@ object StreamingQueries {
     * streams on user_id (a scaling key); gap_us is integer microsecond
     * arithmetic, exact in both engines. */
   def q72StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val clicks = StreamSources.events(s, dir)
+    val tbl = s"graft_stream_join_${runCounter.incrementAndGet()}"
+    val ss = drain(s) { ss =>
+    val clicks = StreamSources.events(ss, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
       .withWatermark("cts", "1 hour")
-    val purchases = StreamSources.events(s, dir)
+    val purchases = StreamSources.events(ss, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("pts"))
       .withWatermark("pts", "1 hour")
-    val tbl = s"graft_stream_join_${runCounter.incrementAndGet()}"
-    drain(s, clicks.join(purchases,
+    clicks.join(purchases,
         col("user_id") === col("p_user") &&
           col("pts") >= col("cts") &&
           col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
@@ -249,8 +261,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl).orderBy("user_id", "click_id", "purchase_id")
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl).orderBy("user_id", "click_id", "purchase_id")
   }
 
   /** Streaming cardinality sketching: the native KMV aggregate
@@ -269,9 +282,8 @@ object StreamingQueries {
     * WHERE. */
   def q107StreamingKmv(s: SparkSession, dir: String): DataFrame = {
     val k = 16
-    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_kmv_${runCounter.incrementAndGet()}"
-    drain(s, ev
+    val ss = drain(s) { ss => StreamSources.events(ss, dir)
       .withColumn("h",
         expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"))
       .withWatermark("ts", "1 hour")
@@ -284,8 +296,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl)
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl)
       .select(col("w"), col("n_events"),
         expr("cast(size(ks) as bigint)").as("n_kept"),
         expr(s"case when size(ks) < $k then cast(size(ks) as double) " +
@@ -310,9 +323,8 @@ object StreamingQueries {
     * mode emits only FINALIZED windows (end ≤ max ts − 1 h, the q36
     * contract), which the oracle mirrors in its WHERE. */
   def q236StreamingTopk(s: SparkSession, dir: String): DataFrame = {
-    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_topk_${runCounter.incrementAndGet()}"
-    drain(s, ev
+    val ss = drain(s) { ss => StreamSources.events(ss, dir)
       .select(col("ts"), col("event_id"),
         expr("cast(round(value * 100) as bigint)").as("vc"))
       .withWatermark("ts", "1 hour")
@@ -325,8 +337,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl)
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl)
       .select(col("w"), col("n_events"), posexplode(col("tk")))
       .select(col("w"), col("n_events"),
         (col("pos") + 1).cast("int").as("rank"),
@@ -349,18 +362,19 @@ object StreamingQueries {
     * the stream/batch A/B the SCD2 family's maintenance queries
     * (q113/Scd2Stream) already get from their shared rebuild oracle. */
   def q255StreamingPit(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_stream_pit_${runCounter.incrementAndGet()}"
+    val ss = drain(s) { ss =>
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val dim = graft.operators.EtlQueries.scd2Runs(
-        graft.Tables.events(s, dir).filter(col("event_type") =!= "purchase"))
+        graft.Tables.events(ss, dir).filter(col("event_type") =!= "purchase"))
       .select(col("user_id").as("du"), col("segment"),
         to_timestamp(col("effective_from"), tsFmt).as("ef"),
         to_timestamp(col("effective_to"), tsFmt).as("et"))
-    val purch = StreamSources.events(s, dir)
+    val purch = StreamSources.events(ss, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"),
         expr("cast(round(value * 100) as bigint)").as("cents"))
-    val tbl = s"graft_stream_pit_${runCounter.incrementAndGet()}"
-    drain(s, purch
+    purch
       .join(dim,
         col("user_id") === col("du") &&
           col("ef") <= col("ts") && col("ts") < col("et"), "left")
@@ -370,8 +384,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl)
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl)
       .groupBy("segment_at_purchase")
       .agg(count(lit(1)).cast("bigint").as("n_purchases"),
         sum("cents").cast("bigint").as("cents_total"),
@@ -393,9 +408,8 @@ object StreamingQueries {
     * batch oracle hash-checks both topologies — the A/B that PROVES
     * the two state layouts agree. */
   def q251StreamingHist(s: SparkSession, dir: String): DataFrame = {
-    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_hist_${runCounter.incrementAndGet()}"
-    drain(s, ev
+    val ss = drain(s) { ss => StreamSources.events(ss, dir)
       .select(col("ts"),
         expr("least(511L, greatest(0L, cast(floor(value) as bigint)))").as("bin"))
       .withWatermark("ts", "1 hour")
@@ -408,8 +422,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl)
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl)
       .select(col("w"), col("n_events"),
         expr("""aggregate(h,
           named_struct('i', 0L, 'cum', 0L, 'p50', -1L, 'p95', -1L),
@@ -445,9 +460,8 @@ object StreamingQueries {
     * FINALIZED windows (end ≤ max ts − 1 h, the q36 contract), which
     * the oracle mirrors in its WHERE. */
   def q247StreamingQuantiles(s: SparkSession, dir: String): DataFrame = {
-    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_quant_${runCounter.incrementAndGet()}"
-    drain(s, ev
+    val ss = drain(s) { ss => StreamSources.events(ss, dir)
       .select(col("ts"),
         expr("least(511L, greatest(0L, cast(floor(value) as bigint)))").as("bin"))
       .withWatermark("ts", "1 hour")
@@ -459,13 +473,14 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
+      .trigger(Trigger.AvailableNow())
+    }
     // rank selection over ≤512-bin summaries per window — the legal
     // bounded-grid window shape (StragglerGuard's summary exemption)
     val W = org.apache.spark.sql.expressions.Window
     val cumW = W.partitionBy("w").orderBy("bin")
       .rowsBetween(W.unboundedPreceding, 0)
-    s.table(tbl)
+    ss.table(tbl)
       .withColumn("cum", sum("cnt").over(cumW))
       .withColumn("n", sum("cnt").over(W.partitionBy("w")))
       .groupBy("w")
@@ -495,9 +510,8 @@ object StreamingQueries {
     * which the oracle expresses with the same window_end + watermark
     * <= max(ts) cut as q36/q124. */
   def q161StreamingAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_anomaly_${runCounter.incrementAndGet()}"
-    drain(s, ev
+    val ss = drain(s) { ss => StreamSources.events(ss, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("event_type"), window(col("ts"), "1 day"))
       .agg(count(lit(1)).cast("bigint").as("cnt"))
@@ -507,8 +521,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    val daily = s.table(tbl).groupBy("event_type", "d")
+      .trigger(Trigger.AvailableNow())
+    }
+    val daily = ss.table(tbl).groupBy("event_type", "d")
       .agg(sum("cnt").as("cnt"))
     graft.operators.TemporalQueries.dayAnomaly(daily)
   }
@@ -529,12 +544,12 @@ object StreamingQueries {
     * deployment runs first). Oracle: the batch join + the q36
     * finalization cut. */
   def q191StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = StreamSources.events(s, dir)
-    val dim = broadcast(graft.Tables.customer(s, dir)
+    val tbl = s"graft_stream_enrich_${runCounter.incrementAndGet()}"
+    val ss = drain(s) { ss =>
+    val dim = broadcast(graft.Tables.customer(ss, dir)
       .select(col("c_custkey").as("user_id"),
         col("c_mktsegment").as("segment")))
-    val tbl = s"graft_stream_enrich_${runCounter.incrementAndGet()}"
-    drain(s, ev
+    StreamSources.events(ss, dir)
       .withWatermark("ts", "1 hour")
       .join(dim, Seq("user_id"))
       .groupBy(col("segment"), window(col("ts"), "1 hour"))
@@ -548,8 +563,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl).orderBy("segment", "h")
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl).orderBy("segment", "h")
   }
 
   /** STREAMING distribution-drift monitor — q179's day-over-day KS
@@ -570,9 +586,8 @@ object StreamingQueries {
     * division per day) over the finalized-day subset, which the oracle
     * expresses with the same 25-hour finalization cut as q161. */
   def q186StreamingDrift(s: SparkSession, dir: String): DataFrame = {
-    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_drift_${runCounter.incrementAndGet()}"
-    drain(s, ev
+    val ss = drain(s) { ss => StreamSources.events(ss, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"),
         expr("cast(floor(value) as bigint)").as("vb"))
@@ -582,14 +597,15 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
+      .trigger(Trigger.AvailableNow())
+    }
     // stage the (day, bucket) summary: dailyKs self-joins its input
     // (grid ⋈ counts, current ⋈ previous day), and a MemorySink plan
     // fails DeduplicateRelations under that reuse — a leaf parquet scan
     // (the q50/q86 staging idiom) is also what a production monitor
     // would read; the frame is |days| × |buckets|, not events
     val p = graft.Staging.fresh("streamdrift")
-    s.table(tbl).groupBy("d", "vb").agg(sum("c").as("c"))
+    ss.table(tbl).groupBy("d", "vb").agg(sum("c").as("c"))
       .write.mode("overwrite").parquet(p)
     graft.operators.TemporalQueries.dailyKs(s.read.parquet(p))
   }
@@ -605,9 +621,8 @@ object StreamingQueries {
     * replays q164's independent gaps-and-islands chain with the q36
     * finalization cut. */
   def q169StreamingSessions(s: SparkSession, dir: String): DataFrame = {
-    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_sessions_${runCounter.incrementAndGet()}"
-    drain(s, ev
+    val ss = drain(s) { ss => StreamSources.events(ss, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).cast("bigint").as("n_events"))
@@ -621,8 +636,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl).orderBy("user_id", "session_start")
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl).orderBy("user_id", "session_start")
   }
 
   // ---------------------------------------------------------------- q220
@@ -649,16 +665,18 @@ object StreamingQueries {
     * Stream == batch: the emitted verdicts equal q207's batch output
     * row for row, so q220 answers to the SAME oracle. */
   def q220StreamingDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docsB = graft.Tables.documents(s, dir)
+    val tbl = s"graft_stream_decon_${runCounter.incrementAndGet()}"
+    val ss = drain(s) { ss =>
+    val docsB = graft.Tables.documents(ss, dir)
     val benchCond = expr("doc_id % 37 = 0 AND doc_id < 18500")
     val bits = graft.operators.DedupQueries.stagedBloomBits(
-      s, dir, docsB.filter(benchCond))
+      ss, dir, docsB.filter(benchCond))
     val benchSet = graft.operators.DedupQueries
       .shingleHashes(docsB.filter(benchCond))
       .select("g").distinct().withColumn("inb", lit(1L))
     val bitsLit = lit(bits)
     val sh = graft.operators.DedupQueries.shinglesExpr
-    val stream = StreamSources.documents(s, dir)
+    StreamSources.documents(ss, dir)
       .filter(expr("NOT (doc_id % 37 = 0 AND doc_id < 18500)"))
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
@@ -671,14 +689,13 @@ object StreamingQueries {
         expr("cast(size(cand_gs) as bigint)").as("n_cand"),
         explode_outer(col("cand_gs")).as("g"))
       .join(broadcast(benchSet), Seq("g"), "left")
-    val tbl = s"graft_stream_decon_${runCounter.incrementAndGet()}"
-    drain(s, stream
       .writeStream
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl)
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl)
       .groupBy("doc_id")
       .agg(max("n_shingles").as("n_shingles"),
         max("n_cand").as("n_cand"),
@@ -734,13 +751,11 @@ object StreamingQueries {
     * events-per-user-hour > ~state-write-cost/row-cost, measured per
     * pipeline. */
   def q227StreamingSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
-    val ev = StreamSources.events(s, dir)
     val tbl = s"graft_stream_sliding_${runCounter.incrementAndGet()}"
-    val covered = ev
+    val ss = drain(s) { ss => StreamSources.events(ss, dir)
       .select(col("user_id"), date_trunc("HOUR", col("ts")).as("eh"))
       .select(col("user_id"), col("eh"), explode(expr("sequence(0, 23)")).as("off"))
       .select(col("user_id"), expr("timestampadd(HOUR, off, eh)").as("wh"))
-    drain(s, covered
       .withWatermark("wh", "25 hours")
       .dropDuplicatesWithinWatermark("user_id", "wh")
       .groupBy(window(col("wh"), "1 hour"))
@@ -751,8 +766,9 @@ object StreamingQueries {
       .format("memory")
       .queryName(tbl)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()))
-    s.table(tbl).orderBy("h")
+      .trigger(Trigger.AvailableNow())
+    }
+    ss.table(tbl).orderBy("h")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
