@@ -31,11 +31,18 @@ package graft
   * schema-probe cache); callers append their own geometry suffixes
   * (sample mod, sub-vector count) after the key.
   *
-  * LOCAL-FS ASSUMPTION: the walk uses `java.io.File`, matching the
-  * single-JVM local[32] deployment this library is driven under; a
-  * cluster deployment reading object storage would port this walk to
-  * the Hadoop FileSystem listing (same fields are available there) —
-  * the KEY FORMAT is storage-agnostic, only the walk is not.
+  * The walk goes through the Hadoop FileSystem API (resolved from the
+  * active session's Hadoop conf when one exists), so the SAME
+  * fingerprint discipline — and therefore the whole staging/reattach
+  * economics — carries to HDFS or object storage unchanged: a
+  * `LocatedFileStatus` exposes the same mtime/length/path fields the
+  * earlier `java.io.File` walk read, and on local FS the two walks
+  * produce identical keys over the CONTENT files (CacheFingerprintSpec
+  * pins this parity; Hadoop's ChecksumFileSystem hides its own `.crc`
+  * shadow files, local-FS artifacts the fingerprint is better off
+  * without). Object-store caveat that does NOT break the key: S3-style
+  * stores have no directories, so the recursive listing already sees
+  * exactly the part objects.
   */
 object CorpusKey {
 
@@ -43,25 +50,29 @@ object CorpusKey {
     * loudly when the path does not exist — a cache keyed on a missing
     * source is always a bug at the call site. */
   def apply(dir: String, table: String): String = {
-    val root = new java.io.File(dir, table)
-    require(root.exists(), s"CorpusKey: source missing: ${root.getPath}")
-    val rootPath = root.toPath
+    val root = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), table)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"CorpusKey: source missing: $root")
+    // scheme-free root prefix, so the key text (and thus every cache
+    // slot) is identical whether the path arrives as /x/y or file:/x/y
+    val rootStr = fs.makeQualified(root).toUri.getPath
     var maxMtime = 0L
     var bytes = 0L
     val rels = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walk(f: java.io.File): Unit =
-      if (f.isDirectory) {
-        val cs = f.listFiles()
-        if (cs != null) cs.foreach(walk)
-      } else {
-        maxMtime = math.max(maxMtime, f.lastModified())
-        bytes += f.length()
-        rels += rootPath.relativize(f.toPath).toString
-      }
-    walk(root)
+    val it = fs.listFiles(root, true) // recursive; yields FILES only
+    while (it.hasNext) {
+      val st = it.next()
+      maxMtime = math.max(maxMtime, st.getModificationTime)
+      bytes += st.getLen
+      rels += st.getPath.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+    }
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(rels.sorted.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    s"${root.getPath}@$maxMtime:$bytes:${rels.size}:$digest"
+    s"$rootStr@$maxMtime:$bytes:${rels.size}:$digest"
   }
 }

@@ -22,6 +22,41 @@ class CacheFingerprintSpec extends AnyFunSuite {
     assert(e.getMessage.contains("source missing"))
   }
 
+  test("CorpusKey's Hadoop walk reproduces the java.io.File walk over the content files") {
+    // the storage-agnostic port must not change the fingerprint
+    // DISCIPLINE: replay the pre-port java.io.File walk and demand the
+    // identical key text over the content part files. The one legitimate
+    // delta: Hadoop's ChecksumFileSystem hides its own `.xxx.crc` shadow
+    // files (implementation artifacts of LOCAL fs, absent on HDFS/object
+    // stores), so the replica skips them too — every semantic file, its
+    // bytes, and its mtime land in both keys identically
+    val dir = Staging.fresh("ckhadoop")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("day", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$dir/t.parquet")
+    val root = new java.io.File(dir, "t.parquet")
+    val rootPath = root.toPath
+    var maxMtime = 0L
+    var bytes = 0L
+    val rels = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(walk) }
+      else if (f.getName.startsWith(".") && f.getName.endsWith(".crc")) ()
+      else {
+        maxMtime = math.max(maxMtime, f.lastModified())
+        bytes += f.length()
+        rels += rootPath.relativize(f.toPath).toString
+      }
+    walk(root)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(rels.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = s"${root.getPath}@$maxMtime:$bytes:${rels.size}:$digest"
+    assert(CorpusKey(dir, "t.parquet") == expected)
+    assert(rels.exists(_.contains("/")), "fixture must exercise nested partition dirs")
+  }
+
   test("CorpusKey misses on a same-content rewrite (part-name UUIDs)") {
     val dir = Staging.fresh("ckey")
     spark.range(100).toDF("id").coalesce(1)
