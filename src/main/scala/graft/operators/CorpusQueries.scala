@@ -937,7 +937,52 @@ object CorpusQueries {
       .orderBy(desc("tv_e6"), asc("source"))
   }
 
+  // ---------------------------------------------------------------- q269
+
+  /** q269 — QUASI-IDENTIFIER k-ANONYMITY audit (Sweeney 2002): per
+    * source, the share of documents whose quasi-identifier tuple —
+    * here (lang, n_chars÷100, word-count÷10), the released metadata a
+    * re-identification attack would join on — occurs fewer than k = 5
+    * times in the WHOLE corpus. The privacy-governance companion to
+    * q60's PII scrub and q250's takedown: scrubbing removes direct
+    * identifiers, this audit measures whether the residual metadata
+    * still singles documents out. Reported per source: document count,
+    * violating-document count (global equivalence class < k), the
+    * e6-floored violation share, the number of distinct QI classes the
+    * source touches, and the smallest global class it participates in.
+    *
+    * Scale shape: ONE corpus scan feeding a (source, QI-tuple)
+    * count (map-side combinable; output bounded by |sources| × the QI
+    * lattice, not by rows). Global class sizes are a second-level
+    * aggregate OF THAT SUMMARY FRAME — no re-scan — and ride back via
+    * a broadcast join (the class frame is bounded by the QI lattice:
+    * |langs| × length-buckets × word-count-buckets, corpus-size-
+    * independent). All counters exact BIGINT; the share is the usual
+    * e6 integer floor, denominators ≥ 1 by construction. */
+  def q269KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val perClass = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        expr("n_chars div 100").cast("bigint").as("len_b"),
+        expr("cast(size(split(text, ' ')) div 10 as bigint)").as("wc_b"))
+      .groupBy("source", "lang", "len_b", "wc_b")
+      .agg(count(lit(1)).cast("bigint").as("n_sq"))
+    val cls = perClass.groupBy("lang", "len_b", "wc_b")
+      .agg(sum("n_sq").cast("bigint").as("c"))
+    perClass.join(broadcast(cls), Seq("lang", "len_b", "wc_b"))
+      .groupBy("source")
+      .agg(sum("n_sq").cast("bigint").as("n_docs"),
+        sum(expr(s"case when c < $k then n_sq else 0 end"))
+          .cast("bigint").as("n_violating"),
+        count(lit(1)).cast("bigint").as("n_classes"),
+        min("c").cast("bigint").as("min_class_size"))
+      .withColumn("viol_share_e6",
+        expr("(1000000 * n_violating) div n_docs").cast("bigint"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_k_anonymity" -> (q269KAnonymity _),
     "q225_token_drift" -> (q225TokenDrift _),
     "q211_bigram_quality" -> (q211BigramQuality _),
     "q219_ccnet_buckets" -> (q219CcnetBuckets _),
@@ -1173,6 +1218,22 @@ object CorpusQueries {
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q269_k_anonymity" ->
+      """WITH qi AS (SELECT source, lang, n_chars // 100 AS len_b,
+        |    len(string_split(text, ' ')) // 10 AS wc_b FROM documents),
+        |pc AS (SELECT source, lang, len_b, wc_b, COUNT(*) AS n_sq
+        |  FROM qi GROUP BY 1, 2, 3, 4),
+        |cls AS (SELECT lang, len_b, wc_b, SUM(n_sq) AS c
+        |  FROM pc GROUP BY 1, 2, 3),
+        |g AS (SELECT pc.source, CAST(SUM(n_sq) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN c < 5 THEN n_sq ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(MIN(c) AS BIGINT) AS min_class_size
+        |  FROM pc JOIN cls USING (lang, len_b, wc_b) GROUP BY pc.source)
+        |SELECT source, n_docs, n_violating, n_classes, min_class_size,
+        |  CAST((1000000 * n_violating) // n_docs AS BIGINT) AS viol_share_e6
+        |FROM g ORDER BY source""".stripMargin,
     "q225_token_drift" ->
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
         |    FROM documents),

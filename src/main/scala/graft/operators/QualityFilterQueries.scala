@@ -779,7 +779,87 @@ object QualityFilterQueries {
     flags.join(lm, Seq("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q270
+
+  /** q270 — RULES-BASED MAIN-CONTENT EXTRACTION gate (the jusText /
+    * readability boilerplate strip, Pomikálek 2011: every crawl
+    * pipeline runs this BEFORE the q215/q230 document-level quality
+    * gates — nav bars and footers would otherwise poison the
+    * document's own statistics). The fixture text has no page
+    * structure, so — the q60 observability idiom — each document is
+    * framed as a deterministic synthetic page IDENTICALLY in both
+    * engines: a doc_id-derived nav header block, the real text cut
+    * into 12-token content blocks, and a short footer block. Three
+    * row-local block rules, all on the integer lattice:
+    *   - SHORT: fewer than 6 tokens (the jusText length floor — kills
+    *     the footer and stub tails);
+    *   - LINKY: link-token share > 20%, where a link token bears a
+    *     digit or an `http` prefix (the link-density proxy — kills
+    *     the nav header);
+    *   - NO-STOP: zero tokens from the q27 stopword probe set (the
+    *     jusText stopword-density screen; on the synthetic vocabulary
+    *     this also drops stopword-free genuine chunks — the audit
+    *     measures exactly that retention cost).
+    * A block is CONTENT iff no rule fires; rule counters are reported
+    * independently (a block can be both linky and stopword-free).
+    * Per source: block/rule tallies, retained vs total words, the
+    * e6-floored retention share, and how many documents lost ALL
+    * their blocks.
+    *
+    * Scale shape: the q215 contract — every block rule evaluates
+    * inside one codegen'd scan projection (row-local array lambdas;
+    * blocks never leave their row, no explode), then ONE map-side-
+    * combinable aggregate on the bounded source key. The repeated
+    * `blocks` references collapse into the same projection
+    * (CollapseProject inlines the construction per consumer; each is
+    * an O(page-length) array op, so the row stays O(tokens) total).
+    * Denominators: every block has ≥ 1 token (slice bounds), every
+    * doc ≥ 2 blocks, so the div lattice never sees zero. */
+  def q270ContentExtraction(s: SparkSession, dir: String): DataFrame = {
+    val header = "split(concat('nav menu login search home page', " +
+      "cast(doc_id % 100 as string), ' id', cast(doc_id % 7 as string), " +
+      "' sitemap httpwww', cast(doc_id % 13 as string)), ' ')"
+    val footer = "split(concat('copyright 2024 terms privacy', " +
+      "cast(doc_id % 10 as string)), ' ')"
+    val linky = "t -> t rlike '[0-9]' or substring(t, 1, 4) = 'http'"
+    val isContent = s"size(b) >= 6 and (100 * size(filter(b, $linky))) " +
+      s"div size(b) <= 20 and size(filter(b, t -> t IN ($stopList))) >= 1"
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("source"), expr(
+        s"concat(array($header), " +
+          "transform(sequence(0, (size(toks) - 1) div 12), " +
+          s"i -> slice(toks, i * 12 + 1, 12)), array($footer))").as("blocks"))
+      .select(col("source"),
+        expr("cast(size(blocks) as bigint)").as("b_all"),
+        expr("cast(size(filter(blocks, b -> size(b) < 6)) as bigint)").as("b_short"),
+        expr(s"cast(size(filter(blocks, b -> (100 * size(filter(b, $linky)))" +
+          " div size(b) > 20)) as bigint)").as("b_link"),
+        expr(s"cast(size(filter(blocks, b -> size(filter(b, " +
+          s"t -> t IN ($stopList))) = 0)) as bigint)").as("b_nostop"),
+        expr(s"cast(size(filter(blocks, b -> $isContent)) as bigint)").as("b_content"),
+        expr(s"cast(aggregate(filter(blocks, b -> $isContent), 0L, " +
+          "(acc, b) -> acc + size(b)) as bigint)").as("w_kept"),
+        expr("cast(aggregate(blocks, 0L, (acc, b) -> acc + size(b)) as bigint)")
+          .as("w_all"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("b_all").cast("bigint").as("n_blocks"),
+        sum("b_short").cast("bigint").as("n_short"),
+        sum("b_link").cast("bigint").as("n_link"),
+        sum("b_nostop").cast("bigint").as("n_nostop"),
+        sum("b_content").cast("bigint").as("n_content"),
+        sum("w_kept").cast("bigint").as("retained_words"),
+        sum("w_all").cast("bigint").as("total_words"),
+        sum(expr("case when b_content = 0 then 1 else 0 end"))
+          .cast("bigint").as("n_docs_all_boiler"))
+      .withColumn("retention_e6",
+        expr("(1000000 * retained_words) div total_words").cast("bigint"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_content_extraction" -> (q270ContentExtraction _),
     "q233_calibration_audit" -> (q233CalibrationAudit _),
     "q205_train_quality_filter" -> (q205TrainQualityFilter _),
     "q206_quality_scorecard" -> (q206QualityScorecard _),
@@ -1069,6 +1149,59 @@ object QualityFilterQueries {
          |  CAST((1000000 * SUM(CASE WHEN v_rules = v_lm AND v_lm = v_rep
          |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS unanimous_share_e6
          |FROM v GROUP BY source ORDER BY source""".stripMargin,
+    // q270: identical synthetic page framing (header + 12-token chunks +
+    // footer), identical three block rules on the integer lattice;
+    // list_sum of an empty list is NULL in DuckDB → COALESCE to match
+    // Spark's 0-seeded aggregate
+    "q270_content_extraction" -> {
+      val linky = "tk -> regexp_matches(tk, '[0-9]') OR substr(tk, 1, 4) = 'http'"
+      val content = s"len(b) >= 6 AND (100 * len(list_filter(b, $linky))) " +
+        s"// len(b) <= 20 AND len(list_filter(b, tk -> tk IN ($stopList))) >= 1"
+      s"""WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks
+         |    FROM documents),
+         |p AS (SELECT source,
+         |    [string_split(concat('nav menu login search home page',
+         |        CAST(doc_id % 100 AS VARCHAR), ' id',
+         |        CAST(doc_id % 7 AS VARCHAR), ' sitemap httpwww',
+         |        CAST(doc_id % 13 AS VARCHAR)), ' ')]
+         |    || list_transform(generate_series(0, (len(toks) - 1) // 12),
+         |        i -> toks[i * 12 + 1 : i * 12 + 12])
+         |    || [string_split(concat('copyright 2024 terms privacy',
+         |        CAST(doc_id % 10 AS VARCHAR)), ' ')] AS blocks
+         |  FROM t),
+         |m AS (SELECT source,
+         |    CAST(len(blocks) AS BIGINT) AS b_all,
+         |    CAST(len(list_filter(blocks, b -> len(b) < 6)) AS BIGINT)
+         |      AS b_short,
+         |    CAST(len(list_filter(blocks, b -> (100 * len(list_filter(b,
+         |        $linky))) // len(b) > 20)) AS BIGINT) AS b_link,
+         |    CAST(len(list_filter(blocks, b -> len(list_filter(b,
+         |        tk -> tk IN ($stopList))) = 0)) AS BIGINT) AS b_nostop,
+         |    CAST(len(list_filter(blocks, b -> $content)) AS BIGINT)
+         |      AS b_content,
+         |    CAST(COALESCE(list_sum(list_transform(
+         |        list_filter(blocks, b -> $content), b -> len(b))), 0)
+         |      AS BIGINT) AS w_kept,
+         |    CAST(list_sum(list_transform(blocks, b -> len(b))) AS BIGINT)
+         |      AS w_all
+         |  FROM p),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(b_all) AS BIGINT) AS n_blocks,
+         |    CAST(SUM(b_short) AS BIGINT) AS n_short,
+         |    CAST(SUM(b_link) AS BIGINT) AS n_link,
+         |    CAST(SUM(b_nostop) AS BIGINT) AS n_nostop,
+         |    CAST(SUM(b_content) AS BIGINT) AS n_content,
+         |    CAST(SUM(w_kept) AS BIGINT) AS retained_words,
+         |    CAST(SUM(w_all) AS BIGINT) AS total_words,
+         |    CAST(SUM(CASE WHEN b_content = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_docs_all_boiler
+         |  FROM m GROUP BY source)
+         |SELECT source, n_docs, n_blocks, n_short, n_link, n_nostop,
+         |  n_content, retained_words, total_words, n_docs_all_boiler,
+         |  CAST((1000000 * retained_words) // total_words AS BIGINT)
+         |    AS retention_e6
+         |FROM g ORDER BY source""".stripMargin
+    },
     "q215_rules_gate" ->
       s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
          |m AS (SELECT source,

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{sfDir, spark}
+
+/** Constructed-fixture proofs for the round-13 governance additions:
+  * q269's k-anonymity audit counts exactly the documents whose global
+  * quasi-identifier class is smaller than k, and q270's content-
+  * extraction gate classifies a hand-built boilerplate/content page
+  * block by block. Both also replay their invariants on the sf
+  * fixture, independent of the DuckDB oracle gate. */
+class PrivacyContentSpec extends AnyFunSuite {
+
+  /** Stage a documents.parquet with the fixture schema. */
+  private def stageDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val s2 = spark
+    import s2.implicits._
+    val dir = graft.Staging.fresh("privcontent")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(n: Int): String = Seq.fill(n)("tok").mkString(" ")
+
+  test("q269 pins a constructed k-violation exactly") {
+    // class X (en, len_b 1, wc_b 2): 6 docs across both sources -> safe
+    // class Y (de, len_b 0, wc_b 1): 2 docs, srcA only -> violating
+    // class Z (en, len_b 2, wc_b 3): 1 doc,  srcB only -> violating
+    val x = (1L to 6L).map { i =>
+      val src = if (i <= 3) "srcA" else "srcB"
+      (i, words(25), "en", src, 150L)
+    }
+    val y = Seq((7L, words(12), "de", "srcA", 50L),
+                (8L, words(12), "de", "srcA", 50L))
+    val z = Seq((9L, words(31), "en", "srcB", 250L))
+    val dir = stageDocs(x ++ y ++ z)
+    val got = CorpusQueries.q269KAnonymity(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_violating"),
+          r.getAs[Long]("n_classes"), r.getAs[Long]("min_class_size"),
+          r.getAs[Long]("viol_share_e6"))).toMap
+    assert(got("srcA") == ((5L, 2L, 2L, 2L, 400000L)))
+    assert(got("srcB") == ((4L, 1L, 2L, 1L, 250000L)))
+  }
+
+  test("q269 violating counts replay from a brute-force class census") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .collect().map { r =>
+        val qi = (r.getAs[String]("lang"), r.getAs[Long]("n_chars") / 100,
+          r.getAs[String]("text").split(" ", -1).length.toLong / 10)
+        (r.getAs[String]("source"), qi)
+      }
+    val classSize = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = docs.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong,
+        xs.count(d => classSize(d._2) < 5).toLong,
+        xs.map(_._2).distinct.length.toLong,
+        xs.map(d => classSize(d._2)).min)
+    }
+    val got = CorpusQueries.q269KAnonymity(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_violating"),
+          r.getAs[Long]("n_classes"), r.getAs[Long]("min_class_size"))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q270 classifies a hand-built page block by block") {
+    // doc 0 / source s: header (9 toks, 3 linkish -> LINKY+NO-STOP),
+    // chunk1 with stopwords -> CONTENT, chunk2 stopword-free ->
+    // NO-STOP, footer (4 toks, 2 linkish -> SHORT+LINKY+NO-STOP)
+    val chunk1 = "the cat sat on a mat with one two red dog fox"
+    val chunk2 = "red dog fox cat mat sun sky sea rock tree bird fish"
+    val d0 = (0L, s"$chunk1 $chunk2", "en", "s", 100L)
+    // doc 1 / source t: single stopword-free chunk -> zero content
+    // blocks -> counts as all-boiler
+    val d1 = (1L, words(12), "en", "t", 100L)
+    val dir = stageDocs(Seq(d0, d1))
+    val got = QualityFilterQueries.q270ContentExtraction(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_short"),
+          r.getAs[Long]("n_link"), r.getAs[Long]("n_nostop"),
+          r.getAs[Long]("n_content"), r.getAs[Long]("retained_words"),
+          r.getAs[Long]("total_words"), r.getAs[Long]("n_docs_all_boiler"),
+          r.getAs[Long]("retention_e6"))).toMap
+    // source s: 4 blocks, words 9+12+12+4=37, kept=chunk1's 12
+    assert(got("s") == ((4L, 1L, 2L, 3L, 1L, 12L, 37L, 0L, 324324L)))
+    // source t: header+chunk+footer, 9+12+4=25 words, nothing kept
+    assert(got("t") == ((3L, 1L, 2L, 3L, 0L, 0L, 25L, 1L, 0L)))
+  }
+
+  test("q270 fixture invariants: rule coverage and retention replay") {
+    val rows = QualityFilterQueries.q270ContentExtraction(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, blocks, short, link, nostop, content, kept, all) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_blocks"),
+          r.getAs[Long]("n_short"), r.getAs[Long]("n_link"),
+          r.getAs[Long]("n_nostop"), r.getAs[Long]("n_content"),
+          r.getAs[Long]("retained_words"), r.getAs[Long]("total_words"))
+      // every doc contributes header + >=1 chunk + footer
+      assert(blocks >= 3 * docs && content <= blocks)
+      // the footer is always SHORT; header and footer are always LINKY
+      // and stopword-free
+      assert(short >= docs && link >= 2 * docs && nostop >= 2 * docs)
+      // every non-content block fails at least one rule
+      assert(short + link + nostop >= blocks - content)
+      assert(kept <= all && kept >= 6 * content)
+      assert(r.getAs[Long]("retention_e6") == 1000000L * kept / all)
+      assert(r.getAs[Long]("n_docs_all_boiler") <= docs)
+    }
+  }
+}
