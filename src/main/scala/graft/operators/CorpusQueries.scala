@@ -981,7 +981,91 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q271
+
+  /** q271 — l-DIVERSITY audit (Machanavajjhala et al. 2007): the
+    * attribute-disclosure companion to q269's k-anonymity. A class can
+    * be k-anonymous yet still leak: if every document in a
+    * quasi-identifier class comes from ONE source, matching the class
+    * reveals the sensitive attribute (here `source` — the provenance a
+    * governance regime may need to keep unlinkable) even without
+    * singling out a row. Per lang: how many QI classes exist, the
+    * smallest distinct-source count any class has (min l), how many
+    * classes are single-source (l < 2), how many documents sit in
+    * them, and the e6-floored at-risk share.
+    *
+    * Scale shape: ONE corpus scan into a (QI-tuple) aggregate carrying
+    * an exact COUNT(DISTINCT source) — two-phase, map-side partials on
+    * the bounded (tuple, source) key — then a rollup of the bounded
+    * class frame on lang. Nothing after the first aggregate scales
+    * with rows; all counters exact BIGINT. */
+  def q271LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cls = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").cast("bigint").as("len_b"),
+        expr("cast(size(split(text, ' ')) div 10 as bigint)").as("wc_b"))
+      .groupBy("lang", "len_b", "wc_b")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        countDistinct("source").cast("bigint").as("l"))
+    cls.groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_classes"),
+        sum("n_docs").cast("bigint").as("n_docs"),
+        min("l").cast("bigint").as("min_l"),
+        sum(expr("case when l < 2 then 1 else 0 end"))
+          .cast("bigint").as("n_classes_low"),
+        sum(expr("case when l < 2 then n_docs else 0 end"))
+          .cast("bigint").as("n_docs_at_risk"))
+      .withColumn("risk_share_e6",
+        expr("(1000000 * n_docs_at_risk) div n_docs").cast("bigint"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------- q274
+
+  /** q274 — CURRICULUM SCHEDULE materialization (Bengio et al. 2009
+    * applied as LLM data ordering): stage documents into difficulty
+    * buckets — the simple length curriculum (word-count thresholds
+    * 30/60/90), each row also carrying the (1000·distinct/n + n)
+    * vocabulary-richness difficulty score — and fix a DETERMINISTIC
+    * shuffled order inside each bucket via a salted-md5 key (the
+    * q88/q111 idiom: training-order reproducibility across reruns and
+    * engines is the whole point of materializing a schedule instead of
+    * shuffling at load time). Output: the first 6 schedule positions
+    * of every bucket plus each bucket's population — the head of the
+    * order a trainer would consume.
+    *
+    * Scale shape: one narrow scan with row-local array stats, then the
+    * top-k-per-group idiom (q76): rank inside the 4 bounded buckets.
+    * The production form writes the full (bucket, rank) order as
+    * range-partitioned shards — the sort-by-(bucket, hash) here is
+    * exactly that write's shuffle; the audit head keeps the result
+    * frame bounded. All integers exact. */
+  def q274CurriculumSchedule(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"),
+        expr("cast(greatest(size(toks), 1) as bigint)").as("n_toks"),
+        expr("cast(size(array_distinct(toks)) as bigint)").as("nd"))
+      .withColumn("difficulty", expr("(1000 * nd) div n_toks + n_toks"))
+      .withColumn("bucket", expr(
+        "cast(case when n_toks < 30 then 0 when n_toks < 60 then 1 " +
+          "when n_toks < 90 then 2 else 3 end as int)"))
+      .withColumn("shuf", expr("cast(conv(substring(md5(concat('curr_', " +
+        "cast(doc_id as string))), 1, 8), 16, 10) as bigint)"))
+    val w = Window.partitionBy("bucket").orderBy(col("shuf"), col("doc_id"))
+    base
+      .withColumn("sched_rank", row_number().over(w).cast("bigint"))
+      .withColumn("bucket_docs",
+        count(lit(1)).over(Window.partitionBy("bucket")).cast("bigint"))
+      .filter(col("sched_rank") <= 6)
+      .select("bucket", "sched_rank", "doc_id", "n_toks", "difficulty",
+        "bucket_docs")
+      .orderBy("bucket", "sched_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_l_diversity" -> (q271LDiversity _),
+    "q274_curriculum_schedule" -> (q274CurriculumSchedule _),
     "q269_k_anonymity" -> (q269KAnonymity _),
     "q225_token_drift" -> (q225TokenDrift _),
     "q211_bigram_quality" -> (q211BigramQuality _),
@@ -1218,6 +1302,47 @@ object CorpusQueries {
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q271_l_diversity" ->
+      """WITH qi AS (SELECT lang, source, n_chars // 100 AS len_b,
+        |    len(string_split(text, ' ')) // 10 AS wc_b FROM documents),
+        |cls AS (SELECT lang, len_b, wc_b, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT source) AS l
+        |  FROM qi GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(MIN(l) AS BIGINT) AS min_l,
+        |    CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_classes_low,
+        |    CAST(SUM(CASE WHEN l < 2 THEN n_docs ELSE 0 END) AS BIGINT)
+        |      AS n_docs_at_risk
+        |  FROM cls GROUP BY lang)
+        |SELECT lang, n_classes, n_docs, min_l, n_classes_low,
+        |  n_docs_at_risk,
+        |  CAST((1000000 * n_docs_at_risk) // n_docs AS BIGINT)
+        |    AS risk_share_e6
+        |FROM g ORDER BY lang""".stripMargin,
+    // q274: identical buckets, difficulty lattice, and salted-md5
+    // shuffle key (nibble Horner — DuckDB has no base-16 conv)
+    "q274_curriculum_schedule" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |    FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd FROM t),
+         |b AS (SELECT doc_id, n_toks,
+         |    CAST((1000 * nd) // n_toks + n_toks AS BIGINT) AS difficulty,
+         |    CAST(CASE WHEN n_toks < 30 THEN 0 WHEN n_toks < 60 THEN 1
+         |      WHEN n_toks < 90 THEN 2 ELSE 3 END AS INT) AS bucket,
+         |    ${duckMd5Int("'curr_' || CAST(doc_id AS VARCHAR)", 8)} AS shuf
+         |  FROM m),
+         |r AS (SELECT bucket, doc_id, n_toks, difficulty,
+         |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY shuf, doc_id)
+         |      AS sched_rank,
+         |    COUNT(*) OVER (PARTITION BY bucket) AS bucket_docs
+         |  FROM b)
+         |SELECT bucket, CAST(sched_rank AS BIGINT) AS sched_rank, doc_id,
+         |  n_toks, difficulty, CAST(bucket_docs AS BIGINT) AS bucket_docs
+         |FROM r WHERE sched_rank <= 6 ORDER BY bucket, sched_rank""".stripMargin,
     "q269_k_anonymity" ->
       """WITH qi AS (SELECT source, lang, n_chars // 100 AS len_b,
         |    len(string_split(text, ' ')) // 10 AS wc_b FROM documents),

@@ -1032,7 +1032,68 @@ object TextAnalysisQueries {
       .orderBy("k")
   }
 
+  // ---------------------------------------------------------------- q273
+
+  /** q273 — TEXT-NORMALIZATION pipeline with an IDEMPOTENCE audit: the
+    * canonicalization pass every crawl pipeline runs before
+    * fingerprinting (the exact-dedup md5 at DedupQueries.scala:41
+    * assumes whitespace-normalized input — this operator is the pass
+    * that makes that assumption true corpus-wide). Four ordered rules,
+    * each a single codegen'd string function: lowercase → control
+    * chars (tab) to space → collapse punctuation runs → collapse
+    * whitespace runs + trim. The fixture text is already clean, so —
+    * the q60 observability idiom — a deterministic doc_id-derived
+    * noise suffix (mixed case, a tab, a variable '!' run, a double
+    * space) is appended IDENTICALLY in both engines to make every rule
+    * measurable. Reported per source: how many documents each rule
+    * changed, exact char mass in/out, the e6-floored shrink share, and
+    * the idempotence counter — the chain applied TWICE must fix-point
+    * after one pass (n_non_idem is computed honestly from a second
+    * application, not assumed zero; a rule ordering that re-exposes
+    * work to an earlier rule would surface here).
+    *
+    * Scale shape: the q60/q27 contract — one narrow scan, a per-row
+    * chain of codegen'd string ops (the idempotence re-application
+    * doubles the per-row constant, which IS the audit's price), then
+    * ONE map-side-combinable aggregate on the bounded source key. No
+    * joins, no explode; scan-bound at 100 TB. */
+  def q273NormalizationAudit(s: SparkSession, dir: String): DataFrame = {
+    def chain(x: String): Seq[String] = {
+      val s1 = s"lower($x)"
+      val s2 = s"replace($s1, chr(9), ' ')"
+      val s3 = s"regexp_replace($s2, '[!]+', '!')"
+      val s4 = s"trim(regexp_replace($s3, '  +', ' '))"
+      Seq(s1, s2, s3, s4)
+    }
+    val noisy = "concat(text, ' Mixed', cast(doc_id % 5 as string), 'CASE  ', " +
+      "repeat('!', cast(1 + doc_id % 3 as int)), ' end', chr(9), 'tab')"
+    val Seq(c1, c2, c3, c4) = chain("raw")
+    Tables.documents(s, dir)
+      .select(col("source"), expr(noisy).as("raw"))
+      .withColumn("s1", expr(c1)).withColumn("s2", expr(c2))
+      .withColumn("s3", expr(c3)).withColumn("s4", expr(c4))
+      .withColumn("again", expr(chain("s4").last))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(expr("case when s1 <> raw then 1 else 0 end"))
+          .cast("bigint").as("n_case"),
+        sum(expr("case when s2 <> s1 then 1 else 0 end"))
+          .cast("bigint").as("n_ctrl"),
+        sum(expr("case when s3 <> s2 then 1 else 0 end"))
+          .cast("bigint").as("n_punct"),
+        sum(expr("case when s4 <> s3 then 1 else 0 end"))
+          .cast("bigint").as("n_ws"),
+        sum(expr("length(raw)")).cast("bigint").as("chars_in"),
+        sum(expr("length(s4)")).cast("bigint").as("chars_out"),
+        sum(expr("case when again <> s4 then 1 else 0 end"))
+          .cast("bigint").as("n_non_idem"))
+      .withColumn("shrink_e6",
+        expr("(1000000 * (chars_in - chars_out)) div chars_in").cast("bigint"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_normalization_audit" -> (q273NormalizationAudit _),
     "q267_vocab_curve" -> (q267VocabCurve _),
     "q260_video_scenes" -> (q260VideoScenes _),
     "q257_audio_segments" -> (q257AudioSegments _),
@@ -1158,6 +1219,45 @@ object TextAnalysisQueries {
        |GROUP BY i.lang ORDER BY i.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q273: identical noise injection and rule chain; DuckDB's
+    // regexp_replace needs the 'g' flag (Spark's is global by default)
+    "q273_normalization_audit" ->
+      """WITH raw AS (SELECT source,
+        |    concat(text, ' Mixed', CAST(doc_id % 5 AS VARCHAR), 'CASE  ',
+        |      repeat('!', CAST(1 + doc_id % 3 AS INT)), ' end', chr(9),
+        |      'tab') AS raw
+        |  FROM documents),
+        |c AS (SELECT source, raw,
+        |    lower(raw) AS s1,
+        |    replace(lower(raw), chr(9), ' ') AS s2,
+        |    regexp_replace(replace(lower(raw), chr(9), ' '),
+        |      '[!]+', '!', 'g') AS s3,
+        |    trim(regexp_replace(regexp_replace(replace(lower(raw), chr(9),
+        |      ' '), '[!]+', '!', 'g'), '  +', ' ', 'g')) AS s4
+        |  FROM raw),
+        |i AS (SELECT source, raw, s1, s2, s3, s4,
+        |    trim(regexp_replace(regexp_replace(replace(lower(s4), chr(9),
+        |      ' '), '[!]+', '!', 'g'), '  +', ' ', 'g')) AS again
+        |  FROM c),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN s1 <> raw THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_case,
+        |    CAST(SUM(CASE WHEN s2 <> s1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ctrl,
+        |    CAST(SUM(CASE WHEN s3 <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_punct,
+        |    CAST(SUM(CASE WHEN s4 <> s3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ws,
+        |    CAST(SUM(length(raw)) AS BIGINT) AS chars_in,
+        |    CAST(SUM(length(s4)) AS BIGINT) AS chars_out,
+        |    CAST(SUM(CASE WHEN again <> s4 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_non_idem
+        |  FROM i GROUP BY source)
+        |SELECT source, n_docs, n_case, n_ctrl, n_punct, n_ws, chars_in,
+        |  chars_out, n_non_idem,
+        |  CAST((1000000 * (chars_in - chars_out)) // chars_in AS BIGINT)
+        |    AS shrink_e6
+        |FROM g ORDER BY source""".stripMargin,
     "q267_vocab_curve" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
         |  FROM documents),

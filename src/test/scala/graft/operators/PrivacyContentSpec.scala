@@ -3,12 +3,12 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession.{sfDir, spark}
 
-/** Constructed-fixture proofs for the round-13 governance additions:
-  * q269's k-anonymity audit counts exactly the documents whose global
-  * quasi-identifier class is smaller than k, and q270's content-
-  * extraction gate classifies a hand-built boilerplate/content page
-  * block by block. Both also replay their invariants on the sf
-  * fixture, independent of the DuckDB oracle gate. */
+/** Constructed-fixture proofs for the round-13 wave: q269's
+  * k-anonymity audit counts exactly the documents whose global
+  * quasi-identifier class is smaller than k, q271's l-diversity audit
+  * flags exactly the single-source classes, q270's content-extraction
+  * gate classifies a hand-built boilerplate/content page block by
+  * block. All independent of the DuckDB oracle gate. */
 class PrivacyContentSpec extends AnyFunSuite {
 
   /** Stage a documents.parquet with the fixture schema. */
@@ -63,6 +63,25 @@ class PrivacyContentSpec extends AnyFunSuite {
         (r.getAs[Long]("n_docs"), r.getAs[Long]("n_violating"),
           r.getAs[Long]("n_classes"), r.getAs[Long]("min_class_size"))).toMap
     assert(got == expect && got.nonEmpty)
+  }
+
+  test("q271 flags exactly the constructed single-source classes") {
+    // class (en, 1, 2): docs from BOTH sources -> l = 2, safe
+    // class (en, 2, 3): 3 docs all from srcA   -> l = 1, at risk
+    // class (de, 0, 1): 2 docs all from srcB   -> l = 1, at risk
+    val safe = Seq((1L, words(25), "en", "srcA", 150L),
+                   (2L, words(25), "en", "srcB", 150L))
+    val riskEn = (3L to 5L).map(i => (i, words(31), "en", "srcA", 250L))
+    val riskDe = Seq((6L, words(12), "de", "srcB", 50L),
+                     (7L, words(12), "de", "srcB", 50L))
+    val dir = stageDocs(safe ++ riskEn ++ riskDe)
+    val got = CorpusQueries.q271LDiversity(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_classes"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("min_l"), r.getAs[Long]("n_classes_low"),
+          r.getAs[Long]("n_docs_at_risk"), r.getAs[Long]("risk_share_e6"))).toMap
+    assert(got("en") == ((2L, 5L, 1L, 1L, 3L, 600000L)))
+    assert(got("de") == ((1L, 2L, 1L, 1L, 2L, 1000000L)))
   }
 
   test("q270 classifies a hand-built page block by block") {
