@@ -1063,7 +1063,58 @@ object CorpusQueries {
       .orderBy("bucket", "sched_rank")
   }
 
+  // ---------------------------------------------------------------- q275
+
+  /** q275 — k-ANONYMITY GENERALIZATION LADDER (the Datafly/Incognito
+    * full-domain generalization family, Sweeney 2002 §5): when q269
+    * finds violating quasi-identifier classes, the remedy is not
+    * deletion but COARSENING — halve the resolution of the released
+    * length and word-count buckets until every class reaches k = 5,
+    * and suppress only what the coarsest level still cannot fix. This
+    * operator evaluates the whole ladder (levels 0-3: bucket widths
+    * ×1, ×2, ×4, ×8) in one pass and reports, per lang and level, the
+    * class count, the still-violating document count, and the minimal
+    * safe level (−1 when even level 3 leaves residue — those documents
+    * are the suppression set).
+    *
+    * Scale shape: the q269 contract plus a free ladder — ONE corpus
+    * scan into the finest (lang, len_b, wc_b) count frame; every
+    * coarser level derives by INTEGER-DIVIDING THE BOUNDED SUMMARY
+    * FRAME's keys (generalization lattices compose through div — no
+    * re-scan, the explode-by-level runs on hundreds of rows). Rollups
+    * and the min-safe window all on frames bounded by the QI lattice ×
+    * 4 levels. All counters exact BIGINT. */
+  def q275GeneralizationLadder(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val base = Tables.documents(s, dir)
+      .select(col("lang"),
+        expr("n_chars div 100").cast("bigint").as("lb"),
+        expr("cast(size(split(text, ' ')) div 10 as bigint)").as("wb"))
+      .groupBy("lang", "lb", "wb")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val perLevel = base
+      .select(col("lang"), col("lb"), col("wb"), col("n"),
+        explode(expr("array(0, 1, 2, 3)")).as("lvl"))
+      .withColumn("d", expr(
+        "case lvl when 0 then 1L when 1 then 2L when 2 then 4L else 8L end"))
+      .groupBy(col("lang"), col("lvl"), expr("lb div d").as("glb"),
+        expr("wb div d").as("gwb"))
+      .agg(sum("n").cast("bigint").as("c"))
+      .groupBy("lang", "lvl")
+      .agg(count(lit(1)).cast("bigint").as("n_classes"),
+        sum(expr(s"case when c < $k then c else 0 end"))
+          .cast("bigint").as("n_violating"))
+    perLevel
+      .withColumn("min_safe_level", coalesce(
+        min(expr("case when n_violating = 0 then lvl end"))
+          .over(Window.partitionBy("lang")), lit(-1)).cast("bigint"))
+      .select(col("lang"), col("lvl").cast("int").as("lvl"),
+        col("n_classes"), col("n_violating"), col("min_safe_level"))
+      .orderBy("lang", "lvl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_generalization_ladder" -> (q275GeneralizationLadder _),
     "q271_l_diversity" -> (q271LDiversity _),
     "q274_curriculum_schedule" -> (q274CurriculumSchedule _),
     "q269_k_anonymity" -> (q269KAnonymity _),
@@ -1321,6 +1372,27 @@ object CorpusQueries {
         |  CAST((1000000 * n_docs_at_risk) // n_docs AS BIGINT)
         |    AS risk_share_e6
         |FROM g ORDER BY lang""".stripMargin,
+    "q275_generalization_ladder" ->
+      """WITH qi AS (SELECT lang, n_chars // 100 AS lb,
+        |    len(string_split(text, ' ')) // 10 AS wb FROM documents),
+        |base AS (SELECT lang, lb, wb, COUNT(*) AS n FROM qi
+        |  GROUP BY 1, 2, 3),
+        |lv AS (SELECT base.*, l.lvl,
+        |    CASE l.lvl WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+        |      ELSE 8 END AS d
+        |  FROM base, (SELECT unnest([0, 1, 2, 3]) AS lvl) l),
+        |cls AS (SELECT lang, lvl, lb // d AS glb, wb // d AS gwb,
+        |    SUM(n) AS c
+        |  FROM lv GROUP BY 1, 2, 3, 4),
+        |per AS (SELECT lang, lvl,
+        |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM cls GROUP BY 1, 2)
+        |SELECT lang, CAST(lvl AS INT) AS lvl, n_classes, n_violating,
+        |  CAST(COALESCE(MIN(CASE WHEN n_violating = 0 THEN lvl END)
+        |    OVER (PARTITION BY lang), -1) AS BIGINT) AS min_safe_level
+        |FROM per ORDER BY lang, lvl""".stripMargin,
     // q274: identical buckets, difficulty lattice, and salted-md5
     // shuffle key (nibble Horner — DuckDB has no base-16 conv)
     "q274_curriculum_schedule" ->

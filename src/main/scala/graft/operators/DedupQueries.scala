@@ -1222,12 +1222,77 @@ object DedupQueries {
         expr("cast(common as double) / cast(na + nb - common as double)"))
       .filter(col("jaccard") >= tau)
       .select(col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"),
+        col("na").cast("bigint").as("na"), col("nb").cast("bigint").as("nb"),
         col("common"), col("jaccard"))
-      .orderBy("a", "b")
   }
 
   def q112PpjoinJaccard(s: SparkSession, dir: String): DataFrame =
     ppjoinJaccard(Tables.documents(s, dir), tau = 0.5)
+      .select("a", "b", "common", "jaccard")
+      .orderBy("a", "b")
+
+  // ---------------------------------------------------------------- q277
+
+  /** q277 — DEDUP-THRESHOLD SENSITIVITY sweep: the calibration curve a
+    * pipeline owner reads before fixing the near-dup Jaccard cutoff —
+    * how many pairs (and how many documents touched by at least one
+    * pair) survive at τ ∈ {0.5 … 0.9}, from ONE exact PPJoin pass at
+    * the loosest threshold. Every finer threshold is a pure SUBSET of
+    * the τ = 0.5 pair stream (J ≥ 0.9 ⇒ J ≥ 0.5), so the sweep costs
+    * one explode of the bounded pair frame, not five joins. The
+    * per-threshold test is exact integer cross-multiplication
+    * (10·common ≥ τ_e1·union — no float boundary), and thresholds
+    * with zero surviving pairs still emit their row (the q264
+    * densify-first rule: an empty level is the answer, not a missing
+    * row).
+    *
+    * Scale shape: [[ppjoinJaccard]]'s own contract (prefix-filtered
+    * candidate join, lossless length+positional pruning) plus
+    * bounded-frame arithmetic only — the 5-level explode, the two
+    * rollups, and the spine join all run on the pair frame, which the
+    * τ = 0.5 gate already bounded. */
+  /** q277's τ = 0.5 exact pair frame, staged once per corpus
+    * fingerprint (the stagedLshPairs idiom): the sweep reads it as a
+    * parquet leaf three times (explode, pair rollup, doc rollup)
+    * instead of re-deriving the whole PPJoin subtree per consumer —
+    * which tripled the plan's exchanges past the board budget. */
+  private val ppjoinPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedPpjoinPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = ppjoinPairsCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ => {
+        val pth = graft.Staging.fresh("ppjoinpairs")
+        ppjoinJaccard(Tables.documents(s, dir), tau = 0.5)
+          .write.mode("overwrite").parquet(pth)
+        pth
+      })
+    s.read.parquet(p)
+  }
+
+  def q277ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = stagedPpjoinPairs(s, dir)
+      .select(col("a"), col("b"), col("common"),
+        (col("na") + col("nb") - col("common")).as("u"))
+    val q = pairs
+      .select(col("a"), col("b"), col("common"), col("u"),
+        explode(expr("array(5, 6, 7, 8, 9)")).as("tau_e1"))
+      .filter(expr("10 * common >= tau_e1 * u"))
+    val np = q.groupBy("tau_e1")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+    val nd = q.select(col("tau_e1"), explode(expr("array(a, b)")).as("d"))
+      .distinct()
+      .groupBy("tau_e1")
+      .agg(count(lit(1)).cast("bigint").as("n_docs_linked"))
+    s.range(5, 10).select(col("id").cast("int").as("tau_e1"))
+      .join(np, Seq("tau_e1"), "left")
+      .join(nd, Seq("tau_e1"), "left")
+      .select(col("tau_e1"),
+        coalesce(col("n_pairs"), lit(0L)).cast("bigint").as("n_pairs"),
+        coalesce(col("n_docs_linked"), lit(0L)).cast("bigint")
+          .as("n_docs_linked"))
+      .orderBy("tau_e1")
+  }
 
   // ---------------------------------------------------------------- q178
 
@@ -1643,6 +1708,7 @@ object DedupQueries {
     "q207_bloom_decontaminate" -> (q207BloomDecontaminate _),
     "q178_containment_join" -> (q178ContainmentJoin _),
     "q112_ppjoin_jaccard" -> (q112PpjoinJaccard _),
+    "q277_threshold_sweep" -> (q277ThresholdSweep _),
     "q106_fuzzy_entity_match" -> (q106FuzzyEntityMatch _),
     "q176_survivorship" -> (q176Survivorship _),
     "q177_golden_components" -> (q177GoldenComponents _),
@@ -1794,6 +1860,44 @@ object DedupQueries {
         |FROM iv JOIN sz ON sz.doc_id = iv.a
         |WHERE CAST(iv.common AS DOUBLE) / CAST(sz.n AS DOUBLE) >= 0.7
         |ORDER BY a, b""".stripMargin,
+    // q277: q112's exact pair chain at tau = 0.5, then the integer
+    // cross-multiplied threshold sweep over the bounded pair frame;
+    // empty levels densify to zero rows via the spine join
+    "q277_threshold_sweep" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |s AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh FROM t),
+        |dfr AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh),
+        |o AS (SELECT s.doc_id, s.sh,
+        |    row_number() OVER (PARTITION BY s.doc_id ORDER BY dfr.df, s.sh) AS r,
+        |    COUNT(*) OVER (PARTITION BY s.doc_id) AS n
+        |  FROM s JOIN dfr USING (sh)),
+        |p AS (SELECT doc_id, sh FROM o
+        |  WHERE r <= n - CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM p x JOIN p y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM cand c JOIN s sa ON sa.doc_id = c.a
+        |  JOIN s sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY c.a, c.b),
+        |pr AS (SELECT i.a, i.b, i.common, x.n + y.n - i.common AS u
+        |  FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
+        |  WHERE CAST(i.common AS DOUBLE) / CAST(x.n + y.n - i.common AS DOUBLE) >= 0.5),
+        |sp AS (SELECT CAST(unnest([5, 6, 7, 8, 9]) AS INT) AS tau_e1),
+        |q AS (SELECT sp.tau_e1, pr.a, pr.b FROM sp JOIN pr
+        |  ON 10 * pr.common >= sp.tau_e1 * pr.u),
+        |np AS (SELECT tau_e1, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM q GROUP BY tau_e1),
+        |nd AS (SELECT tau_e1, CAST(COUNT(*) AS BIGINT) AS n_docs_linked
+        |  FROM (SELECT DISTINCT tau_e1, d FROM
+        |    (SELECT tau_e1, a AS d FROM q UNION ALL SELECT tau_e1, b FROM q))
+        |  GROUP BY tau_e1)
+        |SELECT sp.tau_e1, COALESCE(np.n_pairs, 0) AS n_pairs,
+        |  COALESCE(nd.n_docs_linked, 0) AS n_docs_linked
+        |FROM sp LEFT JOIN np USING (tau_e1) LEFT JOIN nd USING (tau_e1)
+        |ORDER BY tau_e1""".stripMargin,
     "q112_ppjoin_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |  WHERE len(string_split(text, ' ')) >= 5),

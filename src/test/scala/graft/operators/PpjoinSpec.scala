@@ -24,14 +24,17 @@ class PpjoinSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val j = 2.0 / 3.0
     val out = DedupQueries.ppjoinJaccard(docs, tau = 0.5)
+      .select("a", "b", "common", "jaccard").orderBy("a", "b")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(out === Seq((1L, 2L, 2L, j)))
     // threshold edge: >= keeps an exactly-equal jaccard...
     val edge = DedupQueries.ppjoinJaccard(docs, tau = j)
+      .select("a", "b", "common", "jaccard").orderBy("a", "b")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(edge === Seq((1L, 2L, 2L, j)))
     // ...and anything strictly above drops it
     val strict = DedupQueries.ppjoinJaccard(docs, tau = 0.7)
+      .select("a", "b", "common", "jaccard").orderBy("a", "b")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(strict.isEmpty, "2/3 must fall below a 0.7 threshold")
   }
@@ -40,6 +43,7 @@ class PpjoinSpec extends AnyFunSuite {
     val tau = 0.5
     val viaPrefix = DedupQueries
       .ppjoinJaccard(graft.Tables.documents(spark, sfDir), tau)
+      .select("a", "b", "common", "jaccard")
       .as[(Long, Long, Long, Double)].collect().toSet
     // brute force: candidate on ANY shared shingle, same exact verify
     val sh = DedupQueries.shingleSets(graft.Tables.documents(spark, sfDir))
@@ -99,5 +103,23 @@ class PpjoinSpec extends AnyFunSuite {
     assert(viaPrefix === brute,
       "the probe-side prefix must not drop any qualifying directed pair")
     assert(brute.nonEmpty, "fixture must contain at least one containment pair")
+  }
+
+  test("q277 sweep: monotone in tau, level 5 equals the q112 pair set") {
+    val rows = DedupQueries.q277ThresholdSweep(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("tau_e1"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_linked"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(5, 6, 7, 8, 9))
+    // a finer threshold can only drop pairs (and so linked docs)
+    rows.sliding(2).foreach { w =>
+      assert(w(1)._2 <= w(0)._2 && w(1)._3 <= w(0)._3)
+    }
+    // the loosest level is exactly q112's tau = 0.5 output
+    val q112 = DedupQueries.q112PpjoinJaccard(spark, sfDir).count()
+    assert(rows.head._2 == q112 && q112 > 0)
+    // every pair links two docs, shared docs only reduce the count
+    rows.foreach { case (_, np, ndl) =>
+      assert(ndl <= 2 * np && (np == 0L || ndl >= 2L))
+    }
   }
 }

@@ -6,7 +6,9 @@ import graft.SparkTestSession.{sfDir, spark}
 /** Constructed-fixture proofs for the round-13 wave: q269's
   * k-anonymity audit counts exactly the documents whose global
   * quasi-identifier class is smaller than k, q271's l-diversity audit
-  * flags exactly the single-source classes, q270's content-extraction
+  * flags exactly the single-source classes, q275's generalization
+  * ladder merges a constructed violation away at the predicted level
+  * (and is monotone in level on the fixture), q270's content-extraction
   * gate classifies a hand-built boilerplate/content page block by
   * block. All independent of the DuckDB oracle gate. */
 class PrivacyContentSpec extends AnyFunSuite {
@@ -82,6 +84,46 @@ class PrivacyContentSpec extends AnyFunSuite {
           r.getAs[Long]("n_docs_at_risk"), r.getAs[Long]("risk_share_e6"))).toMap
     assert(got("en") == ((2L, 5L, 1L, 1L, 3L, 600000L)))
     assert(got("de") == ((1L, 2L, 1L, 1L, 2L, 1000000L)))
+  }
+
+  test("q275 ladder: coarsening merges the constructed violation away") {
+    // en: two level-0 classes of 3 docs each (violating) that MERGE at
+    // level 1 into one class of 6 -> safe from level 1 on.
+    // de: a single doc no level can fix -> min_safe_level = -1.
+    val en = (1L to 3L).map(i => (i, words(31), "en", "srcA", 250L)) ++
+      (4L to 6L).map(i => (i, words(35), "en", "srcA", 350L))
+    val de = Seq((7L, words(12), "de", "srcB", 50L))
+    val dir = stageDocs(en ++ de)
+    val got = CorpusQueries.q275GeneralizationLadder(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("lvl")) ->
+        (r.getAs[Long]("n_classes"), r.getAs[Long]("n_violating"),
+          r.getAs[Long]("min_safe_level"))).toMap
+    assert(got(("en", 0)) == ((2L, 6L, 1L)))
+    assert(got(("en", 1)) == ((1L, 0L, 1L)))
+    assert(got(("en", 3)) == ((1L, 0L, 1L)))
+    (0 to 3).foreach(l => assert(got(("de", l)) == ((1L, 1L, -1L))))
+  }
+
+  test("q275 fixture: violations are monotone in level, min_safe is first zero") {
+    val rows = CorpusQueries.q275GeneralizationLadder(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("lvl"),
+        r.getAs[Long]("n_classes"), r.getAs[Long]("n_violating"),
+        r.getAs[Long]("min_safe_level")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, xs) =>
+      val byLvl = xs.sortBy(_._2)
+      assert(byLvl.map(_._2).toSeq == Seq(0, 1, 2, 3))
+      // a merged class below k implies every member was below k, so
+      // coarsening can never create new violating documents
+      byLvl.sliding(2).foreach { w =>
+        assert(w(1)._4 <= w(0)._4 && w(1)._3 <= w(0)._3, s"lang $lang")
+      }
+      val ms = byLvl.head._5
+      assert(byLvl.forall(_._5 == ms))
+      if (ms >= 0) byLvl.foreach(x =>
+        assert((x._4 == 0) == (x._2 >= ms), s"lang $lang lvl ${x._2}"))
+      else assert(byLvl.forall(_._4 > 0))
+    }
   }
 
   test("q270 classifies a hand-built page block by block") {
