@@ -1113,8 +1113,104 @@ object CorpusQueries {
       .orderBy("lang", "lvl")
   }
 
+  // ---------------------------------------------------------------- q276
+
+  /** q276 — LICENSE/USAGE-RIGHTS gate: the provenance filter a corpus
+    * assembly runs before any quality or dedup pass — documents enter
+    * the trainable pool only under an allowed license, conditional
+    * licenses carry an attribution obligation downstream, blocked
+    * licenses are excluded outright, and UNKNOWN is its own verdict
+    * (the quarantine queue for manual review — a pipeline that lumps
+    * unknown into allowed or blocked is making a legal decision by
+    * accident). The fixture carries no rights metadata, so — the q60
+    * observability idiom — each document draws a deterministic license
+    * from a salted md5 of its id, identically in both engines; a real
+    * deployment replaces that one projection with the crawl's license
+    * column. Per source: the four verdict masses and the e6-floored
+    * trainable share (allowed + conditional).
+    *
+    * Scale shape: one narrow scan, one codegen'd CASE over the bounded
+    * 5-value license enum, ONE map-side-combinable aggregate on the
+    * source key. No joins; scan-bound at 100 TB. */
+  def q276LicenseGate(s: SparkSession, dir: String): DataFrame = {
+    val lic = "element_at(array('cc0', 'ccby', 'ccbysa', 'proprietary', " +
+      "'unknown'), 1 + cast(conv(substring(md5(concat('lic_', " +
+      "cast(doc_id as string))), 1, 2), 16, 10) as int) % 5)"
+    Tables.documents(s, dir)
+      .select(col("source"), expr(lic).as("license"))
+      .withColumn("verdict", expr(
+        "case when license in ('cc0', 'ccby') then 'allowed' " +
+          "when license = 'ccbysa' then 'conditional' " +
+          "when license = 'proprietary' then 'blocked' " +
+          "else 'unknown' end"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(expr("case when verdict = 'allowed' then 1 else 0 end"))
+          .cast("bigint").as("n_allowed"),
+        sum(expr("case when verdict = 'conditional' then 1 else 0 end"))
+          .cast("bigint").as("n_conditional"),
+        sum(expr("case when verdict = 'blocked' then 1 else 0 end"))
+          .cast("bigint").as("n_blocked"),
+        sum(expr("case when verdict = 'unknown' then 1 else 0 end"))
+          .cast("bigint").as("n_unknown"))
+      .withColumn("trainable_share_e6",
+        expr("(1000000 * (n_allowed + n_conditional)) div n_docs")
+          .cast("bigint"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q278
+
+  /** q278 — CRAWL-OVER-CRAWL corpus diff: the reconciliation report an
+    * incremental pipeline produces between two snapshots of the same
+    * corpus — which documents disappeared, which changed content under
+    * the same id, which are byte-identical — so downstream consumers
+    * (dedup indexes, datacards q265, takedown logs q250) know exactly
+    * what to reprocess. Snapshot B is derived from snapshot A
+    * deterministically in both engines: documents with doc_id % 11 = 0
+    * are dropped (takedowns/rot) and documents with doc_id % 13 = 0
+    * get an appended revision marker (in-place edits). The diff joins
+    * ONLY md5 fingerprints, never text. Per source: removed, changed,
+    * unchanged masses, the char delta of changed docs, and the
+    * e6-floored churn share (removed + changed over the old snapshot).
+    *
+    * Scale shape: two passes over the corpus project (doc_id,
+    * fingerprint, n_chars) — at scale these are two snapshot SCANS of
+    * narrow columns — then ONE full-outer equi-join on the doc_id key
+    * and a bounded source rollup. Fingerprint compare makes "changed"
+    * exact without shuffling text; all counters exact BIGINT. */
+  def q278CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("text")).as("fp_a"),
+        expr("cast(length(text) as bigint)").as("len_a"))
+    val b = Tables.documents(s, dir)
+      .filter(expr("doc_id % 11 <> 0"))
+      .select(col("doc_id"),
+        expr("case when doc_id % 13 = 0 then concat(text, ' rev', " +
+          "cast(doc_id % 7 as string)) else text end").as("tb"))
+      .select(col("doc_id"), md5(col("tb")).as("fp_b"),
+        expr("cast(length(tb) as bigint)").as("len_b"))
+    a.join(b, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_old"),
+        sum(expr("case when fp_b is null then 1 else 0 end"))
+          .cast("bigint").as("n_removed"),
+        sum(expr("case when fp_b is not null and fp_b <> fp_a " +
+          "then 1 else 0 end")).cast("bigint").as("n_changed"),
+        sum(expr("case when fp_b = fp_a then 1 else 0 end"))
+          .cast("bigint").as("n_unchanged"),
+        sum(expr("case when fp_b is not null and fp_b <> fp_a " +
+          "then len_b - len_a else 0 end")).cast("bigint").as("chars_delta"))
+      .withColumn("churn_e6",
+        expr("(1000000 * (n_removed + n_changed)) div n_old").cast("bigint"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_generalization_ladder" -> (q275GeneralizationLadder _),
+    "q276_license_gate" -> (q276LicenseGate _),
+    "q278_corpus_diff" -> (q278CorpusDiff _),
     "q271_l_diversity" -> (q271LDiversity _),
     "q274_curriculum_schedule" -> (q274CurriculumSchedule _),
     "q269_k_anonymity" -> (q269KAnonymity _),
@@ -1372,6 +1468,62 @@ object CorpusQueries {
         |  CAST((1000000 * n_docs_at_risk) // n_docs AS BIGINT)
         |    AS risk_share_e6
         |FROM g ORDER BY lang""".stripMargin,
+    // q276: identical salted-md5 license draw (nibble Horner)
+    "q276_license_gate" ->
+      s"""WITH d AS (SELECT source,
+         |    (['cc0', 'ccby', 'ccbysa', 'proprietary', 'unknown'])[
+         |      1 + CAST(${duckMd5Int(
+                  "'lic_' || CAST(doc_id AS VARCHAR)", 2)} AS INT) % 5]
+         |      AS license
+         |  FROM documents),
+         |v AS (SELECT source,
+         |    CASE WHEN license IN ('cc0', 'ccby') THEN 'allowed'
+         |      WHEN license = 'ccbysa' THEN 'conditional'
+         |      WHEN license = 'proprietary' THEN 'blocked'
+         |      ELSE 'unknown' END AS verdict
+         |  FROM d),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN verdict = 'allowed' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_allowed,
+         |    CAST(SUM(CASE WHEN verdict = 'conditional' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_conditional,
+         |    CAST(SUM(CASE WHEN verdict = 'blocked' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_blocked,
+         |    CAST(SUM(CASE WHEN verdict = 'unknown' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_unknown
+         |  FROM v GROUP BY source)
+         |SELECT source, n_docs, n_allowed, n_conditional, n_blocked,
+         |  n_unknown,
+         |  CAST((1000000 * (n_allowed + n_conditional)) // n_docs AS BIGINT)
+         |    AS trainable_share_e6
+         |FROM g ORDER BY source""".stripMargin,
+    // q278: identical snapshot-B derivation; fingerprints via md5(text)
+    "q278_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, source, md5(text) AS fp_a,
+        |    CAST(length(text) AS BIGINT) AS len_a FROM documents),
+        |b AS (SELECT doc_id, md5(tb) AS fp_b,
+        |    CAST(length(tb) AS BIGINT) AS len_b FROM (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |      THEN concat(text, ' rev', CAST(doc_id % 7 AS VARCHAR))
+        |      ELSE text END AS tb
+        |    FROM documents WHERE doc_id % 11 <> 0)),
+        |j AS (SELECT a.source, a.fp_a, a.len_a, b.fp_b, b.len_b
+        |  FROM a LEFT JOIN b USING (doc_id)),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_old,
+        |    CAST(SUM(CASE WHEN fp_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    CAST(SUM(CASE WHEN fp_b IS NOT NULL AND fp_b <> fp_a
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |    CAST(SUM(CASE WHEN fp_b = fp_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unchanged,
+        |    CAST(SUM(CASE WHEN fp_b IS NOT NULL AND fp_b <> fp_a
+        |      THEN len_b - len_a ELSE 0 END) AS BIGINT) AS chars_delta
+        |  FROM j GROUP BY source)
+        |SELECT source, n_old, n_removed, n_changed, n_unchanged,
+        |  chars_delta,
+        |  CAST((1000000 * (n_removed + n_changed)) // n_old AS BIGINT)
+        |    AS churn_e6
+        |FROM g ORDER BY source""".stripMargin,
     "q275_generalization_ladder" ->
       """WITH qi AS (SELECT lang, n_chars // 100 AS lb,
         |    len(string_split(text, ' ')) // 10 AS wb FROM documents),

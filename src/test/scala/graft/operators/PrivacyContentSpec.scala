@@ -126,6 +126,65 @@ class PrivacyContentSpec extends AnyFunSuite {
     }
   }
 
+  test("q276 verdict masses replay from the salted license draw") {
+    def license(docId: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lic_$docId".getBytes("UTF-8"))
+      val idx = (java.lang.Long.parseLong(
+        md.take(1).map("%02x".format(_)).mkString, 16) % 5).toInt
+      Seq("cc0", "ccby", "ccbysa", "proprietary", "unknown")(idx)
+    }
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("source"),
+        license(r.getAs[Long]("doc_id"))))
+    val expect = docs.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong,
+        xs.count(d => d._2 == "cc0" || d._2 == "ccby").toLong,
+        xs.count(_._2 == "ccbysa").toLong,
+        xs.count(_._2 == "proprietary").toLong,
+        xs.count(_._2 == "unknown").toLong)
+    }
+    val got = CorpusQueries.q276LicenseGate(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_allowed"),
+          r.getAs[Long]("n_conditional"), r.getAs[Long]("n_blocked"),
+          r.getAs[Long]("n_unknown"))).toMap
+    assert(got == expect && got.nonEmpty)
+    // all five verdicts actually occur somewhere on the fixture
+    assert(got.values.map(_._2).sum > 0 && got.values.map(_._3).sum > 0 &&
+      got.values.map(_._4).sum > 0 && got.values.map(_._5).sum > 0)
+  }
+
+  test("q278 diff pins constructed removed/changed/unchanged docs") {
+    // id 11 removed (%11), id 13 changed (%13), id 1 untouched,
+    // id 143 = 11*13 removed (drop precedes edit), id 22 removed
+    val dir = stageDocs(Seq(
+      (1L, "stable text", "en", "s", 11L),
+      (11L, "will vanish", "en", "s", 11L),
+      (13L, "will change", "en", "s", 11L),
+      (22L, "also vanishes", "en", "t", 13L),
+      (143L, "vanishes despite 13", "en", "t", 19L)))
+    val got = CorpusQueries.q278CorpusDiff(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_old"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_changed"), r.getAs[Long]("n_unchanged"),
+          r.getAs[Long]("chars_delta"), r.getAs[Long]("churn_e6"))).toMap
+    // id 13 gains ' rev6' -> +5 chars
+    assert(got("s") == ((3L, 1L, 1L, 1L, 5L, 666666L)))
+    assert(got("t") == ((2L, 2L, 0L, 0L, 0L, 1000000L)))
+  }
+
+  test("q278 fixture: diff masses partition the old snapshot") {
+    val rows = CorpusQueries.q278CorpusDiff(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_old") == r.getAs[Long]("n_removed") +
+        r.getAs[Long]("n_changed") + r.getAs[Long]("n_unchanged"))
+      // the revision marker is ' rev<digit>' -> exactly +5 chars per doc
+      assert(r.getAs[Long]("chars_delta") == 5 * r.getAs[Long]("n_changed"))
+    }
+  }
+
   test("q270 classifies a hand-built page block by block") {
     // doc 0 / source s: header (9 toks, 3 linkish -> LINKY+NO-STOP),
     // chunk1 with stopwords -> CONTENT, chunk2 stopword-free ->
