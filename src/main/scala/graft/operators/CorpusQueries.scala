@@ -1020,6 +1020,124 @@ object CorpusQueries {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q279
+
+  /** q279 — t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007): the
+    * third rung of the disclosure ladder after q269's k-anonymity
+    * (don't be singled out) and q271's l-diversity (don't share one
+    * sensitive value): even an l-diverse class leaks when its
+    * sensitive-attribute DISTRIBUTION skews far from the corpus-wide
+    * one (a class that is 95% one source tells an attacker the
+    * provenance with 95% confidence no matter how many sources appear
+    * once). Per QI class — q269's (lang, n_chars÷100, word-count÷10)
+    * — the total-variation distance between the class's source
+    * distribution and the global one, as the exact integer
+    * cross-multiplication tv_e6 = ⌊1e6·Σ_s|n_cs·N − n_gs·N_c| /
+    * (2·N_c·N)⌋; sources absent from the class contribute n_gs·N_c,
+    * folded in closed form as N_c·(N − Σ_{s∈class} n_gs) so no
+    * class × source grid is ever materialized. Reported per lang:
+    * classes, docs, worst tv, classes and docs beyond t = 0.4, and
+    * the e6 at-risk share.
+    *
+    * Scale shape: ONE corpus scan into the (class, source) count —
+    * map-side combinable, output bounded by the QI lattice × sources,
+    * not rows. Everything downstream aggregates THAT summary frame;
+    * the source marginal and class totals ride back via broadcast
+    * joins of bounded frames. Headroom: 1e6·N_c·N ≤ 1e6·N² is exact
+    * BIGINT to N ~ 4.3e6 docs; past that the tv numerator needs
+    * decimal(38,0) (the q259 lift note). */
+  def q279TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val t = 400000L // t = 0.4 on the e6 lattice
+    val cs = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").cast("bigint").as("len_b"),
+        expr("cast(size(split(text, ' ')) div 10 as bigint)").as("wc_b"))
+      .groupBy("lang", "len_b", "wc_b", "source")
+      .agg(count(lit(1)).cast("bigint").as("n_cs"))
+    val gs = cs.groupBy("source").agg(sum("n_cs").cast("bigint").as("n_gs"))
+    val tot = gs.agg(sum("n_gs").cast("bigint").as("n_t"))
+    val nc = cs.groupBy("lang", "len_b", "wc_b")
+      .agg(sum("n_cs").cast("bigint").as("n_c"))
+    val cls = cs
+      .join(broadcast(gs), Seq("source"))
+      .join(broadcast(nc), Seq("lang", "len_b", "wc_b"))
+      .crossJoin(broadcast(tot))
+      .groupBy("lang", "len_b", "wc_b")
+      .agg(max("n_c").as("n_c"), max("n_t").as("n_t"),
+        sum(abs(col("n_cs") * col("n_t") - col("n_gs") * col("n_c")))
+          .as("sa"),
+        sum("n_gs").as("sp"))
+      .withColumn("tv_e6",
+        expr("(1000000 * (sa + n_c * (n_t - sp))) div (2 * n_c * n_t)")
+          .cast("bigint"))
+    cls.groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_classes"),
+        sum("n_c").cast("bigint").as("n_docs"),
+        max("tv_e6").cast("bigint").as("max_tv_e6"),
+        sum(expr(s"case when tv_e6 > $t then 1 else 0 end"))
+          .cast("bigint").as("n_classes_over"),
+        sum(expr(s"case when tv_e6 > $t then n_c else 0 end"))
+          .cast("bigint").as("n_docs_at_risk"))
+      .withColumn("risk_share_e6",
+        expr("(1000000 * n_docs_at_risk) div n_docs").cast("bigint"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------- q284
+
+  /** q284 — CLUSTER-CONSISTENT SPLIT REPAIR: the remediation q226's
+    * split-leakage audit calls for. q88's salted-hash manifest assigns
+    * splits per document, so a near-dup cluster can straddle
+    * train/test — memorized-duplicate leakage. The repair rule is the
+    * standard one: every clustered document moves to the split of its
+    * cluster REPRESENTATIVE (the min-id member, which IS the q50
+    * cluster label), making cluster membership split-atomic by
+    * construction. Per split: population before and after, docs moved
+    * in/out, and the cluster count anchored to the split — the
+    * manifest delta a training run applies.
+    *
+    * Scale shape: splits are the codegen'd q88 hash projection; the
+    * cluster labels are the STAGED ccLabels fixpoint (once per corpus
+    * per JVM); the representative's split rides ONE equi-join of the
+    * split frame on the label key (the rep id is the label — no
+    * argmin pass); rollups are bounded by 3 splits. */
+  def q284SplitRepair(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('split_', " +
+          "cast(doc_id as string))), 1, 4), 16, 10) as int) % 100"))
+      .withColumn("split_b", expr(
+        "case when bucket < 90 then 'train' " +
+          "when bucket < 95 then 'valid' else 'test' end"))
+      .select("doc_id", "split_b")
+    val lbl = SimilarityQueries.ccLabels(s, dir)
+      .select(col("v").as("doc_id"), col("lbl"))
+    val rep = lbl.select(col("lbl")).distinct()
+      .join(base.select(col("doc_id").as("lbl"),
+        col("split_b").as("rep_split")), Seq("lbl"))
+    val f = base.join(lbl, Seq("doc_id"), "left")
+      .join(rep, Seq("lbl"), "left")
+      .withColumn("split_a", coalesce(col("rep_split"), col("split_b")))
+    val before = f.groupBy(col("split_b").as("split"))
+      .agg(count(lit(1)).cast("bigint").as("n_before"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .cast("bigint").as("n_moved_out"))
+    val after = f.groupBy(col("split_a").as("split"))
+      .agg(count(lit(1)).cast("bigint").as("n_after"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .cast("bigint").as("n_moved_in"))
+    val anchors = rep.groupBy(col("rep_split").as("split"))
+      .agg(count(lit(1)).cast("bigint").as("n_clusters"))
+    before.join(after, Seq("split"), "left")
+      .join(anchors, Seq("split"), "left")
+      .select(col("split"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
+        col("n_moved_out"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"))
+      .orderBy("split")
+  }
+
   // ---------------------------------------------------------------- q274
 
   /** q274 — CURRICULUM SCHEDULE materialization (Bengio et al. 2009
@@ -1208,6 +1326,8 @@ object CorpusQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_t_closeness" -> (q279TCloseness _),
+    "q284_split_repair" -> (q284SplitRepair _),
     "q275_generalization_ladder" -> (q275GeneralizationLadder _),
     "q276_license_gate" -> (q276LicenseGate _),
     "q278_corpus_diff" -> (q278CorpusDiff _),
@@ -1449,6 +1569,74 @@ object CorpusQueries {
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q284: the q50 recursive component chain (from SimilarityQueries),
+    // the identical q88 salted-md5 split draw, rep split via one join
+    // on the cluster label
+    "q284_split_repair" ->
+      s"""WITH RECURSIVE ${SimilarityQueries.ccCompCtes},
+         |sp AS (SELECT doc_id, (${duckMd5Int(
+              "'split_' || CAST(doc_id AS VARCHAR)", 4)}) % 100 AS bucket
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train'
+         |    WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split_b
+         |  FROM sp),
+         |cl AS (SELECT v AS doc_id, cluster_id FROM comp),
+         |rep AS (SELECT DISTINCT cluster_id FROM comp),
+         |reps AS (SELECT rep.cluster_id, s2.split_b AS rep_split
+         |  FROM rep JOIN s1 s2 ON s2.doc_id = rep.cluster_id),
+         |f AS (SELECT s1.doc_id, s1.split_b,
+         |    COALESCE(reps.rep_split, s1.split_b) AS split_a
+         |  FROM s1 LEFT JOIN cl USING (doc_id)
+         |    LEFT JOIN reps ON cl.cluster_id = reps.cluster_id),
+         |bf AS (SELECT split_b AS split, CAST(COUNT(*) AS BIGINT) AS n_before,
+         |    CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_moved_out
+         |  FROM f GROUP BY 1),
+         |af AS (SELECT split_a AS split, CAST(COUNT(*) AS BIGINT) AS n_after,
+         |    CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_moved_in
+         |  FROM f GROUP BY 1),
+         |an AS (SELECT rep_split AS split,
+         |    CAST(COUNT(*) AS BIGINT) AS n_clusters FROM reps GROUP BY 1)
+         |SELECT bf.split, bf.n_before,
+         |  CAST(COALESCE(af.n_after, 0) AS BIGINT) AS n_after,
+         |  CAST(COALESCE(af.n_moved_in, 0) AS BIGINT) AS n_moved_in,
+         |  bf.n_moved_out,
+         |  CAST(COALESCE(an.n_clusters, 0) AS BIGINT) AS n_clusters
+         |FROM bf LEFT JOIN af USING (split) LEFT JOIN an USING (split)
+         |ORDER BY split""".stripMargin,
+    "q279_t_closeness" ->
+      """WITH qi AS (SELECT lang, source, n_chars // 100 AS len_b,
+        |    len(string_split(text, ' ')) // 10 AS wc_b FROM documents),
+        |cs AS (SELECT lang, len_b, wc_b, source, COUNT(*) AS n_cs
+        |  FROM qi GROUP BY 1, 2, 3, 4),
+        |gs AS (SELECT source, SUM(n_cs) AS n_gs FROM cs GROUP BY source),
+        |tot AS (SELECT SUM(n_gs) AS n_t FROM gs),
+        |nc AS (SELECT lang, len_b, wc_b, SUM(n_cs) AS n_c
+        |  FROM cs GROUP BY 1, 2, 3),
+        |cls AS (SELECT cs.lang, cs.len_b, cs.wc_b,
+        |    MAX(n_c) AS n_c, MAX(n_t) AS n_t,
+        |    SUM(ABS(n_cs * n_t - n_gs * n_c)) AS sa,
+        |    SUM(n_gs) AS sp
+        |  FROM cs JOIN gs USING (source)
+        |    JOIN nc USING (lang, len_b, wc_b), tot
+        |  GROUP BY 1, 2, 3),
+        |tv AS (SELECT lang, n_c,
+        |    (1000000 * (sa + n_c * (n_t - sp))) // (2 * n_c * n_t) AS tv_e6
+        |  FROM cls),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(n_c) AS BIGINT) AS n_docs,
+        |    CAST(MAX(tv_e6) AS BIGINT) AS max_tv_e6,
+        |    CAST(SUM(CASE WHEN tv_e6 > 400000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_classes_over,
+        |    CAST(SUM(CASE WHEN tv_e6 > 400000 THEN n_c ELSE 0 END) AS BIGINT)
+        |      AS n_docs_at_risk
+        |  FROM tv GROUP BY lang)
+        |SELECT lang, n_classes, n_docs, max_tv_e6, n_classes_over,
+        |  n_docs_at_risk,
+        |  CAST((1000000 * n_docs_at_risk) // n_docs AS BIGINT)
+        |    AS risk_share_e6
+        |FROM g ORDER BY lang""".stripMargin,
     "q271_l_diversity" ->
       """WITH qi AS (SELECT lang, source, n_chars // 100 AS len_b,
         |    len(string_split(text, ' ')) // 10 AS wc_b FROM documents),

@@ -121,6 +121,26 @@ object SimilarityQueries {
   def q26LshCosine(s: SparkSession, dir: String): DataFrame =
     lshPairsScored(s, dir).orderBy("vec_a", "vec_b")
 
+  /** One STAGED (vec_a, vec_b, cos) near-dup pair frame per corpus per
+    * JVM (the ccLabels/fuzzyPairsCache idiom): the banded-LSH + verify
+    * subtree is ~10 exchanges live, so any query that references the
+    * pair graph more than once (q281 reads it for the edge count, the
+    * degree mass, AND the intra cells) would re-derive it per
+    * reference — staging makes every reference a leaf scan. Keyed on
+    * the embeddings CorpusKey so a fixture regen invalidates it. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def stagedPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = pairsCache.computeIfAbsent(
+      graft.CorpusKey(dir, "embeddings.parquet"), _ => {
+        val p = Staging.fresh("ndpairs")
+        lshPairsScored(s, dir).write.mode("overwrite").parquet(p)
+        p
+      })
+    s.read.parquet(path)
+  }
+
   // ---------------------------------------------------------------- q242
 
   /** q242 — SEMANTIC decontamination: flag corpus vectors whose
@@ -681,6 +701,166 @@ object SimilarityQueries {
           .cast("bigint").as("gini_e6"))
   }
 
+  // ---------------------------------------------------------------- q280
+
+  /** q280 — OPT-OUT CLUSTER CLOSURE: the consent companion to q250's
+    * takedown. A data-subject opt-out (here a deterministic salted-md5
+    * draw, ~2% of doc_ids — the q88/q276 stand-in for a real consent
+    * feed) cannot stop at the opted-out document: its near-duplicates
+    * carry the same content, so the governance rule is "quarantine the
+    * whole near-dup cluster". Per source: documents, direct opt-outs,
+    * quarantined documents after the cluster closure, the collateral
+    * (quarantined − opted-out — the mass removed only because it
+    * duplicates someone else's opt-out), and the e6 quarantine share.
+    * The amplification readout is what tells a governance team whether
+    * opt-outs are cheap (collateral ≈ 0) or structurally expensive
+    * (one opt-out in a mirror cluster removes thousands).
+    *
+    * Scale shape: cluster labels are the STAGED ccLabels fixpoint
+    * (once per corpus per JVM — q50's substrate); the closure is one
+    * distinct over the opted-out labels followed by one equi-join on
+    * the label key — the verdict frame carries cluster ids, never
+    * documents. The final rollup is bounded by |sources|. */
+  def q280OptoutClosure(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("optout", expr(
+        "case when cast(conv(substring(md5(concat('opt_', " +
+          "cast(doc_id as string))), 1, 4), 16, 10) as int) % 50 = 0 " +
+          "then 1 else 0 end").cast("bigint"))
+    val lbl = ccLabels(s, dir).select(col("v").as("doc_id"), col("lbl"))
+    val dl = docs.join(lbl, Seq("doc_id"), "left")
+    val hit = dl.filter(col("optout") === 1L && col("lbl").isNotNull)
+      .select(col("lbl")).distinct().withColumn("cluster_hit", lit(1L))
+    dl.join(hit, Seq("lbl"), "left")
+      .withColumn("quar",
+        when(col("optout") === 1L || col("cluster_hit") === 1L, 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("optout").cast("bigint").as("n_optout"),
+        sum("quar").cast("bigint").as("n_quarantined"))
+      .withColumn("n_collateral",
+        expr("n_quarantined - n_optout").cast("bigint"))
+      .withColumn("quar_share_e6",
+        expr("(1000000 * n_quarantined) div n_docs").cast("bigint"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q281
+
+  /** q281 — PARTITION MODULARITY (Newman & Girvan 2004) of the
+    * embedding LABEL taxonomy over the near-dup pair graph: does the
+    * curated label structure respect the similarity structure? Per
+    * label c: endpoint degree mass d_c, intra-label edges e_c, the
+    * observed intra share ⌊1e6·e_c/m⌋, the null-model expectation
+    * ⌊1e6·d_c²/(4m²)⌋, and the label's modularity contribution
+    * dq_e6 = ⌊1e6·(4m·e_c − d_c²)/(4m²)⌋ (the q266 float-floor idiom —
+    * the numerator can be negative, and ⌊·⌋-on-double is the one
+    * division both engines floor identically; every input to it is an
+    * exact BIGINT). Σ_c dq ≈ Q·1e6: near zero means labels are
+    * orthogonal to near-dup structure, strongly positive means
+    * duplication is intra-topic, negative cells flag labels whose
+    * members duplicate OTHER labels' content — a taxonomy-drift signal.
+    *
+    * Scale shape: the pair stream is the shared banded-LSH candidate
+    * frame (never all-pairs); two equi-joins attach endpoint labels;
+    * everything after is bounded by |labels|. Headroom: 1e6·d_c² ≤
+    * 1e6·4m² — exact to m ~ 1.5e6 pairs, decimal(38,0) past that. */
+  def q281Modularity(s: SparkSession, dir: String): DataFrame = {
+    val lbl = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("int").as("l"))
+    val e = stagedPairs(s, dir)
+      .join(lbl.select(col("vec_id").as("vec_a"), col("l").as("la")), Seq("vec_a"))
+      .join(lbl.select(col("vec_id").as("vec_b"), col("l").as("lb")), Seq("vec_b"))
+      .select("la", "lb")
+    val m = e.agg(count(lit(1)).cast("bigint").as("m"))
+    val deg = e.select(col("la").as("lbl")).union(e.select(col("lb").as("lbl")))
+      .groupBy("lbl").agg(count(lit(1)).cast("bigint").as("d_c"))
+    val intra = e.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl"))
+      .agg(count(lit(1)).cast("bigint").as("e_c"))
+    deg.join(intra, Seq("lbl"), "left")
+      .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("lbl").cast("int").as("lbl"), col("d_c"), col("e_c"),
+        expr("(1000000 * e_c) div m").cast("bigint").as("frac_e6"),
+        expr("(1000000 * d_c * d_c) div (4 * m * m)").cast("bigint")
+          .as("exp_e6"),
+        floor(expr("cast(4 * m * e_c - d_c * d_c as double)") /
+            expr("cast(4 * m * m as double)") * lit(1000000.0))
+          .cast("bigint").as("dq_e6"))
+      .orderBy("lbl")
+  }
+
+  // ---------------------------------------------------------------- q282
+
+  /** q282 — CENTROID-FIT audit (simplified silhouette, Rousseeuw 1987
+    * in its centroid form) of the label taxonomy in embedding space:
+    * per vector, the cosine to its OWN label's centroid (self
+    * excluded) versus the best cosine to any OTHER label's centroid;
+    * per label: member count, misfit count (another centroid wins),
+    * the e6 misfit share, and the exact sum of per-vector e6-floored
+    * margins (cos_own − best_other — positive mass = compact,
+    * well-separated label; the mean is deliberately not divided out:
+    * a signed integer division is the one op the two engines floor
+    * differently, so the readout stays on the exact lattice).
+    *
+    * Determinism is the q232 int8 lattice story: vectors quantize with
+    * the per-vector absmax quantizer to BIGINT codes, centroids are
+    * exact integer CODE SUMS (scales cancel in cosine direction up to
+    * quantization, which both engines apply identically), every dot /
+    * norm² is an exact BIGINT, and each cosine is one division by one
+    * sqrt of an exactly-computed integer product — bit-identical in
+    * both engines. Self-exclusion is closed-form on the lattice:
+    * dot(q, S−q) = dot − qn2, ‖S−q‖² = n2s − 2·dot + qn2; singleton
+    * labels (‖S−q‖² = 0) pin cos_own = −2, below any true cosine.
+    *
+    * Scale shape: codes explode to (vec, dim) once; the centroid frame
+    * is bounded (|labels| × dim) and BROADCAST back; the per-vector
+    * fanout is ×|labels| — never vector × vector. Two bounded
+    * aggregates finish. */
+  def q282CentroidFit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0d"))
+      .withColumn("q", expr(
+        "transform(v, x -> cast(floor(x / scale + 0.5d) as bigint))"))
+      .withColumn("qn2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+      .select(col("vec_id"), col("label").cast("int").as("own"),
+        col("q"), col("qn2"))
+    val codes = e.select(col("vec_id"), col("own"), col("qn2"),
+      posexplode(col("q")).as(Seq("d", "qd")))
+    val cent = codes.groupBy(col("own").as("clabel"), col("d"))
+      .agg(sum("qd").as("sd"))
+    val centN2 = cent.groupBy("clabel")
+      .agg(sum(col("sd") * col("sd")).as("n2s"))
+    val scored = codes.join(broadcast(cent), Seq("d"))
+      .groupBy("vec_id", "own", "qn2", "clabel")
+      .agg(sum(col("qd") * col("sd")).as("dot"))
+      .join(broadcast(centN2), Seq("clabel"))
+      .withColumn("cos", expr(
+        "case when clabel = own then " +
+          "(case when n2s - 2 * dot + qn2 <= 0 then cast(-2.0 as double) " +
+          "else cast(dot - qn2 as double) / " +
+          "sqrt(cast(qn2 * (n2s - 2 * dot + qn2) as double)) end) " +
+          "else cast(dot as double) / sqrt(cast(qn2 * n2s as double)) end"))
+    scored.groupBy("vec_id", "own")
+      .agg(max(when(col("clabel") === col("own"), col("cos"))).as("cos_own"),
+        max(when(col("clabel") =!= col("own"), col("cos"))).as("best_other"))
+      .groupBy(col("own").as("label"))
+      .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+        sum(when(col("best_other") > col("cos_own"), 1L).otherwise(0L))
+          .cast("bigint").as("n_misfit"),
+        sum(expr("cast(floor((cos_own - best_other) * 1000000.0) as bigint)"))
+          .cast("bigint").as("margin_sum_e6"))
+      .withColumn("misfit_share_e6",
+        expr("(1000000 * n_misfit) div n_vecs").cast("bigint"))
+      .select("label", "n_vecs", "n_misfit", "misfit_share_e6",
+        "margin_sum_e6")
+      .orderBy("label")
+  }
+
   // ---------------------------------------------------------------- q263
 
   /** q263 — SEMANTIC-DECONTAMINATION RECALL calibration: q242's banded
@@ -838,13 +1018,13 @@ object SimilarityQueries {
   private val ccLabelsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame = {
     val path = ccLabelsCache.computeIfAbsent(
       graft.CorpusKey(dir, "embeddings.parquet"), _ => {
         val ck = Staging.fresh("cc")
-        lshPairsScored(s, dir).select("vec_a", "vec_b")
-          .write.mode("overwrite").parquet(s"$ck/pairs")
-        val pairs = s.read.parquet(s"$ck/pairs")
+        // the shared staged pair frame IS the pairs stage (one LSH
+        // derivation per corpus even when both consumers run)
+        val pairs = stagedPairs(s, dir).select("vec_a", "vec_b")
         val und = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
           .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
         val verts = und.select("src").distinct() // symmetric: src covers both
@@ -1803,6 +1983,9 @@ object SimilarityQueries {
     "q259_cluster_source_balance" -> (q259ClusterSourceBalance _),
     "q263_semantic_recall" -> (q263SemanticRecall _),
     "q266_dup_concentration" -> (q266DupConcentration _),
+    "q280_optout_closure" -> (q280OptoutClosure _),
+    "q281_modularity" -> (q281Modularity _),
+    "q282_centroid_fit" -> (q282CentroidFit _),
     "q232_int8_recall" -> (q232Int8Recall _),
     "q238_rank_agreement" -> (q238RankAgreement _),
     "q229_triplet_mining" -> (q229TripletMining _),
@@ -2251,7 +2434,112 @@ object SimilarityQueries {
        |  FROM cand JOIN n x ON cid = x.vec_id JOIN n y ON bid = y.vec_id),
        |sdf AS (SELECT * FROM ssc WHERE cos >= 0.35)""".stripMargin
 
+  /** DuckDB BIGINT from the first n hex nibbles of md5(x) — nibble
+    * Horner, the CorpusQueries idiom (DuckDB has no base-16 conv). */
+  private def duckMd5Int(x: String, n: Int): String =
+    (1 to n).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc) * 16 + (strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1))"
+    }
+
   val oracles: Map[String, String] = Map(
+    // q280: the q50 recursive component chain + the identical salted-md5
+    // opt-out draw + the same label-keyed closure
+    "q280_optout_closure" ->
+      s"""WITH RECURSIVE $ccCompCtes,
+         |od AS (SELECT doc_id, source,
+         |    CASE WHEN (${duckMd5Int(
+                "'opt_' || CAST(doc_id AS VARCHAR)", 4)}) % 50 = 0
+         |      THEN 1 ELSE 0 END AS optout
+         |  FROM documents),
+         |dl AS (SELECT od.doc_id, od.source, od.optout, comp.cluster_id
+         |  FROM od LEFT JOIN comp ON comp.v = od.doc_id),
+         |hit AS (SELECT DISTINCT cluster_id FROM dl
+         |  WHERE optout = 1 AND cluster_id IS NOT NULL),
+         |f AS (SELECT dl.source, dl.optout,
+         |    CASE WHEN dl.optout = 1 OR hit.cluster_id IS NOT NULL
+         |      THEN 1 ELSE 0 END AS quar
+         |  FROM dl LEFT JOIN hit ON dl.cluster_id = hit.cluster_id),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(optout) AS BIGINT) AS n_optout,
+         |    CAST(SUM(quar) AS BIGINT) AS n_quarantined
+         |  FROM f GROUP BY source)
+         |SELECT source, n_docs, n_optout, n_quarantined,
+         |  CAST(n_quarantined - n_optout AS BIGINT) AS n_collateral,
+         |  CAST((1000000 * n_quarantined) // n_docs AS BIGINT)
+         |    AS quar_share_e6
+         |FROM g ORDER BY source""".stripMargin,
+    // q281: the shared pair CTEs, endpoint-label joins, and the same
+    // integer/float-floor modularity cells
+    "q281_modularity" ->
+      s"""WITH $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
+         |el AS (SELECT ea.label AS la, eb.label AS lb
+         |  FROM pr JOIN embeddings ea ON pr.vec_a = ea.vec_id
+         |    JOIN embeddings eb ON pr.vec_b = eb.vec_id),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM el),
+         |deg AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS d_c FROM
+         |    (SELECT la AS lbl FROM el UNION ALL SELECT lb AS lbl FROM el)
+         |  GROUP BY lbl),
+         |intra AS (SELECT la AS lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+         |  FROM el WHERE la = lb GROUP BY la)
+         |SELECT CAST(deg.lbl AS INT) AS lbl, d_c,
+         |  CAST(COALESCE(e_c, 0) AS BIGINT) AS e_c,
+         |  CAST((1000000 * COALESCE(e_c, 0)) // m AS BIGINT) AS frac_e6,
+         |  CAST((1000000 * d_c * d_c) // (4 * m * m) AS BIGINT) AS exp_e6,
+         |  CAST(FLOOR(CAST(4 * m * COALESCE(e_c, 0) - d_c * d_c AS DOUBLE)
+         |    / CAST(4 * m * m AS DOUBLE) * 1000000.0) AS BIGINT) AS dq_e6
+         |FROM deg LEFT JOIN intra USING (lbl), m ORDER BY lbl""".stripMargin,
+    // q282: identical absmax quantizer, exact integer centroid sums,
+    // the same closed-form self-exclusion on the code lattice
+    "q282_centroid_fit" ->
+      """WITH e2 AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id, label, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e2),
+        |qq AS (SELECT vec_id, label,
+        |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+        |      AS q
+        |  FROM qz),
+        |qn AS (SELECT vec_id, label, q,
+        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b)
+        |      AS qn2
+        |  FROM qq),
+        |g AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |cd AS (SELECT label AS clabel, i, SUM(q[i]) AS sd
+        |  FROM qn, g GROUP BY 1, 2),
+        |n2 AS (SELECT clabel, SUM(sd * sd) AS n2s FROM cd GROUP BY clabel),
+        |dt AS (SELECT v.vec_id, v.label AS own, v.qn2, cd.clabel,
+        |    SUM(v.q[cd.i] * cd.sd) AS dot
+        |  FROM qn v, cd GROUP BY 1, 2, 3, 4),
+        |sc2 AS (SELECT dt.own, dt.vec_id,
+        |    CASE WHEN dt.clabel = dt.own THEN
+        |      (CASE WHEN n2.n2s - 2 * dt.dot + dt.qn2 <= 0
+        |        THEN CAST(-2.0 AS DOUBLE)
+        |        ELSE CAST(dt.dot - dt.qn2 AS DOUBLE)
+        |          / sqrt(CAST(dt.qn2 * (n2.n2s - 2 * dt.dot + dt.qn2)
+        |            AS DOUBLE)) END)
+        |      ELSE CAST(dt.dot AS DOUBLE)
+        |        / sqrt(CAST(dt.qn2 * n2.n2s AS DOUBLE)) END AS cos,
+        |    dt.clabel
+        |  FROM dt JOIN n2 USING (clabel)),
+        |per AS (SELECT vec_id, own,
+        |    MAX(CASE WHEN clabel = own THEN cos END) AS cos_own,
+        |    MAX(CASE WHEN clabel <> own THEN cos END) AS best_other
+        |  FROM sc2 GROUP BY 1, 2),
+        |gr AS (SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST(SUM(CASE WHEN best_other > cos_own THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_misfit,
+        |    CAST(SUM(CAST(FLOOR((cos_own - best_other) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS margin_sum_e6
+        |  FROM per GROUP BY own)
+        |SELECT CAST(label AS INT) AS label, n_vecs, n_misfit,
+        |  CAST((1000000 * n_misfit) // n_vecs AS BIGINT)
+        |    AS misfit_share_e6,
+        |  margin_sum_e6
+        |FROM gr ORDER BY label""".stripMargin,
     // the identical band construction (shared CTE text), corpus × bench
     // candidates, exact-cosine verify, window-ranked best match — an
     // independent formulation of the Spark side's max(struct) verdict
@@ -2563,7 +2851,7 @@ object SimilarityQueries {
   /** The q50 recursive component chain ending at `comp(v, cluster_id)`
     * — shared by the q50 cluster listing and q266's concentration
     * statistic. */
-  private lazy val ccCompCtes: String =
+  private[graft] lazy val ccCompCtes: String =
     s"""$oracleNormed,
        |$oraclePairSc,
        |pr AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),

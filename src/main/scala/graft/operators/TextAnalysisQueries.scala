@@ -1092,7 +1092,65 @@ object TextAnalysisQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q283
+
+  /** q283 — ZIPF MASS PROFILE: the rank-frequency structure of the
+    * corpus vocabulary on the exact integer lattice. Tokens rank
+    * globally under (count DESC, token ASC); ranks bucket by binary
+    * magnitude — bucket = len(bin(rank)) = ⌊log₂ rank⌋ + 1, an INTEGER
+    * log with identical semantics in both engines (no float log2,
+    * whose libm rounding at exact powers of two differs) — and each
+    * doubling bucket reports its token count, token mass, e6 mass
+    * share, and cumulative share. Under a Zipf-1 law every doubling
+    * bucket carries roughly constant mass, so the profile reads as a
+    * flatness test: a head-heavy corpus (templates, boilerplate)
+    * spikes the first buckets, a tail-heavy one (OCR noise, unique
+    * junk tokens) inflates the last — the corpus-health companion to
+    * q245's n-gram diversity and q246's OOV rate.
+    *
+    * Scale shape: one token explode into the map-side-combinable
+    * vocab count; the global rank is the q266 TWO-PHASE discipline —
+    * offsets from the count-of-counts frame (bounded by distinct
+    * count VALUES, not vocab size) via a cumulative window over that
+    * bounded frame, intra-bucket row_number partitioned by count —
+    * never a single-partition sort of the scaling vocab frame. The
+    * bucket rollup is ≤ 64 rows by construction. */
+  def q283ZipfProfile(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(expr("split(text, ' ')")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("bigint").as("cnt"))
+      .withColumn("vb", expr("cnt div 4"))
+    // count-bucket grid vb = cnt÷4 aligns with the (cnt DESC, tok)
+    // order: vb₁ > vb₂ ⟹ every vb₁ count exceeds every vb₂ count, so
+    // bucket offsets + intra-bucket row_number IS the global rank
+    val wOff = Window.orderBy(desc("vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vocab.groupBy("vb").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .select("vb", "off")
+    val wIntra = Window.partitionBy("vb").orderBy(desc("cnt"), asc("tok"))
+    val ranked = vocab.join(offs, Seq("vb"))
+      .withColumn("rank", col("off") + row_number().over(wIntra))
+    val tot = ranked.agg(sum("cnt").cast("bigint").as("n_total"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("bucket", expr("cast(length(bin(rank)) as int)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("bigint").as("n_ranks"),
+        sum("cnt").cast("bigint").as("mass"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_e6",
+        expr("(1000000 * mass) div n_total").cast("bigint"))
+      .withColumn("cum_mass", sum("mass").over(wCum))
+      .withColumn("cum_share_e6",
+        expr("(1000000 * cum_mass) div n_total").cast("bigint"))
+      .select("bucket", "n_ranks", "mass", "share_e6", "cum_share_e6")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_zipf_profile" -> (q283ZipfProfile _),
     "q273_normalization_audit" -> (q273NormalizationAudit _),
     "q267_vocab_curve" -> (q267VocabCurve _),
     "q260_video_scenes" -> (q260VideoScenes _),
@@ -1219,6 +1277,30 @@ object TextAnalysisQueries {
        |GROUP BY i.lang ORDER BY i.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q283: a plain global row_number in the oracle engine (rank
+    // two-phasing is a Spark scale concern); bin() is minimal-width
+    // in both engines
+    "q283_zipf_profile" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tk GROUP BY tok),
+        |rk AS (SELECT cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+        |  FROM vc),
+        |tot AS (SELECT SUM(cnt) AS n_total FROM vc),
+        |b AS (SELECT CAST(length(bin(rank)) AS INT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ranks,
+        |    CAST(SUM(cnt) AS BIGINT) AS mass
+        |  FROM rk GROUP BY 1),
+        |c AS (SELECT bucket, n_ranks, mass,
+        |    SUM(mass) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass
+        |  FROM b)
+        |SELECT bucket, n_ranks, mass,
+        |  CAST((1000000 * mass) // n_total AS BIGINT) AS share_e6,
+        |  CAST((1000000 * cum_mass) // n_total AS BIGINT) AS cum_share_e6
+        |FROM c, tot ORDER BY bucket""".stripMargin,
     // q273: identical noise injection and rule chain; DuckDB's
     // regexp_replace needs the 'g' flag (Spark's is global by default)
     "q273_normalization_audit" ->
