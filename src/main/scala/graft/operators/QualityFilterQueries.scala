@@ -589,6 +589,66 @@ object QualityFilterQueries {
       .orderBy(desc("shrunk_e6"), asc("source"))
   }
 
+  // ---------------------------------------------------------------- q286
+
+  /** q286 — MULTIPLICATIVE-WEIGHTS DOMAIN REWEIGHTING (the DoReMi
+    * shape, Xie et al. 2023, on the integer lattice): domains whose
+    * documents fail the q215 quality gate more often are the "high
+    * excess loss" domains a robust-optimization pass UP-weights so the
+    * next mixture spends more capacity on them. Three multiplicative
+    * rounds, fully unrolled and fixed-point: w₀ = 1e6, w_{k+1} =
+    * ⌊w_k·(1e6 + fail_e6)/1e6⌋ — every round a BIGINT multiply and one
+    * floor division, so the whole ladder is engine-exact (the honest
+    * caveat is in the name: the loss proxy is the rules-gate failure
+    * share, not a proxy/reference model loss pair — the UPDATE RULE is
+    * DoReMi's, the loss is q215's). Output per source: the natural
+    * document share, the loss, the three weight rungs, and the final
+    * renormalized mixture share.
+    *
+    * Scale shape: one corpus scan into the bounded per-source verdict
+    * rollup (the q243 chain); the MW ladder and renormalization run
+    * entirely on |sources| summary rows with one broadcast 1-row
+    * total. Headroom: fail ≤ 1e6 so w₃ ≤ 8e6 and 1e6·w₃ ≤ 8e12. */
+  def q286MixtureReweight(s: SparkSession, dir: String): DataFrame = {
+    val verdicts = Tables.documents(s, dir)
+      .select(col("source"), expr("split(text, ' ')").as("toks"))
+      .select(col("source"),
+        expr("cast(greatest(size(toks), 1) as bigint)").as("n"),
+        expr("cast(aggregate(toks, 0L, (acc, x) -> acc + length(x)) as bigint)")
+          .as("chars"),
+        expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
+        expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
+          .as("nstop"),
+        expr("cast(array_max(transform(array_distinct(toks), " +
+          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"))
+      .select(col("source"),
+        expr("case when n between 25 and 90 and (10 * chars) div n between 40 and 52 " +
+          "and nstop >= 1 and (100 * nd) div n >= 40 and (100 * mf) div n <= 12 " +
+          "then 1L else 0L end").as("pass"))
+    val perSource = verdicts.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("pass").cast("bigint").as("n_pass"))
+      .withColumn("fail_e6",
+        expr("(1000000 * (n_docs - n_pass)) div greatest(n_docs, 1)")
+          .cast("bigint"))
+      .withColumn("w1_e6", expr("1000000 + fail_e6").cast("bigint"))
+      .withColumn("w2_e6",
+        expr("(w1_e6 * (1000000 + fail_e6)) div 1000000").cast("bigint"))
+      .withColumn("w3_e6",
+        expr("(w2_e6 * (1000000 + fail_e6)) div 1000000").cast("bigint"))
+    val tot = perSource
+      .agg(sum("n_docs").cast("bigint").as("big_n"),
+        sum("w3_e6").cast("bigint").as("tw"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(1000000 * n_docs) div greatest(big_n, 1)").cast("bigint")
+          .as("nat_share_e6"),
+        col("fail_e6"), col("w1_e6"), col("w2_e6"), col("w3_e6"),
+        expr("(1000000 * w3_e6) div greatest(tw, 1)").cast("bigint")
+          .as("share_e6"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q258
 
   /** q258 — CLASSIFIER EVALUATION: the trained quality filter's
@@ -871,6 +931,7 @@ object QualityFilterQueries {
     "q244_filter_kappa" -> (q244FilterKappa _),
     "q254_quality_mixture" -> (q254QualityMixture _),
     "q258_classifier_eval" -> (q258ClassifierEval _),
+    "q286_mixture_reweight" -> (q286MixtureReweight _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1080,6 +1141,28 @@ object QualityFilterQueries {
 
   val oracles: Map[String, String] = Map(
     "q217_dsir_importance" -> q217Oracle,
+    // q286: the shared per-source pass-rate chain + the identical
+    // unrolled fixed-point MW ladder
+    "q286_mixture_reweight" ->
+      s"""WITH $sourcePriorCtes,
+         |f AS (SELECT source, n_docs,
+         |    (1000000 * (n_docs - n_pass)) // GREATEST(n_docs, 1) AS fail_e6
+         |  FROM ps),
+         |w AS (SELECT source, n_docs, fail_e6,
+         |    1000000 + fail_e6 AS w1,
+         |    ((1000000 + fail_e6) * (1000000 + fail_e6)) // 1000000 AS w2
+         |  FROM f),
+         |w3t AS (SELECT source, n_docs, fail_e6, w1, w2,
+         |    (w2 * (1000000 + fail_e6)) // 1000000 AS w3 FROM w),
+         |tw_t AS (SELECT SUM(n_docs) AS big_n, SUM(w3) AS tw FROM w3t)
+         |SELECT source, n_docs,
+         |  CAST((1000000 * n_docs) // GREATEST(big_n, 1) AS BIGINT)
+         |    AS nat_share_e6,
+         |  CAST(fail_e6 AS BIGINT) AS fail_e6,
+         |  CAST(w1 AS BIGINT) AS w1_e6, CAST(w2 AS BIGINT) AS w2_e6,
+         |  CAST(w3 AS BIGINT) AS w3_e6,
+         |  CAST((1000000 * w3) // GREATEST(tw, 1) AS BIGINT) AS share_e6
+         |FROM w3t, tw_t ORDER BY source""".stripMargin,
     "q243_source_prior" ->
       s"""WITH $sourcePriorCtes
          |SELECT source, n_docs, n_pass,

@@ -861,6 +861,52 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  // ---------------------------------------------------------------- q285
+
+  /** q285 — DEDUP-METHOD AGREEMENT audit: on the shared embedding
+    * near-dup candidate universe (the staged pair frame, cos ≥ 0.35),
+    * how often does the LEXICAL verdict agree? Per cosine band (q263's
+    * [0.35,0.5) / [0.5,0.7) / [0.7,1]): pair count and the share of
+    * pairs whose exact distinct-word Jaccard clears 0.5 (the q22/q24
+    * near-dup bar) and 0.3 (the soft bar) — both tested as integer
+    * cross-multiplications (2·|∩| ≥ |∪|, 10·|∩| ≥ 3·|∪|), no float
+    * thresholding. The governance reading: high-cosine bands should
+    * agree lexically (paraphrase-only divergence lives in the low
+    * band); a corpus where 0.70+ pairs fail the word-set bar is
+    * embedding-near but token-far — the semantic-dedup-only risk
+    * surface q105 acts on, quantified against the lexical family.
+    *
+    * Scale shape: the pair universe is the STAGED banded-LSH frame
+    * (never all-pairs); two doc_id equi-joins attach distinct-word
+    * sets only for candidate endpoints; one bounded 3-row rollup.
+    * The set intersection runs per candidate pair — the same verify
+    * economics as q24's post-blocking step. */
+  def q285DedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    val txt = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("w"))
+    stagedPairs(s, dir)
+      .join(txt.select(col("doc_id").as("vec_a"), col("w").as("wa")), Seq("vec_a"))
+      .join(txt.select(col("doc_id").as("vec_b"), col("w").as("wb")), Seq("vec_b"))
+      .select(col("cos"),
+        expr("cast(size(array_intersect(wa, wb)) as bigint)").as("ni"),
+        expr("cast(size(array_union(wa, wb)) as bigint)").as("nu"))
+      .select(
+        expr("case when cos >= 0.7 then '0.70+' " +
+          "when cos >= 0.5 then '0.50-0.70' else '0.35-0.50' end")
+          .as("cos_band"),
+        expr("case when 2 * ni >= nu then 1L else 0L end").as("lex05"),
+        expr("case when 10 * ni >= 3 * nu then 1L else 0L end").as("lex03"))
+      .groupBy("cos_band")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum("lex05").cast("bigint").as("n_lex_05"),
+        sum("lex03").cast("bigint").as("n_lex_03"))
+      .withColumn("agree05_e6",
+        expr("(1000000 * n_lex_05) div n_pairs").cast("bigint"))
+      .withColumn("agree03_e6",
+        expr("(1000000 * n_lex_03) div n_pairs").cast("bigint"))
+      .orderBy("cos_band")
+  }
+
   // ---------------------------------------------------------------- q263
 
   /** q263 — SEMANTIC-DECONTAMINATION RECALL calibration: q242's banded
@@ -1986,6 +2032,7 @@ object SimilarityQueries {
     "q280_optout_closure" -> (q280OptoutClosure _),
     "q281_modularity" -> (q281Modularity _),
     "q282_centroid_fit" -> (q282CentroidFit _),
+    "q285_dedup_agreement" -> (q285DedupAgreement _),
     "q232_int8_recall" -> (q232Int8Recall _),
     "q238_rank_agreement" -> (q238RankAgreement _),
     "q229_triplet_mining" -> (q229TripletMining _),
@@ -2468,6 +2515,31 @@ object SimilarityQueries {
          |  CAST((1000000 * n_quarantined) // n_docs AS BIGINT)
          |    AS quar_share_e6
          |FROM g ORDER BY source""".stripMargin,
+    // q285: the shared pair CTEs + the q24-proven list set ops + the
+    // same integer cross-multiplied thresholds
+    "q285_dedup_agreement" ->
+      s"""WITH $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b, cos FROM sc WHERE cos >= 0.35),
+         |d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |j AS (SELECT pr.cos,
+         |    CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS ni,
+         |    CAST(len(list_distinct(list_concat(a.w, b.w))) AS BIGINT) AS nu
+         |  FROM pr JOIN d a ON pr.vec_a = a.doc_id
+         |    JOIN d b ON pr.vec_b = b.doc_id),
+         |c AS (SELECT CASE WHEN cos >= 0.7 THEN '0.70+'
+         |    WHEN cos >= 0.5 THEN '0.50-0.70' ELSE '0.35-0.50' END
+         |      AS cos_band,
+         |    CASE WHEN 2 * ni >= nu THEN 1 ELSE 0 END AS lex05,
+         |    CASE WHEN 10 * ni >= 3 * nu THEN 1 ELSE 0 END AS lex03
+         |  FROM j)
+         |SELECT cos_band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(lex05) AS BIGINT) AS n_lex_05,
+         |  CAST(SUM(lex03) AS BIGINT) AS n_lex_03,
+         |  CAST((1000000 * SUM(lex05)) // COUNT(*) AS BIGINT) AS agree05_e6,
+         |  CAST((1000000 * SUM(lex03)) // COUNT(*) AS BIGINT) AS agree03_e6
+         |FROM c GROUP BY cos_band ORDER BY cos_band""".stripMargin,
     // q281: the shared pair CTEs, endpoint-label joins, and the same
     // integer/float-floor modularity cells
     "q281_modularity" ->

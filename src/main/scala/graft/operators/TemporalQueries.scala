@@ -1133,7 +1133,57 @@ object TemporalQueries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q287
+
+  /** q287 — DYADIC EWMA trend + spike flag over the daily event stream:
+    * the exponentially-weighted control chart next to q148's z-score
+    * detector, built so the smoother itself is EXACT. With α = 1/2 the
+    * 20-term truncated EWMA numerator is a pure integer —
+    * prior(t) = Σ_{k=1..20} cnt(t−k)·2^{20−k} — because every weight
+    * is a power of two; the one readout division (milli-units, /2^20)
+    * and the 2× spike test (cnt·2^20 > 2·prior) stay on the BIGINT
+    * lattice. The forecast deliberately EXCLUDES the current day
+    * (an EWMA that includes today can never be exceeded 2×), and the
+    * spike flag arms only after a full 20-day warmup so cold-start
+    * days never alert.
+    *
+    * Scale shape: one scan into the (event_type, day) count —
+    * map-side combinable, bounded by types × days — then everything
+    * (densify spine, the ×20 dyadic fanout, the rollup) runs on that
+    * bounded summary frame; the 1-row-per-type bounds frame
+    * broadcasts. Truncation at 20 terms is exact relative to the
+    * infinite EWMA to 1 part in 2^20 — below the milli readout. */
+  def q287EwmaTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+    val bounds = daily.groupBy("event_type")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+    val spine = bounds.select(col("event_type"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("d"),
+      lit(0L).as("cnt"))
+    val dense = daily.union(spine).groupBy("event_type", "d")
+      .agg(max("cnt").as("cnt"))
+    val prior = dense
+      .select(col("event_type"), col("d"), col("cnt"),
+        explode(expr("sequence(1, 20)")).as("k"))
+      .select(col("event_type"), expr("date_add(d, k)").as("d"),
+        expr("cnt * shiftleft(1L, 20 - k)").as("term"))
+      .groupBy("event_type", "d")
+      .agg(sum("term").cast("bigint").as("prior"))
+    dense.join(prior, Seq("event_type", "d"), "left")
+      .join(broadcast(bounds.select("event_type", "d0")), Seq("event_type"))
+      .withColumn("prior", coalesce(col("prior"), lit(0L)))
+      .select(col("event_type"), col("d"), col("cnt"),
+        expr("(1000 * prior) div 1048576").cast("bigint").as("ewma_milli"),
+        expr("cast(case when datediff(d, d0) >= 20 " +
+          "and cnt * 1048576 > 2 * prior then 1 else 0 end as int)")
+          .as("spike"))
+      .orderBy("event_type", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_ewma_trend" -> (q287EwmaTrend _),
     "q264_burstiness" -> (q264Burstiness _),
     "q224_cumulative_distinct" -> (q224CumulativeDistinct _),
     "q143_max_concurrency" -> (q143MaxConcurrency _),
@@ -1161,6 +1211,33 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q287: the same densified daily frame, the identical dyadic
+    // contribution fanout, and the same warmup-gated integer spike test
+    "q287_ewma_trend" ->
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+        |  FROM dc GROUP BY 1),
+        |sp AS (SELECT event_type,
+        |    CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS d
+        |  FROM b),
+        |dense AS (SELECT sp.event_type, sp.d, COALESCE(dc.cnt, 0) AS cnt
+        |  FROM sp LEFT JOIN dc USING (event_type, d)),
+        |ct AS (SELECT event_type, CAST(d + CAST(k AS INT) AS DATE) AS d,
+        |    cnt * (CAST(1 AS BIGINT) << (20 - k)) AS term
+        |  FROM dense, (SELECT UNNEST(generate_series(1, 20)) AS k) ks),
+        |pr2 AS (SELECT event_type, d, CAST(SUM(term) AS BIGINT) AS prior
+        |  FROM ct GROUP BY 1, 2)
+        |SELECT dense.event_type, dense.d, dense.cnt,
+        |  CAST((1000 * COALESCE(prior, 0)) // 1048576 AS BIGINT)
+        |    AS ewma_milli,
+        |  CAST(CASE WHEN dense.d >= b.d0 + 20
+        |    AND dense.cnt * 1048576 > 2 * COALESCE(prior, 0)
+        |    THEN 1 ELSE 0 END AS INT) AS spike
+        |FROM dense LEFT JOIN pr2 USING (event_type, d)
+        |  JOIN b USING (event_type)
+        |ORDER BY event_type, d""".stripMargin,
     "q264_burstiness" ->
       """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(COUNT(*) AS BIGINT) AS cnt

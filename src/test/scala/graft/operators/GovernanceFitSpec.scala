@@ -228,6 +228,99 @@ class GovernanceFitSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == toks)
   }
 
+  test("q285 agreement pins constructed lexical-identical vs token-far pairs") {
+    // pair (0,1): same vector, same words -> lexical agree at both bars;
+    // pair (2,3): same vector, disjoint words -> disagree; 4 singleton
+    val dir = graft.Staging.fresh("govfit285")
+    stageEmb(dir, Seq((0L, axis(0), 0), (1L, axis(0), 0),
+      (2L, axis(1), 0), (3L, axis(1), 0), (4L, axis(2), 0)))
+    stageDocs(dir, Seq(
+      (0L, "x y z", "en", "s", 5L), (1L, "x y z", "en", "s", 5L),
+      (2L, "a b c", "en", "s", 5L), (3L, "d e f", "en", "s", 5L),
+      (4L, "q r s", "en", "s", 5L)))
+    val got = SimilarityQueries.q285DedupAgreement(spark, dir).collect()
+      .map(r => r.getAs[String]("cos_band") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_lex_05"),
+          r.getAs[Long]("n_lex_03"), r.getAs[Long]("agree05_e6"))).toMap
+    assert(got == Map("0.70+" -> ((2L, 1L, 1L, 500000L))))
+  }
+
+  test("q285 fixture invariants: soft bar dominates, shares consistent") {
+    val rows = SimilarityQueries.q285DedupAgreement(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, l5, l3) = (r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_lex_05"), r.getAs[Long]("n_lex_03"))
+      assert(l3 >= l5 && n >= l3)
+      assert(r.getAs[Long]("agree05_e6") == 1000000L * l5 / n)
+      assert(r.getAs[Long]("agree03_e6") == 1000000L * l3 / n)
+    }
+  }
+
+  test("q286 MW ladder replays from q215's gate and renormalizes") {
+    val gate = QualityFilterQueries.q215RulesGate(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"))).toMap
+    val rows = QualityFilterQueries.q286MixtureReweight(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length == gate.size)
+    val bigN = gate.values.map(_._1).sum
+    val w3s = rows.map { r =>
+      val src = r.getAs[String]("source")
+      val (nd, np) = gate(src)
+      val fail = 1000000L * (nd - np) / nd
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("fail_e6") == fail)
+      assert(r.getAs[Long]("nat_share_e6") == 1000000L * nd / bigN)
+      val w1 = 1000000L + fail
+      val w2 = w1 * (1000000L + fail) / 1000000L
+      val w3 = w2 * (1000000L + fail) / 1000000L
+      assert(r.getAs[Long]("w1_e6") == w1 && r.getAs[Long]("w2_e6") == w2 &&
+        r.getAs[Long]("w3_e6") == w3)
+      (r.getAs[Long]("fail_e6"), w3, r.getAs[Long]("share_e6"))
+    }
+    val tw = w3s.map(_._2).sum
+    rows.zip(w3s).foreach { case (r, (_, w3, sh)) =>
+      assert(sh == 1000000L * w3 / tw)
+    }
+    // floored shares close under the source count; lossier domains never
+    // get a smaller weight
+    val shareSum = w3s.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+    w3s.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2)
+      case _ =>
+    }
+  }
+
+  test("q287 EWMA replays exactly on a constructed spike series") {
+    // 25 days at 4/day; 3x spikes at day 10 (pre-warmup: must NOT flag)
+    // and day 22 (post-warmup: must flag)
+    val s2 = spark
+    import s2.implicits._
+    val dir = graft.Staging.fresh("govfit287")
+    val counts = (0 until 25).map(i => if (i == 10 || i == 22) 12L else 4L)
+    val rows = for {
+      i <- 0 until 25
+      j <- 1L to counts(i)
+    } yield ("rent", java.sql.Timestamp.valueOf(f"2026-01-${i + 1}%02d 12:00:00"), j)
+    rows.toDF("event_type", "ts", "n").drop("n")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expect = (0 until 25).map { i =>
+      val prior = (1 to 20).filter(_ <= i)
+        .map(k => counts(i - k) * (1L << (20 - k))).sum
+      val spike = if (i >= 20 && counts(i) * 1048576L > 2 * prior) 1 else 0
+      java.sql.Date.valueOf(f"2026-01-${i + 1}%02d") ->
+        ((counts(i), 1000L * prior / 1048576L, spike))
+    }.toMap
+    val got = TemporalQueries.q287EwmaTrend(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("d") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("ewma_milli"),
+          r.getAs[Int]("spike")))).toMap
+    assert(got == expect)
+    assert(got(java.sql.Date.valueOf("2026-01-23"))._3 == 1) // day 22 flags
+    assert(got(java.sql.Date.valueOf("2026-01-11"))._3 == 0) // day 10 gated
+  }
+
   test("q284 split repair replays from a per-document brute force") {
     val sf = "/root/testdata/sf0.001"
     def split(i: Long): String = {
