@@ -649,6 +649,62 @@ object QualityFilterQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q291
+
+  /** q291 — GATE ABLATION: which of q215's five rules is BINDING?
+    * Per source and rule, the pass count with that one rule removed —
+    * the leave-one-out ladder every rules-gate tuning session walks
+    * (a rule whose removal barely moves the pass rate is redundant
+    * with the others; one that releases 20% of a source is that
+    * source's binding constraint and the first threshold to revisit).
+    * The marginal m_<rule> = pass-without-rule − pass-with-all counts
+    * exactly the documents blocked ONLY by that rule.
+    *
+    * Scale shape: the identical q215 row-local verdict projection
+    * (one corpus scan, codegen'd), six conditional sums in ONE bounded
+    * source rollup — the ablation costs nothing beyond q215 itself. */
+  def q291GateAblation(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(s, dir)
+      .select(col("source"), expr("split(text, ' ')").as("toks"))
+      .select(col("source"),
+        expr("cast(greatest(size(toks), 1) as bigint)").as("n"),
+        expr("cast(aggregate(toks, 0L, (acc, x) -> acc + length(x)) as bigint)")
+          .as("chars"),
+        expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
+        expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
+          .as("nstop"),
+        expr("cast(array_max(transform(array_distinct(toks), " +
+          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"))
+      .select(col("source"),
+        expr("case when n between 25 and 90 then 0 else 1 end").as("f_wc"),
+        expr("case when (10 * chars) div n between 40 and 52 then 0 else 1 end")
+          .as("f_mwl"),
+        expr("case when nstop >= 1 then 0 else 1 end").as("f_stop"),
+        expr("case when (100 * nd) div n >= 40 then 0 else 1 end").as("f_rep"),
+        expr("case when (100 * mf) div n <= 12 then 0 else 1 end").as("f_top"))
+    m.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(expr("case when f_wc + f_mwl + f_stop + f_rep + f_top = 0 " +
+          "then 1 else 0 end")).cast("bigint").as("n_pass"),
+        sum(expr("case when f_mwl + f_stop + f_rep + f_top = 0 " +
+          "then 1 else 0 end")).cast("bigint").as("p_wo_wc"),
+        sum(expr("case when f_wc + f_stop + f_rep + f_top = 0 " +
+          "then 1 else 0 end")).cast("bigint").as("p_wo_mwl"),
+        sum(expr("case when f_wc + f_mwl + f_rep + f_top = 0 " +
+          "then 1 else 0 end")).cast("bigint").as("p_wo_stop"),
+        sum(expr("case when f_wc + f_mwl + f_stop + f_top = 0 " +
+          "then 1 else 0 end")).cast("bigint").as("p_wo_rep"),
+        sum(expr("case when f_wc + f_mwl + f_stop + f_rep = 0 " +
+          "then 1 else 0 end")).cast("bigint").as("p_wo_top"))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        expr("p_wo_wc - n_pass").cast("bigint").as("m_wordcount"),
+        expr("p_wo_mwl - n_pass").cast("bigint").as("m_wordlen"),
+        expr("p_wo_stop - n_pass").cast("bigint").as("m_stopword"),
+        expr("p_wo_rep - n_pass").cast("bigint").as("m_repetition"),
+        expr("p_wo_top - n_pass").cast("bigint").as("m_topshare"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q258
 
   /** q258 — CLASSIFIER EVALUATION: the trained quality filter's
@@ -932,6 +988,7 @@ object QualityFilterQueries {
     "q254_quality_mixture" -> (q254QualityMixture _),
     "q258_classifier_eval" -> (q258ClassifierEval _),
     "q286_mixture_reweight" -> (q286MixtureReweight _),
+    "q291_gate_ablation" -> (q291GateAblation _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1141,6 +1198,46 @@ object QualityFilterQueries {
 
   val oracles: Map[String, String] = Map(
     "q217_dsir_importance" -> q217Oracle,
+    // q291: q215's oracle verdict chain + the same six conditional sums
+    "q291_gate_ablation" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT source,
+         |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+         |    CAST(len(list_filter(list_distinct(toks),
+         |        t -> t IN ($stopList))) AS BIGINT) AS nstop,
+         |    CAST(list_max(list_transform(list_distinct(toks),
+         |        t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS mf
+         |  FROM t),
+         |r AS (SELECT source,
+         |    CASE WHEN n BETWEEN 25 AND 90 THEN 0 ELSE 1 END AS f_wc,
+         |    CASE WHEN (10 * chars) // n BETWEEN 40 AND 52 THEN 0 ELSE 1 END AS f_mwl,
+         |    CASE WHEN nstop >= 1 THEN 0 ELSE 1 END AS f_stop,
+         |    CASE WHEN (100 * nd) // n >= 40 THEN 0 ELSE 1 END AS f_rep,
+         |    CASE WHEN (100 * mf) // n <= 12 THEN 0 ELSE 1 END AS f_top
+         |  FROM m),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_rep + f_top = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |    CAST(SUM(CASE WHEN f_mwl + f_stop + f_rep + f_top = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS p_wo_wc,
+         |    CAST(SUM(CASE WHEN f_wc + f_stop + f_rep + f_top = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS p_wo_mwl,
+         |    CAST(SUM(CASE WHEN f_wc + f_mwl + f_rep + f_top = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS p_wo_stop,
+         |    CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_top = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS p_wo_rep,
+         |    CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_rep = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS p_wo_top
+         |  FROM r GROUP BY source)
+         |SELECT source, n_docs, n_pass,
+         |  CAST(p_wo_wc - n_pass AS BIGINT) AS m_wordcount,
+         |  CAST(p_wo_mwl - n_pass AS BIGINT) AS m_wordlen,
+         |  CAST(p_wo_stop - n_pass AS BIGINT) AS m_stopword,
+         |  CAST(p_wo_rep - n_pass AS BIGINT) AS m_repetition,
+         |  CAST(p_wo_top - n_pass AS BIGINT) AS m_topshare
+         |FROM g ORDER BY source""".stripMargin,
     // q286: the shared per-source pass-rate chain + the identical
     // unrolled fixed-point MW ladder
     "q286_mixture_reweight" ->

@@ -907,6 +907,79 @@ object SimilarityQueries {
       .orderBy("cos_band")
   }
 
+  // ---------------------------------------------------------------- q288
+
+  /** q288 — DEDUP-CORRECTED EFFECTIVE MASS: every corpus statistic a
+    * mixture designer reads (q69's temperatures, q254's quotas, q82's
+    * scorecard) is computed over RAW document counts, but near-dup
+    * clusters mean the corpus's effective size is smaller — and
+    * unevenly so across sources. Per source: raw docs/tokens, effective
+    * docs/tokens (each q50 cluster counted ONCE, attributed to its
+    * representative's source; unclustered docs count as themselves),
+    * and the e6 inflation factor raw/effective — the correction factor
+    * that turns raw source weights into dedup-honest ones.
+    *
+    * Scale shape: labels are the STAGED ccLabels fixpoint; effectivity
+    * is a row-local flag (unclustered OR rep, where rep id IS the
+    * label); one bounded source rollup. A source whose mass is
+    * entirely non-representative cluster members reads effective 0 —
+    * the GREATEST(·,1) guard keeps both engines on the defined answer. */
+  def q288EffectiveMass(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("ntok"))
+    val lbl = ccLabels(s, dir).select(col("v").as("doc_id"), col("lbl"))
+    docs.join(lbl, Seq("doc_id"), "left")
+      .withColumn("eff",
+        when(col("lbl").isNull || col("lbl") === col("doc_id"), 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("ntok").cast("bigint").as("tokens"),
+        sum("eff").cast("bigint").as("n_eff"),
+        sum(expr("case when eff = 1 then ntok else 0 end"))
+          .cast("bigint").as("tokens_eff"))
+      .withColumn("inflation_e6",
+        expr("(1000000 * tokens) div greatest(tokens_eff, 1)")
+          .cast("bigint"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q289
+
+  /** q289 — CROSS-LINGUAL PAIR AFFINITY: the language-pair matrix of
+    * the near-dup graph. Same-language cells measure intra-lang
+    * duplication; CROSS-language cells are the parallel/translated
+    * content a multilingual pipeline mines on purpose (bitext) or
+    * deduplicates by accident (transliterated mirrors) — either way
+    * the first table a cross-lingual curator asks for. Per unordered
+    * (lang_a ≤ lang_b) cell: pair count, the e6 share of all pairs,
+    * and the strong-pair count (cos ≥ 0.7, the q263 top band).
+    *
+    * Scale shape: the pair universe is the STAGED banded-LSH frame;
+    * two doc_id equi-joins attach endpoint languages; the rollup is
+    * bounded by |langs|². */
+  def q289CrosslingualPairs(s: SparkSession, dir: String): DataFrame = {
+    val lang = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val tot = stagedPairs(s, dir).agg(count(lit(1)).cast("bigint").as("n_t"))
+    stagedPairs(s, dir)
+      .join(lang.select(col("doc_id").as("vec_a"), col("lang").as("la")),
+        Seq("vec_a"))
+      .join(lang.select(col("doc_id").as("vec_b"), col("lang").as("lb")),
+        Seq("vec_b"))
+      .select(least(col("la"), col("lb")).as("lang_a"),
+        greatest(col("la"), col("lb")).as("lang_b"), col("cos"))
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(expr("case when cos >= 0.7 then 1 else 0 end"))
+          .cast("bigint").as("n_strong"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_e6",
+        expr("(1000000 * n_pairs) div greatest(n_t, 1)").cast("bigint"))
+      .select("lang_a", "lang_b", "n_pairs", "n_strong", "share_e6")
+      .orderBy("lang_a", "lang_b")
+  }
+
   // ---------------------------------------------------------------- q263
 
   /** q263 — SEMANTIC-DECONTAMINATION RECALL calibration: q242's banded
@@ -2033,6 +2106,8 @@ object SimilarityQueries {
     "q281_modularity" -> (q281Modularity _),
     "q282_centroid_fit" -> (q282CentroidFit _),
     "q285_dedup_agreement" -> (q285DedupAgreement _),
+    "q288_effective_mass" -> (q288EffectiveMass _),
+    "q289_crosslingual_pairs" -> (q289CrosslingualPairs _),
     "q232_int8_recall" -> (q232Int8Recall _),
     "q238_rank_agreement" -> (q238RankAgreement _),
     "q229_triplet_mining" -> (q229TripletMining _),
@@ -2515,6 +2590,46 @@ object SimilarityQueries {
          |  CAST((1000000 * n_quarantined) // n_docs AS BIGINT)
          |    AS quar_share_e6
          |FROM g ORDER BY source""".stripMargin,
+    // q288: the q50 recursive component chain + the same row-local
+    // rep/unclustered effectivity flag
+    "q288_effective_mass" ->
+      s"""WITH RECURSIVE $ccCompCtes,
+         |dt AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+         |  FROM documents),
+         |f AS (SELECT dt.source, dt.ntok,
+         |    CASE WHEN comp.cluster_id IS NULL
+         |      OR comp.cluster_id = dt.doc_id THEN 1 ELSE 0 END AS eff
+         |  FROM dt LEFT JOIN comp ON comp.v = dt.doc_id),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(ntok) AS BIGINT) AS tokens,
+         |    CAST(SUM(eff) AS BIGINT) AS n_eff,
+         |    CAST(SUM(CASE WHEN eff = 1 THEN ntok ELSE 0 END) AS BIGINT)
+         |      AS tokens_eff
+         |  FROM f GROUP BY source)
+         |SELECT source, n_docs, tokens, n_eff, tokens_eff,
+         |  CAST((1000000 * tokens) // GREATEST(tokens_eff, 1) AS BIGINT)
+         |    AS inflation_e6
+         |FROM g ORDER BY source""".stripMargin,
+    // q289: the shared pair CTEs + endpoint-language joins + the same
+    // unordered-cell rollup
+    "q289_crosslingual_pairs" ->
+      s"""WITH $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b, cos FROM sc WHERE cos >= 0.35),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_t FROM pr),
+         |j AS (SELECT LEAST(a.lang, b.lang) AS lang_a,
+         |    GREATEST(a.lang, b.lang) AS lang_b, pr.cos
+         |  FROM pr JOIN documents a ON pr.vec_a = a.doc_id
+         |    JOIN documents b ON pr.vec_b = b.doc_id),
+         |g AS (SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN cos >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_strong
+         |  FROM j GROUP BY 1, 2)
+         |SELECT lang_a, lang_b, n_pairs, n_strong,
+         |  CAST((1000000 * n_pairs) // GREATEST(n_t, 1) AS BIGINT)
+         |    AS share_e6
+         |FROM g, t ORDER BY lang_a, lang_b""".stripMargin,
     // q285: the shared pair CTEs + the q24-proven list set ops + the
     // same integer cross-multiplied thresholds
     "q285_dedup_agreement" ->

@@ -1149,8 +1149,103 @@ object TextAnalysisQueries {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------- q290
+
+  /** q290 — TEMPLATE CENSUS: boilerplate at the DOCUMENT-OPENING grain.
+    * Web templates, license headers, and generated pages share their
+    * first words verbatim even when bodies diverge — below q21's
+    * exact-dup bar and orthogonal to q223's corpus-wide trigram DF.
+    * Key = the exact leading 4-token prefix; any key with ≥ 2 documents
+    * is a template family. Top 20 families by population (key ASC
+    * tiebreak, a total order), each with its document count, source
+    * and language spread, and token mass — the remove-list a template
+    * strip pass consumes.
+    *
+    * Scale shape: a row-local codegen'd prefix projection, one
+    * map-side-combinable groupBy on the prefix key, TakeOrderedAndProject
+    * for the presentation cut (the q41 idiom). The two COUNT(DISTINCT)s
+    * run two-phase on the (key, source/lang) lattice inside one
+    * aggregate — never a document-level window. */
+  def q290TemplateCensus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        expr("split(text, ' ')").as("toks"))
+      .filter(expr("size(toks) >= 4"))
+      .select(col("source"), col("lang"),
+        expr("concat_ws(' ', slice(toks, 1, 4))").as("template_key"),
+        expr("cast(size(toks) as bigint)").as("ntok"))
+      .groupBy("template_key")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        countDistinct("source").cast("bigint").as("n_sources"),
+        countDistinct("lang").cast("bigint").as("n_langs"),
+        sum("ntok").cast("bigint").as("tokens"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), asc("template_key"))
+      .limit(20)
+
+  // ---------------------------------------------------------------- q292
+
+  /** q292 — WORDPIECE ENCODE (Schuster & Nakajima 2012's greedy
+    * maximal-munch, the BPE-encode alternative q144 doesn't cover):
+    * every word is segmented left-to-right, at each position taking
+    * the LONGEST matching piece from a trained vocabulary — here the
+    * top-16 character trigrams and top-16 bigrams of the corpus's own
+    * words (exact counts, (count DESC, gram ASC) total order), single
+    * characters as the implicit fallback alphabet. Per source: word,
+    * character and piece masses, pieces-per-word fertility, and
+    * characters-per-piece compression — q241's fertility readout for
+    * the second tokenizer family, so the two algorithms are directly
+    * comparable on the same corpus.
+    *
+    * The segmenter is ONE fold, not a joined DP: aggregate() walks the
+    * word's positions with a (skip, tok) struct accumulator — a
+    * position inside a matched piece decrements skip, a boundary
+    * position takes the longest vocab hit (3 > 2 > 1) and bumps the
+    * piece count. Strictly row-local, O(|word|) per word, zero
+    * shuffles beyond the two bounded vocab aggregates.
+    *
+    * Scale shape: the trained piece table is bounded (32 rows → one
+    * 1-ROW ARRAY frame) and rides a broadcast cross join INTO the
+    * fold's lambda as a plain column — no driver collect, no literal
+    * splice; gram training is two map-side-combinable counts with
+    * TakeOrderedAndProject cuts. */
+  def q292WordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("source"), explode(expr("split(text, ' ')")).as("w"))
+      .filter(length(col("w")) >= 1)
+    def topGrams(n: Int, k: Int): DataFrame = words
+      .filter(length(col("w")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, length(w) - ${n - 1}), i -> substring(w, i, $n))"))
+        .as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("g")).limit(k)
+    val vocab = topGrams(3, 16).agg(expr("collect_list(g)").as("v3"))
+      .crossJoin(topGrams(2, 16).agg(expr("collect_list(g)").as("v2")))
+    words.crossJoin(broadcast(vocab))
+      .withColumn("pieces", expr(
+        "aggregate(sequence(1, length(w)), named_struct('skip', 0, 'tok', 0L), " +
+          "(acc, i) -> case " +
+          "when acc.skip > 0 then named_struct('skip', acc.skip - 1, 'tok', acc.tok) " +
+          "when array_contains(v3, substring(w, i, 3)) then named_struct('skip', 2, 'tok', acc.tok + 1L) " +
+          "when array_contains(v2, substring(w, i, 2)) then named_struct('skip', 1, 'tok', acc.tok + 1L) " +
+          "else named_struct('skip', 0, 'tok', acc.tok + 1L) end, " +
+          "acc -> acc.tok)"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_words"),
+        sum(expr("cast(length(w) as bigint)")).cast("bigint").as("n_chars"),
+        sum("pieces").cast("bigint").as("n_pieces"))
+      .withColumn("fertility_e6",
+        expr("(1000000 * n_pieces) div n_words").cast("bigint"))
+      .withColumn("chars_per_piece_e6",
+        expr("(1000000 * n_chars) div greatest(n_pieces, 1)").cast("bigint"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_zipf_profile" -> (q283ZipfProfile _),
+    "q292_wordpiece_encode" -> (q292WordpieceEncode _),
+    "q290_template_census" -> (q290TemplateCensus _),
     "q273_normalization_audit" -> (q273NormalizationAudit _),
     "q267_vocab_curve" -> (q267VocabCurve _),
     "q260_video_scenes" -> (q260VideoScenes _),
@@ -1277,6 +1372,65 @@ object TextAnalysisQueries {
        |GROUP BY i.lang ORDER BY i.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q292: identical gram training and the same struct-state fold
+    // (DuckDB's list_reduce has no seed, so a dummy position-0 element
+    // carries the zero state; the lambda only ever sees positions >= 1)
+    "q292_wordpiece_encode" ->
+      """WITH wd AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents),
+        |ws AS (SELECT source, w FROM wd WHERE length(w) >= 1),
+        |g3 AS (SELECT unnest(list_transform(generate_series(1, length(w) - 2),
+        |      i -> substr(w, CAST(i AS INT), 3))) AS g
+        |  FROM ws WHERE length(w) >= 3),
+        |t3 AS (SELECT g, COUNT(*) AS cnt FROM g3 GROUP BY g
+        |  ORDER BY cnt DESC, g ASC LIMIT 16),
+        |g2 AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |      i -> substr(w, CAST(i AS INT), 2))) AS g
+        |  FROM ws WHERE length(w) >= 2),
+        |t2 AS (SELECT g, COUNT(*) AS cnt FROM g2 GROUP BY g
+        |  ORDER BY cnt DESC, g ASC LIMIT 16),
+        |v AS (SELECT (SELECT list(g) FROM t3) AS v3,
+        |    (SELECT list(g) FROM t2) AS v2),
+        |enc AS (SELECT source, length(w) AS nch,
+        |    list_reduce(
+        |      list_transform(generate_series(0, length(w)), i ->
+        |        struct_pack(i := i, skip := 0, tok := CAST(0 AS BIGINT))),
+        |      (acc, x) -> CASE
+        |        WHEN acc.skip > 0 THEN struct_pack(i := x.i,
+        |          skip := acc.skip - 1, tok := acc.tok)
+        |        WHEN list_contains(v3, substr(w, CAST(x.i AS INT), 3))
+        |          THEN struct_pack(i := x.i, skip := 2, tok := acc.tok + 1)
+        |        WHEN list_contains(v2, substr(w, CAST(x.i AS INT), 2))
+        |          THEN struct_pack(i := x.i, skip := 1, tok := acc.tok + 1)
+        |        ELSE struct_pack(i := x.i, skip := 0, tok := acc.tok + 1)
+        |        END).tok AS pieces
+        |  FROM ws, v),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(nch) AS BIGINT) AS n_chars,
+        |    CAST(SUM(pieces) AS BIGINT) AS n_pieces
+        |  FROM enc GROUP BY source)
+        |SELECT source, n_words, n_chars, n_pieces,
+        |  CAST((1000000 * n_pieces) // n_words AS BIGINT) AS fertility_e6,
+        |  CAST((1000000 * n_chars) // GREATEST(n_pieces, 1) AS BIGINT)
+        |    AS chars_per_piece_e6
+        |FROM g ORDER BY source""".stripMargin,
+    // q290: identical prefix key (1-based inclusive list slice = Spark
+    // slice(toks, 1, 4)), identical rollup and presentation cut
+    "q290_template_census" ->
+      """WITH t AS (SELECT source, lang, string_split(text, ' ') AS toks
+        |    FROM documents),
+        |p AS (SELECT source, lang,
+        |    array_to_string(toks[1:4], ' ') AS template_key,
+        |    CAST(len(toks) AS BIGINT) AS ntok
+        |  FROM t WHERE len(toks) >= 4),
+        |g AS (SELECT template_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(SUM(ntok) AS BIGINT) AS tokens
+        |  FROM p GROUP BY template_key)
+        |SELECT template_key, n_docs, n_sources, n_langs, tokens
+        |FROM g WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, template_key ASC LIMIT 20""".stripMargin,
     // q283: a plain global row_number in the oracle engine (rank
     // two-phasing is a Spark scale concern); bin() is minimal-width
     // in both engines

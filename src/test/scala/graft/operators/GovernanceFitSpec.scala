@@ -321,6 +321,103 @@ class GovernanceFitSpec extends AnyFunSuite {
     assert(got(java.sql.Date.valueOf("2026-01-11"))._3 == 0) // day 10 gated
   }
 
+  test("q288 effective mass attributes each cluster once, to its rep's source") {
+    // cluster {0,1,2,5}: rep 0 (sA); 2 (sB) and 5 (sC) are members;
+    // 3 (sB) unclustered. sC holds only a non-rep member -> effective 0
+    val dir = graft.Staging.fresh("govfit288")
+    stageEmb(dir, Seq((0L, axis(0), 0), (1L, axis(0), 0), (2L, axis(0), 0),
+      (5L, axis(0), 0), (3L, axis(1), 0)))
+    stageDocs(dir, Seq(
+      (0L, "t1 t2", "en", "sA", 5L), (1L, "t1 t2", "en", "sA", 5L),
+      (2L, "t1 t2", "en", "sB", 5L), (3L, "t1 t2", "en", "sB", 5L),
+      (5L, "t1 t2", "en", "sC", 5L)))
+    val got = SimilarityQueries.q288EffectiveMass(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("n_eff"), r.getAs[Long]("tokens_eff"),
+          r.getAs[Long]("inflation_e6"))).toMap
+    assert(got("sA") == ((2L, 4L, 1L, 2L, 2000000L)))
+    assert(got("sB") == ((2L, 4L, 1L, 2L, 2000000L)))
+    assert(got("sC") == ((1L, 2L, 0L, 0L, 2000000L))) // guarded denominator
+  }
+
+  test("q289 affinity separates the constructed cross-lingual pair") {
+    val dir = graft.Staging.fresh("govfit289")
+    stageEmb(dir, Seq((0L, axis(0), 0), (1L, axis(0), 0),
+      (2L, axis(1), 0), (3L, axis(1), 0)))
+    stageDocs(dir, Seq(
+      (0L, "x", "en", "s", 1L), (1L, "x", "de", "s", 1L),
+      (2L, "x", "en", "s", 1L), (3L, "x", "en", "s", 1L)))
+    val got = SimilarityQueries.q289CrosslingualPairs(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_strong"),
+          r.getAs[Long]("share_e6"))).toMap
+    assert(got == Map(
+      ("de", "en") -> ((1L, 1L, 500000L)),
+      ("en", "en") -> ((1L, 1L, 500000L))))
+  }
+
+  test("q290 template census pins constructed template families") {
+    val dir = graft.Staging.fresh("govfit290")
+    stageDocs(dir, Seq(
+      (1L, "alpha beta gamma delta tail1 tail2", "en", "s1", 30L),
+      (2L, "alpha beta gamma delta other", "de", "s2", 25L),
+      (3L, "solo first four words xyz", "en", "s1", 20L),
+      (4L, "tmpl two three four", "en", "s1", 19L),
+      (5L, "tmpl two three four", "en", "s1", 19L)))
+    val rows = TextAnalysisQueries.q290TemplateCensus(spark, dir).collect()
+      .map(r => r.getAs[String]("template_key") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"),
+          r.getAs[Long]("n_langs"), r.getAs[Long]("tokens")))
+    assert(rows.length == 2) // the singleton prefix never surfaces
+    assert(rows.toMap == Map(
+      "alpha beta gamma delta" -> ((2L, 2L, 2L, 11L)),
+      "tmpl two three four" -> ((2L, 1L, 1L, 8L))))
+    // tie on n_docs breaks by key ascending
+    assert(rows.head._1 == "alpha beta gamma delta")
+  }
+
+  test("q291 ablation isolates single-rule failures exactly") {
+    def distinctWords(n: Int, tag: String): Seq[String] =
+      (0 until n).map(i => f"$tag%s${i}%02d") // 5-char words: tag(3)+2
+    // pass-all: 'the' + 29 distinct 5-char words (n=30, avg len 49/10)
+    val passDoc = ("the" +: distinctWords(29, "wrd")).mkString(" ")
+    // fails ONLY wordcount: same shape at n=20
+    val shortDoc = ("the" +: distinctWords(19, "wrd")).mkString(" ")
+    // fails ONLY stopword: 30 distinct 5-char words, no stop token
+    val noStopDoc = distinctWords(30, "xyz").mkString(" ")
+    val dir = graft.Staging.fresh("govfit291")
+    stageDocs(dir, Seq(
+      (1L, passDoc, "en", "sA", 100L),
+      (2L, shortDoc, "en", "sA", 100L),
+      (3L, noStopDoc, "en", "sA", 100L)))
+    val got = QualityFilterQueries.q291GateAblation(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"),
+          r.getAs[Long]("m_wordcount"), r.getAs[Long]("m_wordlen"),
+          r.getAs[Long]("m_stopword"), r.getAs[Long]("m_repetition"),
+          r.getAs[Long]("m_topshare"))).toMap
+    assert(got("sA") == ((3L, 1L, 1L, 0L, 1L, 0L, 0L)))
+  }
+
+  test("q291 marginals agree with q215 on the fixture corpus") {
+    val gate = QualityFilterQueries.q215RulesGate(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"))).toMap
+    val rows = QualityFilterQueries.q291GateAblation(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length == gate.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass")) == gate(src))
+      // removing a rule can only release documents, never block more
+      Seq("m_wordcount", "m_wordlen", "m_stopword", "m_repetition",
+        "m_topshare").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && r.getAs[Long]("n_pass") + v <= r.getAs[Long]("n_docs"))
+      }
+    }
+  }
+
   test("q284 split repair replays from a per-document brute force") {
     val sf = "/root/testdata/sf0.001"
     def split(i: Long): String = {
