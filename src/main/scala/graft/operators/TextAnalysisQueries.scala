@@ -1372,39 +1372,48 @@ object TextAnalysisQueries {
        |GROUP BY i.lang ORDER BY i.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // q292: identical gram training and the same struct-state fold
-    // (DuckDB's list_reduce has no seed, so a dummy position-0 element
-    // carries the zero state; the lambda only ever sees positions >= 1)
+    // q292: identical gram training; the greedy walk runs as a
+    // recursive CTE over DISTINCT words (position jumps by longest
+    // match via LEFT JOINs against the piece tables) instead of a
+    // list_reduce fold. The fold form was WRONG under DuckDB 1.0.0:
+    // a reduce lambda that probes a captured outer column (substr(w,
+    // x.i, 3) with w from an unnest) misbinds the capture across
+    // vectorized chunks — the same word returned 3 pieces on one row
+    // and 5 on another (observed on sf0.01; minimal repro in the
+    // round-13 notes). Pure-accumulator reduce lambdas ((a,b) -> a+b,
+    // the other 42 oracle uses) are unaffected. The join walk is also
+    // the better oracle shape: each distinct word is segmented once.
     "q292_wordpiece_encode" ->
-      """WITH wd AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      """WITH RECURSIVE wd AS (SELECT source, unnest(string_split(text, ' ')) AS w
         |    FROM documents),
         |ws AS (SELECT source, w FROM wd WHERE length(w) >= 1),
         |g3 AS (SELECT unnest(list_transform(generate_series(1, length(w) - 2),
         |      i -> substr(w, CAST(i AS INT), 3))) AS g
         |  FROM ws WHERE length(w) >= 3),
-        |t3 AS (SELECT g, COUNT(*) AS cnt FROM g3 GROUP BY g
-        |  ORDER BY cnt DESC, g ASC LIMIT 16),
+        |t3 AS MATERIALIZED (SELECT g FROM (
+        |  SELECT g, COUNT(*) AS cnt FROM g3 GROUP BY g
+        |  ORDER BY cnt DESC, g ASC LIMIT 16)),
         |g2 AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
         |      i -> substr(w, CAST(i AS INT), 2))) AS g
         |  FROM ws WHERE length(w) >= 2),
-        |t2 AS (SELECT g, COUNT(*) AS cnt FROM g2 GROUP BY g
-        |  ORDER BY cnt DESC, g ASC LIMIT 16),
-        |v AS (SELECT (SELECT list(g) FROM t3) AS v3,
-        |    (SELECT list(g) FROM t2) AS v2),
-        |enc AS (SELECT source, length(w) AS nch,
-        |    list_reduce(
-        |      list_transform(generate_series(0, length(w)), i ->
-        |        struct_pack(i := i, skip := 0, tok := CAST(0 AS BIGINT))),
-        |      (acc, x) -> CASE
-        |        WHEN acc.skip > 0 THEN struct_pack(i := x.i,
-        |          skip := acc.skip - 1, tok := acc.tok)
-        |        WHEN list_contains(v3, substr(w, CAST(x.i AS INT), 3))
-        |          THEN struct_pack(i := x.i, skip := 2, tok := acc.tok + 1)
-        |        WHEN list_contains(v2, substr(w, CAST(x.i AS INT), 2))
-        |          THEN struct_pack(i := x.i, skip := 1, tok := acc.tok + 1)
-        |        ELSE struct_pack(i := x.i, skip := 0, tok := acc.tok + 1)
-        |        END).tok AS pieces
-        |  FROM ws, v),
+        |t2 AS MATERIALIZED (SELECT g FROM (
+        |  SELECT g, COUNT(*) AS cnt FROM g2 GROUP BY g
+        |  ORDER BY cnt DESC, g ASC LIMIT 16)),
+        |dw AS MATERIALIZED (SELECT DISTINCT w FROM ws),
+        |walk(w, i, tok) AS (
+        |  SELECT w, 1, CAST(0 AS BIGINT) FROM dw
+        |  UNION ALL
+        |  SELECT r.w,
+        |    r.i + CASE WHEN m3.g IS NOT NULL THEN 3
+        |               WHEN m2.g IS NOT NULL THEN 2 ELSE 1 END,
+        |    r.tok + 1
+        |  FROM walk r
+        |  LEFT JOIN t3 m3 ON m3.g = substr(r.w, r.i, 3)
+        |  LEFT JOIN t2 m2 ON m2.g = substr(r.w, r.i, 2)
+        |  WHERE r.i <= length(r.w)),
+        |pieces AS (SELECT w, MAX(tok) AS pieces FROM walk GROUP BY w),
+        |enc AS (SELECT ws.source, length(ws.w) AS nch, p.pieces
+        |  FROM ws JOIN pieces p ON p.w = ws.w),
         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
         |    CAST(SUM(nch) AS BIGINT) AS n_chars,
         |    CAST(SUM(pieces) AS BIGINT) AS n_pieces
