@@ -155,14 +155,16 @@ object DedupQueries {
     * count from the `graft_lsh_bucket_cap` observation
     * (LshSkewSpec drives a degenerate one-hot-band corpus through both
     * modes). */
-  private[graft] def minhashLshPairs(s: SparkSession, dir: String,
-                                     maxBucketSize: Option[Int]): DataFrame = {
-    // Signature stage as explode -> codegen'd min-aggregates: each shingle
-    // becomes a (doc_id, 64-hex-hash) row hashed inside whole-stage codegen
-    // (higher-order-function folds are CodegenFallback/interpreted), and the
-    // 12 signature rows are `min(substring(...))` aggregates whose map-side
-    // partial combine collapses every document to ONE row before the
-    // shuffle — the exchange carries |docs| rows, not |shingles|.
+  /** The (doc_id, band, bkey) minhash-LSH band frame — the blocking
+    * structure of q22's near-dup chain, shared with q297's blocking audit.
+    *
+    * Signature stage as explode -> codegen'd min-aggregates: each shingle
+    * becomes a (doc_id, 64-hex-hash) row hashed inside whole-stage codegen
+    * (higher-order-function folds are CodegenFallback/interpreted), and the
+    * 12 signature rows are `min(substring(...))` aggregates whose map-side
+    * partial combine collapses every document to ONE row before the
+    * shuffle — the exchange carries |docs| rows, not |shingles|. */
+  private[graft] def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sigRows = Tables.documents(s, dir)
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
@@ -176,7 +178,12 @@ object DedupQueries {
     val withSig = sigRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val stackArgs = (0 until nBands)
       .map(b => s"$b, concat(s${2 * b}, s${2 * b + 1})").mkString(", ")
-    val bands = withSig.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, bkey)")
+    withSig.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, bkey)")
+  }
+
+  private[graft] def minhashLshPairs(s: SparkSession, dir: String,
+                                     maxBucketSize: Option[Int]): DataFrame = {
+    val bands = minhashBands(s, dir)
     // Verify via MELT, not a two-sided join: each candidate pair becomes
     // two (pair, member) rows, the tokenized corpus is joined ONCE, and
     // the pair regroups its two token sets. A per-side join would
@@ -1700,7 +1707,46 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** q297 — BLOCKING-QUALITY AUDIT: the two numbers that justify (or
+    * condemn) a dedup blocking scheme, measured against exact ground
+    * truth. Blocking = q22's minhash-LSH band buckets (3-gram shingles,
+    * 6 bands of 2); ground truth = q112's exact PPJoin pair set (5-gram
+    * Jaccard ≥ 0.5, prefix-filtered, lossless). Reports REDUCTION RATIO
+    * (share of the C(N,2) pair space the blocking never examines) and
+    * PAIRS COMPLETENESS (share of true near-dup pairs the blocking
+    * surfaces) — Christen's record-linkage blocking metrics (TKDE 2012),
+    * the audit a pipeline runs before trusting LSH recall at scale.
+    *
+    * Scale shape: candidates come from the band-bucket expansion (never
+    * all-pairs), truth rides the staged PPJoin pair frame (one prefix-
+    * filtered pass per corpus fingerprint, shared with q277), and the
+    * intersection is a pair-key semi-join between two candidate-bounded
+    * frames; C(N,2) is arithmetic on one count, not a materialized
+    * frame. Output is one bounded audit row, exact integers. */
+  def q297BlockingAudit(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(s, dir)
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+    val cand = bucketPairs(minhashBands(s, dir), "doc_id", "doc_a", "doc_b")
+    val truth = stagedPpjoinPairs(s, dir)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val nCand = cand.agg(count(lit(1)).cast("bigint").as("n_candidates"))
+    val nTruth = truth.agg(count(lit(1)).cast("bigint").as("n_truth"))
+    val nCaught = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).cast("bigint").as("n_caught"))
+    nDocs.crossJoin(nCand).crossJoin(nTruth).crossJoin(nCaught)
+      .withColumn("n_possible",
+        expr("(n_docs * (n_docs - 1)) div 2").cast("bigint"))
+      .withColumn("completeness_e6",
+        expr("(1000000 * n_caught) div greatest(n_truth, 1)").cast("bigint"))
+      .withColumn("reduction_e6",
+        expr("(1000000 * (n_possible - n_candidates)) div greatest(n_possible, 1)")
+          .cast("bigint"))
+      .select("n_docs", "n_possible", "n_candidates", "n_truth", "n_caught",
+        "completeness_e6", "reduction_e6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_blocking_audit" -> (q297BlockingAudit _),
     "q253_contamination_report" -> (q253ContaminationReport _),
     "q265_corpus_datacard" -> (q265CorpusDatacard _),
     "q226_split_leakage" -> (q226SplitLeakage _),
@@ -1814,6 +1860,33 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q297: the q22 band-candidate chain (its verify CTEs go unused) +
+    // the q112 truth set in integer-threshold form (3c >= na+nb ⇔
+    // jaccard >= 0.5, exact) + count arithmetic
+    "q297_blocking_audit" ->
+      s"""WITH $lshPairCtes,
+         |t5 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 5),
+         |s5 AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh5 FROM t5),
+         |sz5 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s5 GROUP BY doc_id),
+         |p5 AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+         |  FROM s5 sa JOIN s5 sb ON sb.sh5 = sa.sh5 AND sa.doc_id < sb.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT p5.doc_a, p5.doc_b FROM p5
+         |  JOIN sz5 x ON x.doc_id = p5.doc_a JOIN sz5 y ON y.doc_id = p5.doc_b
+         |  WHERE 3 * p5.common >= x.n + y.n),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_caught FROM truth tr
+         |  JOIN cand c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b)
+         |SELECT n_docs, CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) AS n_possible,
+         |  n_candidates, n_truth, n_caught,
+         |  CAST((1000000 * n_caught) // greatest(n_truth, 1) AS BIGINT) AS completeness_e6,
+         |  CAST((1000000 * ((n_docs * (n_docs - 1)) // 2 - n_candidates))
+         |    // greatest((n_docs * (n_docs - 1)) // 2, 1) AS BIGINT) AS reduction_e6
+         |FROM nd, nc, nt, ng""".stripMargin,
     "q223_boilerplate_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -974,7 +974,52 @@ object QualityFilterQueries {
       .orderBy("source")
   }
 
+  /** q298 — COST-AWARE GATE-CASCADE ORDERING: given three independent
+    * row-local quality gates (the q27/q215 rule family: length floor,
+    * stopword floor, token-shape band), measure their joint pass counts in
+    * ONE aggregate pass and rank all 3! evaluation orders by exact
+    * expected work — rows examined = N + |pass first| + |pass first two|,
+    * the short-circuit cost model a filter cascade optimizer uses
+    * (cheapest-most-selective-first, cf. predicate ordering in any
+    * cost-based optimizer). A 100 TB curation run evaluates its gate
+    * cascade in corpus order; putting the most selective gate first is
+    * the difference between one and three effective corpus passes.
+    *
+    * Scale shape: one corpus scan collapsing into a single 7-counter
+    * aggregate row (map-side partial combine); the 6 orderings are a
+    * bounded stack over that row. No shuffle carries anything but the
+    * counter row. */
+  def q298CascadeOrdering(s: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("n", expr("size(toks)"))
+      .withColumn("hits", expr(
+        "size(filter(toks, t -> t = 'the' or t = 'a' or t = 'of' or t = 'and' or t = 'to'))"))
+      .withColumn("chars", expr("aggregate(toks, 0, (a, t) -> a + length(t))"))
+      .select(
+        expr("case when n >= 20 then 1L else 0L end").as("g1"),
+        expr("case when 20 * hits >= n then 1L else 0L end").as("g2"),
+        expr("case when 3 * n <= chars and chars <= 8 * n then 1L else 0L end").as("g3"))
+    val counters = flags.agg(
+      count(lit(1)).as("n"),
+      sum("g1").as("p1"), sum("g2").as("p2"), sum("g3").as("p3"),
+      sum(expr("g1 * g2")).as("p12"), sum(expr("g1 * g3")).as("p13"),
+      sum(expr("g2 * g3")).as("p23"))
+    val w = Window.orderBy(asc("rows_examined"), asc("ordering"))
+    counters.selectExpr(
+      "stack(6, " +
+        "'g1>g2>g3', n + p1 + p12, 'g1>g3>g2', n + p1 + p13, " +
+        "'g2>g1>g3', n + p2 + p12, 'g2>g3>g1', n + p2 + p23, " +
+        "'g3>g1>g2', n + p3 + p13, 'g3>g2>g1', n + p3 + p23) " +
+        "as (ordering, rows_examined)")
+      .withColumn("rank", row_number().over(w))
+      .select(col("ordering"), col("rows_examined").cast("bigint").as("rows_examined"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_cascade_ordering" -> (q298CascadeOrdering _),
     "q270_content_extraction" -> (q270ContentExtraction _),
     "q233_calibration_audit" -> (q233CalibrationAudit _),
     "q205_train_quality_filter" -> (q205TrainQualityFilter _),
@@ -1197,6 +1242,26 @@ object QualityFilterQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q298_cascade_ordering" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT len(toks) AS n,
+        |    len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to')) AS hits,
+        |    list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b) AS chars
+        |  FROM t),
+        |g AS (SELECT CASE WHEN n >= 20 THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN 20 * hits >= n THEN 1 ELSE 0 END AS g2,
+        |    CASE WHEN 3 * n <= chars AND chars <= 8 * n THEN 1 ELSE 0 END AS g3 FROM f),
+        |a AS (SELECT COUNT(*) AS n, SUM(g1) AS p1, SUM(g2) AS p2, SUM(g3) AS p3,
+        |    SUM(g1 * g2) AS p12, SUM(g1 * g3) AS p13, SUM(g2 * g3) AS p23 FROM g),
+        |o AS (SELECT 'g1>g2>g3' AS ordering, n + p1 + p12 AS rows_examined FROM a
+        |  UNION ALL SELECT 'g1>g3>g2', n + p1 + p13 FROM a
+        |  UNION ALL SELECT 'g2>g1>g3', n + p2 + p12 FROM a
+        |  UNION ALL SELECT 'g2>g3>g1', n + p2 + p23 FROM a
+        |  UNION ALL SELECT 'g3>g1>g2', n + p3 + p13 FROM a
+        |  UNION ALL SELECT 'g3>g2>g1', n + p3 + p23 FROM a)
+        |SELECT ordering, CAST(rows_examined AS BIGINT) AS rows_examined,
+        |  CAST(row_number() OVER (ORDER BY rows_examined, ordering) AS INTEGER) AS rank
+        |FROM o ORDER BY rank""".stripMargin,
     "q217_dsir_importance" -> q217Oracle,
     // q291: q215's oracle verdict chain + the same six conditional sums
     "q291_gate_ablation" ->

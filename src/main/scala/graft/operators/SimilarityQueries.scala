@@ -2097,7 +2097,140 @@ object SimilarityQueries {
       .orderBy("probe_id")
   }
 
+  // ------------------------------------------------------- q293/q294/q295
+
+  /** Embeddings quantized to exact e3 integers (round-half-up milli units):
+    * every downstream dot product is a BIGINT lattice value (e6 scale), so
+    * ranking keys compare exactly in both engines — the q232 int8 story,
+    * reused as the shared substrate of the serving-side rerankers
+    * (q293 MaxSim, q294 MMR). */
+  private val ivExpr =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).withColumn("iv", expr(ivExpr)).select("vec_id", "iv")
+
+  /** Integer dot product of two BIGINT array columns (bounded length). */
+  private val idot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+
+  /** q293 — LATE-INTERACTION (ColBERT-style MaxSim) retrieval: each stored
+    * embedding is read as 8 token sub-vectors of dim 8 (the multi-vector
+    * layout a late-interaction index keeps per document), and
+    * score(probe, doc) = Σ_{query token} max_{doc token} ⟨q_sub, d_sub⟩ —
+    * the MaxSim operator of Khattab & Zaharia (SIGIR 2020). The reference
+    * has no analog; this is the serving-side shape a retrieval-augmented
+    * training pipeline runs next to single-vector cosine (q25).
+    *
+    * Scale shape: the probe side is a literal-bounded broadcast (8 probes);
+    * the corpus streams through ONE scan with the whole 8×8 MaxSim grid
+    * evaluated as a single codegen-friendly nested-HOF projection — no
+    * token-level row fanout, no corpus-side shuffle before the per-probe
+    * top-k window. Sub-vectors are e3-quantized ints, so maxsim_e6 is an
+    * exact BIGINT and the ranking has no float tie ambiguity. */
+  def q293LateInteraction(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("iv").as("pv"))
+    val maxsim = expr(
+      "aggregate(transform(sequence(0, 7), qi -> " +
+        "array_max(transform(sequence(0, 7), di -> " +
+        idot.format("slice(pv, qi * 8 + 1, 8)", "slice(iv, di * 8 + 1, 8)") +
+        "))), 0L, (a, x) -> a + x)")
+    val w = Window.partitionBy("probe_id").orderBy(desc("maxsim_e6"), asc("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("maxsim_e6", maxsim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+        col("vec_id").cast("bigint").as("neighbor_id"),
+        col("rank").cast("int").as("rank"),
+        col("maxsim_e6").cast("bigint").as("maxsim_e6"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** q294 — MMR DIVERSIFIED RERANK (maximal marginal relevance, Carbonell &
+    * Goldstein 1998): from each probe's top-8 shortlist by exact integer
+    * dot, greedily select 4 results maximizing 2·MMR = rel − max_{s∈sel}
+    * sim(c, s) at λ = 1/2 (dyadic, so the score stays an exact e6 BIGINT).
+    * The dedup-at-serving-time companion of the near-dup family: a
+    * retrieval stack runs exactly this to stop near-identical training
+    * documents from filling the context window.
+    *
+    * Scale shape: the corpus pays ONE scored scan + per-probe top-8 window
+    * (the q25 serving path); the greedy loop then runs entirely on the
+    * BOUNDED shortlist (≤ 8 candidates, ≤ 56 pairwise sims per probe) as
+    * three unrolled argmax passes — never on corpus-sized frames. From
+    * step 2 on, scores are provably non-increasing (the selected-set max
+    * only grows), which ServingWaveSpec pins. */
+  def q294MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("iv").as("pv"))
+    val wRel = Window.partitionBy("probe_id").orderBy(desc("rel"), asc("vec_id"))
+    val pool = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("rel", expr(idot.format("pv", "iv")))
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= 8)
+      .select("probe_id", "vec_id", "rel")
+    val poolV = pool.join(e, "vec_id")
+    val sims = poolV.select(col("probe_id"), col("vec_id").as("a"), col("iv").as("va"))
+      .join(poolV.select(col("probe_id"), col("vec_id").as("b"), col("iv").as("vb")),
+        Seq("probe_id"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", expr(idot.format("va", "vb")))
+      .select("probe_id", "a", "b", "sim")
+    val wPick = Window.partitionBy("probe_id").orderBy(desc("score"), asc("vec_id"))
+    var selected = pool.withColumn("score", col("rel"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id"), lit(1).as("step"), col("score"))
+    for (st <- 2 to 4) {
+      val selIds = selected.select(col("probe_id"), col("vec_id"))
+      val mxs = sims
+        .join(selIds.withColumnRenamed("vec_id", "b"), Seq("probe_id", "b"))
+        .groupBy("probe_id", "a")
+        .agg(max("sim").as("mxs"))
+        .withColumnRenamed("a", "vec_id")
+      val pick = pool.join(selIds, Seq("probe_id", "vec_id"), "left_anti")
+        .join(mxs, Seq("probe_id", "vec_id"))
+        .withColumn("score", col("rel") - col("mxs"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("vec_id"), lit(st).as("step"), col("score"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("probe_id").cast("bigint").as("probe_id"),
+      col("step").cast("int").as("step"),
+      col("vec_id").cast("bigint").as("neighbor_id"),
+      col("score").cast("bigint").as("score_e6"))
+      .orderBy("probe_id", "step")
+  }
+
+  /** q295 — RECIPROCAL-RANK-FUSION hybrid retrieval (Cormack et al. 2009):
+    * fuse the full-precision cosine ranking and the int8-quantized ranking
+    * per probe with RRF(c) = Σ_r 1/(60 + rank_r(c)), the standard k=60
+    * form, as the exact integer Σ 1e8 div (60 + rank) — how a serving
+    * stack combines a lexical and a vector ranker without score
+    * calibration. Rides [[int8Ranked]]'s single corpus sweep (shared with
+    * q232/q238): both rankings come from the same scan, and the fusion
+    * itself is one projection + one per-probe top-5 window. */
+  def q295RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(desc("rrf_e8"), asc("vec_id"))
+    int8Ranked(s, dir)
+      .withColumn("rrf_e8",
+        expr("100000000 div (60 + erank) + 100000000 div (60 + qrank)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+        col("vec_id").cast("bigint").as("neighbor_id"),
+        col("rank").cast("int").as("rank"),
+        col("rrf_e8").cast("bigint").as("rrf_e8"))
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_late_interaction" -> (q293LateInteraction _),
+    "q294_mmr_rerank" -> (q294MmrRerank _),
+    "q295_rrf_fusion" -> (q295RrfFusion _),
     "q242_semantic_decontaminate" -> (q242SemanticDecontaminate _),
     "q259_cluster_source_balance" -> (q259ClusterSourceBalance _),
     "q263_semantic_recall" -> (q263SemanticRecall _),
@@ -2563,7 +2696,81 @@ object SimilarityQueries {
       s"(($acc) * 16 + (strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1))"
     }
 
+  /** Shared quantized-embedding CTE for the q293/q294 oracles — the exact
+    * e3 round-half-up lattice the Spark side computes. */
+  private val oracleQuant =
+    """iv AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings)""".stripMargin
+
+  private def duckIdot(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $n), k -> $a[k] * $b[k]), (s, t) -> s + t)"
+
+  private def q293Oracle: String =
+    s"""WITH $oracleQuant,
+       |ti AS (SELECT unnest(generate_series(0, 7)) AS i),
+       |tok AS (SELECT vec_id, i, list_slice(q, i * 8 + 1, i * 8 + 8) AS sub FROM iv, ti),
+       |pt AS (SELECT vec_id AS probe_id, i AS pi, sub AS psub FROM tok WHERE vec_id < 8),
+       |dots AS (SELECT p.probe_id, d.vec_id, p.pi, ${duckIdot("p.psub", "d.sub", 8)} AS dot
+       |  FROM pt p JOIN tok d ON d.vec_id <> p.probe_id),
+       |mx AS (SELECT probe_id, vec_id, pi, max(dot) AS m FROM dots GROUP BY 1, 2, 3),
+       |sc AS (SELECT probe_id, vec_id, CAST(sum(m) AS BIGINT) AS maxsim_e6 FROM mx GROUP BY 1, 2),
+       |r AS (SELECT sc.*, CAST(row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY maxsim_e6 DESC, vec_id) AS INTEGER) AS rank FROM sc)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(vec_id AS BIGINT) AS neighbor_id,
+       |  rank, maxsim_e6
+       |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  private def q294Oracle: String = {
+    val steps = (2 to 4).map { st =>
+      s"""mx$st AS (SELECT si.probe_id, si.a AS vec_id, max(si.sim) AS mxs
+         |  FROM sims si JOIN sel${st - 1} t ON t.probe_id = si.probe_id AND t.vec_id = si.b
+         |  GROUP BY si.probe_id, si.a),
+         |c$st AS (SELECT p.probe_id, p.vec_id, p.rel - m.mxs AS score,
+         |    row_number() OVER (PARTITION BY p.probe_id ORDER BY p.rel - m.mxs DESC, p.vec_id) AS rn
+         |  FROM pool p JOIN mx$st m ON m.probe_id = p.probe_id AND m.vec_id = p.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${st - 1} t
+         |    WHERE t.probe_id = p.probe_id AND t.vec_id = p.vec_id)),
+         |s$st AS (SELECT probe_id, vec_id, $st AS step, score FROM c$st WHERE rn = 1),
+         |sel$st AS (SELECT probe_id, vec_id FROM sel${st - 1}
+         |  UNION ALL SELECT probe_id, vec_id FROM s$st)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $oracleQuant,
+       |pr AS (SELECT vec_id AS probe_id, q AS pq FROM iv WHERE vec_id < 4),
+       |relj AS (SELECT p.probe_id, c.vec_id, ${duckIdot("p.pq", "c.q", dim)} AS rel
+       |  FROM pr p JOIN iv c ON c.vec_id <> p.probe_id),
+       |pool AS (SELECT probe_id, vec_id, rel FROM (
+       |    SELECT relj.*, row_number() OVER (PARTITION BY probe_id ORDER BY rel DESC, vec_id) AS rn
+       |    FROM relj) WHERE rn <= 8),
+       |pq2 AS (SELECT pool.probe_id, pool.vec_id, pool.rel, iv.q FROM pool JOIN iv USING (vec_id)),
+       |sims AS (SELECT x.probe_id, x.vec_id AS a, y.vec_id AS b, ${duckIdot("x.q", "y.q", dim)} AS sim
+       |  FROM pq2 x JOIN pq2 y ON x.probe_id = y.probe_id AND x.vec_id <> y.vec_id),
+       |s1 AS (SELECT probe_id, vec_id, 1 AS step, rel AS score FROM (
+       |    SELECT pool.*, row_number() OVER (PARTITION BY probe_id ORDER BY rel DESC, vec_id) AS rn
+       |    FROM pool) WHERE rn = 1),
+       |sel1 AS (SELECT probe_id, vec_id FROM s1),
+       |$steps,
+       |allsel AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(step AS INTEGER) AS step,
+       |  CAST(vec_id AS BIGINT) AS neighbor_id, CAST(score AS BIGINT) AS score_e6
+       |FROM allsel ORDER BY probe_id, step""".stripMargin
+  }
+
+  private def q295Oracle: String =
+    s"""WITH $int8RankedCtes,
+       |f AS (SELECT probe_id, vec_id,
+       |    (100000000 // (60 + erank)) + (100000000 // (60 + qrank)) AS rrf_e8 FROM r),
+       |rk AS (SELECT f.*, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY rrf_e8 DESC, vec_id) AS rank FROM f)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(vec_id AS BIGINT) AS neighbor_id,
+       |  CAST(rank AS INTEGER) AS rank, CAST(rrf_e8 AS BIGINT) AS rrf_e8
+       |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q293_late_interaction" -> q293Oracle,
+    "q294_mmr_rerank" -> q294Oracle,
+    "q295_rrf_fusion" -> q295Oracle,
     // q280: the q50 recursive component chain + the identical salted-md5
     // opt-out draw + the same label-keyed closure
     "q280_optout_closure" ->

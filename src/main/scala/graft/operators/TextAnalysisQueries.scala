@@ -1242,7 +1242,43 @@ object TextAnalysisQueries {
       .orderBy("source")
   }
 
+  /** q296 — CODE-SWITCHING (mixed-language document) detection: chunk each
+    * document into complete 16-token windows, language-ID each chunk with
+    * the q27 stopword heuristic (≥ 2 English stopword hits → 'en' chunk),
+    * and flag a document as code-switched when BOTH chunk classes appear
+    * and the minority class holds ≥ 25% of chunks — the per-segment form
+    * of langID every multilingual corpus pipeline runs, because
+    * document-level language labels hide bilingual documents that poison
+    * monolingual training mixes. Per labeled language: document count,
+    * mixed count, mixed share (exact e6 integer).
+    *
+    * Scale shape: one corpus scan; the chunk fanout is bounded by
+    * length/16 and collapses through two partial-aggregating groupBys
+    * (doc, then lang) — the exchanges carry per-document counters and a
+    * bounded language rollup, never token rows. */
+  def q296CodeSwitching(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("nc", expr("size(toks) div 16"))
+      .filter(col("nc") >= 2)
+      .withColumn("ci", explode(expr("sequence(0L, nc - 1L)")))
+      .withColumn("is_en", expr(
+        "case when size(filter(slice(toks, cast(ci * 16 + 1 as int), 16), " +
+          "t -> t = 'the' or t = 'a' or t = 'of' or t = 'and' or t = 'to')) >= 2 " +
+          "then 1L else 0L end"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("chunks"), sum("is_en").as("enc"))
+      .withColumn("mixed", expr(
+        "case when enc >= 1 and chunks - enc >= 1 " +
+          "and 4 * least(enc, chunks - enc) >= chunks then 1L else 0L end"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("mixed").cast("bigint").as("n_mixed"))
+      .withColumn("mixed_e6", expr("(1000000 * n_mixed) div n_docs").cast("bigint"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_code_switching" -> (q296CodeSwitching _),
     "q283_zipf_profile" -> (q283ZipfProfile _),
     "q292_wordpiece_encode" -> (q292WordpieceEncode _),
     "q290_template_census" -> (q290TemplateCensus _),
@@ -1372,6 +1408,21 @@ object TextAnalysisQueries {
        |GROUP BY i.lang ORDER BY i.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q296_code_switching" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |e AS (SELECT doc_id, lang, len(toks) // 16 AS nc, toks FROM t WHERE len(toks) // 16 >= 2),
+        |ch AS (SELECT doc_id, lang, toks, unnest(generate_series(0, nc - 1)) AS ci FROM e),
+        |h AS (SELECT doc_id, lang,
+        |    CASE WHEN len(list_filter(list_slice(toks, ci * 16 + 1, ci * 16 + 16),
+        |      t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to')) >= 2
+        |    THEN 1 ELSE 0 END AS is_en
+        |  FROM ch),
+        |d AS (SELECT doc_id, lang, COUNT(*) AS chunks, SUM(is_en) AS enc FROM h GROUP BY 1, 2),
+        |m AS (SELECT lang, CASE WHEN enc >= 1 AND chunks - enc >= 1
+        |    AND 4 * least(enc, chunks - enc) >= chunks THEN 1 ELSE 0 END AS mixed FROM d)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(mixed) AS BIGINT) AS n_mixed,
+        |  CAST((1000000 * SUM(mixed)) // COUNT(*) AS BIGINT) AS mixed_e6
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     // q292: identical gram training; the greedy walk runs as a
     // recursive CTE over DISTINCT words (position jumps by longest
     // match via LEFT JOINs against the piece tables) instead of a

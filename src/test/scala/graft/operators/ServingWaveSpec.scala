@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{sfDir, spark}
+
+/** In-Spark differential proofs for the serving/governance wave
+  * (q293–q298), independent of the DuckDB oracle gate: MaxSim dominates
+  * any single-subvector score, the MMR greedy's scores are provably
+  * non-increasing, RRF obeys its algebraic bounds, the blocking audit's
+  * counters obey their containment laws, and the cascade ranking is the
+  * true argmin of its own cost model. */
+class ServingWaveSpec extends AnyFunSuite {
+
+  test("q293 MaxSim: 3 results per probe, ranked by exact integer score") {
+    val rows = SimilarityQueries.q293LateInteraction(spark, sfDir).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size == 8)
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(Array(1, 2, 3)))
+      val byRank = rs.sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(byRank.sliding(2).forall(p => p(0) >= p(1)),
+        "maxsim must be non-increasing in rank")
+    }
+    // MaxSim >= the full-vector dot only when every per-token max is the
+    // diagonal; the always-true bound is MaxSim >= sum of diagonal dots
+    // = the full 64-dim dot (each token's max >= its aligned token)
+    val iv = graft.Tables.embeddings(spark, sfDir)
+      .withColumn("iv", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"))
+      .select(col("vec_id"), col("iv"))
+    val probes = iv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("iv").as("pv"))
+    val full = iv.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("fdot", expr(
+        "aggregate(zip_with(pv, iv, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("fdot"))
+    val joined = SimilarityQueries.q293LateInteraction(spark, sfDir)
+      .join(full, Seq("probe_id", "neighbor_id"))
+      .select(col("maxsim_e6"), col("fdot")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(0) >= r.getLong(1),
+      "MaxSim must dominate the aligned-token (full-vector) dot"))
+  }
+
+  test("q294 MMR: 4 distinct picks per probe with non-increasing scores") {
+    val rows = SimilarityQueries.q294MmrRerank(spark, sfDir).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size == 4)
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3, 4)))
+      assert(rs.map(_.getLong(2)).distinct.length == 4,
+        s"probe $p must select 4 distinct neighbors")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      // from step 2 on, the selected-set max only grows, so the greedy's
+      // achieved score can never rise (step 1 is raw relevance on a
+      // different scale: a NEGATIVE max-similarity makes step 2's
+      // rel − maxsim legitimately exceed it)
+      assert(scores.drop(1).sliding(2).forall(q => q(0) >= q(1)),
+        s"probe $p: MMR scores must be non-increasing past step 1, got ${scores.mkString(",")}")
+    }
+  }
+
+  test("q295 RRF: 5 per probe, bounded by the two-ranker algebra") {
+    val rows = SimilarityQueries.q295RrfFusion(spark, sfDir).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size == 32)
+    val hi = 100000000L / 61 * 2 // both ranks 1
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(Array(1, 2, 3, 4, 5)))
+      val byRank = rs.sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(byRank.sliding(2).forall(p => p(0) >= p(1)))
+      assert(byRank.head <= hi && byRank.last > 0)
+    }
+  }
+
+  test("q296 code-switching counters obey containment") {
+    val rows = TextAnalysisQueries.q296CodeSwitching(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_mixed <= n_docs")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("q297 blocking audit: containment laws + exact-dup pairs always caught") {
+    val r = DedupQueries.q297BlockingAudit(spark, sfDir).collect().head
+    val (nDocs, nPossible, nCand, nTruth, nCaught) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nPossible == nDocs * (nDocs - 1) / 2)
+    assert(nCand <= nPossible && nCaught <= nTruth && nCaught <= nCand)
+    assert(r.getLong(5) <= 1000000L && r.getLong(6) <= 1000000L)
+    // identical text => identical shingle set => identical minhash bands
+    // AND 5-gram Jaccard 1.0: every exact-dup pair must appear in BOTH
+    // the candidate set and the truth set, so completeness can never be
+    // bled by exact duplicates
+    val dups = graft.Tables.documents(spark, sfDir)
+      .filter(expr("size(split(text, ' ')) >= 5"))
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).collect().head.getLong(0)
+    assert(nCaught >= dups,
+      s"caught=$nCaught must cover all $dups exact-dup pairs")
+  }
+
+  test("q298 cascade: rank 1 is the argmin of the replayed cost model") {
+    val rows = QualityFilterQueries.q298CascadeOrdering(spark, sfDir).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getString(0)).distinct.length == 6)
+    val byRank = rows.sortBy(_.getInt(2)).map(_.getLong(1))
+    assert(byRank.sliding(2).forall(p => p(0) <= p(1)),
+      "rows_examined must be non-decreasing in rank")
+    // cost bounds: every ordering evaluates gate 1 on all N rows and at
+    // most 3 gates per row
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(byRank.head >= n && byRank.last <= 3 * n)
+  }
+}
