@@ -1723,10 +1723,29 @@ object DedupQueries {
     * intersection is a pair-key semi-join between two candidate-bounded
     * frames; C(N,2) is arithmetic on one count, not a materialized
     * frame. Output is one bounded audit row, exact integers. */
+  private val lshCandStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The UNVERIFIED q22 candidate-pair frame (band-bucket expansion, before
+    * the exact-Jaccard verify) as a staged parquet leaf once per corpus
+    * fingerprint per JVM — the signature pass is a pure function of the
+    * corpus, and q297 references the candidates twice (the count and the
+    * truth semi-join). */
+  private def stagedLshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val p = lshCandStageCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ => {
+        val pth = graft.Staging.fresh("lshcand")
+        bucketPairs(minhashBands(s, dir), "doc_id", "doc_a", "doc_b")
+          .write.mode("overwrite").parquet(pth)
+        pth
+      })
+    s.read.parquet(p)
+  }
+
   def q297BlockingAudit(s: SparkSession, dir: String): DataFrame = {
     val nDocs = Tables.documents(s, dir)
       .agg(count(lit(1)).cast("bigint").as("n_docs"))
-    val cand = bucketPairs(minhashBands(s, dir), "doc_id", "doc_a", "doc_b")
+    val cand = stagedLshCandidates(s, dir)
     val truth = stagedPpjoinPairs(s, dir)
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
     val nCand = cand.agg(count(lit(1)).cast("bigint").as("n_candidates"))
