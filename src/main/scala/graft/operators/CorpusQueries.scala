@@ -1325,7 +1325,59 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** Cumulative Poisson(1) CDF × 2^32, floored — the literal inverse-CDF
+    * table both engines share for the bootstrap weight draw (k = 0..6;
+    * the ≥7 tail, ~8.3e-5 of draws, is capped at 7 and documented). */
+  private val poissonThresholds = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L,
+    4279248373L, 4292415291L, 4294609777L)
+
+  /** q299 — POISSON-BOOTSTRAP confidence interval for a per-source mean
+    * (here mean document length): 32 bootstrap replicas where each
+    * document enters replica b with weight w ~ Poisson(1), drawn by
+    * inverting a salted-md5 uniform through the literal CDF table — the
+    * STREAMING bootstrap (Chamandy et al., Google 2012): a true resample
+    * of 100 TB is impossible, but Poisson weights need one pass, no
+    * coordination, and are reproducible from (b, doc_id) alone. The CI is
+    * the rank-2 / rank-31 replica means (~5th/95th percentile of 32),
+    * exact e6 integers end to end.
+    *
+    * Scale shape: the 32× replica fanout carries only (source, weight,
+    * scalar) rows and collapses through map-side partial aggregation into
+    * ≤ |sources|×32 shuffled rows; the rank selection then runs on that
+    * bounded frame. One corpus scan for the replicas, one for the point
+    * estimate. */
+  def q299PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val wCase = poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"when u < ${t}L then ${k}L" }
+      .mkString("case ", " ", " else 7L end")
+    val reps = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").as("x"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(concat('boot_', cast(b as string), '_', " +
+          "cast(doc_id as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("w", expr(wCase))
+      .groupBy("source", "b")
+      .agg(sum(expr("w * x")).as("wx"), sum("w").as("wsum"))
+      .withColumn("mean_b", expr("(1000000 * wx) div greatest(wsum, 1)"))
+    val wr = Window.partitionBy("source").orderBy(asc("mean_b"), asc("b"))
+    val ci = reps.withColumn("rk", row_number().over(wr))
+      .groupBy("source")
+      .agg(max(when(col("rk") === 2, col("mean_b"))).as("lo"),
+        max(when(col("rk") === 31, col("mean_b"))).as("hi"))
+    val pt = Tables.documents(s, dir).groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        expr("(1000000 * sum(n_chars)) div count(1)").cast("bigint").as("mean_e6"))
+    pt.join(ci, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_e6"),
+        col("lo").cast("bigint").as("boot_lo_e6"),
+        col("hi").cast("bigint").as("boot_hi_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_poisson_bootstrap" -> (q299PoissonBootstrap _),
     "q279_t_closeness" -> (q279TCloseness _),
     "q284_split_repair" -> (q284SplitRepair _),
     "q275_generalization_ladder" -> (q275GeneralizationLadder _),
@@ -1568,7 +1620,32 @@ object CorpusQueries {
       |    CAST(SUM(pq) AS DOUBLE) / (1e12 * CAST(COUNT(*) AS DOUBLE)) AS score
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
+  private def q299Oracle: String = {
+    val wCase = poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+    s"""WITH r AS (SELECT source, doc_id, n_chars AS x,
+       |    unnest(generate_series(0, 31)) AS b FROM documents),
+       |u AS (SELECT source, b, x,
+       |    ${duckMd5Int("concat('boot_', CAST(b AS VARCHAR), '_', CAST(doc_id AS VARCHAR))", 8)} AS u
+       |  FROM r),
+       |w AS (SELECT source, b, x, $wCase AS w FROM u),
+       |g AS (SELECT source, b,
+       |    (1000000 * SUM(w * x)) // greatest(SUM(w), 1) AS mean_b FROM w GROUP BY 1, 2),
+       |rk AS (SELECT source, mean_b,
+       |    row_number() OVER (PARTITION BY source ORDER BY mean_b, b) AS rk FROM g),
+       |ci AS (SELECT source, MAX(CASE WHEN rk = 2 THEN mean_b END) AS lo,
+       |    MAX(CASE WHEN rk = 31 THEN mean_b END) AS hi FROM rk GROUP BY source),
+       |pt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST((1000000 * SUM(n_chars)) // COUNT(*) AS BIGINT) AS mean_e6
+       |  FROM documents GROUP BY source)
+       |SELECT pt.source, n_docs, mean_e6, CAST(lo AS BIGINT) AS boot_lo_e6,
+       |  CAST(hi AS BIGINT) AS boot_hi_e6
+       |FROM pt JOIN ci USING (source) ORDER BY pt.source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q299_poisson_bootstrap" -> q299Oracle,
     // q284: the q50 recursive component chain (from SimilarityQueries),
     // the identical q88 salted-md5 split draw, rep split via one join
     // on the cluster label

@@ -1764,7 +1764,41 @@ object DedupQueries {
         "completeness_e6", "reduction_e6")
   }
 
+  /** q300 — DEDUP SURVIVORSHIP-SHIFT audit: exact dedup (keep the min
+    * doc_id per md5(text) group, q21's verdict) changes each source's
+    * surviving length distribution — the bias every dedup pass silently
+    * introduces, because duplicates are not uniform over length or
+    * source. Per source: document count and exact mean length BEFORE and
+    * AFTER, and the signed e6 mean shift. The governance companion to
+    * q199's dup-rate scorecard: q199 says how much was removed, this says
+    * what the removal did to the distribution the model trains on.
+    *
+    * Scale shape: one fingerprint groupBy (the q21 exchange, carrying
+    * (md5, doc_id) pairs), a semi-join verdict back onto the corpus scan,
+    * and one bounded per-source rollup computing both sides in a single
+    * conditional aggregate — no second corpus pass. */
+  def q300DedupShift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(kept.withColumn("keep", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_pre"),
+        sum(coalesce(col("keep"), lit(0L))).cast("bigint").as("n_post"),
+        expr("(1000000 * sum(n_chars)) div count(1)").cast("bigint")
+          .as("mean_pre_e6"),
+        expr("(1000000 * sum(case when keep = 1 then n_chars else 0 end)) " +
+          "div greatest(sum(coalesce(keep, 0)), 1)").cast("bigint")
+          .as("mean_post_e6"))
+      .withColumn("shift_e6",
+        expr("mean_post_e6 - mean_pre_e6").cast("bigint"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_dedup_shift" -> (q300DedupShift _),
     "q297_blocking_audit" -> (q297BlockingAudit _),
     "q253_contamination_report" -> (q253ContaminationReport _),
     "q265_corpus_datacard" -> (q265CorpusDatacard _),
@@ -1879,6 +1913,20 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q300_dedup_shift" ->
+      """WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |j AS (SELECT d.source, d.n_chars,
+        |    CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS keep
+        |  FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pre,
+        |  CAST(SUM(keep) AS BIGINT) AS n_post,
+        |  CAST((1000000 * SUM(n_chars)) // COUNT(*) AS BIGINT) AS mean_pre_e6,
+        |  CAST((1000000 * SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END))
+        |    // greatest(SUM(keep), 1) AS BIGINT) AS mean_post_e6,
+        |  CAST((1000000 * SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END))
+        |    // greatest(SUM(keep), 1)
+        |    - (1000000 * SUM(n_chars)) // COUNT(*) AS BIGINT) AS shift_e6
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // q297: the q22 band-candidate chain (its verify CTEs go unused) +
     // the q112 truth set in integer-threshold form (3c >= na+nb ⇔
     // jaccard >= 0.5, exact) + count arithmetic

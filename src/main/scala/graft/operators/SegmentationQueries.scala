@@ -1157,7 +1157,74 @@ object SegmentationQueries {
 
   // ------------------------------------------------------------ registry
 
+  /** q272 — TRIMMED MEAN per event type (10% two-sided trim), the missing
+    * member of the robust-aggregation family next to q138/q167 medians,
+    * q152 MAD, and q192 Tukey fences: drop the t = n div 10 smallest and
+    * largest values under the total (v, event_id) order and average the
+    * rest, exactly.
+    *
+    * Scale shape: the q192 two-phase selection discipline instead of a
+    * per-group full sort — bucket summaries (count + SUM per coarse value
+    * bucket) locate each side's boundary bucket via cumulative offsets;
+    * full buckets inside the trim windows contribute their pre-aggregated
+    * sums wholesale, and only the two boundary buckets per group are
+    * re-scanned for an intra-bucket rank prefix. The exchanges carry
+    * bucket summaries and boundary-bucket rows, never a per-group total
+    * sort. All integers on the cents lattice; e6 means are exact floored
+    * divisions (all values non-negative, so div and // agree). */
+  def q272TrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_type").as("g"),
+        expr("cast(round(value * 100) as bigint)").as("v"),
+        col("event_id").as("ei"))
+      .withColumn("vb", expr("v div 100"))
+    val wOff = Window.partitionBy("g").orderBy("vb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summaries = base.groupBy("g", "vb")
+      .agg(count(lit(1)).as("bc"), sum("v").as("bs"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .withColumn("n", sum("bc").over(Window.partitionBy("g")))
+      .withColumn("t", expr("n div 10"))
+    val fullBot = summaries.filter(col("off") + col("bc") <= col("t"))
+      .groupBy("g").agg(sum("bs").as("fb"))
+    // a bucket lies fully inside the top trim when its rank-from-top
+    // offset (n - off - bc) plus its count fits: n - off <= t
+    val fullTop = summaries.filter(col("n") - col("off") <= col("t"))
+      .groupBy("g").agg(sum("bs").as("ft"))
+    val botBound = summaries
+      .filter(col("off") < col("t") && col("off") + col("bc") > col("t"))
+      .select(col("g"), col("vb"), (col("t") - col("off")).as("take"))
+    val topBound = summaries
+      .filter(col("n") - col("off") - col("bc") < col("t") &&
+        col("n") - col("off") > col("t"))
+      .select(col("g"), col("vb"),
+        (col("t") - (col("n") - col("off") - col("bc"))).as("take"))
+    val wAsc = Window.partitionBy("g", "vb").orderBy(asc("v"), asc("ei"))
+    val wDesc = Window.partitionBy("g", "vb").orderBy(desc("v"), desc("ei"))
+    val partBot = base.join(broadcast(botBound), Seq("g", "vb"))
+      .withColumn("rn", row_number().over(wAsc))
+      .filter(col("rn") <= col("take"))
+      .groupBy("g").agg(sum("v").as("pb"))
+    val partTop = base.join(broadcast(topBound), Seq("g", "vb"))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") <= col("take"))
+      .groupBy("g").agg(sum("v").as("pt"))
+    val tot = base.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .withColumn("t", expr("n div 10"))
+    tot.join(fullBot, Seq("g"), "left").join(partBot, Seq("g"), "left")
+      .join(fullTop, Seq("g"), "left").join(partTop, Seq("g"), "left")
+      .select(col("g").as("event_type"),
+        col("n").cast("bigint").as("n_events"),
+        col("t").cast("bigint").as("n_trim_side"),
+        expr("(1000000 * sv) div n").cast("bigint").as("mean_e6"),
+        expr("(1000000 * (sv - coalesce(fb, 0) - coalesce(pb, 0) " +
+          "- coalesce(ft, 0) - coalesce(pt, 0))) div greatest(n - 2 * t, 1)")
+          .cast("bigint").as("trimmed_mean_e6"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_trimmed_mean" -> (q272TrimmedMean _),
     "q248_native_histogram" -> (q248NativeHistogram _),
     "q261_hist_rollup" -> (q261HistRollup _),
     "q150_rfm_segments" -> (q150RfmSegments _),
@@ -1182,6 +1249,22 @@ object SegmentationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q272: the oracle trims by rank directly (it needn't be scale-shaped);
+    // the bucket-offset form selects the identical rows because vb is
+    // monotone in v, so the bucket order refines the (v, ei) total order
+    "q272_trimmed_mean" ->
+      """WITH b AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+        |    event_id AS ei FROM events),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, ei) AS rk,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM b),
+        |a AS (SELECT g, n, n // 10 AS t, SUM(v) AS sv,
+        |    SUM(CASE WHEN rk > n // 10 AND rk <= n - n // 10 THEN v ELSE 0 END) AS tv
+        |  FROM r GROUP BY g, n)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST(t AS BIGINT) AS n_trim_side,
+        |  CAST((1000000 * sv) // n AS BIGINT) AS mean_e6,
+        |  CAST((1000000 * tv) // greatest(n - 2 * t, 1) AS BIGINT) AS trimmed_mean_e6
+        |FROM a ORDER BY event_type""".stripMargin,
     // direct per-bin counts + the same ceil-rank selection — if the
     // day→global rollup loses or double-counts anything, this mismatches
     "q261_hist_rollup" ->

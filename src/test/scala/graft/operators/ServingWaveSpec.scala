@@ -104,6 +104,50 @@ class ServingWaveSpec extends AnyFunSuite {
       s"caught=$nCaught must cover all $dups exact-dup pairs")
   }
 
+  test("q272 trimmed mean: bucket-offset selection equals the rank definition") {
+    val rows = SegmentationQueries.q272TrimmedMean(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation by brute rank (fixture-sized), per group
+    val base = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "cast(round(value * 100) as bigint) as v", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val vs = base(r.getString(0)).sortBy(x => (x._2, x._3)).map(_._2)
+      val n = vs.length; val t = n / 10
+      val trimmed = vs.slice(t, n - t)
+      assert(r.getLong(1) == n && r.getLong(2) == t)
+      assert(r.getLong(4) == 1000000L * trimmed.sum / trimmed.length,
+        s"${r.getString(0)}: trimmed mean must equal the rank-definition replay")
+    }
+  }
+
+  test("q299 bootstrap: lo <= hi, every source present") {
+    val rows = CorpusQueries.q299PoissonBootstrap(spark, sfDir).collect()
+    val nSources = graft.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4),
+        s"${r.getString(0)}: boot_lo must be <= boot_hi")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("q300 dedup shift: survivor counts and means replay exactly") {
+    val rows = DedupQueries.q300DedupShift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalPost = rows.map(_.getLong(2)).sum
+    val distinctTexts = graft.Tables.documents(spark, sfDir)
+      .selectExpr("md5(text)").distinct().count()
+    assert(totalPost == distinctTexts,
+      "survivors across sources must equal distinct text fingerprints")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_post <= n_pre")
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3), "shift = post - pre")
+    }
+  }
+
   test("q298 cascade: rank 1 is the argmin of the replayed cost model") {
     val rows = QualityFilterQueries.q298CascadeOrdering(spark, sfDir).collect()
     assert(rows.length == 6)
