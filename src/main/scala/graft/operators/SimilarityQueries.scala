@@ -2252,7 +2252,102 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** q301 — CLUSTER KEYWORDS by class-based TF-IDF (the BERTopic c-TF-IDF
+    * readout): per embedding cluster (the fixture's label column, joined
+    * to documents on the doc_id = vec_id linkage q83/q259 established),
+    * the top-5 tokens by tf_cluster × (n_clusters + 1)/(df_clusters + 1)
+    * — q66's bit-reproducible RATIONAL idf form lifted from documents to
+    * clusters, floored onto the e6 lattice so the ranking key is an
+    * exact integer. The "what IS this cluster?" query every clustered
+    * corpus triage starts with.
+    *
+    * Scale shape: one tokenize joined to the broadcast label map, two
+    * partial-aggregating groupBys ((label, tok) then tok), a broadcast
+    * 1-row cluster count, and a per-label top-5 window over the bounded
+    * (label, tok) frame. */
+  def q301ClusterKeywords(s: SparkSession, dir: String): DataFrame = {
+    val lbl = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val tf = Tables.documents(s, dir)
+      .join(broadcast(lbl), Seq("doc_id"))
+      .select(col("label"), explode(expr("split(text, ' ')")).as("tok"))
+      .groupBy("label", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfl = tf.groupBy("tok").agg(sum(when(col("tf") > 0, 1L)).as("dfl"))
+    val nl = tf.select("label").distinct().agg(count(lit(1)).as("n_labels"))
+    val w = Window.partitionBy("label").orderBy(desc("score_e6"), asc("tok"))
+    tf.join(dfl, Seq("tok")).crossJoin(broadcast(nl))
+      .withColumn("score_e6",
+        expr("(1000000 * tf * (n_labels + 1)) div (dfl + 1)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("label").cast("int").as("label"),
+        col("rank").cast("int").as("rank"), col("tok"),
+        col("tf").cast("bigint").as("tf"),
+        col("dfl").cast("bigint").as("df_clusters"),
+        col("score_e6").cast("bigint").as("score_e6"))
+      .orderBy("label", "rank")
+  }
+
+  /** q302 — SEMI-SUPERVISED LABEL PROPAGATION over the near-dup graph:
+    * seed the fixture labels on vec_id < 100, then two unrolled majority
+    * votes over the staged cos ≥ 0.35 pair graph (each unlabeled node
+    * adopts the most common label among its already-labeled neighbors,
+    * ties to the smallest label; no labeled neighbor → stays unlabeled).
+    * The cheap-label amplification trick a curation pipeline uses to
+    * stretch a small human-labeled seed set across a near-dup graph —
+    * the graph family's missing semi-supervised member next to q50 CC,
+    * q95 PageRank, q268 k-core, and q281 modularity. Output: per final
+    * label, seeds + round-1 + round-2 adoptions (label −1 = never
+    * reached).
+    *
+    * Scale shape: votes ride the STAGED pair leaf (never re-derived);
+    * each round is one edge-to-labels equi-join + a partial-aggregating
+    * (node, label) count + a per-node argmax window over the bounded
+    * vote frame — the q50/q95 staged-iteration discipline at depth 2. */
+  def q302LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir).select(col("vec_id").as("node"))
+    val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+      .select(col("vec_id").as("node"), col("label").cast("bigint").as("lbl"))
+    val pairs = stagedPairs(s, dir)
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    def adopt(labeled: DataFrame): DataFrame = {
+      val w = Window.partitionBy("node").orderBy(desc("c"), asc("lbl"))
+      edges
+        .join(labeled.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+        .join(labeled.select("node"), Seq("node"), "left_anti")
+    }
+    val r1 = adopt(seeds)
+    val l1 = seeds.unionByName(r1)
+    val r2 = adopt(l1)
+    val l2 = l1.unionByName(r2)
+    val byLabel = seeds.groupBy("lbl").agg(count(lit(1)).as("n_seeds"))
+      .join(r1.groupBy("lbl").agg(count(lit(1)).as("n_round1")), Seq("lbl"), "left")
+      .join(r2.groupBy("lbl").agg(count(lit(1)).as("n_round2")), Seq("lbl"), "left")
+    val unreached = all.join(l2.select("node"), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_unreached"))
+    byLabel
+      .select(col("lbl").cast("bigint").as("label"),
+        col("n_seeds").cast("bigint").as("n_seeds"),
+        coalesce(col("n_round1"), lit(0L)).cast("bigint").as("n_round1"),
+        coalesce(col("n_round2"), lit(0L)).cast("bigint").as("n_round2"))
+      .withColumn("n_total",
+        expr("n_seeds + n_round1 + n_round2").cast("bigint"))
+      .unionByName(unreached.select(lit(-1L).as("label"),
+        lit(0L).as("n_seeds"), lit(0L).as("n_round1"), lit(0L).as("n_round2"),
+        col("n_unreached").cast("bigint").as("n_total")))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_cluster_keywords" -> (q301ClusterKeywords _),
+    "q302_label_propagation" -> (q302LabelPropagation _),
     "q293_late_interaction" -> (q293LateInteraction _),
     "q294_mmr_rerank" -> (q294MmrRerank _),
     "q295_rrf_fusion" -> (q295RrfFusion _),
@@ -2792,7 +2887,59 @@ object SimilarityQueries {
        |  CAST(rank AS INTEGER) AS rank, CAST(rrf_e8 AS BIGINT) AS rrf_e8
        |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
+  private def q302Oracle: String =
+    s"""WITH $oracleNormed,
+       |$oraclePairSc,
+       |pairs AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |seeds AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS lbl
+       |  FROM embeddings WHERE vec_id < 100),
+       |v1 AS (SELECT eg.src AS node, l.lbl, COUNT(*) AS c
+       |  FROM edges eg JOIN seeds l ON l.node = eg.dst GROUP BY 1, 2),
+       |a1 AS (SELECT node, lbl FROM (SELECT v1.*, row_number() OVER (
+       |    PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1) t WHERE rn = 1),
+       |r1 AS (SELECT node, lbl FROM a1 WHERE node NOT IN (SELECT node FROM seeds)),
+       |l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r1),
+       |v2 AS (SELECT eg.src AS node, l.lbl, COUNT(*) AS c
+       |  FROM edges eg JOIN l1 l ON l.node = eg.dst GROUP BY 1, 2),
+       |a2 AS (SELECT node, lbl FROM (SELECT v2.*, row_number() OVER (
+       |    PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2) t WHERE rn = 1),
+       |r2 AS (SELECT node, lbl FROM a2 WHERE node NOT IN (SELECT node FROM l1)),
+       |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM r2),
+       |by1 AS (SELECT lbl, COUNT(*) AS n_seeds FROM seeds GROUP BY lbl),
+       |c1 AS (SELECT lbl, COUNT(*) AS n_round1 FROM r1 GROUP BY lbl),
+       |c2 AS (SELECT lbl, COUNT(*) AS n_round2 FROM r2 GROUP BY lbl),
+       |lab AS (SELECT CAST(by1.lbl AS BIGINT) AS label,
+       |    CAST(n_seeds AS BIGINT) AS n_seeds,
+       |    CAST(COALESCE(n_round1, 0) AS BIGINT) AS n_round1,
+       |    CAST(COALESCE(n_round2, 0) AS BIGINT) AS n_round2,
+       |    CAST(n_seeds + COALESCE(n_round1, 0) + COALESCE(n_round2, 0) AS BIGINT) AS n_total
+       |  FROM by1 LEFT JOIN c1 USING (lbl) LEFT JOIN c2 USING (lbl)),
+       |un AS (SELECT CAST(-1 AS BIGINT) AS label, CAST(0 AS BIGINT) AS n_seeds,
+       |    CAST(0 AS BIGINT) AS n_round1, CAST(0 AS BIGINT) AS n_round2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_total
+       |  FROM embeddings WHERE vec_id NOT IN (SELECT node FROM l2))
+       |SELECT * FROM lab UNION ALL SELECT * FROM un ORDER BY label""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q301_cluster_keywords" ->
+      """WITH lb AS (SELECT vec_id AS doc_id, label FROM embeddings),
+        |tk AS (SELECT lb.label, unnest(string_split(d.text, ' ')) AS tok
+        |  FROM documents d JOIN lb USING (doc_id)),
+        |tf AS (SELECT label, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfl AS (SELECT tok, COUNT(*) AS dfl FROM tf GROUP BY tok),
+        |nl AS (SELECT COUNT(DISTINCT label) AS n_labels FROM tf),
+        |sc AS (SELECT label, tok, tf, dfl,
+        |    (1000000 * tf * (n_labels + 1)) // (dfl + 1) AS score_e6
+        |  FROM tf JOIN dfl USING (tok), nl),
+        |r AS (SELECT sc.*, row_number() OVER (
+        |    PARTITION BY label ORDER BY score_e6 DESC, tok) AS rank FROM sc)
+        |SELECT CAST(label AS INTEGER) AS label, CAST(rank AS INTEGER) AS rank, tok,
+        |  CAST(tf AS BIGINT) AS tf, CAST(dfl AS BIGINT) AS df_clusters,
+        |  CAST(score_e6 AS BIGINT) AS score_e6
+        |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
+    "q302_label_propagation" -> q302Oracle,
     "q293_late_interaction" -> q293Oracle,
     "q294_mmr_rerank" -> q294Oracle,
     "q295_rrf_fusion" -> q295Oracle,

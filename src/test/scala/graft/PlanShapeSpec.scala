@@ -479,4 +479,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       s"per-key counts must partial-aggregate map-side:\n$p")
   }
+
+  test("q293: the MaxSim grid is flat codegen'd dots — no interpreted HOF in the hot path") {
+    val p = plan("q293_late_interaction")
+    assert(p.contains("BroadcastExchange"), s"probe side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    // the unrolled grid appears as graft_dot calls over slices, not as
+    // nested transform/aggregate lambdas; the only lambda left is the
+    // one-shot e3 quantization transform, never an aggregate fold
+    assert(p.contains("graft_dot"), s"grid must run through the native dot:\n$p")
+    assert(!p.contains("aggregate(") && !p.contains("zip_with"),
+      s"no interpreted fold in the scored projection:\n$p")
+  }
+
+  test("q297: the audit's two sides are staged leaf scans, never re-derived") {
+    // build once so both staged frames exist
+    SparkEntry.queries("q297_blocking_audit")(spark, sfDir).collect()
+    val p = plan("q297_blocking_audit")
+    assert(!p.contains("stack("),
+      s"the band/signature pass must come from the staged candidate leaf:\n$p")
+    assert(!p.contains("split(text"),
+      s"no re-tokenization — truth pairs read the staged PPJoin leaf:\n$p")
+  }
+
+  test("q299: the replica fanout collapses through map-side partial aggregation") {
+    val p = plan("q299_poisson_bootstrap")
+    assert(p.contains("partial_sum") || p.contains("partial("),
+      s"replica sums must partial-aggregate before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
 }

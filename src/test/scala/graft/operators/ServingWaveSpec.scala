@@ -148,6 +148,35 @@ class ServingWaveSpec extends AnyFunSuite {
     }
   }
 
+  test("q301 cluster keywords: 5 ranked keywords per cluster, scores ordered") {
+    val rows = SimilarityQueries.q301ClusterKeywords(spark, sfDir).collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    assert(byLabel.nonEmpty)
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3, 4, 5)))
+      assert(rs.map(_.getString(2)).distinct.length == 5,
+        s"label $l: keywords must be distinct")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getLong(5))
+      assert(scores.sliding(2).forall(p => p(0) >= p(1)))
+      rs.foreach(r => assert(r.getLong(4) <= byLabel.size,
+        "a token's cluster df cannot exceed the cluster count"))
+    }
+  }
+
+  test("q302 label propagation: node conservation and seed accounting") {
+    val rows = SimilarityQueries.q302LabelPropagation(spark, sfDir).collect()
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    val nSeeds = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 100).count()
+    assert(rows.map(_.getLong(4)).sum == nVecs,
+      "labeled + unreached must conserve every node")
+    assert(rows.map(_.getLong(1)).sum == nSeeds)
+    assert(rows.exists(_.getLong(0) == -1L), "the unreached row must exist")
+    rows.filter(_.getLong(0) >= 0).foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) + r.getLong(2) + r.getLong(3))
+    }
+  }
+
   test("q298 cascade: rank 1 is the argmin of the replayed cost model") {
     val rows = QualityFilterQueries.q298CascadeOrdering(spark, sfDir).collect()
     assert(rows.length == 6)
