@@ -1376,7 +1376,56 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** q303 — WORST-WINDOW quality span: for each document, the 16-token
+    * window whose 15 bigram transitions score lowest under the staged
+    * q211 LM — LINE-LEVEL filtering (the RefinedWeb/CCNet practice of
+    * cutting junk spans out of otherwise-good documents) instead of
+    * q211's whole-document gate. Reports each document's worst window
+    * start and its exact e12 probability mass; a curation pass drops or
+    * truncates at that span.
+    *
+    * Scale shape: the LM counts are the staged once-per-corpus leaves;
+    * scoring is one positioned-bigram join; the sliding 15-bigram sum, the
+    * per-document bigram count, and the argmin pick are three window
+    * functions over ONE (doc_id)-partitioned exchange, each partition
+    * bounded by document length. Everything on the exact e12 lattice —
+    * the argmin has no float ambiguity. */
+  def q303WorstWindow(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (c2p, c1p, v) = stagedBigramLm(s,
+      graft.CorpusKey(dir, "documents.parquet"), docs)
+    val biPos = docs
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 17"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] as w1, toks[i] as w2))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("i"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val scored = biPos
+      .join(s.read.parquet(c2p), Seq("w1", "w2"))
+      .join(s.read.parquet(c1p), Seq("w1"))
+      .withColumn("pq", expr(
+        s"cast(floor(cast(c2 + 1 as double) / cast(c1 + ${v}L as double) * 1e12) as bigint)"))
+    val wDoc = Window.partitionBy("doc_id")
+    val wSlide = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, 14)
+    val wPick = Window.partitionBy("doc_id").orderBy(asc("wsum"), asc("i"))
+    scored
+      .withColumn("nb", count(lit(1)).over(wDoc))
+      .withColumn("wsum", sum("pq").over(wSlide))
+      .filter(col("i") + 14 <= col("nb"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("nb").cast("bigint").as("n_bigrams"),
+        col("i").cast("int").as("worst_start"),
+        col("wsum").cast("bigint").as("worst_sum_e12"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_worst_window" -> (q303WorstWindow _),
     "q299_poisson_bootstrap" -> (q299PoissonBootstrap _),
     "q279_t_closeness" -> (q279TCloseness _),
     "q284_split_repair" -> (q284SplitRepair _),
@@ -1644,7 +1693,36 @@ object CorpusQueries {
        |FROM pt JOIN ci USING (source) ORDER BY pt.source""".stripMargin
   }
 
+  private def q303Oracle: String =
+    """WITH lm AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |lb AS (SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks
+      |  FROM lm WHERE len(toks) >= 2),
+      |lp AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM lb),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM lp GROUP BY 1, 2),
+      |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+      |vv AS (SELECT COUNT(DISTINCT tok) AS v FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+      |  FROM t WHERE len(toks) >= 17),
+      |bp AS (SELECT doc_id, i, toks[i] AS w1, toks[i + 1] AS w2 FROM bi),
+      |sc AS (SELECT bp.doc_id, bp.i,
+      |    CAST(floor(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vv.v AS DOUBLE) * 1e12) AS BIGINT) AS pq
+      |  FROM bp JOIN c2 ON c2.w1 = bp.w1 AND c2.w2 = bp.w2
+      |  JOIN c1 ON c1.w1 = bp.w1, vv),
+      |wz AS (SELECT doc_id, i,
+      |    SUM(pq) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING) AS wsum,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS nb FROM sc),
+      |pick AS (SELECT doc_id, nb, i, wsum,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY wsum, i) AS rn
+      |  FROM wz WHERE i + 14 <= nb)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+      |  CAST(i AS INTEGER) AS worst_start, CAST(wsum AS BIGINT) AS worst_sum_e12
+      |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q303_worst_window" -> q303Oracle,
     "q299_poisson_bootstrap" -> q299Oracle,
     // q284: the q50 recursive component chain (from SimilarityQueries),
     // the identical q88 salted-md5 split draw, rep split via one join

@@ -1797,7 +1797,61 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** q304 — NORMALIZATION→FINGERPRINT RECALL audit: does text
+    * normalization (q273's rule chain) recover the minhash signature of
+    * the clean document from a case-mangled, punctuation-noised crawl
+    * copy? Per document, three 12-slot q22 signatures — clean text, a
+    * deterministic noisy variant (whole text uppercased + salted
+    * punctuation/tab tail), and the NORMALIZED noisy variant — and per
+    * source the mean slot agreement of raw-vs-clean and norm-vs-clean
+    * plus the full-recovery share. The number that justifies running
+    * normalization BEFORE dedup: raw agreement collapses (case flips
+    * every shingle hash), normalized agreement recovers everything but
+    * the tail noise.
+    *
+    * Scale shape: one corpus scan; all three signatures are the row-local
+    * [[hashedShinglesExpr]]/[[minhashSlotExpr]] projections (no explode,
+    * no shuffle before the bounded per-source rollup). The 3× shingle
+    * hashing is the honest cost of the comparison. */
+  def q304NormalizationRecall(s: SparkSession, dir: String): DataFrame = {
+    val noisy = "concat(upper(text), ' ', repeat('!', cast(1 + doc_id % 3 as int)), " +
+      "chr(9), 'Tail', cast(doc_id % 5 as string))"
+    val norm = s"trim(regexp_replace(regexp_replace(replace(lower($noisy), " +
+      "chr(9), ' '), '[!]+', '!'), '  +', ' '))"
+    def slots(pfx: String) = (0 until nHashes).map(i => (s"$pfx$i", minhashSlotExpr(i)))
+    var d = Tables.documents(s, dir)
+      .filter(expr("size(split(text, ' ')) >= 3"))
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("hs", expr(hashedShinglesExpr))
+    slots("c").foreach { case (n, e) => d = d.withColumn(n, expr(e)) }
+    d = d.withColumn("toks", expr(s"split($noisy, ' ')"))
+      .withColumn("hs", expr(hashedShinglesExpr))
+    slots("r").foreach { case (n, e) => d = d.withColumn(n, expr(e)) }
+    d = d.withColumn("toks", expr(s"split($norm, ' ')"))
+      .withColumn("hs", expr(hashedShinglesExpr))
+    slots("n").foreach { case (n, e) => d = d.withColumn(n, expr(e)) }
+    val agreeRaw = (0 until nHashes)
+      .map(i => s"(case when r$i = c$i then 1L else 0L end)").mkString(" + ")
+    val agreeNorm = (0 until nHashes)
+      .map(i => s"(case when n$i = c$i then 1L else 0L end)").mkString(" + ")
+    d.withColumn("ar", expr(agreeRaw))
+      .withColumn("an", expr(agreeNorm))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ar").as("sar"), sum("an").as("san"),
+        sum(expr(s"case when an = ${nHashes}L then 1L else 0L end")).as("nfull"))
+      .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+        expr(s"(1000000 * sar) div ($nHashes * n_docs)").cast("bigint")
+          .as("raw_agree_e6"),
+        expr(s"(1000000 * san) div ($nHashes * n_docs)").cast("bigint")
+          .as("norm_agree_e6"),
+        expr("(1000000 * nfull) div n_docs").cast("bigint")
+          .as("full_recovery_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_normalization_recall" -> (q304NormalizationRecall _),
     "q300_dedup_shift" -> (q300DedupShift _),
     "q297_blocking_audit" -> (q297BlockingAudit _),
     "q253_contamination_report" -> (q253ContaminationReport _),
@@ -1912,7 +1966,46 @@ object DedupQueries {
        |FROM tot LEFT JOIN ca ON tot.doc_id = ca.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  private def q304Oracle: String = {
+    def shingleHash(t: String) =
+      s"list_transform(list_transform(generate_series(1, len($t) - 2), " +
+        s"i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2])), " +
+        "x -> concat(md5(x), md5(concat('x', x))))"
+    def slotCols(src: String, pfx: String) = (0 until nHashes)
+      .map(i => s"list_min(list_transform($src, x -> substr(x, ${i * 5 + 1}, 5))) AS $pfx$i")
+      .mkString(",\n        ")
+    val agreeRaw = (0 until nHashes)
+      .map(i => s"(CASE WHEN r$i = c$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val agreeNorm = (0 until nHashes)
+      .map(i => s"(CASE WHEN n$i = c$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, source, text,
+       |    concat(upper(text), ' ', repeat('!', CAST(1 + doc_id % 3 AS INTEGER)),
+       |      chr(9), 'Tail', CAST(doc_id % 5 AS VARCHAR)) AS noisy
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |v AS (SELECT source,
+       |    string_split(text, ' ') AS tc,
+       |    string_split(noisy, ' ') AS tr,
+       |    string_split(trim(regexp_replace(regexp_replace(replace(lower(noisy),
+       |      chr(9), ' '), '[!]+', '!', 'g'), '  +', ' ', 'g')), ' ') AS tn
+       |  FROM d),
+       |h AS (SELECT source, ${shingleHash("tc")} AS hc,
+       |    ${shingleHash("tr")} AS hr, ${shingleHash("tn")} AS hn FROM v),
+       |sl AS (SELECT source,
+       |        ${slotCols("hc", "c")},
+       |        ${slotCols("hr", "r")},
+       |        ${slotCols("hn", "n")}
+       |  FROM h),
+       |ag AS (SELECT source, $agreeRaw AS ar, $agreeNorm AS an FROM sl)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST((1000000 * SUM(ar)) // ($nHashes * COUNT(*)) AS BIGINT) AS raw_agree_e6,
+       |  CAST((1000000 * SUM(an)) // ($nHashes * COUNT(*)) AS BIGINT) AS norm_agree_e6,
+       |  CAST((1000000 * SUM(CASE WHEN an = $nHashes THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+       |    AS full_recovery_e6
+       |FROM ag GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q304_normalization_recall" -> q304Oracle,
     "q300_dedup_shift" ->
       """WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |j AS (SELECT d.source, d.n_chars,

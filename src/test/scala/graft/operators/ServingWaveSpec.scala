@@ -177,6 +177,32 @@ class ServingWaveSpec extends AnyFunSuite {
     }
   }
 
+  test("q303 worst window: in-range spans, one row per eligible document") {
+    val rows = CorpusQueries.q303WorstWindow(spark, sfDir).collect()
+    val eligible = graft.Tables.documents(spark, sfDir)
+      .filter(expr("size(split(text, ' ')) >= 17")).count()
+    assert(rows.length == eligible, "one worst window per eligible document")
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) + 14 <= r.getLong(1),
+        s"doc ${r.getLong(0)}: window [${r.getInt(2)}, +14] must fit in ${r.getLong(1)} bigrams")
+      assert(r.getLong(3) > 0, "e12 mass of 15 smoothed transitions is strictly positive")
+    }
+  }
+
+  test("q304 normalization recall: normalization recovers what raw case-noise destroys") {
+    val rows = DedupQueries.q304NormalizationRecall(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, norm, full) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw <= 1000000L && norm <= 1000000L && full <= 1000000L)
+      // mean agreement dominates the full-recovery share (agreement/12 >= P(=12))
+      assert(norm >= full, s"${r.getString(0)}: mean agreement must dominate full share")
+      // fixture-tied separation: uppercasing flips every shingle hash, so
+      // raw agreement collapses while the normalized copy recovers
+      assert(norm > raw, s"${r.getString(0)}: normalization must recover agreement")
+    }
+  }
+
   test("q298 cascade: rank 1 is the argmin of the replayed cost model") {
     val rows = QualityFilterQueries.q298CascadeOrdering(spark, sfDir).collect()
     assert(rows.length == 6)
