@@ -1809,32 +1809,46 @@ object DedupQueries {
     * every shingle hash), normalized agreement recovers everything but
     * the tail noise.
     *
-    * Scale shape: one corpus scan; all three signatures are the row-local
-    * [[hashedShinglesExpr]]/[[minhashSlotExpr]] projections (no explode,
-    * no shuffle before the bounded per-source rollup). The 3× shingle
-    * hashing is the honest cost of the comparison. */
+    * Scale shape: the q22 signature discipline, not the row-local HOF
+    * form — each variant's shingles EXPLODE into codegen'd dual-md5 rows
+    * and collapse to 12 `min(substring(...))` aggregates whose map-side
+    * partial combine leaves one (doc, variant) row per document before
+    * the shuffle. (The row-local [[minhashSlotExpr]] projection computes
+    * the same values but pays 36 interpreted list traversals per row —
+    * measured ~5.0 s vs ~3.1 s at sf0.1.) The 3× shingle hashing is the
+    * honest cost of the comparison and the remaining floor. */
   def q304NormalizationRecall(s: SparkSession, dir: String): DataFrame = {
     val noisy = "concat(upper(text), ' ', repeat('!', cast(1 + doc_id % 3 as int)), " +
       "chr(9), 'Tail', cast(doc_id % 5 as string))"
     val norm = s"trim(regexp_replace(regexp_replace(replace(lower($noisy), " +
       "chr(9), ' '), '[!]+', '!'), '  +', ' '))"
-    def slots(pfx: String) = (0 until nHashes).map(i => (s"$pfx$i", minhashSlotExpr(i)))
-    var d = Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .filter(expr("size(split(text, ' ')) >= 3"))
-      .withColumn("toks", expr("split(text, ' ')"))
-      .withColumn("hs", expr(hashedShinglesExpr))
-    slots("c").foreach { case (n, e) => d = d.withColumn(n, expr(e)) }
-    d = d.withColumn("toks", expr(s"split($noisy, ' ')"))
-      .withColumn("hs", expr(hashedShinglesExpr))
-    slots("r").foreach { case (n, e) => d = d.withColumn(n, expr(e)) }
-    d = d.withColumn("toks", expr(s"split($norm, ' ')"))
-      .withColumn("hs", expr(hashedShinglesExpr))
-    slots("n").foreach { case (n, e) => d = d.withColumn(n, expr(e)) }
+    def stream(tag: String, txt: String) = base
+      .select(col("doc_id"), col("source"), lit(tag).as("vt"),
+        expr(s"split($txt, ' ')").as("toks"))
+      .select(col("doc_id"), col("source"), col("vt"),
+        explode(expr(s"array_distinct($shinglesExpr)")).as("x"))
+      .select(col("doc_id"), col("source"), col("vt"),
+        concat(md5(col("x")), md5(concat(lit("x"), col("x")))).as("h"))
+    val sigCols = (0 until nHashes)
+      .map(i => min(expr(s"substring(h, ${i * 5 + 1}, 5)")).as(s"s$i"))
+    val sigs = stream("c", "text")
+      .unionAll(stream("r", noisy))
+      .unionAll(stream("n", norm))
+      .groupBy("doc_id", "source", "vt")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val variantCols = Seq("c", "r", "n").flatMap { t =>
+      (0 until nHashes).map(i =>
+        min(when(col("vt") === t, col(s"s$i"))).as(s"$t$i"))
+    }
+    val perDoc = sigs.groupBy("doc_id", "source")
+      .agg(variantCols.head, variantCols.tail: _*)
     val agreeRaw = (0 until nHashes)
       .map(i => s"(case when r$i = c$i then 1L else 0L end)").mkString(" + ")
     val agreeNorm = (0 until nHashes)
       .map(i => s"(case when n$i = c$i then 1L else 0L end)").mkString(" + ")
-    d.withColumn("ar", expr(agreeRaw))
+    perDoc.withColumn("ar", expr(agreeRaw))
       .withColumn("an", expr(agreeNorm))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
