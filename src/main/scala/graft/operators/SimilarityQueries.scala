@@ -2301,10 +2301,18 @@ object SimilarityQueries {
     * label, seeds + round-1 + round-2 adoptions (label −1 = never
     * reached).
     *
-    * Scale shape: votes ride the STAGED pair leaf (never re-derived);
-    * each round is one edge-to-labels equi-join + a partial-aggregating
-    * (node, label) count + a per-node argmax window over the bounded
-    * vote frame — the q50/q95 staged-iteration discipline at depth 2. */
+    * Scale shape: votes ride the STAGED pair leaf (never re-derived),
+    * and each round's adoptions are THEMSELVES staged to parquet once
+    * per corpus fingerprint before the next round references them — the
+    * q50/q95 staged-iteration discipline at depth 2 (without the stage,
+    * round 2's plan re-derives round 1's whole vote subtree per
+    * reference and blows the StragglerGuard exchange budget). Each round
+    * is one edge-to-labels equi-join + a partial-aggregating (node,
+    * label) count + a per-node argmax window over the bounded vote
+    * frame. */
+  private val lpropCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   def q302LabelPropagation(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.embeddings(s, dir).select(col("vec_id").as("node"))
     val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
@@ -2323,10 +2331,18 @@ object SimilarityQueries {
         .select("node", "lbl")
         .join(labeled.select("node"), Seq("node"), "left_anti")
     }
-    val r1 = adopt(seeds)
-    val l1 = seeds.unionByName(r1)
-    val r2 = adopt(l1)
-    val l2 = l1.unionByName(r2)
+    val (p1, p2) = lpropCache.computeIfAbsent(
+      graft.CorpusKey(dir, "embeddings.parquet"), _ => {
+        val r1p = Staging.fresh("lprop1")
+        adopt(seeds).write.mode("overwrite").parquet(r1p)
+        val r2p = Staging.fresh("lprop2")
+        adopt(seeds.unionByName(s.read.parquet(r1p)))
+          .write.mode("overwrite").parquet(r2p)
+        (r1p, r2p)
+      })
+    val r1 = s.read.parquet(p1)
+    val r2 = s.read.parquet(p2)
+    val l2 = seeds.unionByName(r1).unionByName(r2)
     val byLabel = seeds.groupBy("lbl").agg(count(lit(1)).as("n_seeds"))
       .join(r1.groupBy("lbl").agg(count(lit(1)).as("n_round1")), Seq("lbl"), "left")
       .join(r2.groupBy("lbl").agg(count(lit(1)).as("n_round2")), Seq("lbl"), "left")
