@@ -2140,12 +2140,9 @@ object SimilarityQueries {
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id") +: slices("dv", "p"): _*)
     val docs = e.select(col("vec_id") +: slices("dv", "d"): _*)
-    val maxsim = (0 until 8).map { qi =>
-      "greatest(" + (0 until 8).map(di => s"graft_dot(p$qi, d$di)").mkString(", ") + ")"
-    }.mkString(" + ")
     val w = Window.partitionBy("probe_id").orderBy(desc("maxsim_e6"), asc("vec_id"))
     docs.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("maxsim_e6", expr(s"cast($maxsim as bigint)"))
+      .withColumn("maxsim_e6", expr(s"cast($maxsimGrid as bigint)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("probe_id").cast("bigint").as("probe_id"),
@@ -2361,7 +2358,50 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** The flat 8×8 MaxSim grid over pre-sliced sub-vector columns p0..p7 /
+    * d0..d7 — shared by q293 (brute-force) and q305 (IVF-routed). */
+  private val maxsimGrid: String = (0 until 8).map { qi =>
+    "greatest(" + (0 until 8).map(di => s"graft_dot(p$qi, d$di)").mkString(", ") + ")"
+  }.mkString(" + ")
+
+  /** q305 — IVF-ROUTED MaxSim: the production ColBERT serving stack in
+    * one plan — candidate generation by the trained IVF codebook (each
+    * probe searches its own centroid's bucket, q37's nprobe = 1 route)
+    * followed by the q293 late-interaction rerank on the bucket
+    * shortlist only. q293 pays the full-corpus grid; here the grid work
+    * drops to |bucket| × probes, which is the whole point of an ANN
+    * prefilter at 100 TB — candidate generation touches an index,
+    * exact scoring touches a shortlist.
+    *
+    * Scale shape: the staged IVF assignment is the only corpus pass
+    * (shared with q37/q105/q212 per corpus fingerprint); the probe side
+    * broadcasts; the corpus never repartitions on the bounded centroid
+    * key; the e3 lattice keeps maxsim_e6 an exact BIGINT. */
+  def q305IvfMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val withQ = ivfAssigned(s, dir, ivfTrainSampleMod)
+      .withColumn("dv", expr("transform(v, x -> cast(floor(x * 1000.0d + 0.5d) as double))"))
+    def sliceCols(pfx: String) =
+      (0 until 8).map(i => expr(s"slice(dv, ${i * 8 + 1}, 8)").as(s"$pfx$i"))
+    val probes = withQ.filter(col("vec_id") < 8)
+      .select(Seq(col("vec_id").as("probe_id"),
+        col("centroid_id").as("pcentroid")) ++ sliceCols("p"): _*)
+    val docs = withQ
+      .select(Seq(col("vec_id"), col("centroid_id")) ++ sliceCols("d"): _*)
+    val w = Window.partitionBy("probe_id").orderBy(desc("maxsim_e6"), asc("vec_id"))
+    docs.join(broadcast(probes),
+        col("centroid_id") === col("pcentroid") && col("vec_id") =!= col("probe_id"))
+      .withColumn("maxsim_e6", expr(s"cast($maxsimGrid as bigint)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id").cast("bigint").as("probe_id"),
+        col("vec_id").cast("bigint").as("neighbor_id"),
+        col("rank").cast("int").as("rank"),
+        col("maxsim_e6").cast("bigint").as("maxsim_e6"))
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_ivf_maxsim" -> (q305IvfMaxsim _),
     "q301_cluster_keywords" -> (q301ClusterKeywords _),
     "q302_label_propagation" -> (q302LabelPropagation _),
     "q293_late_interaction" -> (q293LateInteraction _),
@@ -2488,6 +2528,35 @@ object SimilarityQueries {
        |  FROM cand)
        |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Oracle twin of q305: the q37 Lloyd chain to `assigned`, the same e3
+    * quantization, and the q293 token-grid MaxSim restricted to the
+    * probe's own centroid bucket. */
+  private def q305Oracle: String = {
+    val lloyd = (1 to lloydIters).map(k =>
+      oracleAssignCte(s"a$k", s"cb${k - 1}", src = "tn") + ",\n" +
+        oracleRecenterCtes(k)).mkString(",\n")
+    s"""WITH $oracleNormed,
+       |tn AS (SELECT * FROM n WHERE vec_id % $ivfTrainSampleMod = 0 OR vec_id < 16),
+       |cb0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |$lloyd,
+       |${oracleAssignCte("assigned", s"cb$lloydIters")},
+       |qa AS (SELECT vec_id, centroid_id,
+       |    list_transform(v, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q FROM assigned),
+       |ti AS (SELECT unnest(generate_series(0, 7)) AS i),
+       |tok AS (SELECT vec_id, centroid_id, i, list_slice(q, i * 8 + 1, i * 8 + 8) AS sub FROM qa, ti),
+       |pt AS (SELECT vec_id AS probe_id, centroid_id AS pcentroid, i AS pi, sub AS psub
+       |  FROM tok WHERE vec_id < 8),
+       |dots AS (SELECT p.probe_id, d.vec_id, p.pi, ${duckIdot("p.psub", "d.sub", 8)} AS dot
+       |  FROM pt p JOIN tok d ON d.centroid_id = p.pcentroid AND d.vec_id <> p.probe_id),
+       |mx AS (SELECT probe_id, vec_id, pi, max(dot) AS m FROM dots GROUP BY 1, 2, 3),
+       |scm AS (SELECT probe_id, vec_id, CAST(sum(m) AS BIGINT) AS maxsim_e6 FROM mx GROUP BY 1, 2),
+       |rr AS (SELECT scm.*, CAST(row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY maxsim_e6 DESC, vec_id) AS INTEGER) AS rank FROM scm)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(vec_id AS BIGINT) AS neighbor_id,
+       |  rank, maxsim_e6
+       |FROM rr WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
 
   /** Oracle twin of q105: identical codebook training + assignment CTEs
@@ -2939,6 +3008,7 @@ object SimilarityQueries {
        |SELECT * FROM lab UNION ALL SELECT * FROM un ORDER BY label""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q305_ivf_maxsim" -> q305Oracle,
     "q301_cluster_keywords" ->
       """WITH lb AS (SELECT vec_id AS doc_id, label FROM embeddings),
         |tk AS (SELECT lb.label, unnest(string_split(d.text, ' ')) AS tok

@@ -43,6 +43,25 @@ class ServingWaveSpec extends AnyFunSuite {
       "MaxSim must dominate the aligned-token (full-vector) dot"))
   }
 
+  test("q305 IVF-MaxSim scores agree with brute-force MaxSim on shared pairs") {
+    val ivf = SimilarityQueries.q305IvfMaxsim(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"), col("maxsim_e6").as("ms_ivf"))
+    val brute = SimilarityQueries.q293LateInteraction(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"), col("maxsim_e6").as("ms_bf"))
+    val joined = ivf.join(brute, Seq("probe_id", "neighbor_id")).collect()
+    // the two paths score the same grid; wherever both rank a pair, the
+    // exact integer scores must be identical
+    joined.foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"pair (${r.getLong(0)}, ${r.getLong(1)}): IVF and brute scores must match"))
+    val byProbe = SimilarityQueries.q305IvfMaxsim(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    byProbe.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(byRank.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("q294 MMR: 4 distinct picks per probe with non-increasing scores") {
     val rows = SimilarityQueries.q294MmrRerank(spark, sfDir).collect()
     val byProbe = rows.groupBy(_.getLong(0))
