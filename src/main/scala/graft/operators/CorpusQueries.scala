@@ -1424,7 +1424,51 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q306 — DETERMINISTIC AUGMENTATION (salted token dropout) with a
+    * conservation audit: drop each token at position i with probability
+    * 1/8 via a salted-md5 draw keyed on (doc_id, i) — reproducible
+    * augmentation, the EDA-style variant a training pipeline generates
+    * WITHOUT load-time randomness (position 1 always survives so no
+    * document augments to empty). Per source: documents, tokens in/out,
+    * the exact e6 drop rate, and the count of DISTINCT augmented texts —
+    * the collision audit that catches augmentation manufacturing new
+    * exact duplicates (two different documents dropping into the same
+    * string would silently re-inflate the dup rate q21 just paid to
+    * remove).
+    *
+    * Scale shape: one positioned-token fanout collapsing through a
+    * per-document aggregate (the augmented fingerprint is md5 of the
+    * order-rebuilt kept tokens — sort_array over (i, tok) structs, a
+    * per-document bounded sort), then a bounded per-source rollup with
+    * a two-phase distinct on the fingerprint. */
+  def q306AugmentationAudit(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr("split(text, ' ')")))
+      .withColumn("i", (col("pos") + 1).cast("int"))
+      .withColumn("keep", expr(
+        "case when i = 1 or cast(conv(substring(md5(concat('aug_', " +
+          "cast(doc_id as string), '_', cast(i as string))), 1, 4), 16, 10) " +
+          "as bigint) % 8 != 0 then 1L else 0L end"))
+    val perDoc = toks.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_in"), sum("keep").as("n_out"),
+        expr("md5(array_join(transform(sort_array(collect_list(" +
+          "case when keep = 1 then struct(i, col) end)), x -> x.col), ' '))")
+          .as("fp"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_in").cast("bigint").as("tokens_in"),
+        sum("n_out").cast("bigint").as("tokens_out"),
+        countDistinct("fp").cast("bigint").as("n_distinct_aug"))
+      .withColumn("drop_e6",
+        expr("(1000000 * (tokens_in - tokens_out)) div tokens_in").cast("bigint"))
+      .select("source", "n_docs", "tokens_in", "tokens_out", "drop_e6",
+        "n_distinct_aug")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_augmentation_audit" -> (q306AugmentationAudit _),
     "q303_worst_window" -> (q303WorstWindow _),
     "q299_poisson_bootstrap" -> (q299PoissonBootstrap _),
     "q279_t_closeness" -> (q279TCloseness _),
@@ -1721,7 +1765,25 @@ object CorpusQueries {
       |  CAST(i AS INTEGER) AS worst_start, CAST(wsum AS BIGINT) AS worst_sum_e12
       |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  private def q306Oracle: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |p AS (SELECT doc_id, source, unnest(generate_series(1, len(toks))) AS i, toks FROM t),
+       |k AS (SELECT doc_id, source, i, toks[i] AS tok,
+       |    CASE WHEN i = 1 OR (${duckMd5Int("concat('aug_', CAST(doc_id AS VARCHAR), '_', CAST(i AS VARCHAR))", 4)}) % 8 != 0
+       |    THEN 1 ELSE 0 END AS keep
+       |  FROM p),
+       |d AS (SELECT doc_id, source, COUNT(*) AS n_in, SUM(keep) AS n_out,
+       |    md5(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE keep = 1)) AS fp
+       |  FROM k GROUP BY 1, 2)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_in) AS BIGINT) AS tokens_in,
+       |  CAST(SUM(n_out) AS BIGINT) AS tokens_out,
+       |  CAST((1000000 * (SUM(n_in) - SUM(n_out))) // SUM(n_in) AS BIGINT) AS drop_e6,
+       |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_aug
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q306_augmentation_audit" -> q306Oracle,
     "q303_worst_window" -> q303Oracle,
     "q299_poisson_bootstrap" -> q299Oracle,
     // q284: the q50 recursive component chain (from SimilarityQueries),

@@ -222,6 +222,18 @@ class ServingWaveSpec extends AnyFunSuite {
     }
   }
 
+  test("q306 augmentation: conservation bounds and no-empty-doc guarantee") {
+    val rows = CorpusQueries.q306AugmentationAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, tin, tout) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tout <= tin && tout >= nDocs,
+        s"${r.getString(0)}: kept tokens bounded by input, >= 1 per doc (position 1 survives)")
+      assert(r.getLong(4) < 1000000L, "drop rate strictly below 100%")
+      assert(r.getLong(5) <= nDocs, "distinct augmented texts bounded by docs")
+    }
+  }
+
   test("q298 cascade: rank 1 is the argmin of the replayed cost model") {
     val rows = QualityFilterQueries.q298CascadeOrdering(spark, sfDir).collect()
     assert(rows.length == 6)
