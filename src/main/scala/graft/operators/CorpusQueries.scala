@@ -1396,7 +1396,7 @@ object CorpusQueries {
       graft.CorpusKey(dir, "documents.parquet"), docs)
     val biPos = docs
       .withColumn("toks", expr("split(text, ' ')"))
-      .filter(expr("size(toks) >= 17"))
+      .filter(expr("size(toks) >= 16"))
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(1, size(toks) - 1), " +
           "i -> struct(toks[i-1] as w1, toks[i] as w2))")))
@@ -1430,16 +1430,19 @@ object CorpusQueries {
     * augmentation, the EDA-style variant a training pipeline generates
     * WITHOUT load-time randomness (position 1 always survives so no
     * document augments to empty). Per source: documents, tokens in/out,
-    * the exact e6 drop rate, and the count of DISTINCT augmented texts —
-    * the collision audit that catches augmentation manufacturing new
-    * exact duplicates (two different documents dropping into the same
-    * string would silently re-inflate the dup rate q21 just paid to
-    * remove).
+    * the exact e6 drop rate, the count of DISTINCT augmented texts, and
+    * n_global_dup — this source's documents whose augmented text
+    * collides with ANY document CORPUS-WIDE — the collision audit that
+    * catches augmentation manufacturing new exact duplicates (two
+    * documents dropping into the same string would silently re-inflate
+    * the dup rate q21 just paid to remove; a CROSS-source collision is
+    * invisible to any per-source distinct, hence the global column).
     *
     * Scale shape: one positioned-token fanout collapsing through a
     * per-document aggregate (the augmented fingerprint is md5 of the
     * order-rebuilt kept tokens — sort_array over (i, tok) structs, a
-    * per-document bounded sort), then a bounded per-source rollup with
+    * per-document bounded sort), a corpus-wide fingerprint count joined
+    * back on the scaling fp key, then a bounded per-source rollup with
     * a two-phase distinct on the fingerprint. */
   def q306AugmentationAudit(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
@@ -1455,15 +1458,19 @@ object CorpusQueries {
         expr("md5(array_join(transform(sort_array(collect_list(" +
           "case when keep = 1 then struct(i, col) end)), x -> x.col), ' '))")
           .as("fp"))
-    perDoc.groupBy("source")
+    val fpCnt = perDoc.groupBy("fp").agg(count(lit(1)).as("fcnt"))
+    perDoc.join(fpCnt, Seq("fp"))
+      .groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum("n_in").cast("bigint").as("tokens_in"),
         sum("n_out").cast("bigint").as("tokens_out"),
-        countDistinct("fp").cast("bigint").as("n_distinct_aug"))
+        countDistinct("fp").cast("bigint").as("n_distinct_aug"),
+        sum(expr("case when fcnt > 1 then 1L else 0L end")).cast("bigint")
+          .as("n_global_dup"))
       .withColumn("drop_e6",
         expr("(1000000 * (tokens_in - tokens_out)) div tokens_in").cast("bigint"))
       .select("source", "n_docs", "tokens_in", "tokens_out", "drop_e6",
-        "n_distinct_aug")
+        "n_distinct_aug", "n_global_dup")
       .orderBy("source")
   }
 
@@ -1748,7 +1755,7 @@ object CorpusQueries {
       |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |bi AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
-      |  FROM t WHERE len(toks) >= 17),
+      |  FROM t WHERE len(toks) >= 16),
       |bp AS (SELECT doc_id, i, toks[i] AS w1, toks[i + 1] AS w2 FROM bi),
       |sc AS (SELECT bp.doc_id, bp.i,
       |    CAST(floor(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vv.v AS DOUBLE) * 1e12) AS BIGINT) AS pq
@@ -1774,13 +1781,15 @@ object CorpusQueries {
        |  FROM p),
        |d AS (SELECT doc_id, source, COUNT(*) AS n_in, SUM(keep) AS n_out,
        |    md5(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE keep = 1)) AS fp
-       |  FROM k GROUP BY 1, 2)
+       |  FROM k GROUP BY 1, 2),
+       |fc AS (SELECT fp, COUNT(*) AS fcnt FROM d GROUP BY fp)
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_in) AS BIGINT) AS tokens_in,
        |  CAST(SUM(n_out) AS BIGINT) AS tokens_out,
        |  CAST((1000000 * (SUM(n_in) - SUM(n_out))) // SUM(n_in) AS BIGINT) AS drop_e6,
-       |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_aug
-       |FROM d GROUP BY source ORDER BY source""".stripMargin
+       |  CAST(COUNT(DISTINCT d.fp) AS BIGINT) AS n_distinct_aug,
+       |  CAST(SUM(CASE WHEN fc.fcnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_global_dup
+       |FROM d JOIN fc ON fc.fp = d.fp GROUP BY source ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q306_augmentation_audit" -> q306Oracle,

@@ -1757,9 +1757,14 @@ object DedupQueries {
         expr("(n_docs * (n_docs - 1)) div 2").cast("bigint"))
       .withColumn("completeness_e6",
         expr("(1000000 * n_caught) div greatest(n_truth, 1)").cast("bigint"))
+      // reduction as 1e6 − ceil(1e6·c/p), NOT (1e6·(p−c)) div p: the latter
+      // multiplies n_possible (≈ n²/2) by 1e6 and silently wraps int64 past
+      // n_docs ≈ 4.3e6 — exactly the regime this audit is pitched at. The
+      // rearranged form's largest product is 1e6·n_candidates (exact to
+      // ~9.2e12 candidate pairs); n_possible itself holds to n_docs ≈ 4.3e9
       .withColumn("reduction_e6",
-        expr("(1000000 * (n_possible - n_candidates)) div greatest(n_possible, 1)")
-          .cast("bigint"))
+        expr("1000000 - (1000000 * n_candidates + greatest(n_possible, 1) - 1) " +
+          "div greatest(n_possible, 1)").cast("bigint"))
       .select("n_docs", "n_possible", "n_candidates", "n_truth", "n_caught",
         "completeness_e6", "reduction_e6")
   }
@@ -1779,7 +1784,10 @@ object DedupQueries {
     * conditional aggregate — no second corpus pass. */
   def q300DedupShift(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val kept = docs.groupBy(md5(col("text")).as("fp"))
+    // q21's EXACT fingerprint (lower + trim + whitespace collapse), so the
+    // shift describes the dedup pass the pipeline actually runs
+    val kept = docs
+      .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     docs.join(kept.withColumn("keep", lit(1L)), Seq("doc_id"), "left")
@@ -2021,7 +2029,8 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q304_normalization_recall" -> q304Oracle,
     "q300_dedup_shift" ->
-      """WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      """WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))),
         |j AS (SELECT d.source, d.n_chars,
         |    CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS keep
         |  FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id)
@@ -2058,7 +2067,7 @@ object DedupQueries {
          |SELECT n_docs, CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) AS n_possible,
          |  n_candidates, n_truth, n_caught,
          |  CAST((1000000 * n_caught) // greatest(n_truth, 1) AS BIGINT) AS completeness_e6,
-         |  CAST((1000000 * ((n_docs * (n_docs - 1)) // 2 - n_candidates))
+         |  CAST(1000000 - (1000000 * n_candidates + greatest((n_docs * (n_docs - 1)) // 2, 1) - 1)
          |    // greatest((n_docs * (n_docs - 1)) // 2, 1) AS BIGINT) AS reduction_e6
          |FROM nd, nc, nt, ng""".stripMargin,
     "q223_boilerplate_ngrams" ->

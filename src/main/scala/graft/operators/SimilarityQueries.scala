@@ -2104,10 +2104,7 @@ object SimilarityQueries {
     * ranking keys compare exactly in both engines — the q232 int8 story,
     * reused as the shared substrate of the serving-side rerankers
     * (q293 MaxSim, q294 MMR). */
-  private val ivExpr =
-    "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"
-
-  /** The same e3 lattice held as DOUBLES so the hot dots run through the
+  /** The e3 lattice held as DOUBLES so the hot dots run through the
     * native codegen'd `graft_dot` instead of interpreted HOF folds: every
     * lattice value, product (≤ ~2.5e7), and 64-term sum (≤ ~1.6e9) is an
     * integer far below 2^53, so the double arithmetic is EXACT and the
@@ -2135,11 +2132,9 @@ object SimilarityQueries {
     * BIGINT and the ranking has no float tie ambiguity. */
   def q293LateInteraction(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    def slices(src: String, pfx: String) =
-      (0 until 8).map(i => expr(s"slice($src, ${i * 8 + 1}, 8)").as(s"$pfx$i"))
     val probes = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("probe_id") +: slices("dv", "p"): _*)
-    val docs = e.select(col("vec_id") +: slices("dv", "d"): _*)
+      .select(col("vec_id").as("probe_id") +: subvecCols("p"): _*)
+    val docs = e.select(col("vec_id") +: subvecCols("d"): _*)
     val w = Window.partitionBy("probe_id").orderBy(desc("maxsim_e6"), asc("vec_id"))
     docs.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("maxsim_e6", expr(s"cast($maxsimGrid as bigint)"))
@@ -2358,10 +2353,21 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
-  /** The flat 8×8 MaxSim grid over pre-sliced sub-vector columns p0..p7 /
-    * d0..d7 — shared by q293 (brute-force) and q305 (IVF-routed). */
-  private val maxsimGrid: String = (0 until 8).map { qi =>
-    "greatest(" + (0 until 8).map(di => s"graft_dot(p$qi, d$di)").mkString(", ") + ")"
+  /** Late-interaction geometry: each dim-wide vector reads as nTok
+    * sub-vectors of subDim — derived from [[dim]] so a fixture-width
+    * change cannot silently leave slices short. */
+  private val nTok = 8
+  private val subDim = dim / nTok
+
+  /** The pre-sliced sub-vector columns p0..p7 / d0..d7 over a quantized
+    * `dv` column — the one slicing rule both MaxSim paths share. */
+  private def subvecCols(pfx: String) = (0 until nTok)
+    .map(i => expr(s"slice(dv, ${i * subDim + 1}, $subDim)").as(s"$pfx$i"))
+
+  /** The flat nTok×nTok MaxSim grid over those columns — shared by q293
+    * (brute-force) and q305 (IVF-routed). */
+  private val maxsimGrid: String = (0 until nTok).map { qi =>
+    "greatest(" + (0 until nTok).map(di => s"graft_dot(p$qi, d$di)").mkString(", ") + ")"
   }.mkString(" + ")
 
   /** q305 — IVF-ROUTED MaxSim: the production ColBERT serving stack in
@@ -2378,15 +2384,15 @@ object SimilarityQueries {
     * broadcasts; the corpus never repartitions on the bounded centroid
     * key; the e3 lattice keeps maxsim_e6 an exact BIGINT. */
   def q305IvfMaxsim(s: SparkSession, dir: String): DataFrame = {
+    // same e3 lattice as [[dvExpr]], but from the assignment's already
+    // double-cast `v` column (no second embedding cast)
     val withQ = ivfAssigned(s, dir, ivfTrainSampleMod)
       .withColumn("dv", expr("transform(v, x -> cast(floor(x * 1000.0d + 0.5d) as double))"))
-    def sliceCols(pfx: String) =
-      (0 until 8).map(i => expr(s"slice(dv, ${i * 8 + 1}, 8)").as(s"$pfx$i"))
     val probes = withQ.filter(col("vec_id") < 8)
       .select(Seq(col("vec_id").as("probe_id"),
-        col("centroid_id").as("pcentroid")) ++ sliceCols("p"): _*)
+        col("centroid_id").as("pcentroid")) ++ subvecCols("p"): _*)
     val docs = withQ
-      .select(Seq(col("vec_id"), col("centroid_id")) ++ sliceCols("d"): _*)
+      .select(Seq(col("vec_id"), col("centroid_id")) ++ subvecCols("d"): _*)
     val w = Window.partitionBy("probe_id").orderBy(desc("maxsim_e6"), asc("vec_id"))
     docs.join(broadcast(probes),
         col("centroid_id") === col("pcentroid") && col("vec_id") =!= col("probe_id"))

@@ -50,7 +50,9 @@ class ServingWaveSpec extends AnyFunSuite {
       .select(col("probe_id"), col("neighbor_id"), col("maxsim_e6").as("ms_bf"))
     val joined = ivf.join(brute, Seq("probe_id", "neighbor_id")).collect()
     // the two paths score the same grid; wherever both rank a pair, the
-    // exact integer scores must be identical
+    // exact integer scores must be identical — and the comparison must
+    // not pass vacuously on an empty intersection
+    assert(joined.nonEmpty, "IVF and brute top-3 must share at least one pair")
     joined.foreach(r => assert(r.getLong(2) == r.getLong(3),
       s"pair (${r.getLong(0)}, ${r.getLong(1)}): IVF and brute scores must match"))
     val byProbe = SimilarityQueries.q305IvfMaxsim(spark, sfDir).collect()
@@ -157,10 +159,12 @@ class ServingWaveSpec extends AnyFunSuite {
     val rows = DedupQueries.q300DedupShift(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val totalPost = rows.map(_.getLong(2)).sum
+    // q21's exact fingerprint (lower + trim + whitespace collapse)
     val distinctTexts = graft.Tables.documents(spark, sfDir)
-      .selectExpr("md5(text)").distinct().count()
+      .selectExpr("md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))")
+      .distinct().count()
     assert(totalPost == distinctTexts,
-      "survivors across sources must equal distinct text fingerprints")
+      "survivors across sources must equal distinct q21 fingerprints")
     rows.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1), "n_post <= n_pre")
       assert(r.getLong(5) == r.getLong(4) - r.getLong(3), "shift = post - pre")
@@ -198,8 +202,10 @@ class ServingWaveSpec extends AnyFunSuite {
 
   test("q303 worst window: in-range spans, one row per eligible document") {
     val rows = CorpusQueries.q303WorstWindow(spark, sfDir).collect()
+    // 16 tokens = 15 bigrams = exactly one valid window, so >= 16 is the
+    // true eligibility bar
     val eligible = graft.Tables.documents(spark, sfDir)
-      .filter(expr("size(split(text, ' ')) >= 17")).count()
+      .filter(expr("size(split(text, ' ')) >= 16")).count()
     assert(rows.length == eligible, "one worst window per eligible document")
     rows.foreach { r =>
       assert(r.getInt(2) >= 1 && r.getInt(2) + 14 <= r.getLong(1),
@@ -231,6 +237,7 @@ class ServingWaveSpec extends AnyFunSuite {
         s"${r.getString(0)}: kept tokens bounded by input, >= 1 per doc (position 1 survives)")
       assert(r.getLong(4) < 1000000L, "drop rate strictly below 100%")
       assert(r.getLong(5) <= nDocs, "distinct augmented texts bounded by docs")
+      assert(r.getLong(6) <= nDocs, "global collisions bounded by docs")
     }
   }
 
