@@ -444,6 +444,40 @@ object BinaryPipeline {
     }
   }
 
+  /** Synthesize a SINGLE-FRAME 8×8 Y4M "thumbnail" per document: pixel i
+    * (row-major, i = 0..63) carries code point i's luma (cp % 256), with
+    * space (32) padding past the end of short texts. The q260 synthesis
+    * discipline pointed at [[perceptualHash]]: because [[aHashOfFrame]]'s
+    * 8×8 grid over an 8×8 plane makes every block mean exactly one pixel,
+    * the aHash bits are pure integer arithmetic on character codes — so a
+    * DuckDB twin re-derives the full 64-bit fingerprint from the text
+    * alone and the Y4M round-trip + demux + hash all sit under the hash
+    * gate. Code-point semantics (not UTF-16 units) to match the twin's
+    * substr/ascii. Per-partition batch, no shuffle. */
+  def imageMediaFromText(docs: org.apache.spark.sql.DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.selectExpr("doc_id", "source", "text")
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, src, text) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+          bos.write("FRAME\n".getBytes("US-ASCII"))
+          val luma = new Array[Byte](64)
+          java.util.Arrays.fill(luma, 32.toByte)
+          val cps = text.codePoints().toArray
+          var i = 0
+          while (i < math.min(64, cps.length)) {
+            luma(i) = (cps(i) % 256).toByte
+            i += 1
+          }
+          bos.write(luma)
+          bos.write(new Array[Byte](2 * 4 * 4)) // constant 4:2:0 chroma planes
+          MediaRow(id, bos.toByteArray, src)
+        }
+      }
+  }
+
   /** Output of the resize pass: original + target geometry and the
     * resampled image's digest. */
   case class ResizedRow(doc_id: Long, width: Int, height: Int,

@@ -365,6 +365,67 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Banded hamming pair search over a 64-bit perceptual hash frame
+    * `(doc_id, ahash)` — q42's machinery widened to 64 bits: 4 bands of
+    * 16 bits (band key = the masked low half-word so arithmetic
+    * shiftright on a sign-bit hash still keys correctly), self-join on
+    * (band, bkey), doc_a < doc_b, bit_count(xor) ≤ maxHamming, distinct.
+    * With maxHamming = 3 < 4 bands the pigeonhole guarantee makes the
+    * banding LOSSLESS: ≤ 3 flipped bits cannot touch all 4 bands, so the
+    * output is exactly the all-pairs hamming ≤ 3 set and the oracle needs
+    * no banding mirror. Factored from [[q307ImageNeardup]] so the spec
+    * can drive constructed hash frames through the identical plan. */
+  private[operators] def ahashBandedPairs(ph: org.apache.spark.sql.DataFrame,
+                                          maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    val bandKeys = (0 until 4)
+      .map(b => s"$b, cast(shiftright(ahash, ${16 * b}) & 65535 as int)")
+      .mkString(", ")
+    val bands = ph.selectExpr("doc_id", "ahash", s"stack(4, $bandKeys) as (band, bkey)")
+    bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("ahash").as("ha"))
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"),
+        col("ahash").as("hb")), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a").cast("bigint").as("doc_a"),
+        col("doc_b").cast("bigint").as("doc_b"), col("hamming"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q307 — IMAGE NEAR-DUPLICATE pairs via perceptual hash: synthesize a
+    * deterministic 8×8 thumbnail per document (BinaryPipeline
+    * .imageMediaFromText — pixel i = code point i's luma), demux it
+    * through the REAL Y4M parser, aHash the decoded plane
+    * (BinaryPipeline.perceptualHash, real pixels — `real` is asserted
+    * true for every row), and run the q42 banded-hamming pair search on
+    * the 64-bit fingerprints. This is the image-level dedup pass an LLM
+    * multimodal curation pipeline runs: q23/q42's simhash machinery
+    * pointed at a pixel-derived hash instead of a token-derived one.
+    * Because the synthesis rule is integer arithmetic on character codes
+    * and each aHash block is exactly one pixel, the DuckDB twin
+    * re-derives the full 64-bit hash from the text alone — the container
+    * round-trip, the demuxer, and the hash kernel all sit under the
+    * oracle's hash gate (one corrupted plane byte flips a block bit).
+    *
+    * Scale shape: the decode+hash pass is mapPartitions (no shuffle) and
+    * its 16-byte-per-doc output is STAGED to parquet once (the q42
+    * staging rule) so the self-join's two sides re-read the leaf instead
+    * of re-running the codec; candidate generation is banded (never
+    * all-pairs) and lossless at hamming ≤ 3 by pigeonhole; the pair
+    * stream stays inside whole-stage codegen. */
+  def q307ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    val hashed = graft.multimodal.BinaryPipeline
+      .perceptualHash(graft.multimodal.BinaryPipeline
+        .imageMediaFromText(Tables.documents(s, dir)))
+      .toDF()
+    // fresh() per invocation (the q42 rule): stage the tiny hash frame so
+    // the banded self-join never re-runs the synth+demux+hash pass
+    val ck = graft.Staging.fresh("ph307")
+    hashed.select(col("doc_id"), col("ahash")).write.mode("overwrite").parquet(s"$ck/ph")
+    ahashBandedPairs(s.read.parquet(s"$ck/ph"))
+  }
+
   /** Character-4-gram Jaccard similarity with blocking: pairs are generated
     * only within (lang, length-bucket, 4-char-prefix) blocks — an equi-join,
     * not a cross join — then scored on distinct-gram overlap. The prefix key
@@ -1894,6 +1955,7 @@ object DedupQueries {
     "q24_ngram_jaccard" -> (q24NgramJaccard _),
     "q28_fingerprint" -> (q28Fingerprint _),
     "q42_simhash_pairs" -> (q42SimhashPairs _),
+    "q307_image_neardup" -> (q307ImageNeardup _),
     "q64_decontaminate" -> (q64Decontaminate _),
     "q65_incremental_dedup" -> (q65IncrementalDedup _),
     "q85_bucketed_dedup" -> (q85BucketedIncDedup _),
@@ -2311,6 +2373,30 @@ object DedupQueries {
          |  FROM cand JOIN s x ON doc_a = x.doc_id JOIN s y ON doc_b = y.doc_id)
          |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, hamming
          |FROM h WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin,
+    // re-derives the full 64-bit aHash from character codes (pixel i =
+    // cp_i % 256, space-padded to 64; mean = floor-avg; bit i strict-
+    // greater) — the Y4M round-trip, demux, and hash kernel must land on
+    // exactly these bits. Bit 63 enters as the two's-complement term so
+    // the signed BIGINT equals the JVM long. Banding is pigeonhole-
+    // lossless at hamming <= 3 (< 4 bands), so all-pairs is the same set.
+    "q307_image_neardup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |px AS (SELECT doc_id, u.i AS i,
+        |    CASE WHEN u.i <= n THEN ascii(substr(text, CAST(u.i AS INTEGER), 1)) % 256
+        |         ELSE 32 END AS v
+        |  FROM d, unnest(generate_series(1, 64)) u(i)),
+        |m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM px GROUP BY doc_id),
+        |h AS (SELECT px.doc_id,
+        |    CAST(SUM(CASE WHEN v > mean THEN
+        |      CASE WHEN i = 64 THEN (-9223372036854775807 - 1)
+        |           ELSE (1::BIGINT << CAST(i - 1 AS INTEGER)) END
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, hamming
+        |FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // the q215 volume/quality projection + q21's fingerprint dup pass +
     // q64's shingle chain, assembled per source
     "q265_corpus_datacard" ->

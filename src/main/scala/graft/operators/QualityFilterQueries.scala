@@ -995,7 +995,7 @@ object QualityFilterQueries {
       .withColumn("n", expr("size(toks)"))
       .withColumn("hits", expr(
         "size(filter(toks, t -> t = 'the' or t = 'a' or t = 'of' or t = 'and' or t = 'to'))"))
-      .withColumn("chars", expr("aggregate(toks, 0, (a, t) -> a + length(t))"))
+      .withColumn("chars", expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
       .select(
         expr("case when n >= 20 then 1L else 0L end").as("g1"),
         expr("case when 20 * hits >= n then 1L else 0L end").as("g2"),

@@ -1170,8 +1170,18 @@ object SegmentationQueries {
     * sums wholesale, and only the two boundary buckets per group are
     * re-scanned for an intra-bucket rank prefix. The exchanges carry
     * bucket summaries and boundary-bucket rows, never a per-group total
-    * sort. All integers on the cents lattice; e6 means are exact floored
-    * divisions (all values non-negative, so div and // agree). */
+    * sort. All integers on the cents lattice; e6 means are exact FLOOR
+    * divisions via [[floorDiv]], matching DuckDB's `//` even when a
+    * trimmed sum goes negative. */
+  /** Exact FLOOR division on the integer lattice: Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, so the two diverge exactly
+    * when the dividend is negative and the division is inexact. All
+    * callers pass a positive divisor; this closes the sign hole without
+    * leaning on a non-negative-fixture premise. */
+  private def floorDiv(num: String, den: String): Column = expr(
+    s"case when ($num) < 0 and ($num) % ($den) != 0 " +
+      s"then ($num) div ($den) - 1 else ($num) div ($den) end")
+
   def q272TrimmedMean(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir)
       .select(col("event_type").as("g"),
@@ -1216,10 +1226,11 @@ object SegmentationQueries {
       .select(col("g").as("event_type"),
         col("n").cast("bigint").as("n_events"),
         col("t").cast("bigint").as("n_trim_side"),
-        expr("(1000000 * sv) div n").cast("bigint").as("mean_e6"),
-        expr("(1000000 * (sv - coalesce(fb, 0) - coalesce(pb, 0) " +
-          "- coalesce(ft, 0) - coalesce(pt, 0))) div greatest(n - 2 * t, 1)")
-          .cast("bigint").as("trimmed_mean_e6"))
+        floorDiv("1000000 * sv", "n").cast("bigint").as("mean_e6"),
+        floorDiv(
+          "1000000 * (sv - coalesce(fb, 0) - coalesce(pb, 0) " +
+            "- coalesce(ft, 0) - coalesce(pt, 0))",
+          "greatest(n - 2 * t, 1)").cast("bigint").as("trimmed_mean_e6"))
       .orderBy("event_type")
   }
 

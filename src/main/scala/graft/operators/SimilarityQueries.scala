@@ -2199,7 +2199,9 @@ object SimilarityQueries {
       // ties break on ascending vec_id, matching the window/oracle order
       val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
       val chosen = scala.collection.mutable.Set.empty[Long]
-      for (st <- 1 to 4) {
+      // a probe with fewer than 4 shortlist candidates degrades to fewer
+      // steps (the oracle just emits fewer rows) instead of maxBy-on-empty
+      for (st <- 1 to math.min(4, cands.length)) {
         val scored = cands.iterator.filterNot(c => chosen(c._2)).map { c =>
           val score = if (st == 1) c._3
           else c._3 - selected.iterator.map(sel =>
