@@ -86,6 +86,77 @@ object Warehouse {
                     value: String): DataFrame =
     s.read.parquet(path).where(col(partCol) === value)
 
+  // ------------------------------------------------- file-manifest verbs
+
+  /** The Layouts-manifest discipline taken to FILE granularity: a lake
+    * root carries `_graft_files` — the sorted relative paths of its live
+    * data files, written at commit time. Readers resolve the manifest
+    * (the lakehouse-log convention: a reader trusts the log, never the
+    * directory listing), so aborted-ingest leftovers are invisible to
+    * queries and VACUUM can reclaim them from storage without a read
+    * ever racing the sweep. At 100 TB the directory listing itself is
+    * the thing you cannot trust — object stores surface half-committed
+    * multipart uploads and speculative task attempts as real objects. */
+  private val fileManifestName = "_graft_files"
+
+  private def listDataFiles(path: String): Seq[String] = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+          .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+          .toSeq
+      else if (f.getName.endsWith(".parquet")) Seq(rel)
+      else Seq.empty
+    walk(root, "").sorted
+  }
+
+  /** Commit the lake's CURRENT data files as its live manifest. */
+  def writeFileManifest(path: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, fileManifestName),
+      listDataFiles(path).mkString("\n"))
+
+  def manifestedFiles(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path, fileManifestName)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else java.nio.file.Files.readString(p).split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Manifest-resolved read: exactly the live files, with partition
+    * columns still derived from the directory keys (`basePath`). */
+  def readManifested(s: SparkSession, path: String): DataFrame = {
+    val files = manifestedFiles(path).map(f => s"$path/$f")
+    s.read.option("basePath", path).parquet(files: _*)
+  }
+
+  /** VACUUM — the third lake-maintenance verb next to takedown (q250)
+    * and compaction (q256): list the lake's data files, diff against the
+    * live manifest, and DELETE unmanifested files whose age exceeds the
+    * retention window. The window is the standard in-flight-writer grace
+    * period (Delta's VACUUM semantics): a young orphan may be a writer
+    * mid-commit, so it is SPARED this pass and swept by a later one.
+    * Manifested files are never deleted regardless of age — the manifest
+    * is the definition of live. Idempotent and retry-safe: deletion of
+    * an already-gone file is a no-op, and re-running sweeps nothing new.
+    * Returns one row per examined orphan: (partition dir, file name,
+    * swept?). Cost is O(listing + orphans), never O(data). */
+  def vacuum(path: String, retentionMs: Long, nowMs: Long): Seq[(String, String, Boolean)] = {
+    val live = manifestedFiles(path).toSet
+    listDataFiles(path).filterNot(live).map { rel =>
+      val p = java.nio.file.Paths.get(path, rel)
+      val ageMs = nowMs - java.nio.file.Files.getLastModifiedTime(p).toMillis
+      val sweep = ageMs > retentionMs
+      if (sweep) java.nio.file.Files.deleteIfExists(p)
+      val (dir, name) = rel.lastIndexOf('/') match {
+        case -1 => ("", rel)
+        case i => (rel.substring(0, i), rel.substring(i + 1))
+      }
+      (dir, name, sweep)
+    }
+  }
+
   /** Bucketed warehouse layout — the reference's partition-layout
     * optimization (`airflow/dags/spark_transform_load.py:199,210`: monthly
     * partitioning so repeated time-bounded scans touch one slice) taken to

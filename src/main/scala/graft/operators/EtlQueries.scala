@@ -641,6 +641,82 @@ object EtlQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q309
+
+  /** q309 — VACUUM (orphan-file sweep, the third lake-maintenance verb
+    * after q250's takedown and q256's compaction): commit a
+    * source-partitioned document lake with a FILE manifest
+    * (Warehouse.writeFileManifest — the Layouts discipline at file
+    * granularity), deterministically plant the aborted-ingest leftovers
+    * a real object store accumulates (per partition: one orphan AGED
+    * past the 24 h retention window and one YOUNG orphan inside it —
+    * committed-looking `part-orphan-*.parquet` copies of live data the
+    * manifest never saw), sweep with Warehouse.vacuum, and audit the
+    * lake through the MANIFEST-resolved read. Retention is the standard
+    * in-flight-writer grace period (Delta's VACUUM semantics): the young
+    * orphan is spared this pass, the old one is reclaimed, and
+    * manifested files are never touched regardless of age.
+    *
+    * The oracle proves CONSERVATION plus the sweep arithmetic: per-source
+    * counts from the re-read lake must equal the source table (a vacuum
+    * that deleted a live file, or a manifest read that leaked an orphan
+    * copy, double-counts or loses rows and fails the hash), and the
+    * planted-orphan construction is deterministic so n_swept = n_spared
+    * = 1 are oracle literals — sweeping the wrong file count mismatches.
+    * VacuumSpec asserts the filesystem half: the old orphan is gone, the
+    * young one remains, live bytes are untouched, a second pass sweeps
+    * zero, and the naive directory-listing read WOULD have double-counted
+    * (the hazard the manifest retires).
+    *
+    * Scale shape: the sweep is O(listing + orphans), never O(data); the
+    * audit scan is the audit's cost, not the vacuum's. */
+  def q309VacuumLake(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("vacuum")
+    Warehouse.writePartitioned(Tables.documents(s, dir), "source", path,
+      firstRun = true)
+    Warehouse.writeFileManifest(path)
+    val nowMs = System.currentTimeMillis()
+    plantOrphans(path, nowMs)
+    val report = Warehouse.vacuum(path, retentionMs = 24L * 3600 * 1000, nowMs)
+    import s.implicits._
+    val sweepStats = report
+      .collect { case (d, _, swept) if d.startsWith("source=") =>
+        (d.stripPrefix("source="), if (swept) 1L else 0L) }
+      .groupBy(_._1).toSeq
+      .map { case (src, xs) => (src, xs.map(_._2).sum, xs.size - xs.map(_._2).sum) }
+      .toDF("source", "n_swept", "n_spared")
+    Warehouse.readManifested(s, path)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_chars").cast("bigint").as("chars_total"))
+      .join(sweepStats, Seq("source"))
+      .select(col("source"), col("n_docs"), col("chars_total"),
+        col("n_swept").cast("bigint").as("n_swept"),
+        col("n_spared").cast("bigint").as("n_spared"))
+      .orderBy("source")
+  }
+
+  /** Plant q309's deterministic aborted-ingest leftovers: per partition
+    * dir, copy the first live part file to an OLD orphan (mtime 48 h ago,
+    * past retention) and a YOUNG one (mtime now, inside it). Copies are
+    * schema-identical committed-looking parquet — exactly the files a
+    * directory-listing reader would double-count. Spec hook. */
+  private[operators] def plantOrphans(path: String, nowMs: Long): Unit = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(d => d.isDirectory && d.getName.contains("=")).foreach { d =>
+      val live = d.listFiles().filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+      for ((name, mtime) <- Seq(
+          "part-orphan-old.parquet" -> (nowMs - 48L * 3600 * 1000),
+          "part-orphan-young.parquet" -> nowMs)) {
+        val p = new java.io.File(d, name).toPath
+        java.nio.file.Files.copy(live.toPath, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
     "q125_snapshot_diff" -> (q125SnapshotDiff _),
@@ -649,6 +725,7 @@ object EtlQueries {
     "q109_zorder_scan" -> (q109ZorderScan _),
     "q102_scd2_dimension" -> (q102Scd2Dimension _),
     "q250_takedown_delete" -> (q250TakedownDelete _),
+    "q309_vacuum_lake" -> (q309VacuumLake _),
     "q252_pit_join" -> (q252PitJoin _),
     "q256_compaction" -> (q256Compaction _),
     "q30_partitioned_write" -> (q30PartitionedWrite _),
@@ -812,6 +889,14 @@ object EtlQueries {
     "q252_pit_join" -> pitJoinOracleSql,
     // conservation: the compacted lake's audit equals the source
     // aggregate (file-count collapse asserted filesystem-side in spec)
+    // conservation after the sweep (a vacuum that deleted live data, or a
+    // manifest read leaking an orphan copy, breaks the counts) + the
+    // deterministic 1-old/1-young orphan construction as literals
+    "q309_vacuum_lake" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(1 AS BIGINT) AS n_swept, CAST(1 AS BIGINT) AS n_spared
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q256_compaction" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,

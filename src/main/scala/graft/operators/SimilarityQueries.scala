@@ -592,6 +592,69 @@ object SimilarityQueries {
   def q37IvfTopk(s: SparkSession, dir: String): DataFrame =
     ivfTopk(s, dir, nprobe = 1)
 
+  /** Staged BASE-corpus IVF index — the standing index a weekly embedding
+    * ingest updates: codebook trained ONLY on the standing corpus
+    * (vec_id % 10 != 7, q65's crawl-split convention) with the q37
+    * sample/seed discipline, plus that corpus's full bucket assignment.
+    * Both staged once per corpus fingerprint per JVM (the ivfAssignedCache
+    * idiom) under one root: `cb/` and `assign/`. */
+  private val ivfBaseIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfBaseIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = ivfBaseIndexCache.computeIfAbsent(corpusKey(dir, ivfTrainSampleMod), _ => {
+      val pth = graft.Staging.fresh("ivfbase")
+      val base = normed(s, dir).filter(col("vec_id") % 10 =!= 7)
+      trainedCodebook(base, trainSampleMod = ivfTrainSampleMod)
+        .write.mode("overwrite").parquet(s"$pth/cb")
+      assign(base, s.read.parquet(s"$pth/cb"))
+        .select("vec_id", "centroid_id")
+        .write.mode("overwrite").parquet(s"$pth/assign")
+      pth
+    })
+    (s.read.parquet(s"$p/cb"), s.read.parquet(s"$p/assign"))
+  }
+
+  /** q308 — INCREMENTAL IVF ASSIGNMENT MAINTENANCE (the q65/q113 delta
+    * discipline applied to the similarity index): the standing corpus
+    * (vec_id % 10 != 7) has a FROZEN codebook and a staged assignment
+    * ([[ivfBaseIndex]] — built once, the faiss deployment convention:
+    * a 16-centroid quantizer is not retrained per ingest batch); this
+    * week's batch (vec_id % 10 == 7) is assigned ONLY against that
+    * frozen codebook — a broadcast argmax over |delta| rows, never a
+    * corpus re-scan — and unioned with the staged assignment. The
+    * readout is the updated index state per centroid: total members,
+    * newly added members, and the first new vec_id routed there.
+    *
+    * The ORACLE is the full-rebuild form (q113's trick): train the
+    * codebook on the base corpus, then assign base + delta in ONE pass.
+    * Because nearest-centroid assignment is per-vector, incremental
+    * union == one-shot rebuild exactly, so the hash gate proves the
+    * delta path loses nothing — and IvfIncrementalSpec additionally
+    * feeds a constructed delta batch and pins incremental == rebuild
+    * frame-for-frame.
+    *
+    * Scale shape: recurring cost is O(|delta| × 16) assignment work +
+    * one leaf scan of the staged assignment (16 bytes/vector); the
+    * Lloyd training and the corpus-wide assignment are once-per-corpus
+    * index builds, which is the entire point. */
+  def q308IvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (cb, baseAssigned) = ivfBaseIndex(s, dir)
+    val delta = normed(s, dir).filter(col("vec_id") % 10 === 7)
+    val updated = baseAssigned
+      .select(col("vec_id"), col("centroid_id"), lit(0L).as("is_new"))
+      .unionByName(assign(delta, cb)
+        .select(col("vec_id"), col("centroid_id"), lit(1L).as("is_new")))
+    updated.groupBy("centroid_id")
+      .agg(count(lit(1)).cast("bigint").as("n_vectors"),
+        sum("is_new").cast("bigint").as("n_new"),
+        coalesce(min(when(col("is_new") === 1L, col("vec_id"))), lit(-1L))
+          .cast("bigint").as("first_new_vec"))
+      .select(col("centroid_id").cast("bigint").as("centroid_id"),
+        col("n_vectors"), col("n_new"), col("first_new_vec"))
+      .orderBy("centroid_id")
+  }
+
   /** q105's near-duplicate cosine threshold (the q26 pair-graph floor —
     * the synthetic fixture's cosines top out near 0.5, so the production
     * 0.9x SemDeDup bar would be vacuous here; the plan is
@@ -2433,6 +2496,7 @@ object SimilarityQueries {
     "q25_cosine_topk" -> (q25CosineTopk _),
     "q26_lsh_cosine" -> (q26LshCosine _),
     "q37_ivf_topk" -> (q37IvfTopk _),
+    "q308_ivf_incremental" -> (q308IvfIncremental _),
     "q105_sem_dedup" -> (q105SemDedup _),
     "q40_embedding_dedup" -> (q40EmbeddingDedup _),
     "q50_cc_clusters" -> (q50CcClusters _),
@@ -2515,6 +2579,33 @@ object SimilarityQueries {
        |cb$k AS (SELECT centroid_id, cv,
        |    sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS cn
        |  FROM (SELECT centroid_id, list(mean ORDER BY pos) AS cv FROM m$k GROUP BY centroid_id))""".stripMargin
+
+  /** Oracle twin of q308 — the FULL-REBUILD form: train the codebook on
+    * the base corpus (vec_id % 10 != 7, same seed/sample discipline as
+    * q37 restricted to the base), then assign base + delta in ONE pass
+    * and aggregate the index state. The Spark side unions a staged base
+    * assignment with a delta-only assign; per-vector assignment makes
+    * the two constructions identical, which is exactly what the hash
+    * gate proves. */
+  private def q308Oracle: String = {
+    val lloyd = (1 to lloydIters).map(k =>
+      oracleAssignCte(s"a$k", s"cb${k - 1}", src = "tn") + ",\n" +
+        oracleRecenterCtes(k)).mkString(",\n")
+    s"""WITH $oracleNormed,
+       |bn AS (SELECT * FROM n WHERE vec_id % 10 <> 7),
+       |tn AS (SELECT * FROM bn WHERE vec_id % $ivfTrainSampleMod = 0 OR vec_id < 16),
+       |cb0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM bn WHERE vec_id < 16),
+       |$lloyd,
+       |${oracleAssignCte("assigned", s"cb$lloydIters")},
+       |f AS (SELECT vec_id, centroid_id,
+       |    CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END AS is_new FROM assigned)
+       |SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(is_new) AS BIGINT) AS n_new,
+       |  CAST(COALESCE(MIN(CASE WHEN is_new = 1 THEN vec_id END), -1) AS BIGINT)
+       |    AS first_new_vec
+       |FROM f GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
+  }
 
   private def q37Oracle: String = {
     val lloyd = (1 to lloydIters).map(k =>
@@ -3270,6 +3361,7 @@ object SimilarityQueries {
          |SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank, cos
          |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "q37_ivf_topk" -> q37Oracle,
+    "q308_ivf_incremental" -> q308Oracle,
     "q105_sem_dedup" -> q105Oracle,
     "q71_pq_topk" -> q71Oracle,
     "q212_ivf_adc" -> q212Oracle,
