@@ -2418,6 +2418,99 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** Observation-driven label propagation to CONVERGENCE — the q268
+    * discipline applied to q302's adopt rule: each pass stages the full
+    * labeled frame (node, lbl, r — r = round adopted, seeds r = 0) to a
+    * rotating parquet leaf, computes the next round's majority-vote
+    * adoptions from that leaf, and rides the newly-labeled count on the
+    * write job as a named Observation — one job per pass, never a write
+    * plus a separate count. Newly == 0 IS the fixpoint test: the labeled
+    * set only grows over never-before-labeled nodes, so the count is
+    * monotone-bounded by |V| and the loop terminates. Two dirs rotate;
+    * pass N overwrites pass N-1's predecessor, which nothing reads. */
+  private[graft] def propagateConverged(s: SparkSession, seeds: DataFrame,
+                                        edges: DataFrame, stage: String): String = {
+    seeds.withColumn("r", lit(0L)).write.mode("overwrite").parquet(s"$stage/l1")
+    var curDir = s"$stage/l1"
+    var pass = 0
+    var done = false
+    while (!done) {
+      pass += 1
+      val labeled = s.read.parquet(curDir)
+      val w = Window.partitionBy("node").orderBy(desc("c"), asc("lbl"))
+      val newly = edges
+        .join(labeled.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+        .join(labeled.select("node"), Seq("node"), "left_anti")
+        .withColumn("r", lit(pass.toLong))
+      val out = s"$stage/l${pass % 2 + 1}"
+      val obs = org.apache.spark.sql.Observation()
+      labeled.unionByName(newly)
+        .observe(obs, sum(when(col("r") === pass.toLong, 1L).otherwise(0L)).as("newly"))
+        .write.mode("overwrite").parquet(out)
+      done = obs.get("newly").asInstanceOf[Long] == 0L
+      curDir = out
+    }
+    curDir
+  }
+
+  /** q310 — LABEL PROPAGATION TO CONVERGENCE: q302's adopt rule driven
+    * to the fixpoint by [[propagateConverged]] instead of the 2-round
+    * unroll — the convergence twin the family precedent demands (q95 →
+    * pagerankConverged, q158 → q268): on a graph whose propagation
+    * frontier outlives two rounds, q302 reports a PARTIAL labeling by
+    * declared contract; this query reports the complete reachable
+    * labeling at any frontier depth, checked against a recursive-CTE
+    * oracle that also propagates to ITS own fixpoint (so the hash gate
+    * holds at any depth, not just the fixture's). Output per label:
+    * seeds, total adoptions, the last round that adopted anything, and
+    * the total; label −1 carries the honest unreached count. q302 stays
+    * registered as the mirrored 2-round form.
+    *
+    * Scale shape: per pass — one edge-to-labels equi-join against a
+    * staged leaf, one map-side-combinable vote count, one per-node
+    * argmax window over the bounded vote frame, one anti-join; the
+    * stopping count rides the write job (no extra action). Pass count
+    * is the graph's frontier depth, the same bound a BFS pays. */
+  private val lpropConvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q310PropagationConverged(s: SparkSession, dir: String): DataFrame = {
+    val finDir = lpropConvCache.computeIfAbsent(
+      graft.CorpusKey(dir, "embeddings.parquet"), _ => {
+        val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+          .select(col("vec_id").as("node"), col("label").cast("bigint").as("lbl"))
+        val pairs = stagedPairs(s, dir)
+        val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        propagateConverged(s, seeds, edges, Staging.fresh("lpc"))
+      })
+    val fin = s.read.parquet(finDir)
+    val all = Tables.embeddings(s, dir).select(col("vec_id").as("node"))
+    val byLabel = fin.groupBy("lbl")
+      .agg(sum(when(col("r") === 0L, 1L).otherwise(0L)).as("n_seeds"),
+        sum(when(col("r") > 0L, 1L).otherwise(0L)).as("n_adopted"),
+        max("r").as("last_round"),
+        count(lit(1)).as("n_total"))
+    val unreached = all.join(fin.select("node"), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_unreached"))
+    byLabel
+      .select(col("lbl").cast("bigint").as("label"),
+        col("n_seeds").cast("bigint").as("n_seeds"),
+        col("n_adopted").cast("bigint").as("n_adopted"),
+        col("last_round").cast("bigint").as("last_round"),
+        col("n_total").cast("bigint").as("n_total"))
+      .unionByName(unreached.select(lit(-1L).as("label"),
+        lit(0L).as("n_seeds"), lit(0L).as("n_adopted"),
+        lit(0L).as("last_round"),
+        col("n_unreached").cast("bigint").as("n_total")))
+      .orderBy("label")
+  }
+
   /** Late-interaction geometry: each dim-wide vector reads as nTok
     * sub-vectors of subDim — derived from [[dim]] so a fixture-width
     * change cannot silently leave slices short. */
@@ -2475,6 +2568,7 @@ object SimilarityQueries {
     "q305_ivf_maxsim" -> (q305IvfMaxsim _),
     "q301_cluster_keywords" -> (q301ClusterKeywords _),
     "q302_label_propagation" -> (q302LabelPropagation _),
+    "q310_propagation_converged" -> (q310PropagationConverged _),
     "q293_late_interaction" -> (q293LateInteraction _),
     "q294_mmr_rerank" -> (q294MmrRerank _),
     "q295_rrf_fusion" -> (q295RrfFusion _),
@@ -3106,6 +3200,60 @@ object SimilarityQueries {
        |  FROM embeddings WHERE vec_id NOT IN (SELECT node FROM l2))
        |SELECT * FROM lab UNION ALL SELECT * FROM un ORDER BY label""".stripMargin
 
+  /** q310's oracle: label propagation driven to DuckDB's OWN fixpoint by
+    * a recursive CTE (the q268 discipline) — each iteration re-derives
+    * the majority-vote adoptions from the previous iteration's labeled
+    * set inside a nested WITH (every inner CTE MATERIALIZED) and
+    * re-emits the grown set only while something was adopted; at the
+    * fixpoint it emits nothing and the recursion stops, so the last
+    * recorded iteration IS the complete reachable labeling at any
+    * frontier depth. */
+  private def q310Oracle: String =
+    s"""WITH RECURSIVE $oracleNormed,
+       |$oraclePairSc,
+       |prs AS MATERIALIZED (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
+       |edges AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM prs
+       |  UNION ALL SELECT vec_b, vec_a FROM prs),
+       |lp AS (
+       |  SELECT 0 AS it, vec_id AS node, CAST(label AS BIGINT) AS lbl, 0 AS r
+       |    FROM embeddings WHERE vec_id < 100
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    WITH cur AS MATERIALIZED (SELECT it, node, lbl, r FROM lp),
+       |    mx AS MATERIALIZED (SELECT MAX(it) AS m FROM cur),
+       |    votes AS MATERIALIZED (SELECT eg.src AS node, l.lbl, COUNT(*) AS c
+       |      FROM edges eg JOIN cur l ON l.node = eg.dst
+       |      WHERE eg.src NOT IN (SELECT node FROM cur)
+       |      GROUP BY 1, 2),
+       |    newly AS MATERIALIZED (SELECT node, lbl FROM (
+       |        SELECT v.*, row_number() OVER (
+       |          PARTITION BY node ORDER BY c DESC, lbl) AS rn
+       |        FROM votes v) t WHERE rn = 1),
+       |    nxt AS (SELECT (SELECT m FROM mx) + 1 AS it, node, lbl, r FROM cur
+       |      UNION ALL
+       |      SELECT (SELECT m FROM mx) + 1, node, lbl, (SELECT m FROM mx) + 1
+       |      FROM newly)
+       |    SELECT it, node, lbl, r FROM nxt
+       |    WHERE (SELECT COUNT(*) FROM newly) > 0
+       |  ) s2
+       |),
+       |fin AS MATERIALIZED (SELECT node, lbl, r FROM lp
+       |  WHERE it = (SELECT MAX(it) FROM lp)),
+       |by1 AS (SELECT lbl AS label,
+       |    SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS n_seeds,
+       |    SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS n_adopted,
+       |    MAX(r) AS last_round, COUNT(*) AS n_total
+       |  FROM fin GROUP BY lbl),
+       |un AS (SELECT CAST(-1 AS BIGINT) AS label, CAST(0 AS BIGINT) AS n_seeds,
+       |    CAST(0 AS BIGINT) AS n_adopted, CAST(0 AS BIGINT) AS last_round,
+       |    CAST(COUNT(*) AS BIGINT) AS n_total
+       |  FROM embeddings WHERE vec_id NOT IN (SELECT node FROM fin))
+       |SELECT CAST(label AS BIGINT) AS label, CAST(n_seeds AS BIGINT) AS n_seeds,
+       |  CAST(n_adopted AS BIGINT) AS n_adopted,
+       |  CAST(last_round AS BIGINT) AS last_round,
+       |  CAST(n_total AS BIGINT) AS n_total FROM by1
+       |UNION ALL SELECT * FROM un ORDER BY label""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q305_ivf_maxsim" -> q305Oracle,
     "q301_cluster_keywords" ->
@@ -3125,6 +3273,7 @@ object SimilarityQueries {
         |  CAST(score_e6 AS BIGINT) AS score_e6
         |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
     "q302_label_propagation" -> q302Oracle,
+    "q310_propagation_converged" -> q310Oracle,
     "q293_late_interaction" -> q293Oracle,
     "q294_mmr_rerank" -> q294Oracle,
     "q295_rrf_fusion" -> q295Oracle,
