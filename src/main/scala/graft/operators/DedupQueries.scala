@@ -64,6 +64,14 @@ object DedupQueries {
   private[graft] val hashedShinglesExpr =
     s"transform($shinglesExpr, x -> concat(md5(x), md5(concat('x', x))))"
 
+  /** Single-md5 hashed shingles — for consumers that only read minhash
+    * slots 0-1 (the first 10 hex chars, entirely inside md5(x)): the
+    * band-key VALUES are identical to [[hashedShinglesExpr]]'s at half
+    * the hashing cost. q63's streaming band-dedup key is the measured
+    * beneficiary (the md5 pass dominates its addBatch time). */
+  private[graft] val bandShinglesExpr =
+    s"transform($shinglesExpr, x -> md5(x))"
+
   /** Minhash slot i (of [[nHashes]]) over a hashed-shingle list column
     * `hs`: the lexicographic min of each hash's 5-hex-char window — the
     * per-row twin of q22's `min(substring(h, ...))` aggregate. */

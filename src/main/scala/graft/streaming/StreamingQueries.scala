@@ -176,9 +176,10 @@ object StreamingQueries {
     * surviving row's arrival decides it — here the hash keeps the oracle
     * comparison order-free.) State stays bounded: dedup keys and window
     * state both expire with the 1-hour watermark. */
-  def q63StreamingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val tbl = s"graft_stream_neardup_${runCounter.incrementAndGet()}"
-    val ss = drain(s) { ss =>
+  /** q63's topology pre-sink — factored so StreamProfile can drive the
+    * identical frame with a captured query handle (per-batch attribution)
+    * while the registered query drains it through the memory sink. */
+  private[graft] def neardupStreamFrame(ss: SparkSession, dir: String): DataFrame = {
     // one delivery = documents + every-10th-doc near-dup variants; two
     // deliveries via independent file sources, as in q52
     def once(): DataFrame = {
@@ -192,7 +193,11 @@ object StreamingQueries {
     redelivered
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
-      .withColumn("hs", expr(graft.operators.DedupQueries.hashedShinglesExpr))
+      // single-md5 shingle hashes: slots 0-1 read only the first 10 hex
+      // chars, which sit inside md5(x) — identical bkey values to the
+      // q22 two-md5 form at half the hashing cost (the dominant addBatch
+      // term, StreamProfile q63)
+      .withColumn("hs", expr(graft.operators.DedupQueries.bandShinglesExpr))
       .withColumn("bkey", concat(
         expr(graft.operators.DedupQueries.minhashSlotExpr(0)),
         expr(graft.operators.DedupQueries.minhashSlotExpr(1))))
@@ -207,11 +212,17 @@ object StreamingQueries {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).cast("bigint").as("cnt"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"), col("cnt"))
-      .writeStream
-      .format("memory")
-      .queryName(tbl)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+  }
+
+  def q63StreamingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_stream_neardup_${runCounter.incrementAndGet()}"
+    val ss = drain(s) { ss =>
+      neardupStreamFrame(ss, dir)
+        .writeStream
+        .format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
     }
     ss.table(tbl).orderBy("h")
   }
@@ -237,9 +248,9 @@ object StreamingQueries {
     * real cross-stream arrival skew instead. The join shuffles both
     * streams on user_id (a scaling key); gap_us is integer microsecond
     * arithmetic, exact in both engines. */
-  def q72StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val tbl = s"graft_stream_join_${runCounter.incrementAndGet()}"
-    val ss = drain(s) { ss =>
+  /** q72's topology pre-sink — factored for StreamProfile (see
+    * [[neardupStreamFrame]]). */
+  private[graft] def intervalJoinStreamFrame(ss: SparkSession, dir: String): DataFrame = {
     val clicks = StreamSources.events(ss, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
@@ -257,11 +268,17 @@ object StreamingQueries {
         col("click_id").cast("bigint").as("click_id"),
         col("purchase_id").cast("bigint").as("purchase_id"),
         expr("unix_micros(pts) - unix_micros(cts)").as("gap_us"))
-      .writeStream
-      .format("memory")
-      .queryName(tbl)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+  }
+
+  def q72StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_stream_join_${runCounter.incrementAndGet()}"
+    val ss = drain(s) { ss =>
+      intervalJoinStreamFrame(ss, dir)
+        .writeStream
+        .format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
     }
     ss.table(tbl).orderBy("user_id", "click_id", "purchase_id")
   }
@@ -1011,7 +1028,7 @@ object StreamingQueries {
         |hl AS (SELECT list_transform(
         |    list_transform(generate_series(1, len(toks)-2),
         |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
-        |    x -> concat(md5(x), md5(concat('x', x)))) AS hs
+        |    x -> md5(x)) AS hs
         |  FROM t WHERE len(toks) >= 3),
         |k AS (SELECT concat(
         |    list_min(list_transform(hs, h -> substr(h, 1, 5))),
