@@ -1546,6 +1546,65 @@ object SimilarityQueries {
   def q71PqTopk(s: SparkSession, dir: String): DataFrame =
     pqTopk(s, dir, pqM, pqK, pqShortlist, trainSampleMod = pqTrainSampleMod)
 
+  /** The (vec_id, nrm, m, sub) subvector frame of a normed slice —
+    * q71's stack split, frame-parameterized for the incremental path. */
+  private def pqSubsOf(e: DataFrame): DataFrame =
+    e.selectExpr("vec_id", "nrm", s"stack($pqM, ${pqSplit("v", pqM, pqSub)}) as (m, sub)")
+
+  /** q312 — INCREMENTAL PQ ENCODE MAINTENANCE, completing the
+    * similarity-index maintenance trifecta (q311 LSH pair stream, q308
+    * IVF assignment, and now the PQ code index): the standing corpus
+    * (vec_id % 10 != 7) has a FROZEN per-subspace codebook (trained on
+    * the base with q71's seed/sample discipline — a production PQ
+    * quantizer trains once and serves for months) and a staged encode;
+    * the weekly batch encodes ALONE against the broadcast codebook
+    * (O(|delta| × pqM × pqK) distance work, the corpus never re-encodes)
+    * and unions in. Readout: the updated code-population index per
+    * (subspace, code) — exactly what an ADC planner reads to know bucket
+    * sizes. The ORACLE is the full-rebuild form (train on base, encode
+    * base + delta in ONE pass); per-(vector, subspace) argmin makes the
+    * two constructions identical, so the hash gate proves the delta path
+    * drops nothing. PqIncrementalSpec feeds a constructed re-crawl delta.
+    *
+    * Scale shape: recurring cost = |delta| × pqM narrow code rows through
+    * one broadcast argmin + a leaf scan of the staged codes (pqM bytes a
+    * vector); both trained structures are once-per-corpus index builds. */
+  private val pqBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q312PqIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pth = pqBaseCache.computeIfAbsent(
+      corpusKey(dir, pqTrainSampleMod) + s":pq$pqM:$pqK", _ => {
+        val p = graft.Staging.fresh("pqbase")
+        val base = normed(s, dir).filter(col("vec_id") % 10 =!= 7)
+        val bsubs = pqSubsOf(base)
+        val cb0 = base.filter(col("vec_id") < pqK)
+          .selectExpr("vec_id as cid", s"stack($pqM, ${pqSplit("v", pqM, pqSub)}) as (m, csub)")
+        val tsubs = bsubs
+          .filter(col("vec_id") % pqTrainSampleMod === 0 || col("vec_id") < pqK)
+        (1 to pqTrainIters).foldLeft(cb0)((c, _) => pqRecenter(pqAssign(tsubs, c)))
+          .write.mode("overwrite").parquet(s"$p/cb")
+        pqAssign(bsubs, s.read.parquet(s"$p/cb"))
+          .select("vec_id", "m", "code")
+          .write.mode("overwrite").parquet(s"$p/enc")
+        p
+      })
+    val cb = s.read.parquet(s"$pth/cb")
+    val deltaEnc = pqAssign(
+      pqSubsOf(normed(s, dir).filter(col("vec_id") % 10 === 7)), cb)
+      .select("vec_id", "m", "code")
+    s.read.parquet(s"$pth/enc").withColumn("is_new", lit(0L))
+      .unionByName(deltaEnc.withColumn("is_new", lit(1L)))
+      .groupBy("m", "code")
+      .agg(count(lit(1)).cast("bigint").as("n_vectors"),
+        sum("is_new").cast("bigint").as("n_new"),
+        coalesce(min(when(col("is_new") === 1L, col("vec_id"))), lit(-1L))
+          .cast("bigint").as("first_new_vec"))
+      .select(col("m").cast("int").as("m"), col("code").cast("bigint").as("code"),
+        col("n_vectors"), col("n_new"), col("first_new_vec"))
+      .orderBy("m", "code")
+  }
+
   // ---------------------------------------------------------------- q212
 
   /** IVF-ADC — the production ANN composition (faiss's IVFADC index
@@ -2591,6 +2650,7 @@ object SimilarityQueries {
     "q26_lsh_cosine" -> (q26LshCosine _),
     "q37_ivf_topk" -> (q37IvfTopk _),
     "q308_ivf_incremental" -> (q308IvfIncremental _),
+    "q312_pq_incremental" -> (q312PqIncremental _),
     "q105_sem_dedup" -> (q105SemDedup _),
     "q40_embedding_dedup" -> (q40EmbeddingDedup _),
     "q50_cc_clusters" -> (q50CcClusters _),
@@ -2699,6 +2759,38 @@ object SimilarityQueries {
        |  CAST(COALESCE(MIN(CASE WHEN is_new = 1 THEN vec_id END), -1) AS BIGINT)
        |    AS first_new_vec
        |FROM f GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
+  }
+
+  /** Oracle twin of q312 — the FULL-REBUILD form: train the per-subspace
+    * codebook on the base corpus's subvectors (q71's seed/sample
+    * discipline restricted to the base), encode base + delta in ONE
+    * pass, and aggregate the code populations. */
+  private def q312Oracle: String = {
+    val subCase = (0 until pqM).map { m =>
+      if (m < pqM - 1) s"WHEN $m THEN v[${m * pqSub + 1}:${(m + 1) * pqSub}]"
+      else s"ELSE v[${m * pqSub + 1}:${(m + 1) * pqSub}]"
+    }.mkString("CASE t.m ", " ", " END")
+    val mValues = (0 until pqM).map(m => s"($m)").mkString(", ")
+    val train = (1 to pqTrainIters).map(k =>
+      oraclePqAssignCte(s"pa$k", s"pcb${k - 1}", src = "tsub") + ",\n" +
+        oraclePqRecenterCtes(k)).mkString(",\n")
+    s"""WITH $oracleNormed,
+       |sub AS (SELECT vec_id, nrm, t.m AS m, $subCase AS sub
+       |  FROM n CROSS JOIN (VALUES $mValues) t(m)),
+       |bsub AS (SELECT * FROM sub WHERE vec_id % 10 <> 7),
+       |tsub AS (SELECT * FROM bsub
+       |  WHERE vec_id % $pqTrainSampleMod = 0 OR vec_id < $pqK),
+       |pcb0 AS (SELECT vec_id AS cid, m, sub AS csub FROM bsub WHERE vec_id < $pqK),
+       |$train,
+       |${oraclePqAssignCte("paE", s"pcb$pqTrainIters")},
+       |f AS (SELECT m, code, vec_id,
+       |    CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END AS is_new FROM paE)
+       |SELECT CAST(m AS INTEGER) AS m, CAST(code AS BIGINT) AS code,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(is_new) AS BIGINT) AS n_new,
+       |  CAST(COALESCE(MIN(CASE WHEN is_new = 1 THEN vec_id END), -1) AS BIGINT)
+       |    AS first_new_vec
+       |FROM f GROUP BY m, code ORDER BY m, code""".stripMargin
   }
 
   private def q37Oracle: String = {
@@ -3511,6 +3603,7 @@ object SimilarityQueries {
          |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "q37_ivf_topk" -> q37Oracle,
     "q308_ivf_incremental" -> q308Oracle,
+    "q312_pq_incremental" -> q312Oracle,
     "q105_sem_dedup" -> q105Oracle,
     "q71_pq_topk" -> q71Oracle,
     "q212_ivf_adc" -> q212Oracle,
