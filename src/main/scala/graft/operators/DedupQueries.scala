@@ -1155,8 +1155,15 @@ object DedupQueries {
     * bare nation-wide join. The id struct carries (custkey, nk, sfx)
     * so scoring needs no corpus re-join; pairs come out canonically
     * ordered (a.k < b.k) because custkey leads the struct sort. */
-  private[graft] def fuzzyCandidates(s: SparkSession, dir: String): DataFrame = {
-    val keyed = Tables.customer(s, dir)
+  private[graft] def fuzzyCandidates(s: SparkSession, dir: String): DataFrame =
+    bucketPairs(fuzzyVariantsOf(Tables.customer(s, dir)), "id", "a", "b")
+
+  /** The (id, band, bkey) deletion-neighborhood variant frame of a
+    * customer slice — fuzzyCandidates' blocking structure, frame-
+    * parameterized so the incremental path (q313) variants the delta
+    * batch ALONE. */
+  private[graft] def fuzzyVariantsOf(customers: DataFrame): DataFrame = {
+    val keyed = customers
       .select(col("c_nationkey").as("nk"), col("c_custkey").as("k"),
         expr("substring(c_name, 10)").as("sfx"))
       .select(struct(col("k"), col("nk"), col("sfx")).as("id"), col("nk"),
@@ -1174,11 +1181,96 @@ object DedupQueries {
             "substring(sfx, i + 1, case when j = 0 then length(sfx) else j - i - 1 end), " +
             "case when j = 0 then '' else substring(sfx, j + 1) end))))))")).as("v"))
       .select(col("id"), lit(0).as("band"), concat(col("nk"), lit(":"), col("v")).as("bkey"))
-    bucketPairs(keyed, "id", "a", "b")
+    keyed
   }
 
   def q106FuzzyEntityMatch(s: SparkSession, dir: String): DataFrame = {
     val pairs = fuzzyPairs(s, dir)
+    val nPairs = pairs.groupBy("nk")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+    val nMatched = pairs
+      .select(col("nk"), explode(array(col("ka"), col("kb"))).as("k"))
+      .distinct()
+      .groupBy("nk").agg(count(lit(1)).cast("bigint").as("n_matched_custs"))
+    nPairs.join(nMatched, Seq("nk"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("nk"), col("n_name"))), Seq("nk"))
+      .select(col("n_name"), col("n_pairs"), col("n_matched_custs"))
+      .orderBy("n_name")
+  }
+
+  /** q313 — INCREMENTAL FUZZY-PAIR MAINTENANCE, the last of the four
+    * structurally-exact incremental index paths (q65/q85 exact dedup,
+    * q311 LSH pairs, q308/q312 vector indexes, and now entity blocking):
+    * the standing customer slice (c_custkey % 10 != 7) has a staged
+    * deletion-neighborhood variant index and a staged levenshtein-
+    * verified pair stream; a new-customer batch (c_custkey % 10 == 7)
+    * generates variants ALONE (O(|delta| × L²) md5 work — the standing
+    * slice is never re-varianted), joins them against standing ∪ delta
+    * variants for the candidates that TOUCH the batch, verifies only
+    * those, and unions in. Exactness is the q311 argument: variant
+    * membership is per-customer and candidates are a bucket equi-join,
+    * so base-base pairs come from the stage and delta-touching pairs
+    * from the join — nothing else exists. The readout is q106's
+    * per-nation entity-match scorecard over the UPDATED pair stream, so
+    * the ORACLE is q106's semantics-level full-rebuild SQL (all-pairs
+    * within-nation levenshtein ≤ 2 — the deletion-neighborhood blocking
+    * is COMPLETE for radius 2, FuzzyBlockingSpec's proof, so
+    * incremental == blocking == truth). Why CC-style ER labels (q177)
+    * get no incremental twin: a new edge can relabel an arbitrary
+    * fraction of existing components, so no per-row argument exists —
+    * label maintenance is a recompute over the updated pair stream this
+    * query maintains.
+    *
+    * Scale shape: recurring cost = |delta| variant rows through one
+    * equi-join + levenshtein on delta-touching candidates; staged reads
+    * are leaf scans. */
+  private val fuzzyBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the standing entity-blocking index under `stage`: the base
+    * slice's variant frame and its verified pair stream. */
+  private[graft] def fuzzyIndexBuild(s: SparkSession, base: DataFrame,
+                                     stage: String): Unit = {
+    fuzzyVariantsOf(base).write.mode("overwrite").parquet(s"$stage/vars")
+    bucketPairs(s.read.parquet(s"$stage/vars"), "id", "a", "b")
+      .filter(levenshtein(col("a.sfx"), col("b.sfx"), 2) =!= -1)
+      .select(col("a.nk").as("nk"), col("a.k").as("ka"), col("b.k").as("kb"))
+      .write.mode("overwrite").parquet(s"$stage/pairs")
+  }
+
+  /** The delta-only update: variant the batch alone, join against
+    * standing ∪ delta variants, verify only the delta-touching
+    * candidates, union with the staged pairs. Returns the updated
+    * (nk, ka, kb) pair stream. */
+  private[graft] def fuzzyDeltaUpdate(s: SparkSession, delta: DataFrame,
+                                      stage: String): DataFrame = {
+    val baseVars = s.read.parquet(s"$stage/vars")
+    val basePairs = s.read.parquet(s"$stage/pairs")
+    val deltaVars = fuzzyVariantsOf(delta)
+    val allVars = baseVars.unionByName(deltaVars)
+    // canonical order rides the id struct (custkey leads), matching
+    // bucketPairs' sorted in-bucket expansion
+    val newPairs = deltaVars.select(col("bkey"), col("id").as("x"))
+      .join(allVars.select(col("bkey"), col("id").as("y")), Seq("bkey"))
+      .filter(col("x.k") =!= col("y.k"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .filter(levenshtein(col("a.sfx"), col("b.sfx"), 2) =!= -1)
+      .select(col("a.nk").as("nk"), col("a.k").as("ka"), col("b.k").as("kb"))
+    basePairs.unionByName(newPairs)
+  }
+
+  def q313FuzzyIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pth = fuzzyBaseCache.computeIfAbsent(
+      graft.CorpusKey(dir, "customer.parquet"), _ => {
+        val p = graft.Staging.fresh("fuzzybase")
+        fuzzyIndexBuild(s,
+          Tables.customer(s, dir).filter(col("c_custkey") % 10 =!= 7), p)
+        p
+      })
+    val pairs = fuzzyDeltaUpdate(s,
+      Tables.customer(s, dir).filter(col("c_custkey") % 10 === 7), pth)
     val nPairs = pairs.groupBy("nk")
       .agg(count(lit(1)).cast("bigint").as("n_pairs"))
     val nMatched = pairs
@@ -2039,6 +2131,7 @@ object DedupQueries {
     "q112_ppjoin_jaccard" -> (q112PpjoinJaccard _),
     "q277_threshold_sweep" -> (q277ThresholdSweep _),
     "q106_fuzzy_entity_match" -> (q106FuzzyEntityMatch _),
+    "q313_fuzzy_incremental" -> (q313FuzzyIncremental _),
     "q176_survivorship" -> (q176Survivorship _),
     "q177_golden_components" -> (q177GoldenComponents _),
     "q21_exact_dedup" -> (q21ExactDedup _),
@@ -2378,6 +2471,23 @@ object DedupQueries {
         |JOIN c cb ON cb.c_custkey = p.kb
         |ORDER BY survivor_key, merged_from""".stripMargin,
     "q106_fuzzy_entity_match" ->
+      """WITH p AS (SELECT a.c_nationkey AS nk, a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |    AND levenshtein(substr(a.c_name, 10), substr(b.c_name, 10)) <= 2),
+        |np AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY nk),
+        |m AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_matched_custs FROM
+        |  (SELECT DISTINCT nk, k FROM
+        |    (SELECT nk, ka AS k FROM p UNION ALL SELECT nk, kb FROM p))
+        |  GROUP BY nk)
+        |SELECT n.n_name, np.n_pairs, m.n_matched_custs
+        |FROM np JOIN m USING (nk) JOIN nation n ON n.n_nationkey = nk
+        |ORDER BY n_name""".stripMargin,
+    // q313's oracle IS q106's semantics-level full rebuild: the staged
+    // base pairs + delta-touching candidates must union to exactly the
+    // all-pairs within-nation levenshtein<=2 truth (deletion-neighborhood
+    // blocking is COMPLETE at radius 2 — FuzzyBlockingSpec)
+    "q313_fuzzy_incremental" ->
       """WITH p AS (SELECT a.c_nationkey AS nk, a.c_custkey AS ka, b.c_custkey AS kb
         |  FROM customer a JOIN customer b
         |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
