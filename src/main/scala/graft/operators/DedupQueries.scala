@@ -278,7 +278,14 @@ object DedupQueries {
                                     allDocs: DataFrame, stage: String): DataFrame = {
     val baseBands = s.read.parquet(s"$stage/bands")
     val basePairs = s.read.parquet(s"$stage/pairs")
-    val deltaBands = minhashBandsOf(delta)
+    // the delta band frame is referenced on BOTH join sides (x, and
+    // inside standing ∪ delta); unstaged, Spark evaluates the signature
+    // subtree once per reference — the delta would be md5-shingled twice
+    // and the plan would carry a second raw documents scan
+    // (PlanShapeSpec counts them). One tiny write pins it to a leaf.
+    val dp = graft.Staging.fresh("lshdelta")
+    minhashBandsOf(delta).write.mode("overwrite").parquet(dp)
+    val deltaBands = s.read.parquet(dp)
     val allBands = baseBands.unionByName(deltaBands)
     val newCand = deltaBands.select(col("band"), col("bkey"), col("doc_id").as("d"))
       .join(allBands.select(col("band"), col("bkey"), col("doc_id").as("o")),
@@ -1247,7 +1254,11 @@ object DedupQueries {
                                       stage: String): DataFrame = {
     val baseVars = s.read.parquet(s"$stage/vars")
     val basePairs = s.read.parquet(s"$stage/pairs")
-    val deltaVars = fuzzyVariantsOf(delta)
+    // staged for the same double-reference reason as lshDeltaUpdate: the
+    // variant explosion must run once, not once per join side
+    val dp = graft.Staging.fresh("fuzzydelta")
+    fuzzyVariantsOf(delta).write.mode("overwrite").parquet(dp)
+    val deltaVars = s.read.parquet(dp)
     val allVars = baseVars.unionByName(deltaVars)
     // canonical order rides the id struct (custkey leads), matching
     // bucketPairs' sorted in-bucket expansion
