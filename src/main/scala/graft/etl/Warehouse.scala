@@ -144,6 +144,13 @@ object Warehouse {
     * swept?). Cost is O(listing + orphans), never O(data). */
   def vacuum(path: String, retentionMs: Long, nowMs: Long): Seq[(String, String, Boolean)] = {
     val live = manifestedFiles(path).toSet
+    // NO manifest is not the same as an empty one: without a live-file
+    // record, every data file would read as an orphan and an aged lake
+    // would be swept WHOLE. A lake is only vacuumable once something has
+    // committed a manifest — refuse loudly rather than delete blindly.
+    require(live.nonEmpty,
+      s"vacuum refused: no $fileManifestName manifest at $path — " +
+        "commit one with writeFileManifest before sweeping")
     listDataFiles(path).filterNot(live).map { rel =>
       val p = java.nio.file.Paths.get(path, rel)
       val ageMs = nowMs - java.nio.file.Files.getLastModifiedTime(p).toMillis

@@ -2509,7 +2509,11 @@ object SimilarityQueries {
       val out = s"$stage/l${pass % 2 + 1}"
       val obs = org.apache.spark.sql.Observation()
       labeled.unionByName(newly)
-        .observe(obs, sum(when(col("r") === pass.toLong, 1L).otherwise(0L)).as("newly"))
+        // coalesce: sum over a ZERO-row frame (empty seed set) is NULL,
+        // and a null observation would NPE the fixpoint test instead of
+        // terminating the (already-converged) loop
+        .observe(obs, coalesce(
+          sum(when(col("r") === pass.toLong, 1L).otherwise(0L)), lit(0L)).as("newly"))
         .write.mode("overwrite").parquet(out)
       done = obs.get("newly").asInstanceOf[Long] == 0L
       curDir = out

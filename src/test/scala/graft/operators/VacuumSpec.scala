@@ -62,6 +62,19 @@ class VacuumSpec extends AnyFunSuite {
     assert(Warehouse.readManifested(spark, path).count() == truth)
   }
 
+  test("vacuum refuses a lake with no manifest rather than sweeping it whole") {
+    val path = graft.Staging.fresh("vacnoman")
+    Warehouse.writePartitioned(
+      graft.Tables.documents(spark, sfDir), "source", path, firstRun = true)
+    // no writeFileManifest: every file would read as an orphan
+    val ex = intercept[IllegalArgumentException] {
+      Warehouse.vacuum(path, retentionMs = 0L, nowMs = System.currentTimeMillis())
+    }
+    assert(ex.getMessage.contains("vacuum refused"))
+    assert(spark.read.parquet(path).count() ==
+      graft.Tables.documents(spark, sfDir).count(), "nothing was deleted")
+  }
+
   test("registered q309 reports the deterministic 1-swept/1-spared per source") {
     val rows = EtlQueries.q309VacuumLake(spark, sfDir).collect()
     assert(rows.nonEmpty)
