@@ -210,7 +210,7 @@ object Bench {
     else ""
     println(s"""{"metric":"total","value":${f"$primaryTotal%.3f"},"unit":"sec",""" +
       s""""aggregation":"median","n_trials":$nTrials,"queries":$top10,$secTotal""" +
-      s""""n_queries":${results.size + errors.size},$errTail""" +
+      s""""n_queries":${(results.map(_._1) ++ errors.map(_._1)).distinct.size},$errTail""" +
       s""""n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     // non-zero only when a query produced NO successful trial in the

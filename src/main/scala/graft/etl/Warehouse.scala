@@ -143,24 +143,33 @@ object Warehouse {
     * Returns one row per examined orphan: (partition dir, file name,
     * swept?). Cost is O(listing + orphans), never O(data). */
   def vacuum(path: String, retentionMs: Long, nowMs: Long): Seq[(String, String, Boolean)] = {
-    val live = manifestedFiles(path).toSet
     // NO manifest is not the same as an empty one: without a live-file
-    // record, every data file would read as an orphan and an aged lake
-    // would be swept WHOLE. A lake is only vacuumable once something has
-    // committed a manifest — refuse loudly rather than delete blindly.
-    require(live.nonEmpty,
+    // RECORD, every data file would read as an orphan and an aged lake
+    // would be swept whole — refuse loudly. A committed-but-empty
+    // manifest (a takedown emptied the lake) is a valid record and its
+    // orphans remain reclaimable, so the guard tests the FILE, not the
+    // list.
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, fileManifestName)),
       s"vacuum refused: no $fileManifestName manifest at $path — " +
         "commit one with writeFileManifest before sweeping")
-    listDataFiles(path).filterNot(live).map { rel =>
+    val live = manifestedFiles(path).toSet
+    listDataFiles(path).filterNot(live).flatMap { rel =>
       val p = java.nio.file.Paths.get(path, rel)
-      val ageMs = nowMs - java.nio.file.Files.getLastModifiedTime(p).toMillis
-      val sweep = ageMs > retentionMs
-      if (sweep) java.nio.file.Files.deleteIfExists(p)
-      val (dir, name) = rel.lastIndexOf('/') match {
-        case -1 => ("", rel)
-        case i => (rel.substring(0, i), rel.substring(i + 1))
+      // the stat races a concurrent sweep or a self-cleaning aborted
+      // writer: a file gone between the listing and here is simply no
+      // longer an orphan to examine (the retry-safety contract)
+      val mtime = try Some(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        catch { case _: java.io.IOException => None }
+      mtime.map { t =>
+        val sweep = nowMs - t > retentionMs
+        if (sweep) java.nio.file.Files.deleteIfExists(p)
+        val (dir, name) = rel.lastIndexOf('/') match {
+          case -1 => ("", rel)
+          case i => (rel.substring(0, i), rel.substring(i + 1))
+        }
+        (dir, name, sweep)
       }
-      (dir, name, sweep)
     }
   }
 

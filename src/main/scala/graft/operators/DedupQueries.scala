@@ -520,9 +520,20 @@ object DedupQueries {
         .imageMediaFromText(Tables.documents(s, dir)))
       .toDF()
     // fresh() per invocation (the q42 rule): stage the tiny hash frame so
-    // the banded self-join never re-runs the synth+demux+hash pass
+    // the banded self-join never re-runs the synth+demux+hash pass. The
+    // real-pixel assertion rides the staging write: a demux failure would
+    // silently substitute the md5 fallback fingerprint and emit pairs
+    // from garbage — fail the job instead (assert_true is codegen'd and
+    // costs nothing on the true path).
     val ck = graft.Staging.fresh("ph307")
-    hashed.select(col("doc_id"), col("ahash")).write.mode("overwrite").parquet(s"$ck/ph")
+    hashed
+      // a FILTER (always-true by construction) rather than a projected
+      // column: a pruned-away projection would let Catalyst eliminate the
+      // unevaluated assert, and parquet cannot carry its NullType anyway
+      .filter(expr(
+        "assert_true(real, 'q307: synthesized thumbnail failed to demux') is null"))
+      .select(col("doc_id"), col("ahash"))
+      .write.mode("overwrite").parquet(s"$ck/ph")
     ahashBandedPairs(s.read.parquet(s"$ck/ph"))
   }
 

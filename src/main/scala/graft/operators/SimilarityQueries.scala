@@ -1466,17 +1466,15 @@ object SimilarityQueries {
     * once-per-corpus INDEX BUILD, not a per-query cost (a production
     * PQ index trains once and serves queries for months). Shared by
     * q71's pure-PQ search and q212's IVF-ADC composition. */
-  private def pqCodebookCached(s: SparkSession, dir: String,
-                               cb0: DataFrame, trainSubs: DataFrame,
+  private def pqCodebookCached(s: SparkSession, dir: String, e: DataFrame,
                                m: Int, k: Int, trainIters: Int,
                                trainSampleMod: Int): DataFrame = {
     val key = graft.CorpusKey(dir, "embeddings.parquet") +
       s":$m:$k:$trainIters:$trainSampleMod"
     val p = pqCodebookCache.computeIfAbsent(key, _ => {
-      val cbTrained = (1 to trainIters)
-        .foldLeft(cb0)((c, _) => pqRecenter(pqAssign(trainSubs, c)))
       val pth = graft.Staging.fresh("pqcb")
-      cbTrained.write.mode("overwrite").parquet(pth)
+      trainPqCodebook(e, m, k, trainIters, trainSampleMod)
+        .write.mode("overwrite").parquet(pth)
       pth
     })
     s.read.parquet(p)
@@ -1488,14 +1486,8 @@ object SimilarityQueries {
                             trainSampleMod: Int = 1): DataFrame = {
     val sub = dim / m
     val e = normed(s, dir)
-    val cb0 = e.filter(col("vec_id") < k)
-      .selectExpr("vec_id as cid", s"stack($m, ${pqSplit("v", m, sub)}) as (m, csub)")
-    val subs = e.selectExpr("vec_id", "nrm", s"stack($m, ${pqSplit("v", m, sub)}) as (m, sub)")
-    val trainSubs =
-      if (trainSampleMod > 1)
-        subs.filter(col("vec_id") % trainSampleMod === 0 || col("vec_id") < k)
-      else subs
-    val cb = pqCodebookCached(s, dir, cb0, trainSubs, m, k, trainIters, trainSampleMod)
+    val subs = pqSubsOf(e, m)
+    val cb = pqCodebookCached(s, dir, e, m, k, trainIters, trainSampleMod)
     val encoded = pqAssign(subs, cb).drop("sub")
     val tableScored = e.filter(col("vec_id") < 8)
       .selectExpr("vec_id as probe_id", "nrm as pn", s"stack($m, ${pqSplit("v", m, sub)}) as (tm, psub)")
@@ -1548,8 +1540,27 @@ object SimilarityQueries {
 
   /** The (vec_id, nrm, m, sub) subvector frame of a normed slice —
     * q71's stack split, frame-parameterized for the incremental path. */
-  private def pqSubsOf(e: DataFrame): DataFrame =
-    e.selectExpr("vec_id", "nrm", s"stack($pqM, ${pqSplit("v", pqM, pqSub)}) as (m, sub)")
+  private def pqSubsOf(e: DataFrame, m: Int = pqM): DataFrame =
+    e.selectExpr("vec_id", "nrm", s"stack($m, ${pqSplit("v", m, dim / m)}) as (m, sub)")
+
+  /** The ONE PQ training recipe — first-k seed, 1-in-mod sample unioned
+    * with the seed, `trainIters` Lloyd rounds of assign+recenter — shared
+    * by the cached query-path builds (q71/q212 via [[pqCodebookCached]])
+    * and the frozen base-corpus build (q312). Three sites previously
+    * spelled this block out by hand; a recipe change now lands once, next
+    * to the oracle CTE generators that mirror it. */
+  private[graft] def trainPqCodebook(e: DataFrame, m: Int = pqM, k: Int = pqK,
+                                     trainIters: Int = pqTrainIters,
+                                     trainSampleMod: Int = pqTrainSampleMod): DataFrame = {
+    val cb0 = e.filter(col("vec_id") < k)
+      .selectExpr("vec_id as cid", s"stack($m, ${pqSplit("v", m, dim / m)}) as (m, csub)")
+    val subs = pqSubsOf(e, m)
+    val trainSubs =
+      if (trainSampleMod > 1)
+        subs.filter(col("vec_id") % trainSampleMod === 0 || col("vec_id") < k)
+      else subs
+    (1 to trainIters).foldLeft(cb0)((c, _) => pqRecenter(pqAssign(trainSubs, c)))
+  }
 
   /** q312 — INCREMENTAL PQ ENCODE MAINTENANCE, completing the
     * similarity-index maintenance trifecta (q311 LSH pair stream, q308
@@ -1577,14 +1588,8 @@ object SimilarityQueries {
       corpusKey(dir, pqTrainSampleMod) + s":pq$pqM:$pqK", _ => {
         val p = graft.Staging.fresh("pqbase")
         val base = normed(s, dir).filter(col("vec_id") % 10 =!= 7)
-        val bsubs = pqSubsOf(base)
-        val cb0 = base.filter(col("vec_id") < pqK)
-          .selectExpr("vec_id as cid", s"stack($pqM, ${pqSplit("v", pqM, pqSub)}) as (m, csub)")
-        val tsubs = bsubs
-          .filter(col("vec_id") % pqTrainSampleMod === 0 || col("vec_id") < pqK)
-        (1 to pqTrainIters).foldLeft(cb0)((c, _) => pqRecenter(pqAssign(tsubs, c)))
-          .write.mode("overwrite").parquet(s"$p/cb")
-        pqAssign(bsubs, s.read.parquet(s"$p/cb"))
+        trainPqCodebook(base).write.mode("overwrite").parquet(s"$p/cb")
+        pqAssign(pqSubsOf(base), s.read.parquet(s"$p/cb"))
           .select("vec_id", "m", "code")
           .write.mode("overwrite").parquet(s"$p/enc")
         p
@@ -1636,11 +1641,7 @@ object SimilarityQueries {
     val sub = pqSub
     val assigned = ivfAssigned(s, dir, ivfTrainSampleMod)
     val e = normed(s, dir)
-    val cb0 = e.filter(col("vec_id") < pqK)
-      .selectExpr("vec_id as cid", s"stack($m, ${pqSplit("v", m, sub)}) as (m, csub)")
-    val allSubs = e.selectExpr("vec_id", "nrm", s"stack($m, ${pqSplit("v", m, sub)}) as (m, sub)")
-    val trainSubs = allSubs.filter(col("vec_id") % pqTrainSampleMod === 0 || col("vec_id") < pqK)
-    val cb = pqCodebookCached(s, dir, cb0, trainSubs, m, pqK, pqTrainIters, pqTrainSampleMod)
+    val cb = pqCodebookCached(s, dir, e, m, pqK, pqTrainIters, pqTrainSampleMod)
     // encode with the centroid id riding the combine (constant per vec)
     val subsC = assigned.selectExpr("vec_id", "nrm", "centroid_id",
       s"stack($m, ${pqSplit("v", m, sub)}) as (m, sub)")

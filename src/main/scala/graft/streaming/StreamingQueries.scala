@@ -152,8 +152,11 @@ object StreamingQueries {
   /** CONTENT-based streaming near-dup (the form an ingest pipeline needs,
     * where q52 dedups on an exact event id): the dedup key is the minhash
     * BAND key — two of q22's twelve hash slots, computed per row in one
-    * stateless projection (DedupQueries.hashedShinglesExpr; the batch
-    * path's explode→min-aggregate would be an extra stateful operator) —
+    * stateless projection over the single-md5 shingle hashes
+    * (DedupQueries.bandShinglesExpr — slots 0-1 read only md5(x)'s first
+    * 10 hex chars, so the two-md5 q22 form would be half-wasted work
+    * here; the batch path's explode→min-aggregate would be an extra
+    * stateful operator) —
     * so near-duplicate documents that agree on the band collapse to one
     * survivor inside the watermark horizon, exactly q22's candidate
     * semantics applied online.
