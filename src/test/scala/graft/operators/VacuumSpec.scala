@@ -75,6 +75,21 @@ class VacuumSpec extends AnyFunSuite {
       graft.Tables.documents(spark, sfDir).count(), "nothing was deleted")
   }
 
+  test("a committed-but-EMPTY manifest stays vacuumable (emptied-lake orphans reclaim)") {
+    val path = graft.Staging.fresh("vacempty")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "source=x"))
+    Warehouse.writeFileManifest(path) // lake legitimately empty: manifest commits ""
+    // an aborted ingest then leaves an aged orphan behind
+    val orphan = java.nio.file.Paths.get(path, "source=x", "part-orphan-old.parquet")
+    java.nio.file.Files.writeString(orphan, "junk")
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    val report = Warehouse.vacuum(path, retentionMs = dayMs,
+      nowMs = System.currentTimeMillis())
+    assert(report == Seq(("source=x", "part-orphan-old.parquet", true)))
+    assert(!java.nio.file.Files.exists(orphan), "the orphan is reclaimed")
+  }
+
   test("registered q309 reports the deterministic 1-swept/1-spared per source") {
     val rows = EtlQueries.q309VacuumLake(spark, sfDir).collect()
     assert(rows.nonEmpty)
