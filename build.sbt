@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures only the TAIL of `sbt "runMain graft.Bench"` and
+// parses the LAST line as JSON. By default sbt routes forked output
+// through its logger (prefixing every line with "[info] ") and appends
+// a "[success] Total time..." line — both of which make the artifact's
+// final line sbt chrome instead of the bench contract JSON. StdoutOutput
+// passes the forked process's stdout through verbatim; showSuccess drops
+// the trailing success banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another setting —
+// the unused-key lint is a false positive here
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

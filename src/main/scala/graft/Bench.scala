@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * prints a short stack of JSON lines ordered most-expendable-FIRST,
   * because the driver's artifact capture keeps only the output TAIL: the
   * full-detail line (raw trials, secondary sweep), then two compact
-  * medians boards, then the compact totals line, and LAST the
-  * driver-contract line (`"metric":"total"` with every per-query median) —
-  * the one line the driver must parse, so it must survive any tail
-  * window. A failing query is reported in "errors" (name → message) and
+  * medians boards, then LAST the driver-contract line
+  * (`"metric":"total"` whose "queries" field carries ONLY the top-10
+  * slowest medians — the complete per-query board lives on the
+  * "total_detail" and "medians_by_sorted_name" lines above) — the one
+  * line the driver must parse, so it must fit any tail window whole. A failing query is reported in "errors" (name → message) and
   * excluded from the total instead of silently timing as ~0 s and
   * improving it.
   */

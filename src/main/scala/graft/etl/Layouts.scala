@@ -62,20 +62,18 @@ object Layouts {
     * JVM attaches dir A's tables and then builds dir B's). */
   def nameSuffix(sourceDir: String): String = md5hex(sourceDir).take(8)
 
-  /** Fingerprint of the source files a layout was built from: sorted
-    * (name, size, mtime) of every file under `<sourceDir>/<table>` (file
-    * or directory). A fixture regen changes mtimes → forced rebuild. */
+  /** Fingerprint of the source files a layout was built from — the
+    * CorpusKey part-file walk (max mtime + bytes + count + path digest,
+    * through the Hadoop FileSystem API so the registry's staleness
+    * check carries to HDFS/object storage like the rest of the staging
+    * economics). A fixture regen changes part-file names/mtimes →
+    * forced rebuild; an absent table fingerprints as a distinct
+    * constant instead of failing, so a layout over optional sources
+    * still manifests deterministically. */
   def sourceFingerprint(sourceDir: String, tables: Seq[String]): String = {
-    val lines = tables.sorted.flatMap { t =>
-      val p = Paths.get(sourceDir).resolve(s"$t.parquet")
-      if (!Files.exists(p)) Seq(s"$t:absent")
-      else if (Files.isDirectory(p)) {
-        val stream = Files.walk(p)
-        try stream.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-          .map(f => s"$f:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
-          .sorted
-        finally stream.close()
-      } else Seq(s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+    val lines = tables.sorted.map { t =>
+      try graft.CorpusKey(sourceDir, s"$t.parquet")
+      catch { case _: IllegalArgumentException => s"$t:absent" }
     }
     md5hex(lines.mkString("\n"))
   }
@@ -124,6 +122,21 @@ object Layouts {
           s"CLUSTERED BY (${r.key}) SORTED BY (${r.key}) " +
           s"INTO ${r.nBuckets} BUCKETS LOCATION '${r.path}'")
     }
+
+  /** Plain-file durable stage — [[attachOrBuild]] for layouts with no
+    * catalog tables (staged pair streams, trained codebooks, propagated
+    * labels): `build` writes under the given durable base dir and
+    * returns the data path consumers read (usually the base or a
+    * subdir; a rotating fixpoint builder returns whichever leaf won).
+    * A later JVM with a matching manifest gets that path back with
+    * ZERO build jobs — this is what turns the per-JVM staged caches
+    * into once-per-corpus index builds. */
+  def stage(s: SparkSession, kind: String, version: String,
+            sourceDir: String, sourceTables: Seq[String])(
+      build: String => String): String =
+    attachOrBuild(s, kind, version, sourceDir, sourceTables) { base =>
+      (Seq.empty, build(base))
+    }.dataPath
 
   /** The registry's one entry point: attach if a manifest matches
     * (same version, same source fingerprint), else run `build` against

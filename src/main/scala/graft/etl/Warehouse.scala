@@ -99,36 +99,72 @@ object Warehouse {
     * multipart uploads and speculative task attempts as real objects. */
   private val fileManifestName = "_graft_files"
 
+  /** All file-manifest verbs speak `org.apache.hadoop.fs.FileSystem`,
+    * not `java.io.File` — the same ruling as the CorpusKey/Layouts walk:
+    * the object-store argument in the scaladoc above only holds when the
+    * implementation resolves the path's own scheme (s3a://, hdfs://,
+    * file://). The conf comes from the active session when one exists
+    * (so fs.* overrides apply), else a default Configuration — these
+    * verbs are also called from non-Spark maintenance contexts. */
+  private def fsFor(path: String): (org.apache.hadoop.fs.FileSystem,
+                                    org.apache.hadoop.fs.Path) = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
   private def listDataFiles(path: String): Seq[String] = {
-    val root = new java.io.File(path)
-    def walk(f: java.io.File, rel: String): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
-          .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
-          .toSeq
-      else if (f.getName.endsWith(".parquet")) Seq(rel)
-      else Seq.empty
-    walk(root, "").sorted
+    val (fs, root) = fsFor(path)
+    if (!fs.exists(root)) return Seq.empty
+    val rootUri = fs.makeQualified(root).toUri
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = rootUri.relativize(st.getPath.toUri).getPath
+      // hidden/_-prefixed SEGMENTS are commit metadata (_SUCCESS,
+      // _graft_files, .staging dirs) at any depth — same rule the
+      // java.io walk applied per directory level
+      val segs = rel.split('/')
+      if (st.isFile && segs.last.endsWith(".parquet") &&
+          !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+        out += rel
+    }
+    out.result().sorted
   }
 
   /** Commit the lake's CURRENT data files as its live manifest. */
-  def writeFileManifest(path: String): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, fileManifestName),
-      listDataFiles(path).mkString("\n"))
+  def writeFileManifest(path: String): Unit = {
+    val (fs, root) = fsFor(path)
+    val body = listDataFiles(path).mkString("\n")
+    val outStream = fs.create(new org.apache.hadoop.fs.Path(root, fileManifestName), true)
+    try outStream.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outStream.close()
+  }
 
   def manifestedFiles(path: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(path, fileManifestName)
-    if (!java.nio.file.Files.exists(p)) Seq.empty
-    else java.nio.file.Files.readString(p).split("\n").toSeq.filter(_.nonEmpty)
+    val (fs, root) = fsFor(path)
+    val p = new org.apache.hadoop.fs.Path(root, fileManifestName)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.split("\n").toSeq.filter(_.nonEmpty)
+    }
   }
 
   /** Manifest-resolved read: exactly the live files, with partition
-    * columns still derived from the directory keys (`basePath`). */
+    * columns still derived from the directory keys (`basePath`). A
+    * committed-but-EMPTY manifest (a takedown emptied the lake) is a
+    * valid state — it reads as an empty frame, not a schema-inference
+    * crash over zero paths. */
   def readManifested(s: SparkSession, path: String): DataFrame = {
     val files = manifestedFiles(path).map(f => s"$path/$f")
-    s.read.option("basePath", path).parquet(files: _*)
+    if (files.isEmpty) s.emptyDataFrame
+    else s.read.option("basePath", path).parquet(files: _*)
   }
 
   /** VACUUM — the third lake-maintenance verb next to takedown (q250)

@@ -300,14 +300,18 @@ object DedupQueries {
   }
 
   def q311LshIncremental(s: SparkSession, dir: String): DataFrame = {
-    // the standing index builds once per corpus fingerprint per JVM; the
-    // recurring invocation cost is the delta update against staged leaves
+    // the standing index builds once per corpus fingerprint — DURABLE
+    // through the Layouts registry (round-15): a new JVM re-attaches the
+    // staged bands + pair stream instead of re-signaturing the corpus;
+    // the in-JVM map only serializes concurrent first calls
     val pth = lshBaseCache.computeIfAbsent(
-      graft.CorpusKey(dir, "documents.parquet"), _ => {
-        val p = graft.Staging.fresh("lshbase")
-        lshIndexBuild(s, Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7), p)
-        p
-      })
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "lshbase", "v1;mod=7", dir,
+          Seq("documents")) { base =>
+          lshIndexBuild(s,
+            Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7), base)
+          base
+        })
     lshDeltaUpdate(s,
       Tables.documents(s, dir).filter(col("doc_id") % 10 === 7),
       Tables.documents(s, dir), pth)
@@ -716,6 +720,17 @@ object DedupQueries {
     fpIndexCache.clear()
   }
 
+  /** Test hook: forget the round-15 durable staged caches (LSH base
+    * index, fuzzy pairs/base, ER labels) — the Layouts files and
+    * manifests remain, exactly what a fresh JVM sees. */
+  private[graft] def resetDurableStagesForTest(): Unit = {
+    lshBaseCache.clear()
+    fuzzyPairsCache.clear()
+    fuzzyBaseCache.clear()
+    erLabelsCache.clear()
+    subIncrCache.clear()
+  }
+
   /** Durable BUCKETED fingerprint index for incremental dedup — the q62
     * warehouse layout applied to the dedup family's production path. Two
     * catalog tables are written under `base`: `<table>_fp` (all prints,
@@ -1043,6 +1058,165 @@ object DedupQueries {
     substringRuns(corpus, k = 4, w = 5, minPrints = 5L, dfCap = 64.0)
   }
 
+  /** q314 — INCREMENTAL SUBSTRING-RUN MAINTENANCE: the fifth standing
+    * index gets its delta path (q311 LSH pairs, q308 IVF, q312 PQ, q313
+    * fuzzy pairs — and now the winnowed posting index, the one member
+    * round 14 left rebuild-only). The standing corpus has a staged
+    * posting index (winnowed prints + per-print document frequency),
+    * the df-gated base-base posting-join DETAIL, and its pre-threshold
+    * run aggregate; a re-delivery batch winnows ALONE (the corpus text
+    * is never re-scanned), joins its postings against standing ∪ delta
+    * postings for the delta-touching runs, and unions with the staged
+    * base-base runs.
+    *
+    * The stop-print bar here is the FIXED absolute cap (df ≤ 64), not
+    * q97's least(n/4, cap) hybrid: a fraction-of-corpus bar MOVES as the
+    * corpus grows, un-stopping prints corpus-wide and making every
+    * staged base-base group stale — no delta-sized maintenance exists
+    * under it. At scale the absolute cap is the binding term anyway
+    * (the n/4 term exists for tiny test corpora), so the maintained
+    * semantics pin it. The one base-side correction the fixed bar still
+    * needs IS handled exactly: a print whose FULL df crosses the cap
+    * only when the delta lands (df_base ≤ 64 < df_base + df_delta) is
+    * newly stopped, and only groups holding such a print are recomputed
+    * from the staged detail — everything else reads the staged run
+    * aggregate untouched.
+    *
+    * Exactness is structural: every full-rebuild detail row has either
+    * two base docs (staged detail, corrected by the newly-stopped set —
+    * a base-only print's df cannot change) or ≥ 1 delta doc (then the
+    * shared print is in the delta's own postings, so the delta join
+    * with the full-df gate finds it). Delta-delta pairs arrive once
+    * from each join direction; COUNT DISTINCT / MIN / MAX are
+    * duplicate-insensitive, so no dedup pass is spent on them. The
+    * ORACLE is the full-rebuild SQL over the whole corpus at the same
+    * fixed bar, and SubstringIncrementalSpec feeds a constructed
+    * cap-crossing delta through the stop-print correction path the
+    * fixture alone cannot exercise.
+    *
+    * Scale shape: recurring cost = |delta| winnow + one posting
+    * equi-join whose build side is the delta postings + a leaf scan of
+    * the staged detail (two hash-key anti/semi joins against the SMALL
+    * stopped set — no winnow, no self-join). Index build is durable
+    * through the Layouts registry (once per corpus ACROSS JVMs). */
+  private val subIncrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the standing substring-run index of `base` under `stage`:
+    * `posts` (winnowed postings), `df` (per-print document frequency),
+    * `detail` (df-gated base-base posting-join rows: doc_a, doc_b, off,
+    * print, pos_a), and `runs` (the pre-threshold per-offset-group
+    * aggregate of `detail`). */
+  private[graft] def substringRunIndexBuild(s: SparkSession, base: DataFrame,
+                                            stage: String, k: Int, w: Int,
+                                            dfCap: Long): Unit = {
+    substringPostings(base, k, w).write.mode("overwrite").parquet(s"$stage/posts")
+    val posts = s.read.parquet(s"$stage/posts")
+    posts.groupBy("print").agg(countDistinct("doc_id").as("df_base"))
+      .write.mode("overwrite").parquet(s"$stage/df")
+    val keep = s.read.parquet(s"$stage/df")
+      .filter(col("df_base") <= dfCap).select("print")
+    val p = posts.join(keep, Seq("print"))
+    val a = p.select(col("doc_id").as("doc_a"), col("print"), col("pos").as("pos_a"))
+    val b = p.select(col("doc_id").as("doc_b"), col("print"), col("pos").as("pos_b"))
+    a.join(b, Seq("print"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).cast("bigint").as("off"),
+        col("print"), col("pos_a"))
+      .write.mode("overwrite").parquet(s"$stage/detail")
+    runAggregate(s.read.parquet(s"$stage/detail"))
+      .write.mode("overwrite").parquet(s"$stage/runs")
+  }
+
+  /** The one per-offset-group aggregate all three run sources share
+    * (staged build, stop-print recompute, delta join) — countDistinct
+    * prints + the pos_a extremes, NO minPrints cut (applied at read). */
+  private def runAggregate(detail: DataFrame): DataFrame =
+    detail.groupBy("doc_a", "doc_b", "off")
+      .agg(countDistinct("print").as("n_prints"),
+        min("pos_a").as("from_a"), max("pos_a").as("to_a"))
+
+  /** The delta-only update against a standing index at `stage`: winnow
+    * the delta alone, correct the staged base-base runs for prints the
+    * delta pushed over the df cap, join the delta postings against
+    * standing ∪ delta for the delta-touching runs, union, threshold. */
+  private[graft] def substringDeltaUpdate(s: SparkSession, delta: DataFrame,
+                                          stage: String, k: Int, w: Int,
+                                          dfCap: Long, minPrints: Long): DataFrame = {
+    // delta postings are referenced three times (df count + both join
+    // sides) — staged once, the lshDeltaUpdate rule
+    val dp = graft.Staging.fresh("subdelta")
+    substringPostings(delta, k, w).write.mode("overwrite").parquet(dp)
+    val dposts = s.read.parquet(dp)
+    val baseDf = s.read.parquet(s"$stage/df")
+    // full-corpus df for every print the delta touches; a print absent
+    // from the delta keeps df_base, so only these can change gate status
+    val dfp = graft.Staging.fresh("subdeltadf")
+    dposts.groupBy("print").agg(countDistinct("doc_id").as("df_delta"))
+      .join(baseDf, Seq("print"), "left")
+      .select(col("print"),
+        (coalesce(col("df_base"), lit(0L)) + col("df_delta")).as("df_full"))
+      .write.mode("overwrite").parquet(dfp)
+    val fullDf = s.read.parquet(dfp)
+    val stopped = fullDf.filter(col("df_full") > dfCap).select("print")
+    val live = fullDf.filter(col("df_full") <= dfCap).select("print")
+    // delta-touching detail: a delta-touching pair's shared print is by
+    // construction in the delta postings, so the full-df gate reduces to
+    // gating the delta print set once on each side
+    val dlive = dposts.join(live, Seq("print"))
+      .select(col("print"), col("doc_id").as("d"), col("pos").as("dpos"))
+    val olive = s.read.parquet(s"$stage/posts").unionByName(dposts)
+      .join(live, Seq("print"))
+      .select(col("print"), col("doc_id").as("o"), col("pos").as("opos"))
+    val newDetail = dlive.join(olive, Seq("print"))
+      .filter(col("d") =!= col("o"))
+      .select(
+        least(col("d"), col("o")).as("doc_a"),
+        greatest(col("d"), col("o")).as("doc_b"),
+        when(col("d") < col("o"), col("dpos") - col("opos"))
+          .otherwise(col("opos") - col("dpos")).cast("bigint").as("off"),
+        col("print"),
+        when(col("d") < col("o"), col("dpos")).otherwise(col("opos")).as("pos_a"))
+    // base-base correction: ONLY groups holding a newly-stopped print
+    // change; everything else reads the staged aggregate untouched
+    val stagedDetail = s.read.parquet(s"$stage/detail")
+    val touched = stagedDetail.join(stopped, Seq("print"))
+      .select("doc_a", "doc_b", "off").distinct()
+    val untouched = s.read.parquet(s"$stage/runs")
+      .join(touched, Seq("doc_a", "doc_b", "off"), "left_anti")
+    val recomputed = runAggregate(
+      stagedDetail
+        .join(touched, Seq("doc_a", "doc_b", "off"), "left_semi")
+        .join(stopped, Seq("print"), "left_anti"))
+    untouched.unionByName(recomputed).unionByName(runAggregate(newDetail))
+      .filter(col("n_prints") >= minPrints)
+      .select(col("doc_a").cast("bigint").as("doc_a"),
+        col("doc_b").cast("bigint").as("doc_b"), col("off"),
+        col("n_prints").cast("bigint").as("n_prints"),
+        col("from_a").cast("bigint").as("from_a"),
+        (col("to_a") - col("from_a") + lit(k)).cast("bigint").as("span_a"))
+      .orderBy("doc_a", "doc_b", "off")
+  }
+
+  /** q314 over the q97 fixture geometry: standing = the documents table,
+    * delta = the every-10th re-deliveries with [[lcsPromo]] appended —
+    * the same corpus q97 rebuilds whole, maintained here at delta cost. */
+  def q314SubstringIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val delta = base.filter(col("doc_id") % 10 === 3)
+      .select((-col("doc_id") - lit(1L)).as("doc_id"),
+        concat(col("text"), lit(lcsPromo)).as("text"))
+    val pth = subIncrCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "subincr", "v1;k=4;w=5;cap=64", dir,
+          Seq("documents")) { stage =>
+          substringRunIndexBuild(s, base, stage, k = 4, w = 5, dfCap = 64L)
+          stage
+        })
+    substringDeltaUpdate(s, delta, pth, k = 4, w = 5, dfCap = 64L, minPrints = 5L)
+  }
+
   /** Contamination FRACTION report — q64's decontamination upgraded from
     * "shares >= 1 shingle" to the graded verdict a real curation run
     * uses: per training document, the fraction of its distinct 3-gram
@@ -1155,14 +1329,14 @@ object DedupQueries {
     * FuzzyBlockingSpec proves candidates == brute force at sf0.001. */
   private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
     val cacheKey = graft.CorpusKey(dir, "customer.parquet")
-    val path = fuzzyPairsCache.computeIfAbsent(cacheKey, _ => {
-      val p = graft.Staging.fresh("fuzzy")
-      fuzzyCandidates(s, dir)
-        .filter(levenshtein(col("a.sfx"), col("b.sfx"), 2) =!= -1)
-        .select(col("a.nk").as("nk"), col("a.k").as("ka"), col("b.k").as("kb"))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = fuzzyPairsCache.computeIfAbsent(cacheKey, _ =>
+      graft.etl.Layouts.stage(s, "fuzzypairs", "v1", dir, Seq("customer")) { base =>
+        fuzzyCandidates(s, dir)
+          .filter(levenshtein(col("a.sfx"), col("b.sfx"), 2) =!= -1)
+          .select(col("a.nk").as("nk"), col("a.k").as("ka"), col("b.k").as("kb"))
+          .write.mode("overwrite").parquet(s"$base/pairs")
+        s"$base/pairs"
+      })
     s.read.parquet(path)
   }
 
@@ -1283,16 +1457,23 @@ object DedupQueries {
     basePairs.unionByName(newPairs)
   }
 
+  /** The standing entity-blocking index (q313/q315's shared stage),
+    * durable through the Layouts registry — built once per corpus
+    * ACROSS JVMs. */
+  private def fuzzyBaseStage(s: SparkSession, dir: String): String =
+    fuzzyBaseCache.computeIfAbsent(
+      graft.CorpusKey(dir, "customer.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "fuzzybase", "v1;mod=7", dir,
+          Seq("customer")) { base =>
+          fuzzyIndexBuild(s,
+            Tables.customer(s, dir).filter(col("c_custkey") % 10 =!= 7), base)
+          base
+        })
+
   def q313FuzzyIncremental(s: SparkSession, dir: String): DataFrame = {
-    val pth = fuzzyBaseCache.computeIfAbsent(
-      graft.CorpusKey(dir, "customer.parquet"), _ => {
-        val p = graft.Staging.fresh("fuzzybase")
-        fuzzyIndexBuild(s,
-          Tables.customer(s, dir).filter(col("c_custkey") % 10 =!= 7), p)
-        p
-      })
     val pairs = fuzzyDeltaUpdate(s,
-      Tables.customer(s, dir).filter(col("c_custkey") % 10 === 7), pth)
+      Tables.customer(s, dir).filter(col("c_custkey") % 10 === 7),
+      fuzzyBaseStage(s, dir))
     val nPairs = pairs.groupBy("nk")
       .agg(count(lit(1)).cast("bigint").as("n_pairs"))
     val nMatched = pairs
@@ -1366,27 +1547,43 @@ object DedupQueries {
 
   private def erLabels(s: SparkSession, dir: String): DataFrame = {
     val path = erLabelsCache.computeIfAbsent(
-      graft.CorpusKey(dir, "customer.parquet"), _ => {
-        val ck = graft.Staging.fresh("golden")
-        val pairs = fuzzyPairs(s, dir).select("ka", "kb")
-        val und = pairs.select(col("ka").as("src"), col("kb").as("dst"))
-          .union(pairs.select(col("kb").as("src"), col("ka").as("dst")))
-        val verts = und.select("src").distinct()
-        und.union(verts.select(col("src"), col("src").as("dst")))
-          .write.mode("overwrite").parquet(s"$ck/base")
-        SimilarityQueries.propagateLabels(s, s"$ck/base")
-          .write.mode("overwrite").parquet(s"$ck/labels")
-        s"$ck/labels"
-      })
+      graft.CorpusKey(dir, "customer.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "erlabels", "v1", dir, Seq("customer")) { ck =>
+          labelsOfPairs(s, fuzzyPairs(s, dir).select("ka", "kb"), ck)
+            .write.mode("overwrite").parquet(s"$ck/labels")
+          s"$ck/labels"
+        })
     s.read.parquet(path)
   }
 
-  def q177GoldenComponents(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir)
+  /** (v, lbl) min-label components of a (ka, kb) pair frame: undirected
+    * edges + self-loops staged once under `stage`, then q50's
+    * propagation object code. This is the RECOMPUTE stage of the
+    * maintained-ER story — pair maintenance is delta-cost (q313), labels
+    * recompute over the maintained stream because one new edge can
+    * relabel arbitrarily many components (the q313 scaladoc's design
+    * ruling, exercised end to end by q315). */
+  private[graft] def labelsOfPairs(s: SparkSession, pairs: DataFrame,
+                                   stage: String): DataFrame = {
+    val und = pairs.select(col("ka").as("src"), col("kb").as("dst"))
+      .union(pairs.select(col("kb").as("src"), col("ka").as("dst")))
+    val verts = und.select("src").distinct()
+    und.union(verts.select(col("src"), col("src").as("dst")))
+      .write.mode("overwrite").parquet(s"$stage/base")
+    SimilarityQueries.propagateLabels(s, s"$stage/base")
+  }
+
+  /** q176/q177's associative merge rules applied per component label —
+    * shared by the full-rebuild path (q177) and the maintained-pairs
+    * composition (q315). `labels` is a (v, lbl) frame over matched
+    * vertices only, so the output is exactly the duplicate groups. */
+  private[graft] def goldenMerge(customers: DataFrame,
+                                 labels: DataFrame): DataFrame = {
+    val c = customers
       .select(col("c_custkey"), col("c_name"),
         expr("cast(round(c_acctbal * 100) as bigint)").as("bal"),
         col("c_mktsegment").as("seg"))
-    val members = erLabels(s, dir)
+    val members = labels
       .join(c.select(col("c_custkey").as("v"), col("bal"), col("seg")), Seq("v"))
       .groupBy("lbl")
       .agg(count(lit(1)).cast("bigint").as("n_members"),
@@ -1398,6 +1595,40 @@ object DedupQueries {
         col("c_name").as("golden_name"), col("golden_bal_cents"),
         col("golden_segment"))
       .orderBy("survivor_key")
+  }
+
+  def q177GoldenComponents(s: SparkSession, dir: String): DataFrame =
+    goldenMerge(Tables.customer(s, dir), erLabels(s, dir))
+
+  /** q315 — THE ER MAINTENANCE STORY COMPOSED END TO END: q313's
+    * delta-only pair maintenance (variant the new-customer batch alone,
+    * verify only delta-touching candidates, union with the staged
+    * stream) FEEDING the label propagation + survivorship merge that
+    * q177 runs against its own full-rebuild cache. This registers the
+    * documented design — "label maintenance is a recompute over the
+    * maintained pair stream" — as an executable contract: the pair
+    * stage pays delta cost against the durable standing index, the
+    * label stage recomputes (one new edge can relabel arbitrarily many
+    * components, so no per-row incremental argument exists), and the
+    * merge is q177's associative rules verbatim. The ORACLE is q177's
+    * full-rebuild SQL (all-pairs within-nation levenshtein ≤ 2 →
+    * recursive-CTE components → per-component merge), so the hash gate
+    * proves the composition over maintained pairs loses nothing
+    * against ground truth. ErIncrementalSpec additionally feeds a
+    * constructed bridging delta — one new customer whose edits reach
+    * members of TWO standing components — and pins that the recompute
+    * actually merges them (the case that justifies the design ruling).
+    *
+    * Scale shape: pair stage as q313 (|delta| variants through one
+    * equi-join, staged leaf reads); label stage O(V+E) staged passes
+    * over the MAINTAINED pair frame (never re-blocking, never
+    * re-scoring); merge as q177 (two equi-joins on the customer key). */
+  def q315ErIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyDeltaUpdate(s,
+      Tables.customer(s, dir).filter(col("c_custkey") % 10 === 7),
+      fuzzyBaseStage(s, dir)).select("ka", "kb")
+    val labels = labelsOfPairs(s, pairs, graft.Staging.fresh("erinc"))
+    goldenMerge(Tables.customer(s, dir), labels)
   }
 
   /** EXACT set-similarity join via prefix filtering (the
@@ -2154,6 +2385,7 @@ object DedupQueries {
     "q277_threshold_sweep" -> (q277ThresholdSweep _),
     "q106_fuzzy_entity_match" -> (q106FuzzyEntityMatch _),
     "q313_fuzzy_incremental" -> (q313FuzzyIncremental _),
+    "q315_er_incremental" -> (q315ErIncremental _),
     "q176_survivorship" -> (q176Survivorship _),
     "q177_golden_components" -> (q177GoldenComponents _),
     "q21_exact_dedup" -> (q21ExactDedup _),
@@ -2172,6 +2404,7 @@ object DedupQueries {
     "q89_contamination_fraction" -> (q89ContaminationFraction _),
     "q90_source_overlap" -> (q90SourceOverlap _),
     "q97_common_substring" -> (q97CommonSubstring _),
+    "q314_substring_incremental" -> (q314SubstringIncremental _),
   )
 
   private val oracleSigs = (0 until nHashes)
@@ -2451,6 +2684,34 @@ object DedupQueries {
         |ORDER BY a, b""".stripMargin,
     // blocked matches → recursive-CTE components → per-component merge
     "q177_golden_components" ->
+      """WITH RECURSIVE c AS (SELECT c_nationkey AS nk, c_custkey,
+        |    substr(c_name, 10) AS sfx, c_name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |p AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM c a JOIN c b ON b.nk = a.nk AND a.c_custkey < b.c_custkey
+        |    AND levenshtein(a.sfx, b.sfx) <= 2),
+        |edges AS (SELECT ka AS src, kb AS dst FROM p
+        |  UNION ALL SELECT kb AS src, ka AS dst FROM p),
+        |reach(v, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v),
+        |comp AS (SELECT v, MIN(lbl) AS g FROM reach GROUP BY v),
+        |m AS (SELECT g, COUNT(*) AS n_members, MAX(cm.bal) AS gb,
+        |    MIN(cm.seg) AS gs
+        |  FROM comp JOIN c cm ON cm.c_custkey = comp.v GROUP BY g)
+        |SELECT CAST(m.g AS BIGINT) AS survivor_key,
+        |  CAST(m.n_members AS BIGINT) AS n_members,
+        |  cs.c_name AS golden_name, CAST(m.gb AS BIGINT) AS golden_bal_cents,
+        |  m.gs AS golden_segment
+        |FROM m JOIN c cs ON cs.c_custkey = m.g
+        |ORDER BY survivor_key""".stripMargin,
+    // q315's ground truth IS q177's full rebuild: the maintained pair
+    // stream covers the same complete blocked match set, so the composed
+    // delta-pairs → recompute-labels → merge pipeline must reproduce it
+    "q315_er_incremental" ->
       """WITH RECURSIVE c AS (SELECT c_nationkey AS nk, c_custkey,
         |    substr(c_name, 10) AS sfx, c_name,
         |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
@@ -2825,6 +3086,38 @@ object DedupQueries {
         |keep AS (SELECT print FROM posts CROSS JOIN nd
         |  GROUP BY print, n_docs
         |  HAVING COUNT(DISTINCT doc_id) <= least(greatest(n_docs / 4.0, 2.0), 64.0)),
+        |p AS (SELECT posts.* FROM posts JOIN keep USING (print)),
+        |r AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos - b.pos AS off,
+        |    COUNT(DISTINCT a.print) AS n_prints, MIN(a.pos) AS from_a, MAX(a.pos) AS to_a
+        |  FROM p a JOIN p b ON a.print = b.print AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.pos - b.pos
+        |  HAVING COUNT(DISTINCT a.print) >= 5)
+        |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+        |  CAST(off AS BIGINT) AS off, CAST(n_prints AS BIGINT) AS n_prints,
+        |  CAST(from_a AS BIGINT) AS from_a,
+        |  CAST(to_a - from_a + 4 AS BIGINT) AS span_a
+        |FROM r ORDER BY doc_a, doc_b, off""".stripMargin,
+    // q97's full-rebuild shape at q314's FIXED stop-print bar (df <= 64,
+    // no fraction-of-corpus term — the maintained-index semantics): the
+    // oracle rebuilds the whole corpus in one pass; the engine answers
+    // from the standing index plus the delta-only update
+    "q314_substring_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -doc_id - 1 AS doc_id,
+        |    text || ' subscribe to the graft weekly digest for fresh pipeline updates today' AS text
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - 3), i -> md5(substr(text, i, 4))) AS h
+        |  FROM corpus WHERE length(text) >= 8),
+        |pj AS (SELECT doc_id, h, unnest(generate_series(1, len(h) - 4)) AS j FROM g),
+        |posts AS (SELECT DISTINCT doc_id,
+        |    list_min(h[j:j+4]) AS print,
+        |    CAST(j + list_position(h[j:j+4], list_min(h[j:j+4])) - 1 AS BIGINT) AS pos
+        |  FROM pj),
+        |keep AS (SELECT print FROM posts
+        |  GROUP BY print HAVING COUNT(DISTINCT doc_id) <= 64),
         |p AS (SELECT posts.* FROM posts JOIN keep USING (print)),
         |r AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos - b.pos AS off,
         |    COUNT(DISTINCT a.print) AS n_prints, MIN(a.pos) AS from_a, MAX(a.pos) AS to_a

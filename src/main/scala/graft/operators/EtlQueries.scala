@@ -704,16 +704,20 @@ object EtlQueries {
   private[operators] def plantOrphans(path: String, nowMs: Long): Unit = {
     val root = new java.io.File(path)
     root.listFiles().filter(d => d.isDirectory && d.getName.contains("=")).foreach { d =>
-      val live = d.listFiles().filter(_.getName.endsWith(".parquet")).minBy(_.getName)
-      for ((name, mtime) <- Seq(
-          "part-orphan-old.parquet" -> (nowMs - 48L * 3600 * 1000),
-          "part-orphan-young.parquet" -> nowMs)) {
-        val p = new java.io.File(d, name).toPath
-        java.nio.file.Files.copy(live.toPath, p,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      // a partition dir with no live part files (a leftover empty dir)
+      // has nothing to copy — skip it rather than crash the plant
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).headOption.foreach { live =>
+          for ((name, mtime) <- Seq(
+              "part-orphan-old.parquet" -> (nowMs - 48L * 3600 * 1000),
+              "part-orphan-young.parquet" -> nowMs)) {
+            val p = new java.io.File(d, name).toPath
+            java.nio.file.Files.copy(live.toPath, p,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+          }
+        }
     }
   }
 

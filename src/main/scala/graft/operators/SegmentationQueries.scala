@@ -1157,6 +1157,15 @@ object SegmentationQueries {
 
   // ------------------------------------------------------------ registry
 
+  /** Exact FLOOR division on the integer lattice: Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, so the two diverge exactly
+    * when the dividend is negative and the division is inexact. All
+    * callers pass a positive divisor; this closes the sign hole without
+    * leaning on a non-negative-fixture premise. */
+  private def floorDiv(num: String, den: String): Column = expr(
+    s"case when ($num) < 0 and ($num) % ($den) != 0 " +
+      s"then ($num) div ($den) - 1 else ($num) div ($den) end")
+
   /** q272 — TRIMMED MEAN per event type (10% two-sided trim), the missing
     * member of the robust-aggregation family next to q138/q167 medians,
     * q152 MAD, and q192 Tukey fences: drop the t = n div 10 smallest and
@@ -1173,15 +1182,6 @@ object SegmentationQueries {
     * sort. All integers on the cents lattice; e6 means are exact FLOOR
     * divisions via [[floorDiv]], matching DuckDB's `//` even when a
     * trimmed sum goes negative. */
-  /** Exact FLOOR division on the integer lattice: Spark's `div` truncates
-    * toward zero while DuckDB's `//` floors, so the two diverge exactly
-    * when the dividend is negative and the division is inexact. All
-    * callers pass a positive divisor; this closes the sign hole without
-    * leaning on a non-negative-fixture premise. */
-  private def floorDiv(num: String, den: String): Column = expr(
-    s"case when ($num) < 0 and ($num) % ($den) != 0 " +
-      s"then ($num) div ($den) - 1 else ($num) div ($den) end")
-
   def q272TrimmedMean(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir)
       .select(col("event_type").as("g"),

@@ -131,13 +131,28 @@ object SimilarityQueries {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test hook: forget the round-15 durable staged caches (near-dup
+    * pairs, IVF/PQ codebooks + assignments/encodes, CC labels,
+    * propagation fixpoint) — the Layouts files and manifests remain,
+    * exactly what a fresh JVM sees. */
+  private[graft] def resetDurableStagesForTest(): Unit = {
+    pairsCache.clear()
+    ivfCodebookCache.clear()
+    ivfAssignedCache.clear()
+    ivfBaseIndexCache.clear()
+    pqCodebookCache.clear()
+    pqBaseCache.clear()
+    ccLabelsCache.clear()
+    lpropConvCache.clear()
+  }
+
   private[graft] def stagedPairs(s: SparkSession, dir: String): DataFrame = {
     val path = pairsCache.computeIfAbsent(
-      graft.CorpusKey(dir, "embeddings.parquet"), _ => {
-        val p = Staging.fresh("ndpairs")
-        lshPairsScored(s, dir).write.mode("overwrite").parquet(p)
-        p
-      })
+      graft.CorpusKey(dir, "embeddings.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "ndpairs", "v1", dir, Seq("embeddings")) { base =>
+          lshPairsScored(s, dir).write.mode("overwrite").parquet(s"$base/pairs")
+          s"$base/pairs"
+        })
     s.read.parquet(path)
   }
 
@@ -535,23 +550,25 @@ object SimilarityQueries {
 
   private def trainedCodebookCached(s: SparkSession, dir: String,
                                     mod: Int): DataFrame = {
-    val p = ivfCodebookCache.computeIfAbsent(corpusKey(dir, mod), _ => {
-      val pth = graft.Staging.fresh("ivfcb")
-      trainedCodebook(normed(s, dir), trainSampleMod = mod)
-        .write.mode("overwrite").parquet(pth)
-      pth
-    })
+    val p = ivfCodebookCache.computeIfAbsent(corpusKey(dir, mod), _ =>
+      graft.etl.Layouts.stage(s, "ivfcb", s"v1;mod=$mod", dir,
+        Seq("embeddings")) { base =>
+        trainedCodebook(normed(s, dir), trainSampleMod = mod)
+          .write.mode("overwrite").parquet(s"$base/cb")
+        s"$base/cb"
+      })
     s.read.parquet(p)
   }
 
   private[graft] def ivfAssigned(s: SparkSession, dir: String, mod: Int): DataFrame = {
-    val p = ivfAssignedCache.computeIfAbsent(corpusKey(dir, mod), _ => {
-      val pth = graft.Staging.fresh("ivfassign")
-      assign(normed(s, dir), trainedCodebookCached(s, dir, mod))
-        .select("vec_id", "v", "nrm", "centroid_id")
-        .write.mode("overwrite").parquet(pth)
-      pth
-    })
+    val p = ivfAssignedCache.computeIfAbsent(corpusKey(dir, mod), _ =>
+      graft.etl.Layouts.stage(s, "ivfassign", s"v1;mod=$mod", dir,
+        Seq("embeddings")) { base =>
+        assign(normed(s, dir), trainedCodebookCached(s, dir, mod))
+          .select("vec_id", "v", "nrm", "centroid_id")
+          .write.mode("overwrite").parquet(s"$base/assign")
+        s"$base/assign"
+      })
     s.read.parquet(p)
   }
 
@@ -602,16 +619,17 @@ object SimilarityQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ivfBaseIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val p = ivfBaseIndexCache.computeIfAbsent(corpusKey(dir, ivfTrainSampleMod), _ => {
-      val pth = graft.Staging.fresh("ivfbase")
-      val base = normed(s, dir).filter(col("vec_id") % 10 =!= 7)
-      trainedCodebook(base, trainSampleMod = ivfTrainSampleMod)
-        .write.mode("overwrite").parquet(s"$pth/cb")
-      assign(base, s.read.parquet(s"$pth/cb"))
-        .select("vec_id", "centroid_id")
-        .write.mode("overwrite").parquet(s"$pth/assign")
-      pth
-    })
+    val p = ivfBaseIndexCache.computeIfAbsent(corpusKey(dir, ivfTrainSampleMod), _ =>
+      graft.etl.Layouts.stage(s, "ivfbase",
+        s"v1;mod=$ivfTrainSampleMod;split=7", dir, Seq("embeddings")) { pth =>
+        val base = normed(s, dir).filter(col("vec_id") % 10 =!= 7)
+        trainedCodebook(base, trainSampleMod = ivfTrainSampleMod)
+          .write.mode("overwrite").parquet(s"$pth/cb")
+        assign(base, s.read.parquet(s"$pth/cb"))
+          .select("vec_id", "centroid_id")
+          .write.mode("overwrite").parquet(s"$pth/assign")
+        pth
+      })
     (s.read.parquet(s"$p/cb"), s.read.parquet(s"$p/assign"))
   }
 
@@ -1202,22 +1220,22 @@ object SimilarityQueries {
 
   private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame = {
     val path = ccLabelsCache.computeIfAbsent(
-      graft.CorpusKey(dir, "embeddings.parquet"), _ => {
-        val ck = Staging.fresh("cc")
-        // the shared staged pair frame IS the pairs stage (one LSH
-        // derivation per corpus even when both consumers run)
-        val pairs = stagedPairs(s, dir).select("vec_a", "vec_b")
-        val und = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-          .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-        val verts = und.select("src").distinct() // symmetric: src covers both
-        // materialize base (undirected + self-loops) once too: otherwise
-        // every pass re-runs the verts distinct shuffle
-        und.union(verts.select(col("src"), col("src").as("dst")))
-          .write.mode("overwrite").parquet(s"$ck/base")
-        propagateLabels(s, s"$ck/base")
-          .write.mode("overwrite").parquet(s"$ck/labels")
-        s"$ck/labels"
-      })
+      graft.CorpusKey(dir, "embeddings.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "cclabels", "v1", dir, Seq("embeddings")) { ck =>
+          // the shared staged pair frame IS the pairs stage (one LSH
+          // derivation per corpus even when both consumers run)
+          val pairs = stagedPairs(s, dir).select("vec_a", "vec_b")
+          val und = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+            .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+          val verts = und.select("src").distinct() // symmetric: src covers both
+          // materialize base (undirected + self-loops) once too: otherwise
+          // every pass re-runs the verts distinct shuffle
+          und.union(verts.select(col("src"), col("src").as("dst")))
+            .write.mode("overwrite").parquet(s"$ck/base")
+          propagateLabels(s, s"$ck/base")
+            .write.mode("overwrite").parquet(s"$ck/labels")
+          s"$ck/labels"
+        })
     s.read.parquet(path)
   }
 
@@ -1471,12 +1489,14 @@ object SimilarityQueries {
                                trainSampleMod: Int): DataFrame = {
     val key = graft.CorpusKey(dir, "embeddings.parquet") +
       s":$m:$k:$trainIters:$trainSampleMod"
-    val p = pqCodebookCache.computeIfAbsent(key, _ => {
-      val pth = graft.Staging.fresh("pqcb")
-      trainPqCodebook(e, m, k, trainIters, trainSampleMod)
-        .write.mode("overwrite").parquet(pth)
-      pth
-    })
+    val p = pqCodebookCache.computeIfAbsent(key, _ =>
+      graft.etl.Layouts.stage(s, "pqcb",
+        s"v1;m=$m;k=$k;it=$trainIters;mod=$trainSampleMod", dir,
+        Seq("embeddings")) { base =>
+        trainPqCodebook(e, m, k, trainIters, trainSampleMod)
+          .write.mode("overwrite").parquet(s"$base/cb")
+        s"$base/cb"
+      })
     s.read.parquet(p)
   }
 
@@ -1585,15 +1605,17 @@ object SimilarityQueries {
 
   def q312PqIncremental(s: SparkSession, dir: String): DataFrame = {
     val pth = pqBaseCache.computeIfAbsent(
-      corpusKey(dir, pqTrainSampleMod) + s":pq$pqM:$pqK", _ => {
-        val p = graft.Staging.fresh("pqbase")
-        val base = normed(s, dir).filter(col("vec_id") % 10 =!= 7)
-        trainPqCodebook(base).write.mode("overwrite").parquet(s"$p/cb")
-        pqAssign(pqSubsOf(base), s.read.parquet(s"$p/cb"))
-          .select("vec_id", "m", "code")
-          .write.mode("overwrite").parquet(s"$p/enc")
-        p
-      })
+      corpusKey(dir, pqTrainSampleMod) + s":pq$pqM:$pqK", _ =>
+        graft.etl.Layouts.stage(s, "pqbase",
+          s"v1;m=$pqM;k=$pqK;mod=$pqTrainSampleMod;split=7", dir,
+          Seq("embeddings")) { p =>
+          val base = normed(s, dir).filter(col("vec_id") % 10 =!= 7)
+          trainPqCodebook(base).write.mode("overwrite").parquet(s"$p/cb")
+          pqAssign(pqSubsOf(base), s.read.parquet(s"$p/cb"))
+            .select("vec_id", "m", "code")
+            .write.mode("overwrite").parquet(s"$p/enc")
+          p
+        })
     val cb = s.read.parquet(s"$pth/cb")
     val deltaEnc = pqAssign(
       pqSubsOf(normed(s, dir).filter(col("vec_id") % 10 === 7)), cb)
@@ -2545,14 +2567,18 @@ object SimilarityQueries {
 
   def q310PropagationConverged(s: SparkSession, dir: String): DataFrame = {
     val finDir = lpropConvCache.computeIfAbsent(
-      graft.CorpusKey(dir, "embeddings.parquet"), _ => {
-        val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
-          .select(col("vec_id").as("node"), col("label").cast("bigint").as("lbl"))
-        val pairs = stagedPairs(s, dir)
-        val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-          .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-        propagateConverged(s, seeds, edges, Staging.fresh("lpc"))
-      })
+      graft.CorpusKey(dir, "embeddings.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "lpropconv", "v1", dir,
+          Seq("embeddings")) { base =>
+          val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+            .select(col("vec_id").as("node"), col("label").cast("bigint").as("lbl"))
+          val pairs = stagedPairs(s, dir)
+          val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+            .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+          // the manifest records whichever rotating leaf the fixpoint
+          // landed on; the loser dir stays as bounded dead weight
+          propagateConverged(s, seeds, edges, base)
+        })
     val fin = s.read.parquet(finDir)
     val all = Tables.embeddings(s, dir).select(col("vec_id").as("node"))
     val byLabel = fin.groupBy("lbl")

@@ -106,6 +106,80 @@ class LayoutReattachSpec extends AnyFunSuite {
       "attach must reuse the standing word file (the bench-side fold never re-runs)")
   }
 
+  /** Round-15 durable staged caches: run the query once (cold build under
+    * the Layouts root), snapshot the layout dir, clear every in-JVM map
+    * (a fresh JVM's state), re-run, and require identical results with
+    * not one layout file touched. One helper covers the whole family. */
+  private def assertReattaches(query: String, kinds: Seq[String]): Unit = {
+    val r1 = SparkEntry.queries(query)(spark, sfDir).collect()
+    val bases = kinds.map(k => etl.Layouts.baseFor(k, sfDir))
+    bases.foreach(b => assert(Files.exists(Paths.get(b, "_graft_manifest")),
+      s"$query must leave a manifest under $b"))
+    val before = bases.map(snapshot)
+
+    operators.DedupQueries.resetDurableStagesForTest()
+    operators.SimilarityQueries.resetDurableStagesForTest()
+
+    val r2 = SparkEntry.queries(query)(spark, sfDir).collect()
+    assert(r2.toSeq == r1.toSeq,
+      s"$query: attached stage must serve the same rows")
+    bases.zip(before).foreach { case (b, snap) =>
+      assert(snapshot(b) == snap,
+        s"$query: attach must not touch a single file under $b")
+    }
+  }
+
+  test("q311 LSH base index re-attaches across sessions") {
+    assertReattaches("q311_lsh_incremental", Seq("lshbase"))
+  }
+
+  test("q313 fuzzy base index re-attaches across sessions") {
+    assertReattaches("q313_fuzzy_incremental", Seq("fuzzybase"))
+  }
+
+  test("q177 fuzzy pairs + ER labels re-attach across sessions") {
+    assertReattaches("q177_golden_components", Seq("fuzzypairs", "erlabels"))
+  }
+
+  test("q50 near-dup pairs + CC labels re-attach across sessions") {
+    assertReattaches("q50_cc_clusters", Seq("ndpairs", "cclabels"))
+  }
+
+  test("q310 propagation fixpoint re-attaches across sessions") {
+    assertReattaches("q310_propagation_converged", Seq("lpropconv"))
+  }
+
+  test("q37 IVF codebook + assignment re-attach across sessions") {
+    assertReattaches("q37_ivf_topk", Seq("ivfcb", "ivfassign"))
+  }
+
+  test("q308 frozen IVF base index re-attaches across sessions") {
+    assertReattaches("q308_ivf_incremental", Seq("ivfbase"))
+  }
+
+  test("q71 PQ codebook re-attaches across sessions") {
+    assertReattaches("q71_pq_topk", Seq("pqcb"))
+  }
+
+  test("q312 frozen PQ base index re-attaches across sessions") {
+    assertReattaches("q312_pq_incremental", Seq("pqbase"))
+  }
+
+  test("a stale staged-cache fingerprint forces a rebuild (lshbase)") {
+    SparkEntry.queries("q311_lsh_incremental")(spark, sfDir).collect()
+    val base = etl.Layouts.baseFor("lshbase", sfDir)
+    val before = snapshot(base)
+    val mf: Path = Paths.get(base, "_graft_manifest")
+    val doctored = Files.readString(mf).linesIterator.map { l =>
+      if (l.startsWith("fingerprint\t")) "fingerprint\tdeadbeef" else l
+    }.mkString("\n")
+    Files.writeString(mf, doctored)
+    operators.DedupQueries.resetDurableStagesForTest()
+    SparkEntry.queries("q311_lsh_incremental")(spark, sfDir).collect()
+    assert(snapshot(base) != before,
+      "a stale fingerprint must trigger a rebuild of the staged index")
+  }
+
   test("q109 z-order layout re-attaches; a fingerprint mismatch forces a rebuild") {
     val r1 = SparkEntry.queries("q109_zorder_scan")(spark, sfDir).collect()
     val base = etl.Layouts.baseFor("zorder", sfDir)
