@@ -9,9 +9,10 @@ import org.apache.spark.sql.streaming.Trigger
   * walCommit, stateStoreCommit, ...) NEXT TO its batch twin's wall time —
   * for attributing the AvailableNow streaming premium per topology.
   * Topologies: q124 (windowed agg), q63 (minhash-band dedup), q72
-  * (stream-stream interval join). Usage:
+  * (stream-stream interval join), q227 (24-way fanout + chained
+  * dedup/agg state stores). Usage:
   *
-  *   sbt "runMain graft.StreamProfile /root/testdata/sf0.1 [q124|q63|q72] [trials] [parts]"
+  *   sbt "runMain graft.StreamProfile /root/testdata/sf0.1 [q124|q63|q72|q227] [trials] [parts]"
   */
 object StreamProfile {
 
@@ -63,6 +64,21 @@ object StreamProfile {
             .groupBy(window(col("ts"), "1 hour"))
             .agg(count(lit(1)).cast("bigint").as("cnt"))
             .collect().length.toLong))
+    case "q227" =>
+      def pairs(): DataFrame = Tables.events(bs, sfDir)
+        .select(col("user_id"), date_trunc("HOUR", col("ts")).as("eh"))
+        .select(col("user_id"), col("eh"), explode(expr("sequence(0, 23)")).as("off"))
+        .select(col("user_id"), expr("timestampadd(HOUR, off, eh)").as("wh"))
+      Seq(
+        "explode-count" -> (() =>
+          pairs().selectExpr("count(*)").collect()(0).getLong(0)),
+        "distinct-pairs" -> (() =>
+          pairs().dropDuplicates("user_id", "wh").count()),
+        "full-twin" -> (() =>
+          pairs().dropDuplicates("user_id", "wh")
+            .groupBy(window(col("wh"), "1 hour"))
+            .agg(count(lit(1)).cast("bigint").as("cnt"))
+            .collect().length.toLong))
     case "q72" => Seq(
       "interval-join" -> { () =>
         val ev = Tables.events(bs, sfDir)
@@ -90,6 +106,7 @@ object StreamProfile {
         col("event_type"), col("cnt"))
     case "q63" => graft.streaming.StreamingQueries.neardupStreamFrame(ss, sfDir)
     case "q72" => graft.streaming.StreamingQueries.intervalJoinStreamFrame(ss, sfDir)
+    case "q227" => graft.streaming.StreamingQueries.slidingDistinctStreamFrame(ss, sfDir)
     case other => sys.error(s"unknown topology $other")
   }
 

@@ -148,12 +148,13 @@ object DedupQueries {
 
   private def stagedLshPairs(s: SparkSession, dir: String): DataFrame = {
     val p = lshPairsStageCache.computeIfAbsent(
-      graft.CorpusKey(dir, "documents.parquet"), _ => {
-        val pth = graft.Staging.fresh("lshpairs")
-        minhashLshPairs(s, dir, maxBucketSize = None)
-          .write.mode("overwrite").parquet(pth)
-        pth
-      })
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "lshdocpairs", "v1", dir,
+          Seq("documents")) { base =>
+          minhashLshPairs(s, dir, maxBucketSize = None)
+            .write.mode("overwrite").parquet(s"$base/pairs")
+          s"$base/pairs"
+        })
     s.read.parquet(p)
   }
 
@@ -541,6 +542,67 @@ object DedupQueries {
     ahashBandedPairs(s.read.parquet(s"$ck/ph"))
   }
 
+  /** Staged per-corpus perceptual-hash PAIR frame — q307's output made a
+    * durable index through the Layouts registry, so the synth + Y4M
+    * demux + aHash + banded-join pass is a once-per-corpus build shared
+    * by every image-dedup consumer (q316's clustering today; a takedown
+    * or recall audit tomorrow), across JVMs. q307 itself stays
+    * registered over the live pass — it IS the measurement of the
+    * decode path. */
+  private val phPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def stagedImagePairs(s: SparkSession, dir: String): DataFrame = {
+    val path = phPairsCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "phpairs", "v1;h=3", dir, Seq("documents")) { base =>
+          q307ImageNeardup(s, dir).write.mode("overwrite").parquet(s"$base/pairs")
+          s"$base/pairs"
+        })
+    s.read.parquet(path)
+  }
+
+  /** q316 — IMAGE NEAR-DUP CLUSTERS → REPRESENTATIVES: the downstream
+    * half the text family already has (q50 components → q195
+    * representatives), closed for the image modality. q307 emits the
+    * perceptual-hash pair stream; this query rides its STAGED frame
+    * (never re-decodes), labels connected components with q50's
+    * propagation object code (labelsOfPairs — min member id becomes the
+    * cluster id), and elects one representative per multi-member
+    * cluster under q195's exact rule: keep the member with the longest
+    * source text, ties to the lowest doc_id. The keep/drop bill for
+    * near-duplicate images is exactly what a multimodal curation run
+    * reads after the pair pass.
+    *
+    * The ORACLE rebuilds the whole chain from text alone (q307's
+    * pixel-synthesis CTEs → all-pairs hamming ≤ 3, exact there because
+    * the banding is pigeonhole-lossless → recursive-CTE components →
+    * the same argmax), so the hash gate covers decode, banding,
+    * propagation, and election end to end.
+    *
+    * Scale shape: pairs come off a durable leaf; propagation is q50's
+    * staged O(V+E) passes over the BOUNDED pair graph (image near-dup
+    * pairs, not the corpus); the election is one map-side-combinable
+    * max(struct) per cluster — no window over documents. */
+  def q316ImageClusterReps(s: SparkSession, dir: String): DataFrame = {
+    val pairs = stagedImagePairs(s, dir)
+      .select(col("doc_a").as("ka"), col("doc_b").as("kb"))
+    val labels = labelsOfPairs(s, pairs, graft.Staging.fresh("phreps"))
+    val quality = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("nc"))
+    labels.select(col("lbl").as("cluster_id"), col("v").as("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("nc"), (-col("doc_id")).as("nid"))).as("m"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id").cast("bigint").as("cluster_id"),
+        (-col("m.nid")).cast("bigint").as("rep_doc_id"),
+        col("m.nc").cast("bigint").as("rep_n_chars"),
+        col("n_members").cast("bigint").as("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Character-4-gram Jaccard similarity with blocking: pairs are generated
     * only within (lang, length-bucket, 4-char-prefix) blocks — an equi-join,
     * not a cross join — then scored on distinct-gram overlap. The prefix key
@@ -729,6 +791,10 @@ object DedupQueries {
     fuzzyBaseCache.clear()
     erLabelsCache.clear()
     subIncrCache.clear()
+    phPairsCache.clear()
+    lshPairsStageCache.clear()
+    ppjoinPairsCache.clear()
+    lshCandStageCache.clear()
   }
 
   /** Durable BUCKETED fingerprint index for incremental dedup — the q62
@@ -1767,12 +1833,13 @@ object DedupQueries {
 
   private def stagedPpjoinPairs(s: SparkSession, dir: String): DataFrame = {
     val p = ppjoinPairsCache.computeIfAbsent(
-      graft.CorpusKey(dir, "documents.parquet"), _ => {
-        val pth = graft.Staging.fresh("ppjoinpairs")
-        ppjoinJaccard(Tables.documents(s, dir), tau = 0.5)
-          .write.mode("overwrite").parquet(pth)
-        pth
-      })
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "ppjoinpairs", "v1;tau=0.5", dir,
+          Seq("documents")) { base =>
+          ppjoinJaccard(Tables.documents(s, dir), tau = 0.5)
+            .write.mode("overwrite").parquet(s"$base/pairs")
+          s"$base/pairs"
+        })
     s.read.parquet(p)
   }
 
@@ -2232,12 +2299,13 @@ object DedupQueries {
     * truth semi-join). */
   private def stagedLshCandidates(s: SparkSession, dir: String): DataFrame = {
     val p = lshCandStageCache.computeIfAbsent(
-      graft.CorpusKey(dir, "documents.parquet"), _ => {
-        val pth = graft.Staging.fresh("lshcand")
-        bucketPairs(minhashBands(s, dir), "doc_id", "doc_a", "doc_b")
-          .write.mode("overwrite").parquet(pth)
-        pth
-      })
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "lshcand", "v1", dir,
+          Seq("documents")) { base =>
+          bucketPairs(minhashBands(s, dir), "doc_id", "doc_a", "doc_b")
+            .write.mode("overwrite").parquet(s"$base/cand")
+          s"$base/cand"
+        })
     s.read.parquet(p)
   }
 
@@ -2397,6 +2465,7 @@ object DedupQueries {
     "q28_fingerprint" -> (q28Fingerprint _),
     "q42_simhash_pairs" -> (q42SimhashPairs _),
     "q307_image_neardup" -> (q307ImageNeardup _),
+    "q316_image_cluster_reps" -> (q316ImageClusterReps _),
     "q64_decontaminate" -> (q64Decontaminate _),
     "q65_incremental_dedup" -> (q65IncrementalDedup _),
     "q85_bucketed_dedup" -> (q85BucketedIncDedup _),
@@ -2892,6 +2961,41 @@ object DedupQueries {
         |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, hamming
         |FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // q307's pixel chain → all-pairs hamming <= 3 (lossless vs banding by
+    // pigeonhole) → recursive-CTE components → q195's election rule
+    "q316_image_cluster_reps" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |px AS (SELECT doc_id, u.i AS i,
+        |    CASE WHEN u.i <= n THEN ascii(substr(text, CAST(u.i AS INTEGER), 1)) % 256
+        |         ELSE 32 END AS v
+        |  FROM d, unnest(generate_series(1, 64)) u(i)),
+        |m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM px GROUP BY doc_id),
+        |h AS (SELECT px.doc_id,
+        |    CAST(SUM(CASE WHEN v > mean THEN
+        |      CASE WHEN i = 64 THEN (-9223372036854775807 - 1)
+        |           ELSE (1::BIGINT << CAST(i - 1 AS INTEGER)) END
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(v, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v),
+        |comp AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+        |q AS (SELECT comp.cluster_id, comp.v, length(dd.text) AS nc
+        |  FROM comp JOIN d dd ON dd.doc_id = comp.v),
+        |r AS (SELECT cluster_id, v, nc,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY nc DESC, v ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM q)
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(v AS BIGINT) AS rep_doc_id, CAST(nc AS BIGINT) AS rep_n_chars,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1 AND n_members >= 2 ORDER BY cluster_id""".stripMargin,
     // the q215 volume/quality projection + q21's fingerprint dup pass +
     // q64's shingle chain, assembled per source
     "q265_corpus_datacard" ->

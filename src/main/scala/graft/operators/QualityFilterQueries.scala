@@ -86,14 +86,22 @@ object QualityFilterQueries {
   private val featCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test hook: forget the durable staged feature frames (the trained
+    * weight caches stay session-local by design — they rebuild from the
+    * durable leaves in a bounded GD loop). */
+  private[graft] def resetDurableStagesForTest(): Unit = {
+    featCache.clear()
+    ngramFeatCache.clear()
+  }
+
   private def stagedFeatures(s: SparkSession, dir: String): DataFrame = {
     val p = featCache.computeIfAbsent(
-      graft.CorpusKey(dir, "documents.parquet"), _ => {
-        val pth = graft.Staging.fresh("qfeat")
-        features(Tables.documents(s, dir))
-          .write.mode("overwrite").parquet(pth)
-        pth
-      })
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "qfeat", "v1", dir, Seq("documents")) { base =>
+          features(Tables.documents(s, dir))
+            .write.mode("overwrite").parquet(s"$base/feat")
+          s"$base/feat"
+        })
     s.read.parquet(p)
   }
 
@@ -286,12 +294,12 @@ object QualityFilterQueries {
 
   private def stagedNgramFeatures(s: SparkSession, dir: String): DataFrame = {
     val p = ngramFeatCache.computeIfAbsent(
-      graft.CorpusKey(dir, "documents.parquet"), _ => {
-        val pth = graft.Staging.fresh("qngfeat")
-        ngramFeatures(Tables.documents(s, dir))
-          .write.mode("overwrite").parquet(pth)
-        pth
-      })
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "qngfeat", "v1", dir, Seq("documents")) { base =>
+          ngramFeatures(Tables.documents(s, dir))
+            .write.mode("overwrite").parquet(s"$base/feat")
+          s"$base/feat"
+        })
     s.read.parquet(p)
   }
 

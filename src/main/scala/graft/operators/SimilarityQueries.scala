@@ -135,6 +135,14 @@ object SimilarityQueries {
     * pairs, IVF/PQ codebooks + assignments/encodes, CC labels,
     * propagation fixpoint) — the Layouts files and manifests remain,
     * exactly what a fresh JVM sees. */
+  /** The geometry-bearing durable-layout kinds the registered query
+    * paths use — exposed so LayoutReattachSpec locates the layout dirs
+    * without duplicating the private geometry constants. */
+  private[graft] def ivfKindsForTest: Seq[String] =
+    Seq(s"ivfcb$ivfTrainSampleMod", s"ivfassign$ivfTrainSampleMod")
+  private[graft] def pqCbKindForTest: String =
+    s"pqcb$pqM-$pqK-$pqTrainIters-$pqTrainSampleMod"
+
   private[graft] def resetDurableStagesForTest(): Unit = {
     pairsCache.clear()
     ivfCodebookCache.clear()
@@ -144,6 +152,8 @@ object SimilarityQueries {
     pqBaseCache.clear()
     ccLabelsCache.clear()
     lpropConvCache.clear()
+    lpropCache.clear()
+    mmrPoolCache.clear()
   }
 
   private[graft] def stagedPairs(s: SparkSession, dir: String): DataFrame = {
@@ -550,8 +560,12 @@ object SimilarityQueries {
 
   private def trainedCodebookCached(s: SparkSession, dir: String,
                                     mod: Int): DataFrame = {
+    // geometry rides the KIND, not the version: the registry keeps ONE
+    // active layout per (kind, source), and different sample mods are
+    // live simultaneously (specs; q37 vs recall sweeps) — a shared kind
+    // would ping-pong rebuilds between them
     val p = ivfCodebookCache.computeIfAbsent(corpusKey(dir, mod), _ =>
-      graft.etl.Layouts.stage(s, "ivfcb", s"v1;mod=$mod", dir,
+      graft.etl.Layouts.stage(s, s"ivfcb$mod", "v1", dir,
         Seq("embeddings")) { base =>
         trainedCodebook(normed(s, dir), trainSampleMod = mod)
           .write.mode("overwrite").parquet(s"$base/cb")
@@ -562,7 +576,7 @@ object SimilarityQueries {
 
   private[graft] def ivfAssigned(s: SparkSession, dir: String, mod: Int): DataFrame = {
     val p = ivfAssignedCache.computeIfAbsent(corpusKey(dir, mod), _ =>
-      graft.etl.Layouts.stage(s, "ivfassign", s"v1;mod=$mod", dir,
+      graft.etl.Layouts.stage(s, s"ivfassign$mod", "v1", dir,
         Seq("embeddings")) { base =>
         assign(normed(s, dir), trainedCodebookCached(s, dir, mod))
           .select("vec_id", "v", "nrm", "centroid_id")
@@ -1489,10 +1503,11 @@ object SimilarityQueries {
                                trainSampleMod: Int): DataFrame = {
     val key = graft.CorpusKey(dir, "embeddings.parquet") +
       s":$m:$k:$trainIters:$trainSampleMod"
+    // geometry in the KIND (one active layout per kind): q71/q212 and the
+    // recall/ablation specs hold several training geometries live at once
     val p = pqCodebookCache.computeIfAbsent(key, _ =>
-      graft.etl.Layouts.stage(s, "pqcb",
-        s"v1;m=$m;k=$k;it=$trainIters;mod=$trainSampleMod", dir,
-        Seq("embeddings")) { base =>
+      graft.etl.Layouts.stage(s, s"pqcb$m-$k-$trainIters-$trainSampleMod",
+        "v1", dir, Seq("embeddings")) { base =>
         trainPqCodebook(e, m, k, trainIters, trainSampleMod)
           .write.mode("overwrite").parquet(s"$base/cb")
         s"$base/cb"
@@ -2316,20 +2331,21 @@ object SimilarityQueries {
     * only grows), which ServingWaveSpec pins. */
   def q294MmrRerank(s: SparkSession, dir: String): DataFrame = {
     val poolPath = mmrPoolCache.computeIfAbsent(
-      graft.CorpusKey(dir, "embeddings.parquet"), _ => {
-        val e = quantized(s, dir)
-        val probes = e.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("probe_id"), col("dv").as("pv"))
-        val wRel = Window.partitionBy("probe_id").orderBy(desc("rel"), asc("vec_id"))
-        val p = Staging.fresh("mmrpool")
-        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-          .withColumn("rel", expr("cast(graft_dot(pv, dv) as bigint)"))
-          .withColumn("rn", row_number().over(wRel))
-          .filter(col("rn") <= 8)
-          .select("probe_id", "vec_id", "rel", "dv")
-          .write.mode("overwrite").parquet(p)
-        p
-      })
+      graft.CorpusKey(dir, "embeddings.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "mmrpool", "v1;probes=4;top=8", dir,
+          Seq("embeddings")) { base =>
+          val e = quantized(s, dir)
+          val probes = e.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("probe_id"), col("dv").as("pv"))
+          val wRel = Window.partitionBy("probe_id").orderBy(desc("rel"), asc("vec_id"))
+          e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+            .withColumn("rel", expr("cast(graft_dot(pv, dv) as bigint)"))
+            .withColumn("rn", row_number().over(wRel))
+            .filter(col("rn") <= 8)
+            .select("probe_id", "vec_id", "rel", "dv")
+            .write.mode("overwrite").parquet(s"$base/pool")
+          s"$base/pool"
+        })
     val shortlist = s.read.parquet(poolPath)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -2450,7 +2466,7 @@ object SimilarityQueries {
     * label) count + a per-node argmax window over the bounded vote
     * frame. */
   private val lpropCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def q302LabelPropagation(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.embeddings(s, dir).select(col("vec_id").as("node"))
@@ -2470,17 +2486,17 @@ object SimilarityQueries {
         .select("node", "lbl")
         .join(labeled.select("node"), Seq("node"), "left_anti")
     }
-    val (p1, p2) = lpropCache.computeIfAbsent(
-      graft.CorpusKey(dir, "embeddings.parquet"), _ => {
-        val r1p = Staging.fresh("lprop1")
-        adopt(seeds).write.mode("overwrite").parquet(r1p)
-        val r2p = Staging.fresh("lprop2")
-        adopt(seeds.unionByName(s.read.parquet(r1p)))
-          .write.mode("overwrite").parquet(r2p)
-        (r1p, r2p)
-      })
-    val r1 = s.read.parquet(p1)
-    val r2 = s.read.parquet(p2)
+    val base = lpropCache.computeIfAbsent(
+      graft.CorpusKey(dir, "embeddings.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "lprop2round", "v1", dir,
+          Seq("embeddings")) { b =>
+          adopt(seeds).write.mode("overwrite").parquet(s"$b/r1")
+          adopt(seeds.unionByName(s.read.parquet(s"$b/r1")))
+            .write.mode("overwrite").parquet(s"$b/r2")
+          b
+        })
+    val r1 = s.read.parquet(s"$base/r1")
+    val r2 = s.read.parquet(s"$base/r2")
     val l2 = seeds.unionByName(r1).unionByName(r2)
     val byLabel = seeds.groupBy("lbl").agg(count(lit(1)).as("n_seeds"))
       .join(r1.groupBy("lbl").agg(count(lit(1)).as("n_round1")), Seq("lbl"), "left")

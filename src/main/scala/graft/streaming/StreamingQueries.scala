@@ -770,9 +770,11 @@ object StreamingQueries {
     * store, so the registered form keeps two stages; the crossover is
     * events-per-user-hour > ~state-write-cost/row-cost, measured per
     * pipeline. */
-  def q227StreamingSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
-    val tbl = s"graft_stream_sliding_${runCounter.incrementAndGet()}"
-    val ss = drain(s) { ss => StreamSources.events(ss, dir)
+  /** q227's topology minus the sink — shared with StreamProfile so the
+    * 24-way fanout + double-state-store premium is attributable. */
+  private[graft] def slidingDistinctStreamFrame(ss: SparkSession,
+                                                dir: String): DataFrame =
+    StreamSources.events(ss, dir)
       .select(col("user_id"), date_trunc("HOUR", col("ts")).as("eh"))
       .select(col("user_id"), col("eh"), explode(expr("sequence(0, 23)")).as("off"))
       .select(col("user_id"), expr("timestampadd(HOUR, off, eh)").as("wh"))
@@ -782,6 +784,10 @@ object StreamingQueries {
       .agg(count(lit(1)).cast("bigint").as("active_users_24h"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
         col("active_users_24h"))
+
+  def q227StreamingSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_stream_sliding_${runCounter.incrementAndGet()}"
+    val ss = drain(s) { ss => slidingDistinctStreamFrame(ss, dir)
       .writeStream
       .format("memory")
       .queryName(tbl)

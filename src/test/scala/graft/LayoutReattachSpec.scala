@@ -119,6 +119,7 @@ class LayoutReattachSpec extends AnyFunSuite {
 
     operators.DedupQueries.resetDurableStagesForTest()
     operators.SimilarityQueries.resetDurableStagesForTest()
+    operators.QualityFilterQueries.resetDurableStagesForTest()
 
     val r2 = SparkEntry.queries(query)(spark, sfDir).collect()
     assert(r2.toSeq == r1.toSeq,
@@ -150,7 +151,7 @@ class LayoutReattachSpec extends AnyFunSuite {
   }
 
   test("q37 IVF codebook + assignment re-attach across sessions") {
-    assertReattaches("q37_ivf_topk", Seq("ivfcb", "ivfassign"))
+    assertReattaches("q37_ivf_topk", operators.SimilarityQueries.ivfKindsForTest)
   }
 
   test("q308 frozen IVF base index re-attaches across sessions") {
@@ -158,11 +159,43 @@ class LayoutReattachSpec extends AnyFunSuite {
   }
 
   test("q71 PQ codebook re-attaches across sessions") {
-    assertReattaches("q71_pq_topk", Seq("pqcb"))
+    assertReattaches("q71_pq_topk", Seq(operators.SimilarityQueries.pqCbKindForTest))
   }
 
   test("q312 frozen PQ base index re-attaches across sessions") {
     assertReattaches("q312_pq_incremental", Seq("pqbase"))
+  }
+
+  test("q316 perceptual-hash pair frame re-attaches across sessions") {
+    assertReattaches("q316_image_cluster_reps", Seq("phpairs"))
+  }
+
+  test("q314 substring-run index re-attaches across sessions") {
+    assertReattaches("q314_substring_incremental", Seq("subincr"))
+  }
+
+  test("q22 staged pair stream re-attaches across sessions") {
+    assertReattaches("q22_minhash_lsh", Seq("lshdocpairs"))
+  }
+
+  test("q297 candidate + PPJoin truth frames re-attach across sessions") {
+    assertReattaches("q297_blocking_audit", Seq("lshcand", "ppjoinpairs"))
+  }
+
+  test("q302 two-round propagation re-attaches across sessions") {
+    assertReattaches("q302_label_propagation", Seq("lprop2round"))
+  }
+
+  test("q294 MMR shortlist pool re-attaches across sessions") {
+    assertReattaches("q294_mmr_rerank", Seq("mmrpool"))
+  }
+
+  test("q205 quality feature frame re-attaches across sessions") {
+    assertReattaches("q205_train_quality_filter", Seq("qfeat"))
+  }
+
+  test("q213 n-gram feature frame re-attaches across sessions") {
+    assertReattaches("q213_ngram_quality_filter", Seq("qngfeat"))
   }
 
   test("a stale staged-cache fingerprint forces a rebuild (lshbase)") {

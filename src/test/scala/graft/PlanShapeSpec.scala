@@ -140,8 +140,9 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q105: the cluster assignment is read as a staged leaf, never re-derived") {
     val p = plan("q105_sem_dedup")
     // round 10: the staged assignment became the shared once-per-corpus
-    // ivfassign index (the pqCodebookCache idiom) — same leaf-scan shape
-    assert(p.contains("graft_ivfassign"),
+    // ivfassign index (the pqCodebookCache idiom) — same leaf-scan shape;
+    // round 15 moved it under the durable Layouts root (ivfassign<mod>_*)
+    assert(p.contains("ivfassign"),
       s"consumers must scan the staged assignment index:\n$p")
     // training ran BEFORE this plan (inside the staging write): the final
     // plan must contain no Lloyd machinery (no codebook broadcast argmax)
@@ -154,7 +155,8 @@ class PlanShapeSpec extends AnyFunSuite {
       s"blocking key must make the pair join an equi-join:\n$p")
     // the levenshtein pass ran once, inside the staging write; both
     // consuming aggregates must read the staged pair set as a leaf
-    assert(p.contains("graft_fuzzy"),
+    // (round 15: under the durable Layouts root, fuzzypairs_*)
+    assert(p.contains("fuzzy"),
       s"aggregates must scan the staged pair set:\n$p")
     assert(!p.contains("levenshtein"),
       s"the scoring pass must not re-run per consumer:\n$p")
