@@ -757,8 +757,7 @@ object CorpusQueries {
     * frames make structurally possible — see [[stagedBigramLm]]. */
   def q211BigramQuality(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (c2p, c1p, v) = stagedBigramLm(s,
-      graft.CorpusKey(dir, "documents.parquet"), docs)
+    val (c2p, c1p, v) = stagedBigramLm(s, dir)
     bigramScore(bigrams(docs), s.read.parquet(c2p), s.read.parquet(c1p), v)
   }
 
@@ -790,8 +789,7 @@ object CorpusQueries {
     * and one bounded final aggregate — no corpus-wide sort anywhere. */
   def q219CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (c2p, c1p, v) = stagedBigramLm(s,
-      graft.CorpusKey(dir, "documents.parquet"), docs)
+    val (c2p, c1p, v) = stagedBigramLm(s, dir)
     val scored = bigramScore(bigrams(docs),
       s.read.parquet(c2p), s.read.parquet(c1p), v)
     val base = scored
@@ -838,22 +836,43 @@ object CorpusQueries {
     * the count frames re-shuffle onto the join keys through ordinary
     * exchanges and a stop-wordy hot prefix skew-splits at runtime
     * (SkewJoinSpec pins the split firing AND result preservation). */
+  /** Test hook: forget the durable LM-stage cache (the Layouts files
+    * and manifest remain, exactly what a fresh JVM sees). */
+  private[graft] def resetDurableStagesForTest(): Unit = bigramLmCache.clear()
+
   private val bigramLmCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
 
-  private def stagedBigramLm(s: SparkSession, key: String,
-                             docs: DataFrame): (String, String, Long) =
-    bigramLmCache.computeIfAbsent(key, _ => trainBigramLm(s, docs))
+  /** The registered-query LM stage, durable through the Layouts
+    * registry (round 15): counts land under the registry base, the
+    * vocab scalar in a sidecar file, so a later JVM attaches instead of
+    * re-training. The in-JVM map still short-circuits repeat calls. */
+  private def stagedBigramLm(s: SparkSession, dir: String): (String, String, Long) =
+    bigramLmCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ => {
+        val base = graft.etl.Layouts.stage(s, "bglm", "v1", dir,
+          Seq("documents")) { b =>
+          val (_, _, v) = trainBigramLm(s, Tables.documents(s, dir), Some(b))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(b, "vocab.txt"),
+            v.toString.getBytes("UTF-8"))
+          b
+        }
+        val v = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(base, "vocab.txt")), "UTF-8").trim.toLong
+        (s"$base/c2", s"$base/c1", v)
+      })
 
-  /** Train the add-one-smoothed LM counts into fresh staged parquets;
-    * the vocab size rides as a bounded driver scalar (one long). */
-  private[graft] def trainBigramLm(s: SparkSession,
-                                   docs: DataFrame): (String, String, Long) = {
+  /** Train the add-one-smoothed LM counts into staged parquets (under
+    * `under` when given — the durable form — else fresh session staging;
+    * the vocab size rides as a bounded driver scalar, one long). */
+  private[graft] def trainBigramLm(s: SparkSession, docs: DataFrame,
+                                   under: Option[String] = None): (String, String, Long) = {
     val bi = bigrams(docs)
-    val c2p = graft.Staging.fresh("bglm_c2")
+    val c2p = under.map(b => s"$b/c2").getOrElse(graft.Staging.fresh("bglm_c2"))
     bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .write.mode("overwrite").parquet(c2p)
-    val c1p = graft.Staging.fresh("bglm_c1")
+    val c1p = under.map(b => s"$b/c1").getOrElse(graft.Staging.fresh("bglm_c1"))
     s.read.parquet(c2p).groupBy("w1").agg(sum("c2").as("c1"))
       .write.mode("overwrite").parquet(c1p)
     val v = docs.select(explode(expr("split(text, ' ')")).as("tok"))
@@ -1392,8 +1411,7 @@ object CorpusQueries {
     * the argmin has no float ambiguity. */
   def q303WorstWindow(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (c2p, c1p, v) = stagedBigramLm(s,
-      graft.CorpusKey(dir, "documents.parquet"), docs)
+    val (c2p, c1p, v) = stagedBigramLm(s, dir)
     val biPos = docs
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 16"))

@@ -480,12 +480,19 @@ object DedupQueries {
     * output is exactly the all-pairs hamming ≤ 3 set and the oracle needs
     * no banding mirror. Factored from [[q307ImageNeardup]] so the spec
     * can drive constructed hash frames through the identical plan. */
-  private[operators] def ahashBandedPairs(ph: org.apache.spark.sql.DataFrame,
-                                          maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+  /** The 4×16-bit band frame of a (doc_id, ahash) frame — the blocking
+    * structure of the image near-dup chain, factored so the incremental
+    * path (q317) bands the delta alone. */
+  private def ahashBands(ph: DataFrame): DataFrame = {
     val bandKeys = (0 until 4)
       .map(b => s"$b, cast(shiftright(ahash, ${16 * b}) & 65535 as int)")
       .mkString(", ")
-    val bands = ph.selectExpr("doc_id", "ahash", s"stack(4, $bandKeys) as (band, bkey)")
+    ph.selectExpr("doc_id", "ahash", s"stack(4, $bandKeys) as (band, bkey)")
+  }
+
+  private[operators] def ahashBandedPairs(ph: org.apache.spark.sql.DataFrame,
+                                          maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    val bands = ahashBands(ph)
     bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("ahash").as("ha"))
       .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"),
         col("ahash").as("hb")), Seq("band", "bkey"))
@@ -519,27 +526,107 @@ object DedupQueries {
     * of re-running the codec; candidate generation is banded (never
     * all-pairs) and lossless at hamming ≤ 3 by pigeonhole; the pair
     * stream stays inside whole-stage codegen. */
-  def q307ImageNeardup(s: SparkSession, dir: String): DataFrame = {
-    val hashed = graft.multimodal.BinaryPipeline
-      .perceptualHash(graft.multimodal.BinaryPipeline
-        .imageMediaFromText(Tables.documents(s, dir)))
+  /** The (doc_id, ahash) perceptual-hash projection of a (doc_id, text)
+    * frame through the REAL synth → Y4M demux → aHash path, with the
+    * demux-failure assert riding along. A FILTER (always-true by
+    * construction) rather than a projected column: a pruned-away
+    * projection would let Catalyst eliminate the unevaluated assert, and
+    * parquet cannot carry its NullType anyway. Shared by q307 (full
+    * corpus) and q317 (standing slice / delta batch separately). */
+  private[graft] def perceptualHashFrame(docs: DataFrame): DataFrame =
+    graft.multimodal.BinaryPipeline
+      .perceptualHash(graft.multimodal.BinaryPipeline.imageMediaFromText(docs))
       .toDF()
-    // fresh() per invocation (the q42 rule): stage the tiny hash frame so
-    // the banded self-join never re-runs the synth+demux+hash pass. The
-    // real-pixel assertion rides the staging write: a demux failure would
-    // silently substitute the md5 fallback fingerprint and emit pairs
-    // from garbage — fail the job instead (assert_true is codegen'd and
-    // costs nothing on the true path).
-    val ck = graft.Staging.fresh("ph307")
-    hashed
-      // a FILTER (always-true by construction) rather than a projected
-      // column: a pruned-away projection would let Catalyst eliminate the
-      // unevaluated assert, and parquet cannot carry its NullType anyway
       .filter(expr(
-        "assert_true(real, 'q307: synthesized thumbnail failed to demux') is null"))
+        "assert_true(real, 'graft: synthesized thumbnail failed to demux') is null"))
       .select(col("doc_id"), col("ahash"))
+
+  def q307ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    // fresh() per invocation (the q42 rule): stage the tiny hash frame so
+    // the banded self-join never re-runs the synth+demux+hash pass; the
+    // real-pixel assertion rides the staging write — a demux failure
+    // fails the job instead of silently hashing garbage (assert_true is
+    // codegen'd and costs nothing on the true path).
+    val ck = graft.Staging.fresh("ph307")
+    perceptualHashFrame(Tables.documents(s, dir))
       .write.mode("overwrite").parquet(s"$ck/ph")
     ahashBandedPairs(s.read.parquet(s"$ck/ph"))
+  }
+
+  /** q317 — INCREMENTAL IMAGE-PAIR MAINTENANCE: the q311 delta
+    * discipline carried to the image modality, completing the standing
+    * indexes' incremental set (q65/q85 exact, q311 LSH, q308 IVF, q312
+    * PQ, q313 fuzzy, q314 substring — and now the perceptual-hash pair
+    * stream). The standing corpus (doc_id % 10 != 7) has a durable hash
+    * frame + banded pair stream; this week's image batch (% 10 == 7) is
+    * DECODED AND HASHED ALONE (the synth → Y4M demux → aHash pass never
+    * re-touches the standing corpus — at 100 TB the decode is the
+    * dominant cost and the 16-byte hash index is what it amortizes
+    * into), its bands join standing ∪ delta bands for the
+    * delta-touching candidates, the hamming ≤ 3 verify runs on those
+    * only, and the union with the staged pairs is the updated stream.
+    * Exactness is q311's structural argument (band membership is
+    * per-document; the candidate relation is a bucket equi-join) PLUS
+    * the pigeonhole guarantee: ≤ 3 flipped bits cannot touch all 4
+    * bands, so banding is lossless and the ORACLE is the clean
+    * all-pairs hamming ≤ 3 SQL over the whole corpus — q307's oracle
+    * verbatim. ImageIncrementalSpec feeds a constructed delta whose
+    * texts collide with standing thumbnails only through the 64-char
+    * pixel window (a change past position 64 leaves the hash bit-equal).
+    *
+    * Scale shape: recurring cost = |delta| decodes + one (band, bkey)
+    * equi-join whose build side is 4×|delta| rows + bit_count on
+    * delta-touching candidates; staged reads are leaf scans. */
+  private val phBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the standing image index under `stage`: the base slice's
+    * (doc_id, ahash) frame and its banded hamming ≤ 3 pair stream. */
+  private[graft] def imageIndexBuild(s: SparkSession, base: DataFrame,
+                                     stage: String): Unit = {
+    perceptualHashFrame(base).write.mode("overwrite").parquet(s"$stage/ph")
+    ahashBandedPairs(s.read.parquet(s"$stage/ph"))
+      .write.mode("overwrite").parquet(s"$stage/pairs")
+  }
+
+  /** The delta-only update against a standing image index at `stage`:
+    * hash the delta alone, join its bands against standing ∪ delta,
+    * verify hamming on those candidates only, union with staged pairs.
+    * Delta-delta pairs arrive once from each join direction — the
+    * distinct collapses them (xor is symmetric, so both orientations
+    * carry the same hamming). */
+  private[graft] def imageDeltaUpdate(s: SparkSession, delta: DataFrame,
+                                      stage: String): DataFrame = {
+    val dp = graft.Staging.fresh("phdelta")
+    perceptualHashFrame(delta).write.mode("overwrite").parquet(dp)
+    val dph = s.read.parquet(dp)
+    val allPh = s.read.parquet(s"$stage/ph").unionByName(dph)
+    val newPairs = ahashBands(dph)
+      .select(col("band"), col("bkey"), col("doc_id").as("d"), col("ahash").as("ha"))
+      .join(ahashBands(allPh)
+        .select(col("band"), col("bkey"), col("doc_id").as("o"), col("ahash").as("hb")),
+        Seq("band", "bkey"))
+      .filter(col("d") =!= col("o"))
+      .select(least(col("d"), col("o")).cast("bigint").as("doc_a"),
+        greatest(col("d"), col("o")).cast("bigint").as("doc_b"),
+        expr("cast(bit_count(ha ^ hb) as int)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+    s.read.parquet(s"$stage/pairs").unionByName(newPairs)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def q317ImageIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pth = phBaseCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "phbase", "v1;mod=7;h=3", dir,
+          Seq("documents")) { base =>
+          imageIndexBuild(s,
+            Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7), base)
+          base
+        })
+    imageDeltaUpdate(s,
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 7), pth)
   }
 
   /** Staged per-corpus perceptual-hash PAIR frame — q307's output made a
@@ -795,6 +882,7 @@ object DedupQueries {
     lshPairsStageCache.clear()
     ppjoinPairsCache.clear()
     lshCandStageCache.clear()
+    phBaseCache.clear()
   }
 
   /** Durable BUCKETED fingerprint index for incremental dedup — the q62
@@ -2466,6 +2554,7 @@ object DedupQueries {
     "q42_simhash_pairs" -> (q42SimhashPairs _),
     "q307_image_neardup" -> (q307ImageNeardup _),
     "q316_image_cluster_reps" -> (q316ImageClusterReps _),
+    "q317_image_incremental" -> (q317ImageIncremental _),
     "q64_decontaminate" -> (q64Decontaminate _),
     "q65_incremental_dedup" -> (q65IncrementalDedup _),
     "q85_bucketed_dedup" -> (q85BucketedIncDedup _),
@@ -2944,6 +3033,28 @@ object DedupQueries {
     // the signed BIGINT equals the JVM long. Banding is pigeonhole-
     // lossless at hamming <= 3 (< 4 bands), so all-pairs is the same set.
     "q307_image_neardup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |px AS (SELECT doc_id, u.i AS i,
+        |    CASE WHEN u.i <= n THEN ascii(substr(text, CAST(u.i AS INTEGER), 1)) % 256
+        |         ELSE 32 END AS v
+        |  FROM d, unnest(generate_series(1, 64)) u(i)),
+        |m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM px GROUP BY doc_id),
+        |h AS (SELECT px.doc_id,
+        |    CAST(SUM(CASE WHEN v > mean THEN
+        |      CASE WHEN i = 64 THEN (-9223372036854775807 - 1)
+        |           ELSE (1::BIGINT << CAST(i - 1 AS INTEGER)) END
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, hamming
+        |FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // q317's ground truth IS q307's all-pairs rebuild over the whole
+    // corpus: banding is pigeonhole-lossless at hamming <= 3 and band
+    // membership is per-document, so the standing-index union must
+    // reproduce it exactly
+    "q317_image_incremental" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |px AS (SELECT doc_id, u.i AS i,
         |    CASE WHEN u.i <= n THEN ascii(substr(text, CAST(u.i AS INTEGER), 1)) % 256

@@ -422,11 +422,29 @@ object TextAnalysisQueries {
   private val bpeRulesCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
+  /** Test hook: forget the durable trained-rules cache (the Layouts
+    * files and manifest remain, exactly what a fresh JVM sees). */
+  private[graft] def resetDurableStagesForTest(): Unit = bpeRulesCache.clear()
+
   private def trainedBpeRules(s: SparkSession, dir: String): Array[String] =
     bpeRulesCache.computeIfAbsent(
-      graft.CorpusKey(dir, "documents.parquet"),
-      _ => bpeTrainRounds(Tables.documents(s, dir), 3)
-        .orderBy("round").select("pair").collect().map(_.getString(0)))
+      graft.CorpusKey(dir, "documents.parquet"), _ => {
+        // durable through the Layouts registry (round 15): the trained
+        // rules land as a newline-joined text file next to the manifest,
+        // so a later JVM attaches instead of re-running the 3-round train
+        val p = graft.etl.Layouts.stage(s, "bperules", "v1;rounds=3", dir,
+          Seq("documents")) { base =>
+          val rules = bpeTrainRounds(Tables.documents(s, dir), 3)
+            .orderBy("round").select("pair").collect().map(_.getString(0))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(base, "rules.txt"),
+            rules.mkString("\n").getBytes("UTF-8"))
+          s"$base/rules.txt"
+        }
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+          .split("\n", -1).filter(_.nonEmpty)
+      })
 
   def q144BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val rules = trainedBpeRules(s, dir)

@@ -120,6 +120,8 @@ class LayoutReattachSpec extends AnyFunSuite {
     operators.DedupQueries.resetDurableStagesForTest()
     operators.SimilarityQueries.resetDurableStagesForTest()
     operators.QualityFilterQueries.resetDurableStagesForTest()
+    operators.TextAnalysisQueries.resetDurableStagesForTest()
+    operators.CorpusQueries.resetDurableStagesForTest()
 
     val r2 = SparkEntry.queries(query)(spark, sfDir).collect()
     assert(r2.toSeq == r1.toSeq,
@@ -170,6 +172,10 @@ class LayoutReattachSpec extends AnyFunSuite {
     assertReattaches("q316_image_cluster_reps", Seq("phpairs"))
   }
 
+  test("q317 standing image index re-attaches across sessions") {
+    assertReattaches("q317_image_incremental", Seq("phbase"))
+  }
+
   test("q314 substring-run index re-attaches across sessions") {
     assertReattaches("q314_substring_incremental", Seq("subincr"))
   }
@@ -196,6 +202,14 @@ class LayoutReattachSpec extends AnyFunSuite {
 
   test("q213 n-gram feature frame re-attaches across sessions") {
     assertReattaches("q213_ngram_quality_filter", Seq("qngfeat"))
+  }
+
+  test("q144 trained BPE rules re-attach across sessions") {
+    assertReattaches("q144_bpe_encode", Seq("bperules"))
+  }
+
+  test("q211 bigram LM counts + vocab sidecar re-attach across sessions") {
+    assertReattaches("q211_bigram_quality", Seq("bglm"))
   }
 
   test("a stale staged-cache fingerprint forces a rebuild (lshbase)") {
