@@ -1575,7 +1575,10 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build the standing entity-blocking index under `stage`: the base
-    * slice's variant frame and its verified pair stream. */
+    * slice's variant frame, its verified pair stream, and — since round
+    * 15 — the base-component LABELS, the warm-start seed for q315's
+    * label recompute (exact under the append-only delta contract; see
+    * propagateLabels' seed note). */
   private[graft] def fuzzyIndexBuild(s: SparkSession, base: DataFrame,
                                      stage: String): Unit = {
     fuzzyVariantsOf(base).write.mode("overwrite").parquet(s"$stage/vars")
@@ -1583,6 +1586,9 @@ object DedupQueries {
       .filter(levenshtein(col("a.sfx"), col("b.sfx"), 2) =!= -1)
       .select(col("a.nk").as("nk"), col("a.k").as("ka"), col("b.k").as("kb"))
       .write.mode("overwrite").parquet(s"$stage/pairs")
+    labelsOfPairs(s, s.read.parquet(s"$stage/pairs").select("ka", "kb"),
+        s"$stage/lblwork")
+      .write.mode("overwrite").parquet(s"$stage/labels")
   }
 
   /** The delta-only update: variant the batch alone, join against
@@ -1617,7 +1623,7 @@ object DedupQueries {
   private def fuzzyBaseStage(s: SparkSession, dir: String): String =
     fuzzyBaseCache.computeIfAbsent(
       graft.CorpusKey(dir, "customer.parquet"), _ =>
-        graft.etl.Layouts.stage(s, "fuzzybase", "v1;mod=7", dir,
+        graft.etl.Layouts.stage(s, "fuzzybase", "v2;mod=7;labels", dir,
           Seq("customer")) { base =>
           fuzzyIndexBuild(s,
             Tables.customer(s, dir).filter(col("c_custkey") % 10 =!= 7), base)
@@ -1718,13 +1724,14 @@ object DedupQueries {
     * relabel arbitrarily many components (the q313 scaladoc's design
     * ruling, exercised end to end by q315). */
   private[graft] def labelsOfPairs(s: SparkSession, pairs: DataFrame,
-                                   stage: String): DataFrame = {
+                                   stage: String,
+                                   seedDir: Option[String] = None): DataFrame = {
     val und = pairs.select(col("ka").as("src"), col("kb").as("dst"))
       .union(pairs.select(col("kb").as("src"), col("ka").as("dst")))
     val verts = und.select("src").distinct()
     und.union(verts.select(col("src"), col("src").as("dst")))
       .write.mode("overwrite").parquet(s"$stage/base")
-    SimilarityQueries.propagateLabels(s, s"$stage/base")
+    SimilarityQueries.propagateLabels(s, s"$stage/base", seedDir)
   }
 
   /** q176/q177's associative merge rules applied per component label —
@@ -1778,10 +1785,16 @@ object DedupQueries {
     * over the MAINTAINED pair frame (never re-blocking, never
     * re-scoring); merge as q177 (two equi-joins on the customer key). */
   def q315ErIncremental(s: SparkSession, dir: String): DataFrame = {
+    val stage = fuzzyBaseStage(s, dir)
     val pairs = fuzzyDeltaUpdate(s,
       Tables.customer(s, dir).filter(col("c_custkey") % 10 === 7),
-      fuzzyBaseStage(s, dir)).select("ka", "kb")
-    val labels = labelsOfPairs(s, pairs, graft.Staging.fresh("erinc"))
+      stage).select("ka", "kb")
+    // the recompute WARM-STARTS from the staged base labeling — exact
+    // under the append-only delta (propagateLabels' seed contract), and
+    // base components start pre-collapsed so the loop converges in the
+    // merged-component diameter, not the full graph's
+    val labels = labelsOfPairs(s, pairs, graft.Staging.fresh("erinc"),
+      Some(s"$stage/labels"))
     goldenMerge(Tables.customer(s, dir), labels)
   }
 

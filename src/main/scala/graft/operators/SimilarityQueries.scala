@@ -1286,7 +1286,20 @@ object SimilarityQueries {
     *     rotation), never the pass count, and nothing pins executor
     *     block-manager memory at all.
     */
-  private[graft] def propagateLabels(s: SparkSession, baseDir: String): DataFrame = {
+  /** Optional WARM START (`seedDir`: a staged (v, lbl) parquet): start
+    * each seeded vertex from that labeling instead of its own id. Exact
+    * for any seed whose labels are ids of vertices IN THE SAME CURRENT
+    * COMPONENT and present in the current graph (a prior labeling of a
+    * subgraph under an append-only delta qualifies — q315's contract):
+    * labels only decrease, every initial label bounds the component min
+    * from above, and the true min M's own seed is M (its base component
+    * can hold no smaller id) or M is unseeded — so the fixpoint is the
+    * same component minimum, in fewer passes because base components
+    * start pre-collapsed. A seed labeling that references REMOVED
+    * vertices is NOT safe (a phantom min would leak into real labels);
+    * callers with deletions must pass None. */
+  private[graft] def propagateLabels(s: SparkSession, baseDir: String,
+                                     seedDir: Option[String] = None): DataFrame = {
     val ls = s.newSession()
     val base = ls.read.parquet(baseDir)
     // the override is read from the CALLER's conf — newSession() starts
@@ -1331,8 +1344,17 @@ object SimilarityQueries {
         .withColumnRenamed("src", "v")
     // stage the initial labels too: pass 1 references this frame five
     // times, which would otherwise re-run the base scan per reference
-    verts.select(col("src").as("v"), col("src").as("lbl"))
-      .write.mode("overwrite").parquet(s"$ck/l0")
+    seedDir match {
+      case Some(sd) =>
+        verts.select(col("src").as("v"))
+          .join(ls.read.parquet(sd).withColumnRenamed("lbl", "seed_lbl"),
+            Seq("v"), "left")
+          .select(col("v"), coalesce(col("seed_lbl"), col("v")).as("lbl"))
+          .write.mode("overwrite").parquet(s"$ck/l0")
+      case None =>
+        verts.select(col("src").as("v"), col("src").as("lbl"))
+          .write.mode("overwrite").parquet(s"$ck/l0")
+    }
     var labels = ls.read.parquet(s"$ck/l0")
     var prevLabels = labels
     var converged = false

@@ -19,9 +19,11 @@ class ErIncrementalSpec extends AnyFunSuite {
   }
 
   private def golden(customers: org.apache.spark.sql.DataFrame,
-                     pairs: org.apache.spark.sql.DataFrame) =
+                     pairs: org.apache.spark.sql.DataFrame,
+                     seedDir: Option[String] = None) =
     DedupQueries.goldenMerge(customers,
-      DedupQueries.labelsOfPairs(spark, pairs, graft.Staging.fresh("erspec")))
+      DedupQueries.labelsOfPairs(spark, pairs, graft.Staging.fresh("erspec"),
+        seedDir))
       .collect().map(_.toString).toSeq
 
   test("a bridging delta merges two standing components through the recompute") {
@@ -62,6 +64,13 @@ class ErIncrementalSpec extends AnyFunSuite {
     assert(!inc.exists(_.startsWith("[20,")),
       "the absorbed component's old survivor must no longer head a record")
     assert(!inc.exists(_.startsWith("[500,")), "untouched singleton stays out")
+
+    // the WARM-STARTED recompute (q315's registered path: seeded from the
+    // staged base labeling) must land on the same fixpoint even though
+    // both merged components entered pre-collapsed under DIFFERENT seeds —
+    // the adversarial case for seed-independence
+    val warm = golden(all, maintained, Some(s"$stage/labels"))
+    assert(warm == full, "warm-started labels must equal the cold fixpoint")
   }
 
   test("registered q315 == q177 on the fixture (same corpus, same golden records)") {
