@@ -72,8 +72,17 @@ object Layouts {
     * still manifests deterministically. */
   def sourceFingerprint(sourceDir: String, tables: Seq[String]): String = {
     val lines = tables.sorted.map { t =>
+      // ONLY a genuinely missing source fingerprints as absent; a
+      // malformed path (empty string, bad URI) rethrows — mapping it to
+      // the stable 'absent' constant would let a broken caller attach a
+      // stale layout forever, the exact hole CorpusKey's loud-failure
+      // contract exists to close
       try graft.CorpusKey(sourceDir, s"$t.parquet")
-      catch { case _: IllegalArgumentException => s"$t:absent" }
+      catch {
+        case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.contains("source missing")) =>
+          s"$t:absent"
+      }
     }
     md5hex(lines.mkString("\n"))
   }
@@ -154,10 +163,18 @@ object Layouts {
         m
       case _ =>
         // stale or absent: invalidate first so a failed build can never
-        // be attached by a later session
+        // be attached by a later session. The build lands in a
+        // (version, fingerprint)-keyed GENERATION subdir: a stale
+        // rebuild must never overwrite files an in-flight reader of the
+        // previous layout may still be scanning (pre-round-15 staging
+        // dirs gave that isolation for free; the durable registry keeps
+        // it). The superseded generation's files stay on disk — one
+        // bounded orphan per source regen, reclaimed when the whole
+        // layout base is next removed.
         Files.deleteIfExists(manifestPath(base))
-        Files.createDirectories(Paths.get(base))
-        val (regs, dataPath) = build(base)
+        val gen = s"$base/g_${md5hex(s"$version\n$fp").take(10)}"
+        Files.createDirectories(Paths.get(gen))
+        val (regs, dataPath) = build(gen)
         val m = Manifest(kind, version, fp, dataPath, regs)
         writeManifest(base, m)
         m

@@ -118,20 +118,22 @@ object Warehouse {
   private def listDataFiles(path: String): Seq[String] = {
     val (fs, root) = fsFor(path)
     if (!fs.exists(root)) return Seq.empty
-    val rootUri = fs.makeQualified(root).toUri
     val out = Seq.newBuilder[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = rootUri.relativize(st.getPath.toUri).getPath
-      // hidden/_-prefixed SEGMENTS are commit metadata (_SUCCESS,
-      // _graft_files, .staging dirs) at any depth — same rule the
-      // java.io walk applied per directory level
-      val segs = rel.split('/')
-      if (st.isFile && segs.last.endsWith(".parquet") &&
-          !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
-        out += rel
-    }
+    // per-level pruning, not list-then-filter: a hidden/_-prefixed
+    // subtree (commit metadata, an aborted ingest's _temporary garbage)
+    // is never DESCENDED INTO — on an object store that is the
+    // difference between zero LIST calls and one page per ~1000 garbage
+    // objects on every maintenance pass
+    def walk(p: org.apache.hadoop.fs.Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          val r = if (rel.isEmpty) name else s"$rel/$name"
+          if (st.isDirectory) walk(st.getPath, r)
+          else if (name.endsWith(".parquet")) out += r
+        }
+      }
+    walk(root, "")
     out.result().sorted
   }
 
@@ -160,11 +162,22 @@ object Warehouse {
     * columns still derived from the directory keys (`basePath`). A
     * committed-but-EMPTY manifest (a takedown emptied the lake) is a
     * valid state — it reads as an empty frame, not a schema-inference
-    * crash over zero paths. */
-  def readManifested(s: SparkSession, path: String): DataFrame = {
+    * crash over zero paths. Callers whose downstream references columns
+    * pass the lake `schema` so the empty frame RESOLVES them (an
+    * unschema'd empty frame would trade the inference crash for an
+    * UNRESOLVED_COLUMN one); with no schema and no files the frame is
+    * columnless, fit only for counting. */
+  def readManifested(s: SparkSession, path: String,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val files = manifestedFiles(path).map(f => s"$path/$f")
-    if (files.isEmpty) s.emptyDataFrame
-    else s.read.option("basePath", path).parquet(files: _*)
+    if (files.isEmpty)
+      schema.map(sc => s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
+        .getOrElse(s.emptyDataFrame)
+    else {
+      val r = s.read.option("basePath", path)
+      schema.map(r.schema).getOrElse(r).parquet(files: _*)
+    }
   }
 
   /** VACUUM — the third lake-maintenance verb next to takedown (q250)
@@ -185,21 +198,24 @@ object Warehouse {
     // manifest (a takedown emptied the lake) is a valid record and its
     // orphans remain reclaimable, so the guard tests the FILE, not the
     // list.
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, fileManifestName)),
+    val (fs, root) = fsFor(path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, fileManifestName)),
       s"vacuum refused: no $fileManifestName manifest at $path — " +
         "commit one with writeFileManifest before sweeping")
     val live = manifestedFiles(path).toSet
     listDataFiles(path).filterNot(live).flatMap { rel =>
-      val p = java.nio.file.Paths.get(path, rel)
+      val p = new org.apache.hadoop.fs.Path(root, rel)
       // the stat races a concurrent sweep or a self-cleaning aborted
       // writer: a file gone between the listing and here is simply no
       // longer an orphan to examine (the retry-safety contract)
-      val mtime = try Some(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      val mtime = try Some(fs.getFileStatus(p).getModificationTime)
         catch { case _: java.io.IOException => None }
       mtime.map { t =>
         val sweep = nowMs - t > retentionMs
-        if (sweep) java.nio.file.Files.deleteIfExists(p)
+        // delete of an already-gone file returns false — the no-op the
+        // idempotence contract needs
+        if (sweep) try fs.delete(p, false)
+          catch { case _: java.io.IOException => () }
         val (dir, name) = rel.lastIndexOf('/') match {
           case -1 => ("", rel)
           case i => (rel.substring(0, i), rel.substring(i + 1))

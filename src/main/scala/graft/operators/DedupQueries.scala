@@ -671,10 +671,23 @@ object DedupQueries {
     * staged O(V+E) passes over the BOUNDED pair graph (image near-dup
     * pairs, not the corpus); the election is one map-side-combinable
     * max(struct) per cluster — no window over documents. */
+  /** The staged image-cluster labeling — deterministic per corpus (the
+    * pair frame is a durable leaf), so the O(V+E) propagation is a
+    * once-per-corpus index build like erlabels/cclabels, not a
+    * per-invocation cost. */
+  private val phLabelsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def q316ImageClusterReps(s: SparkSession, dir: String): DataFrame = {
-    val pairs = stagedImagePairs(s, dir)
-      .select(col("doc_a").as("ka"), col("doc_b").as("kb"))
-    val labels = labelsOfPairs(s, pairs, graft.Staging.fresh("phreps"))
+    val path = phLabelsCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "phlabels", "v1", dir, Seq("documents")) { ck =>
+          labelsOfPairs(s, stagedImagePairs(s, dir)
+              .select(col("doc_a").as("ka"), col("doc_b").as("kb")), ck)
+            .write.mode("overwrite").parquet(s"$ck/labels")
+          s"$ck/labels"
+        })
+    val labels = s.read.parquet(path)
     val quality = Tables.documents(s, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("nc"))
     labels.select(col("lbl").as("cluster_id"), col("v").as("doc_id"))
@@ -883,6 +896,7 @@ object DedupQueries {
     ppjoinPairsCache.clear()
     lshCandStageCache.clear()
     phBaseCache.clear()
+    phLabelsCache.clear()
   }
 
   /** Durable BUCKETED fingerprint index for incremental dedup — the q62

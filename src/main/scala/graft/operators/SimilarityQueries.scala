@@ -131,10 +131,6 @@ object SimilarityQueries {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Test hook: forget the round-15 durable staged caches (near-dup
-    * pairs, IVF/PQ codebooks + assignments/encodes, CC labels,
-    * propagation fixpoint) — the Layouts files and manifests remain,
-    * exactly what a fresh JVM sees. */
   /** The geometry-bearing durable-layout kinds the registered query
     * paths use — exposed so LayoutReattachSpec locates the layout dirs
     * without duplicating the private geometry constants. */
@@ -143,6 +139,10 @@ object SimilarityQueries {
   private[graft] def pqCbKindForTest: String =
     s"pqcb$pqM-$pqK-$pqTrainIters-$pqTrainSampleMod"
 
+  /** Test hook: forget the round-15 durable staged caches (near-dup
+    * pairs, IVF/PQ codebooks + assignments/encodes, CC labels,
+    * propagation fixpoint) — the Layouts files and manifests remain,
+    * exactly what a fresh JVM sees. */
   private[graft] def resetDurableStagesForTest(): Unit = {
     pairsCache.clear()
     ivfCodebookCache.clear()
@@ -1237,16 +1237,12 @@ object SimilarityQueries {
       graft.CorpusKey(dir, "embeddings.parquet"), _ =>
         graft.etl.Layouts.stage(s, "cclabels", "v1", dir, Seq("embeddings")) { ck =>
           // the shared staged pair frame IS the pairs stage (one LSH
-          // derivation per corpus even when both consumers run)
-          val pairs = stagedPairs(s, dir).select("vec_a", "vec_b")
-          val und = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-            .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-          val verts = und.select("src").distinct() // symmetric: src covers both
-          // materialize base (undirected + self-loops) once too: otherwise
-          // every pass re-runs the verts distinct shuffle
-          und.union(verts.select(col("src"), col("src").as("dst")))
-            .write.mode("overwrite").parquet(s"$ck/base")
-          propagateLabels(s, s"$ck/base")
+          // derivation per corpus even when both consumers run); the
+          // undirected+self-loop staging and the propagation are
+          // DedupQueries.labelsOfPairs — one copy of the labeling shape
+          DedupQueries.labelsOfPairs(s,
+              stagedPairs(s, dir)
+                .select(col("vec_a").as("ka"), col("vec_b").as("kb")), ck)
             .write.mode("overwrite").parquet(s"$ck/labels")
           s"$ck/labels"
         })

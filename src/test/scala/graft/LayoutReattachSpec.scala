@@ -95,7 +95,14 @@ class LayoutReattachSpec extends AnyFunSuite {
     val base = etl.Layouts.baseFor("bloomwords", sfDir)
     assert(Files.exists(Paths.get(base, "_graft_manifest")),
       "the first run must persist the word-array layout")
-    assert(Files.size(Paths.get(base, "words.bin")) === 8L * 32768,
+    val wordsFile = {
+      val stream = Files.walk(Paths.get(base))
+      try stream.iterator().asScala
+        .find(_.getFileName.toString == "words.bin")
+        .getOrElse(fail(s"words.bin missing under $base"))
+      finally stream.close()
+    }
+    assert(Files.size(wordsFile) === 8L * 32768,
       "the word file is the 128 KB packed filter, independent of corpus size")
     val before = snapshot(base)
 
@@ -168,8 +175,8 @@ class LayoutReattachSpec extends AnyFunSuite {
     assertReattaches("q312_pq_incremental", Seq("pqbase"))
   }
 
-  test("q316 perceptual-hash pair frame re-attaches across sessions") {
-    assertReattaches("q316_image_cluster_reps", Seq("phpairs"))
+  test("q316 perceptual-hash pair frame + cluster labels re-attach across sessions") {
+    assertReattaches("q316_image_cluster_reps", Seq("phpairs", "phlabels"))
   }
 
   test("q317 standing image index re-attaches across sessions") {
