@@ -1295,7 +1295,113 @@ object TextAnalysisQueries {
       .withColumn("mixed_e6", expr("(1000000 * n_mixed) div n_docs").cast("bigint"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q318
+
+  /** q318 — UNIGRAM-LM VITERBI SEGMENTATION (the Kudo 2018 tokenizer
+    * family's decode step), the third tokenizer next to BPE (q54/q144)
+    * and greedy WordPiece (q292), run head-to-head against the greedy
+    * walk over the SAME trained vocabulary so the output states the
+    * greedy-vs-optimal fertility gap directly. The vocabulary is q292's
+    * (top-16 trigrams + top-16 bigrams by exact count, every corpus
+    * character as the fallback alphabet), each piece scored with an
+    * integer-lattice log-probability — `1000 * (bitlen(count) -
+    * bitlen(total_mass))` via `length(bin(x))`, the cross-engine-exact
+    * floor-log2 q283 already leans on — and each word segmented by the
+    * DP that MAXIMIZES the segmentation's total score (ties resolved to
+    * fewest pieces; the readout is score/piece-count aggregates, on
+    * which any remaining tie is value-identical).
+    *
+    * The DP is ONE row-local fold, not a joined DP: pieces are at most
+    * 3 characters, so the Viterbi frontier is the last three dp entries
+    * — a bounded (score, pieces) × 3 struct accumulator that
+    * aggregate() slides across the word's positions, probing the three
+    * broadcast piece maps per step. O(|word|) per word, zero shuffles
+    * beyond the bounded vocab aggregates.
+    *
+    * Scale shape: segmentation runs once per DISTINCT word (Zipf makes
+    * that sublinear in corpus mass — the q292-oracle/Sennrich
+    * discipline, here on the engine side too) and joins back to
+    * per-(source, word) instance counts, so the exchanges carry the
+    * distinct-word frame and bounded per-source aggregates, never
+    * per-instance pieces; the 33-entry-plus-alphabet vocab rides one
+    * broadcast as three map columns. */
+  def q318UnigramViterbi(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("source"), explode(expr("split(text, ' ')")).as("w"))
+      .filter(length(col("w")) >= 1)
+    def gramCounts(n: Int, topK: Int): DataFrame = {
+      val g = words.filter(length(col("w")) >= n)
+        .select(explode(expr(
+          s"transform(sequence(1, length(w) - ${n - 1}), i -> substring(w, i, $n))"))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+      if (topK > 0) g.orderBy(desc("cnt"), asc("g")).limit(topK) else g
+    }
+    val grams = gramCounts(1, 0).withColumn("k", lit(1))
+      .unionByName(gramCounts(2, 16).withColumn("k", lit(2)))
+      .unionByName(gramCounts(3, 16).withColumn("k", lit(3)))
+    val tot = grams.agg(sum("cnt").as("t"))
+    // lp is exact on the integer lattice: length(bin(x)) = floor(log2 x)+1
+    val vocab = grams.crossJoin(broadcast(tot))
+      .withColumn("lp", expr(
+        "cast(1000 * (length(bin(cnt)) - length(bin(t))) as bigint)"))
+      .agg(
+        expr("map_from_entries(collect_list(case when k = 1 then struct(g, lp) end))").as("m1"),
+        expr("map_from_entries(collect_list(case when k = 2 then struct(g, lp) end))").as("m2"),
+        expr("map_from_entries(collect_list(case when k = 3 then struct(g, lp) end))").as("m3"))
+    // dp[i] = best (score, pieces) over the three piece lengths ending at
+    // position i; the accumulator carries dp[i-1], dp[i-2], dp[i-3].
+    // Sentinels: an invalid origin scores -1e15 (never beats a real path
+    // — cs1 is always real, every character is in m1 by construction),
+    // and a non-winning candidate contributes 1e15 pieces to the LEAST.
+    val neg = "-1000000000000000L"
+    val big = "1000000000000000L"
+    val cs1 = "acc.s1 + element_at(m1, substring(w, i, 1))"
+    val cs2 = "case when i >= 2 and element_at(m2, substring(w, i - 1, 2)) is not null " +
+      s"then acc.s2 + element_at(m2, substring(w, i - 1, 2)) else $neg end"
+    val cs3 = "case when i >= 3 and element_at(m3, substring(w, i - 2, 3)) is not null " +
+      s"then acc.s3 + element_at(m3, substring(w, i - 2, 3)) else $neg end"
+    val best = s"greatest($cs1, $cs2, $cs3)"
+    val seg = words.select("w").distinct()
+      .crossJoin(broadcast(vocab))
+      .withColumn("dp", expr(
+        s"""aggregate(sequence(1, length(w)),
+           |  named_struct('s1', 0L, 'n1', 0L, 's2', $neg, 'n2', 0L, 's3', $neg, 'n3', 0L),
+           |  (acc, i) -> named_struct(
+           |    's1', $best,
+           |    'n1', least(
+           |      case when ($cs1) = ($best) then acc.n1 + 1L else $big end,
+           |      case when ($cs2) = ($best) then acc.n2 + 1L else $big end,
+           |      case when ($cs3) = ($best) then acc.n3 + 1L else $big end),
+           |    's2', acc.s1, 'n2', acc.n1, 's3', acc.s2, 'n3', acc.n2),
+           |  acc -> named_struct('score', acc.s1, 'pieces', acc.n1))""".stripMargin))
+      // q292's greedy maximal-munch over the same vocabulary, for the gap
+      .withColumn("gpieces", expr(
+        "aggregate(sequence(1, length(w)), named_struct('skip', 0, 'tok', 0L), " +
+          "(acc, i) -> case " +
+          "when acc.skip > 0 then named_struct('skip', acc.skip - 1, 'tok', acc.tok) " +
+          "when element_at(m3, substring(w, i, 3)) is not null then named_struct('skip', 2, 'tok', acc.tok + 1L) " +
+          "when element_at(m2, substring(w, i, 2)) is not null then named_struct('skip', 1, 'tok', acc.tok + 1L) " +
+          "else named_struct('skip', 0, 'tok', acc.tok + 1L) end, " +
+          "acc -> acc.tok)"))
+      .select("w", "dp", "gpieces")
+    words.groupBy("source", "w").agg(count(lit(1)).as("ni"))
+      .join(seg, "w")
+      .groupBy("source")
+      .agg(sum("ni").cast("bigint").as("n_words"),
+        sum(expr("ni * cast(length(w) as bigint)")).cast("bigint").as("n_chars"),
+        sum(expr("ni * gpieces")).cast("bigint").as("greedy_pieces"),
+        sum(expr("ni * dp.pieces")).cast("bigint").as("viterbi_pieces"),
+        sum(expr("ni * dp.score")).cast("bigint").as("score_e3"))
+      .withColumn("greedy_fertility_e6",
+        expr("(1000000 * greedy_pieces) div n_words").cast("bigint"))
+      .withColumn("viterbi_fertility_e6",
+        expr("(1000000 * viterbi_pieces) div n_words").cast("bigint"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_unigram_viterbi" -> (q318UnigramViterbi _),
     "q296_code_switching" -> (q296CodeSwitching _),
     "q283_zipf_profile" -> (q283ZipfProfile _),
     "q292_wordpiece_encode" -> (q292WordpieceEncode _),
@@ -1425,7 +1531,95 @@ object TextAnalysisQueries {
        |FROM inst i JOIN vocab v ON v.w = i.w
        |GROUP BY i.lang ORDER BY i.lang""".stripMargin
 
+  /** q318's oracle: identical gram training with counts kept, the same
+    * integer floor-log2 scores (length(bin(x)) is minimal-width in both
+    * engines — the q283 precedent), and the Viterbi DP as a recursive
+    * CTE over DISTINCT words whose state carries the last three dp
+    * entries — the q292-oracle join-walk discipline, because a DuckDB
+    * list_reduce lambda probing a captured outer column misbinds across
+    * vectorized chunks (see the q292 note above). The greedy twin is
+    * q292's walk verbatim against the same piece tables. */
+  private def q318Oracle: String = {
+    val neg = "CAST(-1000000000000000 AS BIGINT)"
+    val big = "CAST(1000000000000000 AS BIGINT)"
+    val cs1 = s"r.s1 + COALESCE(j1.lp, $neg)"
+    val cs2 = s"CASE WHEN j2.g IS NOT NULL THEN r.s2 + j2.lp ELSE $neg END"
+    val cs3 = s"CASE WHEN j3.g IS NOT NULL THEN r.s3 + j3.lp ELSE $neg END"
+    val best = s"GREATEST($cs1, $cs2, $cs3)"
+    s"""WITH RECURSIVE wd AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |    FROM documents),
+       |ws AS (SELECT source, w FROM wd WHERE length(w) >= 1),
+       |g3r AS (SELECT unnest(list_transform(generate_series(1, length(w) - 2),
+       |      i -> substr(w, CAST(i AS INT), 3))) AS g
+       |  FROM ws WHERE length(w) >= 3),
+       |t3 AS MATERIALIZED (SELECT g, cnt FROM (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM g3r GROUP BY g
+       |  ORDER BY cnt DESC, g ASC LIMIT 16)),
+       |g2r AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+       |      i -> substr(w, CAST(i AS INT), 2))) AS g
+       |  FROM ws WHERE length(w) >= 2),
+       |t2 AS MATERIALIZED (SELECT g, cnt FROM (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM g2r GROUP BY g
+       |  ORDER BY cnt DESC, g ASC LIMIT 16)),
+       |g1r AS (SELECT unnest(list_transform(generate_series(1, length(w)),
+       |      i -> substr(w, CAST(i AS INT), 1))) AS g FROM ws),
+       |t1 AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM g1r GROUP BY g),
+       |tot AS MATERIALIZED (SELECT CAST(length(bin(SUM(cnt))) AS BIGINT) AS lt
+       |  FROM (SELECT cnt FROM t1 UNION ALL SELECT cnt FROM t2
+       |        UNION ALL SELECT cnt FROM t3)),
+       |l1 AS MATERIALIZED (SELECT g,
+       |    1000 * (CAST(length(bin(cnt)) AS BIGINT) - (SELECT lt FROM tot)) AS lp FROM t1),
+       |l2 AS MATERIALIZED (SELECT g,
+       |    1000 * (CAST(length(bin(cnt)) AS BIGINT) - (SELECT lt FROM tot)) AS lp FROM t2),
+       |l3 AS MATERIALIZED (SELECT g,
+       |    1000 * (CAST(length(bin(cnt)) AS BIGINT) - (SELECT lt FROM tot)) AS lp FROM t3),
+       |dw AS MATERIALIZED (SELECT DISTINCT w FROM ws),
+       |walk(w, i, s1, n1, s2, n2, s3, n3) AS (
+       |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    $neg, CAST(0 AS BIGINT), $neg, CAST(0 AS BIGINT) FROM dw
+       |  UNION ALL
+       |  SELECT r.w, r.i + 1,
+       |    $best,
+       |    LEAST(
+       |      CASE WHEN ($cs1) = ($best) THEN r.n1 + 1 ELSE $big END,
+       |      CASE WHEN ($cs2) = ($best) THEN r.n2 + 1 ELSE $big END,
+       |      CASE WHEN ($cs3) = ($best) THEN r.n3 + 1 ELSE $big END),
+       |    r.s1, r.n1, r.s2, r.n2
+       |  FROM walk r
+       |  LEFT JOIN l1 j1 ON j1.g = substr(r.w, CAST(r.i + 1 AS INT), 1)
+       |  LEFT JOIN l2 j2 ON r.i >= 1 AND j2.g = substr(r.w, CAST(r.i AS INT), 2)
+       |  LEFT JOIN l3 j3 ON r.i >= 2 AND j3.g = substr(r.w, CAST(r.i - 1 AS INT), 3)
+       |  WHERE r.i < length(r.w)),
+       |gwalk(w, i, tok) AS (
+       |  SELECT w, 1, CAST(0 AS BIGINT) FROM dw
+       |  UNION ALL
+       |  SELECT r.w,
+       |    r.i + CASE WHEN m3.g IS NOT NULL THEN 3
+       |               WHEN m2.g IS NOT NULL THEN 2 ELSE 1 END,
+       |    r.tok + 1
+       |  FROM gwalk r
+       |  LEFT JOIN t3 m3 ON m3.g = substr(r.w, CAST(r.i AS INT), 3)
+       |  LEFT JOIN t2 m2 ON m2.g = substr(r.w, CAST(r.i AS INT), 2)
+       |  WHERE r.i <= length(r.w)),
+       |vit AS (SELECT w, s1 AS score, n1 AS pieces FROM walk WHERE i = length(w)),
+       |gp AS (SELECT w, MAX(tok) AS gpieces FROM gwalk GROUP BY w),
+       |enc AS (SELECT ws.source, length(ws.w) AS nch, v.score, v.pieces, g.gpieces
+       |  FROM ws JOIN vit v ON v.w = ws.w JOIN gp g ON g.w = ws.w),
+       |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(nch) AS BIGINT) AS n_chars,
+       |    CAST(SUM(gpieces) AS BIGINT) AS greedy_pieces,
+       |    CAST(SUM(pieces) AS BIGINT) AS viterbi_pieces,
+       |    CAST(SUM(score) AS BIGINT) AS score_e3
+       |  FROM enc GROUP BY source)
+       |SELECT source, n_words, n_chars, greedy_pieces, viterbi_pieces, score_e3,
+       |  CAST((1000000 * greedy_pieces) // n_words AS BIGINT) AS greedy_fertility_e6,
+       |  CAST((1000000 * viterbi_pieces) // n_words AS BIGINT) AS viterbi_fertility_e6
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q318_unigram_viterbi" -> q318Oracle,
     "q296_code_switching" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |e AS (SELECT doc_id, lang, len(toks) // 16 AS nc, toks FROM t WHERE len(toks) // 16 >= 2),

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q318 unigram-LM Viterbi segmentation: geometry pinned on a corpus
+  * constructed so the greedy maximal-munch walk is PROVABLY suboptimal —
+  * the one behavior that separates the Viterbi decode from q292's greedy
+  * family. Vocabulary arithmetic is worked out by hand below and the
+  * assertions are exact.
+  *
+  * Construction: 15 trigram filler words ("eee".."sss") x100 pin 15 of
+  * the 16 trigram slots and all 15 doubled bigrams; "bcd" x50 takes the
+  * 16th trigram slot (51 with the probe's occurrence); "ab" x60 takes the
+  * 16th bigram slot (61 beats bc=51/cd=51, which fall OUT). The probe
+  * word "abcd" then segments greedily as [ab, c, d] (3 pieces — "abc"
+  * missed the trigram cut at count 1, and after consuming "ab" neither
+  * "cd" nor any trigram matches) but optimally as [a, bcd] (2 pieces):
+  * total mass T = 4774 + 3061 + 1551 = 9386 (14 bits), so lp(a) =
+  * lp(bcd) = lp(ab) = lp(c) = lp(d) = 1000*(6-14) = -8000 and lp(b) =
+  * -7000, giving a+bcd = -16000 > ab+c+d = -24000 > a+b+c+d = -31000. */
+class UnigramViterbiSpec extends AnyFunSuite {
+  import graft.SparkTestSession.spark
+
+  private def corpus(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = graft.Staging.fresh("viterbi")
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' as lang", "source",
+        "cast(length(text) as bigint) as n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def fixture(): String = {
+    val fillers = "efghijklmnopqrs".map(c => s"$c$c$c")
+    val fillText = (fillers.flatMap(w => Seq.fill(100)(w)) ++
+      Seq.fill(60)("ab") ++ Seq.fill(50)("bcd")).mkString(" ")
+    corpus(Seq((0L, fillText, "fill"), (1L, "abcd", "probe")))
+  }
+
+  test("q318: greedy takes [ab,c,d] on the probe word, Viterbi finds [a,bcd]") {
+    val out = TextAnalysisQueries.q318UnigramViterbi(spark, fixture())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val probe = out.find(_._1 == "probe").get
+    assert(probe === (("probe", 1L, 4L, 3L, 2L, -16000L, 3000000L, 2000000L)),
+      "the probe row must carry greedy=3 / viterbi=2 / score=lp(a)+lp(bcd)")
+    val fill = out.find(_._1 == "fill").get
+    // every filler word is a single vocab piece under BOTH walks
+    assert(fill._2 === 1610L && fill._4 === 1610L && fill._5 === 1610L,
+      "on the filler source greedy and Viterbi agree at one piece per word")
+  }
+
+  test("q318: the Viterbi score is the max over segmentations (never below greedy's path score)") {
+    // On the natural fixture the floor-log2 lattice makes maximal munch
+    // optimal for most words, so pieces agree — but the SCORE column must
+    // always be the maximizer's. Cross-check one source's totals against
+    // a brute-force DP over its distinct words is the oracle's job; here
+    // pin the degenerate single-character word (one piece, lp of its own
+    // char) to guard the DP's boundary row.
+    val dir = corpus(Seq((0L, "z z z zz", "tiny")))
+    // words [z, z, z, zz] -> chars z: 3*1 + 1*2 = 5; bigrams: zz x1; no
+    // trigrams. T = 5 + 1 = 6 (3 bits). lp(z) = 1000*(3-3) = 0,
+    // lp(zz) = 1000*(1-3) = -2000. "z" -> 1 piece, score 0; "zz" ->
+    // z+z = 0 beats zz = -2000: Viterbi takes MORE pieces than greedy
+    // here, pinning that the objective is score, not piece count.
+    val out = TextAnalysisQueries.q318UnigramViterbi(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(("tiny", 4L, 4L, 5L, 0L)),
+      "4 words; greedy munches zz as one bigram piece (4 total), Viterbi " +
+        "splits it into two zero-cost chars (5 total, score 0)")
+  }
+}
