@@ -1325,10 +1325,20 @@ object TextAnalysisQueries {
     * distinct-word frame and bounded per-source aggregates, never
     * per-instance pieces; the 33-entry-plus-alphabet vocab rides one
     * broadcast as three map columns. */
-  def q318UnigramViterbi(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
+  /** The corpus word stream the unigram-tokenizer family (q318/q319)
+    * trains and segments over. */
+  private def unigramWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("source"), explode(expr("split(text, ' ')")).as("w"))
       .filter(length(col("w")) >= 1)
+
+  /** q292's vocabulary with counts and integer-lattice scores kept: one
+    * row per piece (g, cnt, k = piece length, lp) — top-16 trigrams +
+    * top-16 bigrams by exact count, every corpus character as the
+    * fallback alphabet. lp is exact on the integer lattice:
+    * length(bin(x)) = floor(log2 x)+1, so lp = 1000 * (bitlen(count) -
+    * bitlen(total_mass)). */
+  private def unigramGrams(words: DataFrame): DataFrame = {
     def gramCounts(n: Int, topK: Int): DataFrame = {
       val g = words.filter(length(col("w")) >= n)
         .select(explode(expr(
@@ -1341,14 +1351,23 @@ object TextAnalysisQueries {
       .unionByName(gramCounts(2, 16).withColumn("k", lit(2)))
       .unionByName(gramCounts(3, 16).withColumn("k", lit(3)))
     val tot = grams.agg(sum("cnt").as("t"))
-    // lp is exact on the integer lattice: length(bin(x)) = floor(log2 x)+1
-    val vocab = grams.crossJoin(broadcast(tot))
+    grams.crossJoin(broadcast(tot))
       .withColumn("lp", expr(
         "cast(1000 * (length(bin(cnt)) - length(bin(t))) as bigint)"))
-      .agg(
-        expr("map_from_entries(collect_list(case when k = 1 then struct(g, lp) end))").as("m1"),
-        expr("map_from_entries(collect_list(case when k = 2 then struct(g, lp) end))").as("m2"),
-        expr("map_from_entries(collect_list(case when k = 3 then struct(g, lp) end))").as("m3"))
+      .select("g", "cnt", "k", "lp")
+  }
+
+  /** The piece table folded to one row of three lookup maps (by piece
+    * length), the shape the segmentation folds probe per position. */
+  private def unigramMaps(grams: DataFrame): DataFrame =
+    grams.agg(
+      expr("map_from_entries(collect_list(case when k = 1 then struct(g, lp) end))").as("m1"),
+      expr("map_from_entries(collect_list(case when k = 2 then struct(g, lp) end))").as("m2"),
+      expr("map_from_entries(collect_list(case when k = 3 then struct(g, lp) end))").as("m3"))
+
+  def q318UnigramViterbi(s: SparkSession, dir: String): DataFrame = {
+    val words = unigramWords(s, dir)
+    val vocab = unigramMaps(unigramGrams(words))
     // dp[i] = best (score, pieces) over the three piece lengths ending at
     // position i; the accumulator carries dp[i-1], dp[i-2], dp[i-3].
     // Sentinels: an invalid origin scores -1e15 (never beats a real path
@@ -1400,7 +1419,94 @@ object TextAnalysisQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q319
+
+  /** q319 — one VITERBI (hard-EM) RE-ESTIMATION ROUND for the unigram
+    * tokenizer (Kudo 2018's trainer in its deterministic hard-EM form),
+    * completing train+decode for the third tokenizer family the way
+    * q98→q144 does for BPE: the E-step segments every distinct word
+    * under q318's count-based scores and counts which vocabulary pieces
+    * the optimal segmentations actually USE (weighted by corpus
+    * instance counts); the M-step re-scores each piece from its usage
+    * mass on the same integer floor-log2 lattice and marks never-used
+    * pieces PRUNED — exactly the evidence SentencePiece's trainer
+    * prunes on. Output: the full re-estimated vocabulary (piece, piece
+    * length, training count, old score, usage, pruned flag, new score).
+    *
+    * The E-step fold is q318's bounded 3-entry Viterbi frontier
+    * carrying one extra field — the winning PATH as a piece-length
+    * string — with ties resolved (max score, then fewest pieces, then
+    * shortest last piece) via an array_sort comparator over the three
+    * candidate structs, a total order both engines implement
+    * identically. The path then explodes relationally (posexplode +
+    * per-word running offset), never via a lambda re-probing the word.
+    *
+    * Scale shape: segmentation and path explode run once per DISTINCT
+    * word; usage aggregation collapses to the bounded vocabulary before
+    * the single broadcast of the usage-mass total; every exchange
+    * carries distinct-word rows or vocab-sized summaries. */
+  def q319UnigramEm(s: SparkSession, dir: String): DataFrame = {
+    val words = unigramWords(s, dir)
+    val grams = unigramGrams(words)
+    val vocab = unigramMaps(grams)
+    val neg = "-1000000000000000L"
+    def cand(k: Int, origin: String) = {
+      val (sc, n, p) = (s"acc.s$origin", s"acc.n$origin", s"acc.p$origin")
+      val piece = k match {
+        case 1 => "substring(w, i, 1)"
+        case 2 => "substring(w, i - 1, 2)"
+        case 3 => "substring(w, i - 2, 3)"
+      }
+      val score =
+        if (k == 1) s"$sc + element_at(m1, $piece)"
+        else s"case when i >= $k and element_at(m$k, $piece) is not null " +
+          s"then $sc + element_at(m$k, $piece) else $neg end"
+      s"named_struct('s', $score, 'n', $n + 1L, 'k', $k, 'p', concat($p, '$k,'))"
+    }
+    // total order: score DESC, pieces ASC, piece length ASC — the last
+    // key makes the winning PATH deterministic, not just (score, n)
+    val win = s"element_at(array_sort(array(${cand(1, "1")}, ${cand(2, "2")}, ${cand(3, "3")}), " +
+      "(x, y) -> case when x.s > y.s then -1 when x.s < y.s then 1 " +
+      "when x.n < y.n then -1 when x.n > y.n then 1 " +
+      "when x.k < y.k then -1 when x.k > y.k then 1 else 0 end), 1)"
+    val seg = words.groupBy("w").agg(count(lit(1)).as("cw"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("path", expr(
+        s"""aggregate(sequence(1, length(w)),
+           |  named_struct('s1', 0L, 'n1', 0L, 'p1', '',
+           |    's2', $neg, 'n2', 0L, 'p2', '', 's3', $neg, 'n3', 0L, 'p3', ''),
+           |  (acc, i) -> named_struct(
+           |    's1', ($win).s, 'n1', ($win).n, 'p1', ($win).p,
+           |    's2', acc.s1, 'n2', acc.n1, 'p2', acc.p1,
+           |    's3', acc.s2, 'n3', acc.n2, 'p3', acc.p2),
+           |  acc -> acc.p1)""".stripMargin))
+      .select("w", "cw", "path")
+    val wOff = Window.partitionBy("w").orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val usage = seg
+      .select(col("w"), col("cw"),
+        posexplode(expr("filter(split(path, ','), x -> x <> '')")).as(Seq("j", "kl")))
+      .withColumn("kli", col("kl").cast("int"))
+      .withColumn("off", coalesce(sum("kli").over(wOff), lit(0)) + lit(1))
+      .select(expr("substring(w, off, kli)").as("g"), col("cw"))
+      .groupBy("g").agg(sum("cw").as("usage"))
+    val uTot = usage.agg(sum("usage").as("u"))
+    grams.join(usage, Seq("g"), "left")
+      .crossJoin(broadcast(uTot))
+      .select(col("g"), col("k").cast("int").as("k"),
+        col("cnt").cast("bigint").as("cnt"),
+        col("lp").cast("bigint").as("lp0_e3"),
+        coalesce(col("usage"), lit(0L)).cast("bigint").as("usage"),
+        col("u"))
+      .withColumn("pruned", expr("case when usage = 0 then 1 else 0 end").cast("int"))
+      .withColumn("lp1_e3", expr(
+        "case when usage > 0 then cast(1000 * (length(bin(usage)) - length(bin(u))) as bigint) else 0L end"))
+      .drop("u")
+      .orderBy("k", "g")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_unigram_em" -> (q319UnigramEm _),
     "q318_unigram_viterbi" -> (q318UnigramViterbi _),
     "q296_code_switching" -> (q296CodeSwitching _),
     "q283_zipf_profile" -> (q283ZipfProfile _),
@@ -1539,14 +1645,11 @@ object TextAnalysisQueries {
     * list_reduce lambda probing a captured outer column misbinds across
     * vectorized chunks (see the q292 note above). The greedy twin is
     * q292's walk verbatim against the same piece tables. */
-  private def q318Oracle: String = {
-    val neg = "CAST(-1000000000000000 AS BIGINT)"
-    val big = "CAST(1000000000000000 AS BIGINT)"
-    val cs1 = s"r.s1 + COALESCE(j1.lp, $neg)"
-    val cs2 = s"CASE WHEN j2.g IS NOT NULL THEN r.s2 + j2.lp ELSE $neg END"
-    val cs3 = s"CASE WHEN j3.g IS NOT NULL THEN r.s3 + j3.lp ELSE $neg END"
-    val best = s"GREATEST($cs1, $cs2, $cs3)"
-    s"""WITH RECURSIVE wd AS (SELECT source, unnest(string_split(text, ' ')) AS w
+  /** The unigram-vocabulary training CTEs q318/q319's oracles share:
+    * word stream, gram tables with counts (t1/t2/t3), the total-mass bit
+    * length (tot.lt), scored piece tables (l1/l2/l3), distinct words. */
+  private def unigramTrainCtes: String =
+    s"""wd AS (SELECT source, unnest(string_split(text, ' ')) AS w
        |    FROM documents),
        |ws AS (SELECT source, w FROM wd WHERE length(w) >= 1),
        |g3r AS (SELECT unnest(list_transform(generate_series(1, length(w) - 2),
@@ -1574,7 +1677,16 @@ object TextAnalysisQueries {
        |    1000 * (CAST(length(bin(cnt)) AS BIGINT) - (SELECT lt FROM tot)) AS lp FROM t2),
        |l3 AS MATERIALIZED (SELECT g,
        |    1000 * (CAST(length(bin(cnt)) AS BIGINT) - (SELECT lt FROM tot)) AS lp FROM t3),
-       |dw AS MATERIALIZED (SELECT DISTINCT w FROM ws),
+       |dw AS MATERIALIZED (SELECT DISTINCT w FROM ws)""".stripMargin
+
+  private def q318Oracle: String = {
+    val neg = "CAST(-1000000000000000 AS BIGINT)"
+    val big = "CAST(1000000000000000 AS BIGINT)"
+    val cs1 = s"r.s1 + COALESCE(j1.lp, $neg)"
+    val cs2 = s"CASE WHEN j2.g IS NOT NULL THEN r.s2 + j2.lp ELSE $neg END"
+    val cs3 = s"CASE WHEN j3.g IS NOT NULL THEN r.s3 + j3.lp ELSE $neg END"
+    val best = s"GREATEST($cs1, $cs2, $cs3)"
+    s"""WITH RECURSIVE $unigramTrainCtes,
        |walk(w, i, s1, n1, s2, n2, s3, n3) AS (
        |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        |    $neg, CAST(0 AS BIGINT), $neg, CAST(0 AS BIGINT) FROM dw
@@ -1618,7 +1730,69 @@ object TextAnalysisQueries {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  /** q319's oracle: the shared training CTEs, q318's walk widened with
+    * the winning path (tie-break = max score, fewest pieces, SHORTEST
+    * last piece — the CASE priority below mirrors the Spark comparator's
+    * k ASC key), then a relational path explode (zipped unnest + window
+    * offsets — never a lambda re-probing the word) into usage counts and
+    * the floor-log2 re-score. */
+  private def q319Oracle: String = {
+    val neg = "CAST(-1000000000000000 AS BIGINT)"
+    val big = "CAST(1000000000000000 AS BIGINT)"
+    val cs1 = s"r.s1 + COALESCE(j1.lp, $neg)"
+    val cs2 = s"CASE WHEN j2.g IS NOT NULL THEN r.s2 + j2.lp ELSE $neg END"
+    val cs3 = s"CASE WHEN j3.g IS NOT NULL THEN r.s3 + j3.lp ELSE $neg END"
+    val best = s"GREATEST($cs1, $cs2, $cs3)"
+    val bestN = s"""LEAST(
+       |      CASE WHEN ($cs1) = ($best) THEN r.n1 + 1 ELSE $big END,
+       |      CASE WHEN ($cs2) = ($best) THEN r.n2 + 1 ELSE $big END,
+       |      CASE WHEN ($cs3) = ($best) THEN r.n3 + 1 ELSE $big END)""".stripMargin
+    s"""WITH RECURSIVE $unigramTrainCtes,
+       |walk(w, i, s1, n1, p1, s2, n2, p2, s3, n3, p3) AS (
+       |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), '',
+       |    $neg, CAST(0 AS BIGINT), '', $neg, CAST(0 AS BIGINT), '' FROM dw
+       |  UNION ALL
+       |  SELECT r.w, r.i + 1,
+       |    $best,
+       |    $bestN,
+       |    CASE WHEN ($cs1) = ($best) AND r.n1 + 1 = ($bestN) THEN r.p1 || '1,'
+       |         WHEN ($cs2) = ($best) AND r.n2 + 1 = ($bestN) THEN r.p2 || '2,'
+       |         ELSE r.p3 || '3,' END,
+       |    r.s1, r.n1, r.p1, r.s2, r.n2, r.p2
+       |  FROM walk r
+       |  LEFT JOIN l1 j1 ON j1.g = substr(r.w, CAST(r.i + 1 AS INT), 1)
+       |  LEFT JOIN l2 j2 ON r.i >= 1 AND j2.g = substr(r.w, CAST(r.i AS INT), 2)
+       |  LEFT JOIN l3 j3 ON r.i >= 2 AND j3.g = substr(r.w, CAST(r.i - 1 AS INT), 3)
+       |  WHERE r.i < length(r.w)),
+       |fin AS (SELECT w, p1 AS path FROM walk WHERE i = length(w)),
+       |cwt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM ws GROUP BY w),
+       |ls0 AS (SELECT w, list_filter(string_split(path, ','), x -> x <> '') AS ls FROM fin),
+       |lens AS (SELECT w, unnest(ls) AS kl,
+       |    unnest(generate_series(1, len(ls))) AS j FROM ls0),
+       |pos AS (SELECT w, CAST(kl AS INT) AS kli,
+       |    1 + COALESCE(SUM(CAST(kl AS INT)) OVER (PARTITION BY w ORDER BY j
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM lens),
+       |pieces AS (SELECT w, substr(w, CAST(off AS INT), kli) AS g FROM pos),
+       |usg AS (SELECT p.g, CAST(SUM(c.cw) AS BIGINT) AS usage
+       |  FROM pieces p JOIN cwt c ON c.w = p.w GROUP BY p.g),
+       |um AS (SELECT CAST(length(bin(SUM(usage))) AS BIGINT) AS lu FROM usg),
+       |alls AS (SELECT g, 1 AS k, cnt FROM t1
+       |  UNION ALL SELECT g, 2, cnt FROM t2
+       |  UNION ALL SELECT g, 3, cnt FROM t3)
+       |SELECT a.g, CAST(a.k AS INT) AS k, CAST(a.cnt AS BIGINT) AS cnt,
+       |  CAST(1000 * (CAST(length(bin(a.cnt)) AS BIGINT) - (SELECT lt FROM tot)) AS BIGINT) AS lp0_e3,
+       |  CAST(COALESCE(u.usage, 0) AS BIGINT) AS usage,
+       |  CAST(CASE WHEN COALESCE(u.usage, 0) = 0 THEN 1 ELSE 0 END AS INT) AS pruned,
+       |  CAST(CASE WHEN COALESCE(u.usage, 0) > 0
+       |    THEN 1000 * (CAST(length(bin(u.usage)) AS BIGINT) - (SELECT lu FROM um))
+       |    ELSE 0 END AS BIGINT) AS lp1_e3
+       |FROM alls a LEFT JOIN usg u ON u.g = a.g
+       |ORDER BY k, a.g""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q319_unigram_em" -> q319Oracle,
     "q318_unigram_viterbi" -> q318Oracle,
     "q296_code_switching" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

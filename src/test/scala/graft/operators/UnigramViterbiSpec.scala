@@ -71,4 +71,25 @@ class UnigramViterbiSpec extends AnyFunSuite {
       "4 words; greedy munches zz as one bigram piece (4 total), Viterbi " +
         "splits it into two zero-cost chars (5 total, score 0)")
   }
+
+  test("q319: the hard-EM round counts exactly the Viterbi pieces and prunes the unused vocabulary") {
+    // Same fixture as test 1. Viterbi segmentations: 15 fillers -> [ccc]
+    // x100 each, "ab" -> [ab] x60, "bcd" -> [bcd] x50, "abcd" -> [a, bcd].
+    // Usage mass U = 1500 + 60 + 51 + 1 = 1612 (11 bits). Everything the
+    // optimal segmentations never touch — all 15 doubled bigrams, and
+    // every character except 'a' — must come back pruned.
+    val out = TextAnalysisQueries.q319UnigramEm(spark, fixture())
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5), r.getLong(6))).toMap
+    assert(out.size === 51, "19 chars + 16 bigrams + 16 trigrams")
+    assert(out(("bcd", 3)) === ((51L, -8000L, 51L, 0, -5000L)))
+    assert(out(("eee", 3)) === ((100L, -7000L, 100L, 0, -4000L)))
+    assert(out(("ab", 2)) === ((61L, -8000L, 60L, 0, -5000L)))
+    assert(out(("a", 1)) === ((61L, -8000L, 1L, 0, -10000L)))
+    assert(out(("b", 1)) === ((111L, -7000L, 0L, 1, 0L)),
+      "'b' only ever appears inside winning multi-char pieces, so it prunes")
+    assert(out(("ee", 2))._4 === 1, "doubled bigrams lose to their trigrams and prune")
+    assert(out.values.count(_._4 == 0) === 18, "16 trigrams + ab + a survive")
+    assert(out.values.map(_._3).sum === 1612L, "usage mass is the corpus's Viterbi piece total")
+  }
 }
