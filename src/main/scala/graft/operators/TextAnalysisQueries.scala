@@ -1365,14 +1365,13 @@ object TextAnalysisQueries {
       expr("map_from_entries(collect_list(case when k = 2 then struct(g, lp) end))").as("m2"),
       expr("map_from_entries(collect_list(case when k = 3 then struct(g, lp) end))").as("m3"))
 
-  def q318UnigramViterbi(s: SparkSession, dir: String): DataFrame = {
-    val words = unigramWords(s, dir)
-    val vocab = unigramMaps(unigramGrams(words))
-    // dp[i] = best (score, pieces) over the three piece lengths ending at
-    // position i; the accumulator carries dp[i-1], dp[i-2], dp[i-3].
-    // Sentinels: an invalid origin scores -1e15 (never beats a real path
-    // — cs1 is always real, every character is in m1 by construction),
-    // and a non-winning candidate contributes 1e15 pieces to the LEAST.
+  /** The (score, pieces) Viterbi fold q318 and q320's re-decode share:
+    * dp[i] = best entry over the three piece lengths ending at position
+    * i; the accumulator carries dp[i-1], dp[i-2], dp[i-3]. Sentinels: an
+    * invalid origin scores -1e15 (never beats a real path — cs1 is
+    * always real, every character is in m1 by construction), and a
+    * non-winning candidate contributes 1e15 pieces to the LEAST. */
+  private def viterbiScoreFoldSql: String = {
     val neg = "-1000000000000000L"
     val big = "1000000000000000L"
     val cs1 = "acc.s1 + element_at(m1, substring(w, i, 1))"
@@ -1381,19 +1380,24 @@ object TextAnalysisQueries {
     val cs3 = "case when i >= 3 and element_at(m3, substring(w, i - 2, 3)) is not null " +
       s"then acc.s3 + element_at(m3, substring(w, i - 2, 3)) else $neg end"
     val best = s"greatest($cs1, $cs2, $cs3)"
+    s"""aggregate(sequence(1, length(w)),
+       |  named_struct('s1', 0L, 'n1', 0L, 's2', $neg, 'n2', 0L, 's3', $neg, 'n3', 0L),
+       |  (acc, i) -> named_struct(
+       |    's1', $best,
+       |    'n1', least(
+       |      case when ($cs1) = ($best) then acc.n1 + 1L else $big end,
+       |      case when ($cs2) = ($best) then acc.n2 + 1L else $big end,
+       |      case when ($cs3) = ($best) then acc.n3 + 1L else $big end),
+       |    's2', acc.s1, 'n2', acc.n1, 's3', acc.s2, 'n3', acc.n2),
+       |  acc -> named_struct('score', acc.s1, 'pieces', acc.n1))""".stripMargin
+  }
+
+  def q318UnigramViterbi(s: SparkSession, dir: String): DataFrame = {
+    val words = unigramWords(s, dir)
+    val vocab = unigramMaps(unigramGrams(words))
     val seg = words.select("w").distinct()
       .crossJoin(broadcast(vocab))
-      .withColumn("dp", expr(
-        s"""aggregate(sequence(1, length(w)),
-           |  named_struct('s1', 0L, 'n1', 0L, 's2', $neg, 'n2', 0L, 's3', $neg, 'n3', 0L),
-           |  (acc, i) -> named_struct(
-           |    's1', $best,
-           |    'n1', least(
-           |      case when ($cs1) = ($best) then acc.n1 + 1L else $big end,
-           |      case when ($cs2) = ($best) then acc.n2 + 1L else $big end,
-           |      case when ($cs3) = ($best) then acc.n3 + 1L else $big end),
-           |    's2', acc.s1, 'n2', acc.n1, 's3', acc.s2, 'n3', acc.n2),
-           |  acc -> named_struct('score', acc.s1, 'pieces', acc.n1))""".stripMargin))
+      .withColumn("dp", expr(viterbiScoreFoldSql))
       // q292's greedy maximal-munch over the same vocabulary, for the gap
       .withColumn("gpieces", expr(
         "aggregate(sequence(1, length(w)), named_struct('skip', 0, 'tok', 0L), " +
@@ -1445,10 +1449,12 @@ object TextAnalysisQueries {
     * word; usage aggregation collapses to the bounded vocabulary before
     * the single broadcast of the usage-mass total; every exchange
     * carries distinct-word rows or vocab-sized summaries. */
-  def q319UnigramEm(s: SparkSession, dir: String): DataFrame = {
-    val words = unigramWords(s, dir)
-    val grams = unigramGrams(words)
-    val vocab = unigramMaps(grams)
+  /** The path-carrying Viterbi fold (q319/q320's E-step): q318's
+    * frontier widened with the winning PATH as a piece-length string.
+    * Tie order: score DESC, pieces ASC, piece length ASC — the last key
+    * makes the winning path deterministic, not just (score, n) — via an
+    * array_sort comparator over the three candidate structs. */
+  private def viterbiPathFoldSql: String = {
     val neg = "-1000000000000000L"
     def cand(k: Int, origin: String) = {
       val (sc, n, p) = (s"acc.s$origin", s"acc.n$origin", s"acc.p$origin")
@@ -1463,33 +1469,48 @@ object TextAnalysisQueries {
           s"then $sc + element_at(m$k, $piece) else $neg end"
       s"named_struct('s', $score, 'n', $n + 1L, 'k', $k, 'p', concat($p, '$k,'))"
     }
-    // total order: score DESC, pieces ASC, piece length ASC — the last
-    // key makes the winning PATH deterministic, not just (score, n)
     val win = s"element_at(array_sort(array(${cand(1, "1")}, ${cand(2, "2")}, ${cand(3, "3")}), " +
       "(x, y) -> case when x.s > y.s then -1 when x.s < y.s then 1 " +
       "when x.n < y.n then -1 when x.n > y.n then 1 " +
       "when x.k < y.k then -1 when x.k > y.k then 1 else 0 end), 1)"
-    val seg = words.groupBy("w").agg(count(lit(1)).as("cw"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("path", expr(
-        s"""aggregate(sequence(1, length(w)),
-           |  named_struct('s1', 0L, 'n1', 0L, 'p1', '',
-           |    's2', $neg, 'n2', 0L, 'p2', '', 's3', $neg, 'n3', 0L, 'p3', ''),
-           |  (acc, i) -> named_struct(
-           |    's1', ($win).s, 'n1', ($win).n, 'p1', ($win).p,
-           |    's2', acc.s1, 'n2', acc.n1, 'p2', acc.p1,
-           |    's3', acc.s2, 'n3', acc.n2, 'p3', acc.p2),
-           |  acc -> acc.p1)""".stripMargin))
-      .select("w", "cw", "path")
+    s"""aggregate(sequence(1, length(w)),
+       |  named_struct('s1', 0L, 'n1', 0L, 'p1', '',
+       |    's2', $neg, 'n2', 0L, 'p2', '', 's3', $neg, 'n3', 0L, 'p3', ''),
+       |  (acc, i) -> named_struct(
+       |    's1', ($win).s, 'n1', ($win).n, 'p1', ($win).p,
+       |    's2', acc.s1, 'n2', acc.n1, 'p2', acc.p1,
+       |    's3', acc.s2, 'n3', acc.n2, 'p3', acc.p2),
+       |  acc -> named_struct('score', acc.s1, 'pieces', acc.n1, 'p', acc.p1))""".stripMargin
+  }
+
+  /** E-step over the distinct-word frame: each word's corpus instance
+    * count plus its optimal segmentation under `maps` (score, pieces,
+    * path). */
+  private def unigramSegmented(words: DataFrame, maps: DataFrame): DataFrame =
+    words.groupBy("w").agg(count(lit(1)).as("cw"))
+      .crossJoin(broadcast(maps))
+      .withColumn("dp", expr(viterbiPathFoldSql))
+      .select("w", "cw", "dp")
+
+  /** Weighted piece-usage counts from the segmented frame: the winning
+    * paths explode relationally (posexplode + per-word running offset),
+    * never via a lambda re-probing the word. */
+  private def usageOf(seg: DataFrame): DataFrame = {
     val wOff = Window.partitionBy("w").orderBy("j")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val usage = seg
+    seg
       .select(col("w"), col("cw"),
-        posexplode(expr("filter(split(path, ','), x -> x <> '')")).as(Seq("j", "kl")))
+        posexplode(expr("filter(split(dp.p, ','), x -> x <> '')")).as(Seq("j", "kl")))
       .withColumn("kli", col("kl").cast("int"))
       .withColumn("off", coalesce(sum("kli").over(wOff), lit(0)) + lit(1))
       .select(expr("substring(w, off, kli)").as("g"), col("cw"))
       .groupBy("g").agg(sum("cw").as("usage"))
+  }
+
+  def q319UnigramEm(s: SparkSession, dir: String): DataFrame = {
+    val words = unigramWords(s, dir)
+    val grams = unigramGrams(words)
+    val usage = usageOf(unigramSegmented(words, unigramMaps(grams)))
     val uTot = usage.agg(sum("usage").as("u"))
     grams.join(usage, Seq("g"), "left")
       .crossJoin(broadcast(uTot))
@@ -1505,7 +1526,61 @@ object TextAnalysisQueries {
       .orderBy("k", "g")
   }
 
+  // ---------------------------------------------------------------- q320
+
+  /** q320 — the EM CONVERGENCE READOUT: re-decode the corpus under
+    * q319's re-estimated scores and state, per source, what the
+    * training round actually bought — pieces/fertility before vs after,
+    * and each model's own total score. The round-2 vocabulary keeps
+    * every CHARACTER regardless of usage (the coverage guarantee
+    * SentencePiece's trainer enforces — pruning a character could leave
+    * a word unsegmentable) with a Laplace floor count of 1 for unused
+    * characters; multi-character pieces survive only with usage > 0,
+    * exactly q319's prune verdict. The two score columns are each
+    * model's objective over its own parameters (the masses differ), so
+    * the cross-round comparable is fertility; score1 vs score0 states
+    * how much probability mass the re-estimated model concentrates on
+    * the corpus it was fit to.
+    *
+    * Scale shape: two bounded-frontier folds over the distinct-word
+    * frame (round 0 with paths for usage, round 1 score-only), one
+    * vocab-sized usage aggregate between them, and per-source sums —
+    * the q318/q319 exchanges, twice. */
+  def q320UnigramEmEval(s: SparkSession, dir: String): DataFrame = {
+    val words = unigramWords(s, dir)
+    val grams = unigramGrams(words)
+    val seg0 = unigramSegmented(words, unigramMaps(grams))
+    val usage = usageOf(seg0)
+    val uTot = usage.agg(sum("usage").as("u"))
+    val vocab1 = grams.join(usage, Seq("g"), "left")
+      .filter(col("k") === 1 || coalesce(col("usage"), lit(0L)) > 0)
+      .withColumn("u1", greatest(coalesce(col("usage"), lit(0L)), lit(1L)))
+      .crossJoin(broadcast(uTot))
+      .withColumn("lp", expr(
+        "cast(1000 * (length(bin(u1)) - length(bin(u))) as bigint)"))
+      .select("g", "k", "lp")
+    val seg1 = words.select("w").distinct()
+      .crossJoin(broadcast(unigramMaps(vocab1)))
+      .withColumn("dp1", expr(viterbiScoreFoldSql))
+      .select("w", "dp1")
+    words.groupBy("source", "w").agg(count(lit(1)).as("ni"))
+      .join(seg0.select(col("w"), col("dp")), "w")
+      .join(seg1, "w")
+      .groupBy("source")
+      .agg(sum("ni").cast("bigint").as("n_words"),
+        sum(expr("ni * dp.pieces")).cast("bigint").as("pieces0"),
+        sum(expr("ni * dp1.pieces")).cast("bigint").as("pieces1"),
+        sum(expr("ni * dp.score")).cast("bigint").as("score0_e3"),
+        sum(expr("ni * dp1.score")).cast("bigint").as("score1_e3"))
+      .withColumn("fertility0_e6",
+        expr("(1000000 * pieces0) div n_words").cast("bigint"))
+      .withColumn("fertility1_e6",
+        expr("(1000000 * pieces1) div n_words").cast("bigint"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_unigram_em_eval" -> (q320UnigramEmEval _),
     "q319_unigram_em" -> (q319UnigramEm _),
     "q318_unigram_viterbi" -> (q318UnigramViterbi _),
     "q296_code_switching" -> (q296CodeSwitching _),
@@ -1679,30 +1754,74 @@ object TextAnalysisQueries {
        |    1000 * (CAST(length(bin(cnt)) AS BIGINT) - (SELECT lt FROM tot)) AS lp FROM t3),
        |dw AS MATERIALIZED (SELECT DISTINCT w FROM ws)""".stripMargin
 
-  private def q318Oracle: String = {
+  /** The oracle's recursive Viterbi walk over `dw`, parameterized by CTE
+    * name and the three scored piece tables; `withPath` widens the state
+    * with the winning-path string (tie CASE priority = the Spark
+    * comparator's k ASC key). */
+  private def oracleViterbiWalk(cte: String, lt1: String, lt2: String,
+                                lt3: String, withPath: Boolean): String = {
     val neg = "CAST(-1000000000000000 AS BIGINT)"
     val big = "CAST(1000000000000000 AS BIGINT)"
     val cs1 = s"r.s1 + COALESCE(j1.lp, $neg)"
     val cs2 = s"CASE WHEN j2.g IS NOT NULL THEN r.s2 + j2.lp ELSE $neg END"
     val cs3 = s"CASE WHEN j3.g IS NOT NULL THEN r.s3 + j3.lp ELSE $neg END"
     val best = s"GREATEST($cs1, $cs2, $cs3)"
-    s"""WITH RECURSIVE $unigramTrainCtes,
-       |walk(w, i, s1, n1, s2, n2, s3, n3) AS (
-       |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-       |    $neg, CAST(0 AS BIGINT), $neg, CAST(0 AS BIGINT) FROM dw
-       |  UNION ALL
-       |  SELECT r.w, r.i + 1,
-       |    $best,
-       |    LEAST(
+    val bestN = s"""LEAST(
        |      CASE WHEN ($cs1) = ($best) THEN r.n1 + 1 ELSE $big END,
        |      CASE WHEN ($cs2) = ($best) THEN r.n2 + 1 ELSE $big END,
-       |      CASE WHEN ($cs3) = ($best) THEN r.n3 + 1 ELSE $big END),
-       |    r.s1, r.n1, r.s2, r.n2
-       |  FROM walk r
-       |  LEFT JOIN l1 j1 ON j1.g = substr(r.w, CAST(r.i + 1 AS INT), 1)
-       |  LEFT JOIN l2 j2 ON r.i >= 1 AND j2.g = substr(r.w, CAST(r.i AS INT), 2)
-       |  LEFT JOIN l3 j3 ON r.i >= 2 AND j3.g = substr(r.w, CAST(r.i - 1 AS INT), 3)
-       |  WHERE r.i < length(r.w)),
+       |      CASE WHEN ($cs3) = ($best) THEN r.n3 + 1 ELSE $big END)""".stripMargin
+    val joins = s"""  FROM $cte r
+       |  LEFT JOIN $lt1 j1 ON j1.g = substr(r.w, CAST(r.i + 1 AS INT), 1)
+       |  LEFT JOIN $lt2 j2 ON r.i >= 1 AND j2.g = substr(r.w, CAST(r.i AS INT), 2)
+       |  LEFT JOIN $lt3 j3 ON r.i >= 2 AND j3.g = substr(r.w, CAST(r.i - 1 AS INT), 3)
+       |  WHERE r.i < length(r.w))""".stripMargin
+    if (withPath)
+      s"""$cte(w, i, s1, n1, p1, s2, n2, p2, s3, n3, p3) AS (
+         |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), '',
+         |    $neg, CAST(0 AS BIGINT), '', $neg, CAST(0 AS BIGINT), '' FROM dw
+         |  UNION ALL
+         |  SELECT r.w, r.i + 1,
+         |    $best,
+         |    $bestN,
+         |    CASE WHEN ($cs1) = ($best) AND r.n1 + 1 = ($bestN) THEN r.p1 || '1,'
+         |         WHEN ($cs2) = ($best) AND r.n2 + 1 = ($bestN) THEN r.p2 || '2,'
+         |         ELSE r.p3 || '3,' END,
+         |    r.s1, r.n1, r.p1, r.s2, r.n2, r.p2
+         |$joins""".stripMargin
+    else
+      s"""$cte(w, i, s1, n1, s2, n2, s3, n3) AS (
+         |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    $neg, CAST(0 AS BIGINT), $neg, CAST(0 AS BIGINT) FROM dw
+         |  UNION ALL
+         |  SELECT r.w, r.i + 1,
+         |    $best,
+         |    $bestN,
+         |    r.s1, r.n1, r.s2, r.n2
+         |$joins""".stripMargin
+  }
+
+  /** The E-step tail q319/q320's oracles share: winning paths, word
+    * instance weights, the relational path explode (zipped unnest +
+    * window offsets), usage counts, and the usage-mass bit length. */
+  private def oracleUsageCtes: String =
+    s"""fin AS (SELECT w, p1 AS path, s1 AS score0, n1 AS pieces0
+       |  FROM walk WHERE i = length(w)),
+       |cwt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM ws GROUP BY w),
+       |ls0 AS (SELECT w, list_filter(string_split(path, ','), x -> x <> '') AS ls FROM fin),
+       |lens AS (SELECT w, unnest(ls) AS kl,
+       |    unnest(generate_series(1, len(ls))) AS j FROM ls0),
+       |pos AS (SELECT w, CAST(kl AS INT) AS kli,
+       |    1 + COALESCE(SUM(CAST(kl AS INT)) OVER (PARTITION BY w ORDER BY j
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM lens),
+       |pieces AS (SELECT w, substr(w, CAST(off AS INT), kli) AS g FROM pos),
+       |usg AS (SELECT p.g, CAST(SUM(c.cw) AS BIGINT) AS usage
+       |  FROM pieces p JOIN cwt c ON c.w = p.w GROUP BY p.g),
+       |um AS (SELECT CAST(length(bin(SUM(usage))) AS BIGINT) AS lu FROM usg)""".stripMargin
+
+  private def q318Oracle: String = {
+    s"""WITH RECURSIVE $unigramTrainCtes,
+       |${oracleViterbiWalk("walk", "l1", "l2", "l3", withPath = false)},
        |gwalk(w, i, tok) AS (
        |  SELECT w, 1, CAST(0 AS BIGINT) FROM dw
        |  UNION ALL
@@ -1737,46 +1856,9 @@ object TextAnalysisQueries {
     * offsets — never a lambda re-probing the word) into usage counts and
     * the floor-log2 re-score. */
   private def q319Oracle: String = {
-    val neg = "CAST(-1000000000000000 AS BIGINT)"
-    val big = "CAST(1000000000000000 AS BIGINT)"
-    val cs1 = s"r.s1 + COALESCE(j1.lp, $neg)"
-    val cs2 = s"CASE WHEN j2.g IS NOT NULL THEN r.s2 + j2.lp ELSE $neg END"
-    val cs3 = s"CASE WHEN j3.g IS NOT NULL THEN r.s3 + j3.lp ELSE $neg END"
-    val best = s"GREATEST($cs1, $cs2, $cs3)"
-    val bestN = s"""LEAST(
-       |      CASE WHEN ($cs1) = ($best) THEN r.n1 + 1 ELSE $big END,
-       |      CASE WHEN ($cs2) = ($best) THEN r.n2 + 1 ELSE $big END,
-       |      CASE WHEN ($cs3) = ($best) THEN r.n3 + 1 ELSE $big END)""".stripMargin
     s"""WITH RECURSIVE $unigramTrainCtes,
-       |walk(w, i, s1, n1, p1, s2, n2, p2, s3, n3, p3) AS (
-       |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), '',
-       |    $neg, CAST(0 AS BIGINT), '', $neg, CAST(0 AS BIGINT), '' FROM dw
-       |  UNION ALL
-       |  SELECT r.w, r.i + 1,
-       |    $best,
-       |    $bestN,
-       |    CASE WHEN ($cs1) = ($best) AND r.n1 + 1 = ($bestN) THEN r.p1 || '1,'
-       |         WHEN ($cs2) = ($best) AND r.n2 + 1 = ($bestN) THEN r.p2 || '2,'
-       |         ELSE r.p3 || '3,' END,
-       |    r.s1, r.n1, r.p1, r.s2, r.n2, r.p2
-       |  FROM walk r
-       |  LEFT JOIN l1 j1 ON j1.g = substr(r.w, CAST(r.i + 1 AS INT), 1)
-       |  LEFT JOIN l2 j2 ON r.i >= 1 AND j2.g = substr(r.w, CAST(r.i AS INT), 2)
-       |  LEFT JOIN l3 j3 ON r.i >= 2 AND j3.g = substr(r.w, CAST(r.i - 1 AS INT), 3)
-       |  WHERE r.i < length(r.w)),
-       |fin AS (SELECT w, p1 AS path FROM walk WHERE i = length(w)),
-       |cwt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM ws GROUP BY w),
-       |ls0 AS (SELECT w, list_filter(string_split(path, ','), x -> x <> '') AS ls FROM fin),
-       |lens AS (SELECT w, unnest(ls) AS kl,
-       |    unnest(generate_series(1, len(ls))) AS j FROM ls0),
-       |pos AS (SELECT w, CAST(kl AS INT) AS kli,
-       |    1 + COALESCE(SUM(CAST(kl AS INT)) OVER (PARTITION BY w ORDER BY j
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-       |  FROM lens),
-       |pieces AS (SELECT w, substr(w, CAST(off AS INT), kli) AS g FROM pos),
-       |usg AS (SELECT p.g, CAST(SUM(c.cw) AS BIGINT) AS usage
-       |  FROM pieces p JOIN cwt c ON c.w = p.w GROUP BY p.g),
-       |um AS (SELECT CAST(length(bin(SUM(usage))) AS BIGINT) AS lu FROM usg),
+       |${oracleViterbiWalk("walk", "l1", "l2", "l3", withPath = true)},
+       |$oracleUsageCtes,
        |alls AS (SELECT g, 1 AS k, cnt FROM t1
        |  UNION ALL SELECT g, 2, cnt FROM t2
        |  UNION ALL SELECT g, 3, cnt FROM t3)
@@ -1791,7 +1873,42 @@ object TextAnalysisQueries {
        |ORDER BY k, a.g""".stripMargin
   }
 
+  /** q320's oracle: the path walk + usage chain (q319's), the round-2
+    * piece tables — every character kept with a Laplace floor count of
+    * 1, multi-char pieces only with usage > 0 — and a second score-only
+    * walk under them, aggregated per source next to round 0's numbers. */
+  private def q320Oracle: String = {
+    s"""WITH RECURSIVE $unigramTrainCtes,
+       |${oracleViterbiWalk("walk", "l1", "l2", "l3", withPath = true)},
+       |$oracleUsageCtes,
+       |l1b AS MATERIALIZED (SELECT t1.g,
+       |    1000 * (CAST(length(bin(GREATEST(COALESCE(u.usage, 0), 1))) AS BIGINT)
+       |      - (SELECT lu FROM um)) AS lp
+       |  FROM t1 LEFT JOIN usg u ON u.g = t1.g),
+       |l2b AS MATERIALIZED (SELECT t2.g,
+       |    1000 * (CAST(length(bin(u.usage)) AS BIGINT) - (SELECT lu FROM um)) AS lp
+       |  FROM t2 JOIN usg u ON u.g = t2.g),
+       |l3b AS MATERIALIZED (SELECT t3.g,
+       |    1000 * (CAST(length(bin(u.usage)) AS BIGINT) - (SELECT lu FROM um)) AS lp
+       |  FROM t3 JOIN usg u ON u.g = t3.g),
+       |${oracleViterbiWalk("walk2", "l1b", "l2b", "l3b", withPath = false)},
+       |fin2 AS (SELECT w, s1 AS score1, n1 AS pieces1 FROM walk2 WHERE i = length(w)),
+       |enc AS (SELECT ws.source, f.score0, f.pieces0, f2.score1, f2.pieces1
+       |  FROM ws JOIN fin f ON f.w = ws.w JOIN fin2 f2 ON f2.w = ws.w),
+       |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(pieces0) AS BIGINT) AS pieces0,
+       |    CAST(SUM(pieces1) AS BIGINT) AS pieces1,
+       |    CAST(SUM(score0) AS BIGINT) AS score0_e3,
+       |    CAST(SUM(score1) AS BIGINT) AS score1_e3
+       |  FROM enc GROUP BY source)
+       |SELECT source, n_words, pieces0, pieces1, score0_e3, score1_e3,
+       |  CAST((1000000 * pieces0) // n_words AS BIGINT) AS fertility0_e6,
+       |  CAST((1000000 * pieces1) // n_words AS BIGINT) AS fertility1_e6
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q320_unigram_em_eval" -> q320Oracle,
     "q319_unigram_em" -> q319Oracle,
     "q318_unigram_viterbi" -> q318Oracle,
     "q296_code_switching" ->

@@ -92,4 +92,20 @@ class UnigramViterbiSpec extends AnyFunSuite {
     assert(out.values.count(_._4 == 0) === 18, "16 trigrams + ab + a survive")
     assert(out.values.map(_._3).sum === 1612L, "usage mass is the corpus's Viterbi piece total")
   }
+
+  test("q320: re-decoding under the re-estimated scores keeps the optimal segmentations and concentrates mass") {
+    // Same fixture. Round-2 scores (U = 1612, 11 bits): filler trigrams
+    // usage 100 -> -4000; bcd 51 / ab 60 -> -5000; char a usage 1 and all
+    // floor-1 chars -> -10000. Every word re-segments identically
+    // (probe: a+bcd = -15000 still beats ab+c+d = -25000), so pieces and
+    // fertility are unchanged while each source's score improves:
+    // fill = 1500*(-4000) + 60*(-5000) + 50*(-5000) = -6550000 vs round
+    // 0's 1500*(-7000) + 110*(-8000) = -11380000; probe -15000 vs -16000.
+    val out = TextAnalysisQueries.q320UnigramEmEval(spark, fixture())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq === Seq(
+      ("fill", 1610L, 1610L, 1610L, -11380000L, -6550000L, 1000000L, 1000000L),
+      ("probe", 1L, 2L, 2L, -16000L, -15000L, 2000000L, 2000000L)))
+  }
 }
