@@ -422,9 +422,19 @@ object TextAnalysisQueries {
   private val bpeRulesCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
-  /** Test hook: forget the durable trained-rules cache (the Layouts
-    * files and manifest remain, exactly what a fresh JVM sees). */
-  private[graft] def resetDurableStagesForTest(): Unit = bpeRulesCache.clear()
+  /** The standing corpus's FULL unigram gram-count table per corpus
+    * fingerprint per JVM — durable through the Layouts registry (q321);
+    * the map only memoizes the staged path. */
+  private val unigramBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook: forget the durable trained-rules and gram-count caches
+    * (the Layouts files and manifests remain, exactly what a fresh JVM
+    * sees). */
+  private[graft] def resetDurableStagesForTest(): Unit = {
+    bpeRulesCache.clear()
+    unigramBaseCache.clear()
+  }
 
   private def trainedBpeRules(s: SparkSession, dir: String): Array[String] =
     bpeRulesCache.computeIfAbsent(
@@ -1325,12 +1335,30 @@ object TextAnalysisQueries {
     * distinct-word frame and bounded per-source aggregates, never
     * per-instance pieces; the 33-entry-plus-alphabet vocab rides one
     * broadcast as three map columns. */
-  /** The corpus word stream the unigram-tokenizer family (q318/q319)
-    * trains and segments over. */
-  private def unigramWords(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("source"), explode(expr("split(text, ' ')")).as("w"))
+  /** The word stream of a documents frame, as the unigram-tokenizer
+    * family (q318–q321) trains and segments over it. */
+  private def wordsOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(expr("split(text, ' ')")).as("w"))
       .filter(length(col("w")) >= 1)
+
+  /** The corpus word stream the unigram-tokenizer family trains and
+    * segments over. */
+  private def unigramWords(s: SparkSession, dir: String): DataFrame =
+    wordsOf(Tables.documents(s, dir))
+
+  /** FULL (uncut) gram-count table per piece length — the additive
+    * training statistic q321 maintains incrementally. Bounded by the
+    * corpus's distinct 1/2/3-grams (alphabet-cubed at worst), never by
+    * corpus mass. */
+  private def fullGramCounts(words: DataFrame): DataFrame =
+    (1 to 3).map { n =>
+      words.filter(length(col("w")) >= n)
+        .select(explode(expr(
+          s"transform(sequence(1, length(w) - ${n - 1}), i -> substring(w, i, $n))"))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .withColumn("k", lit(n))
+    }.reduce(_ unionByName _)
 
   /** q292's vocabulary with counts and integer-lattice scores kept: one
     * row per piece (g, cnt, k = piece length, lp) — top-16 trigrams +
@@ -1579,7 +1607,55 @@ object TextAnalysisQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q321
+
+  /** q321 — INCREMENTAL maintenance of the unigram trainer's statistics,
+    * extending the standing-index family (q311 LSH, q308 IVF, q312 PQ,
+    * q313 fuzzy pairs, q314 substring, q317 image hashes) to tokenizer
+    * training: the standing corpus's (doc_id % 10 != 7) FULL gram-count
+    * table is a durable staged index; this week's batch (% 10 == 7)
+    * counts only its OWN grams and adds. Counts are exactly additive, so
+    * the maintenance is lossless BY CONSTRUCTION — and because the
+    * staged table is the full count table (bounded by distinct grams,
+    * not corpus mass), a gram that crosses into the top-16 cut only
+    * because of delta mass is cut correctly, the case that silently
+    * breaks any "stage only the kept vocabulary" shortcut (pinned in
+    * UnigramViterbiSpec). Output = the trained vocabulary (g, k, cnt,
+    * lp) over base+delta, answering to the full-rebuild oracle.
+    *
+    * Scale shape: recurring cost is counting the DELTA's grams plus a
+    * vocab-bounded merge/cut/re-score — the standing corpus is touched
+    * only through its gram table; at 100 TB with a daily batch the
+    * trainer's statistics update at delta cost like every other
+    * standing index. */
+  def q321UnigramIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pth = unigramBaseCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "uggrams", "v1;mod=7", dir, Seq("documents")) { ck =>
+          fullGramCounts(wordsOf(
+              Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)))
+            .write.mode("overwrite").parquet(s"$ck/grams")
+          s"$ck/grams"
+        })
+    val delta = fullGramCounts(wordsOf(
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)))
+    val merged = s.read.parquet(pth).unionByName(delta)
+      .groupBy("g", "k").agg(sum("cnt").as("cnt"))
+    def cutTop(k: Int): DataFrame = {
+      val f = merged.filter(col("k") === k)
+      if (k == 1) f else f.orderBy(desc("cnt"), asc("g")).limit(16)
+    }
+    val kept = cutTop(1).unionByName(cutTop(2)).unionByName(cutTop(3))
+    val tot = kept.agg(sum("cnt").as("t"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("g"), col("k").cast("int").as("k"),
+        col("cnt").cast("bigint").as("cnt"),
+        expr("cast(1000 * (length(bin(cnt)) - length(bin(t))) as bigint)").as("lp_e3"))
+      .orderBy("k", "g")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_unigram_incremental" -> (q321UnigramIncremental _),
     "q320_unigram_em_eval" -> (q320UnigramEmEval _),
     "q319_unigram_em" -> (q319UnigramEm _),
     "q318_unigram_viterbi" -> (q318UnigramViterbi _),
@@ -1907,7 +1983,23 @@ object TextAnalysisQueries {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  /** q321's oracle: the FULL-REBUILD form — train the gram tables over
+    * the whole corpus (base + delta in one pass) with the shared CTEs
+    * and emit the kept vocabulary; per-gram additivity makes the
+    * incremental construction identical, which is what the hash gate
+    * proves. */
+  private def q321Oracle: String =
+    s"""WITH $unigramTrainCtes,
+       |alls AS (
+       |  SELECT t1.g, 1 AS k, t1.cnt, l1.lp FROM t1 JOIN l1 ON l1.g = t1.g
+       |  UNION ALL SELECT t2.g, 2, t2.cnt, l2.lp FROM t2 JOIN l2 ON l2.g = t2.g
+       |  UNION ALL SELECT t3.g, 3, t3.cnt, l3.lp FROM t3 JOIN l3 ON l3.g = t3.g)
+       |SELECT g, CAST(k AS INT) AS k, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(lp AS BIGINT) AS lp_e3
+       |FROM alls ORDER BY k, g""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q321_unigram_incremental" -> q321Oracle,
     "q320_unigram_em_eval" -> q320Oracle,
     "q319_unigram_em" -> q319Oracle,
     "q318_unigram_viterbi" -> q318Oracle,

@@ -179,6 +179,10 @@ class LayoutReattachSpec extends AnyFunSuite {
     assertReattaches("q316_image_cluster_reps", Seq("phpairs", "phlabels"))
   }
 
+  test("q321 unigram gram-count table re-attaches across sessions") {
+    assertReattaches("q321_unigram_incremental", Seq("uggrams"))
+  }
+
   test("q317 standing image index re-attaches across sessions") {
     assertReattaches("q317_image_incremental", Seq("phbase"))
   }

@@ -108,4 +108,25 @@ class UnigramViterbiSpec extends AnyFunSuite {
       ("fill", 1610L, 1610L, 1610L, -11380000L, -6550000L, 1000000L, 1000000L),
       ("probe", 1L, 2L, 2L, -16000L, -15000L, 2000000L, 2000000L)))
   }
+
+  test("q321: a gram that crosses the top-16 cut only via delta mass is cut correctly") {
+    // Base (doc_id 0): 16 trigram fillers x100 pin the cut; "xyz" x84
+    // sits at rank 17. Delta (doc_id 7): "xyz" x30 lifts it to 114 —
+    // above every filler. A naive "stage only the kept vocabulary"
+    // implementation would have dropped xyz's base count and missed the
+    // crossing; the staged FULL gram table makes the merge lossless, so
+    // xyz enters the vocabulary and the (cnt DESC, g ASC) cut evicts the
+    // lexicographically last 100-count filler, "ppp".
+    val fillers = "abcdefghijklmnop".map(c => s"$c$c$c")
+    val base = (fillers.flatMap(w => Seq.fill(100)(w)) ++
+      Seq.fill(84)("xyz")).mkString(" ")
+    val dir = corpus(Seq((0L, base, "base"), (7L, "xyz " * 29 + "xyz", "delta")))
+    val tri = TextAnalysisQueries.q321UnigramIncremental(spark, dir)
+      .collect().filter(_.getInt(1) == 3)
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(tri.size === 16, "the trigram vocabulary keeps exactly 16 pieces")
+    assert(tri("xyz") === 114L, "base 84 + delta 30, merged losslessly")
+    assert(!tri.contains("ppp"), "the crossing evicts the last filler")
+    assert(tri("aaa") === 100L)
+  }
 }
