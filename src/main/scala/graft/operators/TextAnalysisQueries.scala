@@ -428,12 +428,20 @@ object TextAnalysisQueries {
   private val unigramBaseCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Test hook: forget the durable trained-rules and gram-count caches
-    * (the Layouts files and manifests remain, exactly what a fresh JVM
-    * sees). */
+  /** The corpus's segmented distinct-word frame (the unigram E-step) per
+    * corpus fingerprint per JVM — durable through the Layouts registry;
+    * shared by q319 (usage counts) and q320 (round-0 numbers + usage),
+    * so the path fold runs once per corpus, not per consumer. */
+  private val unigramSegCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook: forget the durable trained-rules, gram-count and
+    * segmentation caches (the Layouts files and manifests remain,
+    * exactly what a fresh JVM sees). */
   private[graft] def resetDurableStagesForTest(): Unit = {
     bpeRulesCache.clear()
     unigramBaseCache.clear()
+    unigramSegCache.clear()
   }
 
   private def trainedBpeRules(s: SparkSession, dir: String): Array[String] =
@@ -1520,6 +1528,21 @@ object TextAnalysisQueries {
       .withColumn("dp", expr(viterbiPathFoldSql))
       .select("w", "cw", "dp")
 
+  /** The corpus's E-step, staged: a deterministic function of the
+    * corpus, so it is a once-per-corpus index build shared by q319 and
+    * q320 — the same discipline as the trained BPE rules above. */
+  private def stagedSegmented(s: SparkSession, dir: String): DataFrame = {
+    val pth = unigramSegCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "ugseg", "v1", dir, Seq("documents")) { ck =>
+          val words = unigramWords(s, dir)
+          unigramSegmented(words, unigramMaps(unigramGrams(words)))
+            .write.mode("overwrite").parquet(s"$ck/seg")
+          s"$ck/seg"
+        })
+    s.read.parquet(pth)
+  }
+
   /** Weighted piece-usage counts from the segmented frame: the winning
     * paths explode relationally (posexplode + per-word running offset),
     * never via a lambda re-probing the word. */
@@ -1536,9 +1559,8 @@ object TextAnalysisQueries {
   }
 
   def q319UnigramEm(s: SparkSession, dir: String): DataFrame = {
-    val words = unigramWords(s, dir)
-    val grams = unigramGrams(words)
-    val usage = usageOf(unigramSegmented(words, unigramMaps(grams)))
+    val grams = unigramGrams(unigramWords(s, dir))
+    val usage = usageOf(stagedSegmented(s, dir))
     val uTot = usage.agg(sum("usage").as("u"))
     grams.join(usage, Seq("g"), "left")
       .crossJoin(broadcast(uTot))
@@ -1577,7 +1599,7 @@ object TextAnalysisQueries {
   def q320UnigramEmEval(s: SparkSession, dir: String): DataFrame = {
     val words = unigramWords(s, dir)
     val grams = unigramGrams(words)
-    val seg0 = unigramSegmented(words, unigramMaps(grams))
+    val seg0 = stagedSegmented(s, dir)
     val usage = usageOf(seg0)
     val uTot = usage.agg(sum("usage").as("u"))
     val vocab1 = grams.join(usage, Seq("g"), "left")

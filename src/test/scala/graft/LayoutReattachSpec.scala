@@ -183,6 +183,11 @@ class LayoutReattachSpec extends AnyFunSuite {
     assertReattaches("q321_unigram_incremental", Seq("uggrams"))
   }
 
+  test("the unigram E-step re-attaches for both its consumers (q319, q320)") {
+    assertReattaches("q319_unigram_em", Seq("ugseg"))
+    assertReattaches("q320_unigram_em_eval", Seq("ugseg"))
+  }
+
   test("q317 standing image index re-attaches across sessions") {
     assertReattaches("q317_image_incremental", Seq("phbase"))
   }
