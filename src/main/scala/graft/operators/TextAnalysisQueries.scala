@@ -1663,6 +1663,13 @@ object TextAnalysisQueries {
       Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)))
     val merged = s.read.parquet(pth).unionByName(delta)
       .groupBy("g", "k").agg(sum("cnt").as("cnt"))
+    vocabOfCounts(merged)
+  }
+
+  /** The vocab-bounded cut + floor-log2 re-score over a full gram-count
+    * frame (g, k, cnt) — q321's tail, shared with the stream-maintained
+    * counts (q322). */
+  private[graft] def vocabOfCounts(merged: DataFrame): DataFrame = {
     def cutTop(k: Int): DataFrame = {
       val f = merged.filter(col("k") === k)
       if (k == 1) f else f.orderBy(desc("cnt"), asc("g")).limit(16)
@@ -2010,7 +2017,7 @@ object TextAnalysisQueries {
     * and emit the kept vocabulary; per-gram additivity makes the
     * incremental construction identical, which is what the hash gate
     * proves. */
-  private def q321Oracle: String =
+  private[graft] def q321Oracle: String =
     s"""WITH $unigramTrainCtes,
        |alls AS (
        |  SELECT t1.g, 1 AS k, t1.cnt, l1.lp FROM t1 JOIN l1 ON l1.g = t1.g

@@ -797,7 +797,46 @@ object StreamingQueries {
     ss.table(tbl).orderBy("h")
   }
 
+  /** q322 — STREAMING maintenance of the unigram trainer's statistics:
+    * q321's standing gram table, maintained by the stream instead of a
+    * staged batch. Documents file-stream → stateless gram explode →
+    * running (g, k) counts in COMPLETE mode — legitimate here and only
+    * here because the state IS the gram table, bounded by the corpus's
+    * distinct 1/2/3-grams (alphabet-cubed at worst), never by corpus
+    * mass — then q321's vocab-bounded cut + floor-log2 re-score on the
+    * sink, in batch. The oracle is the full-rebuild trainer (q321's
+    * twin), so the hash gate proves stream-maintained counts equal batch
+    * training over everything that has ever arrived; UnigramViterbiSpec
+    * additionally pins q322 == q321 row for row.
+    *
+    * The gram explode slices each per-length transform to its valid
+    * prefix (`slice(..., 1, greatest(length(w) - n + 1, 0))`) instead of
+    * `sequence(1, length(w) - n + 1)`, because Spark's sequence DESCENDS
+    * when stop < start — a length-1 word would otherwise fabricate
+    * positions [1, 0] for the bigram row. */
+  def q322StreamingGrams(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_stream_grams_${runCounter.incrementAndGet()}"
+    val ss = drain(s) { ss => StreamSources.documents(ss, dir)
+      .select(explode(expr("split(text, ' ')")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(explode(expr(
+        "flatten(transform(array(1, 2, 3), n -> " +
+          "slice(transform(sequence(1, length(w)), " +
+          "i -> struct(substring(w, i, n) as g, n as k)), " +
+          "1, greatest(length(w) - n + 1, 0))))")).as("gk"))
+      .groupBy(col("gk.g").as("g"), col("gk.k").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream
+      .format("memory")
+      .queryName(tbl)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+    }
+    graft.operators.TextAnalysisQueries.vocabOfCounts(ss.table(tbl))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_streaming_grams" -> (q322StreamingGrams _),
     "q247_streaming_quantiles" -> (q247StreamingQuantiles _),
     "q251_streaming_hist" -> (q251StreamingHist _),
     "q255_streaming_pit" -> (q255StreamingPit _),
@@ -848,6 +887,9 @@ object StreamingQueries {
         |FROM cum GROUP BY w ORDER BY w""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q321's full-rebuild trainer verbatim — the stream maintains the
+    // same bounded gram table the batch trainer derives in one pass
+    "q322_streaming_grams" -> graft.operators.TextAnalysisQueries.q321Oracle,
     "q247_streaming_quantiles" -> histQuantileOracle,
     "q251_streaming_hist" -> histQuantileOracle,
     // q252's batch oracle verbatim — the stream-static topology is

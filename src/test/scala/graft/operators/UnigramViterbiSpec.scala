@@ -129,4 +129,12 @@ class UnigramViterbiSpec extends AnyFunSuite {
     assert(!tri.contains("ppp"), "the crossing evicts the last filler")
     assert(tri("aaa") === 100L)
   }
+
+  test("q322: the stream-maintained gram table trains the same vocabulary as the batch paths") {
+    import graft.SparkTestSession.sfDir
+    val batch = TextAnalysisQueries.q321UnigramIncremental(spark, sfDir).collect()
+    val stream = graft.streaming.StreamingQueries.q322StreamingGrams(spark, sfDir).collect()
+    assert(stream.nonEmpty && stream.toSeq === batch.toSeq,
+      "stream == incremental batch == (by q321's oracle) the full rebuild")
+  }
 }
