@@ -1357,16 +1357,17 @@ object TextAnalysisQueries {
   /** FULL (uncut) gram-count table per piece length — the additive
     * training statistic q321 maintains incrementally. Bounded by the
     * corpus's distinct 1/2/3-grams (alphabet-cubed at worst), never by
-    * corpus mass. */
+    * corpus mass. ONE scan: all three lengths explode from a single
+    * pass (q322's stream shape), each per-length transform sliced to
+    * its valid prefix because sequence() descends when stop < start. */
   private def fullGramCounts(words: DataFrame): DataFrame =
-    (1 to 3).map { n =>
-      words.filter(length(col("w")) >= n)
-        .select(explode(expr(
-          s"transform(sequence(1, length(w) - ${n - 1}), i -> substring(w, i, $n))"))
-          .as("g"))
-        .groupBy("g").agg(count(lit(1)).as("cnt"))
-        .withColumn("k", lit(n))
-    }.reduce(_ unionByName _)
+    words.select(explode(expr(
+      "flatten(transform(array(1, 2, 3), n -> " +
+        "slice(transform(sequence(1, length(w)), " +
+        "i -> struct(substring(w, i, n) as g, n as k)), " +
+        "1, greatest(length(w) - n + 1, 0))))")).as("gk"))
+      .groupBy(col("gk.g").as("g"), col("gk.k").as("k"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** q292's vocabulary with counts and integer-lattice scores kept: one
     * row per piece (g, cnt, k = piece length, lp) — top-16 trigrams +
@@ -1659,11 +1660,18 @@ object TextAnalysisQueries {
             .write.mode("overwrite").parquet(s"$ck/grams")
           s"$ck/grams"
         })
-    val delta = fullGramCounts(wordsOf(
-      Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)))
-    val merged = s.read.parquet(pth).unionByName(delta)
+    // the merged table lands in a staging leaf ONCE (the q311 eager
+    // staging-write discipline): the cut branches and the total then read
+    // a vocab-bounded parquet instead of re-deriving the delta count per
+    // branch — the returned plan scans raw documents ZERO times
+    // (PlanShapeSpec), the delta paying its single scan here
+    val merged = graft.Staging.fresh("ugmerged")
+    s.read.parquet(pth)
+      .unionByName(fullGramCounts(wordsOf(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7))))
       .groupBy("g", "k").agg(sum("cnt").as("cnt"))
-    vocabOfCounts(merged)
+      .write.mode("overwrite").parquet(merged)
+    vocabOfCounts(s.read.parquet(merged))
   }
 
   /** The vocab-bounded cut + floor-log2 re-score over a full gram-count

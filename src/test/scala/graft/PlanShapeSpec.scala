@@ -550,4 +550,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOccurrences(p, "customer.parquet") == 0,
       s"q313's recurring plan must not scan raw customers:\n$p")
   }
+
+  test("q321: the recurring update counts only the delta; the standing grams are a leaf") {
+    SparkEntry.queries("q321_unigram_incremental")(spark, sfDir).collect()
+    val p = plan("q321_unigram_incremental")
+    // the base gram table is staged once per corpus and the merged table
+    // lands in a staging leaf as an eager write (its one delta scan runs
+    // there); the returned plan reads only vocab-bounded leaves — any
+    // documents scan means a cut branch re-derived the delta count
+    assert(countOccurrences(p, "documents.parquet") == 0,
+      s"q321's recurring plan must not scan raw documents (leaves only):\n$p")
+  }
 }
