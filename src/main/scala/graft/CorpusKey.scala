@@ -46,16 +46,29 @@ package graft
   */
 object CorpusKey {
 
-  /** Fingerprint `dir/table` (a file or a parquet directory). Fails
-    * loudly when the path does not exist — a cache keyed on a missing
-    * source is always a bug at the call site. */
-  def apply(dir: String, table: String): String = {
+  private def fsAndPath(dir: String, table: String) = {
     val root = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(dir), table)
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val fs = root.getFileSystem(conf)
+    (root.getFileSystem(conf), root)
+  }
+
+  /** Typed existence probe for callers that treat an absent source as a
+    * VALID state (Layouts.sourceFingerprint's optional tables) — the
+    * alternative is classifying apply()'s failure by message text, a
+    * string coupling that breaks on any reword. */
+  def exists(dir: String, table: String): Boolean = {
+    val (fs, root) = fsAndPath(dir, table)
+    fs.exists(root)
+  }
+
+  /** Fingerprint `dir/table` (a file or a parquet directory). Fails
+    * loudly when the path does not exist — a cache keyed on a missing
+    * source is always a bug at the call site. */
+  def apply(dir: String, table: String): String = {
+    val (fs, root) = fsAndPath(dir, table)
     require(fs.exists(root), s"CorpusKey: source missing: $root")
     // scheme-free root prefix, so the key text (and thus every cache
     // slot) is identical whether the path arrives as /x/y or file:/x/y

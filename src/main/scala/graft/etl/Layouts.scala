@@ -72,17 +72,14 @@ object Layouts {
     * still manifests deterministically. */
   def sourceFingerprint(sourceDir: String, tables: Seq[String]): String = {
     val lines = tables.sorted.map { t =>
-      // ONLY a genuinely missing source fingerprints as absent; a
-      // malformed path (empty string, bad URI) rethrows — mapping it to
-      // the stable 'absent' constant would let a broken caller attach a
-      // stale layout forever, the exact hole CorpusKey's loud-failure
-      // contract exists to close
-      try graft.CorpusKey(sourceDir, s"$t.parquet")
-      catch {
-        case e: IllegalArgumentException
-            if Option(e.getMessage).exists(_.contains("source missing")) =>
-          s"$t:absent"
-      }
+      // ONLY a genuinely missing source fingerprints as absent (the
+      // typed probe, not a message-text match); anything else —
+      // malformed path, bad URI, permission failure — rethrows loudly,
+      // because mapping it to the stable 'absent' constant would let a
+      // broken caller attach a stale layout forever
+      if (graft.CorpusKey.exists(sourceDir, s"$t.parquet"))
+        graft.CorpusKey(sourceDir, s"$t.parquet")
+      else s"$t:absent"
     }
     md5hex(lines.mkString("\n"))
   }
@@ -123,10 +120,25 @@ object Layouts {
   /** Re-register a layout's catalog tables in THIS session (catalog
     * entries are per-JVM; the files are not). CREATE TABLE over the
     * existing LOCATION with the original bucket spec — zero data jobs;
-    * Spark recovers each file's bucket id from its name. */
+    * Spark recovers each file's bucket id from its name.
+    *
+    * An EXISTING catalog entry is only trusted if its location matches
+    * the manifest's data path: generation-subdir builds mean a rebuild
+    * moves the path, and a session that registered the old generation
+    * would otherwise keep silently serving stale data after attaching
+    * the new manifest — so a location mismatch drops and recreates. */
   def register(s: SparkSession, regs: Seq[BucketedReg]): Unit =
     regs.foreach { r =>
-      if (!s.catalog.tableExists(r.table))
+      val stale = s.catalog.tableExists(r.table) && {
+        val loc = s.sql(s"DESCRIBE FORMATTED ${r.table}")
+          .filter("col_name = 'Location'")
+          .collect().headOption.map(_.getString(1)).getOrElse("")
+        val locPath = new org.apache.hadoop.fs.Path(loc).toUri.getPath
+        val regPath = new org.apache.hadoop.fs.Path(r.path).toUri.getPath
+        if (locPath != regPath) { s.sql(s"DROP TABLE ${r.table}"); true }
+        else false
+      }
+      if (stale || !s.catalog.tableExists(r.table))
         s.sql(s"CREATE TABLE ${r.table} (${r.schemaDdl}) USING parquet " +
           s"CLUSTERED BY (${r.key}) SORTED BY (${r.key}) " +
           s"INTO ${r.nBuckets} BUCKETS LOCATION '${r.path}'")
@@ -168,16 +180,41 @@ object Layouts {
         // rebuild must never overwrite files an in-flight reader of the
         // previous layout may still be scanning (pre-round-15 staging
         // dirs gave that isolation for free; the durable registry keeps
-        // it). The superseded generation's files stay on disk — one
-        // bounded orphan per source regen, reclaimed when the whole
-        // layout base is next removed.
+        // it).
         Files.deleteIfExists(manifestPath(base))
         val gen = s"$base/g_${md5hex(s"$version\n$fp").take(10)}"
         Files.createDirectories(Paths.get(gen))
         val (regs, dataPath) = build(gen)
         val m = Manifest(kind, version, fp, dataPath, regs)
         writeManifest(base, m)
+        // bounded-orphan retention: keep the new generation plus the
+        // NEWEST superseded one (an in-flight reader attached before
+        // this rebuild may still be scanning it); anything older has
+        // survived a full rebuild cycle unreferenced and is reclaimed
+        // here, so N source regens leave at most two generations on
+        // disk, not N
+        reapOldGenerations(base, keep = Set(s"g_${md5hex(s"$version\n$fp").take(10)}"))
         m
+    }
+  }
+
+  /** Delete every `g_*` generation under `base` except `keep` and the
+    * most recently modified other one (the grace generation). */
+  private def reapOldGenerations(base: String, keep: Set[String]): Unit = {
+    val dir = Paths.get(base)
+    if (!Files.isDirectory(dir)) return
+    val ls = Files.list(dir)
+    val gens =
+      try ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("g_"))
+        .filterNot(p => keep(p.getFileName.toString))
+        .toList
+      finally ls.close()
+    gens.sortBy(p => -Files.getLastModifiedTime(p).toMillis).drop(1).foreach { g =>
+      val walk = Files.walk(g)
+      try walk.iterator().asScala.toList.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 }

@@ -211,16 +211,18 @@ object Warehouse {
       val mtime = try Some(fs.getFileStatus(p).getModificationTime)
         catch { case _: java.io.IOException => None }
       mtime.map { t =>
-        val sweep = nowMs - t > retentionMs
-        // delete of an already-gone file returns false — the no-op the
-        // idempotence contract needs
-        if (sweep) try fs.delete(p, false)
-          catch { case _: java.io.IOException => () }
+        // the report carries what actually HAPPENED, not what was
+        // decided: delete of an already-gone file returns false (the
+        // idempotent no-op) and a thrown delete — read-only mount,
+        // store error — reports false too, so n_swept never claims
+        // space that is still occupied
+        val swept = nowMs - t > retentionMs &&
+          (try fs.delete(p, false) catch { case _: java.io.IOException => false })
         val (dir, name) = rel.lastIndexOf('/') match {
           case -1 => ("", rel)
           case i => (rel.substring(0, i), rel.substring(i + 1))
         }
-        (dir, name, sweep)
+        (dir, name, swept)
       }
     }
   }

@@ -681,7 +681,10 @@ object DedupQueries {
   def q316ImageClusterReps(s: SparkSession, dir: String): DataFrame = {
     val path = phLabelsCache.computeIfAbsent(
       graft.CorpusKey(dir, "documents.parquet"), _ =>
-        graft.etl.Layouts.stage(s, "phlabels", "v1", dir, Seq("documents")) { ck =>
+        // the version pins the UPSTREAM pair-frame geometry too: the
+        // labels are a function of the h=3 banded pairs, so a radius
+        // bump must miss this attach check along with phpairs'
+        graft.etl.Layouts.stage(s, "phlabels", "v1;h=3", dir, Seq("documents")) { ck =>
           labelsOfPairs(s, stagedImagePairs(s, dir)
               .select(col("doc_a").as("ka"), col("doc_b").as("kb")), ck)
             .write.mode("overwrite").parquet(s"$ck/labels")

@@ -672,8 +672,8 @@ object EtlQueries {
     * audit scan is the audit's cost, not the vacuum's. */
   def q309VacuumLake(s: SparkSession, dir: String): DataFrame = {
     val path = graft.Staging.fresh("vacuum")
-    Warehouse.writePartitioned(Tables.documents(s, dir), "source", path,
-      firstRun = true)
+    val docs = Tables.documents(s, dir)
+    Warehouse.writePartitioned(docs, "source", path, firstRun = true)
     Warehouse.writeFileManifest(path)
     val nowMs = System.currentTimeMillis()
     plantOrphans(path, nowMs)
@@ -685,7 +685,10 @@ object EtlQueries {
       .groupBy(_._1).toSeq
       .map { case (src, xs) => (src, xs.map(_._2).sum, xs.size - xs.map(_._2).sum) }
       .toDF("source", "n_swept", "n_spared")
-    Warehouse.readManifested(s, path)
+    // the audit references source/n_chars, so it passes the lake schema:
+    // a takedown-emptied lake then resolves the columns and audits as
+    // zero rows instead of throwing UNRESOLVED_COLUMN
+    Warehouse.readManifested(s, path, Some(docs.schema))
       .groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum("n_chars").cast("bigint").as("chars_total"))

@@ -1375,24 +1375,8 @@ object TextAnalysisQueries {
     * fallback alphabet. lp is exact on the integer lattice:
     * length(bin(x)) = floor(log2 x)+1, so lp = 1000 * (bitlen(count) -
     * bitlen(total_mass)). */
-  private def unigramGrams(words: DataFrame): DataFrame = {
-    def gramCounts(n: Int, topK: Int): DataFrame = {
-      val g = words.filter(length(col("w")) >= n)
-        .select(explode(expr(
-          s"transform(sequence(1, length(w) - ${n - 1}), i -> substring(w, i, $n))"))
-          .as("g"))
-        .groupBy("g").agg(count(lit(1)).as("cnt"))
-      if (topK > 0) g.orderBy(desc("cnt"), asc("g")).limit(topK) else g
-    }
-    val grams = gramCounts(1, 0).withColumn("k", lit(1))
-      .unionByName(gramCounts(2, 16).withColumn("k", lit(2)))
-      .unionByName(gramCounts(3, 16).withColumn("k", lit(3)))
-    val tot = grams.agg(sum("cnt").as("t"))
-    grams.crossJoin(broadcast(tot))
-      .withColumn("lp", expr(
-        "cast(1000 * (length(bin(cnt)) - length(bin(t))) as bigint)"))
-      .select("g", "cnt", "k", "lp")
-  }
+  private def unigramGrams(words: DataFrame): DataFrame =
+    vocabOfCounts(fullGramCounts(words)).withColumnRenamed("lp_e3", "lp")
 
   /** The piece table folded to one row of three lookup maps (by piece
     * length), the shape the segmentation folds probe per position. */
@@ -1535,7 +1519,10 @@ object TextAnalysisQueries {
   private def stagedSegmented(s: SparkSession, dir: String): DataFrame = {
     val pth = unigramSegCache.computeIfAbsent(
       graft.CorpusKey(dir, "documents.parquet"), _ =>
-        graft.etl.Layouts.stage(s, "ugseg", "v1", dir, Seq("documents")) { ck =>
+        // the version pins the vocabulary geometry (the top-16 cut):
+        // changing the cut must miss this attach check, or q319/q320
+        // would serve an E-step computed under the old vocabulary
+        graft.etl.Layouts.stage(s, "ugseg", "v1;top=16", dir, Seq("documents")) { ck =>
           val words = unigramWords(s, dir)
           unigramSegmented(words, unigramMaps(unigramGrams(words)))
             .write.mode("overwrite").parquet(s"$ck/seg")

@@ -183,6 +183,58 @@ class LayoutReattachSpec extends AnyFunSuite {
     assertReattaches("q321_unigram_incremental", Seq("uggrams"))
   }
 
+  test("register drops a catalog entry pointing at a superseded generation") {
+    // generation-subdir builds move the data path on rebuild; a session
+    // whose catalog entry predates the rebuild must be re-pointed, not
+    // trusted — otherwise it silently keeps serving the old generation
+    import spark.implicits._
+    val table = "graft_regen_probe"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val genA = graft.Staging.fresh("regenA")
+    val genB = graft.Staging.fresh("regenB")
+    // real bucketed file layouts for both generations (bucket ids live
+    // in file names; register() only re-points catalog metadata)
+    val regA = etl.Warehouse.writeBucketed(
+      (0L until 10L).toDF("id"), 4, "id", genA, s"${table}_wa")
+    val regB = etl.Warehouse.writeBucketed(
+      (0L until 20L).toDF("id"), 4, "id", genB, s"${table}_wb")
+    spark.sql(s"DROP TABLE ${table}_wa")
+    spark.sql(s"DROP TABLE ${table}_wb")
+    etl.Layouts.register(spark, Seq(regA.copy(table = table)))
+    assert(spark.table(table).count() === 10L)
+    // the rebuild moved the manifest's data path to generation B: the
+    // same register call must detect the location mismatch and recreate
+    etl.Layouts.register(spark, Seq(regB.copy(table = table)))
+    assert(spark.table(table).count() === 20L,
+      "a location mismatch must drop and recreate the catalog entry")
+    // idempotence: a matching location is attached without churn
+    etl.Layouts.register(spark, Seq(regB.copy(table = table)))
+    assert(spark.table(table).count() === 20L)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("a rebuild reaps generations older than the grace one") {
+    val src = graft.Staging.fresh("reapsrc")
+    import spark.implicits._
+    def regen(n: Long): Unit = (0L until n).toDF("id")
+      .write.mode("overwrite").parquet(s"$src/t.parquet")
+    def build(): String = etl.Layouts.stage(spark, "reapprobe", "v1",
+      src, Seq("t")) { base =>
+      Files.writeString(Paths.get(base, "data.txt"), "x")
+      base
+    }
+    regen(1); build()
+    regen(2); build()
+    regen(3); build()
+    val base = Paths.get(etl.Layouts.baseFor("reapprobe", src))
+    val stream = Files.list(base)
+    val gens = try stream.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("g_")).toList
+      finally stream.close()
+    assert(gens.size === 2,
+      s"three regens must leave the current + one grace generation, got $gens")
+  }
+
   test("the unigram E-step re-attaches for both its consumers (q319, q320)") {
     assertReattaches("q319_unigram_em", Seq("ugseg"))
     assertReattaches("q320_unigram_em_eval", Seq("ugseg"))

@@ -88,6 +88,13 @@ class VacuumSpec extends AnyFunSuite {
       nowMs = System.currentTimeMillis())
     assert(report == Seq(("source=x", "part-orphan-old.parquet", true)))
     assert(!java.nio.file.Files.exists(orphan), "the orphan is reclaimed")
+    // and the schema'd manifest read resolves audit columns over the
+    // emptied lake (the q309 audit shape) instead of UNRESOLVED_COLUMN
+    val audited = Warehouse.readManifested(spark, path,
+      Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, n_chars BIGINT, source STRING")))
+      .groupBy("source").count().collect()
+    assert(audited.isEmpty, "an emptied lake audits as zero rows, resolved")
   }
 
   test("registered q309 reports the deterministic 1-swept/1-spared per source") {
