@@ -435,6 +435,12 @@ object TextAnalysisQueries {
   private val unigramSegCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The corpus's full gram-count table per corpus fingerprint per JVM
+    * — durable through the Layouts registry; the one corpus-scale pass
+    * every unigram query (q318–q320, stagedSegmented's build) shares. */
+  private val unigramFullCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Test hook: forget the durable trained-rules, gram-count and
     * segmentation caches (the Layouts files and manifests remain,
     * exactly what a fresh JVM sees). */
@@ -442,6 +448,7 @@ object TextAnalysisQueries {
     bpeRulesCache.clear()
     unigramBaseCache.clear()
     unigramSegCache.clear()
+    unigramFullCache.clear()
   }
 
   private def trainedBpeRules(s: SparkSession, dir: String): Array[String] =
@@ -1375,8 +1382,26 @@ object TextAnalysisQueries {
     * fallback alphabet. lp is exact on the integer lattice:
     * length(bin(x)) = floor(log2 x)+1, so lp = 1000 * (bitlen(count) -
     * bitlen(total_mass)). */
-  private def unigramGrams(words: DataFrame): DataFrame =
-    vocabOfCounts(fullGramCounts(words)).withColumnRenamed("lp_e3", "lp")
+  /** The corpus's FULL gram-count table, staged durably — the one
+    * corpus-scale pass the whole unigram family derives from. Staging
+    * it (rather than recomputing inside vocabOfCounts) matters doubly:
+    * the cut/total branches replicate their input subtree in the plan,
+    * so an unstaged count would re-run the corpus aggregation per
+    * branch (measured 1.4 → 3.5 s on q318 when this briefly regressed),
+    * while the staged leaf is gram-table-sized. */
+  private def fullCountsStaged(s: SparkSession, dir: String): DataFrame = {
+    val pth = unigramFullCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "ugcnts", "v1", dir, Seq("documents")) { ck =>
+          fullGramCounts(unigramWords(s, dir))
+            .write.mode("overwrite").parquet(s"$ck/cnts")
+          s"$ck/cnts"
+        })
+    s.read.parquet(pth)
+  }
+
+  private def unigramGrams(s: SparkSession, dir: String): DataFrame =
+    vocabOfCounts(fullCountsStaged(s, dir)).withColumnRenamed("lp_e3", "lp")
 
   /** The piece table folded to one row of three lookup maps (by piece
     * length), the shape the segmentation folds probe per position. */
@@ -1415,7 +1440,7 @@ object TextAnalysisQueries {
 
   def q318UnigramViterbi(s: SparkSession, dir: String): DataFrame = {
     val words = unigramWords(s, dir)
-    val vocab = unigramMaps(unigramGrams(words))
+    val vocab = unigramMaps(unigramGrams(s, dir))
     val seg = words.select("w").distinct()
       .crossJoin(broadcast(vocab))
       .withColumn("dp", expr(viterbiScoreFoldSql))
@@ -1524,7 +1549,7 @@ object TextAnalysisQueries {
         // would serve an E-step computed under the old vocabulary
         graft.etl.Layouts.stage(s, "ugseg", "v1;top=16", dir, Seq("documents")) { ck =>
           val words = unigramWords(s, dir)
-          unigramSegmented(words, unigramMaps(unigramGrams(words)))
+          unigramSegmented(words, unigramMaps(unigramGrams(s, dir)))
             .write.mode("overwrite").parquet(s"$ck/seg")
           s"$ck/seg"
         })
@@ -1547,7 +1572,7 @@ object TextAnalysisQueries {
   }
 
   def q319UnigramEm(s: SparkSession, dir: String): DataFrame = {
-    val grams = unigramGrams(unigramWords(s, dir))
+    val grams = unigramGrams(s, dir)
     val usage = usageOf(stagedSegmented(s, dir))
     val uTot = usage.agg(sum("usage").as("u"))
     grams.join(usage, Seq("g"), "left")
@@ -1586,7 +1611,7 @@ object TextAnalysisQueries {
     * the q318/q319 exchanges, twice. */
   def q320UnigramEmEval(s: SparkSession, dir: String): DataFrame = {
     val words = unigramWords(s, dir)
-    val grams = unigramGrams(words)
+    val grams = unigramGrams(s, dir)
     val seg0 = stagedSegmented(s, dir)
     val usage = usageOf(seg0)
     val uTot = usage.agg(sum("usage").as("u"))

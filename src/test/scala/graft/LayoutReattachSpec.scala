@@ -236,8 +236,12 @@ class LayoutReattachSpec extends AnyFunSuite {
   }
 
   test("the unigram E-step re-attaches for both its consumers (q319, q320)") {
-    assertReattaches("q319_unigram_em", Seq("ugseg"))
-    assertReattaches("q320_unigram_em_eval", Seq("ugseg"))
+    assertReattaches("q319_unigram_em", Seq("ugseg", "ugcnts"))
+    assertReattaches("q320_unigram_em_eval", Seq("ugseg", "ugcnts"))
+  }
+
+  test("the full gram-count table re-attaches for the decode (q318)") {
+    assertReattaches("q318_unigram_viterbi", Seq("ugcnts"))
   }
 
   test("q317 standing image index re-attaches across sessions") {
