@@ -137,25 +137,33 @@ object Warehouse {
     out.result().sorted
   }
 
+  private def writeTextFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path, body: String): Unit = {
+    val outStream = fs.create(p, true)
+    try outStream.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outStream.close()
+  }
+
+  private def readTextLines(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    body.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
   /** Commit the lake's CURRENT data files as its live manifest. */
   def writeFileManifest(path: String): Unit = {
     val (fs, root) = fsFor(path)
-    val body = listDataFiles(path).mkString("\n")
-    val outStream = fs.create(new org.apache.hadoop.fs.Path(root, fileManifestName), true)
-    try outStream.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally outStream.close()
+    writeTextFile(fs, new org.apache.hadoop.fs.Path(root, fileManifestName),
+      listDataFiles(path).mkString("\n"))
   }
 
   def manifestedFiles(path: String): Seq[String] = {
     val (fs, root) = fsFor(path)
     val p = new org.apache.hadoop.fs.Path(root, fileManifestName)
     if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      body.split("\n").toSeq.filter(_.nonEmpty)
-    }
+    else readTextLines(fs, p)
   }
 
   /** Manifest-resolved read: exactly the live files, with partition
@@ -168,8 +176,18 @@ object Warehouse {
     * UNRESOLVED_COLUMN one); with no schema and no files the frame is
     * columnless, fit only for counting. */
   def readManifested(s: SparkSession, path: String,
-                     schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val files = manifestedFiles(path).map(f => s"$path/$f")
+                     schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    readFilesOf(s, path, manifestedFiles(path), schema)
+
+  /** Resolve an explicit relative-file list under `path` into a frame,
+    * partition columns still derived from the directory keys
+    * (`basePath`). The shared resolution for the head manifest, AS-OF
+    * snapshot reads, and the changed-file sides of a snapshot diff. An
+    * empty list with a schema resolves columns as an empty frame (the
+    * emptied-lake contract readManifested documents). */
+  private def readFilesOf(s: SparkSession, path: String, rels: Seq[String],
+                          schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val files = rels.map(f => s"$path/$f")
     if (files.isEmpty)
       schema.map(sc => s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
@@ -178,6 +196,158 @@ object Warehouse {
       val r = s.read.option("basePath", path)
       schema.map(r.schema).getOrElse(r).parquet(files: _*)
     }
+  }
+
+  // ---------------------------------------------- versioned snapshot log
+
+  /** The file manifest taken to VERSIONED form — the lakehouse-log
+    * convention (Delta/Iceberg): every commit writes an immutable,
+    * monotonically numbered manifest under `_graft_log/`, and the head
+    * pointer (`_graft_files`) always equals the newest entry. Data files
+    * are immutable once written; a rewrite ADDS new files and drops the
+    * replaced ones from the new manifest only (copy-on-write), so every
+    * retained version stays byte-readable — time travel, change-data-feed
+    * at changed-file granularity, and safe concurrent readers all fall
+    * out of the same discipline. Physical reclamation happens only at
+    * VACUUM, whose live set is the UNION of every retained snapshot, and
+    * only after `expireSnapshots` has dropped a version from the log.
+    * At 100 TB this is the difference between "a takedown rewrite
+    * destroys yesterday's audit view mid-query" and the log every real
+    * lake format provides. */
+  private val logDirName = "_graft_log"
+
+  private def logEntryPath(root: org.apache.hadoop.fs.Path, v: Int) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, logDirName), f"$v%08d.manifest")
+
+  /** Commit an explicit live-file list as the next snapshot version.
+    * Log entry first, head pointer second: a reader that sees the new
+    * head can always resolve its log entry, while the reverse order
+    * would let a head point at a not-yet-visible manifest. Returns the
+    * committed version number (1-based, monotonic). */
+  def commitSnapshot(path: String, files: Seq[String]): Int = {
+    val (fs, root) = fsFor(path)
+    val next = snapshotVersions(path).lastOption.getOrElse(0) + 1
+    val body = files.sorted.mkString("\n")
+    writeTextFile(fs, logEntryPath(root, next), body)
+    writeTextFile(fs, new org.apache.hadoop.fs.Path(root, fileManifestName), body)
+    next
+  }
+
+  /** Bootstrap commit: snapshot the directory's CURRENT data files.
+    * Only valid while every on-disk file is live (a fresh write, before
+    * any copy-on-write rewrite leaves logically-deleted files behind);
+    * later commits pass their file lists explicitly. */
+  def commitSnapshotFromListing(path: String): Int =
+    commitSnapshot(path, listDataFiles(path))
+
+  /** Retained snapshot versions, ascending. Expired versions are absent. */
+  def snapshotVersions(path: String): Seq[Int] = {
+    val (fs, root) = fsFor(path)
+    val lp = new org.apache.hadoop.fs.Path(root, logDirName)
+    if (!fs.exists(lp)) Seq.empty
+    else fs.listStatus(lp).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toInt).sorted
+  }
+
+  /** The live-file list of a retained snapshot. Reading an EXPIRED (or
+    * never-committed) version fails loudly — falling back to head would
+    * silently answer a historical query with current data. */
+  def snapshotFiles(path: String, version: Int): Seq[String] = {
+    val (fs, root) = fsFor(path)
+    val p = logEntryPath(root, version)
+    require(fs.exists(p),
+      s"snapshot version $version is not in the log at $path — expired or never committed")
+    readTextLines(fs, p)
+  }
+
+  /** Time-travel read: the lake AS OF `version`, resolved through that
+    * version's manifest. Cost is the snapshot's own file set — the log
+    * lookup is one small-file read, never a listing. */
+  def readSnapshot(s: SparkSession, path: String, version: Int,
+                   schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    readFilesOf(s, path, snapshotFiles(path, version), schema)
+
+  /** Append new rows under the log: write files, commit head ∪ added.
+    * Newly added files are identified by listing diff (before/after),
+    * which is safe because data files are immutable and writers to one
+    * lake serialize commits. Returns the new version. */
+  def appendLogged(df: DataFrame, partCol: String, path: String): Int = {
+    val before = listDataFiles(path).toSet
+    df.write.mode("append").partitionBy(partCol).parquet(path)
+    val added = listDataFiles(path).filterNot(before)
+    commitSnapshot(path, manifestedFiles(path) ++ added)
+  }
+
+  /** Copy-on-write partition rewrite under the log: survivors of the
+    * touched partitions land as NEW part files (plain append — no
+    * existing file is modified or deleted), and the new snapshot's
+    * manifest keeps every untouched partition's files while dropping the
+    * touched partitions' old ones. The replaced files stay on disk,
+    * readable through every retained earlier snapshot, until
+    * expireSnapshots + vacuum reclaim them.
+    *
+    * Same partition-complete contract as upsertPartitions, with the same
+    * staging discipline as rewritePartitionsStaged (`df` is typically a
+    * lazy plan over the very files being logically replaced; the staged
+    * copy also pins the schema so partition-type inference cannot drift
+    * between the two hops). Touched partitions are derived from the
+    * files the write produced — already in escaped directory-key form —
+    * so an all-rows-deleted partition (which writes no file) must be
+    * named explicitly in `emptiedDirs` (relative dir keys, e.g.
+    * `source=web`) for its old files to leave the manifest. Cost:
+    * O(touched slice), never O(table). Returns the new version. */
+  def rewritePartitionsLogged(df: DataFrame, partCol: String, path: String,
+                              emptiedDirs: Seq[String] = Nil): Int = {
+    val staging = graft.Staging.fresh("logged-rewrite")
+    df.write.mode("overwrite").partitionBy(partCol).parquet(staging)
+    val staged = df.sparkSession.read.schema(df.schema).parquet(staging)
+    val before = listDataFiles(path).toSet
+    staged.write.mode("append").partitionBy(partCol).parquet(path)
+    val added = listDataFiles(path).filterNot(before)
+    val touched = added.flatMap(dirOf).toSet ++ emptiedDirs
+    val kept = manifestedFiles(path)
+      .filterNot(f => dirOf(f).exists(touched.contains))
+    commitSnapshot(path, kept ++ added)
+  }
+
+  private def dirOf(rel: String): Option[String] =
+    rel.lastIndexOf('/') match {
+      case -1 => None
+      case i  => Some(rel.substring(0, i))
+    }
+
+  /** Change-data-feed between two retained snapshots, at CHANGED-FILE
+    * granularity: only files present in exactly one manifest are read,
+    * and rows common to both sides (a rewritten partition's untouched
+    * survivors) cancel under multiset difference — so the feed is
+    * row-level inserts and deletes (an update = one delete + one
+    * insert, the standard CDC convention) at O(changed files) cost.
+    * Contrast q125's snapshot diff, which hashes BOTH whole corpora:
+    * the log is what turns an O(lake) diff into an O(delta) one. */
+  def snapshotChanges(s: SparkSession, path: String, vOld: Int, vNew: Int,
+                      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val oldF = snapshotFiles(path, vOld).toSet
+    val newF = snapshotFiles(path, vNew).toSet
+    val addedDf = readFilesOf(s, path, (newF -- oldF).toSeq.sorted, schema)
+    val removedDf = readFilesOf(s, path, (oldF -- newF).toSeq.sorted, schema)
+    addedDf.exceptAll(removedDf).withColumn("change_type", lit("insert"))
+      .unionByName(
+        removedDf.exceptAll(addedDf).withColumn("change_type", lit("delete")))
+  }
+
+  /** Drop every snapshot older than the newest `keepLast` from the log.
+    * Purely a LOG operation — data files are untouched; a later vacuum
+    * reclaims the ones no retained snapshot references. Returns the
+    * expired versions. */
+  def expireSnapshots(path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "keepLast must retain at least the head snapshot")
+    val (fs, root) = fsFor(path)
+    val drop = snapshotVersions(path).dropRight(keepLast)
+    drop.foreach(v => fs.delete(logEntryPath(root, v), false))
+    drop
   }
 
   /** VACUUM — the third lake-maintenance verb next to takedown (q250)
@@ -202,7 +372,14 @@ object Warehouse {
     require(fs.exists(new org.apache.hadoop.fs.Path(root, fileManifestName)),
       s"vacuum refused: no $fileManifestName manifest at $path — " +
         "commit one with writeFileManifest before sweeping")
-    val live = manifestedFiles(path).toSet
+    // live = the head manifest PLUS every retained snapshot in the log:
+    // a file a historical version still references is not reclaimable —
+    // sweeping it would break time travel mid-retention. Only after
+    // expireSnapshots drops the version does its exclusive file set
+    // become orphaned. A lake with no log reduces to head-only, the
+    // pre-log semantics q309/VacuumSpec pin.
+    val live = (manifestedFiles(path) ++
+      snapshotVersions(path).flatMap(v => snapshotFiles(path, v))).toSet
     listDataFiles(path).filterNot(live).flatMap { rel =>
       val p = new org.apache.hadoop.fs.Path(root, rel)
       // the stat races a concurrent sweep or a self-cleaning aborted

@@ -724,8 +724,143 @@ object EtlQueries {
     }
   }
 
+  // ------------------------------------------------------- q323/q324/q325
+
+  /** q323 — TIME TRAVEL (AS-OF snapshot read): the versioned-manifest log
+    * (Warehouse.commitSnapshot / readSnapshot — the Delta/Iceberg-style
+    * lakehouse log at `_graft_log/`) makes a takedown rewrite
+    * COPY-ON-WRITE: survivors land as new part files, the replaced files
+    * leave only the new manifest, and version 1 stays byte-readable
+    * after the rewrite. The query commits v1, rewrites every partition
+    * through the logged path (doc_id % 7 takedown), then audits BOTH
+    * versions side by side through their manifests — the v1 half of the
+    * output physically requires the old files to still exist, which is
+    * exactly what the pre-log lake (q250's dynamic partition overwrite)
+    * destroys.
+    *
+    * Scale: the AS-OF read costs one small-manifest lookup plus the
+    * snapshot's own files — no listing, no lake scan; the rewrite writes
+    * O(touched slice). At 100 TB the log is what lets yesterday's audit
+    * query keep running while today's takedown commits under it. */
+  def q323TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("timetravel")
+    val docs = Tables.documents(s, dir)
+    Warehouse.writePartitioned(docs, "source", path, firstRun = true)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val survivors = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
+      .filter(col("doc_id") % 7 =!= 0)
+    val v2 = Warehouse.rewritePartitionsLogged(survivors, "source", path)
+    def audit(version: Int, tag: String): DataFrame =
+      Warehouse.readSnapshot(s, path, version, Some(docs.schema))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_chars").cast("bigint").as("chars_total"))
+        .withColumn("snap", lit(tag))
+    audit(v1, "v1").unionByName(audit(v2, "head"))
+      .select(col("snap"), col("source"), col("n_docs"), col("chars_total"))
+      .orderBy("snap", "source")
+  }
+
+  /** q324 — CHANGE DATA FEED between snapshots, at CHANGED-FILE
+    * granularity: one commit edits/deletes through the logged
+    * copy-on-write rewrite (doc_id % 13 removed, % 17 edited — q125's
+    * recrawl fixture, now expressed as lake commits), a second appends
+    * re-crawled additions (% 19 under shifted ids), and the feed between
+    * v1 and v3 is Warehouse.snapshotChanges: only files present in
+    * exactly one manifest are read, a rewritten partition's untouched
+    * survivors cancel under multiset EXCEPT ALL, and an edit surfaces as
+    * the standard CDC delete+insert pair. The oracle states the expected
+    * feed straight from the fixture predicates.
+    *
+    * This is q125's diff made O(delta): the full-outer snapshot diff
+    * hashes BOTH whole corpora every time, while the log already knows
+    * which files changed — at 100 TB with a 0.1% recrawl, the feed reads
+    * a thousandth of what q125 must. */
+  def q324ChangeDataFeed(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("cdf")
+    val docs = Tables.documents(s, dir)
+    Warehouse.writePartitioned(docs, "source", path, firstRun = true)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val edited = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
+      .filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 17 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      .withColumn("n_chars", when(col("doc_id") % 17 === 0,
+        col("n_chars") + 7L).otherwise(col("n_chars")))
+    Warehouse.rewritePartitionsLogged(edited, "source", path)
+    val readded = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
+      .filter(col("doc_id") % 19 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" new")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 4L).as("n_chars"))
+    val v3 = Warehouse.appendLogged(readded, "source", path)
+    Warehouse.snapshotChanges(s, path, v1, v3, Some(docs.schema))
+      .groupBy("change_type")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        min("doc_id").cast("bigint").as("min_id"),
+        max("doc_id").cast("bigint").as("max_id"),
+        sum("n_chars").cast("bigint").as("chars_total"))
+      .orderBy("change_type")
+  }
+
+  /** q325 — SNAPSHOT RETENTION (expire + vacuum, the log's reclamation
+    * half): after a logged takedown rewrite (doc_id % 5), v1's replaced
+    * files are on disk but referenced ONLY by the v1 manifest — vacuum
+    * must spare them while v1 is retained (the time-travel guarantee the
+    * widened live set provides) and may reclaim them only after
+    * expireSnapshots drops v1 from the log. The query expires down to
+    * the head, sweeps with the clock advanced past retention, and
+    * audits: the head read must still conserve the survivors (a sweep
+    * that touched a live or head-manifested file breaks the counts or
+    * the read itself), every examined orphan must actually have been
+    * swept (all v1-only files aged out), and the expired v1 must now be
+    * UNREADABLE — the loud failure, never a silent fallback to head.
+    *
+    * Scale: expire is O(log entries); the sweep is O(listing + orphans);
+    * nothing rereads data. The retention window bounds how far back
+    * time travel reaches — exactly Delta's VACUUM contract. */
+  def q325SnapshotRetention(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("retention")
+    val docs = Tables.documents(s, dir)
+    Warehouse.writePartitioned(docs, "source", path, firstRun = true)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val survivors = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
+      .filter(col("doc_id") % 5 =!= 0)
+    // the fixture's source key correlates with doc_id (source = src{id%20}),
+    // so the % 5 takedown EMPTIES four partitions outright — the case a
+    // rewrite cannot infer from its own output files (an empty slice
+    // writes none) and the emptiedDirs contract exists for: name the
+    // all-rows-deleted partitions so their old files leave the manifest.
+    // Both distinct lists are bounded driver scalars (≤ |partitions|).
+    val v1Sources = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    val survSources = survivors
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    val emptied = (v1Sources -- survSources).toSeq.sorted.map(v => s"source=$v")
+    Warehouse.rewritePartitionsLogged(survivors, "source", path, emptied)
+    val expired = Warehouse.expireSnapshots(path, keepLast = 1)
+    val nowMs = System.currentTimeMillis()
+    val report = Warehouse.vacuum(path, retentionMs = 24L * 3600 * 1000,
+      nowMs = nowMs + 48L * 3600 * 1000)
+    val allSwept = report.nonEmpty && report.forall(_._3)
+    val v1Unreadable =
+      try { Warehouse.readSnapshot(s, path, v1, Some(docs.schema)); false }
+      catch { case _: IllegalArgumentException => true }
+    Warehouse.readManifested(s, path, Some(docs.schema))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_chars").cast("bigint").as("chars_total"))
+      .withColumn("n_expired", lit(expired.size.toLong))
+      .withColumn("all_swept", lit(if (allSwept) 1L else 0L))
+      .withColumn("v1_unreadable", lit(if (v1Unreadable) 1L else 0L))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
+    "q323_time_travel" -> (q323TimeTravel _),
+    "q324_change_data_feed" -> (q324ChangeDataFeed _),
+    "q325_snapshot_retention" -> (q325SnapshotRetention _),
     "q125_snapshot_diff" -> (q125SnapshotDiff _),
     "q126_incremental_agg" -> (q126IncrementalAgg _),
     "q113_scd2_incremental" -> (q113Scd2Incremental _),
@@ -894,6 +1029,49 @@ object EtlQueries {
 
   private lazy val oraclesRest: Map[String, String] = Map(
     "q252_pit_join" -> pitJoinOracleSql,
+    // v1 must still read whole AFTER the rewrite (time travel), head must
+    // read the survivors — both sides of the union are under the hash
+    "q323_time_travel" ->
+      """SELECT 'v1' AS snap, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT 'head', source, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 <> 0 GROUP BY source
+        |ORDER BY snap, source""".stripMargin,
+    // the expected feed stated straight from the fixture predicates: an
+    // edit is a delete+insert pair, untouched survivors never appear
+    "q324_change_data_feed" ->
+      """WITH del AS (SELECT doc_id, n_chars FROM documents
+        |    WHERE doc_id % 13 = 0 OR doc_id % 17 = 0),
+        |ins AS (SELECT doc_id, n_chars + 7 AS n_chars FROM documents
+        |    WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, n_chars + 4 FROM documents
+        |    WHERE doc_id % 19 = 0)
+        |SELECT 'delete' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |FROM del
+        |UNION ALL
+        |SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+        |  CAST(MIN(doc_id) AS BIGINT), CAST(MAX(doc_id) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT)
+        |FROM ins
+        |ORDER BY change_type""".stripMargin,
+    // survivors conserved through expire+vacuum; the three flags are
+    // deterministic literals (one version expired, every orphan aged out
+    // and swept, the expired version unreadable)
+    "q325_snapshot_retention" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(1 AS BIGINT) AS n_expired,
+        |  CAST(1 AS BIGINT) AS all_swept,
+        |  CAST(1 AS BIGINT) AS v1_unreadable
+        |FROM documents WHERE doc_id % 5 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     // conservation: the compacted lake's audit equals the source
     // aggregate (file-count collapse asserted filesystem-side in spec)
     // conservation after the sweep (a vacuum that deleted live data, or a
