@@ -194,7 +194,15 @@ object Warehouse {
         .getOrElse(s.emptyDataFrame)
     else {
       val r = s.read.option("basePath", path)
-      schema.map(r.schema).getOrElse(r).parquet(files: _*)
+      val df = schema.map(r.schema).getOrElse(r).parquet(files: _*)
+      // the file read APPENDS partition columns after the data columns
+      // regardless of their position in the supplied schema, while the
+      // empty-list branch above follows the schema's declared order —
+      // normalize to the declared order so positional set ops
+      // (exceptAll in snapshotChanges) line columns up whichever branch
+      // produced each side
+      schema.map(sc => df.select(sc.fieldNames.toIndexedSeq.map(col): _*))
+        .getOrElse(df)
     }
   }
 

@@ -776,25 +776,39 @@ object EtlQueries {
     * hashes BOTH whole corpora every time, while the log already knows
     * which files changed — at 100 TB with a 0.1% recrawl, the feed reads
     * a thousandth of what q125 must. */
-  def q324ChangeDataFeed(s: SparkSession, dir: String): DataFrame = {
-    val path = graft.Staging.fresh("cdf")
+  /** The shared recrawl-lake fixture for the log-composition queries
+    * (q324/q326/q327): bootstrap-commit the documents table, then replay
+    * q125's recrawl as TWO logged commits — v2 a copy-on-write rewrite
+    * (doc_id % delMod removed; % editMod edited: text + " edited",
+    * n_chars + 7) and v3 an append (% addMod re-added under ids shifted
+    * +10,000,000, text + " new", n_chars + 4). Mods must be coprime to
+    * the fixture's 20 sources so no partition empties (q325 owns that
+    * case). Returns (path, schema, v1, v3). */
+  private def loggedRecrawlLake(s: SparkSession, dir: String, delMod: Int,
+                                editMod: Int, addMod: Int): (String, StructType, Int, Int) = {
+    val path = graft.Staging.fresh("loglake")
     val docs = Tables.documents(s, dir)
     Warehouse.writePartitioned(docs, "source", path, firstRun = true)
     val v1 = Warehouse.commitSnapshotFromListing(path)
     val edited = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
-      .filter(col("doc_id") % 13 =!= 0)
-      .withColumn("text", when(col("doc_id") % 17 === 0,
+      .filter(col("doc_id") % delMod =!= 0)
+      .withColumn("text", when(col("doc_id") % editMod === 0,
         concat(col("text"), lit(" edited"))).otherwise(col("text")))
-      .withColumn("n_chars", when(col("doc_id") % 17 === 0,
+      .withColumn("n_chars", when(col("doc_id") % editMod === 0,
         col("n_chars") + 7L).otherwise(col("n_chars")))
     Warehouse.rewritePartitionsLogged(edited, "source", path)
     val readded = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
-      .filter(col("doc_id") % 19 === 0)
+      .filter(col("doc_id") % addMod === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(col("text"), lit(" new")).as("text"),
         col("lang"), col("source"), (col("n_chars") + 4L).as("n_chars"))
     val v3 = Warehouse.appendLogged(readded, "source", path)
-    Warehouse.snapshotChanges(s, path, v1, v3, Some(docs.schema))
+    (path, docs.schema, v1, v3)
+  }
+
+  def q324ChangeDataFeed(s: SparkSession, dir: String): DataFrame = {
+    val (path, schema, v1, v3) = loggedRecrawlLake(s, dir, 13, 17, 19)
+    Warehouse.snapshotChanges(s, path, v1, v3, Some(schema))
       .groupBy("change_type")
       .agg(count(lit(1)).cast("bigint").as("n_rows"),
         min("doc_id").cast("bigint").as("min_id"),
@@ -856,11 +870,79 @@ object EtlQueries {
       .orderBy("source")
   }
 
+  /** q326 — CDC APPLY (downstream replica maintained purely from the
+    * feed): a replica materializes snapshot v1 ONCE, then follows the
+    * lake by applying each consecutive version pair's snapshotChanges —
+    * key-anti-join the deletes, union the inserts, never rereading the
+    * lake beyond its changed files. The oracle is the HEAD state, so
+    * hash equality proves the feed is complete and exactly sufficient:
+    * a feed that dropped a cancelled survivor, double-fed an edit, or
+    * missed an append leaves the replica off by that row. This is the
+    * contract every downstream index/serving copy depends on — at
+    * 100 TB the replica's recurring cost is O(changed files) per
+    * commit, not a re-sync.
+    *
+    * Scale: each apply step is one broadcast-size anti-join (the feed's
+    * delete keys) plus a union; the replica is only re-aggregated at
+    * audit time. */
+  def q326CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val (path, schema, v1, vHead) = loggedRecrawlLake(s, dir, 11, 23, 29)
+    val replica0 = Warehouse.readSnapshot(s, path, v1, Some(schema))
+    val replica = (v1 until vHead).foldLeft(replica0) { (rep, va) =>
+      val feed = Warehouse.snapshotChanges(s, path, va, va + 1, Some(schema))
+      val deletes = feed.filter(col("change_type") === "delete").select("doc_id")
+      val inserts = feed.filter(col("change_type") === "insert").drop("change_type")
+      rep.join(deletes, Seq("doc_id"), "left_anti")
+        .unionByName(inserts.select(rep.columns.map(col).toSeq: _*))
+    }
+    replica.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_chars").cast("bigint").as("chars_total"))
+      .orderBy("source")
+  }
+
+  /** q327 — INCREMENTAL VIEW MAINTENANCE WITH RETRACTIONS: the
+    * per-source (count, chars) aggregate view maintained from the feed
+    * alone — inserts contribute +1/+n_chars, deletes RETRACT −1/−n_chars
+    * — merged into the staged v1 view by summing signed partials. The
+    * retraction half is what q126's append-only merge cannot express:
+    * a takedown or an edit must DECREMENT the standing view, and signed
+    * counting is the classic IVM answer. The oracle is the full head
+    * recompute, so merged == rebuilt under the hash.
+    *
+    * Scale: the delta aggregate touches only changed files; the merge
+    * shuffles |view| + |delta keys| summary rows. An edit feeds as
+    * delete+insert whose count contributions cancel and whose chars
+    * contributions sum to the edit's true delta — no special-casing. */
+  def q327CdfViewMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val (path, schema, v1, vHead) = loggedRecrawlLake(s, dir, 9, 16, 27)
+    val view0 = {
+      val p = graft.Staging.fresh("cdfview")
+      Warehouse.readSnapshot(s, path, v1, Some(schema))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    }
+    val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    val delta = Warehouse.snapshotChanges(s, path, v1, vHead, Some(schema))
+      .groupBy("source")
+      .agg(sum(sign).as("n"), sum(sign * col("n_chars")).as("chars"))
+    view0.unionByName(delta)
+      .groupBy("source")
+      .agg(sum("n").cast("bigint").as("n_docs"),
+        sum("chars").cast("bigint").as("chars_total"))
+      .filter(col("n_docs") > 0)
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
     "q323_time_travel" -> (q323TimeTravel _),
     "q324_change_data_feed" -> (q324ChangeDataFeed _),
     "q325_snapshot_retention" -> (q325SnapshotRetention _),
+    "q326_cdc_apply" -> (q326CdcApply _),
+    "q327_cdf_view_maintenance" -> (q327CdfViewMaintenance _),
     "q125_snapshot_diff" -> (q125SnapshotDiff _),
     "q126_incremental_agg" -> (q126IncrementalAgg _),
     "q113_scd2_incremental" -> (q113Scd2Incremental _),
@@ -1061,6 +1143,31 @@ object EtlQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM ins
         |ORDER BY change_type""".stripMargin,
+    // the oracle is the HEAD STATE (del %11, edit %23, add %29): hash
+    // equality proves the replica, maintained from the feed alone,
+    // converged to the lake
+    "q326_cdc_apply" ->
+      """WITH head AS (
+        |  SELECT source, n_chars
+        |    + CASE WHEN doc_id % 23 = 0 THEN 7 ELSE 0 END AS n_chars
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT source, n_chars + 4 FROM documents WHERE doc_id % 29 = 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |FROM head GROUP BY source ORDER BY source""".stripMargin,
+    // the oracle is the full head recompute (del %9, edit %16, add %27):
+    // merged-with-retractions == rebuilt
+    "q327_cdf_view_maintenance" ->
+      """WITH head AS (
+        |  SELECT source, n_chars
+        |    + CASE WHEN doc_id % 16 = 0 THEN 7 ELSE 0 END AS n_chars
+        |  FROM documents WHERE doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT source, n_chars + 4 FROM documents WHERE doc_id % 27 = 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |FROM head GROUP BY source ORDER BY source""".stripMargin,
     // survivors conserved through expire+vacuum; the three flags are
     // deterministic literals (one version expired, every orphan aged out
     // and swept, the expired version unreadable)
