@@ -783,26 +783,43 @@ object EtlQueries {
     * n_chars + 7) and v3 an append (% addMod re-added under ids shifted
     * +10,000,000, text + " new", n_chars + 4). Mods must be coprime to
     * the fixture's 20 sources so no partition empties (q325 owns that
-    * case). Returns (path, schema, v1, v3). */
-  private def loggedRecrawlLake(s: SparkSession, dir: String, delMod: Int,
-                                editMod: Int, addMod: Int): (String, StructType, Int, Int) = {
+    * case). `zone` < 20 restricts the whole recrawl to sources
+    * src0..src{zone−1} (the fixture's source key is doc_id % 20), so
+    * the rewrite frame covers ONLY the zone's partitions and everything
+    * outside stays untouched in the manifest — the sparse-touch shape a
+    * real recrawl has, which is what lets a log consumer prove its
+    * O(touched) cost. Returns (path, schema, v1, v3). */
+  private[graft] def loggedRecrawlLake(s: SparkSession, dir: String, delMod: Int,
+                                       editMod: Int, addMod: Int,
+                                       zone: Int = 20): (String, StructType, Int, Int) = {
     val path = graft.Staging.fresh("loglake")
     val docs = Tables.documents(s, dir)
-    Warehouse.writePartitioned(docs, "source", path, firstRun = true)
+    // repartition by the partition key before every partitionBy write in
+    // this fixture: without it each of the 32 shuffle tasks opens a file
+    // in every partition dir (~640 small files per commit at sf0.1), and
+    // the log, the listing diff, and every downstream read pay the file
+    // count — the standard small-files discipline for partitioned writes
+    Warehouse.writePartitioned(docs.repartition(col("source")),
+      "source", path, firstRun = true)
     val v1 = Warehouse.commitSnapshotFromListing(path)
+    val inZone = col("doc_id") % 20 < zone
     val edited = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
+      .filter(inZone)
       .filter(col("doc_id") % delMod =!= 0)
       .withColumn("text", when(col("doc_id") % editMod === 0,
         concat(col("text"), lit(" edited"))).otherwise(col("text")))
       .withColumn("n_chars", when(col("doc_id") % editMod === 0,
         col("n_chars") + 7L).otherwise(col("n_chars")))
-    Warehouse.rewritePartitionsLogged(edited, "source", path)
+    Warehouse.rewritePartitionsLogged(
+      edited.repartition(col("source")), "source", path)
     val readded = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
+      .filter(inZone)
       .filter(col("doc_id") % addMod === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(col("text"), lit(" new")).as("text"),
         col("lang"), col("source"), (col("n_chars") + 4L).as("n_chars"))
-    val v3 = Warehouse.appendLogged(readded, "source", path)
+    val v3 = Warehouse.appendLogged(
+      readded.repartition(col("source")), "source", path)
     (path, docs.schema, v1, v3)
   }
 

@@ -835,7 +835,101 @@ object StreamingQueries {
     graft.operators.TextAnalysisQueries.vocabOfCounts(ss.table(tbl))
   }
 
+  // ---------------------------------------------------------------- q328
+
+  /** q328 — STREAMING CDC TAIL: the snapshot log ITSELF is the stream.
+    * A text file-source tails `_graft_log/` — every committed manifest
+    * is one arriving file — and a foreachBatch consumer maintains the
+    * downstream replica exactly as q326 does in batch: version 1
+    * materializes the bootstrap snapshot, each later version applies
+    * snapshotChanges(v−1, v) (anti-join the deletes, union the inserts)
+    * into a fresh replica generation. This is the deployment shape of
+    * log-driven replication (Delta's CDF consumers, Iceberg's
+    * incremental reads): the lake commits, the tail WAKES, and the
+    * replica advances by O(changed files) per commit with no polling
+    * diff of the data itself.
+    *
+    * Robustness the batch twin never needs: `maxFilesPerTrigger=1`
+    * forces each commit through its own micro-batch, and because the
+    * file source orders ties by modification time (three manifests
+    * committed within one clock tick can arrive in ANY order), the
+    * consumer applies only the CONTIGUOUS version prefix — a manifest
+    * arriving ahead of its predecessor waits in the arrived set until
+    * the gap closes.
+    *
+    * The apply is O(touched partitions), not O(replica): the replica is
+    * source-partitioned, each feed names the partitions it touches (a
+    * bounded driver scalar), only those partitions are re-read for the
+    * anti-join, and the result lands via the staged dynamic-partition
+    * upsert — the Scd2Stream discipline. (Like every dynamic-overwrite
+    * consumer, a partition whose rows ALL disappear needs the q325
+    * emptiedDirs treatment; the fixture's mods keep every partition
+    * inhabited.)
+    *
+    * The recrawl is ZONED to 8 of the 20 source partitions (the sparse
+    * touch a real recrawl has), so the feed names 8 partitions, the
+    * anti-join re-reads 8, and the other 12 are never opened by the
+    * tail — the pruning is visible in the fixture, not just claimed.
+    *
+    * Stream == batch == lake: the drained replica answers to the HEAD
+    * state oracle (del %7, edit %15, add %33 within the zone), the same
+    * contract as q326 — a tail that dropped, reordered, or
+    * double-applied a commit leaves the replica off by that row. */
+  def q328StreamingCdcTail(s: SparkSession, dir: String): DataFrame = {
+    val (path, schema, _, vHead) =
+      graft.operators.EtlQueries.loggedRecrawlLake(s, dir, 7, 15, 33, zone = 8)
+    val replicaRoot = graft.Staging.fresh("cdcreplica")
+    val arrived = scala.collection.mutable.SortedSet[Int]()
+    var applied = 0
+    val ss = drain(s) { ss =>
+      ss.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(s"$path/_graft_log")
+        .select(col("value"), col("_metadata.file_path").as("mf"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val bs = b.sparkSession
+          val vs = b.select("mf").distinct().collect().map(_.getString(0))
+            .map(_.split('/').last.stripSuffix(".manifest").toInt)
+          arrived ++= vs
+          while (arrived.contains(applied + 1)) {
+            val v = applied + 1
+            if (v == 1)
+              graft.etl.Warehouse.writePartitioned(
+                graft.etl.Warehouse.readSnapshot(bs, path, 1, Some(schema))
+                  .repartition(col("source")),
+                "source", replicaRoot, firstRun = true)
+            else {
+              val feed = graft.etl.Warehouse
+                .snapshotChanges(bs, path, v - 1, v, Some(schema))
+              val touched = feed.select("source").distinct()
+                .collect().map(_.getString(0)).toSeq
+              val cur = bs.read.parquet(replicaRoot)
+                .filter(col("source").isin(touched: _*))
+              val next = cur.join(
+                  feed.filter(col("change_type") === "delete").select("doc_id"),
+                  Seq("doc_id"), "left_anti")
+                .unionByName(feed.filter(col("change_type") === "insert")
+                  .select(cur.columns.toIndexedSeq.map(col): _*))
+              graft.etl.Warehouse.rewritePartitionsStaged(
+                next.repartition(col("source")), "source", replicaRoot)
+            }
+            applied = v
+          }
+        }
+        .option("checkpointLocation", graft.Staging.fresh("cdctail-ckpt"))
+        .trigger(Trigger.AvailableNow())
+    }
+    require(applied == vHead, s"tail drained at version $applied of $vHead")
+    ss.read.parquet(replicaRoot)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_chars").cast("bigint").as("chars_total"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_streaming_cdc_tail" -> (q328StreamingCdcTail _),
     "q322_streaming_grams" -> (q322StreamingGrams _),
     "q247_streaming_quantiles" -> (q247StreamingQuantiles _),
     "q251_streaming_hist" -> (q251StreamingHist _),
@@ -887,6 +981,21 @@ object StreamingQueries {
         |FROM cum GROUP BY w ORDER BY w""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the HEAD state (del %7, edit %15, add %33, zoned to doc_id%20<8) —
+    // the q326 contract: the log-tailed replica must converge to the lake
+    "q328_streaming_cdc_tail" ->
+      """WITH head AS (
+        |  SELECT source, n_chars
+        |    + CASE WHEN doc_id % 15 = 0 THEN 7 ELSE 0 END AS n_chars
+        |  FROM documents WHERE doc_id % 20 < 8 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT source, n_chars FROM documents WHERE doc_id % 20 >= 8
+        |  UNION ALL
+        |  SELECT source, n_chars + 4 FROM documents
+        |    WHERE doc_id % 20 < 8 AND doc_id % 33 = 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |FROM head GROUP BY source ORDER BY source""".stripMargin,
     // q321's full-rebuild trainer verbatim — the stream maintains the
     // same bounded gram table the batch trainer derives in one pass
     "q322_streaming_grams" -> graft.operators.TextAnalysisQueries.q321Oracle,
