@@ -232,10 +232,30 @@ object Warehouse {
     * Log entry first, head pointer second: a reader that sees the new
     * head can always resolve its log entry, while the reverse order
     * would let a head point at a not-yet-visible manifest. Returns the
-    * committed version number (1-based, monotonic). */
-  def commitSnapshot(path: String, files: Seq[String]): Int = {
+    * committed version number (1-based, monotonic).
+    *
+    * `expectedHead` is the optimistic-concurrency check (the lakehouse
+    * commit protocol): a writer states the version its file list was
+    * DERIVED FROM, and a commit whose expectation no longer matches the
+    * log head throws instead of silently overwriting the interleaved
+    * writer's commit — the lost-update anomaly. The loser re-derives
+    * against the new head and retries (the spec walks the rebase). The
+    * check is read-then-write, so it detects every stale writer the
+    * store's listing can see; TRUE mutual exclusion between two commits
+    * racing inside the same instant needs the store's atomic
+    * conditional-put (S3 if-none-match, HDFS rename) under the log
+    * entry write — the same primitive every lakehouse log delegates to,
+    * pluggable here via the FileSystem the path resolves. */
+  def commitSnapshot(path: String, files: Seq[String],
+                     expectedHead: Option[Int] = None): Int = {
     val (fs, root) = fsFor(path)
-    val next = snapshotVersions(path).lastOption.getOrElse(0) + 1
+    val cur = snapshotVersions(path).lastOption.getOrElse(0)
+    expectedHead.foreach { e =>
+      if (cur != e) throw new java.util.ConcurrentModificationException(
+        s"commit conflict at $path: expected head $e but found $cur — " +
+          "re-derive the file list against the current head and retry")
+    }
+    val next = cur + 1
     val body = files.sorted.mkString("\n")
     writeTextFile(fs, logEntryPath(root, next), body)
     writeTextFile(fs, new org.apache.hadoop.fs.Path(root, fileManifestName), body)
@@ -279,13 +299,19 @@ object Warehouse {
 
   /** Append new rows under the log: write files, commit head ∪ added.
     * Newly added files are identified by listing diff (before/after),
-    * which is safe because data files are immutable and writers to one
-    * lake serialize commits. Returns the new version. */
+    * which is safe because data files are immutable. The head list and
+    * its version are captured TOGETHER up front and the commit carries
+    * the version as its optimistic expectation, so a writer that
+    * interleaved a commit between this writer's read and its own commit
+    * surfaces as a loud conflict, never a lost update. Returns the new
+    * version. */
   def appendLogged(df: DataFrame, partCol: String, path: String): Int = {
+    val base = snapshotVersions(path).lastOption.getOrElse(0)
+    val head = manifestedFiles(path)
     val before = listDataFiles(path).toSet
     df.write.mode("append").partitionBy(partCol).parquet(path)
     val added = listDataFiles(path).filterNot(before)
-    commitSnapshot(path, manifestedFiles(path) ++ added)
+    commitSnapshot(path, head ++ added, expectedHead = Some(base))
   }
 
   /** Copy-on-write partition rewrite under the log: survivors of the
@@ -308,6 +334,8 @@ object Warehouse {
     * O(touched slice), never O(table). Returns the new version. */
   def rewritePartitionsLogged(df: DataFrame, partCol: String, path: String,
                               emptiedDirs: Seq[String] = Nil): Int = {
+    val base = snapshotVersions(path).lastOption.getOrElse(0)
+    val head = manifestedFiles(path)
     val staging = graft.Staging.fresh("logged-rewrite")
     df.write.mode("overwrite").partitionBy(partCol).parquet(staging)
     val staged = df.sparkSession.read.schema(df.schema).parquet(staging)
@@ -315,9 +343,12 @@ object Warehouse {
     staged.write.mode("append").partitionBy(partCol).parquet(path)
     val added = listDataFiles(path).filterNot(before)
     val touched = added.flatMap(dirOf).toSet ++ emptiedDirs
-    val kept = manifestedFiles(path)
-      .filterNot(f => dirOf(f).exists(touched.contains))
-    commitSnapshot(path, kept ++ added)
+    val kept = head.filterNot(f => dirOf(f).exists(touched.contains))
+    // the commit carries the head version this rewrite derived from —
+    // an interleaved writer's commit surfaces as a conflict (see
+    // appendLogged), and the survivor files staged here remain valid
+    // inputs for the retry's re-derivation
+    commitSnapshot(path, kept ++ added, expectedHead = Some(base))
   }
 
   private def dirOf(rel: String): Option[String] =

@@ -953,8 +953,47 @@ object EtlQueries {
       .orderBy("source")
   }
 
+  /** q330 — SCHEMA EVOLUTION under the snapshot log: a scored re-crawl
+    * batch arrives with a column the lake has never seen (`quality_e6`),
+    * appends through the logged path, and the lake WIDENS — the head
+    * read resolves the evolved schema with the pre-evolution files
+    * null-filling the new column (the parquet reader's missing-column
+    * contract, the same mechanism as q31's mergeSchema dir read, now
+    * composed with the manifest-resolved read), while a time-travel read
+    * of v1 under the ORIGINAL schema is untouched (TimeTravelSpec pins
+    * both, plus the CDF across the schema boundary). No rewrite of old
+    * files, no backfill job: at 100 TB adding a score column costs the
+    * scored batch alone, which is the entire point of evolution-by-
+    * metadata. The audit splits each source into scored/unscored mass so
+    * both generations of files sit under the hash. */
+  def q330SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("schemaevo")
+    val docs = Tables.documents(s, dir)
+    Warehouse.writePartitioned(docs.repartition(col("source")),
+      "source", path, firstRun = true)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val scored = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
+      .filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" new")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 4L).as("n_chars"),
+        ((col("n_chars") + 4L) * 1000L).as("quality_e6"))
+    Warehouse.appendLogged(scored.repartition(col("source")), "source", path)
+    val evolved = StructType(docs.schema.fields :+
+      StructField("quality_e6", org.apache.spark.sql.types.LongType))
+    Warehouse.readManifested(s, path, Some(evolved))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("quality_e6").isNotNull, 1L).otherwise(0L))
+          .cast("bigint").as("n_scored"),
+        sum("n_chars").cast("bigint").as("chars_total"),
+        coalesce(sum("quality_e6"), lit(0L)).cast("bigint").as("q_sum"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
+    "q330_schema_evolution" -> (q330SchemaEvolution _),
     "q323_time_travel" -> (q323TimeTravel _),
     "q324_change_data_feed" -> (q324ChangeDataFeed _),
     "q325_snapshot_retention" -> (q325SnapshotRetention _),
@@ -1160,6 +1199,20 @@ object EtlQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM ins
         |ORDER BY change_type""".stripMargin,
+    // pre-evolution rows carry NULL quality (null-filled by the reader,
+    // never materialized); the scored batch carries its own
+    "q330_schema_evolution" ->
+      """WITH head AS (
+        |  SELECT source, n_chars, CAST(NULL AS BIGINT) AS q FROM documents
+        |  UNION ALL
+        |  SELECT source, n_chars + 4, (n_chars + 4) * 1000 FROM documents
+        |    WHERE doc_id % 31 = 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_scored,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(COALESCE(SUM(q), 0) AS BIGINT) AS q_sum
+        |FROM head GROUP BY source ORDER BY source""".stripMargin,
     // the oracle is the HEAD STATE (del %11, edit %23, add %29): hash
     // equality proves the replica, maintained from the feed alone,
     // converged to the lake

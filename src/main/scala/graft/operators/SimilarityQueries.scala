@@ -1256,6 +1256,66 @@ object SimilarityQueries {
       .select(col("lbl").cast("bigint").as("cluster_id"), col("n_members"))
       .orderBy("cluster_id")
 
+  /** q329 — TAINT RADIUS (bounded-hop BFS over the near-dup graph): how
+    * far does benchmark contamination PROPAGATE through near-duplicate
+    * links? A doc that near-dups a benchmark member is tainted at hop 1;
+    * its own near-dups at hop 2; curation policy drops everything within
+    * radius R. Direct-overlap decontamination (q64/q207/q242) is the
+    * hop-1 special case — paraphrase chains (A quotes the benchmark, B
+    * paraphrases A, C boilerplates B) walk FARTHER than any single
+    * pairwise check sees, which is exactly why the radius matters.
+    *
+    * Algorithm: frontier BFS with R=6 unrolled relaxations over the
+    * staged near-dup pair frame (stagedPairs — one LSH derivation per
+    * corpus, both directions unioned). Each pass joins ONLY the current
+    * frontier against the edges, anti-joins already-reached vertices
+    * (min-hop = first-reach, so no re-relaxation ever), and the reached
+    * set ping-pongs through two staged dirs (pass N reads only pass
+    * N−1, so N may overwrite N−2's dir — the rotation discipline of
+    * propagateLabels at its minimal width). An emptied frontier exits
+    * early via one bounded scalar check per pass.
+    *
+    * Scale shape: per pass one frontier⋈edges equi-shuffle + one
+    * anti-join against reached — O(frontier-degree sum), never O(V·E);
+    * the unreached are never carried through the loop (they join once,
+    * at the final audit). The oracle walks the same radius with a
+    * recursive CTE capped at hop < 6 and takes MIN(hop) per vertex.
+    * Hop −1 = clean (outside the radius). */
+  def q329TaintRadius(s: SparkSession, dir: String): DataFrame = {
+    val radius = 6
+    val pr = stagedPairs(s, dir)
+    val edges = pr.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(pr.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val verts = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("bigint").as("v"))
+    val dirs = Seq(Staging.fresh("taintbfs"), Staging.fresh("taintbfs"))
+    var reached = verts.filter(col("v") % 37 === 0)
+      .withColumn("hop", lit(0))
+    var pass = 1
+    var frontierEmpty = false
+    while (pass <= radius && !frontierEmpty) {
+      val frontier = reached.filter(col("hop") === pass - 1)
+      if (frontier.isEmpty) frontierEmpty = true
+      else {
+        val nbrs = edges
+          .join(frontier.select(col("v").as("src")), Seq("src"))
+          .select(col("dst").as("v")).distinct()
+        val newly = nbrs.join(reached, Seq("v"), "left_anti")
+          .withColumn("hop", lit(pass))
+        val out = dirs(pass % 2)
+        reached.unionByName(newly).write.mode("overwrite").parquet(out)
+        reached = s.read.parquet(out)
+        pass += 1
+      }
+    }
+    verts.join(reached, Seq("v"), "left")
+      .groupBy(coalesce(col("hop"), lit(-1)).cast("int").as("hop"))
+      .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+        min("v").cast("bigint").as("min_vec"),
+        max("v").cast("bigint").as("max_vec"))
+      .orderBy("hop")
+  }
+
   /** Min-label propagation to a fixpoint over a staged undirected edge list
     * (parquet at `baseDir` with long columns src/dst, self-loops present on
     * every vertex — the self-loop rows double as the vertex list).
@@ -2719,6 +2779,7 @@ object SimilarityQueries {
     "q105_sem_dedup" -> (q105SemDedup _),
     "q40_embedding_dedup" -> (q40EmbeddingDedup _),
     "q50_cc_clusters" -> (q50CcClusters _),
+    "q329_taint_radius" -> (q329TaintRadius _),
     "q194_hard_negatives" -> (q194HardNegatives _),
     "q195_cluster_reps" -> (q195ClusterRepresentatives _),
     "q199_source_dedup_scorecard" -> (q199SourceDedupScorecard _),
@@ -3882,6 +3943,27 @@ object SimilarityQueries {
          |    AS BIGINT) AS drop_share_e6
          |FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id
          |GROUP BY d.source ORDER BY source""".stripMargin,
+    // q329: the same pair graph walked to radius 6 from the benchmark
+    // seeds — the recursive CTE caps at hop < 6, MIN(hop) per vertex is
+    // the BFS distance, −1 marks vertices outside the radius
+    "q329_taint_radius" ->
+      s"""WITH RECURSIVE $oracleNormed,
+         |$oraclePairSc,
+         |pr AS (SELECT vec_a, vec_b FROM sc WHERE cos >= 0.35),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+         |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pr),
+         |bfs(v, hop) AS (
+         |  SELECT vec_id, 0 FROM embeddings WHERE vec_id % 37 = 0
+         |  UNION
+         |  SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.v
+         |  WHERE b.hop < 6),
+         |dist AS (SELECT v, MIN(hop) AS hop FROM bfs GROUP BY v)
+         |SELECT CAST(COALESCE(d.hop, -1) AS INTEGER) AS hop,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(MIN(e.vec_id) AS BIGINT) AS min_vec,
+         |  CAST(MAX(e.vec_id) AS BIGINT) AS max_vec
+         |FROM embeddings e LEFT JOIN dist d ON d.v = e.vec_id
+         |GROUP BY 1 ORDER BY hop""".stripMargin,
     // q50: transitive closure of the undirected pair graph via a recursive
     // CTE — reach(v) accumulates every label reachable from v, min(reach)
     // is the component minimum, exactly the label-propagation fixpoint.

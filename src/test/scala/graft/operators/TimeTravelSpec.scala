@@ -123,6 +123,56 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(Warehouse.vacuum(path, retentionMs = dayMs, nowMs = aged).isEmpty)
   }
 
+  test("schema evolution: appended column null-fills old files, old snapshots keep their schema") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val path = buildLake()
+    val sc0 = schemaOf(path).get
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    // the new batch carries a column the lake has never seen
+    val batch = Seq((21L, "pa", 5L, 100L), (22L, "pb", 6L, 200L))
+      .toDF("id", "part", "v", "w")
+    val v2 = Warehouse.appendLogged(batch, "part", path)
+    val evolved = StructType(sc0.fields :+ StructField("w", LongType))
+    // head under the evolved schema: old rows null-fill w, new rows carry it
+    val head = Warehouse.readManifested(spark, path, Some(evolved))
+    assert(head.count() == 10)
+    assert(head.filter(col("w").isNull).count() == 8)
+    assert(head.filter(col("w").isNotNull).select(sum("w")).head().getLong(0) == 300L)
+    // v1 under its ORIGINAL schema is untouched by the evolution
+    val v1Read = Warehouse.readSnapshot(spark, path, v1, Some(sc0))
+    assert(v1Read.schema.fieldNames.toSeq == sc0.fieldNames.toSeq &&
+      v1Read.count() == 8)
+    // the CDF across the schema boundary (evolved schema): inserts only
+    val feed = Warehouse.snapshotChanges(spark, path, v1, v2, Some(evolved))
+    assert(feed.filter(col("change_type") === "delete").count() == 0)
+    assert(feed.filter(col("change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(21L, 22L))
+  }
+
+  test("an interleaved commit surfaces as a conflict, never a lost update") {
+    val path = buildLake()
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    // writers A and B both derive their file lists from v1
+    val aFiles = Warehouse.snapshotFiles(path, v1)
+    val bFiles = Warehouse.snapshotFiles(path, v1).drop(1)
+    // A commits first; B's stale commit must throw and leave the log alone
+    val v2 = Warehouse.commitSnapshot(path, aFiles, expectedHead = Some(v1))
+    assert(v2 == 2)
+    intercept[java.util.ConcurrentModificationException] {
+      Warehouse.commitSnapshot(path, bFiles, expectedHead = Some(v1))
+    }
+    assert(Warehouse.snapshotVersions(path) == Seq(1, 2))
+    assert(Warehouse.manifestedFiles(path) == Warehouse.snapshotFiles(path, v2))
+    // the rebase: B re-derives against the new head and retries
+    val v3 = Warehouse.commitSnapshot(path,
+      Warehouse.snapshotFiles(path, v2).drop(1), expectedHead = Some(v2))
+    assert(v3 == 3)
+    // an expectation-free commit (single-writer mode) still succeeds
+    assert(Warehouse.commitSnapshot(path,
+      Warehouse.snapshotFiles(path, v3)) == 4)
+  }
+
   test("an all-rows-deleted partition needs emptiedDirs to leave the manifest") {
     val path = buildLake()
     val sc = schemaOf(path)
