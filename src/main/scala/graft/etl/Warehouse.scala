@@ -258,6 +258,15 @@ object Warehouse {
     val next = cur + 1
     val body = files.sorted.mkString("\n")
     writeTextFile(fs, logEntryPath(root, next), body)
+    // delete sidecars CARRY FORWARD: every commit copies the previous
+    // version's active sidecar list to its own `.deletes` entry, so a
+    // version's deletes are always stated on the version itself — no
+    // read-time inheritance walk, and expiring any prefix of the log can
+    // never detach a retained version from its deletes. deleteLogged /
+    // compactDeletes then overwrite the carried entry with their own.
+    val carried = deleteSidecars(path, cur)
+    if (carried.nonEmpty)
+      writeTextFile(fs, deletesEntryPath(root, next), carried.mkString("\n"))
     writeTextFile(fs, new org.apache.hadoop.fs.Path(root, fileManifestName), body)
     next
   }
@@ -377,6 +386,110 @@ object Warehouse {
         removedDf.exceptAll(addedDf).withColumn("change_type", lit("delete")))
   }
 
+  // ------------------------------------------------- deletion vectors
+
+  /** MERGE-ON-READ deletes (Delta deletion vectors / Iceberg v2
+    * equality deletes): the OTHER takedown strategy next to
+    * copy-on-write. A rewrite (rewritePartitionsLogged) pays O(touched
+    * partitions) to delete k rows; for a small takedown against huge
+    * partitions, a DELETE SIDECAR pays O(k): the delete keys land as a
+    * parquet file under the hidden `_dv/` tree (invisible to
+    * listDataFiles, so never vacuum-examined or listed as data), and
+    * the commit's `.deletes` log entry lists the ACTIVE sidecar files
+    * for that version — full-list, not delta, so deletes time-travel
+    * exactly like data: a version's read is its manifest files
+    * anti-joined with its sidecar union, and an earlier version never
+    * sees a later delete. Readers pay the anti-join until a compaction
+    * (compactDeletes) materializes survivors through the copy-on-write
+    * path and commits an empty sidecar list — the standard
+    * read-amplification/write-amplification trade, chosen per table. */
+  private def deletesEntryPath(root: org.apache.hadoop.fs.Path, v: Int) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, logDirName), f"$v%08d.deletes")
+
+  /** The active delete-sidecar files (relative paths) of a snapshot.
+    * A version with no `.deletes` entry has none. */
+  def deleteSidecars(path: String, version: Int): Seq[String] = {
+    val (fs, root) = fsFor(path)
+    val p = deletesEntryPath(root, version)
+    if (!fs.exists(p)) Seq.empty else readTextLines(fs, p)
+  }
+
+  /** Commit a merge-on-read delete: write `keys` (a bounded frame with
+    * the single key column `keyCol`) as a new sidecar parquet, and
+    * commit the NEXT version with the SAME data files and the previous
+    * version's sidecars plus the new one. O(keys) written, zero data
+    * files touched. Returns the new version. */
+  def deleteLogged(keys: DataFrame, keyCol: String, path: String): Int = {
+    val base = snapshotVersions(path).lastOption.getOrElse(0)
+    require(base >= 1, s"deleteLogged needs a committed snapshot at $path")
+    val head = manifestedFiles(path)
+    val rel = s"_dv/dv-$base-${java.util.UUID.randomUUID().toString.take(8)}"
+    keys.select(keyCol).write.mode("overwrite").parquet(s"$path/$rel")
+    val next = commitSnapshot(path, head, expectedHead = Some(base))
+    val (fs, root) = fsFor(path)
+    writeTextFile(fs, deletesEntryPath(root, next),
+      (deleteSidecars(path, base) :+ rel).mkString("\n"))
+    next
+  }
+
+  /** Merge-on-read snapshot read: the version's data files anti-joined
+    * with the union of its active delete sidecars on `keyCol`. With no
+    * sidecars this IS readSnapshot. The sidecar union is O(total
+    * deletes) — bounded by takedown volume, broadcast-sized in
+    * practice — and the anti-join is the only read-side cost deletes
+    * add before compaction. */
+  def readSnapshotMergeOnRead(s: SparkSession, path: String, version: Int,
+                              keyCol: String,
+                              schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val base = readSnapshot(s, path, version, schema)
+    val dvs = deleteSidecars(path, version)
+    if (dvs.isEmpty) base
+    else {
+      val keys = dvs.map(d => s.read.parquet(s"$path/$d"))
+        .reduce(_.unionByName(_)).distinct()
+      base.join(org.apache.spark.sql.functions.broadcast(keys),
+        Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** Materialize pending deletes: rewrite ONLY the partitions that
+    * still hold deleted keys through the copy-on-write path, then mark
+    * the new version's sidecar list EMPTY (an explicit empty `.deletes`
+    * entry — the version carries no deletes, and earlier versions keep
+    * theirs for time travel). The touched-partition set comes from one
+    * semi-join of the lake against the broadcast sidecar keys — a
+    * bounded driver scalar. Sidecar FILES stay on disk for the retained
+    * versions that reference them; they live outside the data tree, so
+    * vacuum never needs to know. Returns the new version. */
+  def compactDeletes(s: SparkSession, path: String, partCol: String,
+                     keyCol: String,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+    val base = snapshotVersions(path).lastOption.getOrElse(0)
+    val dvs = deleteSidecars(path, base)
+    val (fs, root) = fsFor(path)
+    if (dvs.isEmpty) {
+      val next = commitSnapshot(path, manifestedFiles(path),
+        expectedHead = Some(base))
+      writeTextFile(fs, deletesEntryPath(root, next), "")
+      return next
+    }
+    val keys = dvs.map(d => s.read.parquet(s"$path/$d"))
+      .reduce(_.unionByName(_)).distinct()
+    val lake = readSnapshot(s, path, base, schema)
+    val touched = lake.join(org.apache.spark.sql.functions.broadcast(keys),
+        Seq(keyCol), "left_semi")
+      .select(partCol).distinct().collect().map(_.get(0).toString).toSeq
+    val survivors = lake
+      .filter(org.apache.spark.sql.functions.col(partCol)
+        .isin(touched: _*))
+      .join(org.apache.spark.sql.functions.broadcast(keys),
+        Seq(keyCol), "left_anti")
+    val next = rewritePartitionsLogged(survivors, partCol, path)
+    writeTextFile(fs, deletesEntryPath(root, next), "")
+    next
+  }
+
   /** Drop every snapshot older than the newest `keepLast` from the log.
     * Purely a LOG operation — data files are untouched; a later vacuum
     * reclaims the ones no retained snapshot references. Returns the
@@ -385,7 +498,14 @@ object Warehouse {
     require(keepLast >= 1, "keepLast must retain at least the head snapshot")
     val (fs, root) = fsFor(path)
     val drop = snapshotVersions(path).dropRight(keepLast)
-    drop.foreach(v => fs.delete(logEntryPath(root, v), false))
+    drop.foreach { v =>
+      fs.delete(logEntryPath(root, v), false)
+      // the version's sidecar LIST goes with it (sidecar FILES may still
+      // be referenced by retained versions' own carried entries — they
+      // are small and live outside the data tree; a sweep of
+      // unreferenced sidecars would mirror vacuum over _dv/)
+      fs.delete(deletesEntryPath(root, v), false)
+    }
     drop
   }
 

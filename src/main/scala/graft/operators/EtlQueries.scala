@@ -991,8 +991,75 @@ object EtlQueries {
       .orderBy("source")
   }
 
+  /** q331 — DELETION VECTORS (merge-on-read takedown): the OTHER delete
+    * strategy next to the copy-on-write rewrite. The takedown keys land
+    * as an O(k) sidecar (Warehouse.deleteLogged — zero data files
+    * touched), the commit's `.deletes` entry lists the version's active
+    * sidecars, and the merge-on-read read anti-joins the broadcast
+    * sidecar union. Deletes time-travel exactly like data: v1 carries
+    * no sidecars and reads WHOLE after the delete commit, which the
+    * side-by-side audit proves. When to choose which is a real 100 TB
+    * decision: a thousand-row takedown against TB partitions is O(k)
+    * here vs O(touched partitions) for q250's rewrite; the price is the
+    * read-side anti-join until q332's compaction folds it away. */
+  def q331DeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("dvlake")
+    val docs = Tables.documents(s, dir)
+    Warehouse.writePartitioned(docs.repartition(col("source")),
+      "source", path, firstRun = true)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val v2 = Warehouse.deleteLogged(
+      docs.filter(col("doc_id") % 43 === 0).select("doc_id"), "doc_id", path)
+    def audit(version: Int, tag: String): DataFrame =
+      Warehouse.readSnapshotMergeOnRead(s, path, version, "doc_id",
+          Some(docs.schema))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_chars").cast("bigint").as("chars_total"))
+        .withColumn("snap", lit(tag))
+    audit(v1, "v1").unionByName(audit(v2, "head"))
+      .select(col("snap"), col("source"), col("n_docs"), col("chars_total"))
+      .orderBy("snap", "source")
+  }
+
+  /** q332 — DELETE COMPACTION (materialize merge-on-read): pending
+    * sidecar deletes fold into data files through the copy-on-write
+    * rewrite of ONLY the partitions still holding deleted keys
+    * (discovered by one semi-join against the broadcast keys), and the
+    * compacted version's sidecar list commits EMPTY — the read-side
+    * anti-join retires while every earlier version keeps its own
+    * deletes for time travel. The audit reads the compacted version
+    * PLAIN (readSnapshot, no merge-on-read) so the hash proves the
+    * materialization itself; the two flags pin the sidecar retirement
+    * and the plain==merge-on-read equivalence at head. */
+  def q332DvCompaction(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("dvcompact")
+    val docs = Tables.documents(s, dir)
+    Warehouse.writePartitioned(docs.repartition(col("source")),
+      "source", path, firstRun = true)
+    Warehouse.commitSnapshotFromListing(path)
+    Warehouse.deleteLogged(
+      docs.filter(col("doc_id") % 47 === 0).select("doc_id"), "doc_id", path)
+    val v3 = Warehouse.compactDeletes(s, path, "source", "doc_id",
+      Some(docs.schema))
+    val plain = Warehouse.readSnapshot(s, path, v3, Some(docs.schema))
+    val mor = Warehouse.readSnapshotMergeOnRead(s, path, v3, "doc_id",
+      Some(docs.schema))
+    val dvRetired = Warehouse.deleteSidecars(path, v3).isEmpty
+    val morEqualsPlain =
+      plain.exceptAll(mor).isEmpty && mor.exceptAll(plain).isEmpty
+    plain.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_chars").cast("bigint").as("chars_total"))
+      .withColumn("dv_retired", lit(if (dvRetired) 1L else 0L))
+      .withColumn("mor_equals_plain", lit(if (morEqualsPlain) 1L else 0L))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
+    "q331_deletion_vectors" -> (q331DeletionVectors _),
+    "q332_dv_compaction" -> (q332DvCompaction _),
     "q330_schema_evolution" -> (q330SchemaEvolution _),
     "q323_time_travel" -> (q323TimeTravel _),
     "q324_change_data_feed" -> (q324ChangeDataFeed _),
@@ -1199,6 +1266,26 @@ object EtlQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM ins
         |ORDER BY change_type""".stripMargin,
+    // v1 reads WHOLE after the delete commit (sidecars are versioned);
+    // head is the merge-on-read survivor set
+    "q331_deletion_vectors" ->
+      """SELECT 'v1' AS snap, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT 'head', source, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 43 <> 0 GROUP BY source
+        |ORDER BY snap, source""".stripMargin,
+    // the compacted files PLAIN-read to the survivor set; both flags are
+    // deterministic (sidecars retired, plain == merge-on-read)
+    "q332_dv_compaction" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(1 AS BIGINT) AS dv_retired,
+        |  CAST(1 AS BIGINT) AS mor_equals_plain
+        |FROM documents WHERE doc_id % 47 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     // pre-evolution rows carry NULL quality (null-filled by the reader,
     // never materialized); the scored batch carries its own
     "q330_schema_evolution" ->

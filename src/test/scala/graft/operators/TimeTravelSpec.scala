@@ -173,6 +173,47 @@ class TimeTravelSpec extends AnyFunSuite {
       Warehouse.snapshotFiles(path, v3)) == 4)
   }
 
+  test("deletion vectors: O(k) sidecar, versioned like data, compaction materializes touched partitions only") {
+    import spark.implicits._
+    val path = buildLake()
+    val sc = schemaOf(path)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val bytesBefore = Warehouse.snapshotFiles(path, v1)
+      .map(f => f -> fileBytes(path, f).toSeq).toMap
+    // delete id=2 (partition pa) as a sidecar — zero data files touched
+    val v2 = Warehouse.deleteLogged(Seq(2L).toDF("id"), "id", path)
+    assert(Warehouse.snapshotFiles(path, v2) == Warehouse.snapshotFiles(path, v1),
+      "a sidecar delete commits the SAME data-file manifest")
+    bytesBefore.foreach { case (f, b) =>
+      assert(fileBytes(path, f).toSeq == b, s"data file $f touched by deleteLogged") }
+    def morIds(v: Int): Set[Long] =
+      Warehouse.readSnapshotMergeOnRead(spark, path, v, "id", sc)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(morIds(v2) == Set(1L, 3L, 4L, 11L, 12L, 13L, 14L))
+    assert(morIds(v1) == Set(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L),
+      "deletes are versioned: v1 merge-on-read still sees the deleted row")
+    // deletes carry forward through an unrelated commit
+    val v3 = Warehouse.appendLogged(Seq((31L, "pb", 0L)).toDF("id", "part", "v"),
+      "part", path)
+    assert(morIds(v3) == Set(1L, 3L, 4L, 11L, 12L, 13L, 14L, 31L),
+      "an append must not detach the standing deletes")
+    // compaction: pa (the only partition holding a deleted key) rewrites,
+    // pb's files carry — and the compacted version's sidecar list is empty
+    val pbBefore = Warehouse.snapshotFiles(path, v3).filter(_.startsWith("part=pb/"))
+    val v4 = Warehouse.compactDeletes(spark, path, "part", "id", sc)
+    assert(Warehouse.deleteSidecars(path, v4).isEmpty)
+    assert(Warehouse.snapshotFiles(path, v4).filter(_.startsWith("part=pb/"))
+      == pbBefore, "untouched partition files carried through compaction")
+    val plain = Warehouse.readSnapshot(spark, path, v4, sc)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 3L, 4L, 11L, 12L, 13L, 14L, 31L),
+      "compaction materialized the deletes into the data files")
+    assert(morIds(v4) == plain)
+    // earlier versions keep their own deletes for time travel
+    assert(morIds(v3).contains(31L) && !morIds(v3).contains(2L))
+    assert(morIds(v1).contains(2L))
+  }
+
   test("an all-rows-deleted partition needs emptiedDirs to leave the manifest") {
     val path = buildLake()
     val sc = schemaOf(path)
