@@ -185,8 +185,8 @@ object Warehouse {
     * snapshot reads, and the changed-file sides of a snapshot diff. An
     * empty list with a schema resolves columns as an empty frame (the
     * emptied-lake contract readManifested documents). */
-  private def readFilesOf(s: SparkSession, path: String, rels: Seq[String],
-                          schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+  private[graft] def readFilesOf(s: SparkSession, path: String, rels: Seq[String],
+                                 schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val files = rels.map(f => s"$path/$f")
     if (files.isEmpty)
       schema.map(sc => s.createDataFrame(
@@ -317,10 +317,26 @@ object Warehouse {
   def appendLogged(df: DataFrame, partCol: String, path: String): Int = {
     val base = snapshotVersions(path).lastOption.getOrElse(0)
     val head = manifestedFiles(path)
+    val added = writeUncommitted(df, partCol, path)
+    commitSnapshot(path, head ++ added, expectedHead = Some(base))
+  }
+
+  /** WRITE-AUDIT-PUBLISH, step one: land a batch's files in the lake
+    * WITHOUT committing them — they exist on storage but no manifest
+    * references them, so every reader (head, time travel, CDF) is blind
+    * to them. Returns the written relative paths: the caller audits the
+    * pending batch by reading exactly those files (readFilesOf), then
+    * either PUBLISHES (commitSnapshot(head ∪ pending) — one atomic
+    * manifest write makes the whole batch visible at once) or simply
+    * walks away — an abandoned batch is indistinguishable from an
+    * aborted writer's leftovers and the retention-aged vacuum reclaims
+    * it. The quarantine the reference approximates with staging tables
+    * falls out of the log for free: data files are invisible until a
+    * manifest says otherwise. */
+  def writeUncommitted(df: DataFrame, partCol: String, path: String): Seq[String] = {
     val before = listDataFiles(path).toSet
     df.write.mode("append").partitionBy(partCol).parquet(path)
-    val added = listDataFiles(path).filterNot(before)
-    commitSnapshot(path, head ++ added, expectedHead = Some(base))
+    listDataFiles(path).filterNot(before)
   }
 
   /** Copy-on-write partition rewrite under the log: survivors of the

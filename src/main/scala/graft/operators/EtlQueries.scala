@@ -1056,8 +1056,71 @@ object EtlQueries {
       .orderBy("source")
   }
 
+  /** q333 — WRITE-AUDIT-PUBLISH (the WAP ingest pattern the log gives
+    * for free): two crawl batches land UNCOMMITTED
+    * (Warehouse.writeUncommitted — on storage, referenced by no
+    * manifest, invisible to every reader), each is audited by reading
+    * exactly its own pending files, and only the batch that clears the
+    * quality gate (avg chars ≥ 30 — batch B is truncated to 20-char
+    * stubs by construction and fails) PUBLISHES via one atomic manifest
+    * commit; the failed batch is simply walked away from and the
+    * retention-aged vacuum reclaims its files as ordinary orphans. The
+    * audit proves all four verdicts at once: head = base ∪ batch A
+    * (published rows visible, exactly once), batch B's rows nowhere in
+    * the head (the quarantine), every examined orphan swept (the
+    * abandoned files actually reclaimed), and the pre-publish head
+    * never saw EITHER batch (the flags pin the gate outcomes).
+    *
+    * Scale: publish is one manifest write regardless of batch size —
+    * ingest visibility is atomic and all-or-nothing, which is the
+    * entire reason the pattern exists; the audit reads O(batch). */
+  def q333WriteAuditPublish(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("wap")
+    val docs = Tables.documents(s, dir)
+    Warehouse.writePartitioned(docs.repartition(col("source")),
+      "source", path, firstRun = true)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val batchA = docs.filter(col("doc_id") % 53 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(col("text"), lit(" crawlA")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 7L).as("n_chars"))
+    val batchB = docs.filter(col("doc_id") % 59 === 0)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        expr("substring(text, 1, 20)").as("text"),
+        col("lang"), col("source"), least(col("n_chars"), lit(20L)).as("n_chars"))
+    val pendingA = Warehouse.writeUncommitted(
+      batchA.repartition(col("source")), "source", path)
+    val pendingB = Warehouse.writeUncommitted(
+      batchB.repartition(col("source")), "source", path)
+    // the audit gate reads EXACTLY the pending files (bounded scalar per
+    // batch); a batch is published only if its average length clears 30
+    def gate(rels: Seq[String]): Boolean = {
+      val r = Warehouse.readFilesOf(s, path, rels, Some(docs.schema))
+        .agg(sum("n_chars").cast("double"), count(lit(1))).head()
+      r.getDouble(0) / r.getLong(1) >= 30.0
+    }
+    val aPass = gate(pendingA)
+    val bPass = gate(pendingB)
+    val head = Warehouse.manifestedFiles(path)
+    if (aPass) Warehouse.commitSnapshot(path, head ++ pendingA,
+      expectedHead = Some(v1))
+    // batch B: abandoned (never committed); the aged sweep reclaims it
+    val report = Warehouse.vacuum(path, retentionMs = 24L * 3600 * 1000,
+      nowMs = System.currentTimeMillis() + 48L * 3600 * 1000)
+    val allSwept = report.nonEmpty && report.forall(_._3)
+    Warehouse.readManifested(s, path, Some(docs.schema))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_chars").cast("bigint").as("chars_total"))
+      .withColumn("a_published", lit(if (aPass) 1L else 0L))
+      .withColumn("b_published", lit(if (bPass) 1L else 0L))
+      .withColumn("abandoned_swept", lit(if (allSwept) 1L else 0L))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
+    "q333_write_audit_publish" -> (q333WriteAuditPublish _),
     "q331_deletion_vectors" -> (q331DeletionVectors _),
     "q332_dv_compaction" -> (q332DvCompaction _),
     "q330_schema_evolution" -> (q330SchemaEvolution _),
@@ -1266,6 +1329,21 @@ object EtlQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM ins
         |ORDER BY change_type""".stripMargin,
+    // head = base ∪ published batch A; batch B (the 20-char stubs that
+    // fail the ≥30 avg-chars gate) is nowhere — its rows never reach a
+    // manifest and its files are swept; the three gate flags are
+    // deterministic literals
+    "q333_write_audit_publish" ->
+      """WITH head AS (
+        |  SELECT source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT source, n_chars + 7 FROM documents WHERE doc_id % 53 = 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(1 AS BIGINT) AS a_published,
+        |  CAST(0 AS BIGINT) AS b_published,
+        |  CAST(1 AS BIGINT) AS abandoned_swept
+        |FROM head GROUP BY source ORDER BY source""".stripMargin,
     // v1 reads WHOLE after the delete commit (sidecars are versioned);
     // head is the merge-on-read survivor set
     "q331_deletion_vectors" ->

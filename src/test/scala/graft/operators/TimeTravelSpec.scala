@@ -214,6 +214,34 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(morIds(v1).contains(2L))
   }
 
+  test("uncommitted batches are invisible until published and survive young-file vacuum") {
+    import spark.implicits._
+    val path = buildLake()
+    val sc = schemaOf(path)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val pending = Warehouse.writeUncommitted(
+      Seq((21L, "pa", 9L)).toDF("id", "part", "v"), "part", path)
+    assert(pending.nonEmpty)
+    // invisible to every committed reader
+    assert(Warehouse.readManifested(spark, path, sc).count() == 8)
+    assert(Warehouse.readSnapshot(spark, path, v1, sc).count() == 8)
+    // a slow audit must not lose its batch: the young pending files ride
+    // the vacuum retention grace period
+    val r = Warehouse.vacuum(path, retentionMs = dayMs,
+      nowMs = System.currentTimeMillis())
+    assert(r.nonEmpty && r.forall(!_._3), "young uncommitted files spared")
+    pending.foreach(f => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, f))))
+    // publish: one manifest write makes the batch visible atomically
+    val v2 = Warehouse.commitSnapshot(path,
+      Warehouse.manifestedFiles(path) ++ pending, expectedHead = Some(v1))
+    assert(Warehouse.readManifested(spark, path, sc).count() == 9)
+    // and the publish IS the insert the feed reports
+    val feed = Warehouse.snapshotChanges(spark, path, v1, v2, sc)
+    assert(feed.collect().map(r2 => (r2.getAs[String]("change_type"),
+      r2.getAs[Long]("id"))).toSeq == Seq(("insert", 21L)))
+  }
+
   test("an all-rows-deleted partition needs emptiedDirs to leave the manifest") {
     val path = buildLake()
     val sc = schemaOf(path)
