@@ -1118,8 +1118,47 @@ object EtlQueries {
       .orderBy("source")
   }
 
+  /** q334 — PARTITION EVOLUTION under the log: the lake RE-LAYOUTS from
+    * source-partitioning to lang-partitioning in one commit — the full
+    * row set lands uncommitted under the new directory scheme, one
+    * manifest write flips the table over, and v1 keeps serving the OLD
+    * layout. Both layouts' files coexist under one root; that breaks a
+    * directory-listing reader outright (mixed partition schemes cannot
+    * co-discover), and is exactly why it is SAFE here: every manifest
+    * references one consistent layout, and the log's thesis is that no
+    * reader ever trusts the listing. Each version's reads prune on its
+    * own partition key (TimeTravelSpec pins both via inputFiles); the
+    * old layout's files retire through the ordinary expire+vacuum path.
+    *
+    * At 100 TB this is the Iceberg headline feature: a query-pattern
+    * shift (by-source ingest → by-language training reads) re-keys the
+    * table without a second table, a dual-write window, or a reader
+    * migration flag-day. The audit reads v1 grouped by its key and head
+    * grouped by the new key, both under one hash. */
+  def q334PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("partevo")
+    val docs = Tables.documents(s, dir)
+    Warehouse.writePartitioned(docs.repartition(col("source")),
+      "source", path, firstRun = true)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val relaid = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
+      .repartition(col("lang"))
+    val pending = Warehouse.writeUncommitted(relaid, "lang", path)
+    val v2 = Warehouse.commitSnapshot(path, pending, expectedHead = Some(v1))
+    def audit(version: Int, tag: String, key: String): DataFrame =
+      Warehouse.readSnapshot(s, path, version, Some(docs.schema))
+        .groupBy(key)
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_chars").cast("bigint").as("chars_total"))
+        .select(lit(tag).as("snap"), col(key).as("part_key"),
+          col("n_docs"), col("chars_total"))
+    audit(v1, "v1", "source").unionByName(audit(v2, "head", "lang"))
+      .orderBy("snap", "part_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
+    "q334_partition_evolution" -> (q334PartitionEvolution _),
     "q333_write_audit_publish" -> (q333WriteAuditPublish _),
     "q331_deletion_vectors" -> (q331DeletionVectors _),
     "q332_dv_compaction" -> (q332DvCompaction _),
@@ -1329,6 +1368,18 @@ object EtlQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM ins
         |ORDER BY change_type""".stripMargin,
+    // same rows under both layouts: v1 grouped by its partition key,
+    // the re-laid head by the new one
+    "q334_partition_evolution" ->
+      """SELECT 'v1' AS snap, source AS part_key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT 'head', lang, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents GROUP BY lang
+        |ORDER BY snap, part_key""".stripMargin,
     // head = base ∪ published batch A; batch B (the 20-char stubs that
     // fail the ≥30 avg-chars gate) is nowhere — its rows never reach a
     // manifest and its files are swept; the three gate flags are

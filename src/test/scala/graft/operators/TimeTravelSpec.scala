@@ -242,6 +242,60 @@ class TimeTravelSpec extends AnyFunSuite {
       r2.getAs[Long]("id"))).toSeq == Seq(("insert", 21L)))
   }
 
+  test("partition evolution: each version prunes on its own layout's key") {
+    import spark.implicits._
+    val path = graft.Staging.fresh("ttevo")
+    val df = Seq((1L, "pa", "en"), (2L, "pa", "fr"), (3L, "pb", "en"),
+      (4L, "pb", "fr")).toDF("id", "part", "lang")
+    Warehouse.writePartitioned(df, "part", path, firstRun = true)
+    val sc = schemaOf(path)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val relaid = Warehouse.readSnapshot(spark, path, v1, sc)
+    val v2 = Warehouse.commitSnapshot(path,
+      Warehouse.writeUncommitted(relaid, "lang", path), expectedHead = Some(v1))
+    // both layouts' files coexist under one root — the listing reader is
+    // broken by construction, the manifest readers are not
+    intercept[Exception] { spark.read.parquet(path).collect() }
+    assert(Warehouse.readSnapshot(spark, path, v1, sc).count() == 4)
+    assert(Warehouse.readSnapshot(spark, path, v2, sc).count() == 4)
+    // pruning follows each version's OWN partition key: the filter lands
+    // in partitionFilters and the scan touches one directory (inputFiles
+    // reflects the pre-pruning index, so assert on the EXECUTED scan —
+    // the ZorderSpec idiom)
+    def scanOf(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.execution.FileSourceScanExec = {
+      df.collect()
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          p +: nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: nodes(q.plan)
+        case _ => p +: p.children.flatMap(nodes)
+      }
+      nodes(df.queryExecution.executedPlan)
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail(s"no file scan in:\n${df.queryExecution.executedPlan}"))
+    }
+    val v1Scan = scanOf(Warehouse.readSnapshot(spark, path, v1, sc)
+      .filter(col("part") === "pa"))
+    assert(v1Scan.partitionFilters.nonEmpty &&
+      v1Scan.metrics("numPartitions").value == 1L,
+      "v1 prunes on its own key (part)")
+    val v2Scan = scanOf(Warehouse.readSnapshot(spark, path, v2, sc)
+      .filter(col("lang") === "en"))
+    assert(v2Scan.partitionFilters.nonEmpty &&
+      v2Scan.metrics("numPartitions").value == 1L,
+      "head prunes on the evolved key (lang)")
+    // the old layout retires through the ordinary expire+vacuum path
+    assert(Warehouse.expireSnapshots(path, keepLast = 1) == Seq(v1))
+    val aged = System.currentTimeMillis() + 48L * dayMs
+    val r = Warehouse.vacuum(path, retentionMs = dayMs, nowMs = aged)
+    assert(r.nonEmpty && r.forall(_._3) &&
+      r.forall(_._1.startsWith("part=")), "exactly the old layout swept")
+    assert(Warehouse.readSnapshot(spark, path, v2, sc).count() == 4)
+  }
+
   test("an all-rows-deleted partition needs emptiedDirs to leave the manifest") {
     val path = buildLake()
     val sc = schemaOf(path)
