@@ -402,6 +402,81 @@ object Warehouse {
         removedDf.exceptAll(addedDf).withColumn("change_type", lit("delete")))
   }
 
+  // ---------------------------------------------- manifest column stats
+
+  /** Per-file column statistics in the log (the Iceberg manifest-stats
+    * discipline): a `.stats` entry records min/max of chosen LONG
+    * columns per data file, computed in ONE scan at commit time, and a
+    * range read prunes its FILE LIST against them before touching
+    * storage — data skipping one level finer than partition pruning,
+    * and the payoff of any write that clusters the column (a
+    * range-partitioned write, an ingest whose batches are
+    * time-ordered). Stats are advisory: a file without a recorded stat
+    * is always read, and the exact predicate is re-applied after the
+    * prune, so correctness never depends on the sidecar. */
+  private def statsEntryPath(root: org.apache.hadoop.fs.Path, v: Int) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, logDirName), f"$v%08d.stats")
+
+  /** Compute and record per-file min/max for `cols` (long-typed) on a
+    * snapshot's files. One scan, grouped by `_metadata.file_path`; the
+    * collect is bounded by |files| × |cols|. All-null files skip the
+    * line (no stat = never skipped). */
+  def writeFileStats(s: SparkSession, path: String, version: Int,
+                     cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col => c, min => mn, max => mx}
+    val files = snapshotFiles(path, version)
+    val aggs = cols.flatMap(k => Seq(mn(k).as(s"mn_$k"), mx(k).as(s"mx_$k")))
+    val rows = readFilesOf(s, path, files, None)
+      .groupBy(c("_metadata.file_path").as("fp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val absRoot = fsFor(path)._2.toUri.getPath
+    val lines = rows.flatMap { r =>
+      val fp = r.getString(0)
+      val rel = fp.substring(fp.indexOf(absRoot) + absRoot.length)
+        .stripPrefix("/")
+      cols.zipWithIndex.flatMap { case (k, i) =>
+        if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+        else Some(s"$rel|$k|${r.getLong(1 + 2 * i)}|${r.getLong(2 + 2 * i)}")
+      }
+    }
+    val (fs, root) = fsFor(path)
+    writeTextFile(fs, statsEntryPath(root, version), lines.sorted.mkString("\n"))
+  }
+
+  /** The recorded stats of a snapshot: (file, col) → (min, max). */
+  def fileStats(path: String, version: Int): Map[(String, String), (Long, Long)] = {
+    val (fs, root) = fsFor(path)
+    val p = statsEntryPath(root, version)
+    if (!fs.exists(p)) Map.empty
+    else readTextLines(fs, p).map { l =>
+      val Array(rel, k, lo, hi) = l.split('|')
+      (rel, k) -> (lo.toLong, hi.toLong)
+    }.toMap
+  }
+
+  /** Range read with manifest-stats file skipping: drop every file
+    * whose recorded [min,max] cannot intersect [lo,hi], read the rest,
+    * and re-apply the exact predicate. Returns the frame and the
+    * (filesRead, filesTotal) prune accounting so callers can audit the
+    * skip rate. */
+  def readSnapshotRange(s: SparkSession, path: String, version: Int,
+                        keyCol: String, lo: Long, hi: Long,
+                        schema: Option[org.apache.spark.sql.types.StructType] = None): (DataFrame, (Int, Int)) = {
+    import org.apache.spark.sql.functions.{col => c}
+    val files = snapshotFiles(path, version)
+    val stats = fileStats(path, version)
+    val kept = files.filter { f =>
+      stats.get((f, keyCol)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }
+    (readFilesOf(s, path, kept, schema)
+      .filter(c(keyCol) >= lo && c(keyCol) <= hi), (kept.size, files.size))
+  }
+
   // ------------------------------------------------- deletion vectors
 
   /** MERGE-ON-READ deletes (Delta deletion vectors / Iceberg v2

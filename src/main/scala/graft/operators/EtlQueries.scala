@@ -1156,8 +1156,45 @@ object EtlQueries {
       .orderBy("snap", "part_key")
   }
 
+  /** q335 — MANIFEST-STATS FILE SKIPPING (data skipping one level finer
+    * than partition pruning): the lake writes RANGE-CLUSTERED on doc_id
+    * (repartitionByRange — each file holds a contiguous id slice), the
+    * commit records per-file min/max in the log's `.stats` entry (one
+    * scan, Warehouse.writeFileStats), and a range read prunes its file
+    * list against the stats BEFORE touching storage
+    * (readSnapshotRange) — then re-applies the exact predicate, so the
+    * sidecar is advisory and correctness never depends on it. The
+    * 200-id probe range cannot span all eight range files, so the
+    * skipped_files flag is a deterministic literal under the hash;
+    * TimeTravelSpec pins the exact file counts on a constructed
+    * disjoint-batch lake plus the no-stats-column fallback.
+    *
+    * This is q109's Z-order story at MANIFEST granularity: Z-order
+    * clusters the directory layout, stats skipping clusters the file
+    * list — at 100 TB the stats prune runs on a KB sidecar in the
+    * driver, before a single LIST or read reaches the store. */
+  def q335StatsSkipping(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("statskip")
+    val docs = Tables.documents(s, dir)
+    docs.repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    Warehouse.writeFileStats(s, path, v1, Seq("doc_id", "n_chars"))
+    val (ranged, (filesRead, filesTotal)) = Warehouse.readSnapshotRange(
+      s, path, v1, "doc_id", 100L, 299L, Some(docs.schema))
+    ranged.groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_chars").cast("bigint").as("chars_total"),
+        min("doc_id").cast("bigint").as("min_id"),
+        max("doc_id").cast("bigint").as("max_id"))
+      .withColumn("skipped_files",
+        lit(if (filesRead < filesTotal) 1L else 0L))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
+    "q335_stats_skipping" -> (q335StatsSkipping _),
     "q334_partition_evolution" -> (q334PartitionEvolution _),
     "q333_write_audit_publish" -> (q333WriteAuditPublish _),
     "q331_deletion_vectors" -> (q331DeletionVectors _),
@@ -1368,6 +1405,16 @@ object EtlQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM ins
         |ORDER BY change_type""".stripMargin,
+    // the probe range re-applied exactly after the prune; the flag is
+    // deterministic (a 200-id range cannot span all 8 range files)
+    "q335_stats_skipping" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id,
+        |  CAST(1 AS BIGINT) AS skipped_files
+        |FROM documents WHERE doc_id BETWEEN 100 AND 299
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // same rows under both layouts: v1 grouped by its partition key,
     // the re-laid head by the new one
     "q334_partition_evolution" ->

@@ -296,6 +296,35 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(Warehouse.readSnapshot(spark, path, v2, sc).count() == 4)
   }
 
+  test("manifest stats skip exactly the non-intersecting files; missing stats never skip") {
+    import spark.implicits._
+    val path = graft.Staging.fresh("ttstats")
+    // three appends with disjoint id ranges -> three single-range files
+    Seq((1L, "x", 10L), (2L, "x", 20L)).toDF("id", "part", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    Seq((10L, "x", 30L), (12L, "x", 40L)).toDF("id", "part", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    Seq((20L, "x", 50L), (22L, "x", 60L)).toDF("id", "part", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    Warehouse.writeFileStats(spark, path, v1, Seq("id"))
+    assert(Warehouse.fileStats(path, v1).size == 3)
+    // the middle range touches exactly one file
+    val (mid, (read, total)) = Warehouse.readSnapshotRange(
+      spark, path, v1, "id", 9L, 13L, None)
+    assert(total == 3 && read == 1, s"expected 1/3 files, got $read/$total")
+    assert(mid.select("id").collect().map(_.getLong(0)).toSet == Set(10L, 12L))
+    // a boundary-straddling range reads both its files
+    val (_, (read2, _)) = Warehouse.readSnapshotRange(
+      spark, path, v1, "id", 2L, 10L, None)
+    assert(read2 == 2)
+    // a column with NO recorded stats falls back to reading everything —
+    // the advisory contract: absent stats can cost, never corrupt
+    val (all, (read3, total3)) = Warehouse.readSnapshotRange(
+      spark, path, v1, "v", 30L, 40L, None)
+    assert(read3 == total3 && all.count() == 2)
+  }
+
   test("an all-rows-deleted partition needs emptiedDirs to leave the manifest") {
     val path = buildLake()
     val sc = schemaOf(path)
