@@ -247,7 +247,8 @@ object Warehouse {
     * entry write — the same primitive every lakehouse log delegates to,
     * pluggable here via the FileSystem the path resolves. */
   def commitSnapshot(path: String, files: Seq[String],
-                     expectedHead: Option[Int] = None): Int = {
+                     expectedHead: Option[Int] = None,
+                     sidecarsOverride: Option[Seq[String]] = None): Int = {
     val (fs, root) = fsFor(path)
     val cur = snapshotVersions(path).lastOption.getOrElse(0)
     expectedHead.foreach { e =>
@@ -259,14 +260,19 @@ object Warehouse {
     val body = files.sorted.mkString("\n")
     writeTextFile(fs, logEntryPath(root, next), body)
     // delete sidecars CARRY FORWARD: every commit copies the previous
-    // version's active sidecar list to its own `.deletes` entry, so a
-    // version's deletes are always stated on the version itself — no
-    // read-time inheritance walk, and expiring any prefix of the log can
-    // never detach a retained version from its deletes. deleteLogged /
-    // compactDeletes then overwrite the carried entry with their own.
-    val carried = deleteSidecars(path, cur)
-    if (carried.nonEmpty)
-      writeTextFile(fs, deletesEntryPath(root, next), carried.mkString("\n"))
+    // version's active sidecar list to its own `.deletes` entry (or the
+    // caller's override — deleteLogged appends its new sidecar,
+    // compactDeletes passes the empty list), so a version's deletes are
+    // always stated on the version itself — no read-time inheritance
+    // walk, and expiring any prefix of the log can never detach a
+    // retained version from its deletes. The entry lands BEFORE the
+    // head pointer, same ordering rule as the log entry itself: a
+    // reader that sees the new head resolves the new version COMPLETE,
+    // deletes included — never a window where a just-committed takedown
+    // is invisible at head.
+    val sidecars = sidecarsOverride.getOrElse(deleteSidecars(path, cur))
+    if (sidecars.nonEmpty)
+      writeTextFile(fs, deletesEntryPath(root, next), sidecars.mkString("\n"))
     writeTextFile(fs, new org.apache.hadoop.fs.Path(root, fileManifestName), body)
     next
   }
@@ -308,12 +314,18 @@ object Warehouse {
 
   /** Append new rows under the log: write files, commit head ∪ added.
     * Newly added files are identified by listing diff (before/after),
-    * which is safe because data files are immutable. The head list and
-    * its version are captured TOGETHER up front and the commit carries
-    * the version as its optimistic expectation, so a writer that
-    * interleaved a commit between this writer's read and its own commit
-    * surfaces as a loud conflict, never a lost update. Returns the new
-    * version. */
+    * which is safe because data files are immutable AND file landings
+    * to one lake root serialize: the optimistic check catches an
+    * interleaved COMMIT (the long-latency window), but a concurrent
+    * writeUncommitted landing files between this writer's two listings
+    * would be misattributed into the diff and published unaudited —
+    * concurrent file-landing writers need the store's conditional-put
+    * under the landing, the same primitive the commit protocol notes.
+    * The head list and its version are captured TOGETHER up front and
+    * the commit carries the version as its optimistic expectation, so a
+    * writer that interleaved a commit between this writer's read and
+    * its own commit surfaces as a loud conflict, never a lost update.
+    * Returns the new version. */
   def appendLogged(df: DataFrame, partCol: String, path: String): Int = {
     val base = snapshotVersions(path).lastOption.getOrElse(0)
     val head = manifestedFiles(path)
@@ -358,7 +370,8 @@ object Warehouse {
     * `source=web`) for its old files to leave the manifest. Cost:
     * O(touched slice), never O(table). Returns the new version. */
   def rewritePartitionsLogged(df: DataFrame, partCol: String, path: String,
-                              emptiedDirs: Seq[String] = Nil): Int = {
+                              emptiedDirs: Seq[String] = Nil,
+                              sidecarsOverride: Option[Seq[String]] = None): Int = {
     val base = snapshotVersions(path).lastOption.getOrElse(0)
     val head = manifestedFiles(path)
     val staging = graft.Staging.fresh("logged-rewrite")
@@ -373,7 +386,8 @@ object Warehouse {
     // an interleaved writer's commit surfaces as a conflict (see
     // appendLogged), and the survivor files staged here remain valid
     // inputs for the retry's re-derivation
-    commitSnapshot(path, kept ++ added, expectedHead = Some(base))
+    commitSnapshot(path, kept ++ added, expectedHead = Some(base),
+      sidecarsOverride = sidecarsOverride)
   }
 
   private def dirOf(rel: String): Option[String] =
@@ -395,8 +409,23 @@ object Warehouse {
     import org.apache.spark.sql.functions.lit
     val oldF = snapshotFiles(path, vOld).toSet
     val newF = snapshotFiles(path, vNew).toSet
-    val addedDf = readFilesOf(s, path, (newF -- oldF).toSeq.sorted, schema)
-    val removedDf = readFilesOf(s, path, (oldF -- newF).toSeq.sorted, schema)
+    val addedRels = (newF -- oldF).toSeq.sorted
+    val removedRels = (oldF -- newF).toSeq.sorted
+    // without a caller schema, a ONE-SIDED diff (pure append / pure
+    // delete) must still column-align its empty side for the positional
+    // set ops below — borrow the non-empty side's resolved schema; a
+    // no-change diff has nothing to resolve and returns a single-column
+    // empty feed
+    val sidesSchema = schema.orElse {
+      (addedRels ++ removedRels).headOption
+        .map(f => Some(readFilesOf(s, path, Seq(f), None).schema))
+        .getOrElse(None)
+    }
+    if (sidesSchema.isEmpty)
+      return s.emptyDataFrame
+        .withColumn("change_type", lit(""))
+    val addedDf = readFilesOf(s, path, addedRels, sidesSchema)
+    val removedDf = readFilesOf(s, path, removedRels, sidesSchema)
     addedDf.exceptAll(removedDf).withColumn("change_type", lit("insert"))
       .unionByName(
         removedDf.exceptAll(addedDf).withColumn("change_type", lit("delete")))
@@ -517,11 +546,11 @@ object Warehouse {
     val head = manifestedFiles(path)
     val rel = s"_dv/dv-$base-${java.util.UUID.randomUUID().toString.take(8)}"
     keys.select(keyCol).write.mode("overwrite").parquet(s"$path/$rel")
-    val next = commitSnapshot(path, head, expectedHead = Some(base))
-    val (fs, root) = fsFor(path)
-    writeTextFile(fs, deletesEntryPath(root, next),
-      (deleteSidecars(path, base) :+ rel).mkString("\n"))
-    next
+    // the appended sidecar list rides the commit itself, so the
+    // `.deletes` entry is on disk before the head pointer moves — a
+    // reader of the new head can never transiently miss the takedown
+    commitSnapshot(path, head, expectedHead = Some(base),
+      sidecarsOverride = Some(deleteSidecars(path, base) :+ rel))
   }
 
   /** Merge-on-read snapshot read: the version's data files anti-joined
@@ -558,13 +587,9 @@ object Warehouse {
                      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     val base = snapshotVersions(path).lastOption.getOrElse(0)
     val dvs = deleteSidecars(path, base)
-    val (fs, root) = fsFor(path)
-    if (dvs.isEmpty) {
-      val next = commitSnapshot(path, manifestedFiles(path),
-        expectedHead = Some(base))
-      writeTextFile(fs, deletesEntryPath(root, next), "")
-      return next
-    }
+    if (dvs.isEmpty)
+      return commitSnapshot(path, manifestedFiles(path),
+        expectedHead = Some(base), sidecarsOverride = Some(Nil))
     val keys = dvs.map(d => s.read.parquet(s"$path/$d"))
       .reduce(_.unionByName(_)).distinct()
     val lake = readSnapshot(s, path, base, schema)
@@ -576,9 +601,17 @@ object Warehouse {
         .isin(touched: _*))
       .join(org.apache.spark.sql.functions.broadcast(keys),
         Seq(keyCol), "left_anti")
-    val next = rewritePartitionsLogged(survivors, partCol, path)
-    writeTextFile(fs, deletesEntryPath(root, next), "")
-    next
+    // a partition whose rows are ALL deleted writes no survivor file,
+    // so the rewrite cannot infer it was touched — name it explicitly
+    // (the emptiedDirs contract) or its old files would stay in the
+    // manifest while the sidecar list empties, resurrecting the rows.
+    // Both distinct lists are bounded driver scalars.
+    val survParts = survivors.select(partCol).distinct()
+      .collect().map(_.get(0).toString).toSet
+    val emptied = touched.filterNot(survParts)
+      .map(v => s"$partCol=$v").sorted
+    rewritePartitionsLogged(survivors, partCol, path, emptied,
+      sidecarsOverride = Some(Nil))
   }
 
   /** Drop every snapshot older than the newest `keepLast` from the log.
@@ -591,11 +624,12 @@ object Warehouse {
     val drop = snapshotVersions(path).dropRight(keepLast)
     drop.foreach { v =>
       fs.delete(logEntryPath(root, v), false)
-      // the version's sidecar LIST goes with it (sidecar FILES may still
-      // be referenced by retained versions' own carried entries — they
-      // are small and live outside the data tree; a sweep of
-      // unreferenced sidecars would mirror vacuum over _dv/)
+      // the version's sidecar LIST and stats go with it (sidecar FILES
+      // may still be referenced by retained versions' own carried
+      // entries — they are small and live outside the data tree; a
+      // sweep of unreferenced sidecars would mirror vacuum over _dv/)
       fs.delete(deletesEntryPath(root, v), false)
+      fs.delete(statsEntryPath(root, v), false)
     }
     drop
   }

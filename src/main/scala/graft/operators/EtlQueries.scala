@@ -745,11 +745,13 @@ object EtlQueries {
   def q323TimeTravel(s: SparkSession, dir: String): DataFrame = {
     val path = graft.Staging.fresh("timetravel")
     val docs = Tables.documents(s, dir)
-    Warehouse.writePartitioned(docs, "source", path, firstRun = true)
+    Warehouse.writePartitioned(docs.repartition(col("source")),
+      "source", path, firstRun = true)
     val v1 = Warehouse.commitSnapshotFromListing(path)
     val survivors = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
       .filter(col("doc_id") % 7 =!= 0)
-    val v2 = Warehouse.rewritePartitionsLogged(survivors, "source", path)
+    val v2 = Warehouse.rewritePartitionsLogged(
+      survivors.repartition(col("source")), "source", path)
     def audit(version: Int, tag: String): DataFrame =
       Warehouse.readSnapshot(s, path, version, Some(docs.schema))
         .groupBy("source")
@@ -853,7 +855,8 @@ object EtlQueries {
   def q325SnapshotRetention(s: SparkSession, dir: String): DataFrame = {
     val path = graft.Staging.fresh("retention")
     val docs = Tables.documents(s, dir)
-    Warehouse.writePartitioned(docs, "source", path, firstRun = true)
+    Warehouse.writePartitioned(docs.repartition(col("source")),
+      "source", path, firstRun = true)
     val v1 = Warehouse.commitSnapshotFromListing(path)
     val survivors = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
       .filter(col("doc_id") % 5 =!= 0)
@@ -862,13 +865,16 @@ object EtlQueries {
     // rewrite cannot infer from its own output files (an empty slice
     // writes none) and the emptiedDirs contract exists for: name the
     // all-rows-deleted partitions so their old files leave the manifest.
-    // Both distinct lists are bounded driver scalars (≤ |partitions|).
-    val v1Sources = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
-      .select("source").distinct().collect().map(_.getString(0)).toSet
-    val survSources = survivors
-      .select("source").distinct().collect().map(_.getString(0)).toSet
-    val emptied = (v1Sources -- survSources).toSeq.sorted.map(v => s"source=$v")
-    Warehouse.rewritePartitionsLogged(survivors, "source", path, emptied)
+    // v1's partition dirs come off its MANIFEST (already in escaped
+    // key form — no data scan); the survivor list is a bounded driver
+    // scalar (≤ |partitions|).
+    val v1Dirs = Warehouse.snapshotFiles(path, v1)
+      .flatMap(f => f.split('/').headOption).toSet
+    val survDirs = survivors.select("source").distinct()
+      .collect().map(r => s"source=${r.getString(0)}").toSet
+    val emptied = (v1Dirs -- survDirs).toSeq.sorted
+    Warehouse.rewritePartitionsLogged(
+      survivors.repartition(col("source")), "source", path, emptied)
     val expired = Warehouse.expireSnapshots(path, keepLast = 1)
     val nowMs = System.currentTimeMillis()
     val report = Warehouse.vacuum(path, retentionMs = 24L * 3600 * 1000,

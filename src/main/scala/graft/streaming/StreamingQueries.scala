@@ -884,13 +884,20 @@ object StreamingQueries {
     val ss = drain(s) { ss =>
       ss.readStream.format("text")
         .option("maxFilesPerTrigger", 1)
+        // the log dir also carries `.deletes`/`.stats` sidecar entries on
+        // lakes with deletion vectors or manifest stats — the tail follows
+        // MANIFESTS only (the snapshotVersions filter, applied at the
+        // source so sidecar entries never even enter the stream)
+        .option("pathGlobFilter", "*.manifest")
         .load(s"$path/_graft_log")
         .select(col("value"), col("_metadata.file_path").as("mf"))
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           val bs = b.sparkSession
           val vs = b.select("mf").distinct().collect().map(_.getString(0))
-            .map(_.split('/').last.stripSuffix(".manifest").toInt)
+            .map(_.split('/').last)
+            .filter(_.endsWith(".manifest"))
+            .map(_.stripSuffix(".manifest").toInt)
           arrived ++= vs
           while (arrived.contains(applied + 1)) {
             val v = applied + 1

@@ -325,6 +325,40 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(read3 == total3 && all.count() == 2)
   }
 
+  test("compacting a fully-deleted partition does not resurrect its rows") {
+    import spark.implicits._
+    val path = buildLake()
+    val sc = schemaOf(path)
+    Warehouse.commitSnapshotFromListing(path)
+    // delete ALL of pb: the compaction's survivor frame has no pb rows,
+    // so the rewrite writes no pb file — the emptied-partition inference
+    // inside compactDeletes must drop pb's old files from the manifest
+    Warehouse.deleteLogged(Seq(11L, 12L, 13L, 14L).toDF("id"), "id", path)
+    val v3 = Warehouse.compactDeletes(spark, path, "part", "id", sc)
+    assert(Warehouse.deleteSidecars(path, v3).isEmpty)
+    val plain = Warehouse.readSnapshot(spark, path, v3, sc)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L, 3L, 4L),
+      "a fully-deleted partition must not resurrect at compaction")
+    assert(Warehouse.snapshotFiles(path, v3).forall(_.startsWith("part=pa/")))
+  }
+
+  test("a one-sided feed works without a caller schema") {
+    import spark.implicits._
+    val path = buildLake()
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    val v2 = Warehouse.appendLogged(
+      Seq((21L, "pa", 9L)).toDF("id", "part", "v"), "part", path)
+    // pure append: the removed side has no files — the feed borrows the
+    // added side's schema instead of failing on a columnless frame
+    val feed = Warehouse.snapshotChanges(spark, path, v1, v2)
+    assert(feed.collect().map(r => (r.getAs[String]("change_type"),
+      r.getAs[Long]("id"))).toSeq == Seq(("insert", 21L)))
+    // and a NO-change diff is an empty feed, not an error
+    val v3 = Warehouse.commitSnapshot(path, Warehouse.manifestedFiles(path))
+    assert(Warehouse.snapshotChanges(spark, path, v2, v3).count() == 0)
+  }
+
   test("an all-rows-deleted partition needs emptiedDirs to leave the manifest") {
     val path = buildLake()
     val sc = schemaOf(path)
