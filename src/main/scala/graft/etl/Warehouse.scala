@@ -351,6 +351,14 @@ object Warehouse {
     listDataFiles(path).filterNot(before)
   }
 
+  /** Flat-layout overload (no partition key — range-clustered and other
+    * unpartitioned lakes). */
+  def writeUncommitted(df: DataFrame, path: String): Seq[String] = {
+    val before = listDataFiles(path).toSet
+    df.write.mode("append").parquet(path)
+    listDataFiles(path).filterNot(before)
+  }
+
   /** Copy-on-write partition rewrite under the log: survivors of the
     * touched partitions land as NEW part files (plain append — no
     * existing file is modified or deleted), and the new snapshot's
@@ -450,28 +458,56 @@ object Warehouse {
   /** Compute and record per-file min/max for `cols` (long-typed) on a
     * snapshot's files. One scan, grouped by `_metadata.file_path`; the
     * collect is bounded by |files| × |cols|. All-null files skip the
-    * line (no stat = never skipped). */
+    * line (no stat = never skipped). Delegates to the incremental
+    * maintainer — with no previous entry the carry is empty and every
+    * file scans, the bootstrap case; files being immutable makes the
+    * two always equivalent. */
   def writeFileStats(s: SparkSession, path: String, version: Int,
-                     cols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col => c, min => mn, max => mx}
-    val files = snapshotFiles(path, version)
-    val aggs = cols.flatMap(k => Seq(mn(k).as(s"mn_$k"), mx(k).as(s"mx_$k")))
-    val rows = readFilesOf(s, path, files, None)
-      .groupBy(c("_metadata.file_path").as("fp"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val absRoot = fsFor(path)._2.toUri.getPath
-    val lines = rows.flatMap { r =>
-      val fp = r.getString(0)
-      val rel = fp.substring(fp.indexOf(absRoot) + absRoot.length)
-        .stripPrefix("/")
-      cols.zipWithIndex.flatMap { case (k, i) =>
-        if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-        else Some(s"$rel|$k|${r.getLong(1 + 2 * i)}|${r.getLong(2 + 2 * i)}")
-      }
+                     cols: Seq[String]): Unit =
+    maintainFileStats(s, path, version, cols)
+
+  /** INCREMENTAL stats maintenance: bring `version`'s stats entry up to
+    * date at DELTA cost — lines for files already covered by the
+    * previous version's entry CARRY (stats are per-file and files are
+    * immutable, so a carried line can never go stale); only files with
+    * no carried line are scanned. Dropped files' lines fall away with
+    * the carry filter. An append's stats cost is the batch; a rewrite's
+    * is its new files; the full-scan writeFileStats is only ever needed
+    * once, at bootstrap. Contract: the column set is stable per lake —
+    * a carried file cannot distinguish "col was all-null" from "col was
+    * never requested", so widening `cols` on an existing lake needs the
+    * entries rebuilt (delete the `.stats` entry, re-run). */
+  def maintainFileStats(s: SparkSession, path: String, version: Int,
+                        cols: Seq[String]): Unit = {
+    val files = snapshotFiles(path, version).toSet
+    val carried = fileStats(path, version - 1).filter {
+      case ((f, _), _) => files.contains(f)
     }
+    val covered = carried.keySet.map(_._1)
+    val missing = files.filterNot(covered).toSeq.sorted
+    val fresh: Map[(String, String), (Long, Long)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col => c, min => mn, max => mx}
+        val aggs = cols.flatMap(k => Seq(mn(k).as(s"mn_$k"), mx(k).as(s"mx_$k")))
+        val absRoot = fsFor(path)._2.toUri.getPath
+        readFilesOf(s, path, missing, None)
+          .groupBy(c("_metadata.file_path").as("fp"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().flatMap { r =>
+            val fp = r.getString(0)
+            val rel = fp.substring(fp.indexOf(absRoot) + absRoot.length)
+              .stripPrefix("/")
+            cols.zipWithIndex.flatMap { case (k, i) =>
+              if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+              else Some((rel, k) -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+            }
+          }.toMap
+      }
+    val lines = (carried ++ fresh).toSeq
+      .map { case ((f, k), (lo, hi)) => s"$f|$k|$lo|$hi" }.sorted
     val (fs, root) = fsFor(path)
-    writeTextFile(fs, statsEntryPath(root, version), lines.sorted.mkString("\n"))
+    writeTextFile(fs, statsEntryPath(root, version), lines.mkString("\n"))
   }
 
   /** The recorded stats of a snapshot: (file, col) → (min, max). */

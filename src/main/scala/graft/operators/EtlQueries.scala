@@ -1198,8 +1198,60 @@ object EtlQueries {
       .orderBy("lang")
   }
 
+  /** q336 — INCREMENTAL STATS MAINTENANCE (the delta discipline applied
+    * to the manifest stats): the bootstrap commit records per-file
+    * min/max once (the only full scan the lake ever pays); an appended
+    * re-crawl batch commits through the log and
+    * Warehouse.maintainFileStats brings the new version's entry up to
+    * date by CARRYING every covered file's lines (immutable files —
+    * carried stats can never go stale) and scanning ONLY the batch's
+    * new files. The probe range then prunes across BOTH generations of
+    * files from the maintained entry. The appended batch re-keys its
+    * ids +10M so its files sit outside the base probe range — the
+    * base-range probe must keep skipping them (stats for the new files
+    * exist and exclude), while the shifted-range probe must find
+    * exactly the batch. Two probes, one maintained sidecar, both under
+    * the hash; TimeTravelSpec pins that maintenance byte-carries the
+    * old lines and the no-rescan contract.
+    *
+    * At 100 TB: stats upkeep at O(batch) per commit is the difference
+    * between data skipping that lapses after the first append and a
+    * sidecar that stays authoritative for the table's life. */
+  def q336IncrementalStats(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.fresh("incstats")
+    val docs = Tables.documents(s, dir)
+    docs.repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    Warehouse.writeFileStats(s, path, v1, Seq("doc_id"))
+    // the re-crawl batch lands +10M — outside every base file's range
+    val batch = docs.filter(col("doc_id") % 21 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val before = Warehouse.manifestedFiles(path)
+    val added = Warehouse.writeUncommitted(
+      batch.repartitionByRange(2, col("doc_id")), path)
+    val v2 = Warehouse.commitSnapshot(path, before ++ added,
+      expectedHead = Some(v1))
+    Warehouse.maintainFileStats(s, path, v2, Seq("doc_id"))
+    def probe(lo: Long, hi: Long, tag: String): DataFrame = {
+      val (df, (read, total)) = Warehouse.readSnapshotRange(
+        s, path, v2, "doc_id", lo, hi, Some(docs.schema))
+      df.agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_chars").cast("bigint").as("chars_total"),
+        min("doc_id").cast("bigint").as("min_id"),
+        max("doc_id").cast("bigint").as("max_id"))
+        .select(lit(tag).as("probe"), col("n_docs"), col("chars_total"),
+          col("min_id"), col("max_id"),
+          lit(if (read < total) 1L else 0L).as("skipped_files"))
+    }
+    probe(100L, 299L, "base").unionByName(probe(10000000L, 10999999L, "recrawl"))
+      .orderBy("probe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
+    "q336_incremental_stats" -> (q336IncrementalStats _),
     "q335_stats_skipping" -> (q335StatsSkipping _),
     "q334_partition_evolution" -> (q334PartitionEvolution _),
     "q333_write_audit_publish" -> (q333WriteAuditPublish _),
@@ -1411,6 +1463,23 @@ object EtlQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM ins
         |ORDER BY change_type""".stripMargin,
+    // two probes against the MAINTAINED sidecar: the base range must
+    // keep skipping (the new files have stats and exclude), the shifted
+    // range must find exactly the appended batch
+    "q336_incremental_stats" ->
+      """SELECT 'base' AS probe, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id,
+        |  CAST(1 AS BIGINT) AS skipped_files
+        |FROM documents WHERE doc_id BETWEEN 100 AND 299
+        |UNION ALL
+        |SELECT 'recrawl', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT),
+        |  CAST(MIN(doc_id) + 10000000 AS BIGINT),
+        |  CAST(MAX(doc_id) + 10000000 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM documents WHERE doc_id % 21 = 0
+        |ORDER BY probe""".stripMargin,
     // the probe range re-applied exactly after the prune; the flag is
     // deterministic (a 200-id range cannot span all 8 range files)
     "q335_stats_skipping" ->

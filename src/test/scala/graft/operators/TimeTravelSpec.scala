@@ -359,6 +359,34 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(Warehouse.snapshotChanges(spark, path, v2, v3).count() == 0)
   }
 
+  test("stats maintenance carries covered files verbatim and stats only the delta") {
+    import spark.implicits._
+    val path = graft.Staging.fresh("ttincstats")
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(path)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    Warehouse.writeFileStats(spark, path, v1, Seq("id"))
+    val base = Warehouse.fileStats(path, v1)
+    assert(base.size == 1)
+    // append a batch and maintain: the old file's line must carry
+    // VERBATIM (not recomputed — immutable files make recompute waste),
+    // the new file gets exactly one new line
+    val added = Warehouse.writeUncommitted(
+      Seq((10L, 30L)).toDF("id", "v").coalesce(1), path)
+    val v2 = Warehouse.commitSnapshot(path,
+      Warehouse.manifestedFiles(path) ++ added, expectedHead = Some(v1))
+    Warehouse.maintainFileStats(spark, path, v2, Seq("id"))
+    val m = Warehouse.fileStats(path, v2)
+    assert(m.size == 2)
+    base.foreach { case (k, mm) => assert(m(k) == mm, s"carried line $k changed") }
+    assert(m.exists { case ((_, k), (lo, hi)) => k == "id" && lo == 10L && hi == 10L })
+    // a rewrite that drops the old file drops its line at the next
+    // maintenance — no stale stats for unmanifested files
+    val v3 = Warehouse.commitSnapshot(path, added)  // only the new file survives
+    Warehouse.maintainFileStats(spark, path, v3, Seq("id"))
+    assert(Warehouse.fileStats(path, v3).keySet.map(_._1) == added.toSet)
+  }
+
   test("an all-rows-deleted partition needs emptiedDirs to leave the manifest") {
     val path = buildLake()
     val sc = schemaOf(path)
