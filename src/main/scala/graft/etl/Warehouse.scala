@@ -277,6 +277,27 @@ object Warehouse {
     next
   }
 
+  /** Crash recovery: reconcile the head pointer to the newest log
+    * entry. The commit protocol writes the log entry BEFORE the head
+    * pointer, so a writer that dies between the two leaves a fully
+    * written manifest the head does not yet reference — the LOG is
+    * authoritative (the entry's files are complete, and vacuum's live
+    * set already retains them through the log), the head file is only a
+    * cache of the newest entry. Until repaired, readers through
+    * readManifested serve the previous version (consistent, just
+    * stale); the next successful commit or this verb promotes the
+    * entry. Returns the head version after repair; 0 on an empty log. */
+  def repairHead(path: String): Int = {
+    val (fs, root) = fsFor(path)
+    snapshotVersions(path).lastOption match {
+      case None => 0
+      case Some(v) =>
+        writeTextFile(fs, new org.apache.hadoop.fs.Path(root, fileManifestName),
+          snapshotFiles(path, v).mkString("\n"))
+        v
+    }
+  }
+
   /** Bootstrap commit: snapshot the directory's CURRENT data files.
     * Only valid while every on-disk file is live (a fresh write, before
     * any copy-on-write rewrite leaves logically-deleted files behind);

@@ -1000,6 +1000,85 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q337
+
+  /** The truncated two-sided geometric noise ladder at ε = ln 2 (Ghosh
+    * et al. 2012's geometric mechanism — the discrete Laplace, the
+    * canonical ε-DP mechanism for integer counts). With α = e^(−ε) =
+    * 1/2, P(X = k) = (1/3)·2^(−|k|) — every CDF threshold is an exact
+    * binary fraction over v ∈ [0, 3·2^20) with v = 3·u and u a 20-bit
+    * uniform, so the inverse-CDF walk is pure integer CASE arithmetic
+    * both engines evaluate bit-identically. Truncated at |k| ≤ 8 (the
+    * standard truncated-geometric variant; the residual 2^13/3·2^20 ≈
+    * 0.26% tail mass folds to 0). */
+  private def dpNoiseLadder(v: String): String = {
+    val sb = new StringBuilder("CASE ")
+    var bound = 1L << 20
+    sb ++= s"WHEN $v < $bound THEN 0 "
+    for (k <- 1 to 8) {
+      val span = 1L << (20 - k)
+      bound += span; sb ++= s"WHEN $v < $bound THEN $k "
+      bound += span; sb ++= s"WHEN $v < $bound THEN ${-k} "
+    }
+    sb ++= "ELSE 0 END"
+    sb.toString
+  }
+
+  /** DuckDB-side 20-bit integer from the first 5 hex digits of
+    * md5(`e`) — the q88 hex-walk idiom. */
+  private def duckHex5(e: String): String =
+    (1 to 5).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * ${1L << (4 * (5 - i))}")
+      .mkString("(", " + ", ")")
+
+  /** q337 — DIFFERENTIALLY-PRIVATE corpus release: per-source document
+    * counts and character mass released through the ε-DP geometric
+    * mechanism (ε = ln 2 per statistic), the statistical-disclosure
+    * companion to the syntactic privacy family (q269 k-anonymity /
+    * q271 l-diversity / q279 t-closeness): those audit what a release
+    * of the raw table would leak, this RELEASES a protected aggregate.
+    * Counts have sensitivity 1 and take integer geometric noise
+    * directly; the character sum is first CLIPPED per document at
+    * C = 1000 (bounding any one document's influence — the standard
+    * sum-release recipe) and takes noise scaled by C. The noise source
+    * in this harness is a per-category hash (deterministic, so the
+    * DuckDB oracle replays the release bit for bit and the hash gate
+    * verifies the MECHANISM arithmetic — ladder thresholds, clipping,
+    * scaling); a production release swaps the hash for a CSPRNG and
+    * keeps every other line.
+    *
+    * Scale: one map-side-combinable aggregate; the noise is a
+    * per-group scalar projection. Nothing about the mechanism touches
+    * row-level data after the clip. */
+  def q337DpRelease(s: SparkSession, dir: String): DataFrame = {
+    val clip = 1000L
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_true"),
+        sum(least(col("n_chars"), lit(clip))).as("cc"))
+      .withColumn("v1", expr(
+        "3 * cast(conv(substring(md5(concat('dp_', source)), 1, 5), 16, 10) as bigint)"))
+      .withColumn("v2", expr(
+        "3 * cast(conv(substring(md5(concat('dpc_', source)), 1, 5), 16, 10) as bigint)"))
+      .select(col("source"),
+        (col("n_true") + expr(dpNoiseLadder("v1"))).cast("bigint").as("n_docs_dp"),
+        (col("cc") + lit(clip) * expr(dpNoiseLadder("v2"))).cast("bigint").as("chars_dp"))
+      .orderBy("source")
+  }
+
+  private[operators] def q337OracleSql: String =
+    s"""WITH g AS (SELECT source, COUNT(*) AS n_true,
+       |    SUM(LEAST(n_chars, 1000)) AS cc
+       |  FROM documents GROUP BY source),
+       |n AS (SELECT source, n_true, cc,
+       |    3 * ${duckHex5("'dp_' || source")} AS v1,
+       |    3 * ${duckHex5("'dpc_' || source")} AS v2
+       |  FROM g)
+       |SELECT source,
+       |  CAST(n_true + ${dpNoiseLadder("v1")} AS BIGINT) AS n_docs_dp,
+       |  CAST(cc + 1000 * (${dpNoiseLadder("v2")}) AS BIGINT) AS chars_dp
+       |FROM n ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q271
 
   /** q271 — l-DIVERSITY audit (Machanavajjhala et al. 2007): the
@@ -1493,6 +1572,7 @@ object CorpusQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_dp_release" -> (q337DpRelease _),
     "q306_augmentation_audit" -> (q306AugmentationAudit _),
     "q303_worst_window" -> (q303WorstWindow _),
     "q299_poisson_bootstrap" -> (q299PoissonBootstrap _),
@@ -1999,6 +2079,9 @@ object CorpusQueries {
          |SELECT bucket, CAST(sched_rank AS BIGINT) AS sched_rank, doc_id,
          |  n_toks, difficulty, CAST(bucket_docs AS BIGINT) AS bucket_docs
          |FROM r WHERE sched_rank <= 6 ORDER BY bucket, sched_rank""".stripMargin,
+    // the mechanism replayed digit for digit: same hex walk, same
+    // integer ladder, same clip and scale
+    "q337_dp_release" -> q337OracleSql,
     "q269_k_anonymity" ->
       """WITH qi AS (SELECT source, lang, n_chars // 100 AS len_b,
         |    len(string_split(text, ' ')) // 10 AS wc_b FROM documents),

@@ -387,6 +387,34 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(Warehouse.fileStats(path, v3).keySet.map(_._1) == added.toSet)
   }
 
+  test("a crash between log entry and head pointer recovers: log wins, head repairs") {
+    import spark.implicits._
+    val path = buildLake()
+    val sc = schemaOf(path)
+    val v1 = Warehouse.commitSnapshotFromListing(path)
+    // simulate the crash window: land a batch and write ONLY the log
+    // entry for v2 (the commit protocol's first write), no head pointer
+    val added = Warehouse.writeUncommitted(
+      Seq((21L, "pa", 9L)).toDF("id", "part", "v"), "part", path)
+    val entry = new java.io.File(s"$path/_graft_log/00000002.manifest")
+    java.nio.file.Files.writeString(entry.toPath,
+      (Warehouse.manifestedFiles(path) ++ added).sorted.mkString("\n"))
+    // before repair: readers serve the PREVIOUS version (stale, never
+    // inconsistent), the log already sees v2, vacuum retains its files
+    assert(Warehouse.readManifested(spark, path, sc).count() == 8)
+    assert(Warehouse.snapshotVersions(path) == Seq(1, 2))
+    val r = Warehouse.vacuum(path, retentionMs = dayMs,
+      nowMs = System.currentTimeMillis() + 48L * dayMs)
+    assert(r.isEmpty, "log-referenced files are live even before the head repairs")
+    // repair promotes the newest entry
+    assert(Warehouse.repairHead(path) == 2)
+    assert(Warehouse.readManifested(spark, path, sc).count() == 9)
+    // and the next commit sequences correctly after the recovered head
+    val v3 = Warehouse.commitSnapshot(path, Warehouse.manifestedFiles(path),
+      expectedHead = Some(2))
+    assert(v3 == 3 && v1 == 1)
+  }
+
   test("an all-rows-deleted partition needs emptiedDirs to leave the manifest") {
     val path = buildLake()
     val sc = schemaOf(path)
