@@ -1306,8 +1306,68 @@ object EtlQueries {
       .orderBy("probe")
   }
 
+  /** q338 — DEDUP-GATED INGEST (write → dedup-audit → publish the
+    * novel slice): the WAP pattern composed with the dedup family into
+    * the governed ingest path a training-data lake actually runs. A
+    * re-crawl batch lands uncommitted (verbatim re-crawls of the %61
+    * docs under new ids + genuinely new %67 docs); the audit
+    * content-hash anti-joins the PENDING rows against the standing
+    * corpus — the q21/q85 exact-dedup verdict run at the gate, before
+    * anything becomes visible — and only the novel slice is re-landed
+    * and published in one manifest commit. The rejected duplicates
+    * never reach a manifest; the abandoned raw batch is vacuum fodder.
+    * At 100 TB the anti-join rides the bucketed fingerprint index
+    * (q85's layout — zero corpus-side exchanges on the recurring
+    * verdict); here the content-hash anti-join states the semantics.
+    *
+    * Oracle: head = standing ∪ (batch rows whose hash misses the
+    * standing set), with the rejected count as a global literal — the
+    * same anti-join stated in SQL, so even a pathological hash
+    * collision in the fixture would bind both engines identically. */
+  def q338DedupGatedIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (path, nRejected) = cachedLakeFixture(s, dir, "dedupwap") {
+      val p = graft.Staging.fresh("dedupwap")
+      Warehouse.writePartitioned(docs.repartition(col("source")),
+        "source", p, firstRun = true)
+      val v1 = Warehouse.commitSnapshotFromListing(p)
+      val batch = docs.filter(col("doc_id") % 61 === 0)
+        .select((col("doc_id") + 40000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 67 === 0)
+          .select((col("doc_id") + 50000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text"),
+            col("lang"), col("source"), (col("n_chars") + 6L).as("n_chars")))
+      val pending = Warehouse.writeUncommitted(
+        batch.repartition(col("source")), "source", p)
+      // the dedup audit: pending rows vs the standing corpus, hashes only
+      val pendingDf = Warehouse.readFilesOf(s, p, pending, Some(docs.schema))
+      val standing = Warehouse.readManifested(s, p, Some(docs.schema))
+        .select(md5(col("text")).as("h")).distinct()
+      val novel = pendingDf.withColumn("h", md5(col("text")))
+        .join(standing, Seq("h"), "left_anti").drop("h")
+      val rejected = batch.count() - novel.count()
+      // re-land ONLY the novel slice and publish it; the raw batch is
+      // abandoned to the aged sweep
+      val published = Warehouse.writeUncommitted(
+        novel.repartition(col("source")), "source", p)
+      Warehouse.commitSnapshot(p,
+        Warehouse.manifestedFiles(p) ++ published, expectedHead = Some(v1))
+      Warehouse.vacuum(p, retentionMs = 24L * 3600 * 1000,
+        nowMs = System.currentTimeMillis() + 48L * 3600 * 1000)
+      (p, rejected)
+    }
+    Warehouse.readManifested(s, path, Some(docs.schema))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_chars").cast("bigint").as("chars_total"))
+      .withColumn("n_rejected", lit(nRejected))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_merge_upsert" -> (q214MergeUpsert _),
+    "q338_dedup_gated_ingest" -> (q338DedupGatedIngest _),
     "q336_incremental_stats" -> (q336IncrementalStats _),
     "q335_stats_skipping" -> (q335StatsSkipping _),
     "q334_partition_evolution" -> (q334PartitionEvolution _),
@@ -1520,6 +1580,24 @@ object EtlQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM ins
         |ORDER BY change_type""".stripMargin,
+    // the same gate anti-join stated in SQL: head = standing ∪ novel,
+    // rejected = batch minus novel as a global literal
+    "q338_dedup_gated_ingest" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 40000000 AS doc_id, text, source, n_chars
+        |  FROM documents WHERE doc_id % 61 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 50000000, text || ' fresh', source, n_chars + 6
+        |  FROM documents WHERE doc_id % 67 = 0),
+        |novel AS (SELECT * FROM batch
+        |  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)),
+        |head AS (SELECT source, n_chars FROM documents
+        |  UNION ALL SELECT source, n_chars FROM novel)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  CAST((SELECT COUNT(*) FROM batch) - (SELECT COUNT(*) FROM novel)
+        |    AS BIGINT) AS n_rejected
+        |FROM head GROUP BY source ORDER BY source""".stripMargin,
     // two probes against the MAINTAINED sidecar: the base range must
     // keep skipping (the new files have stats and exclude), the shifted
     // range must find exactly the appended batch
