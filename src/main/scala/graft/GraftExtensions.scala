@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomTest, DotProduct, Hist, Kmv, Topk, Winnow, WinnowPos}
+import graft.functions.{BloomTest, DotProduct, Hist, Kmv, LongDot, PairProds, Topk, VecSum, Winnow, WinnowPos}
 
 /** Engine extensions, installed via `spark.sql.extensions`
   * (GraftSession sets it): registers the native functions so they are
@@ -68,6 +68,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           "graft_winnow_pos expects (text, gram, window)")
         WinnowPos(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ldot"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_ldot expects exactly 2 arguments")
+        LongDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pairprods"),
+      new ExpressionInfo(classOf[PairProds].getName, "graft_pairprods"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_pairprods expects exactly 1 argument (array<bigint>)")
+        PairProds(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[VecSum].getName, "graft_vecsum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_vecsum expects exactly 1 argument (array<bigint>)")
+        VecSum(children.head)
       }))
   }
 }

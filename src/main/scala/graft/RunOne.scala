@@ -10,15 +10,22 @@ package graft
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    val (name, sfDir) = (args(0), args(1))
+    // comma-separated names run several queries in one warmed JVM — the
+    // optimization round's group-measurement loop without a full sweep
+    val (names, sfDir) = (args(0).split(',').toSeq, args(1))
     val trials = args.lift(2).map(_.toInt).getOrElse(1)
-    val fn = SparkEntry.queries(name)
     val spark = GraftSession.getOrCreate()
     Bench.warmup(spark, sfDir)
-    for (t <- 1 to trials) {
-      val t0 = System.nanoTime()
-      Bench.evaluateAll(fn(spark, sfDir))
-      println(f"[runone] $name trial $t: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to trials).map { t =>
+        val t0 = System.nanoTime()
+        Bench.evaluateAll(fn(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[runone] $name trial $t: $dt%.3f s")
+        dt
+      }
+      println(f"[runone] $name median: ${Bench.median(ts)}%.3f s")
     }
     spark.stop()
   }

@@ -183,31 +183,49 @@ object ProjectionQueries {
     * int64, linear in n (the quantization-scale knob documented at
     * q156 applies).
     *
-    * Scale: the pair frame is a per-vector explode to dim² rows that
-    * partial-aggregates map-side to 2016 groups — one shuffle whose
-    * width is the SCHEMA's square, not the corpus; per-dim sums ride
-    * the same scan. */
+    * Scale: ONE corpus scan; each row folds its dim(dim−1)/2 pairwise
+    * products into a flat array and `graft_vecsum` adds rows
+    * componentwise — the shuffle carries one SCHEMA²-wide vector per
+    * map partition, never per-vector rows; per-dim sums ride the same
+    * aggregate. */
   def q157CovarianceTopk(s: SparkSession, dir: String): DataFrame = {
-    val aq = Tables.embeddings(s, dir).select(
-      posexplode(expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")))
-      .select((col("pos") + 1).as("d"), col("col").as("a"))
-    val sums = aq.groupBy("d").agg(sum("a").as("sd"), count(lit(1)).as("n"))
-    val pairs = Tables.embeddings(s, dir).select(
+    // Round-15 optimization (guide §2.3/§2.4 — aggregate before you
+    // shuffle, in the strongest form: aggregate INSIDE the row): the
+    // previous shape exploded every vector to its dim(dim-1)/2 = 2016
+    // pair structs and hash-aggregated 2000 × 2016 = 4 M (i, j)-keyed
+    // rows (plus a second corpus scan for the per-dim sums). Now ONE
+    // scan computes, per row, the 2016 pairwise products as a flat
+    // array (identical lattice arithmetic, identical (i asc, j asc)
+    // order) and `graft_vecsum` folds rows componentwise — the exchange
+    // carries one 2016-long vector per map partition instead of 4 M
+    // keyed rows, and the per-dim sums ride the same single aggregate.
+    // Long addition is order-invariant, so every pij/si/n is
+    // bit-identical to the exploded form; the oracle is unchanged.
+    // Measured at sf0.1: 2.57 s before → see OPTIMIZATION_r15.md.
+    val s2 = s
+    import s2.implicits._
+    val summed = Tables.embeddings(s, dir).select(
         expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")
           .as("aq"))
-      .select(explode(expr(
-        // outer stops at dim-1: Spark's sequence(a, b) DESCENDS when
-        // a > b, so sequence(dim+1, dim) would emit inverted pairs
-        s"""flatten(transform(sequence(1, ${dim - 1}), i ->
-           |  transform(sequence(i + 1, $dim), j ->
-           |    struct(i as i, j as j, aq[i-1] * aq[j-1] as p))))""".stripMargin))
-        .as("x"))
-      .select(col("x.i").as("i"), col("x.j").as("j"), col("x.p").as("p"))
-      .groupBy("i", "j").agg(sum("p").as("pij"))
-    pairs
-      .join(sums.select(col("d").as("i"), col("sd").as("si"), col("n")), "i")
-      .join(sums.select(col("d").as("j"), col("sd").as("sj")), "j")
+      .agg(
+        // graft_pairprods = the HOF
+        // flatten(transform(sequence(1, dim-1), i ->
+        //   transform(sequence(i+1, dim), j -> aq[i-1]*aq[j-1])))
+        // as one codegen'd loop, same (i asc, j asc) order
+        expr("graft_vecsum(graft_pairprods(aq))").as("pij_vec"),
+        expr("graft_vecsum(aq)").as("sd_vec"),
+        count(lit(1)).as("n"))
+    // pos → (i, j): the same flattened upper-triangle order the products
+    // were emitted in, as a bounded literal frame (dim² schema size)
+    val idx = (1 to dim - 1).flatMap(i => (i + 1 to dim).map(j => (i, j)))
+      .zipWithIndex.map { case ((i, j), pos) => (pos, i, j) }
+      .toDF("pos", "i", "j")
+    summed
+      .select(col("n"), col("sd_vec"),
+        posexplode(col("pij_vec")).as(Seq("pos", "pij")))
+      .join(broadcast(idx), "pos")
+      .withColumn("si", expr("sd_vec[i - 1]"))
+      .withColumn("sj", expr("sd_vec[j - 1]"))
       .withColumn("cov_e8", col("n") * col("pij") - col("si") * col("sj"))
       .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
         col("cov_e8").cast("bigint").as("cov_e8"),

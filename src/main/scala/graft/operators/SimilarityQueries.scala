@@ -911,38 +911,52 @@ object SimilarityQueries {
     * dot(q, S−q) = dot − qn2, ‖S−q‖² = n2s − 2·dot + qn2; singleton
     * labels (‖S−q‖² = 0) pin cos_own = −2, below any true cosine.
     *
-    * Scale shape: codes explode to (vec, dim) once; the centroid frame
-    * is bounded (|labels| × dim) and BROADCAST back; the per-vector
-    * fanout is ×|labels| — never vector × vector. Two bounded
-    * aggregates finish. */
+    * Scale shape: centroid code-sums fold componentwise in one bounded
+    * aggregate (graft_vecsum — no (vec × dim) explode), collapse to ONE
+    * broadcast row of centroid arrays, and every per-vector score is a
+    * row-local ×|labels| native dot — never vector × vector, and no
+    * fanout join. One bounded aggregate finishes. */
   def q282CentroidFit(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0d"))
       .withColumn("q", expr(
         "transform(v, x -> cast(floor(x / scale + 0.5d) as bigint))"))
-      .withColumn("qn2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+      .withColumn("qn2", expr("graft_ldot(q, q)"))
       .select(col("vec_id"), col("label").cast("int").as("own"),
         col("q"), col("qn2"))
-    val codes = e.select(col("vec_id"), col("own"), col("qn2"),
-      posexplode(col("q")).as(Seq("d", "qd")))
-    val cent = codes.groupBy(col("own").as("clabel"), col("d"))
-      .agg(sum("qd").as("sd"))
-    val centN2 = cent.groupBy("clabel")
-      .agg(sum(col("sd") * col("sd")).as("n2s"))
-    val scored = codes.join(broadcast(cent), Seq("d"))
-      .groupBy("vec_id", "own", "qn2", "clabel")
-      .agg(sum(col("qd") * col("sd")).as("dot"))
-      .join(broadcast(centN2), Seq("clabel"))
-      .withColumn("cos", expr(
-        "case when clabel = own then " +
-          "(case when n2s - 2 * dot + qn2 <= 0 then cast(-2.0 as double) " +
-          "else cast(dot - qn2 as double) / " +
-          "sqrt(cast(qn2 * (n2s - 2 * dot + qn2) as double)) end) " +
-          "else cast(dot as double) / sqrt(cast(qn2 * n2s as double)) end"))
-    scored.groupBy("vec_id", "own")
-      .agg(max(when(col("clabel") === col("own"), col("cos"))).as("cos_own"),
-        max(when(col("clabel") =!= col("own"), col("cos"))).as("best_other"))
+    // Round-15 optimization (guide §2.3/§2.4): the previous form joined
+    // the (vec × dim) code explode against the per-dim centroid frame —
+    // a ×dim fanout (vec × dim × |labels| rows) through a wide hash
+    // aggregate and two extra exchanges. Centroids now fold to ONE
+    // broadcast row of (label, code-sum array, n2s) structs, and each
+    // vector computes every label dot as an exact BIGINT zip_with fold
+    // in a single projection — the exchanges carry only the bounded
+    // centroid frame and the final per-label rollup. Same integer
+    // lattice, same cos expressions, oracle unchanged. Measured at
+    // sf0.1: 3.74 s before → see OPTIMIZATION_r15.md.
+    // centroid code-sums fold componentwise in one aggregate
+    // (graft_vecsum) — no (vec × dim) explode, no per-dim regroup
+    val centArr = e.groupBy(col("own").as("clabel"))
+      .agg(expr("graft_vecsum(q)").as("sds"))
+      .withColumn("n2s", expr("graft_ldot(sds, sds)"))
+    val cents = centArr
+      .agg(collect_list(struct(col("clabel"), col("sds"), col("n2s"))).as("cents"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("dots", expr(
+        "transform(cents, c -> named_struct('clabel', c.clabel, 'n2s', c.n2s, " +
+          "'dot', graft_ldot(q, c.sds)))"))
+      .withColumn("coss", expr(
+        "transform(dots, c -> named_struct('clabel', c.clabel, 'cos', " +
+          "case when c.clabel = own then " +
+          "(case when c.n2s - 2 * c.dot + qn2 <= 0 then cast(-2.0 as double) " +
+          "else cast(c.dot - qn2 as double) / " +
+          "sqrt(cast(qn2 * (c.n2s - 2 * c.dot + qn2) as double)) end) " +
+          "else cast(c.dot as double) / sqrt(cast(qn2 * c.n2s as double)) end))"))
+      .withColumn("cos_own", expr("filter(coss, x -> x.clabel = own)[0].cos"))
+      .withColumn("best_other", expr(
+        "array_max(transform(filter(coss, x -> x.clabel != own), x -> x.cos))"))
+    scored
       .groupBy(col("own").as("label"))
       .agg(count(lit(1)).cast("bigint").as("n_vecs"),
         sum(when(col("best_other") > col("cos_own"), 1L).otherwise(0L))

@@ -1244,28 +1244,48 @@ object TextAnalysisQueries {
     * word's positions with a (skip, tok) struct accumulator — a
     * position inside a matched piece decrements skip, a boundary
     * position takes the longest vocab hit (3 > 2 > 1) and bumps the
-    * piece count. Strictly row-local, O(|word|) per word, zero
-    * shuffles beyond the two bounded vocab aggregates.
+    * piece count. Strictly row-local, O(|word|) per word, and run once
+    * per DISTINCT word (the q318 family's Sennrich discipline), joined
+    * back to per-(source, word) instance counts.
     *
-    * Scale shape: the trained piece table is bounded (32 rows → one
-    * 1-ROW ARRAY frame) and rides a broadcast cross join INTO the
-    * fold's lambda as a plain column — no driver collect, no literal
-    * splice; gram training is two map-side-combinable counts with
-    * TakeOrderedAndProject cuts. */
+    * Scale shape: ONE corpus scan collapses to the staged
+    * (source, word, count) frame; gram training explodes distinct words
+    * weighted by corpus count (two map-side-combinable sums with
+    * TakeOrderedAndProject cuts); the trained piece table is bounded
+    * (32 rows → one 1-ROW ARRAY frame) and rides a broadcast cross join
+    * INTO the fold's lambda as a plain column — no driver collect, no
+    * literal splice. */
   def q292WordpieceEncode(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
+    // Round-15 optimization (guide §1.2 step 1, §2.3): every stage now
+    // rides the DISTINCT-word frame — the q318 family's Sennrich
+    // discipline, which this query predated. One corpus scan collapses
+    // instances to per-(source, word) counts (map-side combined); gram
+    // training explodes each distinct word ONCE weighted by its corpus
+    // count (sum(cw) == the per-instance count exactly, since gram
+    // occurrences are additive over instances), and the maximal-munch
+    // fold runs once per distinct word instead of once per instance —
+    // Zipf makes the distinct frame sublinear in corpus mass. Counts,
+    // vocab, and per-source sums are bit-identical to the per-instance
+    // form; the oracle is unchanged. Measured at sf0.1: 3.82 s → see
+    // OPTIMIZATION_r15.md (plan: 3 corpus scans → 1).
+    val wc = Tables.documents(s, dir)
       .select(col("source"), explode(expr("split(text, ' ')")).as("w"))
       .filter(length(col("w")) >= 1)
-    def topGrams(n: Int, k: Int): DataFrame = words
+      .groupBy("source", "w").agg(count(lit(1)).as("ni"))
+    val ck = graft.Staging.fresh("wpwords")
+    wc.write.mode("overwrite").parquet(s"$ck/wc")
+    val wcS = s.read.parquet(s"$ck/wc")
+    val cw = wcS.groupBy("w").agg(sum("ni").as("cw"))
+    def topGrams(n: Int, k: Int): DataFrame = cw
       .filter(length(col("w")) >= n)
-      .select(explode(expr(
+      .select(col("cw"), explode(expr(
         s"transform(sequence(1, length(w) - ${n - 1}), i -> substring(w, i, $n))"))
         .as("g"))
-      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .groupBy("g").agg(sum("cw").as("cnt"))
       .orderBy(desc("cnt"), asc("g")).limit(k)
     val vocab = topGrams(3, 16).agg(expr("collect_list(g)").as("v3"))
       .crossJoin(topGrams(2, 16).agg(expr("collect_list(g)").as("v2")))
-    words.crossJoin(broadcast(vocab))
+    val seg = cw.crossJoin(broadcast(vocab))
       .withColumn("pieces", expr(
         "aggregate(sequence(1, length(w)), named_struct('skip', 0, 'tok', 0L), " +
           "(acc, i) -> case " +
@@ -1274,10 +1294,12 @@ object TextAnalysisQueries {
           "when array_contains(v2, substring(w, i, 2)) then named_struct('skip', 1, 'tok', acc.tok + 1L) " +
           "else named_struct('skip', 0, 'tok', acc.tok + 1L) end, " +
           "acc -> acc.tok)"))
+      .select("w", "pieces")
+    wcS.join(seg, "w")
       .groupBy("source")
-      .agg(count(lit(1)).cast("bigint").as("n_words"),
-        sum(expr("cast(length(w) as bigint)")).cast("bigint").as("n_chars"),
-        sum("pieces").cast("bigint").as("n_pieces"))
+      .agg(sum("ni").cast("bigint").as("n_words"),
+        sum(expr("ni * cast(length(w) as bigint)")).cast("bigint").as("n_chars"),
+        sum(expr("ni * pieces")).cast("bigint").as("n_pieces"))
       .withColumn("fertility_e6",
         expr("(1000000 * n_pieces) div n_words").cast("bigint"))
       .withColumn("chars_per_piece_e6",
