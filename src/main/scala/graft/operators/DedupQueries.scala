@@ -1648,9 +1648,16 @@ object DedupQueries {
         })
 
   def q313FuzzyIncremental(s: SparkSession, dir: String): DataFrame = {
-    val pairs = fuzzyDeltaUpdate(s,
+    // Round-15 optimization: the updated pair stream lands in a staging
+    // leaf ONCE — the readout references it twice (n_pairs + matched
+    // custs), and each cut branch would otherwise re-run the delta
+    // variant join + levenshtein verify (the q86/q321 cut-branch
+    // replication). Measured at sf0.1: 1.60 s → see OPTIMIZATION_r15.md.
+    val up = graft.Staging.fresh("fuzzyupd")
+    fuzzyDeltaUpdate(s,
       Tables.customer(s, dir).filter(col("c_custkey") % 10 === 7),
-      fuzzyBaseStage(s, dir))
+      fuzzyBaseStage(s, dir)).write.mode("overwrite").parquet(up)
+    val pairs = s.read.parquet(up)
     val nPairs = pairs.groupBy("nk")
       .agg(count(lit(1)).cast("bigint").as("n_pairs"))
     val nMatched = pairs
@@ -1803,9 +1810,17 @@ object DedupQueries {
     * re-scoring); merge as q177 (two equi-joins on the customer key). */
   def q315ErIncremental(s: SparkSession, dir: String): DataFrame = {
     val stage = fuzzyBaseStage(s, dir)
-    val pairs = fuzzyDeltaUpdate(s,
+    // Round-15 optimization: the updated pair stream lands in a staging
+    // leaf ONCE before the label stage — labelsOfPairs references it
+    // THREE times (both undirected orientations + the vertex list), and
+    // each reference re-ran the delta variant join + levenshtein verify
+    // inside the base-graph write (the q86/q321 cut-branch replication).
+    // Measured at sf0.1: 5.1 s before → see OPTIMIZATION_r15.md.
+    val up = graft.Staging.fresh("erincupd")
+    fuzzyDeltaUpdate(s,
       Tables.customer(s, dir).filter(col("c_custkey") % 10 === 7),
-      stage).select("ka", "kb")
+      stage).select("ka", "kb").write.mode("overwrite").parquet(up)
+    val pairs = s.read.parquet(up)
     // the recompute WARM-STARTS from the staged base labeling — exact
     // under the append-only delta (propagateLabels' seed contract), and
     // base components start pre-collapsed so the loop converges in the
@@ -1877,15 +1892,28 @@ object DedupQueries {
 
   private[graft] def ppjoinJaccard(docs: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleSets(docs)
+    // Round-15 optimization (the q42/q86 staged-lineage rule): the
+    // shingle melt is referenced FOUR times (df counting, the prefix
+    // window, and both verify sides) — left lazy, every branch re-ran
+    // the corpus tokenize + distinct. One eager staging write makes all
+    // four branches leaf scans. Measured at sf0.1 (q112): 3.05 s →
+    // see OPTIMIZATION_r15.md.
+    val stg = graft.Staging.fresh("ppjsh")
+    shingleSets(docs).write.mode("overwrite").parquet(stg)
+    val sh = docs.sparkSession.read.parquet(stg)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val prefix = sh.join(dfreq, "sh")
+    // the prefix frame self-joins — stage it too, so the df-count join
+    // and the two rank windows run once, not once per join side
+    val pstg = graft.Staging.fresh("ppjprefix")
+    sh.join(dfreq, "sh")
       .withColumn("r", row_number().over(wOrd).cast("bigint"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("r") <=
         col("n") - expr(s"cast(ceil($tau * cast(n as double)) as bigint)") + 1)
       .select(col("doc_id"), col("sh"), col("r"), col("n"))
+      .write.mode("overwrite").parquet(pstg)
+    val prefix = docs.sparkSession.read.parquet(pstg)
     val cands = prefix
       .select(col("doc_id").as("a"), col("sh"),
         col("r").as("ra"), col("n").as("na"))
@@ -2014,7 +2042,11 @@ object DedupQueries {
 
   private[graft] def containmentJoin(docs: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleSets(docs)
+    // staged once for the same four-consumer reason as ppjoinJaccard
+    // (df counting, the rank window, both verify sides)
+    val stg = graft.Staging.fresh("cntsh")
+    shingleSets(docs).write.mode("overwrite").parquet(stg)
+    val sh = docs.sparkSession.read.parquet(stg)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     val ranked = sh.join(dfreq, "sh")

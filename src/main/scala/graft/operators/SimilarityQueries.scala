@@ -1339,9 +1339,11 @@ object SimilarityQueries {
     *     data, private SQLConf), so the loop's shuffle-partition tuning
     *     never mutates the caller's session — concurrent queries on the
     *     caller see no conf change.
-    *   - Loop width derives from the staged graph (~200k edges/partition,
-    *     clamped to [1, defaultParallelism]; `graft.cc.loop.partitions`
-    *     overrides), not a literal tuned to one fixture. Label/edge frames
+    *   - Loop width derives from the staged graph's on-disk size (~8 MB
+    *     ≈ 200k edges per partition, a driver-side metadata read — no
+    *     counting job; clamped to [1, defaultParallelism];
+    *     `graft.cc.loop.partitions` overrides), not a literal tuned to
+    *     one fixture. Label/edge frames
     *     are leaf-scan derivatives, so at fixture scale fixed per-task
     *     overhead dominates and the width collapses to 1; at 100 TB the
     *     same formula spreads the per-pass shuffle.
@@ -1375,9 +1377,19 @@ object SimilarityQueries {
     // the override is read from the CALLER's conf — newSession() starts
     // from the SparkContext defaults, not the caller's runtime settings
     val width = s.conf.getOption("graft.cc.loop.partitions").map(_.toInt).getOrElse {
-      val nEdges = base.count()
+      // Round-15 optimization: derive the loop width from the staged
+      // graph's FILE SIZE (a driver-side FS metadata read) instead of
+      // base.count() — the count was a full extra Spark job per
+      // propagateLabels call, paid by every consumer (q50/q177/q310/
+      // q315/...) before the first pass. ~8 MB of staged parquet per
+      // partition lands at the same ~200k-edges/partition target the
+      // count-based formula aimed at; the clamp to defaultParallelism
+      // and the conf override are unchanged.
+      val p = new org.apache.hadoop.fs.Path(baseDir)
+      val fs = p.getFileSystem(ls.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
       math.max(1L, math.min(ls.sparkContext.defaultParallelism.toLong,
-        nEdges / 200000L + 1L)).toInt
+        bytes / (8L << 20) + 1L)).toInt
     }
     // the iterate phase runs on the SMALL label/edge frames (leaf scans of
     // the staged parquet), where fixed per-task overhead dominates — and

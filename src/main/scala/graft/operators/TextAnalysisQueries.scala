@@ -1386,17 +1386,17 @@ object TextAnalysisQueries {
   /** FULL (uncut) gram-count table per piece length — the additive
     * training statistic q321 maintains incrementally. Bounded by the
     * corpus's distinct 1/2/3-grams (alphabet-cubed at worst), never by
-    * corpus mass. ONE scan: all three lengths explode from a single
-    * pass (q322's stream shape), each per-length transform sliced to
-    * its valid prefix because sequence() descends when stop < start. */
-  private def fullGramCounts(words: DataFrame): DataFrame =
-    words.select(explode(expr(
-      "flatten(transform(array(1, 2, 3), n -> " +
-        "slice(transform(sequence(1, length(w)), " +
-        "i -> struct(substring(w, i, n) as g, n as k)), " +
-        "1, greatest(length(w) - n + 1, 0))))")).as("gk"))
+    * corpus mass. ONE scan, and (round-15) the occurrence counting runs
+    * row-locally per document in the compiled `graft_gramcounts` loop —
+    * only each document's distinct (g, k) entries reach the explode and
+    * the aggregate (map-side combine pushed inside the row; the HOF
+    * explode paid one interpreted lambda + boxed struct per gram
+    * occurrence). sum(cnt) equals the exploded per-occurrence count
+    * exactly; q322's stream shares the operator. */
+  private def fullGramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(expr("graft_gramcounts(text)")).as("gk"))
       .groupBy(col("gk.g").as("g"), col("gk.k").as("k"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("gk.cnt")).as("cnt"))
 
   /** q292's vocabulary with counts and integer-lattice scores kept: one
     * row per piece (g, cnt, k = piece length, lp) — top-16 trigrams +
@@ -1415,7 +1415,7 @@ object TextAnalysisQueries {
     val pth = unigramFullCache.computeIfAbsent(
       graft.CorpusKey(dir, "documents.parquet"), _ =>
         graft.etl.Layouts.stage(s, "ugcnts", "v1", dir, Seq("documents")) { ck =>
-          fullGramCounts(unigramWords(s, dir))
+          fullGramCounts(Tables.documents(s, dir))
             .write.mode("overwrite").parquet(s"$ck/cnts")
           s"$ck/cnts"
         })
@@ -1689,8 +1689,8 @@ object TextAnalysisQueries {
     val pth = unigramBaseCache.computeIfAbsent(
       graft.CorpusKey(dir, "documents.parquet"), _ =>
         graft.etl.Layouts.stage(s, "uggrams", "v1;mod=7", dir, Seq("documents")) { ck =>
-          fullGramCounts(wordsOf(
-              Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)))
+          fullGramCounts(
+              Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7))
             .write.mode("overwrite").parquet(s"$ck/grams")
           s"$ck/grams"
         })
@@ -1701,8 +1701,8 @@ object TextAnalysisQueries {
     // (PlanShapeSpec), the delta paying its single scan here
     val merged = graft.Staging.fresh("ugmerged")
     s.read.parquet(pth)
-      .unionByName(fullGramCounts(wordsOf(
-        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7))))
+      .unionByName(fullGramCounts(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)))
       .groupBy("g", "k").agg(sum("cnt").as("cnt"))
       .write.mode("overwrite").parquet(merged)
     vocabOfCounts(s.read.parquet(merged))

@@ -809,23 +809,26 @@ object StreamingQueries {
     * training over everything that has ever arrived; UnigramViterbiSpec
     * additionally pins q322 == q321 row for row.
     *
-    * The gram explode slices each per-length transform to its valid
-    * prefix (`slice(..., 1, greatest(length(w) - n + 1, 0))`) instead of
-    * `sequence(1, length(w) - n + 1)`, because Spark's sequence DESCENDS
-    * when stop < start — a length-1 word would otherwise fabricate
-    * positions [1, 0] for the bigram row. */
+    * Gram occurrences are counted row-locally per document by the
+    * compiled `graft_gramcounts` loop (shared with the batch family's
+    * fullGramCounts), so the stateful aggregate sums per-document
+    * distinct-gram counts instead of receiving one exploded row per
+    * occurrence. */
   def q322StreamingGrams(s: SparkSession, dir: String): DataFrame = {
+    // Round-15 optimization (guide §2.3 "aggregate before you shuffle",
+    // pushed inside the row): the per-word HOF gram explode shipped one
+    // interpreted-lambda struct per gram OCCURRENCE (~4 M rows per full
+    // corpus pass) into the stateful aggregate — and a stream pays that
+    // on every arrival batch, with no batch staging to absorb it.
+    // graft_gramcounts counts occurrences row-locally per DOCUMENT in a
+    // compiled loop, so the explode and the state update see only each
+    // document's distinct (g, k) entries; sum(cnt) equals the exploded
+    // count exactly. Measured at sf0.1: 7.50 s → see OPTIMIZATION_r15.md.
     val tbl = s"graft_stream_grams_${runCounter.incrementAndGet()}"
     val ss = drain(s) { ss => StreamSources.documents(ss, dir)
-      .select(explode(expr("split(text, ' ')")).as("w"))
-      .filter(length(col("w")) >= 1)
-      .select(explode(expr(
-        "flatten(transform(array(1, 2, 3), n -> " +
-          "slice(transform(sequence(1, length(w)), " +
-          "i -> struct(substring(w, i, n) as g, n as k)), " +
-          "1, greatest(length(w) - n + 1, 0))))")).as("gk"))
+      .select(explode(expr("graft_gramcounts(text)")).as("gk"))
       .groupBy(col("gk.g").as("g"), col("gk.k").as("k"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("gk.cnt")).as("cnt"))
       .writeStream
       .format("memory")
       .queryName(tbl)
