@@ -1302,26 +1302,40 @@ object SimilarityQueries {
       .unionByName(pr.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     val verts = Tables.embeddings(s, dir)
       .select(col("vec_id").cast("bigint").as("v"))
-    val dirs = Seq(Staging.fresh("taintbfs"), Staging.fresh("taintbfs"))
-    var reached = verts.filter(col("v") % 37 === 0)
+    // Round-15 optimization (two per-pass cuts, output unchanged —
+    // layers are the same BFS layers):
+    //   1. each pass WRITES ONLY ITS NEW LAYER instead of rewriting the
+    //      whole reached set (write volume O(V) total instead of
+    //      O(radius * V) — at 100 TB the reached set is corpus-sized by
+    //      the middle hops and rewriting it per hop is the dominant I/O);
+    //      the anti-join reads the union of the layer leaves.
+    //   2. the frontier-empty probe rides the layer write as a named
+    //      Observation (the kcoreConverged discipline: one job per pass,
+    //      never a write plus a separate isEmpty action).
+    val stage = Staging.fresh("taintbfs")
+    val obs0 = org.apache.spark.sql.Observation()
+    verts.filter(col("v") % 37 === 0)
       .withColumn("hop", lit(0))
+      .observe(obs0, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$stage/h0")
+    var frontierN = obs0.get("n").asInstanceOf[Long]
+    var layers = Seq(s"$stage/h0")
     var pass = 1
-    var frontierEmpty = false
-    while (pass <= radius && !frontierEmpty) {
-      val frontier = reached.filter(col("hop") === pass - 1)
-      if (frontier.isEmpty) frontierEmpty = true
-      else {
-        val nbrs = edges
-          .join(frontier.select(col("v").as("src")), Seq("src"))
-          .select(col("dst").as("v")).distinct()
-        val newly = nbrs.join(reached, Seq("v"), "left_anti")
-          .withColumn("hop", lit(pass))
-        val out = dirs(pass % 2)
-        reached.unionByName(newly).write.mode("overwrite").parquet(out)
-        reached = s.read.parquet(out)
-        pass += 1
-      }
+    while (pass <= radius && frontierN > 0L) {
+      val frontier = s.read.parquet(layers.last).select(col("v").as("src"))
+      val reachedSoFar = s.read.parquet(layers: _*).select("v")
+      val obs = org.apache.spark.sql.Observation()
+      edges.join(frontier, Seq("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(reachedSoFar, Seq("v"), "left_anti")
+        .withColumn("hop", lit(pass))
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/h$pass")
+      frontierN = obs.get("n").asInstanceOf[Long]
+      layers = layers :+ s"$stage/h$pass"
+      pass += 1
     }
+    val reached = s.read.parquet(layers: _*)
     verts.join(reached, Seq("v"), "left")
       .groupBy(coalesce(col("hop"), lit(-1)).cast("int").as("hop"))
       .agg(count(lit(1)).cast("bigint").as("n_vecs"),

@@ -910,8 +910,17 @@ object StreamingQueries {
                   .repartition(col("source")),
                 "source", replicaRoot, firstRun = true)
             else {
-              val feed = graft.etl.Warehouse
+              // Round-15 optimization (the cut-branch staging rule): the
+              // feed is consumed THREE times per commit (touched-partition
+              // collect, the delete branch, the insert branch) and
+              // snapshotChanges is two exceptAll passes over the changed
+              // files — left lazy, each consumer re-ran both. One staging
+              // write per commit keeps the apply O(changed files) once.
+              val feedStg = graft.Staging.fresh("cdcfeed")
+              graft.etl.Warehouse
                 .snapshotChanges(bs, path, v - 1, v, Some(schema))
+                .write.mode("overwrite").parquet(feedStg)
+              val feed = bs.read.parquet(feedStg)
               val touched = feed.select("source").distinct()
                 .collect().map(_.getString(0)).toSeq
               val cur = bs.read.parquet(replicaRoot)
