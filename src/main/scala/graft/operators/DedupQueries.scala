@@ -2345,8 +2345,15 @@ object DedupQueries {
         expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
         expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
           .as("nstop"),
-        expr("cast(array_max(transform(array_distinct(toks), " +
-          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"))
+        // max token frequency as the longest run in the SORTED token
+        // array — O(n log n) row-local instead of the O(n * n_distinct)
+        // filter-per-distinct-token form (round-15; same exact value)
+        expr("cast(aggregate(array_sort(toks), " +
+          "named_struct('p', cast(null as string), 'r', 0L, 'b', 0L), " +
+          "(a, x) -> named_struct('p', x, " +
+          "'r', if(a.p <=> x, a.r + 1L, 1L), " +
+          "'b', greatest(a.b, if(a.p <=> x, a.r + 1L, 1L))), " +
+          "a -> a.b) as bigint)").as("mf"))
       .select(col("source"), col("n_chars"), col("n_tok"),
         expr("case when n between 25 and 90 and (10 * chars) div n between 40 and 52 " +
           "and nstop >= 1 and (100 * nd) div n >= 40 and (100 * mf) div n <= 12 " +

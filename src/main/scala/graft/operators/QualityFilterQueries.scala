@@ -404,8 +404,15 @@ object QualityFilterQueries {
         expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
         expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
           .as("nstop"),
-        expr("cast(array_max(transform(array_distinct(toks), " +
-          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"))
+        // max token frequency as the longest run in the SORTED token
+        // array — O(n log n) row-local instead of the O(n * n_distinct)
+        // filter-per-distinct-token form (round-15; same exact value)
+        expr("cast(aggregate(array_sort(toks), " +
+          "named_struct('p', cast(null as string), 'r', 0L, 'b', 0L), " +
+          "(a, x) -> named_struct('p', x, " +
+          "'r', if(a.p <=> x, a.r + 1L, 1L), " +
+          "'b', greatest(a.b, if(a.p <=> x, a.r + 1L, 1L))), " +
+          "a -> a.b) as bigint)").as("mf"))
       .select(col("source"),
         expr("case when n between 25 and 90 then 0 else 1 end").as("f_wc"),
         expr("case when (10 * chars) div n between 40 and 52 then 0 else 1 end")
@@ -569,8 +576,15 @@ object QualityFilterQueries {
         expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
         expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
           .as("nstop"),
-        expr("cast(array_max(transform(array_distinct(toks), " +
-          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"))
+        // max token frequency as the longest run in the SORTED token
+        // array — O(n log n) row-local instead of the O(n * n_distinct)
+        // filter-per-distinct-token form (round-15; same exact value)
+        expr("cast(aggregate(array_sort(toks), " +
+          "named_struct('p', cast(null as string), 'r', 0L, 'b', 0L), " +
+          "(a, x) -> named_struct('p', x, " +
+          "'r', if(a.p <=> x, a.r + 1L, 1L), " +
+          "'b', greatest(a.b, if(a.p <=> x, a.r + 1L, 1L))), " +
+          "a -> a.b) as bigint)").as("mf"))
       .select(col("source"),
         expr("case when n between 25 and 90 and (10 * chars) div n between 40 and 52 " +
           "and nstop >= 1 and (100 * nd) div n >= 40 and (100 * mf) div n <= 12 " +
@@ -627,8 +641,15 @@ object QualityFilterQueries {
         expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
         expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
           .as("nstop"),
-        expr("cast(array_max(transform(array_distinct(toks), " +
-          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"))
+        // max token frequency as the longest run in the SORTED token
+        // array — O(n log n) row-local instead of the O(n * n_distinct)
+        // filter-per-distinct-token form (round-15; same exact value)
+        expr("cast(aggregate(array_sort(toks), " +
+          "named_struct('p', cast(null as string), 'r', 0L, 'b', 0L), " +
+          "(a, x) -> named_struct('p', x, " +
+          "'r', if(a.p <=> x, a.r + 1L, 1L), " +
+          "'b', greatest(a.b, if(a.p <=> x, a.r + 1L, 1L))), " +
+          "a -> a.b) as bigint)").as("mf"))
       .select(col("source"),
         expr("case when n between 25 and 90 and (10 * chars) div n between 40 and 52 " +
           "and nstop >= 1 and (100 * nd) div n >= 40 and (100 * mf) div n <= 12 " +
@@ -681,8 +702,15 @@ object QualityFilterQueries {
         expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
         expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
           .as("nstop"),
-        expr("cast(array_max(transform(array_distinct(toks), " +
-          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"))
+        // max token frequency as the longest run in the SORTED token
+        // array — O(n log n) row-local instead of the O(n * n_distinct)
+        // filter-per-distinct-token form (round-15; same exact value)
+        expr("cast(aggregate(array_sort(toks), " +
+          "named_struct('p', cast(null as string), 'r', 0L, 'b', 0L), " +
+          "(a, x) -> named_struct('p', x, " +
+          "'r', if(a.p <=> x, a.r + 1L, 1L), " +
+          "'b', greatest(a.b, if(a.p <=> x, a.r + 1L, 1L))), " +
+          "a -> a.b) as bigint)").as("mf"))
       .select(col("source"),
         expr("case when n between 25 and 90 then 0 else 1 end").as("f_wc"),
         expr("case when (10 * chars) div n between 40 and 52 then 0 else 1 end")
@@ -875,8 +903,15 @@ object QualityFilterQueries {
         expr("cast(size(array_distinct(toks)) as bigint)").as("nd"),
         expr(s"cast(size(filter(array_distinct(toks), t -> t IN ($stopList))) as bigint)")
           .as("nstop"),
-        expr("cast(array_max(transform(array_distinct(toks), " +
-          "t -> size(filter(toks, x -> x = t)))) as bigint)").as("mf"),
+        // max token frequency as the longest run in the SORTED token
+        // array — O(n log n) row-local instead of the O(n * n_distinct)
+        // filter-per-distinct-token form (round-15; same exact value)
+        expr("cast(aggregate(array_sort(toks), " +
+          "named_struct('p', cast(null as string), 'r', 0L, 'b', 0L), " +
+          "(a, x) -> named_struct('p', x, " +
+          "'r', if(a.p <=> x, a.r + 1L, 1L), " +
+          "'b', greatest(a.b, if(a.p <=> x, a.r + 1L, 1L))), " +
+          "a -> a.b) as bigint)").as("mf"),
         expr("cast(size(toks) - 2 as bigint)").as("ng"),
         expr("cast(size(array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), " +
           "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))) as bigint)").as("ndg"))
@@ -888,13 +923,26 @@ object QualityFilterQueries {
           .as("v_rep"))
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
-    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // Round-15 optimization (cut-branch staging): the LM-mass chain has
+    // two driver scalars (totalV, the corpus mean) plus the final plan —
+    // left lazy, the corpus explode ran 3x, the token-count shuffle 3x
+    // and the tok⋈counts join 2x. Staging counts and perDoc makes the
+    // scalar reads leaf aggregates and the final plan a leaf join;
+    // the explode now runs twice (counts build, join probe), the join
+    // once. Shared by q230 and q244. Measured: see OPTIMIZATION_r15.md.
+    val cstg = graft.Staging.fresh("ensvcnt")
+    tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(cstg)
+    val counts = s.read.parquet(cstg)
     val totalV = counts.agg(sum("cnt")).first().getLong(0)
-    val perDoc = tok.join(counts, Seq("tok"))
+    val pstg = graft.Staging.fresh("ensvpd")
+    tok.join(counts, Seq("tok"))
       .withColumn("pq", expr(
         s"cast(floor(cast(cnt as double) / cast($totalV as double) * 1e12) as bigint)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("pq").as("spq"))
+      .write.mode("overwrite").parquet(pstg)
+    val perDoc = s.read.parquet(pstg)
     val t = perDoc.agg(sum(col("spq").cast("decimal(38,0)")), sum("n_tokens")).first()
     val (sspq, sn) = (t.getDecimal(0).toBigInteger, t.getLong(1))
     val lm = perDoc.select(col("doc_id"),

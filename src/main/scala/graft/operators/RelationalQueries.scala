@@ -1269,7 +1269,14 @@ object RelationalQueries {
     val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val nBaskets = baskets.select("ok").distinct().count()
+    // Round-15 optimization: the basket count was a separate driver
+    // count() job — a full extra lineitem pass + distinct shuffle before
+    // the main query — only to embed N as a plan literal. It now rides
+    // the main plan as a broadcast single-row aggregate (same exact
+    // BIGINT, cast to the same double in the same lift expression), so
+    // the query is ONE job. See OPTIMIZATION_r15.md.
+    val nBasketsDf = baskets.select("ok").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
     val items = baskets.groupBy("pk").agg(count(lit(1)).as("n_item"))
     val a = baskets.select(col("ok"), col("pk").as("pa"))
     val b = baskets.select(col("ok"), col("pk").as("pb"))
@@ -1287,6 +1294,7 @@ object RelationalQueries {
     rules
       .join(items.select(col("pk").as("ante"), col("n_item").as("n_ante")), Seq("ante"))
       .join(items.select(col("pk").as("cons"), col("n_item").as("n_cons")), Seq("cons"))
+      .crossJoin(broadcast(nBasketsDf))
       .select(col("ante").cast("bigint").as("antecedent"),
         col("cons").cast("bigint").as("consequent"),
         col("n_ante").cast("bigint").as("n_ante"),
@@ -1294,7 +1302,7 @@ object RelationalQueries {
         col("n_ab").cast("bigint").as("n_both"),
         floor(col("n_ab").cast("double") / col("n_ante").cast("double")
           * lit(1000000.0)).cast("bigint").as("conf_e6"),
-        floor(col("n_ab").cast("double") * lit(nBaskets.toDouble) /
+        floor(col("n_ab").cast("double") * col("n_baskets").cast("double") /
           (col("n_ante").cast("double") * col("n_cons").cast("double"))
           * lit(1000000.0)).cast("bigint").as("lift_e6"))
       .orderBy(desc("n_both"), col("antecedent"), col("consequent"))
