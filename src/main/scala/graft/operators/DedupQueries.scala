@@ -722,8 +722,11 @@ object DedupQueries {
     // (struct ordering starts at the first field), giving doc_a < doc_b.
     val g = Tables.documents(s, dir)
       .filter(length(col("text")) >= 4)
-      .withColumn("grams",
-        expr("array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))"))
+      // Round-15: distinct 4-grams via the compiled graft_chargrams loop
+      // (the HOF form paid one interpreted lambda + boxed substring per
+      // CHARACTER of every document, then array_distinct over the pile);
+      // identical value incl. first-appearance order — CharGramsSpec
+      .withColumn("grams", expr("graft_chargrams(text, 4)"))
       .withColumn("blk", expr("cast(n_chars div 10 as int)"))
       .withColumn("pfx", expr("substring(text, 1, 4)"))
       .select("doc_id", "lang", "blk", "pfx", "grams")
