@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomTest, CharGrams, DotProduct, GramCounts, Hist, Kmv, LongDot, PairProds, Topk, VecSum, Winnow, WinnowPos}
+import graft.functions.{BloomTest, CharGrams, DotProduct, GramCounts, Hist, Kmv, LongDot, PairProds, Topk, VecSum, Winnow, WinnowPos, WordShingles}
 
 /** Engine extensions, installed via `spark.sql.extensions`
   * (GraftSession sets it): registers the native functions so they are
@@ -83,6 +83,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           "graft_pairprods expects exactly 1 argument (array<bigint>)")
         PairProds(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_shingles expects exactly 2 arguments (toks, k)")
+        WordShingles(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_chargrams"),

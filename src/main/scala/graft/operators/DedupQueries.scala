@@ -53,7 +53,14 @@ object DedupQueries {
     * same list: Spark arrays are 0-indexed, DuckDB lists 1-indexed, so the
     * index arithmetic differs but the shingle sets are identical). */
   private[graft] val shinglesExpr =
-    "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+    // Round-15: the compiled graft_shingles loop replaces the HOF form
+    // `transform(sequence(1, size(toks)-2), i -> concat_ws(' ',
+    // toks[i-1], toks[i], toks[i+1]))` — identical values and order
+    // (WordShinglesSpec pins it); one interpreted lambda + concat_ws
+    // eval per shingle becomes one compiled pass per row. Every call
+    // site guards size(toks) >= 3 (the HOF form REQUIRES the guard:
+    // its descending sequence would index toks[-1] under ANSI).
+    "graft_shingles(toks, 3)"
 
   /** Per-row form of q22's shingle-hash list (each shingle → the same dual
     * md5 whose 5-hex-char windows are the minhash family): a single
@@ -1887,10 +1894,7 @@ object DedupQueries {
   private[graft] def shingleSets(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
     .filter(expr("size(toks) >= 5"))
-    .select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(toks) - 4), i -> " +
-        "concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3]))"))
-      .as("sh"))
+    .select(col("doc_id"), explode(expr("graft_shingles(toks, 5)")).as("sh"))
     .distinct()
 
   private[graft] def ppjoinJaccard(docs: DataFrame, tau: Double): DataFrame = {

@@ -913,8 +913,10 @@ object QualityFilterQueries {
           "'b', greatest(a.b, if(a.p <=> x, a.r + 1L, 1L))), " +
           "a -> a.b) as bigint)").as("mf"),
         expr("cast(size(toks) - 2 as bigint)").as("ng"),
-        expr("cast(size(array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), " +
-          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))) as bigint)").as("ndg"))
+        // graft_shingles returns [] under 3 tokens where the HOF's
+        // greatest(...) pad built one partial shingle — unobservable:
+        // v_rep's `ng < 1` branch decides those docs before ndg is read
+        expr("cast(size(array_distinct(graft_shingles(toks, 3))) as bigint)").as("ndg"))
       .select(col("doc_id"), col("source"),
         expr("case when n between 25 and 90 and (10 * chars) div n between 40 and 52 " +
           "and nstop >= 1 and (100 * nd) div n >= 40 and (100 * mf) div n <= 12 " +

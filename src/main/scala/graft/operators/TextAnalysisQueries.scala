@@ -229,9 +229,8 @@ object TextAnalysisQueries {
       .select(col("doc_id").cast("bigint").as("doc_id"),
               expr("split(text, ' ')").as("toks"))
       .filter(expr("size(toks) >= 3"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("gram"))
+      .select(col("doc_id"),
+        explode(expr("graft_shingles(toks, 3)")).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
       .agg(sum(col("n")).cast("bigint").as("n_grams"),
@@ -904,9 +903,8 @@ object TextAnalysisQueries {
     val grams = Tables.documents(s, dir)
       .select(col("source"), expr("split(text, ' ')").as("toks"))
       .filter(expr("size(toks) >= 3"))
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("g"))
+      .select(col("source"),
+        explode(expr("graft_shingles(toks, 3)")).as("g"))
     grams.groupBy("source", "g").agg(count(lit(1)).as("c"))
       .groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("n_types"),
