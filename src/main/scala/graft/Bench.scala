@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * line the driver must parse, so it must fit any tail window whole. A failing query is reported in "errors" (name → message) and
   * excluded from the total instead of silently timing as ~0 s and
   * improving it.
+  *
+  * Standing-index modes: the durable Layouts registry (default
+  * `$java.io.tmpdir/graft_warehouse`) lets a sweep ATTACH indexes built
+  * by an earlier session with zero build jobs. To measure
+  * BUILD-INCLUSIVE cost instead, point `SPARK_GRAFT_WAREHOUSE_DIR` at an
+  * empty directory for the run (`SPARK_GRAFT_WAREHOUSE_DIR=$(mktemp -d)
+  * sbt "runMain graft.Bench"`). Both modes are honest measurements of
+  * different operating points — a recurring pipeline attaches, a cold
+  * deployment builds — and a round's report should state which one a
+  * number came from (SCALE.md records both).
   */
 object Bench {
 

@@ -34,9 +34,16 @@ import scala.jdk.CollectionConverters._
 object Layouts {
 
   /** Durable root (NOT swept at JVM exit — contrast graft.Staging).
-    * Overridable per-run via -Dgraft.warehouse.dir for tests. */
-  def root: String = sys.props.getOrElse("graft.warehouse.dir",
-    System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+    * Overridable per-run via -Dgraft.warehouse.dir (tests) or the
+    * SPARK_GRAFT_WAREHOUSE_DIR env var — the documented BENCH knob: a
+    * sweep pointed at an empty dir measures BUILD-INCLUSIVE cost (every
+    * standing index constructed inside the run), while the default
+    * durable root measures ATTACH mode (indexes built by an earlier
+    * session re-registered with zero data jobs). Both numbers belong in
+    * a round's report; neither mode is hidden from the driver. */
+  def root: String = sys.props.get("graft.warehouse.dir")
+    .orElse(sys.env.get("SPARK_GRAFT_WAREHOUSE_DIR").filter(_.nonEmpty))
+    .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_warehouse")
 
   /** One bucketed catalog table of a layout: everything a new session
     * needs to re-register it over the existing files. */

@@ -745,6 +745,45 @@ object Warehouse {
     }
   }
 
+  /** Byte-cheap lake clone, for running a maintenance verb fresh on every
+    * invocation against a shared constructed fixture: hardlink every
+    * immutable file (data parquet, `_dv/` sidecars — the log's
+    * copy-on-write discipline means no verb ever modifies one in place;
+    * a vacuum in the clone only unlinks the clone's own link), and
+    * byte-COPY the mutable log state — `_graft_files` is truncated in
+    * place by every commit (RawLocalFileSystem.create), so sharing its
+    * inode would corrupt the source lake. `.crc` checksum siblings are
+    * skipped (ChecksumFileSystem treats a missing sibling as
+    * unverified, and a shared one would go stale when the clone's head
+    * is rewritten). O(file count) on a store with links; falls back to
+    * a byte copy elsewhere. The clone is a Staging dir — swept at JVM
+    * exit like every other staged intermediate. */
+  def cloneLake(srcPath: String, tag: String): String = {
+    val dst = graft.Staging.fresh(tag)
+    val src = java.nio.file.Paths.get(srcPath)
+    val dstRoot = java.nio.file.Paths.get(dst)
+    val stream = java.nio.file.Files.walk(src)
+    try stream.forEach { p =>
+      val rel = src.relativize(p).toString
+      if (rel.nonEmpty) {
+        val t = dstRoot.resolve(rel)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else if (!rel.endsWith(".crc")) {
+          if (rel == fileManifestName || rel.startsWith(logDirName))
+            java.nio.file.Files.copy(p, t)
+          else
+            try java.nio.file.Files.createLink(t, p)
+            catch {
+              case _: UnsupportedOperationException | _: java.io.IOException =>
+                java.nio.file.Files.copy(p, t)
+            }
+        }
+      }
+    } finally stream.close()
+    dst
+  }
+
   /** Bucketed warehouse layout — the reference's partition-layout
     * optimization (`airflow/dags/spark_transform_load.py:199,210`: monthly
     * partitioning so repeated time-bounded scans touch one slice) taken to

@@ -64,18 +64,27 @@ case class GramCounts(child: Expression)
     while (p <= len) {
       if (p == len || text.charAt(p) == ' ') {
         if (p > start) {
-          val wlen = p - start
+          // code-point start offsets within the word (identity walk on
+          // BMP text, one extra array fill): a gram must never split a
+          // surrogate pair — the same offsetByCodePoints discipline as
+          // CharGrams, matching the HOF form's UTF8String code-point
+          // substring semantics on supplementary characters
+          val cpTotal = text.codePointCount(start, p)
+          val starts = new Array[Int](cpTotal + 1)
+          var ci = start
+          var cp = 0
+          while (cp < cpTotal) {
+            starts(cp) = ci
+            ci = text.offsetByCodePoints(ci, 1)
+            cp += 1
+          }
+          starts(cpTotal) = p
           var n = 1
-          while (n <= 3 && n <= wlen) {
-            var i = start
-            val last = p - n
+          while (n <= 3 && n <= cpTotal) {
+            var i = 0
+            val last = cpTotal - n
             while (i <= last) {
-              // codepoint-correct enough for the engine's fixtures and
-              // oracles: both sides substring by UTF-16 code unit via
-              // java.lang.String, the same units DuckDB's ASCII fixtures
-              // exercise; the HOF form used UTF8String character ops,
-              // identical on the BMP text the corpus carries
-              val g = text.substring(i, i + n)
+              val g = text.substring(starts(i), starts(i + n))
               val key = n.toString + ':' + g
               val c = counts.get(key)
               counts.put(key, if (c == null) 1L else c + 1L)

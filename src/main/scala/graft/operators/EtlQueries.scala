@@ -796,15 +796,17 @@ object EtlQueries {
     * O(touched) cost. Returns (path, schema, v1, v3). */
   /** One CONSTRUCTED lake fixture per (corpus fingerprint, tag) per JVM
     * — the stagedPairs/ccLabels staged-cache discipline applied to the
-    * snapshot-log family's fixtures: every query in the family mutates
-    * its lake only DURING construction (bootstrap, logged commits,
-    * takedowns, compaction, vacuum) and is read-only afterwards, so the
-    * construction is a once-per-corpus cost and the recurring cost is
-    * the operator under test (the AS-OF read, the feed, the probe, the
-    * tail). Keyed on the documents CorpusKey so a fixture regen
-    * invalidates; computeIfAbsent serializes concurrent first builds;
-    * Staging dirs live for the JVM and sweep at exit. SCALE.md records
-    * the cold/steady split this produces. */
+    * snapshot-log family's fixtures. The cache holds CONSTRUCTION ONLY:
+    * read-only consumers (the AS-OF read, the feed, the probe, the
+    * tail) query the cached lake directly, while every query whose
+    * declared operator is itself a lake MUTATION (q325 retention, q332
+    * compaction, q333 WAP, q334 relayout, q336 stats maintenance, q338
+    * gated ingest) runs its verb fresh on EVERY invocation against a
+    * Warehouse.cloneLake hardlink clone — the fixture is the shared
+    * starting state, the verb is the recurring, always-timed cost.
+    * Keyed on the documents CorpusKey so a fixture regen invalidates;
+    * computeIfAbsent serializes concurrent first builds; Staging dirs
+    * (fixtures and clones) live for the JVM and sweep at exit. */
   private val lakeFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
@@ -884,42 +886,44 @@ object EtlQueries {
     * time travel reaches — exactly Delta's VACUUM contract. */
   def q325SnapshotRetention(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // expire+vacuum are idempotent maintenance — the flags are the
-    // first run's observations and the cached state is the post-sweep
-    // lake, so the recurring cost is the audit (the cachedLakeFixture
-    // contract)
-    val (path, expiredN, allSwept, v1Unreadable) =
-      cachedLakeFixture(s, dir, "retention") {
-        val p = graft.Staging.fresh("retention")
-        Warehouse.writePartitioned(docs.repartition(col("source")),
-          "source", p, firstRun = true)
-        val v1 = Warehouse.commitSnapshotFromListing(p)
-        val survivors = Warehouse.readSnapshot(s, p, v1, Some(docs.schema))
-          .filter(col("doc_id") % 5 =!= 0)
-        // the fixture's source key correlates with doc_id (source =
-        // src{id%20}), so the % 5 takedown EMPTIES four partitions
-        // outright — the case a rewrite cannot infer from its own
-        // output files (an empty slice writes none) and the emptiedDirs
-        // contract exists for: name the all-rows-deleted partitions so
-        // their old files leave the manifest. v1's partition dirs come
-        // off its MANIFEST (already in escaped key form — no data
-        // scan); the survivor list is a bounded driver scalar.
-        val v1Dirs = Warehouse.snapshotFiles(p, v1)
-          .flatMap(f => f.split('/').headOption).toSet
-        val survDirs = survivors.select("source").distinct()
-          .collect().map(r => s"source=${r.getString(0)}").toSet
-        val emptied = (v1Dirs -- survDirs).toSeq.sorted
-        Warehouse.rewritePartitionsLogged(
-          survivors.repartition(col("source")), "source", p, emptied)
-        val expired = Warehouse.expireSnapshots(p, keepLast = 1)
-        val report = Warehouse.vacuum(p, retentionMs = 24L * 3600 * 1000,
-          nowMs = System.currentTimeMillis() + 48L * 3600 * 1000)
-        val swept = report.nonEmpty && report.forall(_._3)
-        val unreadable =
-          try { Warehouse.readSnapshot(s, p, v1, Some(docs.schema)); false }
-          catch { case _: IllegalArgumentException => true }
-        (p, expired.size.toLong, swept, unreadable)
-      }
+    // FIXTURE (cached per corpus — construction only): bootstrap + the
+    // %5 takedown rewrite. The declared RETENTION VERB — expire, the
+    // aged vacuum sweep, the v1-unreadable probe — runs fresh on EVERY
+    // invocation against a hardlink clone of the fixture, so each timed
+    // call pays the operator, never a memoised first run.
+    val fixture = cachedLakeFixture(s, dir, "retention") {
+      val p = graft.Staging.fresh("retention")
+      Warehouse.writePartitioned(docs.repartition(col("source")),
+        "source", p, firstRun = true)
+      val v1 = Warehouse.commitSnapshotFromListing(p)
+      val survivors = Warehouse.readSnapshot(s, p, v1, Some(docs.schema))
+        .filter(col("doc_id") % 5 =!= 0)
+      // the fixture's source key correlates with doc_id (source =
+      // src{id%20}), so the % 5 takedown EMPTIES four partitions
+      // outright — the case a rewrite cannot infer from its own
+      // output files (an empty slice writes none) and the emptiedDirs
+      // contract exists for: name the all-rows-deleted partitions so
+      // their old files leave the manifest. v1's partition dirs come
+      // off its MANIFEST (already in escaped key form — no data
+      // scan); the survivor list is a bounded driver scalar.
+      val v1Dirs = Warehouse.snapshotFiles(p, v1)
+        .flatMap(f => f.split('/').headOption).toSet
+      val survDirs = survivors.select("source").distinct()
+        .collect().map(r => s"source=${r.getString(0)}").toSet
+      val emptied = (v1Dirs -- survDirs).toSeq.sorted
+      Warehouse.rewritePartitionsLogged(
+        survivors.repartition(col("source")), "source", p, emptied)
+      p
+    }
+    val path = Warehouse.cloneLake(fixture, "retention-verb")
+    val v1 = Warehouse.snapshotVersions(path).head
+    val expiredN = Warehouse.expireSnapshots(path, keepLast = 1).size.toLong
+    val report = Warehouse.vacuum(path, retentionMs = 24L * 3600 * 1000,
+      nowMs = System.currentTimeMillis() + 48L * 3600 * 1000)
+    val allSwept = report.nonEmpty && report.forall(_._3)
+    val v1Unreadable =
+      try { Warehouse.readSnapshot(s, path, v1, Some(docs.schema)); false }
+      catch { case _: IllegalArgumentException => true }
     Warehouse.readManifested(s, path, Some(docs.schema))
       .groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
@@ -1083,24 +1087,31 @@ object EtlQueries {
     * and the plain==merge-on-read equivalence at head. */
   def q332DvCompaction(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (path, v3, dvRetired, morEqualsPlain) =
-      cachedLakeFixture(s, dir, "dvcompact") {
-        val p = graft.Staging.fresh("dvcompact")
-        Warehouse.writePartitioned(docs.repartition(col("source")),
-          "source", p, firstRun = true)
-        Warehouse.commitSnapshotFromListing(p)
-        Warehouse.deleteLogged(
-          docs.filter(col("doc_id") % 47 === 0).select("doc_id"), "doc_id", p)
-        val v = Warehouse.compactDeletes(s, p, "source", "doc_id",
-          Some(docs.schema))
-        val pl = Warehouse.readSnapshot(s, p, v, Some(docs.schema))
-        val mr = Warehouse.readSnapshotMergeOnRead(s, p, v, "doc_id",
-          Some(docs.schema))
-        (p, v,
-          Warehouse.deleteSidecars(p, v).isEmpty,
-          pl.exceptAll(mr).isEmpty && mr.exceptAll(pl).isEmpty)
-      }
+    // FIXTURE (cached per corpus — construction only): bootstrap + the
+    // %47 merge-on-read delete. The declared COMPACTION VERB — the
+    // touched-partition rewrite, the sidecar retirement, and the
+    // plain==merge-on-read equivalence probes — runs fresh on EVERY
+    // invocation against a hardlink clone of the fixture.
+    val fixture = cachedLakeFixture(s, dir, "dvcompact") {
+      val p = graft.Staging.fresh("dvcompact")
+      Warehouse.writePartitioned(docs.repartition(col("source")),
+        "source", p, firstRun = true)
+      Warehouse.commitSnapshotFromListing(p)
+      Warehouse.deleteLogged(
+        docs.filter(col("doc_id") % 47 === 0).select("doc_id"), "doc_id", p)
+      p
+    }
+    val path = Warehouse.cloneLake(fixture, "dvcompact-verb")
+    val v3 = Warehouse.compactDeletes(s, path, "source", "doc_id",
+      Some(docs.schema))
+    val dvRetired = Warehouse.deleteSidecars(path, v3).isEmpty
     val plain = Warehouse.readSnapshot(s, path, v3, Some(docs.schema))
+    val mr = Warehouse.readSnapshotMergeOnRead(s, path, v3, "doc_id",
+      Some(docs.schema))
+    // both directions of the multiset difference under ONE action (the
+    // pair is empty iff the union is) — half the probe's job count
+    val morEqualsPlain =
+      plain.exceptAll(mr).unionAll(mr.exceptAll(plain)).isEmpty
     plain.groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum("n_chars").cast("bigint").as("chars_total"))
@@ -1129,39 +1140,47 @@ object EtlQueries {
     * entire reason the pattern exists; the audit reads O(batch). */
   def q333WriteAuditPublish(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (path, aPass, bPass, allSwept) = cachedLakeFixture(s, dir, "wap") {
+    // FIXTURE (cached per corpus — construction only): the bootstrapped
+    // base lake. The declared WAP VERB — land both batches uncommitted,
+    // audit each pending file set, publish the passing batch atomically,
+    // sweep the abandoned one — runs fresh on EVERY invocation against a
+    // hardlink clone of the fixture.
+    val fixture = cachedLakeFixture(s, dir, "wap") {
       val p = graft.Staging.fresh("wap")
       Warehouse.writePartitioned(docs.repartition(col("source")),
         "source", p, firstRun = true)
-      val v1 = Warehouse.commitSnapshotFromListing(p)
-      val batchA = docs.filter(col("doc_id") % 53 === 0)
-        .select((col("doc_id") + 20000000L).as("doc_id"),
-          concat(col("text"), lit(" crawlA")).as("text"),
-          col("lang"), col("source"), (col("n_chars") + 7L).as("n_chars"))
-      val batchB = docs.filter(col("doc_id") % 59 === 0)
-        .select((col("doc_id") + 30000000L).as("doc_id"),
-          expr("substring(text, 1, 20)").as("text"),
-          col("lang"), col("source"), least(col("n_chars"), lit(20L)).as("n_chars"))
-      val pendingA = Warehouse.writeUncommitted(
-        batchA.repartition(col("source")), "source", p)
-      val pendingB = Warehouse.writeUncommitted(
-        batchB.repartition(col("source")), "source", p)
-      // the audit gate reads EXACTLY the pending files (bounded scalar
-      // per batch); a batch publishes only if avg length clears 30
-      def gate(rels: Seq[String]): Boolean = {
-        val r = Warehouse.readFilesOf(s, p, rels, Some(docs.schema))
-          .agg(sum("n_chars").cast("double"), count(lit(1))).head()
-        r.getDouble(0) / r.getLong(1) >= 30.0
-      }
-      val (a, b) = (gate(pendingA), gate(pendingB))
-      val head = Warehouse.manifestedFiles(p)
-      if (a) Warehouse.commitSnapshot(p, head ++ pendingA,
-        expectedHead = Some(v1))
-      // batch B: abandoned (never committed); the aged sweep reclaims it
-      val report = Warehouse.vacuum(p, retentionMs = 24L * 3600 * 1000,
-        nowMs = System.currentTimeMillis() + 48L * 3600 * 1000)
-      (p, a, b, report.nonEmpty && report.forall(_._3))
+      Warehouse.commitSnapshotFromListing(p)
+      p
     }
+    val path = Warehouse.cloneLake(fixture, "wap-verb")
+    val v1 = Warehouse.snapshotVersions(path).last
+    val batchA = docs.filter(col("doc_id") % 53 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(col("text"), lit(" crawlA")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 7L).as("n_chars"))
+    val batchB = docs.filter(col("doc_id") % 59 === 0)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        expr("substring(text, 1, 20)").as("text"),
+        col("lang"), col("source"), least(col("n_chars"), lit(20L)).as("n_chars"))
+    val pendingA = Warehouse.writeUncommitted(
+      batchA.repartition(col("source")), "source", path)
+    val pendingB = Warehouse.writeUncommitted(
+      batchB.repartition(col("source")), "source", path)
+    // the audit gate reads EXACTLY the pending files (bounded scalar
+    // per batch); a batch publishes only if avg length clears 30
+    def gate(rels: Seq[String]): Boolean = {
+      val r = Warehouse.readFilesOf(s, path, rels, Some(docs.schema))
+        .agg(sum("n_chars").cast("double"), count(lit(1))).head()
+      r.getDouble(0) / r.getLong(1) >= 30.0
+    }
+    val (aPass, bPass) = (gate(pendingA), gate(pendingB))
+    val head = Warehouse.manifestedFiles(path)
+    if (aPass) Warehouse.commitSnapshot(path, head ++ pendingA,
+      expectedHead = Some(v1))
+    // batch B: abandoned (never committed); the aged sweep reclaims it
+    val report = Warehouse.vacuum(path, retentionMs = 24L * 3600 * 1000,
+      nowMs = System.currentTimeMillis() + 48L * 3600 * 1000)
+    val allSwept = report.nonEmpty && report.forall(_._3)
     Warehouse.readManifested(s, path, Some(docs.schema))
       .groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
@@ -1191,17 +1210,23 @@ object EtlQueries {
     * grouped by the new key, both under one hash. */
   def q334PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (path, v1, v2) = cachedLakeFixture(s, dir, "partevo") {
+    // FIXTURE (cached per corpus — construction only): the bootstrapped
+    // source-partitioned lake. The declared RELAYOUT VERB — the full row
+    // set landed uncommitted under the lang scheme plus the one-manifest
+    // flip — runs fresh on EVERY invocation against a hardlink clone.
+    val fixture = cachedLakeFixture(s, dir, "partevo") {
       val p = graft.Staging.fresh("partevo")
       Warehouse.writePartitioned(docs.repartition(col("source")),
         "source", p, firstRun = true)
-      val a = Warehouse.commitSnapshotFromListing(p)
-      val relaid = Warehouse.readSnapshot(s, p, a, Some(docs.schema))
-        .repartition(col("lang"))
-      val b = Warehouse.commitSnapshot(p,
-        Warehouse.writeUncommitted(relaid, "lang", p), expectedHead = Some(a))
-      (p, a, b)
+      Warehouse.commitSnapshotFromListing(p)
+      p
     }
+    val path = Warehouse.cloneLake(fixture, "partevo-verb")
+    val v1 = Warehouse.snapshotVersions(path).last
+    val relaid = Warehouse.readSnapshot(s, path, v1, Some(docs.schema))
+      .repartition(col("lang"))
+    val v2 = Warehouse.commitSnapshot(path,
+      Warehouse.writeUncommitted(relaid, "lang", path), expectedHead = Some(v1))
     def audit(version: Int, tag: String, key: String): DataFrame =
       Warehouse.readSnapshot(s, path, version, Some(docs.schema))
         .groupBy(key)
@@ -1273,24 +1298,32 @@ object EtlQueries {
     * sidecar that stays authoritative for the table's life. */
   def q336IncrementalStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (path, v2) = cachedLakeFixture(s, dir, "incstats") {
+    // FIXTURE (cached per corpus — construction only): the range-
+    // clustered bootstrap with its v1 stats entry (the one full scan the
+    // lake ever pays). The declared MAINTENANCE VERB — the appended
+    // batch's commit plus maintainFileStats carrying the covered lines
+    // and scanning only the batch — runs fresh on EVERY invocation
+    // against a hardlink clone.
+    val fixture = cachedLakeFixture(s, dir, "incstats") {
       val p = graft.Staging.fresh("incstats")
       docs.repartitionByRange(8, col("doc_id"))
         .write.mode("overwrite").parquet(p)
       val v1 = Warehouse.commitSnapshotFromListing(p)
       Warehouse.writeFileStats(s, p, v1, Seq("doc_id"))
-      // the re-crawl batch lands +10M — outside every base file's range
-      val batch = docs.filter(col("doc_id") % 21 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
-          col("lang"), col("source"), col("n_chars"))
-      val before = Warehouse.manifestedFiles(p)
-      val added = Warehouse.writeUncommitted(
-        batch.repartitionByRange(2, col("doc_id")), p)
-      val b = Warehouse.commitSnapshot(p, before ++ added,
-        expectedHead = Some(v1))
-      Warehouse.maintainFileStats(s, p, b, Seq("doc_id"))
-      (p, b)
+      p
     }
+    val path = Warehouse.cloneLake(fixture, "incstats-verb")
+    val v1 = Warehouse.snapshotVersions(path).last
+    // the re-crawl batch lands +10M — outside every base file's range
+    val batch = docs.filter(col("doc_id") % 21 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val before = Warehouse.manifestedFiles(path)
+    val added = Warehouse.writeUncommitted(
+      batch.repartitionByRange(2, col("doc_id")), path)
+    val v2 = Warehouse.commitSnapshot(path, before ++ added,
+      expectedHead = Some(v1))
+    Warehouse.maintainFileStats(s, path, v2, Seq("doc_id"))
     def probe(lo: Long, hi: Long, tag: String): DataFrame = {
       val (df, (read, total)) = Warehouse.readSnapshotRange(
         s, path, v2, "doc_id", lo, hi, Some(docs.schema))
@@ -1326,37 +1359,49 @@ object EtlQueries {
     * collision in the fixture would bind both engines identically. */
   def q338DedupGatedIngest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (path, nRejected) = cachedLakeFixture(s, dir, "dedupwap") {
+    // FIXTURE (cached per corpus — construction only): the bootstrapped
+    // standing corpus. The declared GATED-INGEST VERB — batch landed
+    // uncommitted, the content-hash dedup audit, the novel slice
+    // re-landed and published, the raw batch swept — runs fresh on EVERY
+    // invocation against a hardlink clone.
+    val fixture = cachedLakeFixture(s, dir, "dedupwap") {
       val p = graft.Staging.fresh("dedupwap")
       Warehouse.writePartitioned(docs.repartition(col("source")),
         "source", p, firstRun = true)
-      val v1 = Warehouse.commitSnapshotFromListing(p)
-      val batch = docs.filter(col("doc_id") % 61 === 0)
-        .select((col("doc_id") + 40000000L).as("doc_id"), col("text"),
-          col("lang"), col("source"), col("n_chars"))
-        .unionByName(docs.filter(col("doc_id") % 67 === 0)
-          .select((col("doc_id") + 50000000L).as("doc_id"),
-            concat(col("text"), lit(" fresh")).as("text"),
-            col("lang"), col("source"), (col("n_chars") + 6L).as("n_chars")))
-      val pending = Warehouse.writeUncommitted(
-        batch.repartition(col("source")), "source", p)
-      // the dedup audit: pending rows vs the standing corpus, hashes only
-      val pendingDf = Warehouse.readFilesOf(s, p, pending, Some(docs.schema))
-      val standing = Warehouse.readManifested(s, p, Some(docs.schema))
-        .select(md5(col("text")).as("h")).distinct()
-      val novel = pendingDf.withColumn("h", md5(col("text")))
-        .join(standing, Seq("h"), "left_anti").drop("h")
-      val rejected = batch.count() - novel.count()
-      // re-land ONLY the novel slice and publish it; the raw batch is
-      // abandoned to the aged sweep
-      val published = Warehouse.writeUncommitted(
-        novel.repartition(col("source")), "source", p)
-      Warehouse.commitSnapshot(p,
-        Warehouse.manifestedFiles(p) ++ published, expectedHead = Some(v1))
-      Warehouse.vacuum(p, retentionMs = 24L * 3600 * 1000,
-        nowMs = System.currentTimeMillis() + 48L * 3600 * 1000)
-      (p, rejected)
+      Warehouse.commitSnapshotFromListing(p)
+      p
     }
+    val path = Warehouse.cloneLake(fixture, "dedupwap-verb")
+    val v1 = Warehouse.snapshotVersions(path).last
+    val batch = docs.filter(col("doc_id") % 61 === 0)
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .unionByName(docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"),
+          col("lang"), col("source"), (col("n_chars") + 6L).as("n_chars")))
+    val pending = Warehouse.writeUncommitted(
+      batch.repartition(col("source")), "source", path)
+    // the dedup audit: pending rows vs the standing corpus, hashes only
+    val pendingDf = Warehouse.readFilesOf(s, path, pending, Some(docs.schema))
+    val standing = Warehouse.readManifested(s, path, Some(docs.schema))
+      .select(md5(col("text")).as("h")).distinct()
+    val novel = pendingDf.withColumn("h", md5(col("text")))
+      .join(standing, Seq("h"), "left_anti").drop("h")
+    // re-land ONLY the novel slice and publish it; the raw batch is
+    // abandoned to the aged sweep
+    val published = Warehouse.writeUncommitted(
+      novel.repartition(col("source")), "source", path)
+    // the rejected count reads the two landed slices' parquet footers
+    // (metadata-only counts) instead of re-running the batch plan and
+    // the anti-join a second time each
+    val nRejected =
+      Warehouse.readFilesOf(s, path, pending, Some(docs.schema)).count() -
+        Warehouse.readFilesOf(s, path, published, Some(docs.schema)).count()
+    Warehouse.commitSnapshot(path,
+      Warehouse.manifestedFiles(path) ++ published, expectedHead = Some(v1))
+    Warehouse.vacuum(path, retentionMs = 24L * 3600 * 1000,
+      nowMs = System.currentTimeMillis() + 48L * 3600 * 1000)
     Warehouse.readManifested(s, path, Some(docs.schema))
       .groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),

@@ -38,6 +38,18 @@ class GramCountsSpec extends AnyFunSuite {
     assert(hofCounts(docs).exceptAll(nativeCounts(docs)).isEmpty)
   }
 
+  test("native == HOF on supplementary characters (surrogate pairs)") {
+    import spark.implicits._
+    // U+1F600 and U+10348 are outside the BMP: one code point, two
+    // UTF-16 units. A UTF-16-stepping gram loop would split the pair
+    // into lone surrogates; Spark's substring (and the HOF form) steps
+    // by code point, so the native loop must too.
+    val docs = Seq("😀ab", "a😀b c𐍈",
+      "😀😀😀", "mixé𐍈é").toDF("text")
+    assert(nativeCounts(docs).exceptAll(hofCounts(docs)).isEmpty)
+    assert(hofCounts(docs).exceptAll(nativeCounts(docs)).isEmpty)
+  }
+
   test("null text yields null (no rows after explode)") {
     val r = spark.sql("SELECT graft_gramcounts(CAST(NULL AS STRING))").first()
     assert(r.isNullAt(0))
