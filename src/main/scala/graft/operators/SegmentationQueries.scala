@@ -591,29 +591,36 @@ object SegmentationQueries {
           .as("converted"))
       .withColumn("vb", expr("score div 1000000000"))
     val wOff = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    // the user total and the conversion total used to be two separate
+    // driver actions (scored.count() + a deciles aggregate), each paying
+    // a full recompute of its upstream chain as its own job — both are
+    // sums over BOUNDED summary frames (bucket counts / the 10-row
+    // decile frame), so they ride those frames as single-partition
+    // windows instead (the q174/q116 bounded-summary window class):
+    // one action total, no upstream recompute
     val offsets = scored.groupBy("vb").agg(count(lit(1)).as("bc"))
       .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
-      .select("vb", "off")
-    val n = scored.count()
+      .withColumn("total", sum("bc").over(Window.partitionBy()))
+      .select("vb", "off", "total")
     val wIntra = Window.partitionBy("vb").orderBy("score", "user_id")
     val ranked = scored.join(broadcast(offsets), Seq("vb"))
       .withColumn("rank_desc",
-        lit(n + 1) - (col("off") + row_number().over(wIntra)))
+        col("total") + 1L - (col("off") + row_number().over(wIntra)))
       .withColumn("decile",
-        expr(s"((rank_desc - 1) * 10) div ${n}L + 1"))
+        expr("((rank_desc - 1) * 10) div total + 1"))
     val deciles = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
-    val totalConv = deciles.agg(sum("n_conv")).head().getLong(0)
     deciles
       .withColumn("cum_conv", sum("n_conv").over(
         Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total_conv", sum("n_conv").over(Window.partitionBy()))
       .select(col("decile").cast("int").as("decile"),
         col("n_users").cast("bigint").as("n_users"),
         col("n_conv").cast("bigint").as("n_conv"),
         (col("n_conv").cast("double") / col("n_users").cast("double"))
           .as("conversion_rate"),
         col("cum_conv").cast("bigint").as("cum_conv"),
-        (col("cum_conv").cast("double") / lit(totalConv.toDouble))
+        (col("cum_conv").cast("double") / col("total_conv").cast("double"))
           .as("cum_capture"))
       .orderBy("decile")
   }

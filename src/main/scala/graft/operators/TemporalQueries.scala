@@ -478,11 +478,17 @@ object TemporalQueries {
     * cluster runs. The anchor is one bounded driver scalar (the q19
     * mirror class); the rest is one scan and one entity-key shuffle. */
   def q175DecayScore(s: SparkSession, dir: String): DataFrame = {
-    val anchorUs = Tables.events(s, dir)
-      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    // the anchor used to be a separate driver action (its own full
+    // events scan + job); the consumer chain references events exactly
+    // ONCE, so the anchor rides the main action as a broadcast 1-row
+    // aggregate instead (the q188/q200 crossJoin fold) — same two scans,
+    // one job instead of two
+    val anchor = Tables.events(s, dir)
+      .agg(max(expr("unix_micros(ts)")).as("anchor_us"))
     Tables.events(s, dir).filter(col("user_id") < 60)
+      .crossJoin(broadcast(anchor))
       .withColumn("k",
-        expr(s"least((${anchorUs}L - unix_micros(ts)) div 604800000000L, 20L)"))
+        expr("least((anchor_us - unix_micros(ts)) div 604800000000L, 20L)"))
       .withColumn("contrib",
         expr("cast(round(value * 100) as bigint)") *
           expr("shiftright(1000000L, cast(k as int))"))

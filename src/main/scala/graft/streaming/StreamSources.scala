@@ -52,6 +52,16 @@ object StreamSources {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "4"))
+    // second deployment knob, same shape: the state-store provider.
+    // Unset = Spark's default HDFS-backed in-memory provider (right for
+    // fixture-sized state); a deployment whose per-partition state
+    // outgrows executor memory sets the RocksDB provider class here —
+    // RocksDbStateSpec proves provider-identical results on this
+    // suite's heaviest stateful topologies, so the knob is a pure
+    // memory/latency trade (r16 A/B at sf0.1: RocksDB costs ~0.2-0.4 s
+    // per drain on fixture-sized state — see OPTIMIZATION_r16.md)
+    sys.env.get("GRAFT_STREAM_STATE_PROVIDER").filter(_.nonEmpty).foreach(
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     ss
   }
 
