@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomTest, CharGrams, DotProduct, GramCounts, Hist, Kmv, LongDot, PairProds, Topk, VecSum, Winnow, WinnowPos, WordShingles}
+import graft.functions.{BlockAudit, BloomTest, CharGrams, DotProduct, GramCounts, Hist, Kmv, LongDot, MinhashSig, PairProds, Topk, VecSum, Winnow, WinnowPos, WordShingles}
 
 /** Engine extensions, installed via `spark.sql.extensions`
   * (GraftSession sets it): registers the native functions so they are
@@ -107,6 +107,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           "graft_gramcounts expects exactly 1 argument (text)")
         GramCounts(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_blockaudit"),
+      new ExpressionInfo(classOf[BlockAudit].getName, "graft_blockaudit"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_blockaudit expects exactly 2 arguments (blocks, stopwords)")
+        BlockAudit(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhashsig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhashsig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_minhashsig expects exactly 2 arguments (shingles, n)")
+        MinhashSig(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_vecsum"),

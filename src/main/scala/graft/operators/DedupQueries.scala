@@ -2553,14 +2553,17 @@ object DedupQueries {
     * every shingle hash), normalized agreement recovers everything but
     * the tail noise.
     *
-    * Scale shape: the q22 signature discipline, not the row-local HOF
-    * form — each variant's shingles EXPLODE into codegen'd dual-md5 rows
-    * and collapse to 12 `min(substring(...))` aggregates whose map-side
-    * partial combine leaves one (doc, variant) row per document before
-    * the shuffle. (The row-local [[minhashSlotExpr]] projection computes
-    * the same values but pays 36 interpreted list traversals per row —
-    * measured ~5.0 s vs ~3.1 s at sf0.1.) The 3× shingle hashing is the
-    * honest cost of the comparison and the remaining floor. */
+    * Scale shape (round 16): all three variants' 12-slot signatures are
+    * per-row `graft_minhashsig` projections over their compiled shingle
+    * arrays — ONE corpus scan and ONE bounded per-source aggregate.
+    * The previous form was the q22 explode discipline, tripled: a
+    * 3-way unionAll (three corpus scans), the shingle explode, and TWO
+    * per-doc shuffles (signature min-aggregate, then the variant
+    * pivot) — measured ~2.7 s at sf0.1 vs ~0.9 s for this form (and
+    * ~5.0 s for the interpreted row-local HOF the r15 scaladoc
+    * recorded). The 3× md5 hashing is unchanged — it is the honest
+    * cost of the comparison — but it now runs in the native loop with
+    * no row materialization, and nothing document-granular shuffles. */
   def q304NormalizationRecall(s: SparkSession, dir: String): DataFrame = {
     val noisy = "concat(upper(text), ' ', repeat('!', cast(1 + doc_id % 3 as int)), " +
       "chr(9), 'Tail', cast(doc_id % 5 as string))"
@@ -2568,30 +2571,14 @@ object DedupQueries {
       "chr(9), ' '), '[!]+', '!'), '  +', ' '))"
     val base = Tables.documents(s, dir)
       .filter(expr("size(split(text, ' ')) >= 3"))
-    def stream(tag: String, txt: String) = base
-      .select(col("doc_id"), col("source"), lit(tag).as("vt"),
-        expr(s"split($txt, ' ')").as("toks"))
-      .select(col("doc_id"), col("source"), col("vt"),
-        explode(expr(s"array_distinct($shinglesExpr)")).as("x"))
-      .select(col("doc_id"), col("source"), col("vt"),
-        concat(md5(col("x")), md5(concat(lit("x"), col("x")))).as("h"))
-    val sigCols = (0 until nHashes)
-      .map(i => min(expr(s"substring(h, ${i * 5 + 1}, 5)")).as(s"s$i"))
-    val sigs = stream("c", "text")
-      .unionAll(stream("r", noisy))
-      .unionAll(stream("n", norm))
-      .groupBy("doc_id", "source", "vt")
-      .agg(sigCols.head, sigCols.tail: _*)
-    val variantCols = Seq("c", "r", "n").flatMap { t =>
-      (0 until nHashes).map(i =>
-        min(when(col("vt") === t, col(s"s$i"))).as(s"$t$i"))
-    }
-    val perDoc = sigs.groupBy("doc_id", "source")
-      .agg(variantCols.head, variantCols.tail: _*)
+    def sig(txt: String) =
+      expr(s"graft_minhashsig(graft_shingles(split($txt, ' '), 3), $nHashes)")
+    val perDoc = base.select(col("source"),
+      sig("text").as("cs"), sig(noisy).as("rs"), sig(norm).as("ns"))
     val agreeRaw = (0 until nHashes)
-      .map(i => s"(case when r$i = c$i then 1L else 0L end)").mkString(" + ")
+      .map(i => s"(case when rs[$i] = cs[$i] then 1L else 0L end)").mkString(" + ")
     val agreeNorm = (0 until nHashes)
-      .map(i => s"(case when n$i = c$i then 1L else 0L end)").mkString(" + ")
+      .map(i => s"(case when ns[$i] = cs[$i] then 1L else 0L end)").mkString(" + ")
     perDoc.withColumn("ar", expr(agreeRaw))
       .withColumn("an", expr(agreeNorm))
       .groupBy("source")

@@ -995,27 +995,24 @@ object QualityFilterQueries {
       "' sitemap httpwww', cast(doc_id % 13 as string)), ' ')"
     val footer = "split(concat('copyright 2024 terms privacy', " +
       "cast(doc_id % 10 as string)), ' ')"
-    val linky = "t -> t rlike '[0-9]' or substring(t, 1, 4) = 'http'"
-    val isContent = s"size(b) >= 6 and (100 * size(filter(b, $linky))) " +
-      s"div size(b) <= 20 and size(filter(b, t -> t IN ($stopList))) >= 1"
+    // Round-16: the seven rule projections used to be independent
+    // interpreted HOFs, and CollapseProject inlined the O(page) blocks
+    // construction into EACH — seven block builds + seven lambda
+    // traversals (an rlike per token) per row. graft_blockaudit walks
+    // one blocks array once in a compiled loop under the identical rule
+    // lattice (BlockAuditSpec pins HOF == native branch by branch);
+    // measured at sf0.1: 1.08 s → see OPTIMIZATION_r16.md.
     Tables.documents(s, dir)
       .select(col("source"), col("doc_id"), expr("split(text, ' ')").as("toks"))
       .select(col("source"), expr(
-        s"concat(array($header), " +
+        s"graft_blockaudit(concat(array($header), " +
           "transform(sequence(0, (size(toks) - 1) div 12), " +
-          s"i -> slice(toks, i * 12 + 1, 12)), array($footer))").as("blocks"))
-      .select(col("source"),
-        expr("cast(size(blocks) as bigint)").as("b_all"),
-        expr("cast(size(filter(blocks, b -> size(b) < 6)) as bigint)").as("b_short"),
-        expr(s"cast(size(filter(blocks, b -> (100 * size(filter(b, $linky)))" +
-          " div size(b) > 20)) as bigint)").as("b_link"),
-        expr(s"cast(size(filter(blocks, b -> size(filter(b, " +
-          s"t -> t IN ($stopList))) = 0)) as bigint)").as("b_nostop"),
-        expr(s"cast(size(filter(blocks, b -> $isContent)) as bigint)").as("b_content"),
-        expr(s"cast(aggregate(filter(blocks, b -> $isContent), 0L, " +
-          "(acc, b) -> acc + size(b)) as bigint)").as("w_kept"),
-        expr("cast(aggregate(blocks, 0L, (acc, b) -> acc + size(b)) as bigint)")
-          .as("w_all"))
+          s"i -> slice(toks, i * 12 + 1, 12)), array($footer)), " +
+          s"array($stopList))").as("a"))
+      .select(col("source"), col("a.b_all").as("b_all"),
+        col("a.b_short").as("b_short"), col("a.b_link").as("b_link"),
+        col("a.b_nostop").as("b_nostop"), col("a.b_content").as("b_content"),
+        col("a.w_kept").as("w_kept"), col("a.w_all").as("w_all"))
       .groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum("b_all").cast("bigint").as("n_blocks"),

@@ -270,13 +270,18 @@ object TextAnalysisQueries {
     * the single shuffle on the pair; the hot loop of tokenizer training at
     * 100 TB is exactly this scan-bound aggregate repeated per merge. */
   def q74BpeMerges(s: SparkSession, dir: String): DataFrame =
+    // Round-16: the word-instance explode + per-position interpreted
+    // substring lambda (one dispatch per character of every word
+    // occurrence) is the k=2 slice of graft_gramcounts — per-document
+    // in-word gram counting in one compiled loop, emitting distinct
+    // (gram, count) rows instead of one row per occurrence. Identical
+    // pairs and counts: both step by code point, and words shorter than
+    // 2 produce no 2-gram either way (GramCountsSpec pins the family).
     Tables.documents(s, dir)
-      .select(explode(expr("split(text, ' ')")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
-      .groupBy("pair")
-      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .select(explode(expr("graft_gramcounts(text)")).as("gk"))
+      .filter(col("gk.k") === 2)
+      .groupBy(col("gk.g").as("pair"))
+      .agg(sum("gk.cnt").cast("bigint").as("cnt"))
       .orderBy(desc("cnt"), asc("pair"))
       .limit(20)
 
