@@ -512,12 +512,25 @@ object EtlQueries {
     * collapse itself is an engine-side fact the oracle cannot see, so
     * GovernanceWaveSpec asserts it from the filesystem (before > after,
     * after == |partitions|). */
+  /** q256's FRAGMENTED input lake, one per events fingerprint per JVM —
+    * the cachedLakeFixture discipline (fixture construction cached, the
+    * declared COMPACTION VERB cloned-and-run every invocation): the
+    * 8-files-per-day fragmentation is the deterministic starting state,
+    * not the operator. */
+  private val compactFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def q256Compaction(s: SparkSession, dir: String): DataFrame = {
-    val path = graft.Staging.fresh("compact")
-    val ev = Tables.events(s, dir)
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    ev.repartition(8, col("event_id"))
-      .write.partitionBy("day").mode("overwrite").parquet(path)
+    val fixture = compactFixtureCache.computeIfAbsent(
+      graft.CorpusKey(dir, "events.parquet"), _ => {
+        val p = graft.Staging.fresh("compact")
+        Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .repartition(8, col("event_id"))
+          .write.partitionBy("day").mode("overwrite").parquet(p)
+        p
+      })
+    val path = Warehouse.cloneLake(fixture, "compact-verb")
     val lake = s.read.parquet(path)
     // staged rewrite: the re-binned frame is a lazy plan over the very
     // files the overwrite replaces — materialize to staging first
