@@ -1820,28 +1820,30 @@ object DedupQueries {
     * re-scoring); merge as q177 (two equi-joins on the customer key). */
   def q315ErIncremental(s: SparkSession, dir: String): DataFrame = {
     val stage = fuzzyBaseStage(s, dir)
-    // Round-15 staged the updated pair stream before the label stage —
-    // labelsOfPairs references it THREE times (both undirected
-    // orientations + the vertex list), and each reference re-ran the
-    // delta variant join + levenshtein verify inside the base-graph
-    // write. Round-16: all three references live inside ONE job (the
-    // base-graph write), so an in-memory persist dedups the subtree
-    // without the staging write's extra job + parquet round-trip; the
-    // cache is dropped as soon as that job finishes (propagateLabels
-    // reads the STAGED base graph, never this frame). At scale the
-    // frame is the delta-touching pair stream — bounded by the batch,
-    // MEMORY_AND_DISK spills if not.
-    val pairs = fuzzyDeltaUpdate(s,
+    // Round-15 optimization: the updated pair stream lands in a staging
+    // leaf ONCE before the label stage — labelsOfPairs references it
+    // THREE times (both undirected orientations + the vertex list), and
+    // each reference re-ran the delta variant join + levenshtein verify
+    // inside the base-graph write (the q86/q321 cut-branch replication).
+    // Round-16 A/B'd replacing this write with an in-memory persist()
+    // (the three references live inside the one base-graph write job):
+    // MEASURED WORSE — 7.2 s vs 5.2 s medians, 7 trials each, quiet box
+    // — the InMemoryRelation's columnar encode sits inside the critical
+    // job and its three scans serialize per-partition on block locks,
+    // where the staged leaf fans out as parallel parquet reads. The
+    // staging write ships; persist is the recorded negative
+    // (OPTIMIZATION_r16.md §5).
+    val up = graft.Staging.fresh("erincupd")
+    fuzzyDeltaUpdate(s,
       Tables.customer(s, dir).filter(col("c_custkey") % 10 === 7),
-      stage).select("ka", "kb").persist()
+      stage).select("ka", "kb").write.mode("overwrite").parquet(up)
+    val pairs = s.read.parquet(up)
     // the recompute WARM-STARTS from the staged base labeling — exact
     // under the append-only delta (propagateLabels' seed contract), and
     // base components start pre-collapsed so the loop converges in the
     // merged-component diameter, not the full graph's
-    val labels =
-      try labelsOfPairs(s, pairs, graft.Staging.fresh("erinc"),
-        Some(s"$stage/labels"))
-      finally pairs.unpersist(blocking = false)
+    val labels = labelsOfPairs(s, pairs, graft.Staging.fresh("erinc"),
+      Some(s"$stage/labels"))
     goldenMerge(Tables.customer(s, dir), labels)
   }
 
