@@ -2305,11 +2305,18 @@ object SimilarityQueries {
     * `qrank` under the exact-integer int8 code dot — from one broadcast
     * probe expansion and two row_number windows over one exchange. */
   private[graft] def int8Ranked(s: SparkSession, dir: String): DataFrame = {
+    // round-16: the integer dots ran as interpreted HOF folds —
+    // `aggregate(zip_with(pq, q, ...))` per JOINED row (the probe fanout's
+    // hot inner loop: |probes| x |corpus| x dim lambda dispatches) and the
+    // self-dot `aggregate(q, ...)` per corpus row. Both are exactly
+    // graft_ldot's contract (LongDot.scala: bit-identical to the fold,
+    // null/length semantics verbatim, pinned by LongDotSpec), which joins
+    // whole-stage codegen instead of CodegenFallback.
     val e = normed(s, dir)
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0d"))
       .withColumn("q", expr(
         "transform(v, x -> cast(floor(x / scale + 0.5d) as bigint))"))
-      .withColumn("qn2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+      .withColumn("qn2", expr("graft_ldot(q, q)"))
     val probes = e.filter(col("vec_id") < 32)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pn"), col("q").as("pq"), col("qn2").as("pqn2"))
@@ -2317,8 +2324,7 @@ object SimilarityQueries {
     val wq = Window.partitionBy("probe_id").orderBy(desc("qcos"), asc("vec_id"))
     e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("cos", expr(dotFold.format("pv", "v") + " / (pn * nrm)"))
-      .withColumn("iq", expr(
-        "aggregate(zip_with(pq, q, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("iq", expr("graft_ldot(pq, q)"))
       .withColumn("qcos", expr(
         "cast(iq as double) / sqrt(cast(pqn2 * qn2 as double))"))
       .withColumn("erank", row_number().over(wf))

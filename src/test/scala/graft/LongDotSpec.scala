@@ -23,6 +23,16 @@ class LongDotSpec extends AnyFunSuite {
     df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("graft_ldot(q, q) equals the self-dot HOF fold (int8Ranked's qn2)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 40).map(_ => Tuple1(Seq.fill(64)(rnd.nextInt(255) - 127L)))
+    import spark.implicits._
+    val df = rows.toDF("q").selectExpr(
+      "graft_ldot(q, q) AS n",
+      "aggregate(q, 0L, (a, x) -> a + x * x) AS h")
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("graft_ldot null semantics: null array, null element, length mismatch") {
     val r = spark.sql(
       "SELECT graft_ldot(CAST(NULL AS ARRAY<BIGINT>), array(1L)), " +
