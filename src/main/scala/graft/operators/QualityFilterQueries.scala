@@ -890,6 +890,34 @@ object QualityFilterQueries {
       .orderBy("pair")
   }
 
+  /** The unigram-LM standing layout: `counts` = the corpus token
+    * vocabulary with frequencies, `perdoc` = each document's
+    * (n_tokens, quantized LM mass) under it — both pure corpus
+    * functions, durable per documents fingerprint (the bigram-LM
+    * sidecar idiom). */
+  private val unigramLmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def unigramLmBase(s: SparkSession, dir: String): String =
+    unigramLmCache.computeIfAbsent(
+      graft.CorpusKey(dir, "documents.parquet"), _ =>
+        graft.etl.Layouts.stage(s, "unigramlm", "v1", dir,
+          Seq("documents")) { base =>
+          val tok = Tables.documents(s, dir)
+            .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
+          tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(s"$base/counts")
+          val counts = s.read.parquet(s"$base/counts")
+          val totalV = counts.agg(sum("cnt")).first().getLong(0)
+          tok.join(counts, Seq("tok"))
+            .withColumn("pq", expr(
+              s"cast(floor(cast(cnt as double) / cast($totalV as double) * 1e12) as bigint)"))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_tokens"), sum("pq").as("spq"))
+            .write.mode("overwrite").parquet(s"$base/perdoc")
+          base
+        })
+
   /** The per-document verdict triple shared by q230 (cross-tab) and
     * q244 (kappa): v_rules / v_rep from one row-local scan, v_lm from
     * q75's vocab-join mass against the corpus mean. */
@@ -923,28 +951,19 @@ object QualityFilterQueries {
           "then 1 else 0 end").as("v_rules"),
         expr("case when ng < 1 then 1 when 5 * (ng - ndg) <= ng then 1 else 0 end")
           .as("v_rep"))
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
     // Round-15 optimization (cut-branch staging): the LM-mass chain has
     // two driver scalars (totalV, the corpus mean) plus the final plan —
     // left lazy, the corpus explode ran 3x, the token-count shuffle 3x
     // and the tok⋈counts join 2x. Staging counts and perDoc makes the
-    // scalar reads leaf aggregates and the final plan a leaf join;
-    // the explode now runs twice (counts build, join probe), the join
-    // once. Shared by q230 and q244. Measured: see OPTIMIZATION_r15.md.
-    val cstg = graft.Staging.fresh("ensvcnt")
-    tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(cstg)
-    val counts = s.read.parquet(cstg)
-    val totalV = counts.agg(sum("cnt")).first().getLong(0)
-    val pstg = graft.Staging.fresh("ensvpd")
-    tok.join(counts, Seq("tok"))
-      .withColumn("pq", expr(
-        s"cast(floor(cast(cnt as double) / cast($totalV as double) * 1e12) as bigint)"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("pq").as("spq"))
-      .write.mode("overwrite").parquet(pstg)
-    val perDoc = s.read.parquet(pstg)
+    // scalar reads leaf aggregates and the final plan a leaf join.
+    // Round-16: both frames are pure corpus functions (the unigram
+    // vocabulary and each document's mass under it — the bigram-LM
+    // sidecar precedent), so they moved from per-invocation staging to
+    // ONE durable Layouts entry; the verdict logic, scalar reads and
+    // cross-tab/kappa readouts still run per invocation. Shared by q230
+    // and q244.
+    val base = unigramLmBase(s, dir)
+    val perDoc = s.read.parquet(s"$base/perdoc")
     val t = perDoc.agg(sum(col("spq").cast("decimal(38,0)")), sum("n_tokens")).first()
     val (sspq, sn) = (t.getDecimal(0).toBigInteger, t.getLong(1))
     val lm = perDoc.select(col("doc_id"),
